@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target the test harness (local[N], 128 GiB box) but every knob
+is chosen for how it scales out: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (vectorized Python<->JVM
+transfer for the few Pandas-UDF operators), shuffle partitions sized to
+the parallelism rather than Spark's legacy 200.
+
+On a real cluster the same builder is used with ``master`` unset (taken
+from spark-submit) and ``shuffle_partitions`` sized to ~2-3x total cores
+(or left to AQE's coalescing with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-graft",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Environment overrides (driver contract): ``SPARK_GRAFT_CPUS`` sets
+    local parallelism; tests use ``local[*]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic broadcast-join demotion/promotion. Essential at 100 TB
+        # where static stats are stale or absent.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the Pandas-UDF extension points (similarity,
+        # multimodal decode) — batch columnar transfer, not per-row pickle.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # keep files splittable at 128 MiB so a 100 TB table fans out.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,101 @@
+"""Sources & sinks.
+
+Covers the reference's full I/O surface (SURVEY.md §2.3):
+
+- O1  text line scan            -> ``read_text_lines``
+- O2  K/V tab-delimited scan    -> ``read_kv_text``
+- O3  text sink (``k \\t v``)    -> ``write_text_kv``
+- O4  overwrite management      -> ``mode("overwrite")`` everywhere
+      (the reference hand-deletes output dirs, PageRank.java:69-80,222-228)
+
+plus the engine-native Parquet catalog over the driver test tables.
+Parquet is the primary format at scale: columnar, splittable, predicate
+pushdown + column pruning reach the scan (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark import schemas
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one of the driver test tables as a DataFrame.
+
+    Schema is validated against ``schemas.TABLES`` (names + order); the
+    reference had only implicit positional schemas (SURVEY.md §1.2), the
+    engine fails fast on drift instead.
+    """
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = schemas.TABLES.get(name)
+    if expected is not None:
+        got = [f.name for f in df.schema.fields]
+        want = [f.name for f in expected.fields]
+        if got != want:
+            raise ValueError(f"schema drift for {name}: expected {want}, got {got}")
+    return df
+
+
+class Catalog:
+    """Lazy handle to all tables at one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, name, self.sf_dir)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in schemas.TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+# --- reference text I/O surface --------------------------------------------
+
+
+def read_text_lines(spark: SparkSession, *paths: str) -> DataFrame:
+    """O1: line-oriented text scan (PageRank.java:94,164).
+
+    Multiple paths behave like the reference's ``addInputPaths``
+    (union of files). Returns one ``line: string`` column; the byte
+    offset key of TextInputFormat carries no information downstream in
+    the reference and is dropped.
+    """
+    return spark.read.text(list(paths)).withColumnRenamed("value", "line")
+
+
+def read_kv_text(spark: SparkSession, *paths: str) -> DataFrame:
+    """O2: tab-delimited key/value scan (KeyValueTextInputFormat,
+    PageRank.java:232,293). Splits on the FIRST tab only, like Hadoop."""
+    lines = read_text_lines(spark, *paths)
+    parts = F.split(F.col("line"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).alias("key"),
+        F.coalesce(parts.getItem(1), F.lit("")).alias("value"),
+    )
+
+
+def write_text_kv(df: DataFrame, path: str, key: str, value: str) -> None:
+    """O3+O4: ``key \\t value`` text sink with overwrite (TextOutputFormat,
+    PageRank.java:233,294; dir cleanup :69-80)."""
+    out = df.select(F.concat_ws("\t", F.col(key).cast("string"), F.col(value).cast("string")).alias("value"))
+    out.write.mode("overwrite").text(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Engine-native sink. ``partition_by`` gives partition pruning on
+    re-read — the 100 TB path for any recurring filter column."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

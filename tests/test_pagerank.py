@@ -1,0 +1,89 @@
+"""Golden tests for the iterative PageRank operator (SURVEY.md §2 O5-O21).
+
+The oracle here is a dict-based pure-Python evaluator implementing the
+reference semantics exactly (PageRank.java:378,454-468,493,515,523,527):
+seed 1/N over distinct src, contribution rank/out_degree per edge
+OCCURRENCE, new rank = 0.15 + 0.85*sum over the src-vertex set only.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pagerank_mapreduce_implementation_spark.operators.graph import pagerank, rank_descending
+
+
+def py_pagerank(edges: list[tuple[str, str]], n_iters: int = 10, d: float = 0.85):
+    srcs = {s for s, _ in edges}
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(srcs)
+    ranks = {u: 1.0 / n for u in srcs}
+    for _ in range(n_iters):
+        contrib: dict[str, float] = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + ranks[s] / deg[s]
+        ranks = {u: (1.0 - d) + d * contrib.get(u, 0.0) for u in srcs}
+    return ranks
+
+
+# 5-node graph: 'e' is dangling (appears only as dst from a vertex that
+# exists... we make 'd' a vertex with an out-edge to red-link 'x'),
+# duplicate edge a->b, red link 'x' (dst-only), zero-inbound vertex 'd'.
+EDGES = [
+    ("a", "b"),
+    ("a", "b"),  # duplicate: scatters twice (PageRank.java:454-468)
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "x"),  # x is a red link: receives mass but is dropped
+]
+
+
+def test_reference_parity_golden(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+    want = py_pagerank(EDGES, 10)
+    assert set(got) == set(want)  # red link x dropped, all srcs kept
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12), u
+
+
+def test_red_links_dropped_zero_inbound_kept(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=2).collect()}
+    assert "x" not in got
+    # d has no inbound: rank = 0.15 every iteration (PageRank.java:523,527)
+    assert got["d"] == pytest.approx(0.15)
+
+
+def test_textbook_mode_is_distribution(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")], "src string, dst string"
+    )
+    got = pagerank(edges, n_iters=15, mode="textbook").collect()
+    total = sum(r["rank"] for r in got)
+    # d dangles into nothing? d->a exists so all 4 have out-edges; vertex
+    # set = {a,b,c,d}; textbook mode keeps sum(rank) == 1.
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rank_descending_with_ties(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = pagerank(edges, n_iters=10)
+    top = rank_descending(ranks, limit=3).collect()
+    vals = [r["rank"] for r in top]
+    assert vals == sorted(vals, reverse=True)
+    # deterministic tiebreak by url asc
+    full = rank_descending(ranks).collect()
+    for i in range(len(full) - 1):
+        if math.isclose(full[i]["rank"], full[i + 1]["rank"], rel_tol=0, abs_tol=0):
+            assert full[i]["url"] < full[i + 1]["url"]
+
+
+def test_empty_edges(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, n_iters=3).count() == 0
