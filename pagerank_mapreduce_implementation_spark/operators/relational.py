@@ -1,0 +1,122 @@
+"""Relational operator coverage: scan/filter/project/join/agg/sort/limit.
+
+The reference's relational surface is implicit (SURVEY.md §2.3: filters
+are string predicates, joins are hand-rolled tagged shuffles, aggs are
+single-level groupBys, sorts are single-reducer). These queries exercise
+the same operator *categories* on the engine's native star schema, the
+Spark-first way: declarative plans Catalyst optimizes — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for the
+small dimensions, partial aggregation, range-partitioned parallel sort.
+
+Oracle-determinism note: double-valued SUM/AVG are floating-point
+order-dependent — Spark and the DuckDB oracle would sum in different
+orders and hash-differ. Money-style aggregates therefore sum
+``decimal(18,6)``-cast per-row values (the per-row expression is
+computed in IEEE double — bit-identical across engines — then cast;
+decimal summation is exact and order-independent), and only the final
+scalar converts back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dsum(expr: Column, digits: int = 2) -> Column:
+    """Order-independent sum of a double expression (see module note)."""
+    return F.round(F.sum(expr.cast(DEC)).cast("double"), digits)
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """Filter → groupBy → multi-agg → sort (TPC-H Q1 shape).
+
+    The shipdate predicate pushes down to the parquet scan; the groupBy
+    on two low-cardinality keys gets map-side partial aggregation.
+    """
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            # exact decimal sum → double FIRST, then double division:
+            # decimal/int division scale rules differ between engines,
+            # double division of identical inputs is IEEE-identical.
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double") / cnt, 6).alias(
+                "avg_qty"
+            ),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / cnt, 6
+            ).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast(DEC)).cast("double") / cnt, 6).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_customers_by_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """3-way join → agg → top-k. lineitem⋈orders shuffles on orderkey;
+    the customer dim joins broadcast (small side). ``limit k`` after the
+    sort plans TakeOrderedAndProject — no full global sort."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(disc_price).alias("revenue"))
+    )
+    return (
+        revenue.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def nation_order_stats(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Snowflake join through two broadcast dims → agg → sort.
+
+    region→nation→customer are all tiny: the dim joins broadcast, so
+    the only shuffle is the final groupBy.
+    """
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.05
+) -> DataFrame:
+    """Semi-join (EXISTS) → agg → sort: orders with at least one
+    deeply-discounted lineitem, counted by priority. left_semi avoids
+    materializing the join product (TPC-H Q4 shape); the discount
+    predicate pushes into the lineitem scan."""
+    discounted = lineitem.filter(F.col("l_discount") > min_discount).select("l_orderkey")
+    return (
+        orders.join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,147 @@
+"""Text/IR pipeline: tokenize → word count → TF → TF-IDF → search → rank.
+
+Re-expresses the reference jar's ``org.myorg.*`` pipelines (SURVEY.md
+§2.2, semantics recovered by javap disassembly) as pure DataFrame
+column expressions — no UDFs, fully inside WholeStageCodegen:
+
+- O23 tokenize: the jar splits lines on ``\\s*\\b\\s*`` word boundaries
+  (pagerank.jar!org/myorg/WordCount$Map.class @11). Engine default is
+  whitespace splitting (equivalent on the engine's corpus and identical
+  between Spark and the DuckDB oracle); ``pattern=TOKEN_BOUNDARY_RE``
+  gives exact reference behavior (punctuation runs become tokens).
+- O24 word count (WordCount$Map/$Reduce; the compiled map appends a
+  stray " bla" dev artifact — canonical semantics are plain counts).
+- O25 per-document word count, lowercased composite key
+  (DocWordCount$Map.class @59-98: getInputSplit→filename, toLowerCase,
+  ``word#####filename`` — here a real 2-column groupBy).
+- O26 log-scaled term frequency ``1 + log10(cnt)``
+  (TermFrequency$Reduce.class @48-55).
+- O27 TF-IDF: ``df = #docs containing word``; ``idf = log10(1 +
+  total_docs/df)``; score ``tf*idf`` (TFIDF$Reduce.class @68-210).
+  ``total_docs`` is the document count (the jar used the input FILE
+  count, TFIDF.class run() @37-55 — one doc per file).
+- O29 search: keep tf-idf rows whose word matches a query term, sum
+  scores per doc (Search$Map.class @32-89, Search$Reduce.class @28-57).
+- O30 rank: descending score sort (Rank$DescendingComparator.class);
+  with k, Catalyst plans TakeOrderedAndProject (no global sort).
+
+Scale notes (100 TB posture):
+- tokenize is explode(split(...)): narrow, no shuffle; codegen'd.
+- the only shuffles are the groupBys on (doc_id, word) and (word); both
+  get map-side partial aggregation automatically.
+- the df-per-word table is tiny relative to the corpus → Catalyst/AQE
+  broadcasts it into the tf join (no shuffle of the big side).
+- search terms are a literal IN-list (semi-join semantics), pushed into
+  the scan when reading a materialized tf-idf table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Exact reference tokenizer (Java regex, WordCount$Map.class @11):
+#: splits on word boundaries, so punctuation runs survive as tokens.
+TOKEN_BOUNDARY_RE = r"\s*\b\s*"
+#: Engine default: whitespace tokens (identical to the reference on
+#: space-separated corpora; identical semantics in the DuckDB oracle).
+TOKEN_WS_RE = r"\s+"
+
+
+def tokenize(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    pattern: str = TOKEN_WS_RE,
+    lowercase: bool = False,
+) -> DataFrame:
+    """O23: one row per token occurrence: ``(doc_id, word)``."""
+    word = F.explode(F.split(F.col(text_col), pattern)).alias("word")
+    out = docs.select(F.col(doc_col).alias("doc_id"), word).filter(F.col("word") != "")
+    if lowercase:
+        out = out.select("doc_id", F.lower("word").alias("word"))
+    return out
+
+
+def word_count(docs: DataFrame, **tok_kwargs) -> DataFrame:
+    """O24: corpus-wide word count → ``(word, cnt)``."""
+    return tokenize(docs, **tok_kwargs).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def doc_word_count(docs: DataFrame, **tok_kwargs) -> DataFrame:
+    """O25: per-document lowercased word count → ``(doc_id, word, cnt)``.
+
+    The reference packs ``lower(word)#####filename`` into one key
+    (DocWordCount$Map.class @96); the engine groups by two real columns.
+    """
+    tok_kwargs.setdefault("lowercase", True)
+    return (
+        tokenize(docs, **tok_kwargs)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def term_frequency(docs: DataFrame, **tok_kwargs) -> DataFrame:
+    """O26: log-scaled TF ``wf = 1 + log10(cnt)`` → ``(doc_id, word, tf)``."""
+    return doc_word_count(docs, **tok_kwargs).select(
+        "doc_id", "word", (F.lit(1.0) + F.log10("cnt")).alias("tf")
+    )
+
+
+def tf_idf(docs: DataFrame, total_docs: int | None = None, **tok_kwargs) -> DataFrame:
+    """O27: ``tfidf = tf * log10(1 + total_docs/df)`` → ``(doc_id, word, tfidf)``.
+
+    ``df`` counts documents containing the word; since TF rows are
+    unique per (doc, word), ``count(*)`` over TF grouped by word IS the
+    document frequency (same trick as TFIDF$Reduce.class @68).
+    The df-per-word side is small → broadcast join (AQE enforces).
+    """
+    if total_docs is None:
+        total_docs = docs.count()
+    tf = term_frequency(docs, **tok_kwargs)
+    df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(F.broadcast(df_counts), "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.log10(F.lit(1.0) + F.lit(float(total_docs)) / F.col("df"))).alias(
+            "tfidf"
+        ),
+    )
+
+
+def search(tfidf_df: DataFrame, terms: list[str]) -> DataFrame:
+    """O29: per-document summed tf-idf over matched query terms
+    → ``(doc_id, score)``. Terms are exact-match (Search$Map @89 uses
+    ``String.equals``); the IN-list filter pushes down to the scan when
+    the tf-idf table is materialized."""
+    return (
+        tfidf_df.filter(F.col("word").isin([t for t in terms]))
+        .groupBy("doc_id")
+        .agg(F.sum("tfidf").alias("score"))
+    )
+
+
+def ranked(scored: DataFrame, k: int | None = None, score_col: str = "score") -> DataFrame:
+    """O30: global descending score sort; deterministic ``doc_id`` tiebreak
+    (the jar's Rank is only totally ordered with 1 reducer — Spark
+    range-partitions instead; with ``k`` this is TakeOrderedAndProject)."""
+    out = scored.orderBy(F.desc(score_col), F.asc("doc_id"))
+    if k is not None:
+        out = out.limit(k)
+    return out
+
+
+def search_ranked(
+    docs: DataFrame,
+    terms: list[str],
+    k: int | None = None,
+    total_docs: int | None = None,
+    **tok_kwargs,
+) -> DataFrame:
+    """O28 job-chain composition: TF → TF-IDF → search → rank as one
+    lazy lineage (the jar materializes text files between each job;
+    the engine materializes nothing)."""
+    return ranked(search(tf_idf(docs, total_docs, **tok_kwargs), terms), k)

@@ -1,0 +1,75 @@
+"""Mimic the driver's correctness gate: every ``queries()`` entry must
+match its DuckDB ``oracle_sql()`` twin exactly (row count, column names,
+values) at a small scale factor.
+
+Exactness is intentional — the engine rounds/decimal-casts on both
+sides so the comparison needs no epsilon (see __spark_entry__ notes).
+Run at sf0.001 by default for speed; set SPARK_GRAFT_TEST_SF_DIR to
+/root/testdata/sf0.01 for the driver-scale check.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        got = entrymod.queries()[name](spark, sf_dir)
+        assert got.count() >= 0  # rows-only check, like the driver
+        return
+    got = normalize(entrymod.queries()[name](spark, sf_dir).toPandas())
+    want = normalize(duck.sql(oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["url", "rank"]
+
+
+def test_every_query_has_oracle_or_documented_gap():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
