@@ -58,7 +58,7 @@ def pagerank(
     n_iters: int = 10,
     mode: str = "reference",
     damping: float = DAMPING,
-    checkpoint_every: int = 4,
+    materialize_every: int = 2,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges; vertex set = distinct src.
@@ -71,18 +71,34 @@ def pagerank(
         raise ValueError(f"unknown mode {mode!r}")
     spark = edges.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Size the loop's partitioning from the data, capped by the
+        # session's shuffle partitions: ~250k edge rows per partition
+        # (measured sweet spot for the join+agg step; small enough to
+        # parallelize, big enough that task overhead doesn't dominate).
+        # A 100 TB edge table hits the configured cap, which is what a
+        # cluster operator sizes; a 600k-row local run gets 3 partitions
+        # instead of paying 32x task overhead x 10 iterations.
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_edges = edges.count()
+        num_partitions = min(cap, max(1, -(-n_edges // 250_000)))
 
     # Static per-iteration join input: one row per edge occurrence with
-    # the source's out-degree attached. Partitioned by src once, reused
-    # every iteration.
-    deg = out_degree(edges)
-    links = (
-        edges.join(deg, "src")
-        .repartition(num_partitions, "src")
+    # the source's out-degree attached. The input is shuffled on src
+    # exactly ONCE; out-degree, the degree join, and the vertex set all
+    # reuse that partitioning (no further exchanges — check .explain():
+    # one Exchange total in the links build). At 100 TB this is the
+    # difference between 1 and 4 passes over the edge table.
+    part = edges.repartition(num_partitions, "src").persist()
+    deg = part.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    links = part.join(deg, "src").persist()
+    links.count()
+    part.unpersist()
+    vertices = (
+        links.select(F.col("src").alias("url"))
+        .distinct()
+        .coalesce(num_partitions)
         .persist()
     )
-    vertices = links.select(F.col("src").alias("url")).distinct().persist()
     n = vertices.count()  # O5 count-all + O9 scalar broadcast (a literal)
     if n == 0:
         links.unpersist()
@@ -91,26 +107,41 @@ def pagerank(
 
     ranks = vertices.select("url", F.lit(1.0 / n).alias("rank"))
 
+    # O14/O17 without a second join: a zero-contribution row tagged
+    # ``own=1`` per vertex rides the SAME shuffle as the contributions.
+    # After groupBy(url): red links have max(own)=0 -> dropped; vertices
+    # with no inbound keep sum=0 -> rank (1-d). One shuffle per
+    # iteration instead of shuffle+join (the reference's tagged-union
+    # repartition join, PageRank.java:472-473,509-517, done Spark-side).
+    zero = vertices.select(
+        "url", F.lit(0.0).alias("contrib"), F.lit(1).alias("own")
+    )
+
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         # O13 scatter: contribution = rank(src)/out_degree(src) per edge
-        # occurrence. Join is src-partitioned (links side pre-shuffled).
+        # occurrence. links is pre-partitioned on src; the rank vector
+        # arrives hash-partitioned on url from the previous groupBy, so
+        # this join re-shuffles at most the small rank side (or AQE
+        # broadcasts it when it fits).
         contribs = links.join(
             ranks.withColumnRenamed("url", "src"), "src"
         ).select(
             F.col("dst").alias("url"),
             (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            F.lit(0).alias("own"),
         )
-        # O15 gather: partial agg map-side, final agg on url.
-        sums = contribs.groupBy("url").agg(F.sum("contrib").alias("contrib_sum"))
+        # O15 gather: map-side partial agg, final agg on url.
+        sums = (
+            contribs.unionByName(zero)
+            .groupBy("url")
+            .agg(F.sum("contrib").alias("contrib_sum"), F.max("own").alias("own"))
+        )
         if mode == "reference":
-            # O14/O17: join back to the vertex set — red links drop out,
-            # pages with no inbound keep a NULL->0 contribution.
-            return vertices.join(sums, "url", "left").select(
+            return sums.filter(F.col("own") == 1).select(
                 "url",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("contrib_sum"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("contrib_sum")).alias(
+                    "rank"
+                ),
             )
         # textbook: redistribute dangling mass, normalize constant by N.
         dangling = (
@@ -118,17 +149,21 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
-        return vertices.join(sums, "url", "left").select(
+        return sums.filter(F.col("own") == 1).select(
             "url",
             (
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                + F.lit(damping) * (F.col("contrib_sum") + F.lit(dangling / n))
             ).alias("rank"),
         )
 
-    driver = IterationDriver(checkpoint_every=checkpoint_every)
+    driver = IterationDriver(materialize_every=materialize_every)
     result = driver.run(ranks, step, n_iters)
+    # Result is materialized (localCheckpoint at the final boundary) —
+    # the static tables can be dropped (reference GC'd intermediate
+    # dirs the same way, PageRank.java:222-228,308-327).
+    links.unpersist()
+    vertices.unpersist()
     return result
 
 

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce partitions INSIDE persisted plans too —
+        # iterative loops persist every step; without this each cached
+        # step materializes at full shuffle width (tasks >> data).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # Arrow for the Pandas-UDF extension points (similarity,
         # multimodal decode) — batch columnar transfer, not per-row pickle.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
