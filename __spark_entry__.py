@@ -22,7 +22,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pagerank_mapreduce_implementation_spark.operators import graph, relational, text
+from pagerank_mapreduce_implementation_spark import oracles
+from pagerank_mapreduce_implementation_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    textstats,
+)
 from pagerank_mapreduce_implementation_spark.oracles import EDGES_SQL, pagerank_sql
 from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
 
@@ -48,6 +57,38 @@ _TFIDF = (
     "CAST((SELECT count(*) FROM documents) AS DOUBLE)/dfreq.df) AS tfidf "
     "FROM tf t JOIN dfreq USING (word))"
 )
+
+# shared token-array CTE for the textstats oracles — mirror of
+# textstats._tokens (whitespace split, drop empties, keep order)
+_TOKS_ARR = (
+    "t AS (SELECT doc_id, text, "
+    r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+    "FROM documents)"
+)
+
+_SQL_STOP = "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS) + "]"
+
+
+def _lang_id_sql() -> str:
+    """Mirror of textstats.lang_id: marker-hit scores, max wins, ties to
+    the lexicographically first language, zero -> 'unknown'."""
+    langs = sorted(textstats.LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(toks, w -> list_contains(["
+        + ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+        + f"], lower(w)))) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return (
+        f"WITH {_TOKS_ARR}, s AS (SELECT doc_id, {score_cols} FROM t), "
+        f"b AS (SELECT *, {best} AS best FROM s) "
+        f"SELECT doc_id, CASE {case} ELSE 'unknown' END AS pred_lang, "
+        "CAST(best AS INT) AS score FROM b"
+    )
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +168,86 @@ def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(cat.orders, cat.lineitem)
 
 
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(Catalog(spark, sf_dir).documents)
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 5-gram shingles: word-1-gram is degenerate on this corpus (40-word
+    # vocabulary -> nearly every pair is a real 0.85-jaccard "near-dup"
+    # and the verify join goes O(n^2))
+    return dedup.minhash_near_dups(
+        Catalog(spark, sf_dir).documents, threshold=0.5, ngram=5
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, 0.2, ngram=5)
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(Catalog(spark, sf_dir).documents, max_hamming=12)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(Catalog(spark, sf_dir).embeddings, 0, 10)
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs_lsh(Catalog(spark, sf_dir).embeddings, 0.25, 8)
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(Catalog(spark, sf_dir).documents)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(Catalog(spark, sf_dir).documents)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(Catalog(spark, sf_dir).documents)
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(Catalog(spark, sf_dir).documents)
+
+
+def _q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.blob_metadata(
+        multimodal.text_as_blob(Catalog(spark, sf_dir).documents)
+    )
+
+
+def _q_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .customer.select(
+            "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            relational.dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "value_sum"
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-iteration reference-parity PageRank at sf0.001."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -145,6 +266,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "nation_order_stats": _q_nation_order_stats,
         "order_priority": _q_order_priority,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "simhash_dedup": _q_simhash_dedup,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "blob_metadata": _q_blob_metadata,
+        "top3_per_nation": _q_top3_per_nation,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -212,5 +346,57 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "exact_dedup": oracles.exact_dedup_sql(),
+        "minhash_dedup": oracles.minhash_near_dups_sql(0.5, ngram=5),
+        "ngram_jaccard_dedup": oracles.ngram_jaccard_sql(0.2, 5),
+        "simhash_dedup": oracles.simhash_near_dups_sql(12),
+        "cosine_topk": oracles.cosine_topk_sql(0, 10),
+        "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, 8),
+        "token_stats": (
+            f"WITH {_TOKS_ARR} SELECT doc_id, "
+            "CAST(len(toks) AS INT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_pieces, "
+            "round(CASE WHEN len(toks) > 0 THEN "
+            "CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)/len(toks) "
+            "ELSE 0.0 END, 6) AS avg_token_len FROM t"
+        ),
+        "quality_scores": (
+            f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
+            "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
+            r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
+            "FROM t) "
+            "SELECT doc_id, n_chars, "
+            "round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio, "
+            "round(CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stopword_ratio, "
+            "round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE)/100) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END)) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END)), 6) AS quality "
+            "FROM q"
+        ),
+        "lang_id": _lang_id_sql(),
+        "fingerprints": (
+            f"WITH {_TOKS_ARR} SELECT doc_id, "
+            "list_reduce(list_prepend(0::BIGINT, list_transform(toks, "
+            "w -> CAST(('0x' || substr(md5(w), 1, 7)) AS UBIGINT)::BIGINT)), "
+            "(acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint FROM t"
+        ),
+        "blob_metadata": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS content_md5 FROM documents"
+        ),
+        "top3_per_nation": (
+            "SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn FROM ("
+            "SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER ("
+            "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn "
+            "FROM customer) WHERE rn <= 3"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS cnt, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
     }

@@ -35,6 +35,16 @@ def main() -> None:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception as exc:  # warmup must never fail the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
+    def drop_persisted() -> None:
+        # Release leftover persisted/localCheckpointed RDD blocks so GC
+        # pressure from one query doesn't pollute the next measurement.
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.catalog.clearCache()
+
+    drop_persisted()
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

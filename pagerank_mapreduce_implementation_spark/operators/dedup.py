@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (SURVEY.md §7 step 6): exact
+dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
+verification, and embedding-cosine near-dup (see similarity.py).
+
+Everything is pure DataFrame column expressions — deterministic,
+DuckDB-oracle-reproducible (hashes are md5-based: identical hex output
+in Spark and DuckDB), and shuffle-frugal:
+
+- exact: one groupBy on a 128-bit fingerprint.
+- MinHash+LSH: shingle explode (narrow) → per-doc signature agg (one
+  shuffle) → band buckets (narrow) → bucket self-join (shuffle on
+  bucket key — the LSH point: only colliding docs meet) → Jaccard
+  verification join over shingle sets restricted to candidates.
+  At 100 TB: no all-pairs product ever materializes; the bucket join's
+  fan-out is controlled by band/row tuning, and AQE splits skewed
+  buckets (a stop-shingle bucket is the classic skew case).
+- SimHash: token-hash bit-vote as ONE wide aggregation (60 sum columns
+  in a single shuffle — not a x60 row explode, and not a Pandas UDF
+  that would ship every token to Python) → 15-bit chunk bands
+  (pigeonhole: hamming<=3 pairs share a chunk) → verified hamming
+  distance.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits signed 64-bit exactly
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content fingerprint.
+
+    Returns every doc with its group fingerprint, the group's keeper
+    (min doc id — the row a dedup pass would retain) and an is_dup
+    flag. One hash-groupBy shuffle; the window over fp reuses it.
+    """
+    from pyspark.sql.window import Window
+
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(F.col(doc_col).alias("doc_id"), fp)
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_dup", (F.col("doc_id") != F.col("keeper")).cast("int"))
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 1,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: ``(doc_id, shingle)``.
+
+    n=1 is word-set semantics; n>=2 are classic shingles. Narrow
+    (explode) except the final distinct.
+    """
+    if n == 1:
+        # post-explode filter keeps the hot path in codegen
+        return (
+            docs.select(
+                F.col(doc_col).alias("doc_id"),
+                F.explode(F.split(F.col(text_col), r"\s+")).alias("shingle"),
+            )
+            .filter(F.col("shingle") != "")
+            .distinct()
+        )
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # slice is 1-based; sequence end is inclusive -> size-n+1 starts
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - n + 1),
+            lambda i: F.array_join(F.slice(arr, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(doc_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: k salted-md5 minima, one shuffle.
+
+    md5 hex strings are fixed-length lowercase — lexicographic min is a
+    uniform hash order, identical in Spark and the SQL oracle (no int
+    conversion needed).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bucket_candidates(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs sharing >= 1 LSH band bucket: ``(doc_a, doc_b)``.
+
+    With k=16, b=4 (r=4) the collision threshold is ~(1/4)^(1/4)=0.71.
+    The self-join shuffles on the bucket md5 — only docs in the same
+    bucket ever pair up.
+    """
+    r = num_hashes // bands
+    # one pass over the signatures: explode an inline (band, bucket)
+    # struct array instead of a bands-way union (which would recompute
+    # the signature aggregation per band)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    other = buckets.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    return (
+        buckets.withColumnRenamed("doc_id", "doc_a")
+        .join(other, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over shingle sets, restricted to candidate pairs:
+    ``(doc_a, doc_b, jaccard)`` with jaccard >= threshold, rounded 6.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+
+    Recall is band-limited (standard LSH tradeoff): pairs whose
+    signatures never collide in any band are not candidates. Tune
+    (num_hashes, bands) to the target threshold.
+    """
+    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    try:
+        sig = minhash_signatures(sh, num_hashes)
+        cand = lsh_bucket_candidates(sig, num_hashes, bands)
+        return jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """n-gram Jaccard dedup WITHOUT LSH: candidates = pairs sharing at
+    least one shingle (exact recall for threshold > 0; the shingle join
+    explodes on stop-shingles at scale — use minhash_near_dups there).
+    """
+    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    try:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def _word_hash60(col: Column) -> Column:
+    """First 15 md5 hex digits as a 60-bit non-negative long — identical
+    to the oracle's ``('0x' || substr(md5(w),1,15))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash fingerprint per doc: ``(doc_id, simhash)``.
+
+    Classic bit-vote: each token's hash votes +count/-count per bit
+    position; bit b of the fingerprint is set iff the vote sum >= 0.
+    """
+    # post-explode filter (not an array-lambda): stays in codegen
+    tokens = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counts.select("doc_id", "cnt", _word_hash60(F.col("word")).alias("h"))
+    # One wide aggregation (60 sum columns) instead of exploding 60 rows
+    # per token — same single shuffle, 60x less shuffle volume.
+    vote_cols = [
+        F.sum(
+            F.when(
+                F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*vote_cols)
+    fingerprint = sum(
+        [
+            F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_BITS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: ``(doc_a, doc_b, hamming)``.
+
+    Candidates come from equal 15-bit chunks (pigeonhole: any pair with
+    hamming <= chunks-1 shares a chunk; larger max_hamming trades
+    recall, like all LSH). Verified with bit_count(xor).
+    """
+    bits_per = SIMHASH_BITS // chunks
+    fp = simhash(docs, text_col, doc_col).persist()
+    try:
+        chunk_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.expr(f"shiftright(simhash, {c * bits_per})")
+                    .bitwiseAND(F.lit((1 << bits_per) - 1))
+                    .alias("key"),
+                )
+                for c in range(chunks)
+            ]
+        )
+        buckets = fp.select("doc_id", "simhash", F.explode(chunk_structs).alias("cc")).select(
+            "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
+        )
+        other = buckets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sim_b"),
+            "chunk",
+            "key",
+        )
+        cand = (
+            buckets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("simhash").alias("sim_a"),
+                "chunk",
+                "key",
+            )
+            .join(other, ["chunk", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b")
+            .distinct()
+        )
+        out = cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        ).filter(F.col("hamming") <= max_hamming)
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()

@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a typed
+metadata struct alongside (SURVEY.md §7 step 6). The Spark-side
+plumbing — schemas, Arrow-batched ``mapInPandas`` transforms, batch
+shapes, partition-preserving narrow execution — is real and tested;
+the actual codec step is STUBBED (this container has no image/audio
+libraries): ``decode_image``/``sample_frames`` raise
+``NotImplementedError`` unless handed a ``decoder``, and
+``blob_metadata`` uses a deterministic metadata extractor (length +
+md5) that stands in for a header parse.
+
+Design notes for 100 TB:
+- payloads stay in executor memory as Arrow binary buffers end-to-end;
+  nothing is collected or pickled row-at-a-time.
+- ``mapInPandas`` preserves partitioning (no shuffle); batch size is
+  governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+- metadata extraction early + payload column drop lets every
+  downstream filter/join run on slim rows (column pruning does the
+  rest once the table is parquet).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = "doc_id bigint, content binary"
+BLOB_META_SCHEMA = "doc_id bigint, n_bytes bigint, content_md5 string"
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, width int, height int, format string, n_bytes bigint"
+)
+
+
+def text_as_blob(docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary payload column for testing the multimodal
+    path against the existing corpus (utf-8 bytes of the text)."""
+    return docs.select(
+        F.col(doc_col).alias("doc_id"), F.encode(F.col(text_col), "utf-8").alias("content")
+    )
+
+
+def blob_metadata(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over a binary column:
+    ``(doc_id, n_bytes, content_md5)``.
+
+    Stand-in for a real header parse (EXIF/ID3/container probe); the
+    md5 + length extractor is deterministic so the DuckDB oracle can
+    verify the full mapInPandas plumbing end-to-end.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_md5": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=BLOB_META_SCHEMA)
+
+
+def decode_image(
+    blobs: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, str]] | None = None,
+) -> DataFrame:
+    """Decode image headers to ``(doc_id, width, height, format, n_bytes)``.
+
+    STUB: no image codec ships in this container. Pass ``decoder``
+    (bytes -> (width, height, format)) to run for real — e.g.
+    ``lambda b: PIL.Image.open(io.BytesIO(b)).size + (img.format,)``.
+    The Spark plumbing (Arrow batching, schema, partition-preserving
+    execution) is exactly what a real decoder runs through.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "image decoding is stubbed: no codec library in this environment; "
+            "pass decoder=... (see multimodal.fake_image_decoder for tests)"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["content"].map(lambda b: decoder(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta.map(lambda m: m[0]).astype("int32"),
+                    "height": meta.map(lambda m: m[1]).astype("int32"),
+                    "format": meta.map(lambda m: m[2]),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
+def fake_image_decoder(b: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in codec for tests: derives a plausible
+    (width, height, format) from the payload hash."""
+    h = hashlib.md5(b).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
+
+
+def sample_frames(
+    blobs: DataFrame,
+    every_n: int = 10,
+    decoder: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video frame sampling stub: explode 1-in-N frames per payload to
+    ``(doc_id, frame_idx, frame)``. Raises unless a real container
+    demuxer is supplied (none ships here)."""
+    if decoder is None:
+        raise NotImplementedError(
+            "video demuxing is stubbed: no container/codec library in this "
+            "environment; pass decoder=... returning the raw frame list"
+        )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i, frame in enumerate(decoder(bytes(content))):
+                    if i % every_n == 0:
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, frame binary"
+    )

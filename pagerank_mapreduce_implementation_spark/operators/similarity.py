@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extensions for training-data pipelines (SURVEY.md §7 step 6): cosine
+top-k and cosine near-dup pairs, with two physical strategies:
+
+- **brute force** — exact: cross-product + vectorized dot product in
+  JVM expressions (zip_with/aggregate fold: sequential, so the fold
+  order — and therefore the float result — is identical in the DuckDB
+  oracle). Right for one query vector against N rows (top-k scans N),
+  wrong for all-pairs at scale.
+- **random-hyperplane LSH** — the scale path for all-pairs: sign-bit
+  sketch of each vector against ``num_planes`` deterministic
+  pseudo-random hyperplanes (components ±1 derived from md5 bits — no
+  RNG state, reproducible in SQL), bucket by sketch, only intra-bucket
+  pairs are scored. Recall is sketch-limited (standard LSH tradeoff).
+
+All math accumulates in double regardless of the float storage type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for one stored query vector:
+    ``(vec_id, cos)``, query row excluded, ties broken by vec_id.
+
+    The 1-row query side is broadcast; the scan stays narrow (no
+    shuffle until the final TakeOrderedAndProject).
+    """
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_pairs_brute(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold: ``(vec_a, vec_b, cos)``.
+
+    O(N^2) — correct baseline and fine to ~10^4 rows; use
+    cosine_pairs_lsh at scale.
+    """
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def hyperplane_sketch(
+    emb: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign sketch against deterministic ±1 hyperplanes: ``(vec_id, sketch)``.
+
+    Plane p's component for dimension d is +1 iff bit0 of
+    md5('p:d') is set — reproducible anywhere md5 exists (the SQL
+    oracle uses the identical construction). sketch bit p = (v·plane_p >= 0).
+    """
+    dims = F.size(F.col(vec_col))
+    plane_dot = lambda p: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), dims - 1),
+            lambda d: F.col(vec_col)[d].cast("double")
+            * F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(p), d)), 1, 1), 16, 10
+                )
+                .cast("int")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sketch = sum(
+        [
+            F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(num_planes)
+        ],
+        F.lit(0),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), sketch.alias("sketch"))
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold, candidates restricted to equal
+    hyperplane sketches: ``(vec_a, vec_b, cos)``.
+
+    The bucket join replaces the N^2 product with per-bucket products —
+    the scale path. Recall: pairs whose sketches differ are missed
+    (P[bit differs] = angle/pi per plane).
+    """
+    sk = hyperplane_sketch(emb, num_planes, id_col, vec_col).withColumnRenamed(
+        "vec_id", "sk_id"
+    )
+    base = emb.join(sk, F.col(id_col) == F.col("sk_id")).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "sketch"
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        _norm(F.col("vec")).alias("na"),
+        "sketch",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        _norm(F.col("vec")).alias("nb"),
+        "sketch",
+    )
+    return (
+        a.join(b, "sketch")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

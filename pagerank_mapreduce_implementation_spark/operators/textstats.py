@@ -1,0 +1,137 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Extensions beyond the reference surface (SURVEY.md §7 step 6). All
+pure column expressions (JVM-side, codegen'd, oracle-reproducible):
+narrow per-row transforms, no shuffles — at 100 TB these run at scan
+speed with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish piece pattern: letter runs, digit runs, single punctuation.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: marker stopwords per language for the n-gram/marker lang-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it"]
+
+FINGERPRINT_BASE = 131
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace-token and BPE-ish piece counts per doc:
+    ``(doc_id, n_tokens, n_pieces, avg_token_len)``."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).alias(
+            "n_pieces"
+        ),
+        F.round(
+            F.when(n_tokens > 0, total_len.cast("double") / n_tokens).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + combined score per doc:
+    ``(doc_id, n_chars, punct_ratio, stopword_ratio, quality)``.
+
+    quality = 0.4*min(1, n_tokens/100) + 0.3*(1-punct_ratio)
+            + 0.3*(1-stopword_ratio) — a simple monotone combination of
+    the classic heuristics; rounded 6.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(STOPWORDS)))
+    stop_ratio = F.when(n_tokens > 0, stop.cast("double") / n_tokens).otherwise(0.0)
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / 100)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language-ID heuristic: ``(doc_id, pred_lang, score)``.
+
+    Scores each language by marker-token hits; predicts the max-scoring
+    language (ties: lexicographically first; all-zero: 'unknown'). A
+    real pipeline swaps the markers for char-n-gram profiles — the
+    dataflow (narrow scan-side classify) is the deliverable.
+    """
+    toks = _tokens(text_col)
+
+    def marker_hits(markers: list[str]) -> Column:
+        # NB: the filter lambda must be single-parameter — a second
+        # parameter would be interpreted as the element index.
+        return F.size(F.filter(toks, lambda w: F.lower(w).isin(markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # build the CASE from last to first so earlier langs win ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("int").alias("score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Word-level polynomial rolling hash per doc (Karp-Rabin style):
+    ``(doc_id, fingerprint)``.
+
+    h = fold(h*131 + hash28(word) mod 1e9+7) over tokens in order —
+    order-sensitive (unlike the md5 content hash in dedup.exact_dedup),
+    so reordered documents fingerprint differently. hash28 = first 7
+    md5 hex digits; every step stays < 2^40 (no overflow in either
+    engine).
+    """
+    word_h = lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        F.transform(_tokens(text_col), word_h),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FINGERPRINT_BASE + h) % FINGERPRINT_MOD,
+    )
+    return docs.select(F.col(doc_col).alias("doc_id"), fp.alias("fingerprint"))

@@ -3,7 +3,9 @@
 The driver runs each ``oracle_sql()`` string against DuckDB views of the
 same parquet tables and hash-compares with the Spark result (sf0.01).
 PageRank is expressible as 10 unrolled CTE iterations replicating the
-reference-parity semantics exactly (SURVEY.md §5,§7).
+reference-parity semantics exactly (SURVEY.md §5,§7). The dedup /
+similarity extensions are reproducible because every hash is md5-based
+(identical hex in both engines) and every float fold is sequential.
 """
 
 from __future__ import annotations
@@ -57,3 +59,163 @@ def pagerank_sql(
     sql = "\n".join(parts)
     sql = sql.rstrip(",") if sql.endswith(",") else sql
     return sql + "\n" + final
+
+
+# --- dedup / similarity oracles (extensions) --------------------------------
+
+#: distinct word-level shingles per doc (n=1), mirror of dedup.shingles
+SHINGLES_1 = (
+    "sh AS (SELECT DISTINCT doc_id, w AS shingle FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> '')"
+)
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT doc_id, fingerprint, "
+        "min(doc_id) OVER (PARTITION BY fingerprint) AS keeper, "
+        "CAST(doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup "
+        "FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+        "AS fingerprint FROM documents)"
+    )
+
+
+def _shingles_ngram(n: int) -> str:
+    if n == 1:
+        return SHINGLES_1
+    return (
+        "arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+        "w -> w <> '') AS a FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+        f"unnest(CASE WHEN len(a) >= {n} THEN list_transform(range(1, len(a) - {n} + 2), "
+        f"i -> array_to_string(a[i:i+{n - 1}], ' ')) ELSE [] END) AS shingle FROM arr))"
+    )
+
+
+def _jaccard_tail(threshold: float) -> str:
+    return (
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c "
+        "JOIN sh p ON p.doc_id = c.doc_a "
+        "JOIN sh q ON q.doc_id = c.doc_b AND q.shingle = p.shingle "
+        "GROUP BY c.doc_a, c.doc_b) "
+        "SELECT t.doc_a, t.doc_b, round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6) "
+        "AS jaccard FROM inter t "
+        "JOIN sz sa ON sa.doc_id = t.doc_a JOIN sz sb ON sb.doc_id = t.doc_b "
+        f"WHERE round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6) >= {threshold}"
+    )
+
+
+def minhash_near_dups_sql(
+    threshold: float = 0.5, num_hashes: int = 16, bands: int = 4, ngram: int = 1
+) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    sep = " || ',' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({sep.join(f'h{b * r + j}' for j in range(r))}) AS bucket FROM mh"
+        for b in range(bands)
+    )
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        f"mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"bk AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x "
+        "JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id), "
+        + _jaccard_tail(threshold)
+    )
+
+
+def ngram_jaccard_sql(threshold: float, ngram: int = 3) -> str:
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        "cand AS (SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b FROM sh p "
+        "JOIN sh q ON p.shingle = q.shingle AND p.doc_id < q.doc_id), "
+        + _jaccard_tail(threshold)
+    )
+
+
+SIMHASH_SQL = (
+    "tok AS (SELECT doc_id, w AS word FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> ''), "
+    "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word), "
+    "hashed AS (SELECT doc_id, c, "
+    "CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT)::BIGINT AS h FROM cnt), "
+    "votes AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END AS vote "
+    "FROM hashed, unnest(range(0, 60)) AS t(b)), "
+    "bitsum AS (SELECT doc_id, b, sum(vote) AS v FROM votes GROUP BY doc_id, b), "
+    "fp AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) "
+    "AS simhash FROM bitsum GROUP BY doc_id)"
+)
+
+
+def simhash_near_dups_sql(max_hamming: int = 3, chunks: int = 4) -> str:
+    bits_per = 60 // chunks
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * bits_per}) & {(1 << bits_per) - 1} AS key FROM fp"
+        for c in range(chunks)
+    )
+    return (
+        f"WITH {SIMHASH_SQL}, "
+        f"bk AS ({chunk_rows}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a, "
+        "y.doc_id AS doc_b, y.simhash AS sim_b FROM bk x "
+        "JOIN bk y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming FROM cand "
+        f"WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"
+    )
+
+
+# dot product / norm over a FLOAT[] column, double accumulation,
+# sequential fold — mirror of similarity._dot/_norm
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    dot = _dot_sql("e.embedding", "q.embedding")
+    return (
+        f"WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) "
+        f"SELECT e.vec_id, round({dot} / ({_norm_sql('e.embedding')} * "
+        f"{_norm_sql('q.embedding')}), 6) AS cos "
+        f"FROM embeddings e, q WHERE e.vec_id <> {query_vec_id} "
+        f"ORDER BY cos DESC, e.vec_id ASC LIMIT {k}"
+    )
+
+
+def cosine_pairs_lsh_sql(threshold: float, num_planes: int = 8) -> str:
+    # plane p component for 0-based dim d: +1 iff low bit of first md5
+    # hex digit of 'p:d' — mirror of similarity.hyperplane_sketch
+    plane_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"d -> CAST(embedding[d] AS DOUBLE) * "
+        f"(CASE WHEN ('0x' || substr(md5('{p}:' || CAST(d - 1 AS VARCHAR)), 1, 1))::INT "
+        f"& 1 = 1 THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    dot = _dot_sql("a.va", "b.vb")
+    return (
+        f"WITH sk AS (SELECT vec_id, {plane_bits} AS sketch FROM embeddings), "
+        f"base AS (SELECT e.vec_id, e.embedding, {_norm_sql('e.embedding')} AS nrm, "
+        "sk.sketch FROM embeddings e JOIN sk ON e.vec_id = sk.vec_id), "
+        "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "a.embedding AS va, b.embedding AS vb, a.nrm AS na, b.nrm AS nb "
+        "FROM base a JOIN base b ON a.sketch = b.sketch AND a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, round({_dot_sql('va', 'vb')} / (na * nb), 6) AS cos "
+        f"FROM pairs WHERE round({_dot_sql('va', 'vb')} / (na * nb), 6) >= {threshold}"
+    )

@@ -41,6 +41,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         want = [f.name for f in expected.fields]
         if got != want:
             raise ValueError(f"schema drift for {name}: expected {want}, got {got}")
+        # TIMESTAMP(NANOS) parquet columns arrive as long (see
+        # session.py nanosAsLong) — convert to micros timestamps so the
+        # declared schema holds. Floor-division matches DuckDB's
+        # nanos->micros truncation.
+        for f_exp, f_got in zip(expected.fields, df.schema.fields):
+            import pyspark.sql.types as T
+
+            if isinstance(f_exp.dataType, T.TimestampType) and isinstance(
+                f_got.dataType, T.LongType
+            ):
+                df = df.withColumn(
+                    f_exp.name, F.timestamp_micros(F.expr(f"{f_exp.name} DIV 1000"))
+                )
     return df
 
 

@@ -1,0 +1,68 @@
+"""Behavioral tests for dedup operators: recall on planted duplicates,
+not just oracle agreement (the oracle can't tell us the operator finds
+what it should — these fixtures can)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_mapreduce_implementation_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "THE  Quick Brown   fox jumps over the lazy dog"),  # exact after norm
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark, planted):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(planted).collect()}
+    assert out[2]["keeper"] == 1 and out[2]["is_dup"] == 1
+    assert out[5]["keeper"] == 1 and out[5]["is_dup"] == 1  # case/whitespace
+    assert out[3]["is_dup"] == 0  # near-dup is NOT an exact dup
+    assert out[4]["is_dup"] == 0
+
+
+def test_minhash_finds_planted_near_dup(spark, planted):
+    # bands=8 (r=2): collision threshold ~(1/8)^(1/2)=0.35 — right for
+    # catching 0.5-jaccard pairs. The default bands=4 targets ~0.7+ and
+    # misses some 0.78 pairs (band-limited recall, by design).
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_dups(planted, threshold=0.5, bands=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7  # 1-word edit
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_recall(spark, planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(planted, 0.4, 3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_hamming_zero_for_exact(spark, planted):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(planted, max_hamming=10).collect()
+    }
+    assert out[(1, 2)] == 0  # identical token multiset
+    assert (1, 3) in out  # near dup within 10 bits
+
+
+def test_shingles_ngram_windows(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(r["shingle"] for r in dedup.shingles(docs, 3).collect())
+    assert got == ["a b c", "b c d"]
+    # shorter than n -> no shingles
+    docs2 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert dedup.shingles(docs2, 3).count() == 0

@@ -1,0 +1,101 @@
+"""Unit tests for similarity, textstats and multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pagerank_mapreduce_implementation_spark.operators import multimodal, similarity, textstats
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical direction -> cos 1
+        (2, [0.0, 1.0, 0.0]),   # orthogonal -> cos 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite -> cos -1
+        (4, [1.0, 1.0, 0.0]),   # cos = 1/sqrt(2)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cos"] for r in similarity.cosine_topk(emb, 0, 4).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(-1.0)
+    assert got[4] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+
+
+def test_lsh_sketch_identical_vectors_collide(spark):
+    rows = [(0, [0.5, -0.25, 1.0]), (1, [0.5, -0.25, 1.0]), (2, [-3.0, 2.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sk = {r["vec_id"]: r["sketch"] for r in similarity.hyperplane_sketch(emb).collect()}
+    assert sk[0] == sk[1]
+    pairs = {(r["vec_a"], r["vec_b"]) for r in similarity.cosine_pairs_lsh(emb, 0.9).collect()}
+    assert (0, 1) in pairs
+
+
+def test_token_stats_and_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! The cat."), (2, "")], "doc_id long, text string"
+    )
+    ts = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert ts[1]["n_tokens"] == 4
+    # pieces: Hello , world ! The cat . -> 7
+    assert ts[1]["n_pieces"] == 7
+    assert ts[2]["n_tokens"] == 0 and ts[2]["avg_token_len"] == 0.0
+    qs = {r["doc_id"]: r for r in textstats.quality_scores(docs).collect()}
+    assert qs[1]["stopword_ratio"] == pytest.approx(0.25)  # "The"
+    assert 0.0 <= qs[1]["quality"] <= 1.0
+    assert qs[2]["punct_ratio"] == 0.0
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el gato que la casa de que"),
+            (3, "qqq zzz xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "unknown"
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(docs).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_blob_metadata_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    blobs = multimodal.text_as_blob(docs)
+    got = {r["doc_id"]: r for r in multimodal.blob_metadata(blobs).collect()}
+    assert got[1]["n_bytes"] == 5
+    assert got[1]["content_md5"] == "5d41402abc4b2a76b9719d911017c592"
+    assert got[2]["n_bytes"] == 0
+
+
+def test_decode_image_stub_and_fake(spark):
+    docs = spark.createDataFrame([(1, "imgbytes")], "doc_id long, text string")
+    blobs = multimodal.text_as_blob(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(blobs).collect()
+    rows = multimodal.decode_image(blobs, decoder=multimodal.fake_image_decoder).collect()
+    assert rows[0]["width"] >= 16 and rows[0]["format"] in ("png", "jpeg", "webp")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(blobs).collect()
+
+
+def test_sample_frames_with_fake_demuxer(spark):
+    docs = spark.createDataFrame([(1, "x" * 25)], "doc_id long, text string")
+    blobs = multimodal.text_as_blob(docs)
+    fake = lambda b: [bytes([c]) for c in b]  # noqa: E731 1 frame per byte
+    rows = multimodal.sample_frames(blobs, every_n=10, decoder=fake).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20]
