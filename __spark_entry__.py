@@ -168,6 +168,69 @@ def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(cat.orders, cat.lineitem)
 
 
+def _wiki_lines(spark: SparkSession, sf_dir: str):
+    """Deterministic wiki-format page lines derived from documents:
+    every 10th page dangling (no links), link targets span 1.2x the doc
+    id range so ~1/6 are red links. Exercises the reference's full
+    front-end path: O7/O8 regex parse -> link graph -> PageRank."""
+    from pagerank_mapreduce_implementation_spark.functions import wiki  # noqa: F401
+
+    docs = Catalog(spark, sf_dir).documents
+    n_docs = docs.count()
+    m = n_docs + n_docs // 5
+
+    def link(i: int):
+        return F.concat(
+            F.lit("[["),
+            ((F.col("doc_id") * 7 + i) % m).cast("string"),
+            F.lit("]]"),
+        )
+
+    body = F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(
+        F.concat(link(0), link(1), link(2))
+    )
+    line = F.concat(
+        F.lit("<title>"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title> <text xml:space="preserve">'),
+        body,
+        F.lit("</text>"),
+    )
+    return docs.select(line.alias("line"))
+
+
+def _q_wiki_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_implementation_spark.functions import wiki
+
+    pages = wiki.parse_pages(_wiki_lines(spark, sf_dir))
+    edges = graph.edges_from_pages(pages)
+    ranks = graph.pagerank(
+        edges, n_iters=10, mode="reference", vertices=pages.select("url")
+    )
+    return (
+        ranks.select("url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(20)
+    )
+
+
+_WIKI_PRELUDE = (
+    "m AS (SELECT count(*) + count(*) // 5 AS m FROM documents), "
+    "lines AS (SELECT doc_id, '<title>' || CAST(doc_id AS VARCHAR) || "
+    "'</title> <text xml:space=\"preserve\">' || "
+    "CASE WHEN doc_id % 10 = 0 THEN '' ELSE "
+    "'[[' || CAST((doc_id * 7 + 0) % (SELECT m FROM m) AS VARCHAR) || ']]' || "
+    "'[[' || CAST((doc_id * 7 + 1) % (SELECT m FROM m) AS VARCHAR) || ']]' || "
+    "'[[' || CAST((doc_id * 7 + 2) % (SELECT m FROM m) AS VARCHAR) || ']]' END "
+    "|| '</text>' AS line FROM documents), "
+    "parsed AS (SELECT regexp_extract(line, '<title>(.*?)</title>', 1) AS url, "
+    "regexp_extract_all(regexp_extract(line, '<text(.*?)</text>', 1), "
+    r"'\[\[(.*?)\]\]', 1) AS outlinks "
+    "FROM lines WHERE line <> ''), "
+    "pg AS (SELECT * FROM parsed WHERE url <> '')"
+)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(Catalog(spark, sf_dir).documents)
 
@@ -279,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": _q_blob_metadata,
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
+        "wiki_pagerank": _q_wiki_pagerank,
     }
 
 
@@ -398,5 +462,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "wiki_pagerank": pagerank_sql(
+            edges_sql="SELECT url AS src, unnest(outlinks) AS dst FROM pg",
+            n_iters=10,
+            limit=20,
+            vertices_sql="SELECT url FROM pg",
+            prelude_ctes=_WIKI_PRELUDE,
         ),
     }

@@ -60,12 +60,19 @@ def pagerank(
     damping: float = DAMPING,
     materialize_every: int = 2,
     num_partitions: int | None = None,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
-    """PageRank over (src, dst) edges; vertex set = distinct src.
+    """PageRank over (src, dst) edges.
 
     Returns ``(url, rank)``. ``mode="reference"`` reproduces the
     reference's quirks exactly (see module docstring); ``"textbook"``
     is standard normalized PageRank with dangling-mass redistribution.
+
+    ``vertices`` (a 1-column ``url`` DataFrame) overrides the default
+    vertex set (distinct edge src). Pass it when the graph has dangling
+    pages: they emit no edges, but the reference keeps them as vertices
+    via the self-record pass-through (PageRank.java:472,527) — deriving
+    vertices from src alone would drop them.
     """
     if mode not in ("reference", "textbook"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -93,12 +100,11 @@ def pagerank(
     links = part.join(deg, "src").persist()
     links.count()
     part.unpersist()
-    vertices = (
-        links.select(F.col("src").alias("url"))
-        .distinct()
-        .coalesce(num_partitions)
-        .persist()
-    )
+    if vertices is None:
+        vertices = links.select(F.col("src").alias("url")).distinct()
+    else:
+        vertices = vertices.select("url").distinct()
+    vertices = vertices.coalesce(num_partitions).persist()
     n = vertices.count()  # O5 count-all + O9 scalar broadcast (a literal)
     if n == 0:
         links.unpersist()
@@ -165,6 +171,18 @@ def pagerank(
     links.unpersist()
     vertices.unpersist()
     return result
+
+
+def edges_from_pages(pages: DataFrame) -> DataFrame:
+    """(url, outlinks) pages -> (src, dst) edge occurrences (O13's
+    explode; duplicates preserved — each occurrence scatters rank,
+    PageRank.java:454-468). Dangling pages contribute no edges but DO
+    remain vertices only if they appear as src — callers needing
+    dangling vertices in the vertex set should union them explicitly
+    (the reference keeps them via the self-record pass-through, O14)."""
+    return pages.select(
+        F.col("url").alias("src"), F.explode("outlinks").alias("dst")
+    )
 
 
 def rank_descending(ranks: DataFrame, limit: int | None = None) -> DataFrame:

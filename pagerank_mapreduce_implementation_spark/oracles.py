@@ -29,6 +29,8 @@ def pagerank_sql(
     damping: float = 0.85,
     round_digits: int = 6,
     limit: int | None = None,
+    vertices_sql: str | None = None,
+    prelude_ctes: str | None = None,
 ) -> str:
     """Unrolled reference-parity PageRank as one DuckDB query.
 
@@ -36,10 +38,16 @@ def pagerank_sql(
     rank(src)/out_degree(src); new rank = (1-d) + d*coalesce(contrib,0)
     over the vertex set only (red links dropped, zero-inbound pages kept
     at (1-d) — PageRank.java:493,515,523,527).
+
+    ``vertices_sql`` overrides the vertex set (default: distinct edge
+    src) — needed when dangling pages must remain vertices.
+    ``prelude_ctes`` injects extra CTEs (e.g. a parsed-pages table) that
+    both edges_sql and vertices_sql can reference.
     """
+    head = "WITH " + (prelude_ctes + ", " if prelude_ctes else "")
     parts = [
-        f"WITH links AS ({edges_sql}),",
-        "pages AS (SELECT DISTINCT src AS url FROM links),",
+        f"{head}links AS ({edges_sql}),",
+        f"pages AS ({vertices_sql or 'SELECT DISTINCT src AS url FROM links'}),",
         "deg AS (SELECT src, count(*) AS d FROM links GROUP BY src),",
         "r0 AS (SELECT url, 1.0 / (SELECT count(*) FROM pages) AS rank FROM pages),",
     ]

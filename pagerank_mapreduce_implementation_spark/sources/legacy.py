@@ -1,0 +1,67 @@
+"""Legacy record codec: the reference's delimiter-packed text format.
+
+The reference serializes its link-graph state as
+``url \\t rank,,,,,out1#####out2#####...`` (built PageRank.java:396-411,
+decoded :443-456 and :509-517, delimiters ``PR_DELIMITER`` = five
+commas :35 and ``OUTLINK_LIST_DELIMITER`` = ``#####`` :36, round-trip
+exercised by SplitTest.java:3-16).
+
+The engine's native state is structured (``url: string, rank: double,
+outlinks: array<string>``); this codec exists so users of the reference
+can load the text files they already have (and write files the
+reference's jobs could consume). Decode/encode are pure column
+expressions layered over the O2/O3 text scans in sources/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark.sources.catalog import read_kv_text
+
+PR_DELIMITER = ","  * 5     # PageRank.java:35
+OUTLINK_LIST_DELIMITER = "#####"  # PageRank.java:36
+
+
+def decode_pagerank_records(kv: DataFrame) -> DataFrame:
+    """``(key, value)`` text records -> ``(url, rank, outlinks)``.
+
+    Mirrors the reference's decode exactly (PageRank.java:443-456):
+    value splits on the FIRST five-comma delimiter; an absent/empty
+    outlink segment means a dangling page (empty array — the reference
+    guards with isEmpty, :463).
+    """
+    parts = F.split(F.col("value"), PR_DELIMITER, 2)
+    # F.get / try_cast: malformed rows (no delimiter, non-numeric rank)
+    # become NULL rank / empty outlinks instead of failing the job under
+    # ANSI mode — callers filter rank IS NULL to quarantine bad records.
+    outseg = F.get(parts, 1)
+    return kv.select(
+        F.col("key").alias("url"),
+        F.get(parts, 0).try_cast("double").alias("rank"),
+        F.when(
+            outseg.isNull() | (outseg == ""), F.array().cast("array<string>")
+        )
+        .otherwise(F.split(outseg, OUTLINK_LIST_DELIMITER))
+        .alias("outlinks"),
+    )
+
+
+def encode_pagerank_records(pages: DataFrame) -> DataFrame:
+    """``(url, rank, outlinks)`` -> ``(key, value)`` in the reference's
+    packed format (PageRank.java:396-411, 528)."""
+    return pages.select(
+        F.col("url").alias("key"),
+        F.concat(
+            F.col("rank").cast("string"),
+            F.lit(PR_DELIMITER),
+            F.array_join(F.coalesce(F.col("outlinks"), F.array()), OUTLINK_LIST_DELIMITER),
+        ).alias("value"),
+    )
+
+
+def read_pagerank_state(spark: SparkSession, *paths: str) -> DataFrame:
+    """Load reference-format link-graph text files (the iter{i} outputs
+    a reference deployment already has on HDFS) as structured pages."""
+    return decode_pagerank_records(read_kv_text(spark, *paths))

@@ -1,0 +1,15 @@
+from pagerank_mapreduce_implementation_spark.streaming.queries import (
+    read_events_stream,
+    run_to_memory,
+    streaming_search,
+    streaming_windowed_events,
+    streaming_word_count,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "streaming_search",
+    "streaming_windowed_events",
+    "streaming_word_count",
+]

@@ -1,0 +1,124 @@
+"""Structured Streaming surface (engine extension — the reference has
+no streaming at all: its only inputs are static HDFS paths,
+PageRank.java:94,164; SURVEY.md §2.3).
+
+Streaming re-uses the batch operators' column expressions, which is the
+point of the DataFrame API: ``streaming_word_count`` is the SAME
+tokenize+groupBy as operators/text.py over an unbounded source, and the
+windowed event aggregation is the streaming twin of the batch
+``events_hourly`` query (watermark added for state cleanup).
+
+Scale notes:
+- aggregations run in update/complete mode with incremental state;
+  the watermark bounds state size (late rows beyond it are dropped).
+- file sources at 100 TB: maxFilesPerTrigger throttles intake;
+  checkpointLocation makes every sink exactly-once.
+- tests drive these with ``trigger(availableNow=True)`` + memory sink
+  and assert equality with the batch twin — the contract is
+  batch/stream semantic parity, not a long-running cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream the events table from its parquet files (file source —
+    each file is one micro-batch input unit). ts arrives as
+    TIMESTAMP(NANOS) -> long (see session.py nanosAsLong) and converts
+    to a micros timestamp here, same as the batch catalog loader."""
+    reader = spark.readStream.format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file sources take a DIRECTORY; select the one table via glob
+    df = (
+        reader.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def streaming_windowed_events(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window event counts/sums with late-data handling:
+    ``(window_start, window_end, event_type, cnt, value_sum)``.
+
+    The watermark bounds aggregation state AND admits late rows up to
+    2 hours behind the max seen event time — the streaming twin of the
+    batch events_hourly query.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
+def streaming_word_count(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """Running word count over an unbounded text column — the streaming
+    form of operators/text.word_count (same tokenize expression)."""
+    return (
+        lines.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def streaming_search(
+    tfidf_stream: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Streaming keyword search: incremental per-doc score sums over a
+    stream of tf-idf rows (streaming twin of operators/text.search)."""
+    return (
+        tfidf_stream.filter(F.col("word").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.sum("tfidf").alias("score"))
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> None:
+    """Drive a streaming DataFrame to a memory sink with
+    ``availableNow`` (process everything available, then stop) — the
+    deterministic test/backfill harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {table_name} did not finish")

@@ -87,3 +87,16 @@ def test_rank_descending_with_ties(spark):
 def test_empty_edges(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges, n_iters=3).count() == 0
+
+
+def test_explicit_vertices_keeps_dangling(spark):
+    # d is dangling (a vertex with no out-edges): derived-from-src
+    # vertex sets drop it; the explicit vertex list keeps it at
+    # rank (1-d) + d*contrib like the reference (PageRank.java:472,527).
+    edges = spark.createDataFrame([("a", "d"), ("a", "b"), ("b", "a")], "src string, dst string")
+    verts = spark.createDataFrame([("a",), ("b",), ("d",)], ["url"])
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=3, vertices=verts).collect()}
+    assert set(got) == {"a", "b", "d"}
+    assert got["d"] > 0.15  # receives mass from a
+    default = {r["url"] for r in pagerank(edges, n_iters=1).collect()}
+    assert default == {"a", "b"}  # derived vertex set drops d
