@@ -117,6 +117,15 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_textbook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = graph.pagerank(_edges(spark, sf_dir), n_iters=10, mode="textbook")
+    return (
+        ranks.select("url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(20)
+    )
+
+
 def _q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_count(Catalog(spark, sf_dir).documents)
 
@@ -343,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
         "wiki_pagerank": _q_wiki_pagerank,
+        "pagerank_textbook_top20": _q_pagerank_textbook,
     }
 
 
@@ -469,5 +479,8 @@ def oracle_sql() -> dict[str, str]:
             limit=20,
             vertices_sql="SELECT url FROM pg",
             prelude_ctes=_WIKI_PRELUDE,
+        ),
+        "pagerank_textbook_top20": oracles.textbook_pagerank_sql(
+            EDGES_SQL, n_iters=10, limit=20
         ),
     }

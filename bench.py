@@ -9,6 +9,7 @@ would bottleneck on the driver for wide results).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -52,6 +53,11 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # drop the result's JVM references promptly: lingering
+        # localCheckpoint blocks from prior queries otherwise build GC
+        # pressure that pollutes later measurements
+        del df
+        gc.collect()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -150,20 +150,32 @@ def pagerank(
                 ),
             )
         # textbook: redistribute dangling mass, normalize constant by N.
+        # The mass is a broadcast 1-row aggregate (scalar subquery), NOT
+        # a driver-side collect — a collect would force a full
+        # recomputation of the lazy rank chain every iteration.
         dangling = (
             ranks.join(deg.withColumnRenamed("src", "url"), "url", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
-        return sums.filter(F.col("own") == 1).select(
-            "url",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (F.col("contrib_sum") + F.lit(dangling / n))
-            ).alias("rank"),
+        return (
+            sums.filter(F.col("own") == 1)
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "url",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.col("contrib_sum") + F.col("dangling_mass") / n)
+                ).alias("rank"),
+            )
         )
 
-    driver = IterationDriver(materialize_every=materialize_every)
+    # textbook mode references ranks twice per step (contribs +
+    # dangling): materialize every step so the double reference never
+    # recomputes a lazy chain.
+    driver = IterationDriver(
+        materialize_every=1 if mode == "textbook" else materialize_every
+    )
     result = driver.run(ranks, step, n_iters)
     # Result is materialized (localCheckpoint at the final boundary) —
     # the static tables can be dropped (reference GC'd intermediate

@@ -227,3 +227,43 @@ def cosine_pairs_lsh_sql(threshold: float, num_planes: int = 8) -> str:
         f"SELECT vec_a, vec_b, round({_dot_sql('va', 'vb')} / (na * nb), 6) AS cos "
         f"FROM pairs WHERE round({_dot_sql('va', 'vb')} / (na * nb), 6) >= {threshold}"
     )
+
+
+def textbook_pagerank_sql(
+    edges_sql: str = EDGES_SQL,
+    n_iters: int = 10,
+    damping: float = 0.85,
+    round_digits: int = 6,
+    limit: int | None = None,
+) -> str:
+    """Unrolled TEXTBOOK PageRank (normalized, dangling-mass
+    redistribution — operators/graph.py mode='textbook'):
+    rank' = (1-d)/N + d*(contrib + dangling_mass/N)."""
+    d = damping
+    parts = [
+        f"WITH links AS ({edges_sql}),",
+        "pages AS (SELECT DISTINCT src AS url FROM links),",
+        "deg AS (SELECT src, count(*) AS dg FROM links GROUP BY src),",
+        "nn AS (SELECT count(*) AS n FROM pages),",
+        "r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM pages),",
+    ]
+    for i in range(1, n_iters + 1):
+        # r{i-1} is referenced twice (dangling mass + contributions):
+        # MATERIALIZED stops DuckDB's CTE inlining from going exponential
+        parts.append(
+            f"dm{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i - 1} r "
+            "WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.url)),"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT p.url, ({1.0 - d}) / (SELECT n FROM nn) + {d} * "
+            f"(coalesce(s.c, 0) + (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS rank "
+            "FROM pages p LEFT JOIN ("
+            "SELECT l.dst AS url, sum(r.rank / d2.dg) AS c "
+            f"FROM links l JOIN r{i - 1} r ON l.src = r.url "
+            "JOIN deg d2 ON l.src = d2.src GROUP BY l.dst) s ON p.url = s.url),"
+        )
+    final = f"SELECT url, round(rank, {round_digits}) AS rank FROM r{n_iters}"
+    if limit is not None:
+        final += f" ORDER BY rank DESC, url ASC LIMIT {limit}"
+    sql = "\n".join(parts).rstrip(",")
+    return sql + "\n" + final
