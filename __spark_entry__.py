@@ -269,6 +269,12 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_lsh(Catalog(spark, sf_dir).embeddings, 0.25, 8)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        Catalog(spark, sf_dir).embeddings, 0, k=10, n_cells=16, n_probe=4
+    )
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(Catalog(spark, sf_dir).documents)
 
@@ -344,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
+        "ivf_topk": _q_ivf_topk,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -427,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": oracles.simhash_near_dups_sql(12),
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, 8),
+        "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),
         "token_stats": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
             "CAST(len(toks) AS INT) AS n_tokens, "

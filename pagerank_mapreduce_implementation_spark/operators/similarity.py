@@ -190,3 +190,100 @@ def cosine_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat coarse quantizer: returns (centroids, assignments).
+
+    Centroids are the first ``n_cells`` vectors by id (deterministic,
+    no RNG/Lloyd — the partitioned-scan structure, not centroid quality,
+    is the scale mechanism under test; swap in k-means centroids for
+    production recall). Assignment = argmax cosine, ties to the lowest
+    cell id. centroids broadcast; assignment is one narrow pass + a
+    per-vector top-1 (WindowGroupLimit, no full sort).
+    """
+    from pyspark.sql.window import Window
+
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        "cell_id",
+        (
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell_id")
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k for one stored query vector: ``(vec_id, cos)``.
+
+    Probes the ``n_probe`` cells whose centroids are nearest the query
+    and scans ONLY those cells' vectors — at scale the index lives as a
+    cell_id-partitioned table and each query touches n_probe/n_cells of
+    the data. Recall is probe-limited (standard IVF tradeoff vs the
+    exact cosine_topk baseline).
+    """
+    cents, assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    return (
+        assign.join(F.broadcast(probe), "cell_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -267,3 +267,31 @@ def textbook_pagerank_sql(
         final += f" ORDER BY rank DESC, url ASC LIMIT {limit}"
     sql = "\n".join(parts).rstrip(",")
     return sql + "\n" + final
+
+
+def ivf_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """Mirror of similarity.ivf_topk: first-n centroids, argmax-cosine
+    assignment with deterministic ties, probe n nearest cells, exact
+    cosine within probed cells."""
+    dq = _dot_sql("a.vec", "q.qvec")
+    nq = _norm_sql("a.vec")
+    return (
+        "WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        f"embedding AS cvec FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        f"q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}), "
+        "scored AS (SELECT e.vec_id, e.embedding AS vec, c.cell_id, "
+        f"{_dot_sql('e.embedding', 'c.cvec')} / ({_norm_sql('e.embedding')} * "
+        f"{_norm_sql('c.cvec')}) AS ccos FROM embeddings e CROSS JOIN cents c), "
+        "assign AS (SELECT vec_id, vec, cell_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn FROM scored) "
+        "WHERE rn = 1), "
+        "probe AS (SELECT cell_id FROM cents c, q ORDER BY "
+        f"{_dot_sql('c.cvec', 'q.qvec')} / ({_norm_sql('c.cvec')} * {_norm_sql('q.qvec')}) "
+        f"DESC, c.cell_id ASC LIMIT {n_probe}) "
+        f"SELECT a.vec_id, round({dq} / ({nq} * {_norm_sql('q.qvec')}), 6) AS cos "
+        "FROM assign a JOIN probe p ON a.cell_id = p.cell_id, q "
+        f"WHERE a.vec_id <> {query_vec_id} "
+        f"ORDER BY cos DESC, a.vec_id ASC LIMIT {k}"
+    )

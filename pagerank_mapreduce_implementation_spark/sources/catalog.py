@@ -72,6 +72,13 @@ class Catalog:
             return self.table(name)
         raise AttributeError(name)
 
+    def register_views(self) -> None:
+        """Register every table as a temp view so users can query the
+        catalog with raw ``spark.sql(...)`` — the full Spark SQL surface
+        (joins, windows, CTEs, set ops) over the engine's tables."""
+        for name in schemas.TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
 
 # --- reference text I/O surface --------------------------------------------
 

@@ -99,3 +99,70 @@ def test_sample_frames_with_fake_demuxer(spark):
     fake = lambda b: [bytes([c]) for c in b]  # noqa: E731 1 frame per byte
     rows = multimodal.sample_frames(blobs, every_n=10, decoder=fake).collect()
     assert [r["frame_idx"] for r in rows] == [0, 10, 20]
+
+
+def test_ivf_topk_matches_brute_on_good_recall(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    ivf = [tuple(r) for r in similarity.ivf_topk(emb, 0, k=5, n_probe=16, n_cells=16).collect()]
+    brute = [tuple(r) for r in similarity.cosine_topk(emb, 0, 5).collect()]
+    # probing ALL cells == exact search
+    assert ivf == brute
+
+
+def test_ivf_probe_limits_scan(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
+        (10, [1.0, 0.1, 0.0, 0.0]),
+        (11, [0.0, 0.0, 1.0, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assign = similarity.ivf_assign(emb, n_cells=4)
+    cells = {r["vec_id"]: r["cell_id"] for r in assign.collect()}
+    assert cells[10] == cells[0]  # aligned with e0 centroid
+    assert cells[11] == cells[2]
+
+
+def test_salted_sum_equals_plain(spark):
+    from pagerank_mapreduce_implementation_spark.operators.skew import salted_sum
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hot", float(i % 7)) for i in range(1000)] + [("cold", 1.0)] * 3,
+        "k string, v double",
+    )
+    got = {r["k"]: r["v_agg"] for r in salted_sum(df, ["k"], "v", 8).collect()}
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_salted_join_equals_plain(spark):
+    from pagerank_mapreduce_implementation_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"row{i}") for i in range(100)], "key int, payload string"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "key int, val string")
+    got = sorted(tuple(r) for r in salted_join(big, small, "key").collect())
+    want = sorted(tuple(r) for r in big.join(small, "key").collect())
+    assert got == want
+
+
+def test_sql_views_surface(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+    Catalog(spark, sf_dir).register_views()
+    out = spark.sql(
+        """
+        WITH big AS (SELECT o_custkey, sum(o_totalprice) AS total
+                     FROM orders GROUP BY o_custkey)
+        SELECT c_name, total FROM big JOIN customer ON o_custkey = c_custkey
+        ORDER BY total DESC LIMIT 5
+        """
+    ).collect()
+    assert len(out) == 5 and out[0]["total"] >= out[4]["total"]

@@ -100,3 +100,24 @@ def test_explicit_vertices_keeps_dangling(spark):
     assert got["d"] > 0.15  # receives mass from a
     default = {r["url"] for r in pagerank(edges, n_iters=1).collect()}
     assert default == {"a", "b"}  # derived vertex set drops d
+
+
+def test_iteration_driver_convergence_early_exit(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.plans.iterative import IterationDriver
+
+    calls = []
+
+    def step(state, i):
+        calls.append(i)
+        # x halves each step -> convergence threshold hit quickly
+        return state.select((F.col("x") / 2).alias("x"))
+
+    def converged(prev, cur):
+        return cur.agg(F.max("x")).collect()[0][0] < 0.1
+
+    state = spark.createDataFrame([(1.0,)], ["x"])
+    out = IterationDriver().run(state, step, n_iters=50, converged=converged)
+    assert out.collect()[0]["x"] < 0.1
+    assert len(calls) < 10  # early exit, not 50 iterations
