@@ -61,6 +61,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # G1 (the JVM default) measured best here; ZGC was 3-4x slower
+        # on this allocation-heavy workload. The reserved code cache is
+        # raised because whole-stage codegen emits a class per query
+        # shape — a many-query session overflows the 240MB default,
+        # silently disabling the JIT and making later queries run
+        # interpreted (measured as random 10-20x per-query slowdowns).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+UseG1GC -XX:ReservedCodeCacheSize=1g",
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
