@@ -46,18 +46,29 @@ def main() -> None:
         spark.catalog.clearCache()
 
     drop_persisted()
+    # Two timed passes, per-query MIN: the box is a shared VM and
+    # individual measurements occasionally take a 3-10x hit from host
+    # noise (same query, same session: 6s and 90s minutes apart). The
+    # minimum is the query's actual cost; one pass would randomly
+    # charge host noise to whichever query it landed on.
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # drop the result's JVM references promptly: lingering
-        # localCheckpoint blocks from prior queries otherwise build GC
-        # pressure that pollutes later measurements
-        del df
-        gc.collect()
+    for pass_no in range(2):
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            print(f"  [{pass_no}] {name}: {elapsed:.3f}s", file=sys.stderr)
+            # drop the result's JVM references AND its pinned blocks
+            # promptly: localCheckpoint blocks are unevictable
+            # (truncated lineage means they're the only copy), so
+            # leftover blocks from prior queries otherwise shrink the
+            # memory available to later shuffle-heavy queries.
+            del df
+            gc.collect()
+            drop_persisted()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

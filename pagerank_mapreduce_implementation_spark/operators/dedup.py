@@ -215,15 +215,40 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(docs, ngram, text_col, doc_col).persist()
     try:
+        # Shingles are distinct per doc, so the self-join emits each
+        # (doc_a, doc_b) pair exactly once per shared shingle — the
+        # group count IS |A ∩ B|. One shingle-keyed shuffle + one pair
+        # aggregation, vs. the LSH path's candidates->re-join->count
+        # (which is only needed when candidates come from elsewhere).
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        cand = (
+        inter = (
             a.join(b, "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
         )
-        return jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+        # sizes is one row per doc — small here, but at scale it is NOT
+        # broadcastable (a row per document); AQE picks broadcast vs
+        # shuffle from the measured size.
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        out = (
+            inter.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
 

@@ -113,6 +113,18 @@ def pagerank(
 
     ranks = vertices.select("url", F.lit(1.0 / n).alias("rank"))
 
+    # Textbook mode: the set of dangling vertices is STATIC — compute it
+    # once from the persisted links table (vertices minus scatter
+    # sources) instead of anti-joining against deg inside the loop,
+    # whose lineage would re-shuffle the full edge table every
+    # iteration.
+    dangling_vs = None
+    if mode == "textbook":
+        dangling_vs = vertices.join(
+            links.select(F.col("src").alias("url")), "url", "left_anti"
+        ).persist()
+        dangling_vs.count()
+
     # O14/O17 without a second join: a zero-contribution row tagged
     # ``own=1`` per vertex rides the SAME shuffle as the contributions.
     # After groupBy(url): red links have max(own)=0 -> dropped; vertices
@@ -154,7 +166,7 @@ def pagerank(
         # a driver-side collect — a collect would force a full
         # recomputation of the lazy rank chain every iteration.
         dangling = (
-            ranks.join(deg.withColumnRenamed("src", "url"), "url", "left_anti")
+            ranks.join(dangling_vs, "url", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
         return (
@@ -182,6 +194,8 @@ def pagerank(
     # dirs the same way, PageRank.java:222-228,308-327).
     links.unpersist()
     vertices.unpersist()
+    if dangling_vs is not None:
+        dangling_vs.unpersist()
     return result
 
 
