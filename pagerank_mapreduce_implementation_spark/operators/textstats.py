@@ -38,15 +38,21 @@ def token_stats(
 ) -> DataFrame:
     """Whitespace-token and BPE-ish piece counts per doc:
     ``(doc_id, n_tokens, n_pieces, avg_token_len)``."""
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
-    return docs.select(
+    # Stage the token array as a named column: a repeated inline
+    # filter(split(...)) expression is re-evaluated per reference
+    # (CollapseProject keeps the staging Project precisely because the
+    # expression is non-cheap and multiply referenced).
+    staged = docs.select(
         F.col(doc_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        _tokens(text_col).alias("_toks"),
+    )
+    n_tokens = F.size("_toks")
+    total_len = F.aggregate(F.col("_toks"), F.lit(0), lambda acc, w: acc + F.length(w))
+    return staged.select(
+        "doc_id",
         n_tokens.alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).alias(
+        F.size(F.regexp_extract_all(F.col("_text"), F.lit(BPE_RE), 0)).alias(
             "n_pieces"
         ),
         F.round(
@@ -65,21 +71,34 @@ def quality_scores(
             + 0.3*(1-stopword_ratio) — a simple monotone combination of
     the classic heuristics; rounded 6.
     """
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
-    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
-    stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(STOPWORDS)))
-    stop_ratio = F.when(n_tokens > 0, stop.cast("double") / n_tokens).otherwise(0.0)
+    # Stage scalar features once (see token_stats on why): the ratios
+    # and the combined score below reference each feature 2-3 times.
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.size(_tokens(text_col)).alias("_n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")).alias(
+            "_punct"
+        ),
+        F.size(
+            F.filter(_tokens(text_col), lambda w: F.lower(w).isin(STOPWORDS))
+        ).alias("_stop"),
+    )
+    n_tokens = F.col("_n_tokens")
+    punct_ratio = F.when(
+        F.col("n_chars") > 0, F.col("_punct").cast("double") / F.col("n_chars")
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tokens > 0, F.col("_stop").cast("double") / n_tokens
+    ).otherwise(0.0)
     quality = (
         F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / 100)
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
     )
-    return docs.select(
-        F.col(doc_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
+    return staged.select(
+        "doc_id",
+        "n_chars",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
@@ -96,21 +115,32 @@ def lang_id(
     real pipeline swaps the markers for char-n-gram profiles — the
     dataflow (narrow scan-side classify) is the deliverable.
     """
-    toks = _tokens(text_col)
+    # Stage 1: tokenize once. Stage 2: one score column per language
+    # (each scans the staged array once). Stage 3: argmax over the
+    # named score columns — the CASE chain references every score 2-3
+    # times, which would re-split the text ~20x per row if inlined.
+    toks = docs.select(F.col(doc_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
 
     def marker_hits(markers: list[str]) -> Column:
         # NB: the filter lambda must be single-parameter — a second
         # parameter would be interpreted as the element index.
-        return F.size(F.filter(toks, lambda w: F.lower(w).isin(markers)))
+        return F.size(F.filter(F.col("_toks"), lambda w: F.lower(w).isin(markers)))
 
-    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    scored = toks.select(
+        "doc_id",
+        *[
+            marker_hits(markers).alias(f"_s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_MARKERS}
     best = F.greatest(*scores.values())
     pred = F.lit("unknown")
     # build the CASE from last to first so earlier langs win ties
     for lang in sorted(scores, reverse=True):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return docs.select(
-        F.col(doc_col).alias("doc_id"),
+    return scored.select(
+        "doc_id",
         pred.alias("pred_lang"),
         best.cast("int").alias("score"),
     )
