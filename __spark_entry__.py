@@ -326,6 +326,42 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SEQ = iter(range(1_000_000))
+
+
+def _q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of events_hourly (engine extension —
+    the reference has no streaming, SURVEY.md §2.3): file-source stream
+    -> watermark -> tumbling-window agg -> availableNow to a memory
+    sink. Deterministic over the static input, so it gets a full SQL
+    oracle, not a rows-only check."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    agg = strm.streaming_windowed_events(ev, window="1 hour", watermark="2 hours")
+    name = f"_stream_ev_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(agg, name)
+    return spark.table(name)
+
+
+def _q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming word count over the documents table (same tokenize
+    expression as the batch word_count — batch/stream parity)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    wc = strm.streaming_word_count(docs, text_col="text")
+    name = f"_stream_wc_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(wc, name)
+    return spark.table(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-iteration reference-parity PageRank at sf0.001."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -358,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": _q_blob_metadata,
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
+        "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_word_count": _q_streaming_word_count,
         "wiki_pagerank": _q_wiki_pagerank,
         "pagerank_textbook_top20": _q_pagerank_textbook,
     }
@@ -480,6 +518,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "streaming_events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+            "event_type, count(*) AS cnt, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
+            "FROM events GROUP BY 1, 2, 3"
+        ),
+        "streaming_word_count": (
+            f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
         ),
         "wiki_pagerank": pagerank_sql(
             edges_sql="SELECT url AS src, unnest(outlinks) AS dst FROM pg",

@@ -79,15 +79,16 @@ def pagerank(
     spark = edges.sparkSession
     if num_partitions is None:
         # Size the loop's partitioning from the data, capped by the
-        # session's shuffle partitions: ~250k edge rows per partition
-        # (measured sweet spot for the join+agg step; small enough to
-        # parallelize, big enough that task overhead doesn't dominate).
-        # A 100 TB edge table hits the configured cap, which is what a
-        # cluster operator sizes; a 600k-row local run gets 3 partitions
+        # session's shuffle partitions: ~100k edge rows per partition
+        # (re-measured sweet spot for the join+agg step after the
+        # single-shuffle rewrite; small enough to parallelize, big
+        # enough that task overhead doesn't dominate). A 100 TB edge
+        # table hits the configured cap, which is what a cluster
+        # operator sizes; a 600k-row local run gets 6 partitions
         # instead of paying 32x task overhead x 10 iterations.
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
         n_edges = edges.count()
-        num_partitions = min(cap, max(1, -(-n_edges // 250_000)))
+        num_partitions = min(cap, max(1, -(-n_edges // 100_000)))
 
     # Static per-iteration join input: one row per edge occurrence with
     # the source's out-degree attached. The input is shuffled on src
