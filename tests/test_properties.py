@@ -1,0 +1,175 @@
+"""Property-based tests (hypothesis) for the load-bearing invariants
+SURVEY.md §5 identifies: the legacy record codec round-trip
+(SplitTest.java surface), the wiki page-parse extraction
+(PatternTest.java surface), and PageRank semantic parity against a
+direct Python simulation of the reference's reducer math
+(PageRank.java:454-528).
+
+Each example runs a real (small) Spark job, so example counts are kept
+low — the point is randomized coverage of record shapes, not volume.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark.functions import wiki
+from pagerank_mapreduce_implementation_spark.operators import dedup, graph
+from pagerank_mapreduce_implementation_spark.sources.legacy import (
+    decode_pagerank_records,
+    encode_pagerank_records,
+)
+
+# identifier-ish strings: no delimiter substrings, tabs, or brackets
+SAFE = st.text(alphabet="abcdefgh012", min_size=1, max_size=6)
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    pages=st.lists(
+        st.tuples(
+            SAFE,
+            st.floats(min_value=0.0, max_value=10.0, allow_nan=False, width=64),
+            st.lists(SAFE, max_size=4),
+        ),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_legacy_codec_round_trip(spark, pages):
+    """encode(decode) is the identity on (url, rank, outlinks) — the
+    packed `url\\trank,,,,,a#####b` format loses nothing (doubles go
+    through Java shortest-round-trip formatting on both engines)."""
+    df = spark.createDataFrame(
+        pages, "url string, rank double, outlinks array<string>"
+    )
+    got = {
+        r["url"]: r
+        for r in decode_pagerank_records(encode_pagerank_records(df)).collect()
+    }
+    assert len(got) == len(pages)
+    for url, rank, outlinks in pages:
+        assert got[url]["rank"] == rank
+        assert got[url]["outlinks"] == outlinks
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    title=SAFE,
+    links=st.lists(SAFE, max_size=5),
+    attr=st.booleans(),
+)
+def test_wiki_parse_extracts_title_and_links(spark, title, links, attr):
+    """For bracket-free titles/links the parse recovers them exactly and
+    in order, with or without attributes on the <text> tag (the
+    reference's missing-'>' regex quirk, PageRank.java:391)."""
+    tag = '<text xml:space="preserve">' if attr else "<text>"
+    line = (
+        f"<title>{title}</title> {tag}"
+        + "".join(f"[[{x}]]" for x in links)
+        + "</text>"
+    )
+    rows = wiki.parse_pages(
+        spark.createDataFrame([(line,)], "line string")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == title
+    assert rows[0]["outlinks"] == links
+
+
+def _simulate_reference(edges, iters, damping=0.85):
+    """The reference's PageRank math, straight from the source: seed
+    1/N over distinct srcs, scatter rank/out_degree per edge OCCURRENCE
+    (PageRank.java:454-468), damp 0.15 + 0.85*sum (:523), drop red
+    links (:527)."""
+    vertices = sorted({s for s, _ in edges})
+    out_deg = Counter(s for s, _ in edges)
+    ranks = {v: 1.0 / len(vertices) for v in vertices}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += ranks[s] / out_deg[s]
+        ranks = {
+            v: (1.0 - damping) + damping * contrib.get(v, 0.0) for v in vertices
+        }
+    return ranks
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pagerank_reference_parity_random_graphs(spark, edges):
+    """Spark PageRank == direct simulation of the reference's reducer
+    math on random multigraphs (duplicate edges scatter per occurrence,
+    red links dropped, no dangling redistribution)."""
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["url"]: r["rank"]
+        for r in graph.pagerank(df, n_iters=3, num_partitions=2).collect()
+    }
+    want = _simulate_reference(edges, iters=3)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert math.isclose(got[v], r, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    raw=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pagerank_textbook_mass_conservation(spark, raw):
+    """Textbook mode keeps the rank vector a probability distribution
+    when there are no red links (every dst is a vertex): dangling mass
+    is redistributed, so sum(rank) == 1 after any number of steps."""
+    srcs = sorted({s for s, _ in raw})
+    # remap targets onto the src set -> no red links; dangling possible
+    edges = [(s, srcs[hash(d) % len(srcs)]) for s, d in raw]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = graph.pagerank(df, n_iters=3, mode="textbook", num_partitions=2)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_shingles_match_python_windows(spark, docs, n):
+    """shingles(n) == the distinct n-token windows of each document."""
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in dedup.shingles(df, n=n).collect()
+    }
+    want = {
+        (i, " ".join(words[j : j + n]))
+        for i, words in enumerate(docs)
+        for j in range(len(words) - n + 1)
+    }
+    assert got == want
