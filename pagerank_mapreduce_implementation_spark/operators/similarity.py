@@ -19,6 +19,9 @@ All math accumulates in double regardless of the float storage type.
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,11 +53,13 @@ def cosine_topk(
     """Exact brute-force cosine top-k for one stored query vector:
     ``(vec_id, cos)``, query row excluded, ties broken by vec_id.
 
-    The 1-row query side is broadcast; the scan stays narrow (no
-    shuffle until the final TakeOrderedAndProject).
+    The 1-row query side is broadcast with its norm precomputed (the
+    norm fold would otherwise re-run per scanned row — it doubles the
+    per-row work); the scan stays narrow (no shuffle until the final
+    TakeOrderedAndProject).
     """
     q = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
+        F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
     )
     return (
         emb.filter(F.col(id_col) != query_vec_id)
@@ -63,7 +68,7 @@ def cosine_topk(
             F.col(id_col).alias("vec_id"),
             F.round(
                 _dot(F.col(vec_col), F.col("qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                / (_norm(F.col(vec_col)) * F.col("qnorm")),
                 6,
             ).alias("cos"),
         )
@@ -116,22 +121,30 @@ def hyperplane_sketch(
 
     Plane p's component for dimension d is +1 iff bit0 of
     md5('p:d') is set — reproducible anywhere md5 exists (the SQL
-    oracle uses the identical construction). sketch bit p = (v·plane_p >= 0).
+    oracle evaluates the identical construction in SQL; here the signs
+    are folded to ±1 LITERALS at plan-build time, because they depend
+    only on (p, d) — evaluating md5 per row x plane x dimension put
+    ~512 hash calls on every scanned row). sketch bit p =
+    (v·plane_p >= 0). The dimensionality comes from one driver-side
+    peek at a single row (a scalar, like the reference's page count N).
     """
-    dims = F.size(F.col(vec_col))
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:  # empty input: preserve the output schema
+        return emb.select(F.col(id_col).alias("vec_id"), F.lit(0).alias("sketch"))
+    dims = first["d"]
+
+    def sign(p: int, d: int) -> float:
+        return (
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+        )
+
     plane_dot = lambda p: F.aggregate(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(0), dims - 1),
-            lambda d: F.col(vec_col)[d].cast("double")
-            * F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(p), d)), 1, 1), 16, 10
-                )
-                .cast("int")
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+        F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(sign(p, d)) for d in range(dims)]),
+            lambda x, s: x.cast("double") * s,
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -207,34 +220,64 @@ def ivf_assign(
     no RNG/Lloyd — the partitioned-scan structure, not centroid quality,
     is the scale mechanism under test; swap in k-means centroids for
     production recall). Assignment = argmax cosine, ties to the lowest
-    cell id. centroids broadcast; assignment is one narrow pass + a
-    per-vector top-1 (WindowGroupLimit, no full sort).
-    """
-    from pyspark.sql.window import Window
+    cell id.
 
-    cents = (
+    Scale shape: the ``n_cells`` centroid vectors are pulled to the
+    driver (a small dim table — the same move as broadcasting it) and
+    embedded as literals with their norms pre-folded, so assignment is
+    ONE narrow pass over the data: a per-row fold over the centroid
+    array, no N x n_cells row blow-up, no window shuffle. The fold's
+    float ops match the SQL oracle's sequential folds exactly (strict
+    ``>`` keeps the lowest cell on ties; cells iterate in id order).
+    """
+    rows = (
         emb.orderBy(id_col)
         .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell_id"),
-            F.col(vec_col).alias("cvec"),
-        )
+        .select(F.col(vec_col).alias("cvec"))
+        .collect()
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    cent_vecs = [[float(x) for x in r["cvec"]] for r in rows]
+
+    def seq_norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:  # sequential fold — bit-identical to _norm/the oracle
+            acc += x * x
+        return math.sqrt(acc)
+
+    cents = emb.sparkSession.createDataFrame(
+        [(i + 1, v, seq_norm(v)) for i, v in enumerate(cent_vecs)],
+        "cell_id int, cvec array<double>, cnorm double",
+    )
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("cell_id"),
+                F.array(*[F.lit(x) for x in v]).alias("cvec"),
+                F.lit(seq_norm(v)).alias("cnorm"),
+            )
+            for i, v in enumerate(cent_vecs)
+        ]
+    )
+    staged = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        "cell_id",
-        (
-            _dot(F.col(vec_col), F.col("cvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
-        ).alias("ccos"),
+        _norm(F.col(vec_col)).alias("vnorm"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cell_id")
+    scores = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            (_dot(F.col("vec"), c["cvec"]) / (F.col("vnorm") * c["cnorm"])).alias(
+                "ccos"
+            ),
+            c["cell_id"].alias("cell_id"),
+        ),
     )
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(-2.0).alias("ccos"), F.lit(0).alias("cell_id")),
+        lambda b, s: F.when(s["ccos"] > b["ccos"], s).otherwise(b),
+    )
+    assign = staged.select("vec_id", "vec", best["cell_id"].alias("cell_id"))
     return cents, assign
 
 
@@ -257,7 +300,7 @@ def ivf_topk(
     """
     cents, assign = ivf_assign(emb, n_cells, id_col, vec_col)
     q = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
+        F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
     )
     probe = (
         cents.crossJoin(F.broadcast(q))
@@ -265,7 +308,7 @@ def ivf_topk(
             "cell_id",
             (
                 _dot(F.col("cvec"), F.col("qvec"))
-                / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+                / (F.col("cnorm") * F.col("qnorm"))
             ).alias("qcos"),
         )
         .orderBy(F.desc("qcos"), F.asc("cell_id"))
@@ -280,7 +323,7 @@ def ivf_topk(
             "vec_id",
             F.round(
                 _dot(F.col("vec"), F.col("qvec"))
-                / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+                / (_norm(F.col("vec")) * F.col("qnorm")),
                 6,
             ).alias("cos"),
         )
