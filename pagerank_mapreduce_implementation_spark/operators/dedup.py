@@ -277,15 +277,18 @@ def simhash(
         F.col(doc_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    counts = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    hashed = counts.select("doc_id", "cnt", _word_hash60(F.col("word")).alias("h"))
+    # Vote +/-1 per token OCCURRENCE — algebraically identical to the
+    # classic +/-count per distinct word (sum of +/-1 over occurrences
+    # == +/-cnt), so the (doc, word) pre-count shuffle is unnecessary.
+    hashed = tokens.select("doc_id", _word_hash60(F.col("word")).alias("h"))
     # One wide aggregation (60 sum columns) instead of exploding 60 rows
-    # per token — same single shuffle, 60x less shuffle volume.
+    # per token — ONE shuffle total, with map-side partial aggregation
+    # compacting to a row per doc per partition.
     vote_cols = [
         F.sum(
             F.when(
-                F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
+                F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
