@@ -109,6 +109,77 @@ def fake_image_decoder(b: bytes) -> tuple[int, int, str]:
     return 16 + h[0] % 64, 16 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
 
 
+def resize_image(
+    blobs: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize stub: ``(doc_id, content)`` with the payload
+    replaced by the resized rendition. Raises unless a real codec is
+    supplied (none ships here); the Arrow-batched, partition-preserving
+    plumbing is the deliverable — a real ``resizer`` is e.g.
+    PIL open -> thumbnail((width, height)) -> save to bytes."""
+    if resizer is None:
+        raise NotImplementedError(
+            "image resizing is stubbed: no codec library in this environment; "
+            "pass resizer=... (bytes, w, h) -> bytes"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["content"].map(
+                        lambda b: resizer(bytes(b), width, height)
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=BLOB_SCHEMA)
+
+
+def extract_features(
+    blobs: DataFrame,
+    dim: int = 16,
+    extractor: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """Feature extraction over binary payloads:
+    ``(vec_id, embedding: array<float>)`` — the bridge from multimodal
+    blobs into the similarity/ANN operators (cosine_topk, ivf_topk,
+    cosine_pairs_lsh take this output directly).
+
+    A real ``extractor`` is a vision/audio model forward pass; the
+    default is ``fake_feature_extractor`` (md5-derived, deterministic)
+    so the full blob -> embedding -> ANN pipeline runs and is testable
+    in this codec-free container.
+    """
+    fn = extractor or (lambda b: fake_feature_extractor(b, dim))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["doc_id"],
+                    "embedding": pdf["content"].map(lambda b: fn(bytes(b))),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema="vec_id bigint, embedding array<float>")
+
+
+def fake_feature_extractor(b: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in featurizer: dim floats in [-1, 1) derived
+    from an md5 byte stream over the payload."""
+    out: list[float] = []
+    seed = b
+    while len(out) < dim:
+        seed = hashlib.md5(seed).digest()
+        out.extend(x / 128.0 - 1.0 for x in seed)
+    return out[:dim]
+
+
 def sample_frames(
     blobs: DataFrame,
     every_n: int = 10,

@@ -101,6 +101,33 @@ def test_sample_frames_with_fake_demuxer(spark):
     assert [r["frame_idx"] for r in rows] == [0, 10, 20]
 
 
+def test_resize_stub_and_fake(spark):
+    docs = spark.createDataFrame([(1, "payload")], "doc_id long, text string")
+    blobs = multimodal.text_as_blob(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(blobs, 8, 8).collect()
+    fake = lambda b, w, h: b[: w * h]  # noqa: E731
+    rows = multimodal.resize_image(blobs, 2, 2, resizer=fake).collect()
+    assert bytes(rows[0]["content"]) == b"payl"
+
+
+def test_extract_features_feeds_similarity(spark):
+    """blob -> embedding -> exact ANN: the multimodal bridge composes
+    with the similarity operators end-to-end."""
+    docs = spark.createDataFrame(
+        [(i, f"payload {i % 3}") for i in range(6)], "doc_id long, text string"
+    )
+    emb = multimodal.extract_features(multimodal.text_as_blob(docs), dim=8)
+    rows = emb.collect()
+    assert len(rows) == 6 and all(len(r["embedding"]) == 8 for r in rows)
+    # deterministic: same payload -> same vector
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    assert by_id[0] == by_id[3] and by_id[0] != by_id[1]
+    top = similarity.cosine_topk(emb, 0, k=2).collect()
+    # vec 3 duplicates vec 0's payload -> cosine 1.0 at the top
+    assert top[0]["vec_id"] == 3 and top[0]["cos"] == 1.0
+
+
 def test_ivf_topk_matches_brute_on_good_recall(spark, sf_dir):
     from pagerank_mapreduce_implementation_spark.sources import Catalog
 
