@@ -96,18 +96,42 @@ def shingles(
     return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: k salted-md5 minima, one shuffle.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
-    md5 hex strings are fixed-length lowercase — lexicographic min is a
-    uniform hash order, identical in Spark and the SQL oracle (no int
-    conversion needed).
-    """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), derived
+    from md5 so the SQL oracle generator (same Python) embeds identical
+    constants."""
+    import hashlib
+
+    def h28(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    return [
+        (h28(f"a{i}") % (MINHASH_P - 1) + 1, h28(f"b{i}") % MINHASH_P)
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc via universal hashing over ONE md5
+    base hash: h_i(s) = (a_i * base(s) + b_i) mod P, base = first 15
+    md5 hex digits mod P. One shuffle; one hash evaluation per shingle
+    (k salted md5s would cost k full hashes per shingle) and the
+    signature mins aggregate 8-byte longs, not 32-char strings.
+    a_i < 2^28, base < 2^31, so products stay far below 2^63 — the
+    arithmetic is overflow-exact in both Spark and the SQL oracle.
+    """
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+        "long"
+    ) % F.lit(MINHASH_P)
+    staged = sh.select("doc_id", base.alias("hb"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    return staged.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bucket_candidates(
@@ -122,13 +146,14 @@ def lsh_bucket_candidates(
     r = num_hashes // bands
     # one pass over the signatures: explode an inline (band, bucket)
     # struct array instead of a bands-way union (which would recompute
-    # the signature aggregation per band)
+    # the signature aggregation per band). The bucket key is the plain
+    # joined row string — equality is all a bucket needs, no re-hash.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
+                F.concat_ws(
+                    ",", *[F.col(f"h{b * r + j}") for j in range(r)]
                 ).alias("bucket"),
             )
             for b in range(bands)

@@ -117,19 +117,30 @@ def _jaccard_tail(threshold: float) -> str:
 def minhash_near_dups_sql(
     threshold: float = 0.5, num_hashes: int = 16, bands: int = 4, ngram: int = 1
 ) -> str:
+    # identical universal-hash construction (and constants) as
+    # operators/dedup.minhash_signatures — same md5 base, same (a, b)
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_coeffs,
+    )
+
     r = num_hashes // bands
     mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"min(({a}::BIGINT * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     )
     sep = " || ',' || "
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"md5({sep.join(f'h{b * r + j}' for j in range(r))}) AS bucket FROM mh"
+        f"{sep.join(f'CAST(h{b * r + j} AS VARCHAR)' for j in range(r))} "
+        "AS bucket FROM mh"
         for b in range(bands)
     )
     return (
         f"WITH {_shingles_ngram(ngram)}, "
-        f"mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        "hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))"
+        f"::UBIGINT::BIGINT % {MINHASH_P} AS hb FROM sh), "
+        f"mh AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
         f"bk AS ({band_rows}), "
         "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x "
         "JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id), "
