@@ -224,9 +224,10 @@ def ivf_assign(
 
     Scale shape: the ``n_cells`` centroid vectors are pulled to the
     driver (a small dim table — the same move as broadcasting it) and
-    embedded as literals with their norms pre-folded, so assignment is
-    ONE narrow pass over the data: a per-row fold over the centroid
-    array, no N x n_cells row blow-up, no window shuffle. The fold's
+    re-shipped as a 1-row array<struct> broadcast with norms
+    pre-folded, so assignment is ONE narrow pass over the data: a
+    per-row fold over the broadcast centroid array, no N x n_cells row
+    blow-up, no window shuffle. The fold's
     float ops match the SQL oracle's sequential folds exactly (strict
     ``>`` keeps the lowest cell on ties; cells iterate in id order).
     """
@@ -244,27 +245,28 @@ def ivf_assign(
             acc += x * x
         return math.sqrt(acc)
 
-    cents = emb.sparkSession.createDataFrame(
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
         [(i + 1, v, seq_norm(v)) for i, v in enumerate(cent_vecs)],
         "cell_id int, cvec array<double>, cnorm double",
     )
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("cell_id"),
-                F.array(*[F.lit(x) for x in v]).alias("cvec"),
-                F.lit(seq_norm(v)).alias("cnorm"),
-            )
-            for i, v in enumerate(cent_vecs)
-        ]
+    # ONE row holding the whole centroid table as array<struct>: the
+    # broadcast cross join adds no rows, and the per-row fold below
+    # references a column — embedding 16 x dims literals instead blows
+    # the generated code up (measured ~8x slower from janino
+    # compilation per action).
+    cents_1row = spark.createDataFrame(
+        [([(i + 1, v, seq_norm(v)) for i, v in enumerate(cent_vecs)],)],
+        "cents array<struct<cell_id:int,cvec:array<double>,cnorm:double>>",
     )
-    staged = emb.select(
+    staged = emb.crossJoin(F.broadcast(cents_1row)).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("vnorm"),
+        F.col("cents"),
     )
     scores = F.transform(
-        cents_arr,
+        F.col("cents"),
         lambda c: F.struct(
             (_dot(F.col("vec"), c["cvec"]) / (F.col("vnorm") * c["cnorm"])).alias(
                 "ccos"
