@@ -143,6 +143,11 @@ def lsh_bucket_candidates(
     The self-join shuffles on the bucket md5 — only docs in the same
     bucket ever pair up.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}); "
+            "a remainder would silently drop signature rows from banding"
+        )
     r = num_hashes // bands
     # one pass over the signatures: explode an inline (band, bucket)
     # struct array instead of a bands-way union (which would recompute

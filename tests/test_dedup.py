@@ -59,6 +59,37 @@ def test_simhash_hamming_zero_for_exact(spark, planted):
     assert (1, 3) in out  # near dup within 10 bits
 
 
+def test_error_and_empty_paths(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # empty corpora flow through every dedup op with stable schemas
+    assert dedup.exact_dedup(empty).count() == 0
+    assert dedup.minhash_near_dups(empty, 0.5).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty, 0.5).count() == 0
+    assert dedup.simhash_near_dups(empty).count() == 0
+    # bands that don't divide num_hashes would silently drop rows
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_near_dups(empty, 0.5, num_hashes=16, bands=3)
+
+
+def test_pagerank_error_and_empty_paths(spark):
+    from pagerank_mapreduce_implementation_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = graph.pagerank(empty, n_iters=2)
+    assert out.count() == 0 and out.columns == ["url", "rank"]
+    with pytest.raises(ValueError, match="unknown mode"):
+        graph.pagerank(empty, n_iters=1, mode="nonsense")
+
+
+def test_similarity_empty_paths(spark):
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.cosine_topk(empty, 0).count() == 0
+    assert similarity.cosine_pairs_lsh(empty, 0.5).count() == 0
+    assert similarity.ivf_topk(empty, 0).count() == 0
+
+
 def test_shingles_ngram_windows(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     got = sorted(r["shingle"] for r in dedup.shingles(docs, 3).collect())
