@@ -211,11 +211,18 @@ def _wiki_lines(spark: SparkSession, sf_dir: str):
 def _q_wiki_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_mapreduce_implementation_spark.functions import wiki
 
-    pages = wiki.parse_pages(_wiki_lines(spark, sf_dir))
-    edges = graph.edges_from_pages(pages)
-    ranks = graph.pagerank(
-        edges, n_iters=10, mode="reference", vertices=pages.select("url")
-    )
+    # persist: the edge branch AND the vertex override both consume the
+    # regex parse; unpersisted, the corpus would be parsed twice.
+    # pagerank() materializes both eagerly, so the cache can drop at
+    # return.
+    pages = wiki.parse_pages(_wiki_lines(spark, sf_dir)).persist()
+    try:
+        edges = graph.edges_from_pages(pages)
+        ranks = graph.pagerank(
+            edges, n_iters=10, mode="reference", vertices=pages.select("url")
+        )
+    finally:
+        pages.unpersist()
     return (
         ranks.select("url", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("url"))
