@@ -239,10 +239,15 @@ _WIKI_PRELUDE = (
     "'[[' || CAST((doc_id * 7 + 1) % (SELECT m FROM m) AS VARCHAR) || ']]' || "
     "'[[' || CAST((doc_id * 7 + 2) % (SELECT m FROM m) AS VARCHAR) || ']]' END "
     "|| '</text>' AS line FROM documents), "
-    "parsed AS (SELECT regexp_extract(line, '<title>(.*?)</title>', 1) AS url, "
-    "regexp_extract_all(regexp_extract(line, '<text(.*?)</text>', 1), "
-    r"'\[\[(.*?)\]\]', 1) AS outlinks "
-    "FROM lines WHERE line <> ''), "
+    # production-parity parse mirror (functions/wiki.py): LAST title
+    # match, ALL text bodies, '[['/']]' stripped from each link
+    "parsed AS (SELECT coalesce(list_extract("
+    "regexp_extract_all(trim(line), '<title>(.*?)</title>', 1), -1), '') AS url, "
+    "list_transform(flatten(list_transform("
+    "regexp_extract_all(trim(line), '<text(.*?)</text>', 1), "
+    r"b -> regexp_extract_all(b, '\[\[(.*?)\]\]', 1))), "
+    "x -> replace(replace(x, '[[', ''), ']]', '')) AS outlinks "
+    "FROM lines WHERE trim(line) <> ''), "
     "pg AS (SELECT * FROM parsed WHERE url <> '')"
 )
 

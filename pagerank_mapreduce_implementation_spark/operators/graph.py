@@ -3,7 +3,12 @@
 Reference semantics (``reference parity`` mode, the default) recovered
 from PageRank.java:
 
-- seed rank = 1/N where N = page count           (PageRank.java:156,378)
+- seed rank = 1/numOfLines where numOfLines counts ALL non-empty input
+  lines — including titleless/unparseable junk lines, not just parsed
+  pages (PageRank.java:344-349,378). ``pagerank()`` defaults to seeding
+  from the VERTEX count (equal on clean corpora: one titled page per
+  line); callers needing strict parity on dirty corpora pass the line
+  count via ``seed_count`` (``programs.run_pagerank`` does).
 - new rank  = 0.15 + 0.85 * sum(contributions)   (PageRank.java:523)
   — NON-normalized damping: the constant term is 0.15, not (1-d)/N.
 - each page scatters rank/|outlinks| to every outlink OCCURRENCE
@@ -61,6 +66,7 @@ def pagerank(
     materialize_every: int = 2,
     num_partitions: int | None = None,
     vertices: DataFrame | None = None,
+    seed_count: int | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges.
 
@@ -73,22 +79,15 @@ def pagerank(
     pages: they emit no edges, but the reference keeps them as vertices
     via the self-record pass-through (PageRank.java:472,527) — deriving
     vertices from src alone would drop them.
+
+    ``seed_count`` overrides the N in the 1/N seed rank. The reference
+    seeds 1/numOfLines (all non-empty input lines, junk included,
+    PageRank.java:344-349,378); default None seeds 1/|vertices|, equal
+    on corpora with one titled page per line.
     """
     if mode not in ("reference", "textbook"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = edges.sparkSession
-    if num_partitions is None:
-        # Size the loop's partitioning from the data, capped by the
-        # session's shuffle partitions: ~100k edge rows per partition
-        # (re-measured sweet spot for the join+agg step after the
-        # single-shuffle rewrite; small enough to parallelize, big
-        # enough that task overhead doesn't dominate). A 100 TB edge
-        # table hits the configured cap, which is what a cluster
-        # operator sizes; a 600k-row local run gets 6 partitions
-        # instead of paying 32x task overhead x 10 iterations.
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        n_edges = edges.count()
-        num_partitions = min(cap, max(1, -(-n_edges // 100_000)))
 
     # Static per-iteration join input: one row per edge occurrence with
     # the source's out-degree attached. The input is shuffled on src
@@ -96,7 +95,17 @@ def pagerank(
     # reuse that partitioning (no further exchanges — check .explain():
     # one Exchange total in the links build). At 100 TB this is the
     # difference between 1 and 4 passes over the edge table.
-    part = edges.repartition(num_partitions, "src").persist()
+    #
+    # Width: when the caller doesn't pin num_partitions, repartition by
+    # column only — the shuffle starts at spark.sql.shuffle.partitions
+    # and AQE coalesces it to the data size at runtime (session.py also
+    # lets AQE re-plan inside cached plans). No pre-pass scan of the
+    # edge table just to size the loop: at 100 TB that count() would be
+    # an extra full read of the biggest table before any work.
+    if num_partitions is None:
+        part = edges.repartition("src").persist()
+    else:
+        part = edges.repartition(num_partitions, "src").persist()
     deg = part.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     links = part.join(deg, "src").persist()
     links.count()
@@ -105,14 +114,20 @@ def pagerank(
         vertices = links.select(F.col("src").alias("url")).distinct()
     else:
         vertices = vertices.select("url").distinct()
-    vertices = vertices.coalesce(num_partitions).persist()
+    if num_partitions is not None:
+        # caller pinned the loop width; keep the tiny vertex vector at
+        # the same width (AQE handles the unpinned case)
+        vertices = vertices.coalesce(num_partitions)
+    vertices = vertices.persist()
     n = vertices.count()  # O5 count-all + O9 scalar broadcast (a literal)
     if n == 0:
         links.unpersist()
         vertices.unpersist()
         return spark.createDataFrame([], "url string, rank double")
 
-    ranks = vertices.select("url", F.lit(1.0 / n).alias("rank"))
+    ranks = vertices.select(
+        "url", F.lit(1.0 / (seed_count if seed_count is not None else n)).alias("rank")
+    )
 
     # Textbook mode: the set of dangling vertices is STATIC — compute it
     # once from the persisted links table (vertices minus scatter

@@ -23,28 +23,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic per-row salt in [0, salt_buckets).
+
+    Hash of ALL the row's columns plus the partition id. The partition
+    id spreads rows whose every column is identical (the classic
+    constant-sentinel hot key — a value-only or key-only hash collapses
+    those onto ONE bucket); the row hash spreads within a partition.
+    Both inputs are stable under task retry for deterministic upstream
+    plans — unlike ``monotonically_increasing_id``, which renumbers on
+    recompute.
+    """
+    cols = [F.col(c) for c in df.columns]
+    return F.pmod(F.hash(F.spark_partition_id(), *cols), F.lit(salt_buckets))
+
+
 def salted_sum(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
     salt_buckets: int = 16,
     agg: Callable[[Column], Column] = F.sum,
+    combine: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: ``agg(value) GROUP BY keys``.
 
     Phase 1 groups by (keys, salt) — the hot key spreads over
-    ``salt_buckets`` reducers; phase 2 combines the per-salt partials.
-    Valid for any commutative/associative ``agg`` (sum, count, min,
-    max). The salt is derived from a hash of the value column so rows
-    spread evenly without RNG state.
+    ``salt_buckets`` reducers; phase 2 combines the per-salt partials
+    with ``combine``. For self-decomposable aggregates (sum, min, max)
+    the combiner IS the aggregate and may be left None; ``F.count``
+    partials combine by SUMMING (count-of-counts would return the
+    number of salt buckets), so count defaults to ``F.sum`` too.
     """
-    salt = (F.abs(F.hash(F.col(value_col))) % salt_buckets).alias("_salt")
+    if combine is None:
+        combine = F.sum if agg is F.count else agg
+    salt = _row_salt(df, salt_buckets).alias("_salt")
     phase1 = (
-        df.select(*key_cols, F.col(value_col), salt)
+        df.select(*df.columns, salt)
         .groupBy(*key_cols, "_salt")
         .agg(agg(F.col(value_col)).alias("_partial"))
     )
-    return phase1.groupBy(*key_cols).agg(agg(F.col("_partial")).alias(f"{value_col}_agg"))
+    return phase1.groupBy(*key_cols).agg(
+        combine(F.col("_partial")).alias(f"{value_col}_agg")
+    )
 
 
 def salted_join(
@@ -60,9 +81,7 @@ def salted_join(
     not the cluster. Output columns = big's + small's (minus the
     duplicate key), like a plain ``join(small, key)``.
     """
-    salted_big = big.withColumn(
-        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
-    )
+    salted_big = big.withColumn("_salt", _row_salt(big, salt_buckets))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     replicated = small.select("*", salts)
     out = salted_big.join(replicated, [key, "_salt"]).drop("_salt")

@@ -1,0 +1,130 @@
+"""Composed end-to-end programs — the reference's ``hadoop jar`` entry
+points as single callables.
+
+A user of the reference runs ONE command per pipeline; these functions
+are the engine's equivalents, file-in/file-out:
+
+- ``run_pagerank``      = ``hadoop jar pagerank.jar com.asgn3.PageRank
+  <input> <output>`` (PageRank.java:53-327): text lines -> line count
+  -> wiki parse -> 10 damped iterations -> descending sort -> ``url
+  \\t rank`` text output.
+- ``tfidf_search_rank`` = the jar's chained ``org.myorg.TFIDF`` ->
+  ``Search`` -> ``Rank`` mains (TFIDF.class main @0-25, Search.class
+  run() @24-29, Rank.class @76-83): one document per input FILE, tf-idf
+  scoring, query-term filter, descending score output.
+
+Where the reference launches 13 MapReduce jobs with HDFS round-trips
+between them (SURVEY.md §3), each program here is one driver function:
+a single lazy lineage per phase, intermediates in memory, shuffles only
+where groupBy/join/orderBy require them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark.functions.wiki import parse_pages
+from pagerank_mapreduce_implementation_spark.operators import graph, text
+from pagerank_mapreduce_implementation_spark.sources.catalog import (
+    read_text_lines,
+    write_text_kv,
+)
+
+
+def run_pagerank(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    n_iters: int = 10,
+    single_file: bool = False,
+) -> DataFrame:
+    """The reference's main pipeline, end to end (PageRank.java:53-327).
+
+    1. count ALL non-empty lines — junk included, the seed denominator
+       (count job, PageRank.java:339-366; seed 1/numOfLines :378)
+    2. parse pages -> link graph (linkGraphJob, :371-416)
+    3. 10 damped non-normalized iterations, red links dropped
+       (pageRankComputeJob x10, :190-244)
+    4. global descending sort, ties in url order, written as
+       ``url \\t rank`` text (pageRankSortJob, :252-306)
+
+    Returns the sorted rank DataFrame (also written to
+    ``output_path``). ``single_file=True`` mirrors the reference's
+    1-reducer sort output exactly (one part file) — fine for a rank
+    vector, but leave False at scale and rely on range-partitioned
+    part files, which concatenate in global order.
+    """
+    lines = read_text_lines(spark, input_path)
+    # O5 count-all: the reference tests the RAW line for emptiness (no
+    # trim, PageRank.java:346-348).
+    n_lines = lines.filter(F.col("line") != "").count()
+    if n_lines == 0:
+        empty = spark.createDataFrame([], "url string, rank double")
+        write_text_kv(empty, output_path, "url", "rank")
+        return empty
+
+    # parse once, feed both the edge and the vertex branch
+    pages = parse_pages(lines).persist()
+    try:
+        edges = graph.edges_from_pages(pages)
+        ranks = graph.pagerank(
+            edges,
+            n_iters=n_iters,
+            mode="reference",
+            vertices=pages.select("url"),
+            seed_count=n_lines,
+        )
+    finally:
+        pages.unpersist()
+    out = graph.rank_descending(ranks)
+    if single_file:
+        out = out.coalesce(1)
+    write_text_kv(out, output_path, "url", "rank")
+    return out
+
+
+def tfidf_search_rank(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    terms: list[str],
+    k: int | None = None,
+    tokenizer_pattern: str = text.TOKEN_BOUNDARY_RE,
+    single_file: bool = False,
+) -> DataFrame:
+    """The jar's document pipeline, end to end: ``TermFrequency`` ->
+    ``TFIDF`` -> ``Search <terms>`` -> ``Rank``.
+
+    One document per input FILE (the jar keys tokens by the input
+    split's file name, DocWordCount$Map.class @59-98, and sets
+    ``totalDocuments`` to the input file count, TFIDF.class run()
+    @37-55). The default tokenizer is the jar's exact ``\\s*\\b\\s*``
+    word-boundary split (WordCount$Map.class @11) — punctuation runs
+    survive as tokens, unlike the engine's whitespace default.
+
+    Writes ``doc \\t score`` descending to ``output_path`` and returns
+    the DataFrame. The four jobs' text-file round-trips collapse into
+    one lazy lineage.
+    """
+    lines = spark.read.text(input_path).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc_id"),
+        F.col("value").alias("text"),
+    )
+    # totalDocuments = input file count (TFIDF.class run() @37-55).
+    # Derived from the scanned file names: a zero-LINE file contributes
+    # no rows and is not counted — the jar counts it; byte-empty files
+    # carry no tokens either way, so scores agree.
+    total_docs = lines.select("doc_id").distinct().count()
+    scored = text.search_ranked(
+        lines,
+        terms,
+        k=k,
+        total_docs=total_docs,
+        pattern=tokenizer_pattern,
+    )
+    out = scored
+    if single_file:
+        out = out.coalesce(1)
+    write_text_kv(out, output_path, "doc_id", "score")
+    return scored

@@ -26,6 +26,27 @@ from pagerank_mapreduce_implementation_spark import schemas
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates INT64 TIMESTAMP(NANOS) columns under
+    ANY SparkSession — not just the engine's own ``session.get_spark``.
+
+    The events table stores ``ts`` as TIMESTAMP(NANOS); vanilla Spark 4
+    raises PARQUET_TYPE_ILLEGAL unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. It is a runtime SQL
+    conf, so set it here at load time (harness/driver sessions don't run
+    session.py). If a Spark build rejects the conf, fall back to
+    retrying the read with it unset — plain tables don't need it.
+    """
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        spark.conf.set(conf_key, "true")
+    except Exception:
+        # Conf rejected (future Spark): plain tables still read fine;
+        # nanos tables will raise with the upstream error message.
+        pass
+    return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one of the driver test tables as a DataFrame.
 
@@ -34,7 +55,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     engine fails fast on drift instead.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
     expected = schemas.TABLES.get(name)
     if expected is not None:
         got = [f.name for f in df.schema.fields]

@@ -31,12 +31,23 @@ def decode_pagerank_records(kv: DataFrame) -> DataFrame:
     value splits on the FIRST five-comma delimiter; an absent/empty
     outlink segment means a dangling page (empty array — the reference
     guards with isEmpty, :463).
+
+    The reference's encoder appends ``#####`` after EVERY outlink
+    (PageRank.java:405, re-emitted verbatim at :528), so real files look
+    like ``0.25,,,,,a#####b#####``. Java's ``String.split`` drops the
+    trailing empty strings that delimiter produces; Spark's ``F.split``
+    keeps them, which would inflate out_degree and create phantom
+    ``''`` edges. We reproduce Java's exact semantics by stripping the
+    trailing delimiter run before splitting — interior empties (an
+    empty ``[[]]`` link) survive in both engines.
     """
     parts = F.split(F.col("value"), PR_DELIMITER, 2)
     # F.get / try_cast: malformed rows (no delimiter, non-numeric rank)
     # become NULL rank / empty outlinks instead of failing the job under
     # ANSI mode — callers filter rank IS NULL to quarantine bad records.
-    outseg = F.get(parts, 1)
+    outseg = F.regexp_replace(
+        F.get(parts, 1), f"({OUTLINK_LIST_DELIMITER})+$", ""
+    )
     return kv.select(
         F.col("key").alias("url"),
         F.get(parts, 0).try_cast("double").alias("rank"),
@@ -50,13 +61,24 @@ def decode_pagerank_records(kv: DataFrame) -> DataFrame:
 
 def encode_pagerank_records(pages: DataFrame) -> DataFrame:
     """``(url, rank, outlinks)`` -> ``(key, value)`` in the reference's
-    packed format (PageRank.java:396-411, 528)."""
+    packed format (PageRank.java:396-411, 528).
+
+    Every outlink is FOLLOWED by ``#####`` (the reference concatenates
+    ``url + OUTLINK_LIST_DELIMITER`` per link, PageRank.java:405), so a
+    page with outlinks ``[a, b]`` encodes as ``rank,,,,,a#####b#####``
+    and a dangling page as ``rank,,,,,`` — byte-exact with the files
+    the reference's jobs write and re-read.
+    """
+    outlinks = F.coalesce(F.col("outlinks"), F.array())
     return pages.select(
         F.col("url").alias("key"),
         F.concat(
             F.col("rank").cast("string"),
             F.lit(PR_DELIMITER),
-            F.array_join(F.coalesce(F.col("outlinks"), F.array()), OUTLINK_LIST_DELIMITER),
+            F.when(F.size(outlinks) > 0,
+                   F.concat(F.array_join(outlinks, OUTLINK_LIST_DELIMITER),
+                            F.lit(OUTLINK_LIST_DELIMITER)))
+            .otherwise(F.lit("")),
         ).alias("value"),
     )
 

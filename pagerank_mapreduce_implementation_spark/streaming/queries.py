@@ -33,10 +33,14 @@ def read_events_stream(
     each file is one micro-batch input unit). ts arrives as
     TIMESTAMP(NANOS) -> long (see session.py nanosAsLong) and converts
     to a micros timestamp here, same as the batch catalog loader."""
+    from pagerank_mapreduce_implementation_spark.sources.catalog import _read_parquet_nanos_safe
+
     reader = spark.readStream.format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # nanos-safe: works under ANY session, not just session.get_spark
+    # (the conf is also required by the streaming scan below).
+    batch_schema = _read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet").schema
     # file sources take a DIRECTORY; select the one table via glob
     df = (
         reader.schema(batch_schema)

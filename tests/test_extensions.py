@@ -168,6 +168,50 @@ def test_salted_sum_equals_plain(spark):
         assert got[k] == pytest.approx(want[k])
 
 
+def test_salted_count_combines_partials(spark):
+    """Count partials must combine by SUMMING — a count-of-counts would
+    return the number of salt buckets touched (ADVICE r1)."""
+    from pagerank_mapreduce_implementation_spark.operators.skew import salted_sum
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hot", 1.0)] * 500 + [("cold", 2.0)] * 3, "k string, v double"
+    )
+    got = {
+        r["k"]: r["v_agg"]
+        for r in salted_sum(df, ["k"], "v", 8, agg=F.count).collect()
+    }
+    assert got == {"hot": 500, "cold": 3}
+
+
+def test_salted_constant_hot_key_spreads(spark):
+    """A hot key whose rows are byte-identical (the sentinel case) must
+    still spread across salt buckets — a value-column hash collapses it
+    onto one reducer (ADVICE r1)."""
+    from pagerank_mapreduce_implementation_spark.operators.skew import _row_salt
+
+    df = spark.createDataFrame(
+        [("hot", 1.0)] * 2000, "k string, v double"
+    ).repartition(8)
+    n_buckets = df.select(_row_salt(df, 16).alias("s")).distinct().count()
+    assert n_buckets > 1
+
+
+def test_salted_sum_deterministic_across_runs(spark):
+    """Salting must be stable under recomputation (no
+    monotonically_increasing_id): two executions of the same plan give
+    identical phase-1 groupings and identical results."""
+    from pagerank_mapreduce_implementation_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", float(i)) for i in range(300)], "k string, v double"
+    )
+    out = salted_sum(df, ["k"], "v", 8)
+    first = sorted(tuple(r) for r in out.collect())
+    second = sorted(tuple(r) for r in out.collect())
+    assert first == second
+
+
 def test_salted_join_equals_plain(spark):
     from pagerank_mapreduce_implementation_spark.operators.skew import salted_join
 

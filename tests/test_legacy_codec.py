@@ -25,6 +25,39 @@ def test_decode_split_test_record(spark):
     assert got["noseg"]["outlinks"] == ["x"]
 
 
+def test_decode_trailing_delimiter_production_format(spark):
+    """The reference's ACTUAL on-disk format: every outlink is followed
+    by ``#####`` (PageRank.java:405,528). Java split drops the trailing
+    empty; phantom '' outlinks must not appear (they would inflate
+    out_degree and create empty-string edges)."""
+    kv = spark.createDataFrame(
+        [
+            ("url1", "0.25,,,,,a#####b#####"),
+            ("single", "0.5,,,,,only#####"),
+            ("multi_trail", "0.1,,,,,a##########"),   # 'a' + two trailing delims
+            ("interior", "0.2,,,,,a##########b#####"),  # empty [[]] link kept, like Java
+        ],
+        "key string, value string",
+    )
+    got = {r["url"]: r for r in decode_pagerank_records(kv).collect()}
+    assert got["url1"]["outlinks"] == ["a", "b"]
+    assert got["single"]["outlinks"] == ["only"]
+    assert got["multi_trail"]["outlinks"] == ["a"]
+    assert got["interior"]["outlinks"] == ["a", "", "b"]
+
+
+def test_encode_writes_trailing_delimiter(spark):
+    """Encode parity: files we write must be byte-identical to what the
+    reference's mapper writes (rank,,,,,a#####b##### — trailing delim)."""
+    pages = spark.createDataFrame(
+        [("p", 0.25, ["a", "b"]), ("d", 0.5, [])],
+        "url string, rank double, outlinks array<string>",
+    )
+    got = {r["key"]: r["value"] for r in encode_pagerank_records(pages).collect()}
+    assert got["p"] == "0.25,,,,,a#####b#####"
+    assert got["d"] == "0.5,,,,,"
+
+
 def test_round_trip(spark):
     pages = spark.createDataFrame(
         [("p", 0.15, ["q", "r"]), ("d", 0.85, [])],

@@ -1,0 +1,135 @@
+"""End-to-end tests of the composed reference programs (programs.py):
+wiki-format text in -> sorted text file out, diffed against pure-Python
+golden evaluators implementing the reference semantics exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from pagerank_mapreduce_implementation_spark.programs import (
+    run_pagerank,
+    tfidf_search_rank,
+)
+
+WIKI_LINES = [
+    "<title>a</title> <text>[[b]][[b]][[c]]</text>",  # duplicate edge a->b
+    "<title>b</title> <text>[[c]]</text>",
+    "<title>c</title> <text>[[a]][[x]]</text>",        # x is a red link
+    "this line has no markup at all",                   # junk: counted in N, no page
+    "",                                                 # blank: not counted
+    "<title>d</title> <text></text>",                   # dangling page
+]
+
+
+def py_reference_pagerank(lines: list[str], n_iters: int = 10, d: float = 0.85):
+    """The reference pipeline verbatim (PageRank.java:339-366,371-416,
+    443-528): seed 1/count(non-empty lines), per-occurrence scatter,
+    rank' = 0.15 + 0.85*sum, red links dropped, dangling mass lost."""
+    n_lines = sum(1 for ln in lines if ln != "")
+    pages: dict[str, list[str]] = {}
+    for raw in lines:
+        ln = raw.strip()
+        if not ln:
+            continue
+        titles = re.findall("<title>(.*?)</title>", ln)
+        if not titles or titles[-1] == "":
+            continue
+        links = []
+        for body in re.findall("<text(.*?)</text>", ln):
+            for lk in re.findall(r"\[\[(.*?)\]\]", body):
+                links.append(lk.replace("[[", "").replace("]]", ""))
+        pages[titles[-1]] = links
+    ranks = {u: 1.0 / n_lines for u in pages}
+    for _ in range(n_iters):
+        contrib: dict[str, float] = {}
+        for u, links in pages.items():
+            if links:
+                share = ranks[u] / len(links)
+                for t in links:
+                    contrib[t] = contrib.get(t, 0.0) + share
+        ranks = {u: (1 - d) + d * contrib.get(u, 0.0) for u in pages}
+    return ranks
+
+
+def _read_kv_dir(path) -> list[tuple[str, str]]:
+    rows = []
+    for part in sorted(path.glob("part-*")):
+        for ln in part.read_text().splitlines():
+            k, v = ln.split("\t")
+            rows.append((k, v))
+    return rows
+
+
+def test_run_pagerank_end_to_end(spark, tmp_path):
+    inp, outp = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+    (inp / "corpus.txt").write_text("\n".join(WIKI_LINES))
+    run_pagerank(spark, str(inp), str(outp), single_file=True)
+
+    got = [(k, float(v)) for k, v in _read_kv_dir(outp)]
+    want = py_reference_pagerank(WIKI_LINES)
+    want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [k for k, _ in got] == [k for k, _ in want_sorted]
+    for (gk, gv), (wk, wv) in zip(got, want_sorted):
+        assert gv == pytest.approx(wv, rel=1e-12), gk
+    # junk line entered the seed denominator: 5 non-empty lines, 4 pages
+    assert want["d"] == pytest.approx(0.15)  # dangling, no inbound
+
+
+def test_run_pagerank_multi_part_output_globally_sorted(spark, tmp_path):
+    inp, outp = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+    (inp / "corpus.txt").write_text("\n".join(WIKI_LINES))
+    run_pagerank(spark, str(inp), str(outp), single_file=False)
+    vals = [float(v) for _, v in _read_kv_dir(outp)]
+    assert vals == sorted(vals, reverse=True)  # part files concat in order
+
+
+def py_tfidf_search(docs: dict[str, str], terms: list[str]):
+    """The jar's TermFrequency -> TFIDF -> Search chain in pure Python
+    (TermFrequency$Reduce @48-55, TFIDF$Reduce @68-210, Search @32-89)
+    with the exact \\s*\\b\\s* tokenizer (WordCount$Map.class @11)."""
+    total_docs = len(docs)
+    counts: dict[tuple[str, str], int] = {}
+    for doc, body in docs.items():
+        for tok in re.split(r"\s*\b\s*", body):
+            if tok:
+                counts[(doc, tok.lower())] = counts.get((doc, tok.lower()), 0) + 1
+    tf = {k: 1 + math.log10(c) for k, c in counts.items()}
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    scores: dict[str, float] = {}
+    for (doc, w), t in tf.items():
+        if w in terms:
+            scores[doc] = scores.get(doc, 0.0) + t * math.log10(
+                1 + total_docs / df[w]
+            )
+    return scores
+
+
+def test_tfidf_search_rank_end_to_end(spark, tmp_path):
+    docs = {
+        "d1.txt": "spark is fast, very fast! spark scales.",
+        "d2.txt": "hadoop is slower; spark wins.",
+        "d3.txt": "nothing relevant here at all.",
+    }
+    inp, outp = tmp_path / "docs", tmp_path / "scored"
+    inp.mkdir()
+    for name, body in docs.items():
+        (inp / name).write_text(body)
+
+    terms = ["spark", "fast"]
+    tfidf_search_rank(spark, str(inp), str(outp), terms, single_file=True)
+    got = {k: float(v) for k, v in _read_kv_dir(outp)}
+    want = py_tfidf_search(docs, terms)
+    assert got.keys() == want.keys()
+    for doc in want:
+        assert got[doc] == pytest.approx(want[doc], rel=1e-12), doc
+    # punctuation-bearing tokenizer: d1 matched 'fast' despite 'fast,'
+    # and 'fast!' never being whitespace-delimited words
+    assert "d1.txt" in got
