@@ -130,6 +130,18 @@ def _q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_count(Catalog(spark, sf_dir).documents)
 
 
+def _q_word_count_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 with the jar's EXACT ``\\s*\\b\\s*`` tokenizer
+    (WordCount$Map.class @11): punctuation runs survive as tokens. The
+    corpus is punctuation-free, so a deterministic ``', '`` separator
+    rewrite makes the boundary path observable (whitespace tokenization
+    would yield 'word,' tokens instead)."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.regexp_replace("text", " ", ", ").alias("text")
+    )
+    return text.word_count(docs, pattern=text.TOKEN_BOUNDARY_RE)
+
+
 def _q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_word_count(Catalog(spark, sf_dir).documents)
 
@@ -383,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_top20": _q_pagerank,
         "word_count": _q_word_count,
+        "word_count_boundary": _q_word_count_boundary,
         "doc_word_count": _q_doc_word_count,
         "term_frequency": _q_term_frequency,
         "tfidf": _q_tfidf,
@@ -419,6 +432,17 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top20": pagerank_sql(EDGES_SQL, n_iters=10, limit=20),
         "word_count": (
             f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
+        ),
+        # \s*\b\s* splitting == extracting word runs + non-space punct
+        # runs (DuckDB's RE2 mis-splits on the zero-width \b pattern, so
+        # the oracle uses the extraction form — equivalent on any corpus
+        # without whitespace-embedded punctuation runs)
+        "word_count_boundary": (
+            "WITH punct AS (SELECT doc_id, replace(text, ' ', ', ') AS text "
+            "FROM documents), "
+            "tok AS (SELECT unnest(regexp_extract_all(text, "
+            r"'\w+|[^\w\s]+')) AS word FROM punct) "
+            "SELECT word, count(*) AS cnt FROM tok GROUP BY word"
         ),
         "doc_word_count": (
             f"WITH {_TOK_LOWER} "

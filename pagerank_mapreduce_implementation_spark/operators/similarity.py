@@ -208,36 +208,85 @@ def cosine_pairs_lsh(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
-def ivf_assign(
-    emb: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF-flat coarse quantizer: returns (centroids, assignments).
-
-    Centroids are the first ``n_cells`` vectors by id (deterministic,
-    no RNG/Lloyd — the partitioned-scan structure, not centroid quality,
-    is the scale mechanism under test; swap in k-means centroids for
-    production recall). Assignment = argmax cosine, ties to the lowest
-    cell id.
-
-    Scale shape: the ``n_cells`` centroid vectors are pulled to the
-    driver (a small dim table — the same move as broadcasting it) and
-    re-shipped as a 1-row array<struct> broadcast with norms
-    pre-folded, so assignment is ONE narrow pass over the data: a
-    per-row fold over the broadcast centroid array, no N x n_cells row
-    blow-up, no window shuffle. The fold's
-    float ops match the SQL oracle's sequential folds exactly (strict
-    ``>`` keeps the lowest cell on ties; cells iterate in id order).
-    """
+def _seed_centroids(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """First ``n_cells`` vectors by id — the deterministic no-RNG seed
+    (a small dim table pulled to the driver, the same move as
+    broadcasting it)."""
     rows = (
         emb.orderBy(id_col)
         .limit(n_cells)
         .select(F.col(vec_col).alias("cvec"))
         .collect()
     )
-    cent_vecs = [[float(x) for x in r["cvec"]] for r in rows]
+    return [[float(x) for x in r["cvec"]] for r in rows]
+
+
+def lloyd_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """K-means (Lloyd) centroid refinement as DataFrame ops — the
+    production-recall upgrade over the first-n seed (which ivf_assign
+    documents as a stand-in).
+
+    Each iteration: (1) assign every vector to its nearest centroid via
+    the SAME narrow broadcast-fold ivf_assign uses (no shuffle), then
+    (2) average member vectors per cell with ONE groupBy over ``dims``
+    scalar columns — no posexplode row blow-up (an explode would
+    shuffle N x dims rows; this shuffles N rows once, with map-side
+    partial aggregation). Deterministic seed, no RNG; empty cells keep
+    their previous centroid.
+    """
+    cent_vecs = _seed_centroids(emb, n_cells, id_col, vec_col)
+    if not cent_vecs:
+        return cent_vecs
+    dims = len(cent_vecs[0])
+    for _ in range(n_iters):
+        _, assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=cent_vecs)
+        means = (
+            assign.groupBy("cell_id")
+            .agg(*[F.avg(F.col("vec")[i].cast("double")).alias(f"c{i}") for i in range(dims)])
+            .collect()
+        )
+        by_cell = {r["cell_id"]: [float(r[f"c{i}"]) for i in range(dims)] for r in means}
+        cent_vecs = [by_cell.get(i + 1, cent_vecs[i]) for i in range(len(cent_vecs))]
+    return cent_vecs
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat coarse quantizer: returns (centroids, assignments).
+
+    Default centroids are the first ``n_cells`` vectors by id
+    (deterministic, no RNG — the partitioned-scan structure, not
+    centroid quality, is the scale mechanism; pass
+    ``centroids=lloyd_centroids(emb, ...)`` for production recall).
+    Assignment = argmax cosine, ties to the lowest cell id.
+
+    Scale shape: the ``n_cells`` centroid vectors live on the driver
+    (a small dim table — the same move as broadcasting it) and ship as
+    a 1-row array<struct> broadcast with norms pre-folded, so
+    assignment is ONE narrow pass over the data: a per-row fold over
+    the broadcast centroid array, no N x n_cells row blow-up, no window
+    shuffle. The fold's float ops match the SQL oracle's sequential
+    folds exactly (strict ``>`` keeps the lowest cell on ties; cells
+    iterate in id order).
+    """
+    cent_vecs = (
+        [[float(x) for x in v] for v in centroids]
+        if centroids is not None
+        else _seed_centroids(emb, n_cells, id_col, vec_col)
+    )
 
     def seq_norm(v: list[float]) -> float:
         acc = 0.0
@@ -291,6 +340,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k for one stored query vector: ``(vec_id, cos)``.
 
@@ -298,9 +348,10 @@ def ivf_topk(
     and scans ONLY those cells' vectors — at scale the index lives as a
     cell_id-partitioned table and each query touches n_probe/n_cells of
     the data. Recall is probe-limited (standard IVF tradeoff vs the
-    exact cosine_topk baseline).
+    exact cosine_topk baseline); pass ``centroids=lloyd_centroids(...)``
+    to trade a few index-build passes for better cell quality.
     """
-    cents, assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    cents, assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=centroids)
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
     )

@@ -150,6 +150,35 @@ def test_ivf_probe_limits_scan(spark):
     assert cells[11] == cells[2]
 
 
+def test_lloyd_centroids_beat_first_n_recall(spark, sf_dir):
+    """K-means (Lloyd) centroid refinement must improve IVF recall vs
+    the first-n seed against the exact cosine_topk baseline (the
+    'production recall' claim in ivf_assign's docstring, made real)."""
+    from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings.persist()
+    try:
+        lloyd = similarity.lloyd_centroids(emb, n_cells=16, n_iters=3)
+        recalls = {}
+        for label, cents in [("first_n", None), ("lloyd", lloyd)]:
+            hits = 0
+            for qid in [13, 42, 99]:
+                exact = {
+                    r["vec_id"] for r in similarity.cosine_topk(emb, qid, k=10).collect()
+                }
+                got = {
+                    r["vec_id"]
+                    for r in similarity.ivf_topk(
+                        emb, qid, k=10, n_cells=16, n_probe=4, centroids=cents
+                    ).collect()
+                }
+                hits += len(got & exact)
+            recalls[label] = hits / 30
+        assert recalls["lloyd"] > recalls["first_n"], recalls
+    finally:
+        emb.unpersist()
+
+
 def test_salted_sum_equals_plain(spark):
     from pagerank_mapreduce_implementation_spark.operators.skew import salted_sum
     from pyspark.sql import functions as F

@@ -76,3 +76,16 @@ def test_cosine_topk_no_shuffle_before_topk(plans):
     p = plans("cosine_topk")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row query side broadcast
+
+
+def test_ivf_topk_assignment_exchange_free_centroids_broadcast(plans):
+    # the codegen-blowup property the 1-row array<struct> centroid
+    # broadcast bought: assignment is a narrow per-row fold — every
+    # Exchange in the plan is a broadcast, never a shuffle — and top-k
+    # needs no global sort. A regression here fails the suite instead
+    # of only showing up in the bench.
+    p = plans("ivf_topk")
+    assert "SortMergeJoin" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p  # centroid + query 1-row sides
+    assert "TakeOrderedAndProject" in p
