@@ -189,6 +189,11 @@ def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(cat.orders, cat.lineitem)
 
 
+def _q_nation_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return relational.nation_year_rollup(cat.customer, cat.orders, cat.nation)
+
+
 def _wiki_lines(spark: SparkSession, sf_dir: str):
     """Deterministic wiki-format page lines derived from documents:
     every 10th page dangling (no links), link targets span 1.2x the doc
@@ -350,7 +355,73 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONS_SQL = (
+    "WITH d AS (SELECT user_id, ts, value, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events), "
+    "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sess FROM d) "
+    "SELECT user_id, min(ts) AS session_start, "
+    "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, "
+    "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
+    "FROM s GROUP BY user_id, sess"
+)
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_mapreduce_implementation_spark.operators import sessions
+
+    return sessions.user_sessions(Catalog(spark, sf_dir).events, gap="30 minutes")
+
+
+def _q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (functions/json_fields.py): pull the
+    ``k`` field out of the props JSON string and aggregate per event
+    type — extract-early-then-prune, the 100 TB JSON pattern."""
+    from pagerank_mapreduce_implementation_spark.functions.json_fields import json_field
+
+    ev = Catalog(spark, sf_dir).events
+    k = json_field(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 _STREAM_SEQ = iter(range(1_000_000))
+
+
+def _q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization twin (session_window + watermark) —
+    same gap semantics as the batch user_sessions, full SQL oracle."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    agg = strm.streaming_user_sessions(ev, gap="30 minutes", watermark="2 hours")
+    name = f"_stream_sess_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(agg, name)
+    return spark.table(name)
+
+
+def _q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals. Deterministic over the static input
+    (integer-cents accumulation), so it gets a full SQL oracle even
+    though the operator itself is a hand-written state machine."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    stats = strm.user_stats_stateful(ev)
+    name = f"_stream_ustats_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(stats, name, output_mode="update")
+    return spark.table(name)
 
 
 def _q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "nation_order_stats": _q_nation_order_stats,
+        "nation_year_rollup": _q_nation_year_rollup,
         "order_priority": _q_order_priority,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -419,8 +491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": _q_blob_metadata,
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "event_props_stats": _q_event_props_stats,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_word_count": _q_streaming_word_count,
+        "streaming_user_sessions": _q_streaming_user_sessions,
+        "streaming_user_stats": _q_streaming_user_stats,
         "wiki_pagerank": _q_wiki_pagerank,
         "pagerank_textbook_top20": _q_pagerank_textbook,
     }
@@ -564,6 +640,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_word_count": (
             f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
+        ),
+        # gaps-and-islands mirror of Spark's session_window: a new
+        # session starts when the gap to the previous event is >= 30
+        # minutes (Spark windows are end-exclusive: an event at exactly
+        # prev_end starts a new session); session_end = last event + gap
+        "user_sessions": _SESSIONS_SQL,
+        "streaming_user_sessions": _SESSIONS_SQL,
+        "nation_year_rollup": (
+            "SELECT n_name, o_year, count(*) AS order_cnt, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) "
+            "AS total_price FROM (SELECT n_name, year(o_orderdate) AS o_year, "
+            "o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey) "
+            "GROUP BY ROLLUP (n_name, o_year)"
+        ),
+        "event_props_stats": (
+            "WITH k AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, count(*) AS cnt, sum(k) AS k_sum, "
+            "min(k) AS k_min, max(k) AS k_max FROM k GROUP BY event_type"
+        ),
+        "streaming_user_stats": (
+            "SELECT user_id, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error "
+            "FROM events GROUP BY user_id"
         ),
         "wiki_pagerank": pagerank_sql(
             edges_sql="SELECT url AS src, unnest(outlinks) AS dst FROM pg",

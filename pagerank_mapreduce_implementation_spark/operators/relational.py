@@ -106,6 +106,32 @@ def nation_order_stats(
     )
 
 
+def nation_year_rollup(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (engine extension — the
+    reference has only single-level groupBy, SURVEY.md §2.3): order
+    totals at (nation, year), per-nation subtotal, and grand total in
+    ONE aggregation pass. Spark plans rollup as a single Expand +
+    hash-agg — no per-level re-scan of the fact table, which at 100 TB
+    is the difference between 1 and |levels| passes. NULL marks the
+    rolled-up levels (standard SQL semantics, same in the oracle)."""
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "o_totalprice",
+        )
+        .rollup("n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
 def order_priority_counts(
     orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.05
 ) -> DataFrame:

@@ -58,6 +58,12 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet columns (events.ts) are otherwise
         # rejected; read as long and convert in the catalog loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Managed-table location for bucketed tables (write_bucketed):
+        # static conf, must be set before the first session exists.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -1,8 +1,13 @@
 from pagerank_mapreduce_implementation_spark.sources.catalog import (
     Catalog,
     load_table,
+    read_csv,
+    read_json,
     read_kv_text,
     read_text_lines,
+    write_bucketed,
+    write_csv,
+    write_json,
     write_parquet,
     write_text_kv,
 )
@@ -10,8 +15,13 @@ from pagerank_mapreduce_implementation_spark.sources.catalog import (
 __all__ = [
     "Catalog",
     "load_table",
+    "read_csv",
+    "read_json",
     "read_kv_text",
     "read_text_lines",
+    "write_bucketed",
+    "write_csv",
+    "write_json",
     "write_parquet",
     "write_text_kv",
 ]

@@ -140,3 +140,54 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (parquet + bucket metadata in the session
+    catalog): the co-located-join primitive. Two tables bucketed on the
+    same key with the same bucket count join WITHOUT a shuffle — at
+    100 TB this turns every recurring fact-to-fact join on that key
+    from two full-table exchanges into a zero-exchange zip of bucket
+    files. ``sort_cols`` additionally pre-sorts within buckets, letting
+    sort-merge joins skip the sort.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """CSV scan with an EXPLICIT schema (DDL string). Schema inference
+    is banned on the engine's ingest path: at 100 TB inference is an
+    extra full pass over the data, and a drifting inferred type
+    corrupts silently downstream — fail fast instead (badRecordsPath /
+    PERMISSIVE corrupt-record capture can be layered by callers)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema; malformed rows become
+    NULLs (PERMISSIVE default) rather than failing the scan."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    out = df.write.mode("overwrite").option("header", str(header).lower())
+    out.csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

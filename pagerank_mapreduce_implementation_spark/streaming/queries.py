@@ -106,6 +106,67 @@ def streaming_search(
     )
 
 
+def streaming_user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: the SAME session_window expression as
+    the batch operators/sessions.py:user_sessions, over an unbounded
+    source. The watermark closes sessions whose last event is older
+    than the watermark, bounding state (late events past it are
+    dropped)."""
+    from pagerank_mapreduce_implementation_spark.operators.sessions import user_sessions
+
+    return user_sessions(events.withWatermark("ts", watermark), gap=gap)
+
+
+def user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful per-user accumulator via ``applyInPandasWithState``
+    — the extension point for operators the built-in windowed
+    aggregations can't express (the running state here is three
+    counters, but the same shape carries arbitrary per-key state
+    machines).
+
+    Emits ``(user_id, n_events, value_sum, n_error)`` per updated user
+    each micro-batch (update mode). State is Arrow-batched per group;
+    at 100 TB state lives in the state store partitioned by user_id —
+    one shuffle, no global structure.
+
+    value_sum accumulates in integer CENTS (the source values have 2
+    decimals) so the float result is order-independent and matches the
+    decimal-cast SQL oracle exactly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, cents, errs = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].astype("float64").mul(100).round().sum())))
+            errs += int((pdf["event_type"] == "error").sum())
+        state.update((n, cents, errs))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_sum": [cents / 100.0],
+                "n_error": [errs],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, value_sum double, n_error bigint",
+        stateStructType="n bigint, cents bigint, errs bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,

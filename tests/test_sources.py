@@ -1,12 +1,18 @@
-"""Text/parquet sink round-trips (O1-O4)."""
+"""Text/parquet/CSV/JSON sink round-trips (O1-O4 + engine-native
+formats) and the bucketed co-located-join path."""
 
 from __future__ import annotations
 
 import tempfile
 
 from pagerank_mapreduce_implementation_spark.sources import (
+    read_csv,
+    read_json,
     read_kv_text,
     read_text_lines,
+    write_bucketed,
+    write_csv,
+    write_json,
     write_parquet,
     write_text_kv,
 )
@@ -22,6 +28,56 @@ def test_text_kv_round_trip(spark):
         assert got == {"k1": "v1", "k2": "v 2"}
         lines = read_text_lines(spark, path)
         assert sorted(r["line"] for r in lines.collect()) == ["k1\tv1", "k2\tv 2"]
+
+
+def test_csv_round_trip_explicit_schema(spark):
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -0.25)], "id long, s string, x double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(df, f"{d}/c")
+        back = read_csv(spark, f"{d}/c", "id long, s string, x double")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+        assert back.schema == df.schema  # explicit schema, no inference
+
+
+def test_json_round_trip_and_malformed(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"], {"k": 2})], "id long, tags array<string>, m map<string,int>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_json(df, f"{d}/j")
+        back = read_json(spark, f"{d}/j", "id long, tags array<string>, m map<string,int>")
+        r = back.collect()[0]
+        assert r["id"] == 1 and r["tags"] == ["x", "y"] and r["m"] == {"k": 2}
+        # malformed line -> NULL row, scan does not fail (PERMISSIVE)
+        with open(f"{d}/bad.json", "w") as f:
+            f.write('{"id": 7}\nNOT JSON AT ALL\n')
+        bad = read_json(spark, f"{d}/bad.json", "id long, tags array<string>, m map<string,int>")
+        ids = sorted((r["id"] is None, r["id"]) for r in bad.collect())
+        assert len(ids) == 2 and ids[0][1] == 7
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The co-located-join claim, asserted on the executed plan: two
+    tables bucketed on the same key join with ZERO shuffle exchanges
+    (at 100 TB: no exchange of either fact table, ever)."""
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real join strategy (broadcast would hide bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(left, "bkt_left", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(right, "bkt_right", ["k"], num_buckets=8, sort_cols=["k"])
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
 def test_parquet_sink_partitioned(spark):

@@ -12,8 +12,10 @@ from pagerank_mapreduce_implementation_spark.sources import Catalog
 from pagerank_mapreduce_implementation_spark.streaming import (
     read_events_stream,
     run_to_memory,
+    streaming_user_sessions,
     streaming_windowed_events,
     streaming_word_count,
+    user_stats_stateful,
 )
 
 
@@ -66,3 +68,63 @@ def test_watermark_present_in_plan(spark, sf_dir):
     stream = streaming_windowed_events(read_events_stream(spark, sf_dir))
     # watermark node must exist for state cleanup at scale
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.operators.sessions import user_sessions
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        streaming_user_sessions(stream, gap="30 minutes"), "stream_sess", "complete"
+    )
+    got = sorted(map(tuple, spark.table("stream_sess").collect()))
+    want = sorted(
+        map(tuple, user_sessions(Catalog(spark, sf_dir).events, gap="30 minutes").collect())
+    )
+    assert got == want
+    assert len(got) > 0
+    # watermark node present (state eviction at scale)
+    sess = streaming_user_sessions(read_events_stream(spark, sf_dir))
+    assert "EventTimeWatermark" in sess._jdf.queryExecution().analyzed().toString()
+
+
+def test_streaming_search_matches_batch(spark, sf_dir, tmp_path):
+    """streaming_search consumes a materialized tf-idf table as a
+    stream (streaming can't chain the TF and DF aggregations in one
+    query — the standard pattern is batch-build the index, stream the
+    scoring) and must match the batch search exactly."""
+    from pagerank_mapreduce_implementation_spark.streaming import streaming_search
+
+    docs = Catalog(spark, sf_dir).documents
+    tfidf = text.tf_idf(docs)
+    tfidf.write.mode("overwrite").parquet(str(tmp_path / "tfidf"))
+    stream = spark.readStream.schema("doc_id bigint, word string, tfidf double").parquet(
+        str(tmp_path / "tfidf")
+    )
+    run_to_memory(streaming_search(stream, ["spark", "table"]), "stream_search", "complete")
+    got = {r["doc_id"]: round(r["score"], 6) for r in spark.table("stream_search").collect()}
+    want = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in text.search(tfidf, ["spark", "table"]).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stateful_user_stats_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(user_stats_stateful(stream), "stream_ustats", "update")
+    got = {r["user_id"]: (r["n_events"], r["value_sum"], r["n_error"])
+           for r in spark.table("stream_ustats").collect()}
+    ev = Catalog(spark, sf_dir).events
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["e"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("s"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("e"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
