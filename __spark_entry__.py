@@ -395,6 +395,94 @@ def _q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py — engine extension; no as-of
+    join exists in the reference, SURVEY.md §2.3): for each purchase
+    event, the same user's latest click at-or-before it. The click
+    side is pre-reduced to one row per (user_id, ts) so the tie rule
+    is explicit; the oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from pagerank_mapreduce_implementation_spark.operators.joins import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(
+            F.max("event_id").alias("click_event_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts", suffix=""
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        "click_ts",
+        "click_event_id",
+        F.round("click_value", 2).alias("click_value"),
+    )
+
+
+def _q_signup_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval/range join (operators/joins.py): per signup
+    event, count + value sum of the same user's events in the next
+    hour. Equi-join on user_id with the range as a post-predicate —
+    never a full time x time range join."""
+    from pagerank_mapreduce_implementation_spark.operators.joins import interval_agg_join
+
+    ev = Catalog(spark, sf_dir).events
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.select("user_id", "ts", "value")
+    return interval_agg_join(
+        signups,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=3600.0,
+        aggs=[
+            F.count(F.col("ts_r")).alias("n_follow"),
+            F.round(
+                F.sum(F.col("value_r").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("follow_value"),
+        ],
+    )
+
+
+def _q_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference, SURVEY.md
+    §2.3): per-day unique users. Spark plans this as a two-phase
+    expand+agg — partial distinct per partition, then final — so the
+    shuffle carries (day, user_id) pairs, not raw events."""
+    ev = Catalog(spark, sf_dir).events
+    # day as yyyy-MM-dd STRING: pandas maps Spark DATE to python date
+    # objects but DuckDB DATE to datetime64 — same instant, different
+    # raw value under exact comparison; strings are repr-stable on both
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pass over documents (semantic dedup):
+    LSH-bucketed candidate pairs -> cosine >= 0.25 -> drop the
+    higher-id member, return survivors."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.embedding_near_dup_survivors(
+        cat.documents, cat.embeddings, threshold=0.25, num_planes=8
+    )
+
+
 _STREAM_SEQ = iter(range(1_000_000))
 
 
@@ -493,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "event_props_stats": _q_event_props_stats,
+        "asof_clicks": _q_asof_clicks,
+        "signup_followups": _q_signup_followups,
+        "daily_uniques": _q_daily_uniques,
+        "embedding_dedup": _q_embedding_dedup,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_word_count": _q_streaming_word_count,
         "streaming_user_sessions": _q_streaming_user_sessions,
@@ -661,6 +753,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS cnt, sum(k) AS k_sum, "
             "min(k) AS k_min, max(k) AS k_max FROM k GROUP BY event_type"
         ),
+        "asof_clicks": oracles.asof_clicks_sql(),
+        "signup_followups": oracles.signup_followups_sql(window_hours=1),
+        "daily_uniques": oracles.daily_uniques_sql(),
+        "embedding_dedup": oracles.embedding_dedup_sql(0.25, 8),
         "streaming_user_stats": (
             "SELECT user_id, count(*) AS n_events, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum, "

@@ -391,3 +391,40 @@ def simhash_near_dups(
         return out.localCheckpoint(eager=True)
     finally:
         fp.unpersist()
+
+
+def embedding_near_dup_survivors(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.25,
+    num_planes: int = 8,
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pass: drop every document whose
+    embedding has cosine >= ``threshold`` with a SMALLER-id document
+    (the keep-first rule of ``exact_dedup``), candidates restricted to
+    equal hyperplane sketches (similarity.cosine_pairs_lsh — the LSH
+    bucket join, never the N^2 product).
+
+    Returns surviving ``(doc_id, lang, source, n_chars)`` rows. The
+    drop set is ONE anti-join against the distinct higher-id member of
+    each near-dup pair; at 100 TB this is the standard semantic-dedup
+    shape: sketch shuffle + per-bucket verify + broadcast-able drop
+    list (near-dup sets are tiny relative to the corpus).
+
+    Recall matches the LSH pass it is built on: pairs in different
+    buckets are missed (documented in cosine_pairs_lsh); the SQL
+    oracle mirrors the identical sketch construction, so parity is
+    exact by design.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.similarity import cosine_pairs_lsh
+
+    pairs = cosine_pairs_lsh(
+        emb, threshold, num_planes, id_col=id_col, vec_col=vec_col
+    )
+    dropped = pairs.select(F.col("vec_b").alias(doc_col)).distinct()
+    return docs.join(dropped, doc_col, "left_anti").select(
+        doc_col, "lang", "source", "n_chars"
+    )

@@ -306,3 +306,63 @@ def ivf_topk_sql(
         f"WHERE a.vec_id <> {query_vec_id} "
         f"ORDER BY cos DESC, a.vec_id ASC LIMIT {k}"
     )
+
+
+def embedding_dedup_sql(threshold: float = 0.25, num_planes: int = 8) -> str:
+    """Survivors of the embedding-cosine near-dup pass: documents whose
+    vec has no cosine >= threshold pair with a smaller id (mirror of
+    dedup.embedding_near_dup_survivors over the same LSH buckets)."""
+    pairs = cosine_pairs_lsh_sql(threshold, num_planes)
+    return (
+        f"WITH dropped AS (SELECT DISTINCT vec_b AS doc_id FROM ({pairs})) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+        "LEFT JOIN dropped x ON d.doc_id = x.doc_id WHERE x.doc_id IS NULL"
+    )
+
+
+def asof_clicks_sql() -> str:
+    """DuckDB's native ASOF LEFT JOIN as the oracle for the engine's
+    union-trick asof_join: for each purchase, the user's latest click
+    at-or-before it. The click side is pre-reduced to one row per
+    (user_id, ts) — max event_id wins — so the tie rule is explicit
+    and engine-independent."""
+    return (
+        "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id, "
+        "arg_max(value, event_id) AS click_value FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, ts) "
+        # DuckDB's ASOF JOIN normalizes TIMESTAMP_NS to micro TIMESTAMP;
+        # cast back to NS so pandas dtypes match Spark's ns timestamps
+        # raw-value-exactly (the instants are micro-grained, so the
+        # cast is lossless)
+        "SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, "
+        "round(p.value, 2) AS purchase_value, "
+        "CAST(c.click_ts AS TIMESTAMP_NS) AS click_ts, "
+        "c.click_event_id, round(c.click_value, 2) AS click_value "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts"
+    )
+
+
+def signup_followups_sql(window_hours: int = 1) -> str:
+    """Interval/range join oracle: per signup event, count + value sum
+    of the same user's events in the following window."""
+    return (
+        "WITH s AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'signup') "
+        "SELECT s.event_id, s.user_id, s.ts, count(e.ts) AS n_follow, "
+        "round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS follow_value "
+        "FROM s LEFT JOIN events e ON e.user_id = s.user_id "
+        f"AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL {window_hours} HOUR "
+        "GROUP BY s.event_id, s.user_id, s.ts"
+    )
+
+
+def daily_uniques_sql() -> str:
+    """Distinct-aggregation surface (absent from the reference,
+    SURVEY.md §2.3): per-day unique users + event count."""
+    return (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "count(DISTINCT user_id) AS unique_users, "
+        "count(*) AS n_events FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
+    )

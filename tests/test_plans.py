@@ -89,3 +89,38 @@ def test_ivf_topk_assignment_exchange_free_centroids_broadcast(plans):
     assert "hashpartitioning" not in p and "rangepartitioning" not in p
     assert "BroadcastNestedLoopJoin" in p  # centroid + query 1-row sides
     assert "TakeOrderedAndProject" in p
+
+
+def test_asof_join_single_shuffle_no_range_join(plans):
+    # the union-trick as-of join: ONE exchange for the window (plus the
+    # scans' own), and never a cartesian/broadcast-nested-loop range join
+    p = plans("asof_clicks")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_interval_join_is_equi_not_cartesian(plans):
+    # the range predicate must ride an equi-join on user_id, not
+    # degenerate to a nested-loop over all time pairs
+    p = plans("signup_followups")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_daily_uniques_partial_distinct(plans):
+    # distinct-agg plans as two-phase HashAggregate (partial per
+    # partition on (day, user_id), then final) — the shuffle carries
+    # distinct pairs, not raw events
+    p = plans("daily_uniques")
+    assert p.count("HashAggregate") >= 3
+
+
+def test_embedding_dedup_anti_join_no_cartesian(plans):
+    p = plans("embedding_dedup")
+    assert "CartesianProduct" not in p
+    # the drop list is small -> broadcast anti join
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
