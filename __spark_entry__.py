@@ -483,6 +483,18 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash+LSH pairs -> connected
+    components (min-label propagation, operators/graph.py) -> (vertex,
+    component). The transitive closure is what a real dedup pass keys
+    on — keep one doc per component, not per pair. Oracle = recursive
+    CTE over the identical pair list."""
+    pairs = dedup.minhash_near_dups(
+        Catalog(spark, sf_dir).documents, threshold=0.5, ngram=5
+    ).select("doc_a", "doc_b")
+    return graph.connected_components(pairs, "doc_a", "doc_b")
+
+
 _STREAM_SEQ = iter(range(1_000_000))
 
 
@@ -509,6 +521,29 @@ def _q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = strm.user_stats_stateful(ev)
     name = f"_stream_ustats_{next(_STREAM_SEQ)}"
     strm.run_to_memory(stats, name, output_mode="update")
+    return spark.table(name)
+
+
+def _q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/queries.py):
+    purchases x same-user clicks in the preceding hour, append mode.
+    Deterministic over the static input -> full SQL oracle."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = strm.streaming_click_attribution(
+        purchases, clicks, window="1 hour", watermark="2 hours"
+    ).select("event_id", "user_id", "ts", "purchase_value", "click_event_id", "click_ts")
+    name = f"_stream_attr_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(joined, name, output_mode="append")
     return spark.table(name)
 
 
@@ -585,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_followups": _q_signup_followups,
         "daily_uniques": _q_daily_uniques,
         "embedding_dedup": _q_embedding_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "streaming_click_attribution": _q_streaming_click_attribution,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "streaming_word_count": _q_streaming_word_count,
         "streaming_user_sessions": _q_streaming_user_sessions,
@@ -757,6 +794,21 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, 8),
+        "dedup_clusters": oracles.connected_components_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + oracles.minhash_near_dups_sql(0.5, ngram=5)
+            + ")"
+        ),
+        "streaming_click_attribution": (
+            "WITH p AS (SELECT event_id, user_id, ts, round(value, 2) AS "
+            "purchase_value FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS click_event_id, user_id AS click_user_id, "
+            "ts AS click_ts FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, p.ts, p.purchase_value, "
+            "c.click_event_id, c.click_ts FROM p JOIN c "
+            "ON p.user_id = c.click_user_id "
+            "AND c.click_ts >= p.ts - INTERVAL 1 HOUR AND c.click_ts < p.ts"
+        ),
         "streaming_user_stats": (
             "SELECT user_id, count(*) AS n_events, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum, "

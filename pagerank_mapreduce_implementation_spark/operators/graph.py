@@ -256,3 +256,67 @@ def rank_descending(ranks: DataFrame, limit: int | None = None) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: ``(vertex,
+    component)`` where component = the smallest vertex id reachable
+    from ``vertex`` (undirected).
+
+    Each iteration sends every vertex's current label across both edge
+    directions and keeps the minimum — one join + one groupBy-min
+    shuffle per iteration, converging in O(diameter) rounds. The loop
+    reuses IterationDriver's convergence path: it stops as soon as an
+    iteration changes no label (an anti-join count on the materialized
+    state, the same move as the reference's chained-job success gate).
+
+    Scale: intended for DUP-CLUSTER graphs (near-dup pairs from
+    minhash/simhash/embedding passes), whose components are tiny and
+    whose edge count is a fraction of the corpus; label propagation's
+    O(diameter) rounds are fine there. A web-scale billion-edge graph
+    with long chains wants the alternating large-star/small-star
+    algorithm (Kiveris et al.) — same DataFrame skeleton, fewer
+    rounds; not needed for the dedup use case.
+    """
+    bidir = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    )
+    bidir = bidir.repartition("u").persist()
+    labels = (
+        bidir.select(F.col("u").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("component"))
+    )
+
+    def step(lbl: DataFrame, _i: int) -> DataFrame:
+        msgs = (
+            bidir.join(lbl.withColumnRenamed("vertex", "u"), "u")
+            .select(F.col("v").alias("vertex"), "component")
+        )
+        return (
+            msgs.unionByName(lbl)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+
+    def converged(prev: DataFrame, cur: DataFrame) -> bool:
+        # both sides are materialized by the driver at every check
+        return (
+            cur.join(
+                prev.withColumnRenamed("component", "prev_component"), "vertex"
+            )
+            .filter(F.col("component") != F.col("prev_component"))
+            .isEmpty()
+        )
+
+    driver = IterationDriver(materialize_every=1)
+    out = driver.run(labels, step, max_iters, converged=converged)
+    bidir.unpersist()
+    return out

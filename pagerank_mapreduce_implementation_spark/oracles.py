@@ -366,3 +366,18 @@ def daily_uniques_sql() -> str:
         "count(DISTINCT user_id) AS unique_users, "
         "count(*) AS n_events FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
     )
+
+
+def connected_components_sql(pairs_sql: str, a: str = "doc_a", b: str = "doc_b") -> str:
+    """Transitive-closure oracle for graph.connected_components over a
+    near-dup pair list: component = min reachable id, via a recursive
+    CTE (fine at oracle scale; the engine side is the scalable
+    label-propagation loop)."""
+    return (
+        f"WITH RECURSIVE pr AS ({pairs_sql}), "
+        f"e AS (SELECT {a} AS u, {b} AS v FROM pr "
+        f"UNION SELECT {b}, {a} FROM pr), "
+        "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) "
+        "UNION SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u) "
+        "SELECT u AS vertex, min(v) AS component FROM reach GROUP BY u"
+    )

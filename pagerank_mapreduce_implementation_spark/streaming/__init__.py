@@ -1,6 +1,7 @@
 from pagerank_mapreduce_implementation_spark.streaming.queries import (
     read_events_stream,
     run_to_memory,
+    streaming_click_attribution,
     streaming_search,
     streaming_user_sessions,
     streaming_windowed_events,
@@ -11,6 +12,7 @@ from pagerank_mapreduce_implementation_spark.streaming.queries import (
 __all__ = [
     "read_events_stream",
     "run_to_memory",
+    "streaming_click_attribution",
     "streaming_search",
     "streaming_user_sessions",
     "streaming_windowed_events",

@@ -121,6 +121,40 @@ def streaming_user_sessions(
     return user_sessions(events.withWatermark("ts", watermark), gap=gap)
 
 
+def streaming_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each purchase event
+    joined to the same user's click events in the preceding ``window``
+    (inner join, append mode).
+
+    Both sides carry event-time watermarks and the join condition
+    bounds click time relative to purchase time — together these let
+    Spark expire buffered rows: a click older than (purchase watermark
+    - window) can never match again and its state is dropped. Without
+    the time bound a stream-stream join would buffer both streams
+    forever; this is the canonical bounded-state formulation
+    (Structured Streaming docs, "inner joins with watermarking").
+
+    At 100 TB/day the state store holds only ~window+watermark of both
+    streams, hash-partitioned by user_id — one shuffle per side.
+    """
+    p = purchases.withWatermark("ts", watermark)
+    c = clicks.withWatermark("click_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            "user_id = click_user_id "
+            f"AND click_ts >= ts - INTERVAL {window} "
+            "AND click_ts < ts"
+        ),
+        "inner",
+    )
+
+
 def user_stats_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful per-user accumulator via ``applyInPandasWithState``
     — the extension point for operators the built-in windowed

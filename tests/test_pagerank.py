@@ -121,3 +121,33 @@ def test_iteration_driver_convergence_early_exit(spark):
     out = IterationDriver().run(state, step, n_iters=50, converged=converged)
     assert out.collect()[0]["x"] < 0.1
     assert len(calls) < 10  # early exit, not 50 iterations
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3 (via pairs (1,2),(2,3)), island pair (10,11),
+    # self-contained pair (7,5) with reversed order
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 5)], "src long, dst long"
+    )
+    out = {
+        r.vertex: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_connected_components_converges_long_chain(spark):
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 12-vertex path needs ~11 label hops; max_iters bounds it
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iters=15).collect()
+    assert {r.component for r in out} == {0} and len(out) == 12

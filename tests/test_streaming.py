@@ -128,3 +128,48 @@ def test_stateful_user_stats_match_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the rows of the equivalent batch join (availableNow over a static
+    source -> deterministic)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    ev_s = strm.read_events_stream(spark, sf_dir)
+    p_s = ev_s.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c_s = ev_s.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = strm.streaming_click_attribution(p_s, c_s, window="1 hour")
+    strm.run_to_memory(joined, "attr_twin_test", output_mode="append")
+    got = {
+        (r.event_id, r.click_event_id)
+        for r in spark.table("attr_twin_test").collect()
+    }
+
+    ev = Catalog(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r.event_id, r.click_event_id)
+        for r in p.join(
+            c,
+            F.expr(
+                "user_id = click_user_id AND click_ts >= ts - INTERVAL 1 HOUR "
+                "AND click_ts < ts"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
