@@ -130,6 +130,21 @@ def _q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_count(Catalog(spark, sf_dir).documents)
 
 
+def _q_salted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe word count via the two-phase salted aggregation
+    (operators/skew.py): stopwords ARE the classic skewed key — one
+    reducer would hold 'the' at corpus scale. Result is identical to
+    the plain word_count (same oracle SQL), which is the point: the
+    salting is a pure physical rewrite."""
+    from pagerank_mapreduce_implementation_spark.operators.skew import salted_sum
+
+    toks = text.tokenize(Catalog(spark, sf_dir).documents)
+    counted = salted_sum(
+        toks.select("word"), ["word"], "word", salt_buckets=16, agg=F.count
+    )
+    return counted.select("word", F.col("word_agg").alias("cnt"))
+
+
 def _q_word_count_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O23 with the jar's EXACT ``\\s*\\b\\s*`` tokenizer
     (WordCount$Map.class @11): punctuation runs survive as tokens. The
@@ -589,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_top20": _q_pagerank,
         "word_count": _q_word_count,
+        "salted_word_count": _q_salted_word_count,
         "word_count_boundary": _q_word_count_boundary,
         "doc_word_count": _q_doc_word_count,
         "term_frequency": _q_term_frequency,
@@ -636,6 +652,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_top20": pagerank_sql(EDGES_SQL, n_iters=10, limit=20),
         "word_count": (
+            f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
+        ),
+        # the salted rewrite must be value-identical to the plain count
+        "salted_word_count": (
             f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
         ),
         # \s*\b\s* splitting == extracting word runs + non-space punct

@@ -124,3 +124,11 @@ def test_embedding_dedup_anti_join_no_cartesian(plans):
     assert "CartesianProduct" not in p
     # the drop list is small -> broadcast anti join
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_salted_word_count_two_phase(plans):
+    # phase 1 shuffles on (word, _salt) — the hot key spreads over 16
+    # reducers — then phase 2 combines on word alone
+    p = plans("salted_word_count")
+    assert re.search(r"hashpartitioning\(word[^)]*_salt", p)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
