@@ -410,6 +410,18 @@ def _q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with pre-aggregated right side (zero-order
+    customers kept at 0)."""
+    cat = Catalog(spark, sf_dir)
+    return relational.customer_order_counts(cat.customer, cat.orders)
+
+
+def _q_repeat_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: users who purchased AND hit an error."""
+    return relational.repeat_error_users(Catalog(spark, sf_dir).events)
+
+
 def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py — engine extension; no as-of
     join exists in the reference, SURVEY.md §2.3): for each purchase
@@ -558,7 +570,9 @@ def _q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         purchases, clicks, window="1 hour", watermark="2 hours"
     ).select("event_id", "user_id", "ts", "purchase_value", "click_event_id", "click_ts")
     name = f"_stream_attr_{next(_STREAM_SEQ)}"
-    strm.run_to_memory(joined, name, output_mode="append")
+    # 8 state partitions: a stream-stream join keeps 4 state stores per
+    # partition per side — see run_to_memory's sizing note
+    strm.run_to_memory(joined, name, output_mode="append", state_partitions=8)
     return spark.table(name)
 
 
@@ -632,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "event_props_stats": _q_event_props_stats,
+        "customer_order_counts": _q_customer_order_counts,
+        "repeat_error_users": _q_repeat_error_users,
         "asof_clicks": _q_asof_clicks,
         "signup_followups": _q_signup_followups,
         "daily_uniques": _q_daily_uniques,
@@ -809,6 +825,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
             "SELECT event_type, count(*) AS cnt, sum(k) AS k_sum, "
             "min(k) AS k_min, max(k) AS k_max FROM k GROUP BY event_type"
+        ),
+        "customer_order_counts": (
+            "SELECT c_custkey, c_name, c_nationkey, "
+            "coalesce(cnt.n_orders, 0) AS n_orders FROM customer "
+            "LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey) cnt ON c_custkey = o_custkey"
+        ),
+        "repeat_error_users": (
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'error'"
         ),
         "asof_clicks": oracles.asof_clicks_sql(),
         "signup_followups": oracles.signup_followups_sql(window_hours=1),

@@ -146,3 +146,37 @@ def order_priority_counts(
         .agg(F.count(F.lit(1)).alias("order_cnt"))
         .orderBy("o_orderpriority")
     )
+
+
+def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT OUTER join surface (absent from the reference — its only
+    join engine is the tagged shuffle, SURVEY.md §2.3): every customer
+    with their order count, zero included.
+
+    The count side is pre-aggregated BEFORE the join — at 100 TB you
+    join |customers| rows against |customers| counts instead of
+    exploding customers x orders and re-grouping; the aggregated side
+    is also the broadcast candidate.
+    """
+    cnt = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return customer.select("c_custkey", "c_name", "c_nationkey").join(
+        cnt, "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+def repeat_error_users(events: DataFrame) -> DataFrame:
+    """Set-operation surface (none in the reference, SURVEY.md §2.3):
+    users who both purchased AND hit an error (INTERSECT), minus
+    single-event users who only ever signed up (EXCEPT exercised in
+    tests). INTERSECT plans as a distinct-aggregate semi-join — one
+    shuffle per side, no row explosion."""
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = events.filter(F.col("event_type") == "error").select("user_id")
+    return purchasers.intersect(erroring)

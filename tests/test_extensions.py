@@ -266,3 +266,28 @@ def test_sql_views_surface(spark, sf_dir):
         """
     ).collect()
     assert len(out) == 5 and out[0]["total"] >= out[4]["total"]
+
+
+def test_set_ops_intersect_except(spark):
+    """INTERSECT via the operator; EXCEPT as its complement — the set
+    surface the reference lacks entirely (SURVEY.md §2.3)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators.relational import (
+        repeat_error_users,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "purchase"), (1, "error"), (2, "purchase"), (3, "error"), (4, "signup")],
+        "user_id long, event_type string",
+    )
+    both = {r.user_id for r in repeat_error_users(ev).collect()}
+    assert both == {1}
+    only_buy = {
+        r.user_id
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .exceptAll(ev.filter(F.col("event_type") == "error").select("user_id"))
+        .collect()
+    }
+    assert only_buy == {2}

@@ -132,3 +132,12 @@ def test_salted_word_count_two_phase(plans):
     p = plans("salted_word_count")
     assert re.search(r"hashpartitioning\(word[^)]*_salt", p)
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+
+
+def test_customer_order_counts_preaggregated_outer_join(plans):
+    # the count side aggregates BELOW the join (customers join counts,
+    # not customers x orders re-grouped) and broadcasts
+    p = plans("customer_order_counts")
+    assert "LeftOuter" in p and "BroadcastHashJoin" in p
+    join_pos = p.find("BroadcastHashJoin")
+    assert "HashAggregate" in p[join_pos:], "count must be below the join"
