@@ -410,6 +410,31 @@ def _q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type
+    (operators/sketches.py) — DuckDB quantile_cont has identical
+    interpolation semantics."""
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    return sketches.value_percentiles(
+        Catalog(spark, sf_dir).events, "event_type", "value"
+    )
+
+
+def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per day (operators/sketches.py).
+    The estimate is implementation-defined (no SQL oracle possible —
+    the driver records a rows-only check); the error bound vs the
+    exact count is property-tested in tests/test_extensions.py."""
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    ev = Catalog(spark, sf_dir).events
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return sketches.approx_uniques(
+        ev.select(day, "user_id"), ["day"], "user_id", rsd=0.05
+    )
+
+
 def _q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join with pre-aggregated right side (zero-order
     customers kept at 0)."""
@@ -648,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props_stats,
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
+        "value_percentiles": _q_value_percentiles,
+        "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "signup_followups": _q_signup_followups,
         "daily_uniques": _q_daily_uniques,
@@ -825,6 +852,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
             "SELECT event_type, count(*) AS cnt, sum(k) AS k_sum, "
             "min(k) AS k_min, max(k) AS k_max FROM k GROUP BY event_type"
+        ),
+        # NOTE: approx_daily_uniques has NO oracle entry on purpose —
+        # the HLL++ estimate is implementation-defined; its error bound
+        # is property-tested against the exact count instead.
+        "value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(quantile_cont(value, 0.99), 6) AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "customer_order_counts": (
             "SELECT c_custkey, c_name, c_nationkey, "

@@ -1,0 +1,61 @@
+"""Sketch / approximate-aggregation operators (engine extension;
+SURVEY.md §2.3 — the reference has count and sum only).
+
+At 100 TB, exact distinct counts and exact percentiles are the two
+aggregations whose state does NOT shrink with partial aggregation —
+distinct needs the value set, percentiles need the value multiset.
+Sketches bound that state:
+
+- ``approx_uniques``: HyperLogLog++ (``approx_count_distinct``) —
+  fixed ~kilobytes of state per group at any cardinality, mergeable
+  across partitions (map-side partials work again), relative standard
+  deviation ``rsd`` configurable.
+- ``value_percentiles``: EXACT interpolated percentiles via
+  ``F.percentile`` for the oracle-checked query (DuckDB
+  ``quantile_cont`` has identical semantics); the approximate path is
+  ``F.percentile_approx`` (Greenwald-Khanna, bounded state), same call
+  shape, for when the multiset no longer fits.
+
+The HLL estimate is engine-specific (seed/implementation-defined), so
+``approx_uniques`` is validated by an error-bound property test
+against the exact count, not by a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_uniques(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HLL++ approximate distinct count of ``count_col`` per group:
+    ``(*group_cols, approx_uniques)``. State is O(1/rsd^2) bytes per
+    group regardless of cardinality."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(count_col, rsd=rsd).alias("approx_uniques")
+    )
+
+
+def _pctl(col: str, p: float, digits: int = 6) -> Column:
+    return F.round(F.percentile(F.col(col), F.lit(p)), digits)
+
+
+def value_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per group —
+    ``(group_col, p50, p90, p99, ...)``. Exact percentile sorts the
+    per-group multiset (fine for bounded groups); swap ``F.percentile``
+    for ``F.percentile_approx`` when group cardinality is unbounded."""
+    aggs = [
+        _pctl(value_col, p).alias(f"p{int(p * 100)}") for p in percentiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)

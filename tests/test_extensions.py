@@ -291,3 +291,29 @@ def test_set_ops_intersect_except(spark):
         .collect()
     }
     assert only_buy == {2}
+
+
+def test_approx_uniques_error_bound(spark, sf_dir):
+    """HLL++ estimate within 3x the configured rsd of the exact
+    distinct count (probabilistic bound; 3 sigma at rsd=0.05)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    approx = {
+        r.event_type: r.approx_uniques
+        for r in sketches.approx_uniques(
+            ev, ["event_type"], "user_id", rsd=0.05
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.15 * n), (k, approx[k], n)

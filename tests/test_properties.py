@@ -173,3 +173,62 @@ def test_shingles_match_python_windows(spark, docs, n):
         for j in range(len(words) - n + 1)
     }
     assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50), st.floats(0, 9)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): ties are a
+        # documented engine-defined rule, excluded from the cross-check
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas.merge_asof (backward, inclusive) on any
+    frame with unique right-side (key, ts)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pagerank_mapreduce_implementation_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, k, to_ts(s)) for i, (k, s) in enumerate(left)],
+        "id long, k string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, to_ts(s), v) for (k, s, v) in right],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        (r.id, r.v_r)
+        for r in asof_join(ldf, rdf, on="k", suffix="_r").collect()
+    }
+
+    lp = pd.DataFrame(
+        {"id": range(len(left)), "k": [k for k, _ in left],
+         "ts": [to_ts(s) for _, s in left]}
+    ).sort_values("ts", kind="stable")
+    if right:
+        rp = pd.DataFrame(
+            {"k": [k for k, _, _ in right], "ts": [to_ts(s) for _, s, _ in right],
+             "v": [v for _, _, v in right]}
+        ).sort_values("ts", kind="stable")
+        merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        want = {
+            (int(row.id), None if pd.isna(row.v) else float(row.v))
+            for row in merged.itertuples()
+        }
+    else:  # empty right: left-outer keeps every row unmatched (pandas
+        # can't infer the key dtype of an empty frame)
+        want = {(i, None) for i in range(len(left))}
+    assert got == want
