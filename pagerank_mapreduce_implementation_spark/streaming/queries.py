@@ -35,18 +35,25 @@ def read_events_stream(
     to a micros timestamp here, same as the batch catalog loader."""
     from pagerank_mapreduce_implementation_spark.sources.catalog import _read_parquet_nanos_safe
 
+    import os
+
     reader = spark.readStream.format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # nanos-safe: works under ANY session, not just session.get_spark
     # (the conf is also required by the streaming scan below).
-    batch_schema = _read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet").schema
-    # file sources take a DIRECTORY; select the one table via glob
-    df = (
-        reader.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = _read_parquet_nanos_safe(spark, path).schema
+    reader = reader.schema(batch_schema)
+    if os.path.isdir(path):
+        # directory-backed table (normal Spark layout): stream the
+        # directory itself — a name glob over sf_dir would match the
+        # DIRECTORY name against leaf part-file names and read nothing
+        df = reader.load(path)
+    else:
+        # single-file table: file sources monitor a directory, so point
+        # at sf_dir and select the one file by name
+        df = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df

@@ -173,3 +173,23 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_events_stream_reads_directory_backed_table(spark, tmp_path):
+    """The file-source reader must handle BOTH table layouts: a single
+    events.parquet file (driver testdata) and a directory of part
+    files (normal Spark write) — a name glob over the parent matches
+    nothing in the directory case."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    src = Catalog(spark, "/root/testdata/sf0.001").events
+    n = src.count()
+    sf_dir = str(tmp_path)
+    src.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    ev = strm.read_events_stream(spark, sf_dir)
+    strm.run_to_memory(
+        ev.groupBy().count().withColumnRenamed("count", "n"), "dir_backed_cnt"
+    )
+    got = spark.table("dir_backed_cnt").collect()[0].n
+    assert got == n
