@@ -128,3 +128,64 @@ def tfidf_search_rank(
         out = out.coalesce(1)
     write_text_kv(out, output_path, "doc_id", "score")
     return scored
+
+
+def clean_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lang: str | None = None,
+    min_quality: float = 0.0,
+    near_dup_threshold: float = 0.5,
+    ngram: int = 5,
+) -> DataFrame:
+    """Composed training-data cleaning pipeline, parquet-in ->
+    parquet-out (the extension-surface analog of ``run_pagerank``; no
+    reference twin — the reference has no data-hygiene stage at all):
+
+    1. language filter (textstats.lang_id heuristic) when ``lang`` set
+    2. quality floor (textstats.quality_scores composite)
+    3. exact dedup — drop non-keepers by content fingerprint
+    4. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
+       components -> keep each cluster's min doc_id
+    5. survivors written to ``output_path`` (parquet, overwrite)
+
+    Returns the survivor DataFrame (also written). Each stage is lazy;
+    the only materializations are the two dedup passes' internal
+    checkpoints. At 100 TB every stage is a narrow transform or a
+    bucketed/anti join — nothing quadratic, nothing driver-side.
+    """
+    from pagerank_mapreduce_implementation_spark.operators import dedup, textstats
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet(input_path)
+    if lang is not None:
+        detected = textstats.lang_id(docs).select("doc_id", "pred_lang")
+        docs = (
+            docs.join(detected, "doc_id")
+            .filter(F.col("pred_lang") == lang)
+            .drop("pred_lang")
+        )
+    if min_quality > 0.0:
+        q = textstats.quality_scores(docs).select("doc_id", "quality")
+        docs = docs.join(q, "doc_id").filter(
+            F.col("quality") >= min_quality
+        ).drop("quality")
+
+    exact = dedup.exact_dedup(docs).filter(F.col("is_dup") == 0).select("doc_id")
+    docs = docs.join(exact, "doc_id", "left_semi")
+
+    pairs = dedup.minhash_near_dups(
+        docs, threshold=near_dup_threshold, ngram=ngram
+    ).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    # every clustered doc except its component's keeper is dropped;
+    # docs in no cluster survive untouched
+    drop = comps.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    survivors = docs.join(drop, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(output_path)
+    return survivors

@@ -133,3 +133,41 @@ def test_tfidf_search_rank_end_to_end(spark, tmp_path):
     # punctuation-bearing tokenizer: d1 matched 'fast' despite 'fast,'
     # and 'fast!' never being whitespace-delimited words
     assert "d1.txt" in got
+
+
+def test_clean_corpus_end_to_end(spark, tmp_path):
+    """The composed cleaning pipeline: exact dups dropped, near-dup
+    clusters keep exactly their min doc_id, clean docs untouched,
+    output re-readable from parquet."""
+    import pandas as pd
+
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base + "extra tail words here"
+    rows = [
+        (1, base, "en", "web", len(base)),       # cluster keeper
+        (2, base, "en", "web", len(base)),       # exact dup of 1
+        (3, near, "en", "web", len(near)),       # near dup of 1
+        (4, "completely different unrelated content entirely", "en", "web", 46),
+    ]
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    survivors = clean_corpus(spark, src, out, near_dup_threshold=0.3, ngram=3)
+    ids = sorted(r.doc_id for r in survivors.select("doc_id").collect())
+    assert ids == [1, 4]
+    rt = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert rt == [1, 4]
+
+
+def test_connected_components_empty_edges(spark):
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
