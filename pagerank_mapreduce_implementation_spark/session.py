@@ -58,6 +58,11 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet columns (events.ts) are otherwise
         # rejected; read as long and convert in the catalog loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's checkpoint-file checksum manager leaks ~130
+        # threads per stopped streaming query (see streaming/queries.py
+        # run_to_memory) — disabled; checksums only detect checkpoint
+        # file corruption.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # Managed-table location for bucketed tables (write_bucketed):
         # static conf, must be set before the first session exists.
         .config(

@@ -230,6 +230,17 @@ def run_to_memory(
     keeps it for the checkpoint's lifetime.
     """
     spark = stream_df.sparkSession
+    # Spark 4.1's checkpoint-file checksum manager LEAKS its thread
+    # pools when a query stops (~130 ChecksumCheckpointFileManager
+    # threads per run; measured 640 after five availableNow queries,
+    # degrading every subsequent job in the session). Checksums only
+    # guard checkpoint files against corruption — safe to trade away;
+    # set here so the fix holds under ANY session, not just
+    # session.get_spark.
+    try:
+        spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    except Exception:
+        pass  # conf absent on older/newer Spark: nothing to disable
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key) if state_partitions is not None else None
     if state_partitions is not None:
