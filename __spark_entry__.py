@@ -544,7 +544,7 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return dedup.embedding_near_dup_survivors(
         cat.documents, cat.embeddings, threshold=0.25, num_planes=8
-    )
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,7 +585,23 @@ def _q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = strm.user_stats_stateful(ev)
     name = f"_stream_ustats_{next(_STREAM_SEQ)}"
     strm.run_to_memory(stats, name, output_mode="update")
-    return spark.table(name)
+    # update mode appends one cumulative row per user per MICRO-BATCH
+    # to the memory sink; keep only each user's final state (n_events
+    # is a strictly increasing counter, so max selects the last
+    # emission — correct for any batch split, not just 1 file = 1
+    # batch)
+    sink = spark.table(name)
+    final = F.max(F.struct("n_events", "value_sum", "n_error")).alias("s")
+    return (
+        sink.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.value_sum").alias("value_sum"),
+            F.col("s.n_error").alias("n_error"),
+        )
+    )
 
 
 def _q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,15 +649,7 @@ def _q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression as the batch word_count — batch/stream parity)."""
     from pagerank_mapreduce_implementation_spark import streaming as strm
 
-    import os
-
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.format("parquet").schema(schema)
-    if os.path.isdir(path):  # directory-backed table: stream it directly
-        docs = reader.load(path)
-    else:  # single file: monitor sf_dir, select the file by name
-        docs = reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+    docs = strm.read_table_stream(spark, sf_dir, "documents")
     wc = strm.streaming_word_count(docs, text_col="text")
     name = f"_stream_wc_{next(_STREAM_SEQ)}"
     strm.run_to_memory(wc, name)

@@ -408,7 +408,7 @@ def embedding_near_dup_survivors(
     equal hyperplane sketches (similarity.cosine_pairs_lsh — the LSH
     bucket join, never the N^2 product).
 
-    Returns surviving ``(doc_id, lang, source, n_chars)`` rows. The
+    Returns the surviving docs rows (caller's schema preserved). The
     drop set is ONE anti-join against the distinct higher-id member of
     each near-dup pair; at 100 TB this is the standard semantic-dedup
     shape: sketch shuffle + per-bucket verify + broadcast-able drop
@@ -425,6 +425,6 @@ def embedding_near_dup_survivors(
         emb, threshold, num_planes, id_col=id_col, vec_col=vec_col
     )
     dropped = pairs.select(F.col("vec_b").alias(doc_col)).distinct()
-    return docs.join(dropped, doc_col, "left_anti").select(
-        doc_col, "lang", "source", "n_chars"
-    )
+    # survivors keep the caller's own columns — projecting a fixed
+    # schema here would break any docs frame that lacks it
+    return docs.join(dropped, doc_col, "left_anti")

@@ -306,17 +306,29 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
+    fixed = {"converged": False}
+
     def converged(prev: DataFrame, cur: DataFrame) -> bool:
         # both sides are materialized by the driver at every check
-        return (
+        ok = (
             cur.join(
                 prev.withColumnRenamed("component", "prev_component"), "vertex"
             )
             .filter(F.col("component") != F.col("prev_component"))
             .isEmpty()
         )
+        fixed["converged"] = ok
+        return ok
 
     driver = IterationDriver(materialize_every=1)
     out = driver.run(labels, step, max_iters, converged=converged)
     bidir.unpersist()
+    if not fixed["converged"]:
+        # returning unconverged labels would silently split one true
+        # component into several (a >max_iters-diameter chain) — fail
+        # loudly instead; the caller raises max_iters
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations — the graph diameter exceeds max_iters; raise it"
+        )
     return out

@@ -82,7 +82,11 @@ def asof_join(
     # Right rows sort BEFORE the left row at an equal timestamp so the
     # inclusive match (right_ts == left_ts) is visible to the running
     # last(); the content-hash tiebreak makes equal-ts right rows a
-    # total order.
+    # total order. Rows with a NULL timestamp cannot be ordered against
+    # anything — dropped, matching pandas/DuckDB (an ascending sort
+    # would otherwise place them FIRST and attach their payload to
+    # left rows that precede every real right row).
+    right = right.filter(F.col(right_ts).isNotNull())
     r_proj = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias(_T),

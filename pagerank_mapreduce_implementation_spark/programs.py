@@ -111,11 +111,12 @@ def tfidf_search_rank(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc_id"),
         F.col("value").alias("text"),
     )
-    # totalDocuments = input file count (TFIDF.class run() @37-55).
-    # Derived from the scanned file names: a zero-LINE file contributes
-    # no rows and is not counted — the jar counts it; byte-empty files
-    # carry no tokens either way, so scores agree.
-    total_docs = lines.select("doc_id").distinct().count()
+    # totalDocuments = input file count (TFIDF.class run() @37-55),
+    # from the scan's FILE LISTING (driver-side metadata, no job) —
+    # not from distinct doc_ids with rows: a zero-line file produces
+    # no rows but the jar still counts it, and total_docs enters every
+    # IDF denominator, so the two must count identically.
+    total_docs = len(lines.inputFiles())
     scored = text.search_ranked(
         lines,
         terms,

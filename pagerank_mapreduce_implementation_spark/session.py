@@ -63,6 +63,10 @@ def get_spark(
         # run_to_memory) — disabled; checksums only detect checkpoint
         # file corruption.
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # Deterministic calendar rendering: date/window functions
+        # follow the session zone; the DuckDB oracles treat the naive
+        # event timestamps as UTC.
+        .config("spark.sql.session.timeZone", "UTC")
         # Managed-table location for bucketed tables (write_bucketed):
         # static conf, must be set before the first session exists.
         .config(

@@ -44,6 +44,16 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
         # Conf rejected (future Spark): plain tables still read fine;
         # nanos tables will raise with the upstream error message.
         pass
+    try:
+        # Pin the session timezone where the data is loaded, for the
+        # same reason nanosAsLong is set here: the harness/driver
+        # builds its own session. to_date/date_format/window render in
+        # the session zone, while the DuckDB oracle treats the naive
+        # timestamps as UTC — on a non-UTC box, midnight-adjacent
+        # events would otherwise bucket into different days.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(path)
 
 

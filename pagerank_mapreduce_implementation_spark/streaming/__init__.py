@@ -1,5 +1,6 @@
 from pagerank_mapreduce_implementation_spark.streaming.queries import (
     read_events_stream,
+    read_table_stream,
     run_to_memory,
     streaming_click_attribution,
     streaming_search,
@@ -11,6 +12,7 @@ from pagerank_mapreduce_implementation_spark.streaming.queries import (
 
 __all__ = [
     "read_events_stream",
+    "read_table_stream",
     "run_to_memory",
     "streaming_click_attribution",
     "streaming_search",

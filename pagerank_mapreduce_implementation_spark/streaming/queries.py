@@ -24,36 +24,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream a ``{sf_dir}/{table}.parquet`` test table through the
+    file source, handling BOTH on-disk layouts: a single parquet FILE
+    (driver testdata) and a DIRECTORY of part files (normal Spark
+    write). The distinction matters — file sources monitor a
+    directory, and a name glob over the parent matches leaf part-file
+    names, so globbing for a directory-backed table reads nothing.
+
+    Only local paths are auto-detected (os.path.isdir); remote tables
+    (hdfs://, s3://) are always directory-backed — streamed directly.
+    """
+    import os
+
+    from pagerank_mapreduce_implementation_spark.sources.catalog import (
+        _read_parquet_nanos_safe,
+    )
+
+    reader = spark.readStream.format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # nanos-safe + UTC: works under ANY session, not just
+    # session.get_spark (the confs also govern the streaming scan).
+    path = f"{sf_dir}/{table}.parquet"
+    reader = reader.schema(_read_parquet_nanos_safe(spark, path).schema)
+    is_remote = "://" in sf_dir and not sf_dir.startswith("file://")
+    if is_remote or os.path.isdir(path):
+        return reader.load(path)
+    # single-file table: monitor sf_dir, select the one file by name
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Stream the events table from its parquet files (file source —
-    each file is one micro-batch input unit). ts arrives as
-    TIMESTAMP(NANOS) -> long (see session.py nanosAsLong) and converts
-    to a micros timestamp here, same as the batch catalog loader."""
-    from pagerank_mapreduce_implementation_spark.sources.catalog import _read_parquet_nanos_safe
-
-    import os
-
-    reader = spark.readStream.format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # nanos-safe: works under ANY session, not just session.get_spark
-    # (the conf is also required by the streaming scan below).
-    path = f"{sf_dir}/events.parquet"
-    batch_schema = _read_parquet_nanos_safe(spark, path).schema
-    reader = reader.schema(batch_schema)
-    if os.path.isdir(path):
-        # directory-backed table (normal Spark layout): stream the
-        # directory itself — a name glob over sf_dir would match the
-        # DIRECTORY name against leaf part-file names and read nothing
-        df = reader.load(path)
-    else:
-        # single-file table: file sources monitor a directory, so point
-        # at sf_dir and select the one file by name
-        df = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    """Stream the events table. ts arrives as TIMESTAMP(NANOS) -> long
+    (see session.py nanosAsLong) and converts to a micros timestamp
+    here, same as the batch catalog loader."""
+    df = read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df

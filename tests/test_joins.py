@@ -139,3 +139,14 @@ def test_interval_agg_join_counts_window(spark):
         .collect()
     )
     assert [(r.id, r.n, r.vs) for r in out] == [(1, 2, 6.0), (2, 0, None)]
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, "k", _ts(5))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", None, 99.0), ("k", _ts(10), 1.0)],
+        "k string, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="k", suffix="_r").collect()
+    # the NULL-ts row must not become a phantom match; ts(10) is after
+    assert out[0].px_r is None and out[0].ts_r is None

@@ -151,3 +151,17 @@ def test_connected_components_converges_long_chain(spark):
     )
     out = connected_components(edges, max_iters=15).collect()
     assert {r.component for r in out} == {0} and len(out) == 12
+
+
+def test_connected_components_raises_when_diameter_exceeds_max_iters(spark):
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=3)

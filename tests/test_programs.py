@@ -89,11 +89,13 @@ def test_run_pagerank_multi_part_output_globally_sorted(spark, tmp_path):
     assert vals == sorted(vals, reverse=True)  # part files concat in order
 
 
-def py_tfidf_search(docs: dict[str, str], terms: list[str]):
+def py_tfidf_search(docs: dict[str, str], terms: list[str], total_docs: int | None = None):
     """The jar's TermFrequency -> TFIDF -> Search chain in pure Python
     (TermFrequency$Reduce @48-55, TFIDF$Reduce @68-210, Search @32-89)
-    with the exact \\s*\\b\\s* tokenizer (WordCount$Map.class @11)."""
-    total_docs = len(docs)
+    with the exact \\s*\\b\\s* tokenizer (WordCount$Map.class @11).
+    ``total_docs`` overrides the denominator count (the jar counts
+    input FILES, including zero-line ones)."""
+    total_docs = total_docs if total_docs is not None else len(docs)
     counts: dict[tuple[str, str], int] = {}
     for doc, body in docs.items():
         for tok in re.split(r"\s*\b\s*", body):
@@ -133,6 +135,30 @@ def test_tfidf_search_rank_end_to_end(spark, tmp_path):
     # punctuation-bearing tokenizer: d1 matched 'fast' despite 'fast,'
     # and 'fast!' never being whitespace-delimited words
     assert "d1.txt" in got
+
+
+def test_tfidf_search_rank_counts_empty_files(spark, tmp_path):
+    """totalDocuments = input FILE count (TFIDF.class run() @37-55):
+    a zero-line file contributes no rows but still enters every IDF
+    denominator — the scores must reflect N=4, not N=3."""
+    docs = {
+        "d1.txt": "spark is fast fast",
+        "d2.txt": "hadoop is slow",
+        "d3.txt": "spark again",
+    }
+    inp, outp = tmp_path / "docs", tmp_path / "scored"
+    inp.mkdir()
+    for name, body in docs.items():
+        (inp / name).write_text(body)
+    (inp / "empty.txt").write_text("")  # the jar counts this file
+
+    terms = ["spark"]
+    tfidf_search_rank(spark, str(inp), str(outp), terms, single_file=True)
+    got = {k: float(v) for k, v in _read_kv_dir(outp)}
+    want = py_tfidf_search(docs, terms, total_docs=4)
+    assert got.keys() == want.keys()
+    for doc in want:
+        assert got[doc] == pytest.approx(want[doc], rel=1e-12), doc
 
 
 def test_clean_corpus_end_to_end(spark, tmp_path):

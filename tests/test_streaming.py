@@ -193,3 +193,42 @@ def test_events_stream_reads_directory_backed_table(spark, tmp_path):
     )
     got = spark.table("dir_backed_cnt").collect()[0].n
     assert got == n
+
+
+def test_stateful_user_stats_correct_across_micro_batches(spark, sf_dir):
+    """update-mode emissions append one row per user per micro-batch;
+    the query must return only each user's FINAL state. Force multiple
+    batches via a multi-file table + maxFilesPerTrigger=1."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    import tempfile
+
+    src = Catalog(spark, sf_dir).events
+    with tempfile.TemporaryDirectory() as td:
+        src.repartition(3).write.mode("overwrite").parquet(f"{td}/events.parquet")
+        ev = strm.read_events_stream(spark, td, max_files_per_trigger=1)
+        stats = strm.user_stats_stateful(ev)
+        strm.run_to_memory(stats, "multi_batch_ustats", output_mode="update")
+        sink = spark.table("multi_batch_ustats")
+        n_users = src.select("user_id").distinct().count()
+        # raw sink has duplicate user rows (multi-batch); final-state
+        # reduction (as _q_streaming_user_stats applies) must agree
+        # with the batch aggregate exactly
+        final = (
+            sink.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "value_sum", "n_error")).alias("s"))
+            .select("user_id", "s.n_events", "s.value_sum", "s.n_error")
+        )
+        assert final.count() == n_users
+        batch = src.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "value_sum"
+            ),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        )
+        assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
