@@ -584,7 +584,10 @@ def _q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = strm.read_events_stream(spark, sf_dir)
     stats = strm.user_stats_stateful(ev)
     name = f"_stream_ustats_{next(_STREAM_SEQ)}"
-    strm.run_to_memory(stats, name, output_mode="update")
+    # 8 state partitions — one state store + one Python worker per
+    # partition; 32 of each dominates this one-shot run (see
+    # run_to_memory's sizing note)
+    strm.run_to_memory(stats, name, output_mode="update", state_partitions=8)
     # update mode appends one cumulative row per user per MICRO-BATCH
     # to the memory sink; keep only each user's final state (n_events
     # is a strictly increasing counter, so max selects the last

@@ -46,13 +46,14 @@ def main() -> None:
         spark.catalog.clearCache()
 
     drop_persisted()
-    # Two timed passes, per-query MIN: the box is a shared VM and
+    # Three timed passes, per-query MIN: the box is a shared VM and
     # individual measurements occasionally take a 3-10x hit from host
-    # noise (same query, same session: 6s and 90s minutes apart). The
-    # minimum is the query's actual cost; one pass would randomly
-    # charge host noise to whichever query it landed on.
+    # noise (same query, same session: 6s and 90s minutes apart; whole
+    # suites measured 75-104s for identical code). The minimum is the
+    # query's actual cost; fewer passes randomly charge host noise to
+    # whichever query a bad window lands on.
     timings: dict[str, float] = {}
-    for pass_no in range(2):
+    for pass_no in range(3):
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
