@@ -437,6 +437,25 @@ def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-day event counts, one column per event type.
+    Spark plans pivot as a single conditional aggregation (one shuffle,
+    no per-type scans); the type list is pinned so the plan and the
+    oracle agree on columns without a distinct pre-pass."""
+    ev = Catalog(spark, sf_dir).events
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            *[F.col(t).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def _q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join with pre-aggregated right side (zero-order
     customers kept at 0)."""
@@ -698,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props_stats,
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
+        "daily_type_pivot": _q_daily_type_pivot,
         "value_percentiles": _q_value_percentiles,
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
@@ -881,6 +901,15 @@ def oracle_sql() -> dict[str, str]:
         # NOTE: approx_daily_uniques has NO oracle entry on purpose —
         # the HLL++ estimate is implementation-defined; its error bound
         # is property-tested against the exact count instead.
+        "daily_type_pivot": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+            "FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
+        ),
         "value_percentiles": (
             "SELECT event_type, "
             "round(quantile_cont(value, 0.5), 6) AS p50, "
