@@ -438,20 +438,23 @@ def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT surface: per-day event counts, one column per event type.
-    Spark plans pivot as a single conditional aggregation (one shuffle,
-    no per-type scans); the type list is pinned so the plan and the
-    oracle agree on columns without a distinct pre-pass."""
+    """PIVOT surface: per-day event counts, one column per event type,
+    as a SINGLE conditional aggregation — one shuffle on the day key,
+    one scan. (DataFrame ``.pivot()`` with pinned values plans TWO
+    aggregations — groupBy(day, type) then pivotfirst — i.e. an extra
+    exchange carrying (day, type) rows; at scale the conditional-sum
+    form is strictly better and is what the oracle expresses too.)"""
     ev = Catalog(spark, sf_dir).events
     types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types
+    ]
     return (
         ev.groupBy(F.to_date("ts").alias("d"))
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, types)
+        .agg(*aggs)
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            *[F.col(t).alias(f"n_{t}") for t in types],
+            *[f"n_{t}" for t in types],
         )
     )
 

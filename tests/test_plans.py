@@ -141,3 +141,11 @@ def test_customer_order_counts_preaggregated_outer_join(plans):
     assert "LeftOuter" in p and "BroadcastHashJoin" in p
     join_pos = p.find("BroadcastHashJoin")
     assert "HashAggregate" in p[join_pos:], "count must be below the join"
+
+
+def test_pivot_single_conditional_aggregation(plans):
+    # pinned pivot values -> ONE two-phase aggregation, no per-type
+    # scans or distinct pre-pass
+    p = plans("daily_type_pivot")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert p.count("FileScan") == 1
