@@ -437,6 +437,29 @@ def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window surface: per customer, number of orders and the
+    average gap in days between consecutive orders (customers with a
+    single order keep NULL). One window shuffle on custkey; the gap
+    aggregation reuses the same partitioning (no second exchange)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return gaps.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+    )
+
+
 def _q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: per-day event counts, one column per event type,
     as a SINGLE conditional aggregation — one shuffle on the day key,
@@ -720,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props_stats,
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
+        "customer_order_gaps": _q_customer_order_gaps,
         "daily_type_pivot": _q_daily_type_pivot,
         "value_percentiles": _q_value_percentiles,
         "approx_daily_uniques": _q_approx_daily_uniques,
@@ -904,6 +928,14 @@ def oracle_sql() -> dict[str, str]:
         # NOTE: approx_daily_uniques has NO oracle entry on purpose —
         # the HLL++ estimate is implementation-defined; its error bound
         # is property-tested against the exact count instead.
+        "customer_order_gaps": (
+            "WITH g AS (SELECT o_custkey, date_diff('day', "
+            "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days "
+            "FROM orders) "
+            "SELECT o_custkey AS c_custkey, count(*) AS n_orders, "
+            "round(avg(gap_days), 6) AS avg_gap_days FROM g GROUP BY o_custkey"
+        ),
         "daily_type_pivot": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, "
             "count(*) FILTER (WHERE event_type = 'click') AS n_click, "

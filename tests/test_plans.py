@@ -149,3 +149,11 @@ def test_pivot_single_conditional_aggregation(plans):
     p = plans("daily_type_pivot")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert p.count("FileScan") == 1
+
+
+def test_order_gaps_window_shuffle_reused(plans):
+    # the groupBy(custkey) rides the window's custkey partitioning —
+    # one exchange total
+    p = plans("customer_order_gaps")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Window" in p
