@@ -283,13 +283,20 @@ def ppm_feature_extractor(b: bytes, grid: int = 2) -> list[float]:
         float(x) for x in f.std(axis=(0, 1))
     ]
     h, w, _ = f.shape
+
+    def bounds(g: int, n: int) -> tuple[int, int]:
+        # always a non-empty slice, even when grid > dimension (cells
+        # then overlap on the last pixel) — an empty slice would mean()
+        # to NaN and silently poison every downstream cosine/ANN
+        # comparison
+        start = min((g * n) // grid, n - 1)
+        return start, max(((g + 1) * n) // grid, start + 1)
+
     for gy in range(grid):
+        y0, y1 = bounds(gy, h)
         for gx in range(grid):
-            cell = f[
-                (gy * h) // grid : ((gy + 1) * h) // grid or 1,
-                (gx * w) // grid : ((gx + 1) * w) // grid or 1,
-            ]
-            feats.extend(float(x) for x in cell.mean(axis=(0, 1)))
+            x0, x1 = bounds(gx, w)
+            feats.extend(float(x) for x in f[y0:y1, x0:x1].mean(axis=(0, 1)))
     return feats
 
 
@@ -305,11 +312,19 @@ def frames_pack(frames: list[bytes]) -> bytes:
 
 
 def frames_demuxer(b: bytes) -> list[bytes]:
-    """Real ``decoder`` for sample_frames over the packed format."""
+    """Real ``decoder`` for sample_frames over the packed format.
+    Truncated or corrupt containers raise — silently yielding short
+    frame bytes would feed garbage into feature extraction."""
+    if len(b) < 4:
+        raise ValueError("frame container shorter than its count header")
     n = int.from_bytes(b[:4], "big")
     frames, i = [], 4
-    for _ in range(n):
+    for k in range(n):
+        if i + 4 > len(b):
+            raise ValueError(f"frame container truncated at frame {k} header")
         ln = int.from_bytes(b[i : i + 4], "big")
+        if i + 4 + ln > len(b):
+            raise ValueError(f"frame container truncated inside frame {k}")
         frames.append(b[i + 4 : i + 4 + ln])
         i += 4 + ln
     return frames

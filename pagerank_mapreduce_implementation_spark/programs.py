@@ -139,6 +139,7 @@ def clean_corpus(
     min_quality: float = 0.0,
     near_dup_threshold: float = 0.5,
     ngram: int = 5,
+    cc_max_iters: int = 20,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -151,7 +152,10 @@ def clean_corpus(
        components -> keep each cluster's min doc_id
     5. survivors written to ``output_path`` (parquet, overwrite)
 
-    Returns the survivor DataFrame (also written). Each stage is lazy;
+    Returns the surviving docs read back from ``output_path``.
+    ``cc_max_iters`` bounds the cluster label propagation (raised
+    loudly on non-convergence — deep dup chains need a higher value).
+    Each stage is lazy;
     the only materializations are the two dedup passes' internal
     checkpoints. At 100 TB every stage is a narrow transform or a
     bucketed/anti join — nothing quadratic, nothing driver-side.
@@ -181,7 +185,7 @@ def clean_corpus(
     pairs = dedup.minhash_near_dups(
         docs, threshold=near_dup_threshold, ngram=ngram
     ).select("doc_a", "doc_b")
-    comps = connected_components(pairs, "doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b", max_iters=cc_max_iters)
     # every clustered doc except its component's keeper is dropped;
     # docs in no cluster survive untouched
     drop = comps.filter(F.col("vertex") != F.col("component")).select(
@@ -189,4 +193,7 @@ def clean_corpus(
     )
     survivors = docs.join(drop, "doc_id", "left_anti")
     survivors.write.mode("overwrite").parquet(output_path)
-    return survivors
+    # hand back the WRITTEN table, not the lazy plan: a consumer action
+    # on the plan would re-run lang-id + quality + both dedup passes —
+    # a second full corpus pass at scale — instead of one footer read
+    return spark.read.parquet(output_path)

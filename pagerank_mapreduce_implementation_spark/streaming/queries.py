@@ -54,7 +54,11 @@ def read_table_stream(
     path = f"{sf_dir}/{table}.parquet"
     reader = reader.schema(_read_parquet_nanos_safe(spark, path).schema)
     is_remote = "://" in sf_dir and not sf_dir.startswith("file://")
-    if is_remote or os.path.isdir(path):
+    # os.path.isdir cannot see through a file:// URI — strip the scheme
+    # before probing, or a directory-backed table under file:///...
+    # would silently fall into the glob branch and stream zero rows
+    local_probe = path[len("file://") :] if path.startswith("file://") else path
+    if is_remote or os.path.isdir(local_probe):
         return reader.load(path)
     # single-file table: monitor sf_dir, select the one file by name
     return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)

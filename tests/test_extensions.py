@@ -377,3 +377,27 @@ def test_ppm_video_frame_sampling(spark):
     out = mm.sample_frames(blobs, every_n=10, decoder=mm.frames_demuxer).collect()
     assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 10, 20]
     assert all(bytes(r.frame) == frames[r.frame_idx] for r in out)
+
+
+def test_ppm_features_no_nan_when_grid_exceeds_dims(spark):
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    b, _ = _make_ppm(2, 1)  # 1 row, 2 cols; grid=4 > both dims
+    feats = mm.ppm_feature_extractor(b, grid=4)
+    assert len(feats) == 6 + 4 * 4 * 3
+    assert all(not math.isnan(x) for x in feats)
+
+
+def test_frames_demuxer_rejects_truncation(spark):
+    import pytest as _pytest
+
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    packed = mm.frames_pack([b"abc", b"defg"])
+    assert mm.frames_demuxer(packed) == [b"abc", b"defg"]
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.frames_demuxer(packed[:-2])
+    with _pytest.raises(ValueError, match="count header"):
+        mm.frames_demuxer(b"\x00")

@@ -232,3 +232,20 @@ def test_stateful_user_stats_correct_across_micro_batches(spark, sf_dir):
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
         )
         assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
+
+
+def test_events_stream_reads_file_uri_directory(spark, tmp_path):
+    """file:// URIs must be probed through the scheme: a directory-
+    backed table under file:/// otherwise fell into the glob branch
+    and streamed zero rows."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    src = Catalog(spark, "/root/testdata/sf0.001").events
+    n = src.count()
+    src.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    ev = strm.read_events_stream(spark, f"file://{tmp_path}")
+    strm.run_to_memory(
+        ev.groupBy().count().withColumnRenamed("count", "n"), "file_uri_cnt"
+    )
+    assert spark.table("file_uri_cnt").collect()[0].n == n
