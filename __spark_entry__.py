@@ -310,7 +310,12 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_pairs_lsh(Catalog(spark, sf_dir).embeddings, 0.25, 8)
+    # banded OR-of-ANDs: 2 bands x 4 planes (16 buckets per band,
+    # candidates = equal in ANY band) — the recall/scale shape, vs one
+    # 8-plane band whose 256 buckets go quadratic at corpus scale
+    return similarity.cosine_pairs_lsh(
+        Catalog(spark, sf_dir).embeddings, 0.25, num_planes=8, bands=2
+    )
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,18 +427,36 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per day (operators/sketches.py).
-    The estimate is implementation-defined (no SQL oracle possible —
-    the driver records a rows-only check); the error bound vs the
-    exact count is property-tested in tests/test_extensions.py."""
+    """HyperLogLog++ distinct users per day (operators/sketches.py),
+    audited against the exact count IN the query: the raw estimate is
+    implementation-defined (not SQL-reproducible), so the compared
+    output carries the exact count plus an ``est_in_bound`` flag —
+    |approx - exact| <= 3*rsd*exact, the standard 3-sigma HLL bound.
+    The oracle asserts the flag is 1 for every day: a drifting HLL
+    implementation turns the row red instead of hiding behind a
+    rows-only check. (The tighter per-run bound is property-tested in
+    tests/test_extensions.py.)"""
     from pagerank_mapreduce_implementation_spark.operators import sketches
 
+    rsd = 0.05
     ev = Catalog(spark, sf_dir).events
-    out = sketches.approx_uniques(
-        ev.select(F.to_date("ts").alias("d"), "user_id"), ["d"], "user_id", rsd=0.05
+    approx = sketches.approx_uniques(
+        ev.select(F.to_date("ts").alias("d"), "user_id"), ["d"], "user_id", rsd=rsd
     )
-    return out.select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"), "approx_uniques"
+    exact = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("exact_uniques")
+    )
+    in_bound = (
+        F.abs(F.col("approx_uniques") - F.col("exact_uniques"))
+        <= F.lit(3 * rsd) * F.col("exact_uniques")
+    ).cast("int")
+    return (
+        approx.join(exact, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_uniques",
+            in_bound.alias("est_in_bound"),
+        )
     )
 
 
@@ -588,7 +611,7 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-id member, return survivors."""
     cat = Catalog(spark, sf_dir)
     return dedup.embedding_near_dup_survivors(
-        cat.documents, cat.embeddings, threshold=0.25, num_planes=8
+        cat.documents, cat.embeddings, threshold=0.25, num_planes=8, bands=2
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -847,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": oracles.ngram_jaccard_sql(0.2, 5),
         "simhash_dedup": oracles.simhash_near_dups_sql(12),
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
-        "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, 8),
+        "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=8, bands=2),
         "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),
         "token_stats": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
@@ -922,12 +945,23 @@ def oracle_sql() -> dict[str, str]:
         "event_props_stats": (
             "WITH k AS (SELECT event_type, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
-            "SELECT event_type, count(*) AS cnt, sum(k) AS k_sum, "
+            # CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64,
+            # which hash-mismatches Spark's int64 on equal values
+            "SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS k_sum, "
             "min(k) AS k_min, max(k) AS k_max FROM k GROUP BY event_type"
         ),
-        # NOTE: approx_daily_uniques has NO oracle entry on purpose —
-        # the HLL++ estimate is implementation-defined; its error bound
-        # is property-tested against the exact count instead.
+        # approx_daily_uniques: the raw HLL++ estimate is
+        # implementation-defined, so the compared columns are the exact
+        # count + the 3-sigma bound FLAG — the oracle says every day
+        # must be in bound (1), and a drifting estimate turns the row
+        # red. CAST: DuckDB count(DISTINCT) is BIGINT (int64, matches
+        # Spark); the literal 1 is INTEGER (int32, matches the int cast)
+        "approx_daily_uniques": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS exact_uniques, "
+            "CAST(1 AS INTEGER) AS est_in_bound "
+            "FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
+        ),
         "customer_order_gaps": (
             "WITH g AS (SELECT o_custkey, date_diff('day', "
             "lag(o_orderdate) OVER (PARTITION BY o_custkey "
@@ -966,7 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks": oracles.asof_clicks_sql(),
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
-        "embedding_dedup": oracles.embedding_dedup_sql(0.25, 8),
+        "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=8, bands=2),
         "dedup_clusters": oracles.connected_components_sql(
             "SELECT doc_a, doc_b FROM ("
             + oracles.minhash_near_dups_sql(0.5, ngram=5)

@@ -23,7 +23,27 @@ from pagerank_mapreduce_implementation_spark.session import get_spark  # noqa: E
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def contention_probe() -> dict:
+    """Self-describing noise flag for round-over-round comparison: the
+    box is a shared VM (BASELINE.md documents 6x whole-suite variance),
+    so each BENCH json records whether OTHER tenants were loading the
+    host while it ran. Probe = 1-minute load average vs the core count
+    at bench start; "contended" means the host was already busier than
+    half its cores before we spawned a single Spark task."""
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        return {
+            "load1": round(load1, 2),
+            "ncpu": ncpu,
+            "contended": load1 > ncpu / 2,
+        }
+    except OSError:  # getloadavg unsupported: report unknown, not false
+        return {"load1": None, "ncpu": os.cpu_count(), "contended": None}
+
+
 def main() -> None:
+    probe_start = contention_probe()
     spark = get_spark(app_name="spark-graft-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Untimed warmup: run every query shape once at the smallest SF so
@@ -71,6 +91,8 @@ def main() -> None:
             gc.collect()
             drop_persisted()
     total = round(sum(timings.values()), 3)
+    # end-of-run probe reads load INCLUDING our own 3 passes; the
+    # pre-spark probe is the tenant-noise signal
     print(
         json.dumps(
             {
@@ -79,6 +101,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "contended": probe_start["contended"],
+                "load1_at_start": probe_start["load1"],
+                "ncpu": probe_start["ncpu"],
             }
         )
     )

@@ -1,0 +1,115 @@
+"""Benchmark-contamination detection (engine extension; no analogue in
+the reference — SURVEY.md §2.4).
+
+The standard decontamination pass of a training-data pipeline: flag
+training documents that share long word n-grams with an evaluation/
+benchmark set (the n-gram-overlap rule popularized by GPT-3's 13-gram
+dedup and used in most open LLM data recipes). A training doc that
+reproduces benchmark text inflates eval scores; the pipeline drops or
+audits flagged docs.
+
+Physical shape (100 TB posture):
+- the TRAINING side is the corpus: its shingle explode is narrow and
+  its only shuffle is the final per-doc aggregation.
+- the BENCHMARK side is small by nature (eval sets are a few MB):
+  its distinct shingle set is exactly the kind of table AQE broadcasts
+  from measured size — the contamination join then never shuffles the
+  corpus-side shingles. No hint is forced (same policy as tf_idf: the
+  runtime decides from stats, a hard-coded broadcast of an unexpectedly
+  large eval suite would be a driver OOM).
+- the join key is the raw shingle string; at extreme scale substitute
+  the 60-bit md5 prefix (dedup._word_hash60) on BOTH sides — equality
+  semantics survive hashing with negligible collision mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark.operators.dedup import shingles
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    ngram: int = 8,
+    threshold: float = 0.01,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per training doc, overlap with the benchmark shingle set:
+    ``(doc_id, n_shingles, n_contaminated, contamination_ratio,
+    is_contaminated)``.
+
+    - ``n_shingles``: distinct word ``ngram``-grams in the doc,
+    - ``n_contaminated``: how many of those appear in ANY benchmark doc,
+    - ``contamination_ratio``: n_contaminated / n_shingles (0 for docs
+      too short to form a shingle),
+    - ``is_contaminated``: ratio >= ``threshold`` (a single shared
+      8-gram is already a strong signal on real corpora; the default
+      1% ratio keeps the flag robust to coincidental short overlaps).
+
+    Docs with zero overlap (or too short to shingle) are KEPT with
+    zero counts — the output is an audit table over the full corpus,
+    not just the flagged rows (filter ``is_contaminated == 1`` to get
+    the drop list).
+    """
+    t_sh = shingles(train, ngram, text_col, doc_col)
+    b_sh = (
+        shingles(bench, ngram, text_col, doc_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__bench", F.lit(1))
+    )
+    per_doc = (
+        t_sh.join(b_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__bench").alias("n_contaminated"),
+        )
+    )
+    # docs too short for any ngram-shingle never reach per_doc — keep
+    # them at 0/0 via a left join from the full doc list
+    all_docs = train.select(F.col(doc_col).alias("doc_id"))
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(ratio, 6).alias("contamination_ratio"),
+            (ratio >= threshold).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    ngram: int = 8,
+    threshold: float = 0.01,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """The drop pass: training rows whose contamination_ratio is below
+    ``threshold`` (caller's schema preserved — the same anti-join shape
+    as dedup.embedding_near_dup_survivors)."""
+    flagged = (
+        contamination_check(train, bench, ngram, threshold, text_col, doc_col)
+        .filter(F.col("is_contaminated") == 1)
+        .select("doc_id")
+    )
+    return train.join(
+        flagged.withColumnRenamed("doc_id", doc_col), doc_col, "left_anti"
+    )

@@ -398,6 +398,7 @@ def embedding_near_dup_survivors(
     emb: DataFrame,
     threshold: float = 0.25,
     num_planes: int = 8,
+    bands: int = 2,
     doc_col: str = "doc_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -405,8 +406,8 @@ def embedding_near_dup_survivors(
     """Embedding-cosine near-dup pass: drop every document whose
     embedding has cosine >= ``threshold`` with a SMALLER-id document
     (the keep-first rule of ``exact_dedup``), candidates restricted to
-    equal hyperplane sketches (similarity.cosine_pairs_lsh — the LSH
-    bucket join, never the N^2 product).
+    banded hyperplane buckets (similarity.cosine_pairs_lsh — the
+    OR-of-ANDs LSH band join, never the N^2 product).
 
     Returns the surviving docs rows (caller's schema preserved). The
     drop set is ONE anti-join against the distinct higher-id member of
@@ -422,7 +423,7 @@ def embedding_near_dup_survivors(
     from pagerank_mapreduce_implementation_spark.operators.similarity import cosine_pairs_lsh
 
     pairs = cosine_pairs_lsh(
-        emb, threshold, num_planes, id_col=id_col, vec_col=vec_col
+        emb, threshold, num_planes, bands, id_col=id_col, vec_col=vec_col
     )
     dropped = pairs.select(F.col("vec_b").alias(doc_col)).distinct()
     # survivors keep the caller's own columns — projecting a fixed

@@ -263,26 +263,34 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Connected components by min-label propagation: ``(vertex,
-    component)`` where component = the smallest vertex id reachable
-    from ``vertex`` (undirected).
+    """Connected components: ``(vertex, component)`` where component =
+    the smallest vertex id reachable from ``vertex`` (undirected).
 
-    Each iteration sends every vertex's current label across both edge
+    ``algorithm="label"`` (default) is min-label propagation: each
+    iteration sends every vertex's current label across both edge
     directions and keeps the minimum — one join + one groupBy-min
     shuffle per iteration, converging in O(diameter) rounds. The loop
     reuses IterationDriver's convergence path: it stops as soon as an
     iteration changes no label (an anti-join count on the materialized
     state, the same move as the reference's chained-job success gate).
+    Right for DUP-CLUSTER graphs (near-dup pairs from minhash/simhash/
+    embedding passes): components are tiny, diameter is small.
 
-    Scale: intended for DUP-CLUSTER graphs (near-dup pairs from
-    minhash/simhash/embedding passes), whose components are tiny and
-    whose edge count is a fraction of the corpus; label propagation's
-    O(diameter) rounds are fine there. A web-scale billion-edge graph
-    with long chains wants the alternating large-star/small-star
-    algorithm (Kiveris et al.) — same DataFrame skeleton, fewer
-    rounds; not needed for the dedup use case.
+    ``algorithm="star"`` is alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the web-scale path: each round REWRITES the edge set toward stars
+    centered at component minima, so convergence is O(log^2 n) rounds
+    regardless of diameter (a billion-edge chain graph finishes in ~a
+    dozen rounds where label propagation needs diameter rounds). Same
+    shuffle primitives (groupBy-min + join), strictly fewer rounds on
+    long-chain graphs; both algorithms return identical labels.
     """
+    if algorithm == "star":
+        return _cc_star(edges, src_col, dst_col, max_iters)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     bidir = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(
@@ -332,3 +340,98 @@ def connected_components(
             "iterations — the graph diameter exceeds max_iters; raise it"
         )
     return out
+
+
+def _cc_star(
+    edges: DataFrame, src_col: str, dst_col: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. SoCC'14) — see ``connected_components(algorithm="star")``.
+
+    State is the EDGE set itself, kept canonical as ``(hi, lo)`` with
+    lo < hi. One round:
+
+    - **large-star**: per vertex u over its full (symmetrized)
+      neighborhood N, m = min(N ∪ {u}); every LARGER neighbor v > u is
+      re-pointed at m — long chains collapse toward minima from both
+      ends at once. One groupBy-min + one join.
+    - **small-star**: per vertex u over its SMALLER neighbors (lo side
+      of canonical edges), m = min; every smaller neighbor and u
+      itself point at m — stars flatten so minima become the only hubs.
+      One groupBy-min + one join.
+
+    Both phases only ever emit (x, m) with m < x, so the edge set stays
+    canonical without re-normalization. Convergence = the edge set is
+    a fixed point (checked exactly: equal counts + empty anti-join —
+    both sides are materialized localCheckpoints, so the check costs
+    one small join, not a recompute). At the fixed point every edge
+    connects a vertex directly to its component minimum, so the labels
+    fall out of the final edge list; component minima themselves and
+    never-appearing (isolated) inputs label as self.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # original vertex universe — self-loop-only / isolated vertices must
+    # still label as themselves in the output
+    vertices = (
+        edges.select(F.col(src_col).alias("vertex"))
+        .unionByName(edges.select(F.col(dst_col).alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetrized neighborhood
+        bidir = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+        # m = min(N ∪ {u}); edges (v, m) for v > u — m <= u < v keeps
+        # the canonical orientation for free
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"),
+                F.least(F.col("u"), F.col("mv")).alias("lo"),
+            )
+            .distinct()
+        )
+        # small-star over the canonical (smaller-neighbor) lists
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("mv"))
+        joined = large.join(mins2, "hi")
+        e_new = (
+            joined.filter(F.col("lo") != F.col("mv"))
+            .select(F.col("lo").alias("hi"), F.col("mv").alias("lo"))
+            .unionByName(mins2.select("hi", F.col("mv").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact fixed-point check on the two materialized sets
+        if e_new.count() == e.count() and e_new.join(
+            e, ["hi", "lo"], "left_anti"
+        ).isEmpty():
+            e = e_new
+            converged = True
+            break
+        e = e_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge within {max_iters} "
+            "rounds — raise max_iters (expected O(log^2 n) rounds)"
+        )
+    member_labels = e.select(
+        F.col("hi").alias("vertex"), F.col("lo").alias("component")
+    ).distinct()
+    centers = vertices.join(member_labels, "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    return member_labels.unionByName(centers)

@@ -11,8 +11,13 @@ top-k and cosine near-dup pairs, with two physical strategies:
 - **random-hyperplane LSH** — the scale path for all-pairs: sign-bit
   sketch of each vector against ``num_planes`` deterministic
   pseudo-random hyperplanes (components ±1 derived from md5 bits — no
-  RNG state, reproducible in SQL), bucket by sketch, only intra-bucket
-  pairs are scored. Recall is sketch-limited (standard LSH tradeoff).
+  RNG state, reproducible in SQL), grouped into ``bands`` bands of
+  ``num_planes/bands`` planes each (OR-of-ANDs, the same banding shape
+  as dedup.lsh_bucket_candidates): candidates are pairs equal in ANY
+  band. One band of many planes collapses recall; many planes in many
+  small bands keeps per-band buckets coarse enough that intra-bucket
+  joins stay sub-quadratic while the OR across bands restores recall —
+  the tunable (bands, planes_per_band) knob a 100 TB corpus needs.
 
 All math accumulates in double regardless of the float storage type.
 """
@@ -111,47 +116,60 @@ def cosine_pairs_brute(
     )
 
 
+def _plane_sign(p: int, d: int) -> float:
+    """±1 component of hyperplane ``p`` at dimension ``d``: +1 iff bit0
+    of the first md5 hex digit of 'p:d' — reproducible anywhere md5
+    exists (the SQL oracle evaluates the identical construction)."""
+    return (
+        1.0
+        if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1
+        else -1.0
+    )
+
+
+def _plane_dot(vec_col: str, p: int, dims: int) -> Column:
+    """v · plane_p with the signs folded to ±1 LITERALS at plan-build
+    time — they depend only on (p, d); evaluating md5 per row x plane x
+    dimension put ~512 hash calls on every scanned row."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(_plane_sign(p, d)) for d in range(dims)]),
+            lambda x, s: x.cast("double") * s,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vec_dims(emb: DataFrame, vec_col: str) -> int | None:
+    """Dimensionality from one driver-side peek at a single row (a
+    scalar, like the reference's page count N); None on empty input."""
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if first is None else first["d"]
+
+
 def hyperplane_sketch(
     emb: DataFrame,
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign sketch against deterministic ±1 hyperplanes: ``(vec_id, sketch)``.
+    """Full sign sketch against deterministic ±1 hyperplanes:
+    ``(vec_id, sketch)`` with sketch bit p = (v·plane_p >= 0).
 
-    Plane p's component for dimension d is +1 iff bit0 of
-    md5('p:d') is set — reproducible anywhere md5 exists (the SQL
-    oracle evaluates the identical construction in SQL; here the signs
-    are folded to ±1 LITERALS at plan-build time, because they depend
-    only on (p, d) — evaluating md5 per row x plane x dimension put
-    ~512 hash calls on every scanned row). sketch bit p =
-    (v·plane_p >= 0). The dimensionality comes from one driver-side
-    peek at a single row (a scalar, like the reference's page count N).
+    This is the single-integer sketch (useful as a compact signature
+    column); candidate generation for pair search goes through
+    ``hyperplane_band_buckets`` instead — equality on the FULL sketch
+    is a single band of ``num_planes`` planes, whose recall collapses
+    as planes grow.
     """
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:  # empty input: preserve the output schema
+    dims = _vec_dims(emb, vec_col)
+    if dims is None:  # empty input: preserve the output schema
         return emb.select(F.col(id_col).alias("vec_id"), F.lit(0).alias("sketch"))
-    dims = first["d"]
-
-    def sign(p: int, d: int) -> float:
-        return (
-            1.0
-            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1
-            else -1.0
-        )
-
-    plane_dot = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.col(vec_col),
-            F.array(*[F.lit(sign(p, d)) for d in range(dims)]),
-            lambda x, s: x.cast("double") * s,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     sketch = sum(
         [
-            F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            F.when(_plane_dot(vec_col, p, dims) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
             for p in range(num_planes)
         ],
         F.lit(0),
@@ -159,41 +177,104 @@ def hyperplane_sketch(
     return emb.select(F.col(id_col).alias("vec_id"), sketch.alias("sketch"))
 
 
+def hyperplane_band_buckets(
+    emb: DataFrame,
+    num_planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane buckets: ``(vec_id, band, key)``, one row per
+    band, key = the integer of that band's ``r = num_planes/bands``
+    sign bits (plane index p = band*r + j — the same global plane
+    construction as hyperplane_sketch, so tuning bands re-slices the
+    identical sketch bits).
+
+    This is the OR-of-ANDs banding shape of dedup.lsh_bucket_candidates
+    applied to hyperplane signatures: a pair is a candidate iff ALL r
+    bits agree in SOME band (P[candidate] = 1-(1-(1-θ/π)^r)^b). ONE
+    narrow pass — the per-band structs are built in a single select and
+    exploded; no per-band re-scan of the vectors.
+    """
+    if bands <= 0 or num_planes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_planes ({num_planes}); "
+            "a remainder would silently drop sign bits from banding"
+        )
+    r = num_planes // bands
+    dims = _vec_dims(emb, vec_col)
+    if dims is None:  # empty input: preserve the output schema
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).alias("band"),
+            F.lit(0).alias("key"),
+        ).filter(F.lit(False))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    [
+                        F.when(
+                            _plane_dot(vec_col, b * r + j, dims) >= 0, F.lit(1 << j)
+                        ).otherwise(F.lit(0))
+                        for j in range(r)
+                    ],
+                    F.lit(0),
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.explode(band_structs).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     threshold: float,
     num_planes: int = 8,
+    bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine >= threshold, candidates restricted to equal
-    hyperplane sketches: ``(vec_a, vec_b, cos)``.
+    """All-pairs cosine >= threshold, candidates from banded hyperplane
+    buckets (OR-of-ANDs): ``(vec_a, vec_b, cos)``.
 
-    The bucket join replaces the N^2 product with per-bucket products —
-    the scale path. Recall: pairs whose sketches differ are missed
-    (P[bit differs] = angle/pi per plane).
+    Physical shape: one narrow pass builds ``bands`` bucket rows per
+    vector; the self-join shuffles on (band, key) so only same-bucket
+    vectors ever pair up; pairs colliding in several bands are
+    de-duplicated BEFORE the exact cosine (the verify cost is paid once
+    per pair); then one join back to the vectors scores the survivors.
+    Never an N^2 product. Recall is band-limited like every LSH —
+    P[candidate] = 1-(1-(1-θ/π)^r)^b with r = num_planes/bands — and
+    the (bands, num_planes) knobs trade candidate volume for recall:
+    more, smaller bands -> higher recall AND coarser per-band buckets
+    (the thing a single wide band gets wrong at corpus scale).
     """
-    sk = hyperplane_sketch(emb, num_planes, id_col, vec_col).withColumnRenamed(
-        "vec_id", "sk_id"
+    buckets = hyperplane_band_buckets(emb, num_planes, bands, id_col, vec_col)
+    cand = (
+        buckets.withColumnRenamed("vec_id", "vec_a")
+        .join(buckets.select(F.col("vec_id").alias("vec_b"), "band", "key"), ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    base = emb.join(sk, F.col(id_col) == F.col("sk_id")).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "sketch"
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("vec").alias("va"),
-        _norm(F.col("vec")).alias("na"),
-        "sketch",
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
     )
     b = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("vec").alias("vb"),
-        _norm(F.col("vec")).alias("nb"),
-        "sketch",
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
     return (
-        a.join(b, "sketch")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -97,13 +97,18 @@ def tf_idf(docs: DataFrame, total_docs: int | None = None, **tok_kwargs) -> Data
     ``df`` counts documents containing the word; since TF rows are
     unique per (doc, word), ``count(*)`` over TF grouped by word IS the
     document frequency (same trick as TFIDF$Reduce.class @68).
-    The df-per-word side is small → broadcast join (AQE enforces).
+    The df-per-word side gets NO broadcast hint: vocabulary is
+    unbounded at corpus scale (a forced broadcast of a 100M-word table
+    is a driver OOM), and AQE already broadcasts it from its measured
+    size when it is small — the decision belongs to the runtime stats,
+    not the operator (tests/test_plans.py pins the broadcast at test
+    scale without the hint).
     """
     if total_docs is None:
         total_docs = docs.count()
     tf = term_frequency(docs, **tok_kwargs)
     df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(F.broadcast(df_counts), "word").select(
+    return tf.join(df_counts, "word").select(
         "doc_id",
         "word",
         (F.col("tf") * F.log10(F.lit(1.0) + F.lit(float(total_docs)) / F.col("df"))).alias(

@@ -146,6 +146,44 @@ def lang_id(
     )
 
 
+def repetition_ratio(
+    docs: DataFrame, ngram: int = 2, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document n-gram repetition (the Gopher/C4-style quality
+    signal: boilerplate and generated spam repeat themselves):
+    ``(doc_id, n_ngrams, n_distinct, repetition_ratio)`` with
+    repetition_ratio = 1 - distinct/total (0 for docs too short to
+    form an n-gram).
+
+    Narrow per-row array math — tokens -> n-gram array (duplicates
+    KEPT, unlike dedup.shingles) -> size vs array_distinct size. Zero
+    shuffles; at 100 TB this runs at scan speed alongside the other
+    quality features.
+    """
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )
+    grams = F.when(
+        F.size("_toks") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - ngram + 1),
+            lambda i: F.array_join(F.slice("_toks", i, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = staged.select("doc_id", grams.alias("_grams"))
+    n_g = F.size("_grams")
+    n_d = F.size(F.array_distinct("_grams"))
+    rep = F.when(
+        n_g > 0, F.lit(1.0) - n_d.cast("double") / n_g.cast("double")
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id",
+        n_g.alias("n_ngrams"),
+        n_d.alias("n_distinct"),
+        F.round(rep, 6).alias("repetition_ratio"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
 ) -> DataFrame:

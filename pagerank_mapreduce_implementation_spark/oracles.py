@@ -217,24 +217,38 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     )
 
 
-def cosine_pairs_lsh_sql(threshold: float, num_planes: int = 8) -> str:
-    # plane p component for 0-based dim d: +1 iff low bit of first md5
-    # hex digit of 'p:d' — mirror of similarity.hyperplane_sketch
-    plane_bits = " + ".join(
+def _plane_bit_sql(p: int, weight: int) -> str:
+    """CASE expr: ``weight`` iff v·plane_p >= 0 — plane p component for
+    0-based dim d is +1 iff low bit of the first md5 hex digit of
+    'p:d', mirror of similarity._plane_sign/_plane_dot."""
+    return (
         f"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
         f"d -> CAST(embedding[d] AS DOUBLE) * "
         f"(CASE WHEN ('0x' || substr(md5('{p}:' || CAST(d - 1 AS VARCHAR)), 1, 1))::INT "
-        f"& 1 = 1 THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(num_planes)
+        f"& 1 = 1 THEN 1.0 ELSE -1.0 END))) >= 0 THEN {weight} ELSE 0 END)"
     )
-    dot = _dot_sql("a.va", "b.vb")
+
+
+def cosine_pairs_lsh_sql(threshold: float, num_planes: int = 8, bands: int = 2) -> str:
+    """Mirror of similarity.cosine_pairs_lsh: banded OR-of-ANDs
+    hyperplane buckets (band b key = integer of planes b*r..b*r+r-1's
+    sign bits), distinct candidate pairs, then exact cosine."""
+    r = num_planes // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(_plane_bit_sql(b * r + j, 1 << j) for j in range(r))
+        + " AS key FROM embeddings"
+        for b in range(bands)
+    )
     return (
-        f"WITH sk AS (SELECT vec_id, {plane_bits} AS sketch FROM embeddings), "
-        f"base AS (SELECT e.vec_id, e.embedding, {_norm_sql('e.embedding')} AS nrm, "
-        "sk.sketch FROM embeddings e JOIN sk ON e.vec_id = sk.vec_id), "
-        "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        "a.embedding AS va, b.embedding AS vb, a.nrm AS na, b.nrm AS nb "
-        "FROM base a JOIN base b ON a.sketch = b.sketch AND a.vec_id < b.vec_id) "
+        f"WITH bk AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b FROM bk x "
+        "JOIN bk y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id), "
+        f"base AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm "
+        "FROM embeddings), "
+        "pairs AS (SELECT c.vec_a, c.vec_b, a.embedding AS va, b.embedding AS vb, "
+        "a.nrm AS na, b.nrm AS nb FROM cand c "
+        "JOIN base a ON c.vec_a = a.vec_id JOIN base b ON c.vec_b = b.vec_id) "
         f"SELECT vec_a, vec_b, round({_dot_sql('va', 'vb')} / (na * nb), 6) AS cos "
         f"FROM pairs WHERE round({_dot_sql('va', 'vb')} / (na * nb), 6) >= {threshold}"
     )
@@ -308,11 +322,14 @@ def ivf_topk_sql(
     )
 
 
-def embedding_dedup_sql(threshold: float = 0.25, num_planes: int = 8) -> str:
+def embedding_dedup_sql(
+    threshold: float = 0.25, num_planes: int = 8, bands: int = 2
+) -> str:
     """Survivors of the embedding-cosine near-dup pass: documents whose
     vec has no cosine >= threshold pair with a smaller id (mirror of
-    dedup.embedding_near_dup_survivors over the same LSH buckets)."""
-    pairs = cosine_pairs_lsh_sql(threshold, num_planes)
+    dedup.embedding_near_dup_survivors over the same banded LSH
+    buckets)."""
+    pairs = cosine_pairs_lsh_sql(threshold, num_planes, bands)
     return (
         f"WITH dropped AS (SELECT DISTINCT vec_b AS doc_id FROM ({pairs})) "
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "

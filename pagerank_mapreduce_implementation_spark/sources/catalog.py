@@ -34,8 +34,14 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     raises PARQUET_TYPE_ILLEGAL unless
     ``spark.sql.legacy.parquet.nanosAsLong`` is set. It is a runtime SQL
     conf, so set it here at load time (harness/driver sessions don't run
-    session.py). If a Spark build rejects the conf, fall back to
-    retrying the read with it unset — plain tables don't need it.
+    session.py). The confs set here stay set for the session — see
+    ``load_table``'s docstring; they are NOT restored after the read,
+    deliberately: nanosAsLong is consulted again at execution time (a
+    restore would break the very DataFrame this returned), and a
+    flip-flopping timezone would make two loads of the same table
+    render timestamps differently. If a Spark build rejects the conf,
+    the set is skipped and plain (non-nanos) tables still read fine;
+    nanos tables then raise the upstream PARQUET_TYPE_ILLEGAL error.
     """
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
@@ -63,6 +69,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     Schema is validated against ``schemas.TABLES`` (names + order); the
     reference had only implicit positional schemas (SURVEY.md §1.2), the
     engine fails fast on drift instead.
+
+    Session-wide side effect (deliberate, documented): loading pins
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the CALLING
+    session for the rest of its lifetime. The engine's own sessions
+    (session.get_spark) already run with both; the pin exists so
+    harness/driver-built sessions read the nanos ``events.ts`` column
+    and bucket midnight-adjacent timestamps identically to the UTC-naive
+    DuckDB oracle. Callers that need a different session timezone must
+    set it after their last load_table call.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     df = _read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")

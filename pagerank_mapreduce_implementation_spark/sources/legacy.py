@@ -28,25 +28,34 @@ def decode_pagerank_records(kv: DataFrame) -> DataFrame:
     """``(key, value)`` text records -> ``(url, rank, outlinks)``.
 
     Mirrors the reference's decode exactly (PageRank.java:443-456):
-    value splits on the FIRST five-comma delimiter; an absent/empty
-    outlink segment means a dangling page (empty array — the reference
-    guards with isEmpty, :463).
+    the value is split on the five-comma delimiter with NO limit and a
+    page has outlinks only when the split yields EXACTLY two pieces
+    (the reference's ``hasOriginalPRAndOutlinkList`` length==2 guard) —
+    a value whose outlink segment itself contains ``,,,,,`` splits into
+    3+ pieces and is treated as dangling, exactly like the reference.
+    An absent/empty outlink segment is also dangling (empty array —
+    the reference guards with isEmpty, :463).
 
     The reference's encoder appends ``#####`` after EVERY outlink
     (PageRank.java:405, re-emitted verbatim at :528), so real files look
-    like ``0.25,,,,,a#####b#####``. Java's ``String.split`` drops the
-    trailing empty strings that delimiter produces; Spark's ``F.split``
-    keeps them, which would inflate out_degree and create phantom
-    ``''`` edges. We reproduce Java's exact semantics by stripping the
-    trailing delimiter run before splitting — interior empties (an
-    empty ``[[]]`` link) survive in both engines.
+    like ``0.25,,,,,a#####b#####``. Java's ``String.split`` drops
+    TRAILING empty strings; Spark's ``F.split`` keeps them, which would
+    both inflate out_degree with phantom ``''`` edges and break the
+    length==2 guard on trailing ``,,,,,`` runs. We reproduce Java's
+    exact semantics by stripping trailing delimiter runs before each
+    split — interior empties (an empty ``[[]]`` link) survive in both
+    engines.
     """
-    parts = F.split(F.col("value"), PR_DELIMITER, 2)
+    # Java split semantics: trailing empties dropped -> strip trailing
+    # ,,,,, runs, then an unlimited split; piece count == Java's length.
+    stripped = F.regexp_replace(F.col("value"), f"({PR_DELIMITER})+$", "")
+    parts = F.split(stripped, PR_DELIMITER, -1)
     # F.get / try_cast: malformed rows (no delimiter, non-numeric rank)
     # become NULL rank / empty outlinks instead of failing the job under
     # ANSI mode — callers filter rank IS NULL to quarantine bad records.
-    outseg = F.regexp_replace(
-        F.get(parts, 1), f"({OUTLINK_LIST_DELIMITER})+$", ""
+    outseg = F.when(
+        F.size(parts) == 2,
+        F.regexp_replace(F.get(parts, 1), f"({OUTLINK_LIST_DELIMITER})+$", ""),
     )
     return kv.select(
         F.col("key").alias("url"),

@@ -34,6 +34,75 @@ def test_lsh_sketch_identical_vectors_collide(spark):
     assert (0, 1) in pairs
 
 
+def _rand_embeddings(spark, n=40, dims=8, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dims)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_banded_lsh_band_keys_reslice_full_sketch(spark):
+    """Band keys are exactly the full sketch's bit slices: band b key ==
+    (sketch >> b*r) & (2^r - 1) — tuning bands re-slices, never re-hashes."""
+    emb = _rand_embeddings(spark)
+    sk = {r["vec_id"]: r["sketch"] for r in similarity.hyperplane_sketch(emb, 8).collect()}
+    bks = similarity.hyperplane_band_buckets(emb, num_planes=8, bands=2).collect()
+    assert len(bks) == 2 * len(sk)
+    for r in bks:
+        assert r["key"] == (sk[r["vec_id"]] >> (r["band"] * 4)) & 0xF
+
+
+def test_banded_lsh_recall_superset_of_single_band(spark):
+    """OR-of-ANDs: a pair equal on the FULL 8-plane sketch is equal in
+    both 4-plane bands, so banded candidates are a strict superset of
+    single-band candidates — banding only ever ADDs recall."""
+    emb = _rand_embeddings(spark, n=60)
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs_lsh(emb, -1.0, num_planes=8, bands=1).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs_lsh(emb, -1.0, num_planes=8, bands=2).collect()
+    }
+    assert single <= banded
+    # and every banded pair genuinely collides in some band (no full
+    # product leaked through): verify against the bucket table itself
+    buckets = similarity.hyperplane_band_buckets(emb, 8, 2).collect()
+    by_bucket: dict[tuple, set] = {}
+    for r in buckets:
+        by_bucket.setdefault((r["band"], r["key"]), set()).add(r["vec_id"])
+    collide = {
+        (a, b)
+        for members in by_bucket.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert banded <= collide
+
+
+def test_banded_lsh_scores_match_brute_force(spark):
+    """Every banded-LSH pair carries the exact brute-force cosine (the
+    verify step is exact; only recall is approximate)."""
+    emb = _rand_embeddings(spark, n=30)
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in similarity.cosine_pairs_brute(emb, -1.0).collect()
+    }
+    for r in similarity.cosine_pairs_lsh(emb, -1.0, num_planes=8, bands=2).collect():
+        assert brute[(r["vec_a"], r["vec_b"])] == r["cos"]
+
+
+def test_banded_lsh_rejects_uneven_bands(spark):
+    emb = _rand_embeddings(spark, n=3)
+    with pytest.raises(ValueError, match="evenly divide"):
+        similarity.hyperplane_band_buckets(emb, num_planes=8, bands=3)
+
+
 def test_token_stats_and_quality(spark):
     docs = spark.createDataFrame(
         [(1, "Hello, world! The cat."), (2, "")], "doc_id long, text string"

@@ -46,6 +46,27 @@ def test_decode_trailing_delimiter_production_format(spark):
     assert got["interior"]["outlinks"] == ["a", "", "b"]
 
 
+def test_decode_length_guard_matches_reference(spark):
+    """The reference splits with NO limit and requires length==2
+    (hasOriginalPRAndOutlinkList): a value whose outlink segment itself
+    contains ``,,,,,`` is 3+ pieces -> dangling, NOT kept as outlinks."""
+    kv = spark.createDataFrame(
+        [
+            ("embedded", "0.25,,,,,a,,,,,b"),        # 3 pieces -> dangling
+            ("embedded_trail", "0.25,,,,,a,,,,,"),   # Java: ["0.25","a"] -> outlinks
+            ("double_delim", "0.5,,,,,,,,,,"),       # Java: ["0.5"] -> dangling
+            ("interior_empty", "0.1,,,,,,,,,,x"),    # ["0.1","","x"] -> dangling
+        ],
+        "key string, value string",
+    )
+    got = {r["url"]: r for r in decode_pagerank_records(kv).collect()}
+    assert got["embedded"]["outlinks"] == []
+    assert got["embedded"]["rank"] == 0.25
+    assert got["embedded_trail"]["outlinks"] == ["a"]
+    assert got["double_delim"]["outlinks"] == []
+    assert got["interior_empty"]["outlinks"] == []
+
+
 def test_encode_writes_trailing_delimiter(spark):
     """Encode parity: files we write must be byte-identical to what the
     reference's mapper writes (rank,,,,,a#####b##### — trailing delim)."""

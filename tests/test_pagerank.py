@@ -165,3 +165,56 @@ def test_connected_components_raises_when_diameter_exceeds_max_iters(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=3)
+
+
+def test_cc_star_matches_label_propagation_structured_graphs(spark):
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    cases = {
+        "chain_islands": [(1, 2), (2, 3), (10, 11), (7, 5)],
+        # a 40-vertex path: diameter 39 — label propagation needs 40
+        # rounds; star must finish in O(log^2 n) (max_iters=8 enforces)
+        "long_chain": [(i, i + 1) for i in range(39)],
+        "self_loops_and_dups": [(4, 4), (1, 2), (2, 1), (2, 3), (9, 9)],
+        "star_graph": [(0, i) for i in range(1, 20)],
+    }
+    for name, pairs in cases.items():
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        star = {
+            r.vertex: r.component
+            for r in connected_components(edges, algorithm="star", max_iters=8).collect()
+        }
+        label = {
+            r.vertex: r.component
+            for r in connected_components(edges, max_iters=50).collect()
+        }
+        assert star == label, f"{name}: {star} != {label}"
+
+
+def test_cc_star_matches_label_propagation_random_graphs(spark):
+    """Property: on random graphs the two algorithms produce identical
+    (vertex -> min reachable id) labelings."""
+    import random
+
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 60
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        star = {
+            r.vertex: r.component
+            for r in connected_components(edges, algorithm="star", max_iters=10).collect()
+        }
+        label = {
+            r.vertex: r.component
+            for r in connected_components(edges, max_iters=60).collect()
+        }
+        assert star == label, f"seed {seed}"

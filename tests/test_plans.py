@@ -119,6 +119,31 @@ def test_daily_uniques_partial_distinct(plans):
     assert p.count("HashAggregate") >= 3
 
 
+def test_tfidf_df_join_broadcast_by_aqe_not_hint(spark, sf_dir):
+    # tf_idf carries NO F.broadcast hint (unbounded vocabulary at
+    # corpus scale would make a forced broadcast a driver OOM); at THIS
+    # scale AQE must still pick a broadcast join from the measured size
+    # of the df-per-word aggregate — pin that the hint's removal cost
+    # nothing here
+    import __spark_entry__ as em
+
+    df = em.queries()["tfidf"](spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the adaptive plan
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_cosine_pairs_candidates_from_band_buckets(plans):
+    # banded LSH: candidates come from the (band, key) bucket join —
+    # never a cartesian/nested-loop product of the vector table
+    p = plans("cosine_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the pair-dedup before exact scoring is a real aggregation step
+    assert "HashAggregate" in p
+
+
 def test_embedding_dedup_anti_join_no_cartesian(plans):
     p = plans("embedding_dedup")
     assert "CartesianProduct" not in p

@@ -232,3 +232,66 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         # can't infer the key dtype of an empty frame)
         want = {(i, None) for i in range(len(left))}
     assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    left_us=st.lists(st.integers(0, 40), min_size=1, max_size=8, unique=True),
+    right_us=st.lists(st.integers(0, 40), min_size=1, max_size=8, unique=True),
+    tol_us=st.integers(1, 20),
+)
+def test_asof_tolerance_boundary_exact(spark, left_us, right_us, tol_us):
+    """The tolerance boundary is inclusive-<= in EXACT integer
+    microseconds: a match exactly tol away is kept, one microsecond
+    further is voided. Timestamps are 0..40 MICROseconds with
+    tolerances 1..20, so exact-boundary hits are common, and the pin is
+    double-checked against pandas merge_asof's Timedelta tolerance
+    (the same integer time math DuckDB's INTERVAL arithmetic uses —
+    a double epoch-seconds comparison would disagree on the boundary).
+    """
+    import pandas as pd
+
+    from pagerank_mapreduce_implementation_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, "k", us) for i, us in enumerate(left_us)], "id long, k string, us long"
+    ).select("id", "k", F.timestamp_micros("us").alias("ts"))
+    rdf = spark.createDataFrame(
+        [("k", us, float(us)) for us in right_us], "k string, us long, v double"
+    ).select("k", F.timestamp_micros("us").alias("ts"), "v")
+    got = {
+        (r.id, r.v_r)
+        for r in asof_join(
+            ldf, rdf, on="k", tolerance_seconds=tol_us / 1_000_000, suffix="_r"
+        ).collect()
+    }
+
+    # explicit integer model of the documented semantics
+    def model(t: int) -> float | None:
+        cands = [r for r in right_us if r <= t]
+        if not cands or t - max(cands) > tol_us:
+            return None
+        return float(max(cands))
+
+    want = {(i, model(t)) for i, t in enumerate(left_us)}
+    assert got == want
+
+    # independent engine cross-check: pandas merge_asof, Timedelta
+    # tolerance (inclusive boundary)
+    lp = pd.DataFrame(
+        {"id": range(len(left_us)), "k": "k",
+         "ts": pd.to_datetime(left_us, unit="us")}
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": "k", "ts": pd.to_datetime(right_us, unit="us"),
+         "v": [float(u) for u in right_us]}
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward",
+        tolerance=pd.Timedelta(microseconds=tol_us),
+    )
+    want_pd = {
+        (int(row.id), None if pd.isna(row.v) else float(row.v))
+        for row in merged.itertuples()
+    }
+    assert got == want_pd
