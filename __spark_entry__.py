@@ -310,11 +310,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # banded OR-of-ANDs: 2 bands x 4 planes (16 buckets per band,
-    # candidates = equal in ANY band) — the recall/scale shape, vs one
-    # 8-plane band whose 256 buckets go quadratic at corpus scale
+    # banded OR-of-ANDs: 2 bands x 8 planes (256 buckets per band,
+    # candidates = equal in ANY band). Band count trades recall
+    # (OR across bands) against candidate volume; planes-per-band sets
+    # bucket granularity. 2x8 keeps buckets fine enough that the exact
+    # verify stays ~bucket-size-linear (A/B at sf0.1: 2x4's 16 coarse
+    # buckets produced ~1.5M candidates and 24s of exact scoring; 2x8
+    # is back at round-2 cost with ~2x the single-band recall).
     return similarity.cosine_pairs_lsh(
-        Catalog(spark, sf_dir).embeddings, 0.25, num_planes=8, bands=2
+        Catalog(spark, sf_dir).embeddings, 0.25, num_planes=16, bands=2
     )
 
 
@@ -338,6 +342,67 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(Catalog(spark, sf_dir).documents)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination audit (operators/contamination.py):
+    every 20th doc plays the eval/benchmark set; the rest is the
+    training corpus, flagged by 5-gram overlap ratio. The bench shingle
+    set is small -> AQE broadcasts it; the corpus side never shuffles
+    its shingles."""
+    from pagerank_mapreduce_implementation_spark.operators.contamination import (
+        contamination_check,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(train, bench, ngram=5, threshold=0.01)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc 2-gram repetition ratio (textstats.repetition_ratio)
+    — the Gopher/C4-style boilerplate/spam signal; narrow zero-shuffle
+    array math."""
+    return textstats.repetition_ratio(Catalog(spark, sf_dir).documents, ngram=2)
+
+
+def _q_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    md5-bucket the doc id into [0,100) -> 90/5/5 ranges. Stable under
+    re-partitioning/re-ordering/appends — the property df.sample lacks."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import hash_split
+
+    docs = Catalog(spark, sf_dir).documents
+    return hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota (operators/sampling.py): keep the top
+    50 docs per source by quality score — the curation quota pass.
+    WindowGroupLimit prunes per-partition before the window shuffle."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import quota_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    qual = textstats.quality_scores(docs).select("doc_id", "quality")
+    staged = docs.select("doc_id", "source").join(qual, "doc_id")
+    return quota_sample(
+        staged, group_col="source", order_col="quality", k=50, key_col="doc_id"
+    ).select("doc_id", "source", "quality", "rn")
+
+
+def _q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup (streaming/queries.py): distinct
+    content fingerprints of the documents stream via dropDuplicates
+    state, append mode — batch/stream fingerprint parity with
+    exact_dedup."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    docs = strm.read_table_stream(spark, sf_dir, "documents")
+    deduped = strm.streaming_exact_dedup(docs)
+    name = f"_stream_dedup_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(deduped, name, output_mode="append", state_partitions=8)
+    return spark.table(name)
 
 
 def _q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,8 +447,12 @@ _SESSIONS_SQL = (
     "THEN 1 ELSE 0 END AS new_sess FROM events), "
     "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
     "ROWS UNBOUNDED PRECEDING) AS sess FROM d) "
-    "SELECT user_id, min(ts) AS session_start, "
-    "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, "
+    # TIMESTAMP_NS casts: DuckDB's TIMESTAMP_NS + INTERVAL yields micro
+    # TIMESTAMP (pandas datetime64[us]) while Spark hands back ns —
+    # equal instants, different raw values under the driver's hash
+    "SELECT user_id, CAST(min(ts) AS TIMESTAMP_NS) AS session_start, "
+    "CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP_NS) AS session_end, "
+    "count(*) AS n_events, "
     "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
     "FROM s GROUP BY user_id, sess"
 )
@@ -611,7 +680,7 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-id member, return survivors."""
     cat = Catalog(spark, sf_dir)
     return dedup.embedding_near_dup_survivors(
-        cat.documents, cat.embeddings, threshold=0.25, num_planes=8, bands=2
+        cat.documents, cat.embeddings, threshold=0.25, num_planes=16, bands=2
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -759,6 +828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "contamination_audit": _q_contamination,
+        "repetition_scores": _q_repetition,
+        "hash_splits": _q_hash_splits,
+        "source_quota": _q_source_quota,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
         "blob_metadata": _q_blob_metadata,
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
@@ -870,7 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": oracles.ngram_jaccard_sql(0.2, 5),
         "simhash_dedup": oracles.simhash_near_dups_sql(12),
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
-        "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=8, bands=2),
+        "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),
         "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),
         "token_stats": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
@@ -896,6 +970,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM q"
         ),
         "lang_id": _lang_id_sql(),
+        "contamination_audit": oracles.contamination_sql(5, 0.01, 20),
+        "repetition_scores": oracles.repetition_ratio_sql(2),
+        # mirror of sampling.hash_split: md5('split:'||id) 15-hex-digit
+        # prefix mod 100 -> 90/5/5 named ranges
+        "hash_splits": (
+            "SELECT doc_id, CAST(b AS INT) AS bucket, "
+            "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT::BIGINT % 100 AS b FROM documents)"
+        ),
+        "source_quota": (
+            f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
+            "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
+            r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
+            "FROM t), "
+            "qual AS (SELECT doc_id, "
+            "round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE)/100) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END)) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END)), 6) AS quality "
+            "FROM q), "
+            "j AS (SELECT d.doc_id, d.source, qual.quality FROM documents d "
+            "JOIN qual ON d.doc_id = qual.doc_id) "
+            "SELECT doc_id, source, quality, CAST(rn AS INT) AS rn FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY source "
+            "ORDER BY quality DESC, doc_id ASC) AS rn FROM j) WHERE rn <= 50"
+        ),
+        # distinct fingerprints only: the surviving doc_id of a dup
+        # group is arrival-order-dependent in a stream, the fingerprint
+        # set is not
+        "streaming_exact_dedup": (
+            "SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+            "AS fingerprint FROM documents"
+        ),
         "fingerprints": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
             "list_reduce(list_prepend(0::BIGINT, list_transform(toks, "
@@ -913,14 +1022,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer) WHERE rn <= 3"
         ),
         "events_hourly": (
-            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "count(*) AS cnt, "
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start, "
+            "event_type, count(*) AS cnt, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
-            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+            "FROM events GROUP BY 1, event_type"
         ),
         "streaming_events_hourly": (
-            "SELECT date_trunc('hour', ts) AS window_start, "
-            "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start, "
+            "CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP_NS) AS window_end, "
             "event_type, count(*) AS cnt, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
             "FROM events GROUP BY 1, 2, 3"
@@ -1000,7 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks": oracles.asof_clicks_sql(),
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
-        "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=8, bands=2),
+        "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
         "dedup_clusters": oracles.connected_components_sql(
             "SELECT doc_a, doc_b FROM ("
             + oracles.minhash_near_dups_sql(0.5, ngram=5)
@@ -1011,8 +1120,9 @@ def oracle_sql() -> dict[str, str]:
             "purchase_value FROM events WHERE event_type = 'purchase'), "
             "c AS (SELECT event_id AS click_event_id, user_id AS click_user_id, "
             "ts AS click_ts FROM events WHERE event_type = 'click') "
-            "SELECT p.event_id, p.user_id, p.ts, p.purchase_value, "
-            "c.click_event_id, c.click_ts FROM p JOIN c "
+            "SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, "
+            "p.purchase_value, c.click_event_id, "
+            "CAST(c.click_ts AS TIMESTAMP_NS) AS click_ts FROM p JOIN c "
             "ON p.user_id = c.click_user_id "
             "AND c.click_ts >= p.ts - INTERVAL 1 HOUR AND c.click_ts < p.ts"
         ),

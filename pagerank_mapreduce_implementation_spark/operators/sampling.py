@@ -1,0 +1,110 @@
+"""Deterministic sampling & data-split operators (engine extension;
+no analogue in the reference — SURVEY.md §2.4).
+
+A training-data pipeline needs REPRODUCIBLE splits and quotas: a
+train/val/test assignment must not change when the corpus is
+re-partitioned, re-ordered, or re-run (Spark's ``df.sample`` is
+seed-stable only for identical partitioning — a repartition reshuffles
+the sample). Both operators here derive every decision from a
+content/key hash, so the assignment is a pure function of the row:
+
+- ``hash_split``: md5-bucket the key into [0, 100) and map bucket
+  ranges to named splits — the standard "hash mod 100" split that
+  stays stable forever and is reproducible in ANY engine with md5
+  (the SQL oracle evaluates the identical arithmetic).
+- ``quota_sample``: keep the top-k rows per group by an explicit
+  ordering (quality score desc + key tiebreak) — the curation quota
+  ("at most N docs per source, best first"). Window row_number with a
+  pushed group-limit: Spark plans WindowGroupLimit, pruning to k rows
+  per group BEFORE the shuffle.
+
+Scale: hash_split is a narrow per-row projection (zero shuffles);
+quota_sample is one window shuffle on the group key with per-partition
+pre-pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 15 md5 hex chars -> non-negative 60-bit long (same construction as
+#: dedup._word_hash60 — identical in DuckDB)
+def _hash_bucket(key: Column, salt: str, n_buckets: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic named split assignment: adds ``bucket`` (0..99)
+    and ``split`` columns; every other column passes through.
+
+    ``splits`` maps split name -> percentage (must sum to 100); ranges
+    are assigned in the dict's insertion order (e.g. the default
+    train=[0,90), val=[90,95), test=[95,100)). ``salt`` namespaces the
+    hash so independent splits of the same corpus decorrelate.
+
+    The assignment depends only on (salt, key) — re-partitioning,
+    re-ordering, appending data, or re-running on a different engine
+    never moves a row between splits. That stability is the entire
+    point: eval rows stay eval rows across every pipeline version.
+    """
+    if splits is None:
+        splits = {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100, got {splits}")
+    bucket = _hash_bucket(F.col(key_col), salt, 100)
+    lo = 0
+    cases: list[tuple[int, int, str]] = []
+    for name, pct in splits.items():
+        cases.append((lo, lo + pct, name))
+        lo += pct
+    # build WHEN chain first-range-first for readability of the plan
+    expr = None
+    for start, end, name in cases:
+        cond = (F.col("bucket") >= start) & (F.col("bucket") < end)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("bucket", bucket.cast("int")).withColumn(
+        "split", expr
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    key_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per ``group_col`` ordered by ``order_col`` (desc
+    by default) with ``key_col`` as the deterministic tiebreak; adds
+    ``rn`` (1-based rank within the group).
+
+    The per-source quality quota of a data recipe: "keep at most k
+    docs per source, best first". Catalyst plans WindowGroupLimit —
+    each input partition pre-prunes to its own top-k per group before
+    the window shuffle, so the exchange carries O(groups x k), not the
+    corpus.
+    """
+    order = [
+        F.desc(order_col) if descending else F.asc(order_col),
+        F.asc(key_col),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

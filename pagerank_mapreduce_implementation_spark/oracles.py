@@ -337,6 +337,52 @@ def embedding_dedup_sql(
     )
 
 
+def contamination_sql(
+    ngram: int = 5, threshold: float = 0.01, bench_mod: int = 20
+) -> str:
+    """Mirror of contamination.contamination_check with the benchmark
+    set = docs where doc_id % bench_mod == 0 (the deterministic
+    train/bench split the query uses)."""
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        f"b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0), "
+        f"t AS (SELECT * FROM sh WHERE doc_id % {bench_mod} <> 0), "
+        "agg AS (SELECT t.doc_id, count(*) AS n_shingles, "
+        "count(b.shingle) AS n_contaminated "
+        "FROM t LEFT JOIN b ON t.shingle = b.shingle GROUP BY t.doc_id), "
+        f"alld AS (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0), "
+        "j AS (SELECT alld.doc_id, coalesce(n_shingles, 0) AS n_shingles, "
+        "coalesce(n_contaminated, 0) AS n_contaminated "
+        "FROM alld LEFT JOIN agg ON alld.doc_id = agg.doc_id) "
+        "SELECT doc_id, n_shingles, n_contaminated, "
+        "round(CASE WHEN n_shingles > 0 THEN "
+        "CAST(n_contaminated AS DOUBLE)/n_shingles ELSE 0.0 END, 6) "
+        "AS contamination_ratio, "
+        "CAST(CASE WHEN n_shingles > 0 AND "
+        f"CAST(n_contaminated AS DOUBLE)/n_shingles >= {threshold} "
+        "THEN 1 ELSE 0 END AS INT) AS is_contaminated FROM j"
+    )
+
+
+def repetition_ratio_sql(ngram: int = 2) -> str:
+    """Mirror of textstats.repetition_ratio (duplicates-kept n-gram
+    arrays; list_distinct == Spark array_distinct on string lists)."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, CASE WHEN len(toks) >= {ngram} THEN "
+        f"list_transform(range(1, len(toks) - {ngram} + 2), "
+        f"i -> array_to_string(toks[i:i+{ngram - 1}], ' ')) ELSE [] END AS grams "
+        "FROM t) "
+        "SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams, "
+        "CAST(len(list_distinct(grams)) AS INT) AS n_distinct, "
+        "round(CASE WHEN len(grams) > 0 THEN "
+        "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)/len(grams) "
+        "ELSE 0.0 END, 6) AS repetition_ratio FROM g"
+    )
+
+
 def asof_clicks_sql() -> str:
     """DuckDB's native ASOF LEFT JOIN as the oracle for the engine's
     union-trick asof_join: for each purchase, the user's latest click
@@ -367,7 +413,8 @@ def signup_followups_sql(window_hours: int = 1) -> str:
     return (
         "WITH s AS (SELECT event_id, user_id, ts FROM events "
         "WHERE event_type = 'signup') "
-        "SELECT s.event_id, s.user_id, s.ts, count(e.ts) AS n_follow, "
+        "SELECT s.event_id, s.user_id, CAST(s.ts AS TIMESTAMP_NS) AS ts, "
+        "count(e.ts) AS n_follow, "
         "round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS follow_value "
         "FROM s LEFT JOIN events e ON e.user_id = s.user_id "
         f"AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL {window_hours} HOUR "

@@ -55,8 +55,11 @@ def get_spark(
         # keep files splittable at 128 MiB so a 100 TB table fans out.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # TIMESTAMP(NANOS) parquet columns (events.ts) are otherwise
-        # rejected; read as long and convert in the catalog loader.
+        # TIMESTAMP(NANOS) parquet columns (events.ts): Spark <=4.0
+        # rejects them unless this legacy conf reads them as long;
+        # Spark 4.1+ ignores the conf and reads them natively as
+        # TIMESTAMP_NTZ. The catalog loader normalizes BOTH shapes to
+        # micros TIMESTAMP; the conf stays for older-Spark portability.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Spark 4.1's checkpoint-file checksum manager leaks ~130
         # threads per stopped streaming query (see streaming/queries.py

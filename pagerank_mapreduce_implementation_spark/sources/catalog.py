@@ -88,19 +88,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         want = [f.name for f in expected.fields]
         if got != want:
             raise ValueError(f"schema drift for {name}: expected {want}, got {got}")
-        # TIMESTAMP(NANOS) parquet columns arrive as long (see
-        # session.py nanosAsLong) — convert to micros timestamps so the
-        # declared schema holds. Floor-division matches DuckDB's
-        # nanos->micros truncation.
+        # TIMESTAMP(NANOS) parquet columns arrive either as long (Spark
+        # <=4.0 with nanosAsLong) or as TIMESTAMP_NTZ (Spark 4.1+ reads
+        # nanos natively, truncated to micros, and IGNORES the legacy
+        # conf) — normalize both to the declared micros TIMESTAMP.
+        # Long path: floor-division matches DuckDB's nanos->micros
+        # truncation. NTZ path: the session zone is pinned UTC above,
+        # so the cast is field-value-preserving and yields the same
+        # instants as the long path.
         for f_exp, f_got in zip(expected.fields, df.schema.fields):
             import pyspark.sql.types as T
 
-            if isinstance(f_exp.dataType, T.TimestampType) and isinstance(
-                f_got.dataType, T.LongType
-            ):
-                df = df.withColumn(
-                    f_exp.name, F.timestamp_micros(F.expr(f"{f_exp.name} DIV 1000"))
-                )
+            if isinstance(f_exp.dataType, T.TimestampType):
+                if isinstance(f_got.dataType, T.LongType):
+                    df = df.withColumn(
+                        f_exp.name, F.timestamp_micros(F.expr(f"{f_exp.name} DIV 1000"))
+                    )
+                elif isinstance(f_got.dataType, T.TimestampNTZType):
+                    df = df.withColumn(
+                        f_exp.name, F.col(f_exp.name).cast("timestamp")
+                    )
     return df
 
 

@@ -3,6 +3,7 @@ from pagerank_mapreduce_implementation_spark.streaming.queries import (
     read_table_stream,
     run_to_memory,
     streaming_click_attribution,
+    streaming_exact_dedup,
     streaming_search,
     streaming_user_sessions,
     streaming_windowed_events,
@@ -15,6 +16,7 @@ __all__ = [
     "read_table_stream",
     "run_to_memory",
     "streaming_click_attribution",
+    "streaming_exact_dedup",
     "streaming_search",
     "streaming_user_sessions",
     "streaming_windowed_events",

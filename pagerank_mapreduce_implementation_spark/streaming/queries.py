@@ -69,12 +69,19 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Stream the events table. ts arrives as TIMESTAMP(NANOS) -> long
-    (see session.py nanosAsLong) and converts to a micros timestamp
-    here, same as the batch catalog loader."""
+    """Stream the events table. ts is stored as TIMESTAMP(NANOS) and
+    arrives as long (Spark <=4.0 with nanosAsLong) or TIMESTAMP_NTZ
+    (Spark 4.1+ native nanos read; the legacy conf is ignored) — both
+    convert to a micros TIMESTAMP here, same as the batch catalog
+    loader: event-time streaming (withWatermark) requires the
+    timezone-aware TIMESTAMP type, and the UTC session pin makes the
+    NTZ cast field-value-preserving."""
     df = read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -118,6 +125,31 @@ def streaming_word_count(lines: DataFrame, text_col: str = "value") -> DataFrame
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming ingestion dedup: the distinct content fingerprints of
+    an unbounded document stream — ``dropDuplicates`` backed by the
+    streaming state store, emitting each fingerprint the first time it
+    arrives (append mode). The SAME normalize+md5 fingerprint as the
+    batch operators/dedup.exact_dedup, so batch and stream agree on
+    what "the same document" means.
+
+    Output is the fingerprint alone (deterministic regardless of which
+    physical row of a duplicate group arrives first — the doc_id of
+    the survivor is arrival-order-dependent and deliberately NOT
+    emitted). At 100 TB/day pair this with
+    ``dropDuplicatesWithinWatermark`` on an event-time column to bound
+    state to the dedup horizon; unbounded dropDuplicates state is the
+    exact-dedup-forever semantics.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.dedup import normalize_text
+
+    return docs.select(
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
 
 
 def streaming_search(

@@ -133,6 +133,109 @@ def test_lang_id_markers(spark):
     assert got[3] == "unknown"
 
 
+def test_repetition_ratio_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "a b c d"),       # all distinct
+            (3, "one"),           # too short for a 2-gram
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_ratio(docs, ngram=2).collect()}
+    assert (got[1]["n_ngrams"], got[1]["n_distinct"]) == (5, 2)
+    assert got[1]["repetition_ratio"] == pytest.approx(1 - 2 / 5)
+    assert got[2]["repetition_ratio"] == 0.0
+    assert got[3]["n_ngrams"] == 0 and got[3]["repetition_ratio"] == 0.0
+    assert got[4]["repetition_ratio"] == 0.0
+
+
+def test_contamination_check_and_decontaminate(spark):
+    from pagerank_mapreduce_implementation_spark.operators.contamination import (
+        contamination_check,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we observed the quick brown fox jumps over a fence"),  # shares 3-grams
+            (2, "completely unrelated training text about spark plans"),
+            (3, "hi"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    audit = {
+        r["doc_id"]: r
+        for r in contamination_check(train, bench, ngram=3, threshold=0.1).collect()
+    }
+    assert set(audit) == {1, 2, 3}
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    # "fox jumps over" (4 of its 8 3-grams)
+    assert audit[1]["n_contaminated"] == 4 and audit[1]["n_shingles"] == 8
+    assert audit[1]["is_contaminated"] == 1
+    assert audit[2]["n_contaminated"] == 0 and audit[2]["is_contaminated"] == 0
+    assert audit[3]["n_shingles"] == 0 and audit[3]["is_contaminated"] == 0
+
+    kept = {r["doc_id"] for r in decontaminate(train, bench, ngram=3, threshold=0.1).collect()}
+    assert kept == {2, 3}
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    from pagerank_mapreduce_implementation_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    # same assignment regardless of physical layout
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    # ratios roughly honor 90/5/5 on 200 keys
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > 150
+    # and a subset of the corpus keeps its assignments (append-stable)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter("doc_id < 50"), "doc_id").collect()
+    }
+    assert sub == {k: v for k, v in a.items() if k < 50}
+
+
+def test_hash_split_rejects_bad_percentages(spark):
+    from pagerank_mapreduce_implementation_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(docs, "doc_id", {"train": 80, "val": 10})
+
+
+def test_quota_sample_top_k_per_group(spark):
+    from pagerank_mapreduce_implementation_spark.operators.sampling import quota_sample
+
+    rows = [
+        ("a", 1, 0.9), ("a", 2, 0.8), ("a", 3, 0.95), ("a", 4, 0.8),
+        ("b", 5, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double")
+    got = {
+        (r["source"], r["rn"]): r["doc_id"]
+        for r in quota_sample(df, "source", "quality", 2, "doc_id").collect()
+    }
+    # a: 0.95 (doc 3) then 0.9 (doc 1); the 0.8 tie never reaches rn<=2
+    assert got == {("a", 1): 3, ("a", 2): 1, ("b", 1): 5}
+
+
 def test_fingerprint_order_sensitive(spark):
     docs = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"

@@ -128,7 +128,10 @@ def test_tfidf_df_join_broadcast_by_aqe_not_hint(spark, sf_dir):
     import __spark_entry__ as em
 
     df = em.queries()["tfidf"](spark, sf_dir)
-    df.count()  # materialize so AQE finalizes the adaptive plan
+    # materialize THIS DataFrame's own query execution so AQE finalizes
+    # its adaptive plan (count() would plan a separate aggregate query
+    # and leave this one isFinalPlan=false)
+    df.collect()
     p = plan_of(df)
     assert "isFinalPlan=true" in p
     assert "BroadcastHashJoin" in p
@@ -174,6 +177,17 @@ def test_pivot_single_conditional_aggregation(plans):
     p = plans("daily_type_pivot")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert p.count("FileScan") == 1
+
+
+def test_hash_splits_narrow_zero_shuffle(plans):
+    # split assignment is a pure per-row projection — no exchange at all
+    assert "Exchange" not in plans("hash_splits")
+
+
+def test_source_quota_pushes_group_limit(plans):
+    # the per-source quota prunes to k rows per group BEFORE the window
+    # shuffle (same WindowGroupLimit property as top3_per_nation)
+    assert "WindowGroupLimit" in plans("source_quota")
 
 
 def test_order_gaps_window_shuffle_reused(plans):
