@@ -204,6 +204,31 @@ def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(cat.orders, cat.lineitem)
 
 
+def _q_order_priority_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join surface: orders with no deeply-discounted
+    lineitem, by priority (complement of order_priority)."""
+    cat = Catalog(spark, sf_dir)
+    return relational.order_priority_clean_counts(cat.orders, cat.lineitem)
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (operators/dedup.py): docs with id <
+    median play the already-ingested corpus (its fingerprint store);
+    the upper half is the NEW batch — survivors are new docs whose
+    content was seen neither in the store nor earlier in the batch."""
+    docs = Catalog(spark, sf_dir).documents
+    half = 250  # sf-proportional split point would need a count; the
+    # doc_id space is dense from 0 so a fixed split keeps it a pure
+    # column predicate at every sf (sf0.01 has 500 docs; smaller sfs
+    # simply have a smaller new-batch side)
+    seen = dedup.exact_dedup(docs.filter(F.col("doc_id") < half)).select(
+        "fingerprint"
+    ).distinct()
+    new_batch = docs.filter(F.col("doc_id") >= half)
+    out = dedup.incremental_exact_dedup(new_batch, seen)
+    return out.select("doc_id", "fingerprint", "lang", "source")
+
+
 def _q_nation_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return relational.nation_year_rollup(cat.customer, cat.orders, cat.nation)
@@ -817,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_stats": _q_nation_order_stats,
         "nation_year_rollup": _q_nation_year_rollup,
         "order_priority": _q_order_priority,
+        "order_priority_clean": _q_order_priority_clean,
+        "incremental_dedup": _q_incremental_dedup,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -938,6 +965,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "order_priority_clean": (
+            "SELECT o_orderpriority, count(*) AS order_cnt FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # in-batch keeper = min doc_id per fingerprint; cross-batch =
+        # anti-join against the seen store (docs with id < 250)
+        "incremental_dedup": (
+            "WITH fp AS (SELECT doc_id, lang, source, "
+            "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint "
+            "FROM documents), "
+            "seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250), "
+            "batch AS (SELECT * FROM fp WHERE doc_id >= 250), "
+            "keepers AS (SELECT * FROM (SELECT *, min(doc_id) OVER "
+            "(PARTITION BY fingerprint) AS k FROM batch) WHERE doc_id = k) "
+            "SELECT doc_id, fingerprint, lang, source FROM keepers "
+            "WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fingerprint = keepers.fingerprint)"
         ),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_dedup": oracles.minhash_near_dups_sql(0.5, ngram=5),

@@ -58,6 +58,47 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: survivors of a NEW batch against an
+    existing corpus fingerprint store (``seen_fingerprints``: one
+    ``fingerprint`` column, the store a previous ``exact_dedup`` pass
+    materialized).
+
+    Two stages, both standard at 100 TB:
+    1. in-batch: keep the min-doc_id row per fingerprint (same rule as
+       exact_dedup) — one window over the batch, which is small
+       relative to the corpus;
+    2. cross-batch: anti-join the batch survivors against the seen
+       store on fingerprint. The store is huge but the join is equi on
+       the hash — at scale the store lives as a parquet table bucketed
+       by fingerprint so the anti-join co-locates without a shuffle of
+       the store.
+
+    Returns the caller's schema plus ``fingerprint`` (append it to the
+    store for the next batch). The corpus-wide pass stays
+    ``exact_dedup``; this is the per-increment path that avoids
+    re-reading the whole corpus every ingest.
+    """
+    from pyspark.sql.window import Window
+
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    w = Window.partitionBy("fingerprint")
+    in_batch = (
+        new_docs.select("*", fp)
+        .withColumn("__keeper", F.min(doc_col).over(w))
+        .filter(F.col(doc_col) == F.col("__keeper"))
+        .drop("__keeper")
+    )
+    return in_batch.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+
+
 def shingles(
     docs: DataFrame,
     n: int = 1,

@@ -148,6 +148,24 @@ def order_priority_counts(
     )
 
 
+def order_priority_clean_counts(
+    orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.05
+) -> DataFrame:
+    """Anti-join (NOT EXISTS) → agg → sort: orders with NO
+    deeply-discounted lineitem, counted by priority — the complement of
+    ``order_priority_counts`` and the anti-join planning surface
+    (left_anti streams the probe side against the discounted-key build
+    side; no join product, the discount predicate pushes into the
+    lineitem scan)."""
+    discounted = lineitem.filter(F.col("l_discount") > min_discount).select("l_orderkey")
+    return (
+        orders.join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """LEFT OUTER join surface (absent from the reference — its only
     join engine is the tagged shuffle, SURVEY.md §2.3): every customer

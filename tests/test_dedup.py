@@ -29,6 +29,28 @@ def test_exact_dedup_normalizes(spark, planted):
     assert out[4]["is_dup"] == 0
 
 
+def test_incremental_exact_dedup(spark, planted):
+    # seen store = fingerprints of docs 1-2 (one distinct fingerprint);
+    # new batch = docs 3-5: 5 collides with the store (normalized dup
+    # of 1), 3 and 4 are genuinely new
+    seen = (
+        dedup.exact_dedup(planted.filter("doc_id <= 2"))
+        .select("fingerprint")
+        .distinct()
+    )
+    batch = planted.filter("doc_id >= 3")
+    out = {r["doc_id"] for r in dedup.incremental_exact_dedup(batch, seen).collect()}
+    assert out == {3, 4}
+    # in-batch rule: two copies inside one batch keep only the min id
+    batch2 = spark.createDataFrame(
+        [(7, "same text"), (8, "same text"), (9, "other")],
+        "doc_id long, text string",
+    )
+    empty_seen = seen.filter("1 = 0")
+    out2 = {r["doc_id"] for r in dedup.incremental_exact_dedup(batch2, empty_seen).collect()}
+    assert out2 == {7, 9}
+
+
 def test_minhash_finds_planted_near_dup(spark, planted):
     # bands=8 (r=2): collision threshold ~(1/8)^(1/2)=0.35 — right for
     # catching 0.5-jaccard pairs. The default bands=4 targets ~0.7+ and

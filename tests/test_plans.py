@@ -179,6 +179,14 @@ def test_pivot_single_conditional_aggregation(plans):
     assert p.count("FileScan") == 1
 
 
+def test_order_priority_clean_plans_anti_join(plans):
+    # NOT EXISTS must plan as a real anti join (no join product), with
+    # the discount predicate pushed to the lineitem scan
+    p = plans("order_priority_clean")
+    assert "LeftAnti" in p
+    assert re.search(r"PushedFilters: \[.*l_discount", p)
+
+
 def test_hash_splits_narrow_zero_shuffle(plans):
     # split assignment is a pure per-row projection — no exchange at all
     assert "Exchange" not in plans("hash_splits")
