@@ -204,6 +204,18 @@ def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(cat.orders, cat.lineitem)
 
 
+def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup over the part dimension (broadcast join)."""
+    cat = Catalog(spark, sf_dir)
+    return relational.brand_revenue(cat.part, cat.lineitem)
+
+
+def _q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dim chain join over supplier -> nation (both broadcast)."""
+    cat = Catalog(spark, sf_dir)
+    return relational.supplier_nation_revenue(cat.supplier, cat.nation, cat.lineitem)
+
+
 def _q_order_priority_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS anti-join surface: orders with no deeply-discounted
     lineitem, by priority (complement of order_priority)."""
@@ -844,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": _q_order_priority,
         "order_priority_clean": _q_order_priority_clean,
         "incremental_dedup": _q_incremental_dedup,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_nation_revenue": _q_supplier_nation_revenue,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -984,6 +998,19 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY fingerprint) AS k FROM batch) WHERE doc_id = k) "
             "SELECT doc_id, fingerprint, lang, source FROM keepers "
             "WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fingerprint = keepers.fingerprint)"
+        ),
+        "brand_revenue": (
+            "SELECT p_brand, count(*) AS n_items, "
+            "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "supplier_nation_revenue": (
+            "SELECT n_name, count(*) AS n_items, "
+            "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
         ),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_dedup": oracles.minhash_near_dups_sql(0.5, ngram=5),

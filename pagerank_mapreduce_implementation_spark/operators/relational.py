@@ -132,6 +132,47 @@ def nation_year_rollup(
     )
 
 
+def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fact-to-dimension join → agg → sort over the ``part`` table:
+    revenue and volume per brand. The part dim broadcasts (small side);
+    the scan reads only the three lineitem columns the query needs —
+    the canonical star-schema rollup shape."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount")
+        .join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def supplier_nation_revenue(
+    supplier: DataFrame, nation: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Two-dimension chain join over the ``supplier`` table: revenue
+    per supplier nation. Both dims broadcast; the fact table never
+    shuffles."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(nation.select("n_nationkey", "n_name"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def order_priority_counts(
     orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.05
 ) -> DataFrame:

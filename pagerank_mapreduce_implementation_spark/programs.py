@@ -137,8 +137,12 @@ def clean_corpus(
     output_path: str,
     lang: str | None = None,
     min_quality: float = 0.0,
+    max_repetition: float | None = None,
+    bench_docs: DataFrame | None = None,
     near_dup_threshold: float = 0.5,
     ngram: int = 5,
+    contamination_ngram: int = 8,
+    contamination_threshold: float = 0.01,
     cc_max_iters: int = 20,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
@@ -147,10 +151,14 @@ def clean_corpus(
 
     1. language filter (textstats.lang_id heuristic) when ``lang`` set
     2. quality floor (textstats.quality_scores composite)
-    3. exact dedup — drop non-keepers by content fingerprint
-    4. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
+    3. repetition cap (textstats.repetition_ratio) when
+       ``max_repetition`` set — drops boilerplate/generated spam
+    4. benchmark decontamination (contamination.decontaminate) when
+       ``bench_docs`` is supplied — drops docs overlapping the eval set
+    5. exact dedup — drop non-keepers by content fingerprint
+    6. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
        components -> keep each cluster's min doc_id
-    5. survivors written to ``output_path`` (parquet, overwrite)
+    7. survivors written to ``output_path`` (parquet, overwrite)
 
     Returns the surviving docs read back from ``output_path``.
     ``cc_max_iters`` bounds the cluster label propagation (raised
@@ -158,9 +166,14 @@ def clean_corpus(
     Each stage is lazy;
     the only materializations are the two dedup passes' internal
     checkpoints. At 100 TB every stage is a narrow transform or a
-    bucketed/anti join — nothing quadratic, nothing driver-side.
+    bucketed/anti/broadcast join — nothing quadratic, nothing
+    driver-side; the cheap narrow filters run FIRST so the join-heavy
+    dedup stages see the smallest possible corpus.
     """
     from pagerank_mapreduce_implementation_spark.operators import dedup, textstats
+    from pagerank_mapreduce_implementation_spark.operators.contamination import (
+        decontaminate,
+    )
     from pagerank_mapreduce_implementation_spark.operators.graph import (
         connected_components,
     )
@@ -178,6 +191,20 @@ def clean_corpus(
         docs = docs.join(q, "doc_id").filter(
             F.col("quality") >= min_quality
         ).drop("quality")
+    if max_repetition is not None:
+        rep = textstats.repetition_ratio(docs).select("doc_id", "repetition_ratio")
+        docs = (
+            docs.join(rep, "doc_id")
+            .filter(F.col("repetition_ratio") <= max_repetition)
+            .drop("repetition_ratio")
+        )
+    if bench_docs is not None:
+        docs = decontaminate(
+            docs,
+            bench_docs,
+            ngram=contamination_ngram,
+            threshold=contamination_threshold,
+        )
 
     exact = dedup.exact_dedup(docs).filter(F.col("is_dup") == 0).select("doc_id")
     docs = docs.join(exact, "doc_id", "left_semi")

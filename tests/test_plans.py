@@ -179,6 +179,16 @@ def test_pivot_single_conditional_aggregation(plans):
     assert p.count("FileScan") == 1
 
 
+def test_brand_revenue_broadcasts_part_dim(plans):
+    # the part dimension broadcasts; the fact side never sort-merge
+    # joins, and the scan is pruned to the 3 needed lineitem columns
+    p = plans("brand_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None and len(scan_cols.group(1).split(",")) <= 3
+
+
 def test_order_priority_clean_plans_anti_join(plans):
     # NOT EXISTS must plan as a real anti join (no join product), with
     # the discount predicate pushed to the lineitem scan

@@ -190,6 +190,42 @@ def test_clean_corpus_end_to_end(spark, tmp_path):
     assert rt == [1, 4]
 
 
+def test_clean_corpus_repetition_and_decontamination_stages(spark, tmp_path):
+    """The round-3 stages: the repetition cap drops looping boilerplate
+    and a supplied benchmark set knocks out overlapping docs, before
+    dedup runs."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (1, "a varied document with plenty of distinct novel words inside", "en", "web", 60),
+        (2, "spam spam spam spam spam spam spam spam spam spam", "en", "web", 49),
+        (3, "the benchmark question about ancient rome appears verbatim here", "en", "web", 63),
+        (4, "another genuinely clean and unique training document text", "en", "web", 57),
+    ]
+    src = str(tmp_path / "in2.parquet")
+    out = str(tmp_path / "out2.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    bench = spark.createDataFrame(
+        [(100, "the benchmark question about ancient rome appears verbatim here")],
+        "doc_id long, text string",
+    )
+    survivors = clean_corpus(
+        spark,
+        src,
+        out,
+        max_repetition=0.5,          # doc 2's 2-grams are ~all "spam spam"
+        bench_docs=bench,            # doc 3 overlaps the benchmark
+        contamination_ngram=3,
+        contamination_threshold=0.1,
+        near_dup_threshold=0.9,
+        ngram=3,
+    )
+    ids = sorted(r.doc_id for r in survivors.select("doc_id").collect())
+    assert ids == [1, 4]
+
+
 def test_connected_components_empty_edges(spark):
     from pagerank_mapreduce_implementation_spark.operators.graph import (
         connected_components,
