@@ -623,6 +623,12 @@ def _q_repeat_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.repeat_error_users(Catalog(spark, sf_dir).events)
 
 
+def _q_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: (user, day) pairs that viewed but didn't
+    purchase that day."""
+    return relational.window_shoppers(Catalog(spark, sf_dir).events)
+
+
 def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py — engine extension; no as-of
     join exists in the reference, SURVEY.md §2.3): for each purchase
@@ -881,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props_stats,
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
+        "window_shoppers": _q_window_shoppers,
         "customer_order_gaps": _q_customer_order_gaps,
         "daily_type_pivot": _q_daily_type_pivot,
         "value_percentiles": _q_value_percentiles,
@@ -1178,6 +1185,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
             "INTERSECT "
             "SELECT user_id FROM events WHERE event_type = 'error'"
+        ),
+        "window_shoppers": (
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events "
+            "WHERE event_type = 'view' "
+            "EXCEPT "
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events "
+            "WHERE event_type = 'purchase'"
         ),
         "asof_clicks": oracles.asof_clicks_sql(),
         "signup_followups": oracles.signup_followups_sql(window_hours=1),

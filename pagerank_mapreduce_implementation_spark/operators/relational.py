@@ -232,10 +232,25 @@ def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
 
 def repeat_error_users(events: DataFrame) -> DataFrame:
     """Set-operation surface (none in the reference, SURVEY.md §2.3):
-    users who both purchased AND hit an error (INTERSECT), minus
-    single-event users who only ever signed up (EXCEPT exercised in
-    tests). INTERSECT plans as a distinct-aggregate semi-join — one
-    shuffle per side, no row explosion."""
+    users who both purchased AND hit an error. INTERSECT plans as a
+    distinct-aggregate semi-join — one shuffle per side, no row
+    explosion."""
     purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
     erroring = events.filter(F.col("event_type") == "error").select("user_id")
     return purchasers.intersect(erroring)
+
+
+def window_shoppers(events: DataFrame) -> DataFrame:
+    """EXCEPT set-op surface: (user, day) pairs that viewed but did
+    NOT purchase that day — ``subtract`` is SQL EXCEPT (distinct anti
+    semantics), planned as a distinct aggregate + left-anti join; the
+    complement of the INTERSECT query above. Keyed at user-DAY grain
+    (a plain user EXCEPT is empty on corpora where every heavy user
+    eventually purchases — the day key is what a real funnel query
+    uses anyway)."""
+    def pairs(event_type: str) -> DataFrame:
+        return events.filter(F.col("event_type") == event_type).select(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+
+    return pairs("view").subtract(pairs("purchase"))
