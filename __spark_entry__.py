@@ -404,6 +404,45 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_ratio(Catalog(spark, sf_dir).documents, ngram=2)
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/redaction.py) over deterministic
+    synthetic contact cards built from the customer table (the corpus
+    itself is PII-free, so the query manufactures the thing it
+    scrubs — same move as word_count_boundary's separator rewrite):
+    every customer gets an email unless custkey%3==0, a phone unless
+    %4==0, a URL unless %5==0. Output = per-doc counts + redacted
+    text; narrow zero-shuffle scrub at scan speed."""
+    from pagerank_mapreduce_implementation_spark.operators.redaction import redact_pii
+
+    cust = Catalog(spark, sf_dir).customer
+    key = F.col("c_custkey")
+    email = F.when(
+        key % 3 != 0,
+        F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com ")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        key % 4 != 0,
+        F.concat(
+            F.lit("555-"),
+            F.lpad((key % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((key % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        key % 5 != 0,
+        F.concat(F.lit("https://ex.com/c/"), key.cast("string"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    cards = cust.select(
+        key.alias("doc_id"),
+        F.concat(
+            F.lit("contact "), F.col("c_name"), F.lit(" "), email, phone, url, F.lit("end")
+        ).alias("text"),
+    )
+    return redact_pii(cards)
+
+
 def _q_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (operators/sampling.py):
     md5-bucket the doc id into [0,100) -> 90/5/5 ranges. Stable under
@@ -877,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "contamination_audit": _q_contamination,
         "repetition_scores": _q_repetition,
+        "pii_redaction": _q_pii_redaction,
         "hash_splits": _q_hash_splits,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
@@ -1052,6 +1092,30 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "contamination_audit": oracles.contamination_sql(5, 0.01, 20),
         "repetition_scores": oracles.repetition_ratio_sql(2),
+        # mirror of _q_pii_redaction + redaction.PATTERNS: identical
+        # card construction, counts on the running (previously-masked)
+        # text, global replace in URL -> email -> phone order
+        "pii_redaction": (
+            "WITH cards AS (SELECT c_custkey AS doc_id, "
+            "'contact ' || c_name || ' ' || "
+            "CASE WHEN c_custkey % 3 <> 0 THEN 'user' || CAST(c_custkey AS VARCHAR) "
+            "|| '@example.com ' ELSE '' END || "
+            "CASE WHEN c_custkey % 4 <> 0 THEN '555-' || "
+            "lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END || "
+            "CASE WHEN c_custkey % 5 <> 0 THEN 'https://ex.com/c/' || "
+            "CAST(c_custkey AS VARCHAR) || ' ' ELSE '' END || 'end' AS t "
+            "FROM customer), "
+            r"u AS (SELECT doc_id, CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) "
+            r"AS n_urls, regexp_replace(t, 'https?://[^\s]+', '[URL]', 'g') AS t FROM cards), "
+            "e AS (SELECT doc_id, n_urls, CAST(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, "
+            "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[EMAIL]', 'g') AS t FROM u) "
+            "SELECT doc_id, n_urls, n_emails, "
+            r"CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones, "
+            r"regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted FROM e"
+        ),
         # mirror of sampling.hash_split: md5('split:'||id) 15-hex-digit
         # prefix mod 100 -> 90/5/5 named ranges
         "hash_splits": (

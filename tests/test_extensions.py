@@ -236,6 +236,50 @@ def test_quota_sample_top_k_per_group(spark):
     assert got == {("a", 1): 3, ("a", 2): 1, ("b", 1): 5}
 
 
+def test_redact_pii_counts_and_masks(spark):
+    from pagerank_mapreduce_implementation_spark.operators.redaction import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or call 555-123-4567 now"),
+            (2, "see https://x.io/p?q=1 and https://y.io b@c.de"),
+            (3, "no pii here at all"),
+            # an email-shaped token inside a URL is a URL, not an email
+            (4, "https://host/a@b.com rest"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_urls"]) == (1, 1, 0)
+    assert got[1]["redacted"] == "mail me at [EMAIL] or call [PHONE] now"
+    assert (got[2]["n_urls"], got[2]["n_emails"]) == (2, 1)
+    assert got[2]["redacted"] == "see [URL] and [URL] [EMAIL]"
+    assert got[3]["redacted"] == "no pii here at all"
+    assert (got[4]["n_urls"], got[4]["n_emails"]) == (1, 0)
+    assert got[4]["redacted"] == "[URL] rest"
+
+
+def test_cc_star_string_vertex_ids(spark):
+    """star CC orders vertices with greatest/least — must work on the
+    STRING ids the wiki graph uses, not just longs."""
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("pageB", "pageA"), ("pageC", "pageB"), ("zeta", "yank")],
+        "src string, dst string",
+    )
+    star = {
+        r.vertex: r.component
+        for r in connected_components(edges, algorithm="star", max_iters=8).collect()
+    }
+    assert star == {
+        "pageA": "pageA", "pageB": "pageA", "pageC": "pageA",
+        "yank": "yank", "zeta": "yank",
+    }
+
+
 def test_fingerprint_order_sensitive(spark):
     docs = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
