@@ -46,9 +46,11 @@ def contamination_check(
     - ``n_contaminated``: how many of those appear in ANY benchmark doc,
     - ``contamination_ratio``: n_contaminated / n_shingles (0 for docs
       too short to form a shingle),
-    - ``is_contaminated``: ratio >= ``threshold`` (a single shared
-      8-gram is already a strong signal on real corpora; the default
-      1% ratio keeps the flag robust to coincidental short overlaps).
+    - ``is_contaminated``: ``n_shingles > 0 AND ratio >= threshold``
+      (a single shared 8-gram is already a strong signal on real
+      corpora; the default 1% ratio keeps the flag robust to
+      coincidental short overlaps; the n_shingles guard means docs too
+      short to shingle are never flagged, even at threshold=0.0).
 
     Docs with zero overlap (or too short to shingle) are KEPT with
     zero counts — the output is an audit table over the full corpus,
@@ -89,7 +91,12 @@ def contamination_check(
             "n_shingles",
             "n_contaminated",
             F.round(ratio, 6).alias("contamination_ratio"),
-            (ratio >= threshold).cast("int").alias("is_contaminated"),
+            # n_shingles > 0 guard: a doc too short to shingle is never
+            # contaminated, even at threshold=0.0 (matches the oracle's
+            # "n_shingles > 0 AND ratio >= t" flag).
+            ((F.col("n_shingles") > 0) & (ratio >= threshold))
+            .cast("int")
+            .alias("is_contaminated"),
         )
     )
 

@@ -37,12 +37,13 @@ def redact_pii(
     """Per doc: PII counts + the redacted text:
     ``(doc_id, n_urls, n_emails, n_phones, redacted)``.
 
-    Counts are taken on the ORIGINAL text per pattern; replacement runs
-    in PATTERNS order on a running column, so the counts describe what
-    each pattern saw before any masking (a URL containing an ``@`` is
-    counted once as a URL and zero times as an email, because the email
-    count runs on text whose URLs are already masked — the same
-    longest-first discipline the replacement uses).
+    Counts run on the running (previously-masked) text in PATTERNS
+    order: only the first pattern (urls) sees the original text; each
+    later pattern counts on text already masked by its predecessors.
+    So a URL containing an ``@`` is counted once as a URL and zero
+    times as an email, because the email count runs on text whose URLs
+    are already masked — the same longest-first discipline the
+    replacement uses.
     """
     staged = docs.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("_t"))
     out_cols: list[Column] = []

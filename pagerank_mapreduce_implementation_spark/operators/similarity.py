@@ -14,10 +14,11 @@ top-k and cosine near-dup pairs, with two physical strategies:
   RNG state, reproducible in SQL), grouped into ``bands`` bands of
   ``num_planes/bands`` planes each (OR-of-ANDs, the same banding shape
   as dedup.lsh_bucket_candidates): candidates are pairs equal in ANY
-  band. One band of many planes collapses recall; many planes in many
-  small bands keeps per-band buckets coarse enough that intra-bucket
-  joins stay sub-quadratic while the OR across bands restores recall —
-  the tunable (bands, planes_per_band) knob a 100 TB corpus needs.
+  band. One band of many planes collapses recall; enough planes per
+  band keeps per-band buckets FINE enough (many small buckets) that
+  intra-bucket joins stay sub-quadratic, while the OR across bands
+  restores the recall those fine buckets give up — the tunable
+  (bands, planes_per_band) knob a 100 TB corpus needs.
 
 All math accumulates in double regardless of the float storage type.
 """

@@ -184,6 +184,16 @@ def test_contamination_check_and_decontaminate(spark):
     kept = {r["doc_id"] for r in decontaminate(train, bench, ngram=3, threshold=0.1).collect()}
     assert kept == {2, 3}
 
+    # threshold=0.0 edge: zero-shingle docs must NOT be flagged (the
+    # n_shingles > 0 guard, matching the DuckDB oracle's flag).
+    at_zero = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in contamination_check(train, bench, ngram=3, threshold=0.0).collect()
+    }
+    # docs WITH shingles all hit ratio >= 0.0; only the zero-shingle
+    # doc escapes the flag.
+    assert at_zero == {1: 1, 2: 1, 3: 0}
+
 
 def test_hash_split_deterministic_and_partition_stable(spark):
     from pagerank_mapreduce_implementation_spark.operators.sampling import hash_split
