@@ -58,6 +58,21 @@ DAMPING = 0.85
 _LOOP_PARTITION_BYTES = 2 * 1024 * 1024
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate for ``df`` in bytes, or None.
+
+    Reads ``queryExecution().optimizedPlan().stats().sizeInBytes()``
+    through py4j — a PRIVATE surface (no public PySpark API exposes
+    plan statistics), so any Spark minor bump may break it. Callers
+    must treat None as "unknown" and fall back to a conf-derived
+    width; the estimate is an optimization, never a correctness input.
+    """
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
 def out_degree(edges: DataFrame) -> DataFrame:
     """Out-degree per source, counting duplicate edges (the reference
     divides by the full outlink-list length, duplicates included:
@@ -118,11 +133,16 @@ def pagerank(
     # partitions re-joined 10x), =false coalesces 600k rows to ONE
     # task (serializing the scatter join).
     if num_partitions is None:
-        est_bytes = int(
-            str(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        num_partitions = max(1, min(cap, 1 + est_bytes // _LOOP_PARTITION_BYTES))
+        est_bytes = _plan_size_bytes(edges)
+        if est_bytes is None:
+            # Private stats surface unavailable (Spark internals moved):
+            # fall back to full configured shuffle width — over-fanning
+            # a small graph costs stage-launch overhead only, while
+            # under-fanning a big one would serialize the loop.
+            num_partitions = cap
+        else:
+            num_partitions = max(1, min(cap, 1 + est_bytes // _LOOP_PARTITION_BYTES))
     part = edges.repartition(num_partitions, "src").persist()
     deg = part.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     links = part.join(deg, "src").persist()

@@ -305,6 +305,26 @@ def _seed_centroids(
     return [[float(x) for x in r["cvec"]] for r in rows]
 
 
+def _with_cnorms(cents_1row: DataFrame) -> DataFrame:
+    """Attach ``cnorm`` to each struct of a 1-row
+    ``cents array<struct<cell_id,cvec>>`` DataFrame (sequential fold,
+    same math as ``_norm``)."""
+    return cents_1row.select(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                c["cell_id"].alias("cell_id"),
+                c["cvec"].alias("cvec"),
+                F.sqrt(
+                    F.aggregate(
+                        c["cvec"], F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ).alias("cnorm"),
+            ),
+        ).alias("cents")
+    )
+
+
 def lloyd_centroids(
     emb: DataFrame,
     n_cells: int = 16,
@@ -316,28 +336,111 @@ def lloyd_centroids(
     production-recall upgrade over the first-n seed (which ivf_assign
     documents as a stand-in).
 
+    The centroid state lives as a 1-row ``array<struct>`` DataFrame for
+    the WHOLE refinement — re-broadcast into each iteration's
+    assignment and updated by DataFrame ops, with a single collect at
+    the very end. No driver round-trip inside the loop (round-3 verdict
+    item: the old version collected the means every iteration and
+    re-shipped them as literals — wrong shape at 4k cells).
+
     Each iteration: (1) assign every vector to its nearest centroid via
     the SAME narrow broadcast-fold ivf_assign uses (no shuffle), then
     (2) average member vectors per cell with ONE groupBy over ``dims``
     scalar columns — no posexplode row blow-up (an explode would
     shuffle N x dims rows; this shuffles N rows once, with map-side
-    partial aggregation). Deterministic seed, no RNG; empty cells keep
-    their previous centroid.
+    partial aggregation), then (3) fold the per-cell means back into
+    the 1-row centroid array (collect_list of ≤n_cells tiny rows —
+    executor-side, the same "small dim table" shape as the broadcast).
+    Deterministic seed, no RNG; empty cells keep their previous
+    centroid (the coalesce against the prior array). Lineage is cut
+    each iteration with a lazy localCheckpoint so the final job does
+    not replay every earlier assignment pass.
     """
-    cent_vecs = _seed_centroids(emb, n_cells, id_col, vec_col)
-    if not cent_vecs:
-        return cent_vecs
-    dims = len(cent_vecs[0])
-    for _ in range(n_iters):
-        _, assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=cent_vecs)
-        means = (
-            assign.groupBy("cell_id")
-            .agg(*[F.avg(F.col("vec")[i].cast("double")).alias(f"c{i}") for i in range(dims)])
-            .collect()
+    spark = emb.sparkSession
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:  # empty input: nothing to refine
+        return []
+    dims = int(first["d"])
+
+    # Seed: first n_cells vectors by id, as ONE row of array<struct>.
+    # The collect_list runs on a single tiny partition (post-limit),
+    # sort_array orders structs by cell_id (first field).
+    seed = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
         )
-        by_cell = {r["cell_id"]: [float(r[f"c{i}"]) for i in range(dims)] for r in means}
-        cent_vecs = [by_cell.get(i + 1, cent_vecs[i]) for i in range(len(cent_vecs))]
-    return cent_vecs
+    )
+    from pyspark.sql.window import Window
+
+    seed = seed.select(
+        F.row_number().over(Window.orderBy("_id")).alias("cell_id"), "cvec"
+    )
+    cur = _with_cnorms(
+        seed.agg(
+            F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("cents")
+        )
+    )
+
+    for _ in range(n_iters):
+        staged = emb.crossJoin(F.broadcast(cur)).select(
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+            F.col("cents"),
+        )
+        scores = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(F.col("vec"), c["cvec"]) / (F.col("vnorm") * c["cnorm"])).alias(
+                    "ccos"
+                ),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        best = F.aggregate(
+            scores,
+            F.struct(F.lit(-2.0).alias("ccos"), F.lit(0).alias("cell_id")),
+            lambda b, s: F.when(s["ccos"] > b["ccos"], s).otherwise(b),
+        )
+        assign = staged.select("vec", best["cell_id"].alias("cell_id"))
+        means_1row = (
+            assign.groupBy("cell_id")
+            .agg(*[F.avg(F.col("vec")[i]).alias(f"c{i}") for i in range(dims)])
+            .select(
+                "cell_id",
+                F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("mvec"),
+            )
+            .agg(F.collect_list(F.struct("cell_id", "mvec")).alias("m"))
+        )
+        # merge: each cell takes its new mean, or keeps its previous
+        # centroid when no vector landed in it this round
+        cur = _with_cnorms(
+            cur.crossJoin(means_1row).select(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        c["cell_id"].alias("cell_id"),
+                        F.coalesce(
+                            F.get(
+                                F.filter(
+                                    F.col("m"),
+                                    lambda s: s["cell_id"] == c["cell_id"],
+                                ),
+                                F.lit(0),
+                            )["mvec"],
+                            c["cvec"],
+                        ).alias("cvec"),
+                    ),
+                ).alias("cents")
+            )
+        )
+        cur = cur.localCheckpoint(eager=False)
+
+    row = cur.select("cents").first()
+    cents = row["cents"] if row is not None else []
+    return [[float(x) for x in c["cvec"]] for c in cents]
 
 
 def ivf_assign(

@@ -627,3 +627,31 @@ def test_frames_demuxer_rejects_truncation(spark):
         mm.frames_demuxer(packed[:-2])
     with _pytest.raises(ValueError, match="count header"):
         mm.frames_demuxer(b"\x00")
+
+
+def test_lloyd_no_driver_roundtrip_inside_loop(spark, monkeypatch):
+    """Round-3 verdict item 7: the Lloyd loop must not collect per
+    iteration. Centroid state stays a 1-row DataFrame; the only driver
+    actions are the dims probe and the single final collect — so the
+    action count is INDEPENDENT of n_iters."""
+    from pyspark.sql import DataFrame
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    counts = {}
+    orig_collect = DataFrame.collect
+    for n_iters in (1, 4):
+        n = 0
+
+        def counting(self):
+            nonlocal n
+            n += 1
+            return orig_collect(self)
+
+        monkeypatch.setattr(DataFrame, "collect", counting)
+        got = similarity.lloyd_centroids(emb, n_cells=4, n_iters=n_iters)
+        monkeypatch.setattr(DataFrame, "collect", orig_collect)
+        assert len(got) == 4 and all(len(v) == 3 for v in got)
+        counts[n_iters] = n
+    assert counts[1] == counts[4], counts

@@ -218,3 +218,28 @@ def test_cc_star_matches_label_propagation_random_graphs(spark):
             for r in connected_components(edges, max_iters=60).collect()
         }
         assert star == label, f"seed {seed}"
+
+
+def test_plan_size_estimate_failure_falls_back(spark, monkeypatch):
+    """The loop-width sizing reads plan stats through a PRIVATE py4j
+    surface; when that surface breaks (Spark internals move), pagerank
+    must still run at the conf-cap width with identical results."""
+    from pagerank_mapreduce_implementation_spark.operators import graph as graph_mod
+
+    class _Broken:
+        @property
+        def _jdf(self):
+            raise RuntimeError("queryExecution moved in a Spark bump")
+
+    # layer 1: the helper itself swallows ANY private-path failure
+    assert graph_mod._plan_size_bytes(_Broken()) is None
+
+    # layer 2: with the estimate unavailable, the loop sizes from the
+    # shuffle-partition cap and produces the exact same ranks
+    monkeypatch.setattr(graph_mod, "_plan_size_bytes", lambda df: None)
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+    want = py_pagerank(EDGES, 10)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12), u
