@@ -878,6 +878,33 @@ def _q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_streaming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyword search (streaming/queries.py streaming_search):
+    the tf-idf index is a BATCH artifact (df and N are corpus-level
+    statistics), materialized to parquet and then STREAMED into the
+    incremental per-doc score sum — the index-build / serving split a
+    production search pipeline uses. Same terms and same rounding as
+    the batch ``search`` query, so the two share one oracle."""
+    import os
+    import tempfile
+
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    tfidf = text.tf_idf(Catalog(spark, sf_dir).documents)
+    # deterministic per-sf scratch dir: overwrite keeps exactly one
+    # index generation for the file-source stream to pick up
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_tfidf_idx_{sf_tag}")
+    tfidf.write.mode("overwrite").parquet(idx_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(idx_dir).schema
+    ).parquet(idx_dir)
+    scored = strm.streaming_search(stream, SEARCH_TERMS)
+    name = f"_stream_search_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(scored, name, output_mode="complete", state_partitions=8)
+    return spark.table(name).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-iteration reference-parity PageRank at sf0.001."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -942,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_word_count": _q_streaming_word_count,
         "streaming_user_sessions": _q_streaming_user_sessions,
         "streaming_user_stats": _q_streaming_user_stats,
+        "streaming_search": _q_streaming_search,
         "wiki_pagerank": _q_wiki_pagerank,
         "pagerank_textbook_top20": _q_pagerank_textbook,
     }
@@ -991,6 +1019,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(sum(tfidf), 6) AS score FROM tfidf "
             f"WHERE word IN ({terms}) GROUP BY doc_id "
             "ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        # the streaming twin scores the SAME batch-built tf-idf index,
+        # so the batch search oracle is its oracle verbatim
+        "streaming_search": (
+            f"WITH {_TOK_LOWER}, {_TF}, {_TFIDF} "
+            f"SELECT doc_id, round(sum(tfidf), 6) AS score FROM tfidf "
+            f"WHERE word IN ({terms}) GROUP BY doc_id"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -91,6 +91,21 @@ def main() -> None:
             gc.collect()
             drop_persisted()
     total = round(sum(timings.values()), 3)
+    # Artifact-drift guard (round-3 verdict item 8): the driver's
+    # correctness gate runs oracle_sql() keys, the bench runs queries()
+    # keys — if the sets diverge, a query silently escapes one gate.
+    qkeys = set(entrymod.queries())
+    okeys = set(entrymod.oracle_sql())
+    missing_oracle = sorted(qkeys - okeys)
+    stale_oracle = sorted(okeys - qkeys)
+    unbenched = sorted(qkeys - set(timings))
+    for label, keys in [
+        ("queries without an oracle_sql entry", missing_oracle),
+        ("oracle_sql entries without a query", stale_oracle),
+        ("queries that produced no timing", unbenched),
+    ]:
+        if keys:
+            print(f"  WARNING: {label}: {keys}", file=sys.stderr)
     # end-of-run probe reads load INCLUDING our own 3 passes; the
     # pre-spark probe is the tenant-noise signal
     print(
@@ -101,6 +116,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "missing_oracle": missing_oracle,
+                "stale_oracle": stale_oracle,
+                "unbenched": unbenched,
                 "contended": probe_start["contended"],
                 "load1_at_start": probe_start["load1"],
                 "ncpu": probe_start["ncpu"],

@@ -39,21 +39,43 @@ def normalize_text(col: Column) -> Column:
 
 
 def exact_dedup(
-    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Exact dedup by content fingerprint.
 
     Returns every doc with its group fingerprint, the group's keeper
     (min doc id — the row a dedup pass would retain) and an is_dup
     flag. One hash-groupBy shuffle; the window over fp reuses it.
+
+    Skew bound: the window partitions ALL duplicates of one fingerprint
+    into a single task, so the hottest fingerprint's duplicate count is
+    the straggler bound — fine on real corpora (the hot key is
+    boilerplate, still a small fraction of rows), pathological if
+    billions of rows share one fingerprint. ``skew_safe=True`` switches
+    to a groupBy(min)+join plan with identical output: the partial
+    (map-side) aggregation collapses each hot key to one row per input
+    partition BEFORE the shuffle, and the keeper join back is a plain
+    equi-join that AQE's skew-join splitting can handle — the shape to
+    pick for adversarial corpora, at the cost of a second shuffle.
     """
     from pyspark.sql.window import Window
 
     fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    base = docs.select(F.col(doc_col).alias("doc_id"), fp)
+    if skew_safe:
+        keepers = base.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+        return base.join(keepers, "fingerprint").select(
+            "doc_id",
+            "fingerprint",
+            "keeper",
+            (F.col("doc_id") != F.col("keeper")).cast("int").alias("is_dup"),
+        )
     w = Window.partitionBy("fingerprint")
     return (
-        docs.select(F.col(doc_col).alias("doc_id"), fp)
-        .withColumn("keeper", F.min("doc_id").over(w))
+        base.withColumn("keeper", F.min("doc_id").over(w))
         .withColumn("is_dup", (F.col("doc_id") != F.col("keeper")).cast("int"))
     )
 

@@ -119,3 +119,30 @@ def test_shingles_ngram_windows(spark):
     # shorter than n -> no shingles
     docs2 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert dedup.shingles(docs2, 3).count() == 0
+
+
+def test_exact_dedup_skew_safe_property_equal(spark, planted):
+    """skew_safe=True (groupBy+join, AQE-splittable hot keys) must be
+    row-for-row identical to the window plan — on the planted fixture
+    AND on random corpora with a deliberately hot fingerprint."""
+    import random
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(dedup.exact_dedup(planted)) == rows_of(
+        dedup.exact_dedup(planted, skew_safe=True)
+    )
+
+    rng = random.Random(17)
+    # 300 rows, ~60% of them the SAME text (the hot-fingerprint case
+    # the skew_safe plan exists for), rest drawn from 20 templates
+    hot = "boilerplate cookie banner accept all cookies"
+    corpus = [
+        (i, hot if rng.random() < 0.6 else f"doc variant {rng.randrange(20)}")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    a = rows_of(dedup.exact_dedup(docs))
+    b = rows_of(dedup.exact_dedup(docs, skew_safe=True))
+    assert a == b and len(a) == 300
