@@ -878,6 +878,73 @@ def _q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_multimodal_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline under the driver gate (round-3 verdict
+    item 3): synthesize a deterministic P6 PPM per document with JVM
+    expressions (solid-color image; dims from doc_id, RGB triplet from
+    md5(text) — every byte reproducible in SQL), then run the REAL
+    codec chain: decode_image(ppm_decoder) -> resize_image(ppm_resizer,
+    8x6) -> extract_features(ppm_feature_extractor), all three through
+    their Arrow mapInPandas plumbing.
+
+    Output is scalar-only so DuckDB can hash-compare: dims + n_bytes
+    from the decoder, md5 over the HEX of the resized payload (DuckDB's
+    md5 is VARCHAR-only; Spark hex == DuckDB hex, uppercase), and the
+    first three features (per-channel means). Solid images make the
+    oracle analytic: nearest-neighbor resample of a constant image is
+    the constant, channel mean == triplet_byte/255 — stored float32,
+    which the oracle mirrors with a REAL round-trip cast."""
+    docs = Catalog(spark, sf_dir).documents
+    w = (F.lit(4) + F.col("doc_id") % 13).cast("int")
+    h = (F.lit(4) + F.col("doc_id") % 11).cast("int")
+    trip = F.substring(F.md5(F.encode(F.col("text"), "utf-8")), 1, 6)
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "utf-8",
+    )
+    pixels = F.unhex(F.repeat(trip, w * h))
+    blobs = docs.select(
+        F.col("doc_id"), F.concat(header, pixels).alias("content")
+    )
+    decoded = multimodal.decode_image(blobs, multimodal.ppm_decoder)
+    resized = multimodal.resize_image(blobs, 8, 6, multimodal.ppm_resizer)
+    feats = multimodal.extract_features(
+        resized, extractor=multimodal.ppm_feature_extractor
+    )
+    res_md5 = resized.select(
+        "doc_id", F.md5(F.encode(F.hex("content"), "utf-8")).alias("resized_md5")
+    )
+    return (
+        decoded.join(res_md5, "doc_id")
+        .join(
+            feats.select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(F.col("embedding")[0].cast("double"), 6).alias("feat_r"),
+                F.round(F.col("embedding")[1].cast("double"), 6).alias("feat_g"),
+                F.round(F.col("embedding")[2].cast("double"), 6).alias("feat_b"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "format",
+            "n_bytes",
+            "resized_md5",
+            "feat_r",
+            "feat_g",
+            "feat_b",
+        )
+    )
+
+
 def _q_streaming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming keyword search (streaming/queries.py streaming_search):
     the tf-idf index is a BATCH artifact (df and N are corpus-level
@@ -970,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_sessions": _q_streaming_user_sessions,
         "streaming_user_stats": _q_streaming_user_stats,
         "streaming_search": _q_streaming_search,
+        "multimodal_chain": _q_multimodal_chain,
         "wiki_pagerank": _q_wiki_pagerank,
         "pagerank_textbook_top20": _q_pagerank_textbook,
     }
@@ -1193,6 +1261,30 @@ def oracle_sql() -> dict[str, str]:
         "blob_metadata": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS content_md5 FROM documents"
+        ),
+        # analytic twin of the PPM chain: solid image => resample is the
+        # identity on the pixel triplet and channel mean == byte/255
+        # (REAL round-trip mirrors the float32 embedding storage);
+        # resized payload md5 is taken over the uppercase HEX string
+        # (Spark hex == DuckDB hex) because DuckDB md5 is VARCHAR-only
+        "multimodal_chain": (
+            "WITH base AS (SELECT doc_id, "
+            "CAST(4 + doc_id % 13 AS INT) AS width, "
+            "CAST(4 + doc_id % 11 AS INT) AS height, "
+            "upper(substr(md5(text), 1, 6)) AS trip FROM documents) "
+            "SELECT doc_id, width, height, 'ppm' AS format, "
+            "CAST(octet_length(encode('P6' || chr(10) || width || ' ' || height "
+            "|| chr(10) || '255' || chr(10))) + 3 * width * height AS BIGINT) "
+            "AS n_bytes, "
+            "md5(hex(encode('P6' || chr(10) || '8 6' || chr(10) || '255' "
+            "|| chr(10))) || repeat(trip, 48)) AS resized_md5, "
+            "round(CAST(CAST(CAST(('0x' || substr(trip, 1, 2)) AS INT) / 255.0 "
+            "AS REAL) AS DOUBLE), 6) AS feat_r, "
+            "round(CAST(CAST(CAST(('0x' || substr(trip, 3, 2)) AS INT) / 255.0 "
+            "AS REAL) AS DOUBLE), 6) AS feat_g, "
+            "round(CAST(CAST(CAST(('0x' || substr(trip, 5, 2)) AS INT) / 255.0 "
+            "AS REAL) AS DOUBLE), 6) AS feat_b "
+            "FROM base"
         ),
         "top3_per_nation": (
             "SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn FROM ("
