@@ -108,6 +108,60 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier graph with a quantity edge weight — Spark twin of
+    oracles.WEIGHTED_EDGES_SQL."""
+    cat = Catalog(spark, sf_dir)
+    n_supp = cat.supplier.count()
+    return cat.lineitem.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("s"), ((F.col("l_partkey") % (2 * n_supp)) + 1).cast("string")
+        ).alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+
+
+def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (graph.pagerank weight_col=): each edge
+    scatters rank*w/sum_w — link-graph curation where edge strength
+    (click counts, citation counts) matters."""
+    ranks = graph.pagerank(
+        _weighted_edges(spark, sf_dir), n_iters=10, mode="reference", weight_col="w"
+    )
+    return (
+        ranks.select("url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(20)
+    )
+
+
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (reset-vector) weighted textbook PageRank: teleport
+    lands uniformly on the 'VIP' suppliers (s_suppkey % 10 == 0) —
+    rank relative to a seed set, the curation primitive for 'find pages
+    like these'."""
+    cat = Catalog(spark, sf_dir)
+    vip = cat.supplier.filter(F.col("s_suppkey") % 10 == 0)
+    n_vip = vip.count()
+    rst = vip.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("url"),
+        F.lit(1.0 / n_vip).alias("reset"),
+    )
+    ranks = graph.pagerank(
+        _weighted_edges(spark, sf_dir),
+        n_iters=10,
+        mode="textbook",
+        weight_col="w",
+        reset=rst,
+    )
+    return (
+        ranks.select("url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(20)
+    )
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = graph.pagerank(_edges(spark, sf_dir), n_iters=10, mode="reference")
     return (
@@ -1040,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_chain": _q_multimodal_chain,
         "wiki_pagerank": _q_wiki_pagerank,
         "pagerank_textbook_top20": _q_pagerank_textbook,
+        "weighted_pagerank_top20": _q_weighted_pagerank,
+        "personalized_pagerank_top20": _q_personalized_pagerank,
     }
 
 
@@ -1419,5 +1475,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_textbook_top20": oracles.textbook_pagerank_sql(
             EDGES_SQL, n_iters=10, limit=20
+        ),
+        "weighted_pagerank_top20": oracles.weighted_pagerank_sql(
+            n_iters=10, limit=20, mode="reference"
+        ),
+        "personalized_pagerank_top20": oracles.weighted_pagerank_sql(
+            n_iters=10,
+            limit=20,
+            mode="textbook",
+            reset_sql=(
+                "SELECT 's' || CAST(s_suppkey AS VARCHAR) AS url, "
+                "1.0 / (SELECT count(*) FROM supplier WHERE s_suppkey % 10 = 0) "
+                "AS reset FROM supplier WHERE s_suppkey % 10 = 0"
+            ),
         ),
     }

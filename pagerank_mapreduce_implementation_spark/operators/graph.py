@@ -89,6 +89,8 @@ def pagerank(
     num_partitions: int | None = None,
     vertices: DataFrame | None = None,
     seed_count: int | None = None,
+    weight_col: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges.
 
@@ -106,6 +108,25 @@ def pagerank(
     seeds 1/numOfLines (all non-empty input lines, junk included,
     PageRank.java:344-349,378); default None seeds 1/|vertices|, equal
     on corpora with one titled page per line.
+
+    ``weight_col`` names an edge weight column: each edge scatters
+    ``rank(src) * w / sum_w(src)`` instead of ``rank(src) /
+    out_degree(src)``. Weights should be non-negative; a source whose
+    weights sum to 0 scatters nothing (it is dangling, exactly like a
+    source with no edges). ``weight_col=None`` is the uniform case —
+    bit-identical to the unweighted plan (w=1.0: the scatter multiplies
+    by exactly 1 and sum(1.0)==count).
+
+    ``reset`` personalizes the teleport: a ``(url, reset)`` DataFrame
+    (probabilities, normally summing to 1; urls absent from it get 0).
+    When given it also seeds rank₀ = reset(u) and overrides
+    ``seed_count``. The teleport term becomes, per vertex:
+    textbook — ``(1-d)*reset(u)`` with dangling mass redistributed as
+    ``d*mass*reset(u)`` (standard personalized PageRank); reference —
+    ``(1-d)*N*reset(u)``, so the uniform vector reset=1/N reproduces
+    the reference's flat ``0.15`` constant exactly. The reset column
+    rides the SAME per-iteration shuffle as the zero-contribution
+    tagged rows — personalization adds no join and no extra exchange.
     """
     if mode not in ("reference", "textbook"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -143,9 +164,22 @@ def pagerank(
             num_partitions = cap
         else:
             num_partitions = max(1, min(cap, 1 + est_bytes // _LOOP_PARTITION_BYTES))
-    part = edges.repartition(num_partitions, "src").persist()
-    deg = part.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    links = part.join(deg, "src").persist()
+    if weight_col is not None:
+        # weighted scatter: out_degree becomes sum(w) per src; a source
+        # whose weights sum to 0 scatters nothing — filtered here, so it
+        # behaves exactly like an edgeless (dangling) source and leaves
+        # the DEFAULT vertex set (pass ``vertices`` to keep it).
+        part = (
+            edges.select("src", "dst", F.col(weight_col).cast("double").alias("__w"))
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        deg = part.groupBy("src").agg(F.sum("__w").alias("out_degree"))
+        links = part.join(deg, "src").filter(F.col("out_degree") != 0.0).persist()
+    else:
+        part = edges.repartition(num_partitions, "src").persist()
+        deg = part.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        links = part.join(deg, "src").persist()
     links.count()
     part.unpersist()
     if vertices is None:
@@ -161,9 +195,28 @@ def pagerank(
         vertices.unpersist()
         return spark.createDataFrame([], "url string, rank double")
 
-    ranks = vertices.select(
-        "url", F.lit(1.0 / (seed_count if seed_count is not None else n)).alias("rank")
-    )
+    # Personalization: align the reset vector to the vertex set once
+    # (absent urls -> 0) and persist it at loop width. Seeding from the
+    # reset vector is the standard personalized-PageRank start.
+    use_reset = reset is not None
+    rvec = None
+    if use_reset:
+        rvec = (
+            vertices.join(
+                reset.select("url", F.col("reset").cast("double").alias("reset")),
+                "url",
+                "left",
+            )
+            .select("url", F.coalesce("reset", F.lit(0.0)).alias("reset"))
+            .coalesce(num_partitions)
+            .persist()
+        )
+        ranks = rvec.select("url", F.col("reset").alias("rank"))
+    else:
+        ranks = vertices.select(
+            "url",
+            F.lit(1.0 / (seed_count if seed_count is not None else n)).alias("rank"),
+        )
 
     # Textbook mode: the set of dangling vertices is STATIC — compute it
     # once from the persisted links table (vertices minus scatter
@@ -183,35 +236,57 @@ def pagerank(
     # with no inbound keep sum=0 -> rank (1-d). One shuffle per
     # iteration instead of shuffle+join (the reference's tagged-union
     # repartition join, PageRank.java:472-473,509-517, done Spark-side).
-    zero = vertices.select(
-        "url", F.lit(0.0).alias("contrib"), F.lit(1).alias("own")
+    # With a reset vector the per-vertex teleport weight rides the
+    # zero-contribution rows (max() over the group recovers it after
+    # the shuffle) — personalization costs NO extra join or exchange.
+    if use_reset:
+        zero = rvec.select(
+            "url", F.lit(0.0).alias("contrib"), F.lit(1).alias("own"), "reset"
+        )
+    else:
+        zero = vertices.select(
+            "url", F.lit(0.0).alias("contrib"), F.lit(1).alias("own")
+        )
+
+    scatter = (
+        (F.col("rank") * F.col("__w") / F.col("out_degree"))
+        if weight_col is not None
+        else (F.col("rank") / F.col("out_degree"))
     )
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         # O13 scatter: contribution = rank(src)/out_degree(src) per edge
-        # occurrence. links is pre-partitioned on src; the rank vector
-        # arrives hash-partitioned on url from the previous groupBy, so
-        # this join re-shuffles at most the small rank side (or AQE
+        # occurrence (rank*w/sum_w when weighted). links is
+        # pre-partitioned on src; the rank vector arrives
+        # hash-partitioned on url from the previous groupBy, so this
+        # join re-shuffles at most the small rank side (or AQE
         # broadcasts it when it fits).
+        contrib_cols = [
+            F.col("dst").alias("url"),
+            scatter.alias("contrib"),
+            F.lit(0).alias("own"),
+        ]
+        if use_reset:
+            contrib_cols.append(F.lit(None).cast("double").alias("reset"))
         contribs = links.join(
             ranks.withColumnRenamed("url", "src"), "src"
-        ).select(
-            F.col("dst").alias("url"),
-            (F.col("rank") / F.col("out_degree")).alias("contrib"),
-            F.lit(0).alias("own"),
-        )
+        ).select(*contrib_cols)
         # O15 gather: map-side partial agg, final agg on url.
-        sums = (
-            contribs.unionByName(zero)
-            .groupBy("url")
-            .agg(F.sum("contrib").alias("contrib_sum"), F.max("own").alias("own"))
-        )
+        aggs = [F.sum("contrib").alias("contrib_sum"), F.max("own").alias("own")]
+        if use_reset:
+            aggs.append(F.max("reset").alias("reset"))
+        sums = contribs.unionByName(zero).groupBy("url").agg(*aggs)
         if mode == "reference":
+            # personalized reference teleport (1-d)*N*reset(u): the
+            # uniform vector reset=1/N reproduces the flat 0.15 constant
+            const = (
+                F.lit((1.0 - damping) * n) * F.col("reset")
+                if use_reset
+                else F.lit(1.0 - damping)
+            )
             return sums.filter(F.col("own") == 1).select(
                 "url",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.col("contrib_sum")).alias(
-                    "rank"
-                ),
+                (const + F.lit(damping) * F.col("contrib_sum")).alias("rank"),
             )
         # textbook: redistribute dangling mass, normalize constant by N.
         # The mass is a broadcast 1-row aggregate (scalar subquery), NOT
@@ -221,17 +296,20 @@ def pagerank(
             ranks.join(dangling_vs, "url", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
+        if use_reset:
+            # standard personalized PageRank: teleport AND dangling
+            # mass land on vertices in reset-vector proportion
+            new_rank = F.lit(1.0 - damping) * F.col("reset") + F.lit(damping) * (
+                F.col("contrib_sum") + F.col("dangling_mass") * F.col("reset")
+            )
+        else:
+            new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.col("contrib_sum") + F.col("dangling_mass") / n
+            )
         return (
             sums.filter(F.col("own") == 1)
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "url",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.col("contrib_sum") + F.col("dangling_mass") / n)
-                ).alias("rank"),
-            )
+            .select("url", new_rank.alias("rank"))
         )
 
     # textbook mode references ranks twice per step (contribs +
@@ -245,6 +323,8 @@ def pagerank(
     # dirs the same way, PageRank.java:222-228,308-327).
     links.unpersist()
     vertices.unpersist()
+    if rvec is not None:
+        rvec.unpersist()
     if dangling_vs is not None:
         dangling_vs.unpersist()
     return result

@@ -69,6 +69,98 @@ def pagerank_sql(
     return sql + "\n" + final
 
 
+#: weighted supplier graph — EDGES_SQL plus a quantity weight column
+WEIGHTED_EDGES_SQL = (
+    "SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+    "'s' || CAST((l_partkey % (2 * (SELECT count(*) FROM supplier))) + 1 AS VARCHAR) AS dst, "
+    "CAST(l_quantity AS DOUBLE) AS w FROM lineitem"
+)
+
+
+def weighted_pagerank_sql(
+    edges_sql: str = WEIGHTED_EDGES_SQL,
+    n_iters: int = 10,
+    damping: float = 0.85,
+    round_digits: int = 6,
+    limit: int | None = None,
+    mode: str = "reference",
+    reset_sql: str | None = None,
+) -> str:
+    """Unrolled WEIGHTED / personalized PageRank (mirror of
+    operators/graph.pagerank with ``weight_col`` and ``reset``).
+
+    ``edges_sql`` must yield ``(src, dst, w)``. Per iteration the
+    contribution is ``sum(rank * w / sum_w(src))``; sources whose
+    weights sum to 0 scatter nothing (HAVING filter — they are
+    dangling). ``reset_sql`` (yielding ``(url, reset)``) personalizes
+    the teleport exactly as the operator does: seed = reset(u);
+    reference teleport ``(1-d)*N*reset(u)``; textbook teleport
+    ``(1-d)*reset(u)`` with dangling mass times reset(u).
+    """
+    d = damping
+    parts = [
+        f"WITH links AS ({edges_sql}),",
+        "pages AS (SELECT DISTINCT src AS url FROM links),",
+        "deg AS (SELECT src, sum(w) AS d FROM links GROUP BY src "
+        "HAVING sum(w) <> 0),",
+        "nn AS (SELECT count(*) AS n FROM pages),",
+    ]
+    if reset_sql is not None:
+        parts.append(
+            f"rv AS (SELECT p.url, coalesce(rs.reset, 0) AS reset "
+            f"FROM pages p LEFT JOIN ({reset_sql}) rs ON p.url = rs.url),"
+        )
+        parts.append("r0 AS (SELECT url, reset AS rank FROM rv),")
+        vert, vcols = "rv", "p.reset"
+    else:
+        parts.append(
+            "r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM pages),"
+        )
+        vert, vcols = "pages", None
+    contrib = (
+        "SELECT l.dst AS url, sum(r.rank * l.w / d2.d) AS c "
+        "FROM links l JOIN r{prev} r ON l.src = r.url "
+        "JOIN deg d2 ON l.src = d2.src GROUP BY l.dst"
+    )
+    for i in range(1, n_iters + 1):
+        sub = contrib.format(prev=i - 1)
+        if mode == "reference":
+            const = (
+                f"{1.0 - d} * (SELECT n FROM nn) * {vcols}"
+                if reset_sql is not None
+                else f"{1.0 - d}"
+            )
+            parts.append(
+                f"r{i} AS MATERIALIZED (SELECT p.url, {const} + {d} * "
+                f"coalesce(s.c, 0) AS rank FROM {vert} p LEFT JOIN ({sub}) s "
+                "ON p.url = s.url),"
+            )
+        else:  # textbook
+            parts.append(
+                f"dm{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i - 1} r "
+                "WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.url)),"
+            )
+            if reset_sql is not None:
+                expr = (
+                    f"{1.0 - d} * p.reset + {d} * (coalesce(s.c, 0) + "
+                    f"(SELECT dm FROM dm{i}) * p.reset)"
+                )
+            else:
+                expr = (
+                    f"{1.0 - d} / (SELECT n FROM nn) + {d} * (coalesce(s.c, 0) + "
+                    f"(SELECT dm FROM dm{i}) / (SELECT n FROM nn))"
+                )
+            parts.append(
+                f"r{i} AS MATERIALIZED (SELECT p.url, {expr} AS rank "
+                f"FROM {vert} p LEFT JOIN ({sub}) s ON p.url = s.url),"
+            )
+    final = f"SELECT url, round(rank, {round_digits}) AS rank FROM r{n_iters}"
+    if limit is not None:
+        final += f" ORDER BY rank DESC, url ASC LIMIT {limit}"
+    sql = "\n".join(parts).rstrip(",")
+    return sql + "\n" + final
+
+
 # --- dedup / similarity oracles (extensions) --------------------------------
 
 #: distinct word-level shingles per doc (n=1), mirror of dedup.shingles

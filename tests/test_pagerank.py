@@ -243,3 +243,111 @@ def test_plan_size_estimate_failure_falls_back(spark, monkeypatch):
     assert set(got) == set(want)
     for u in want:
         assert got[u] == pytest.approx(want[u], rel=1e-12), u
+
+
+WEDGES = [
+    ("a", "b", 2.0),
+    ("a", "c", 1.0),
+    ("b", "c", 5.0),
+    ("c", "a", 1.0),
+    ("c", "b", 3.0),
+    ("d", "x", 4.0),  # x is a red link
+]
+
+
+def py_pagerank_weighted(
+    edges: list[tuple[str, str, float]],
+    n_iters: int = 10,
+    d: float = 0.85,
+    reset: dict[str, float] | None = None,
+    mode: str = "reference",
+):
+    srcs = {s for s, _, _ in edges}
+    wsum: dict[str, float] = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0.0) + w
+    n = len(srcs)
+    r0 = reset if reset is not None else {u: 1.0 / n for u in srcs}
+    ranks = {u: r0.get(u, 0.0) for u in srcs}
+    for _ in range(n_iters):
+        contrib: dict[str, float] = {}
+        for s, t, w in edges:
+            if wsum[s] != 0.0:
+                contrib[t] = contrib.get(t, 0.0) + ranks[s] * w / wsum[s]
+        if mode == "reference":
+            const = (
+                {u: (1.0 - d) * n * r0.get(u, 0.0) for u in srcs}
+                if reset is not None
+                else {u: 1.0 - d for u in srcs}
+            )
+            ranks = {u: const[u] + d * contrib.get(u, 0.0) for u in srcs}
+        else:
+            dangling = sum(ranks[u] for u in srcs if wsum.get(u, 0.0) == 0.0)
+            ru = reset if reset is not None else {u: 1.0 / n for u in srcs}
+            ranks = {
+                u: (1.0 - d) * ru.get(u, 0.0)
+                + d * (contrib.get(u, 0.0) + dangling * ru.get(u, 0.0))
+                for u in srcs
+            }
+    return ranks
+
+
+def test_weighted_pagerank_matches_python_oracle(spark):
+    edges = spark.createDataFrame(WEDGES, "src string, dst string, weight double")
+    got = {
+        r["url"]: r["rank"]
+        for r in pagerank(edges, n_iters=10, weight_col="weight").collect()
+    }
+    want = py_pagerank_weighted(WEDGES, 10)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12), u
+
+
+def test_uniform_weights_bit_identical_to_unweighted(spark):
+    plain = spark.createDataFrame(EDGES, "src string, dst string")
+    weighted = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in EDGES], "src string, dst string, weight double"
+    )
+    a = {r["url"]: r["rank"] for r in pagerank(plain, n_iters=10).collect()}
+    b = {
+        r["url"]: r["rank"]
+        for r in pagerank(weighted, n_iters=10, weight_col="weight").collect()
+    }
+    assert a == b  # exact float equality: w=1.0 multiplies by exactly 1
+
+
+def test_uniform_reset_bit_identical_to_default(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    srcs = sorted({s for s, _ in EDGES})
+    uniform = spark.createDataFrame(
+        [(u, 1.0 / len(srcs)) for u in srcs], "url string, reset double"
+    )
+    for mode in ("reference", "textbook"):
+        a = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=5, mode=mode).collect()}
+        b = {
+            r["url"]: r["rank"]
+            for r in pagerank(edges, n_iters=5, mode=mode, reset=uniform).collect()
+        }
+        assert set(a) == set(b)
+        for u in a:
+            # (1-d)*N*(1/N) and mass*(1/N) differ from the literal path
+            # only by float round-trip of N*(1/N)
+            assert b[u] == pytest.approx(a[u], rel=1e-12), (mode, u)
+
+
+def test_personalized_pagerank_concentrates_on_reset_set(spark):
+    """Teleporting only to 'a' must rank a's neighborhood above the
+    rest, and match the python oracle exactly."""
+    edges = spark.createDataFrame(WEDGES, "src string, dst string, weight double")
+    rst = spark.createDataFrame([("a", 1.0)], "url string, reset double")
+    got = {
+        r["url"]: r["rank"]
+        for r in pagerank(
+            edges, n_iters=10, mode="textbook", weight_col="weight", reset=rst
+        ).collect()
+    }
+    want = py_pagerank_weighted(WEDGES, 10, reset={"a": 1.0}, mode="textbook")
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12), u
+    assert got["a"] > got["d"]  # teleport target beats the disconnected src
