@@ -625,6 +625,46 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles per event type
+    (operators/sketches.py), audited against the exact distribution IN
+    the query — the same pattern as approx_daily_uniques: the raw GK
+    output is implementation-defined (any element within the rank
+    bound is legal), so the compared columns are the exact percentiles
+    plus an ``est_in_bound`` flag. The bound: a GK answer for p with
+    accuracy a is an element whose rank is within n/a of p*n, so its
+    VALUE must lie within the exact interpolated quantiles at
+    p ± 2/a (the extra 1/a over the sketch's own bound generously pads
+    the interpolation convention's rank slack; groups here are >>200
+    rows, where 0.01·n > n/a + 2). The oracle asserts the flag is 1
+    per group."""
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    accuracy = 100
+    pad = 2.0 / accuracy
+    ev = Catalog(spark, sf_dir).events
+    approx = sketches.approx_value_percentiles(
+        ev, "event_type", "value", percentiles=(0.5, 0.9), accuracy=accuracy
+    )
+    lo = lambda p: F.percentile(F.col("value"), F.lit(max(0.0, p - pad)))  # noqa: E731
+    hi = lambda p: F.percentile(F.col("value"), F.lit(min(1.0, p + pad)))  # noqa: E731
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+        lo(0.5).alias("_lo50"),
+        hi(0.5).alias("_hi50"),
+        lo(0.9).alias("_lo90"),
+        hi(0.9).alias("_hi90"),
+    )
+    in_bound = (
+        F.col("ap50").between(F.col("_lo50"), F.col("_hi50"))
+        & F.col("ap90").between(F.col("_lo90"), F.col("_hi90"))
+    ).cast("int")
+    return approx.join(exact, "event_type").select(
+        "event_type", "p50", "p90", in_bound.alias("est_in_bound")
+    )
+
+
 def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per day (operators/sketches.py),
     audited against the exact count IN the query: the raw estimate is
@@ -1080,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_type_pivot": _q_daily_type_pivot,
         "value_percentiles": _q_value_percentiles,
         "approx_daily_uniques": _q_approx_daily_uniques,
+        "approx_value_percentiles": _q_approx_value_percentiles,
         "asof_clicks": _q_asof_clicks,
         "signup_followups": _q_signup_followups,
         "daily_uniques": _q_daily_uniques,
@@ -1420,6 +1461,16 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.5), 6) AS p50, "
             "round(quantile_cont(value, 0.9), 6) AS p90, "
             "round(quantile_cont(value, 0.99), 6) AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
+        # approx_value_percentiles: like approx_daily_uniques, the GK
+        # sketch output is implementation-defined, so the compared
+        # columns are the exact percentiles + the in-rank-bound FLAG
+        "approx_value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "CAST(1 AS INTEGER) AS est_in_bound "
             "FROM events GROUP BY event_type"
         ),
         "customer_order_counts": (

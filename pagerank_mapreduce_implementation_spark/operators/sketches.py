@@ -45,6 +45,27 @@ def _pctl(col: str, p: float, digits: int = 6) -> Column:
     return F.round(F.percentile(F.col(col), F.lit(p)), digits)
 
 
+def approx_value_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 100,
+) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles per group:
+    ``(group_col, ap50, ap90, ...)`` — rank error <= 1/accuracy with
+    O(accuracy * log n) state per group instead of the full multiset.
+    The mergeable-sketch shape ``value_percentiles`` documents as the
+    unbounded-cardinality swap, made concrete."""
+    aggs = [
+        F.percentile_approx(F.col(value_col), F.lit(p), F.lit(accuracy)).alias(
+            f"ap{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def value_percentiles(
     df: DataFrame,
     group_col: str,
