@@ -507,6 +507,20 @@ def _q_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling (operators/sampling.py):
+    keep docs with probability proportional to byte length
+    (p = min(1, bytes/600) — ~50% expected at this corpus's ~300-byte
+    mean). Hash-derived uniform, IEEE-exact ops only: the oracle
+    selects the identical row set."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import weighted_sample
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    return weighted_sample(docs, "n_bytes", scale=600.0, key_col="doc_id")
+
+
 def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota (operators/sampling.py): keep the top
     50 docs per source by quality score — the curation quota pass.
@@ -531,6 +545,21 @@ def _q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = strm.read_table_stream(spark, sf_dir, "documents")
     deduped = strm.streaming_exact_dedup(docs)
     name = f"_stream_dedup_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(deduped, name, output_mode="append", state_partitions=8)
+    return spark.table(name)
+
+
+def _q_streaming_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark,
+    streaming/queries.py): first-seen user_ids with state evicted past
+    the horizon. The 30-day horizon exceeds the test events' span, so
+    nothing expires and the output is exactly DISTINCT user_id — a full
+    SQL oracle for the bounded-state API."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    deduped = strm.streaming_bounded_dedup(ev, horizon="30 days")
+    name = f"_stream_bdedup_{next(_STREAM_SEQ)}"
     strm.run_to_memory(deduped, name, output_mode="append", state_partitions=8)
     return spark.table(name)
 
@@ -1106,8 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition,
         "pii_redaction": _q_pii_redaction,
         "hash_splits": _q_hash_splits,
+        "weighted_doc_sample": _q_weighted_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
         "blob_metadata": _q_blob_metadata,
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
@@ -1325,6 +1356,15 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))"
             "::UBIGINT::BIGINT % 100 AS b FROM documents)"
         ),
+        # identical IEEE arithmetic as sampling.weighted_sample: 52-bit
+        # md5 uniform, power-of-two division, one multiply, one compare
+        "weighted_doc_sample": (
+            "SELECT doc_id, n_bytes FROM (SELECT doc_id, "
+            "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+            "('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+            "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 AS u FROM documents) "
+            "WHERE u * 600.0 < CAST(n_bytes AS DOUBLE)"
+        ),
         "source_quota": (
             f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
             "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
@@ -1349,6 +1389,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
             "AS fingerprint FROM documents"
         ),
+        # horizon > event-time span => no state expiry => exact DISTINCT
+        "streaming_bounded_dedup": "SELECT DISTINCT user_id FROM events",
         "fingerprints": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
             "list_reduce(list_prepend(0::BIGINT, list_transform(toks, "

@@ -81,6 +81,48 @@ def hash_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    scale: float,
+    key_col: str,
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Deterministic importance (Bernoulli) sampling: keep each row
+    with probability ``min(1, weight/scale)``, decided by a 52-bit
+    content-hash uniform — the curation pass "sample docs in
+    proportion to quality/length/score" with hash_split's stability
+    guarantees (re-partitioning, re-ordering, appends and re-runs
+    never flip a row's fate; pure function of (salt, key)).
+
+    Exactness across engines: the keep test is ``u * scale <
+    weight`` where ``u = md5_52bits / 2^52`` — only IEEE-exact ops
+    (int->double of a <=52-bit value, division by a power of two,
+    one multiply, one compare), deliberately NO pow/log whose libm
+    rounding differs between engines; the DuckDB oracle evaluating the
+    identical expression selects the identical row set. (Classic
+    weighted reservoir sampling — Efraimidis-Spirakis u^(1/w) — needs
+    pow, so its top-k membership is not bit-reproducible cross-engine.)
+
+    Scale posture: a narrow per-row filter — zero shuffles, zero
+    aggregates, pushdown-friendly. Pick ``scale`` ~= mean(weight) /
+    target_rate from a stats pass.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    return df.filter(u * F.lit(float(scale)) < F.col(weight_col).cast("double"))
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -152,6 +152,34 @@ def streaming_exact_dedup(
     ).dropDuplicates(["fingerprint"])
 
 
+def streaming_bounded_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "30 days",
+) -> DataFrame:
+    """First-seen emission per key with state BOUNDED to the dedup
+    horizon: ``dropDuplicatesWithinWatermark`` — the production form of
+    streaming_exact_dedup's unbounded ``dropDuplicates`` (whose
+    docstring points here). A duplicate arriving within ``horizon`` of
+    the first sighting is dropped; state older than the watermark is
+    evicted, so at 100 TB/day the store holds one row per key per
+    horizon instead of forever.
+
+    Emits the key alone: which physical duplicate is "first" is
+    arrival-order-dependent, the key set is not. With ``horizon``
+    exceeding the input's event-time span (as the driver query
+    chooses), no state can expire and the output is exactly DISTINCT
+    keys — what the batch oracle checks.
+    """
+    return (
+        events.select(F.col(key_col).alias("key"), F.col(ts_col))
+        .withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["key"])
+        .select(F.col("key").alias(key_col))
+    )
+
+
 def streaming_search(
     tfidf_stream: DataFrame, terms: list[str]
 ) -> DataFrame:

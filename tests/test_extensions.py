@@ -655,3 +655,36 @@ def test_lloyd_no_driver_roundtrip_inside_loop(spark, monkeypatch):
         assert len(got) == 4 and all(len(v) == 3 for v in got)
         counts[n_iters] = n
     assert counts[1] == counts[4], counts
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from pagerank_mapreduce_implementation_spark.operators.sampling import weighted_sample
+
+    # weights span 100..499 plus a deterministic heavy band >= 600
+    rows = [(i, float(100 + (i * 37) % 400)) for i in range(2000)] + [
+        (10_000 + i, 600.0 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept1 = {r["doc_id"] for r in weighted_sample(df, "w", 600.0, "doc_id").collect()}
+    # stable under re-partitioning and re-ordering
+    shuffled = df.repartition(13).sortWithinPartitions(df.w.desc())
+    kept2 = {
+        r["doc_id"] for r in weighted_sample(shuffled, "w", 600.0, "doc_id").collect()
+    }
+    assert kept1 == kept2
+    # appending rows never flips existing rows' fate
+    extra = spark.createDataFrame([(9999, 250.0)], "doc_id long, w double")
+    kept3 = {
+        r["doc_id"]
+        for r in weighted_sample(df.unionByName(extra), "w", 600.0, "doc_id").collect()
+    }
+    assert kept1 == kept3 - {9999} or kept1 == kept3
+    # keep-rate tracks weight: heavy rows sampled ~proportionally more
+    heavy = {i for i, w in rows if w >= 400.0}
+    light = {i for i, w in rows if w <= 200.0}
+    rate_heavy = len(kept1 & heavy) / len(heavy)
+    rate_light = len(kept1 & light) / len(light)
+    assert rate_heavy > rate_light + 0.2
+    # weight >= scale => always kept (p = 1)
+    sure = {i for i, w in rows if w >= 600.0}
+    assert sure <= kept1
