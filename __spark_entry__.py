@@ -1036,7 +1036,11 @@ def _q_multimodal_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.concat(header, pixels).alias("content")
     )
     decoded = multimodal.decode_image(blobs, multimodal.ppm_decoder)
-    resized = multimodal.resize_image(blobs, 8, 6, multimodal.ppm_resizer)
+    # resized feeds TWO consumers (md5 + featurize): cut the lineage so
+    # the decode+resize Python passes run once, not once per branch
+    resized = multimodal.resize_image(blobs, 8, 6, multimodal.ppm_resizer).localCheckpoint(
+        eager=False
+    )
     feats = multimodal.extract_features(
         resized, extractor=multimodal.ppm_feature_extractor
     )

@@ -214,3 +214,23 @@ def test_order_gaps_window_shuffle_reused(plans):
     p = plans("customer_order_gaps")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Window" in p
+
+
+def test_weighted_sample_narrow_zero_shuffle(plans):
+    # importance sampling is a pure per-row filter — no exchange, and
+    # the hash-uniform math stays in codegen (no Python)
+    p = plans("weighted_doc_sample")
+    assert "Exchange" not in p
+    assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_multimodal_chain_python_only_in_codec_steps(plans):
+    # codec passes are Arrow mapInPandas and each runs ONCE: decode and
+    # featurize appear in the plan; resize is hidden inside the lazy
+    # localCheckpoint both its consumers (md5 + featurize) share — a
+    # third visible MapInPandas would mean the resize pass is
+    # duplicated per branch again
+    p = plans("multimodal_chain")
+    assert p.count("MapInPandas") == 2
+    assert "Scan ExistingRDD" in p  # the shared checkpointed resize
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python UDFs
