@@ -413,6 +413,20 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving (similarity.ivf_topk_batch): top-10 neighbors
+    for 5 stored query vectors in ONE scan of the cell assignments —
+    per-query probe selection and per-query top-k are row_number
+    windows over broadcast-small tables."""
+    return similarity.ivf_topk_batch(
+        Catalog(spark, sf_dir).embeddings,
+        query_vec_ids=[0, 7, 21, 42, 99],
+        k=10,
+        n_cells=16,
+        n_probe=4,
+    )
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         Catalog(spark, sf_dir).embeddings, 0, k=10, n_cells=16, n_probe=4
@@ -1131,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_batch": _q_ivf_topk_batch,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -1301,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),
         "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),
+        "ivf_topk_batch": oracles.ivf_topk_batch_sql([0, 7, 21, 42, 99], 10, 16, 4),
         "token_stats": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
             "CAST(len(toks) AS INT) AS n_tokens, "

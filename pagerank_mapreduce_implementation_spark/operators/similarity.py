@@ -568,3 +568,72 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k for MANY stored query vectors in ONE pass over the
+    index: ``(query_id, vec_id, cos)`` — the batch-serving shape
+    (ivf_topk × q queries would scan the assignments q times; this
+    scans them once).
+
+    Shape at scale: queries × centroids is a tiny broadcast cross
+    (q·n_cells rows) from which a per-query row_number picks the
+    ``n_probe`` probe cells; the (cell_id, query) probe table — q·n_probe
+    rows carrying the query vectors — broadcasts into ONE join against
+    the cell assignments, so each query only ever meets vectors in its
+    probed cells; the per-query top-k is a row_number window that
+    Catalyst prunes with WindowGroupLimit before the shuffle. Same
+    deterministic ties (strict rank, lowest id) and the same sequential
+    fold float math as ivf_topk/the SQL oracle.
+    """
+    from pyspark.sql.window import Window
+
+    cents, assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=centroids)
+    qs = emb.filter(F.col(id_col).isin(list(query_vec_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored_cells = cents.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "cell_id",
+        "qvec",
+        "qnorm",
+        (_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+            "qcos"
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
+    probes = (
+        scored_cells.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "cell_id", "qvec", "qnorm")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (_norm(F.col("vec")) * F.col("qnorm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "cos")
+    )

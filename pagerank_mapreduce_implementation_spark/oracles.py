@@ -414,6 +414,43 @@ def ivf_topk_sql(
     )
 
 
+def ivf_topk_batch_sql(
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Batch mirror of similarity.ivf_topk_batch: per-query probe cells
+    via row_number over the tiny query × centroid cross, per-query
+    top-k over the probed cells (ordered by the ROUNDED cosine, same as
+    the operator's window)."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return (
+        "WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        f"embedding AS cvec FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
+        f"WHERE vec_id IN ({ids})), "
+        "scored AS (SELECT e.vec_id, e.embedding AS vec, c.cell_id, "
+        f"{_dot_sql('e.embedding', 'c.cvec')} / ({_norm_sql('e.embedding')} * "
+        f"{_norm_sql('c.cvec')}) AS ccos FROM embeddings e CROSS JOIN cents c), "
+        "assign AS (SELECT vec_id, vec, cell_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn FROM scored) "
+        "WHERE rn = 1), "
+        "probe AS (SELECT query_id, cell_id, qvec FROM (SELECT q.query_id, "
+        "c.cell_id, q.qvec, row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"{_dot_sql('c.cvec', 'q.qvec')} / ({_norm_sql('c.cvec')} * "
+        f"{_norm_sql('q.qvec')}) DESC, c.cell_id ASC) AS prn "
+        f"FROM cents c CROSS JOIN q) WHERE prn <= {n_probe}) "
+        "SELECT query_id, vec_id, cos FROM (SELECT query_id, vec_id, cos, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+        "AS rn FROM (SELECT p.query_id, a.vec_id, "
+        f"round({_dot_sql('a.vec', 'p.qvec')} / ({_norm_sql('a.vec')} * "
+        f"{_norm_sql('p.qvec')}), 6) AS cos "
+        "FROM assign a JOIN probe p ON a.cell_id = p.cell_id "
+        f"WHERE a.vec_id <> p.query_id)) WHERE rn <= {k}"
+    )
+
+
 def embedding_dedup_sql(
     threshold: float = 0.25, num_planes: int = 8, bands: int = 2
 ) -> str:

@@ -234,3 +234,13 @@ def test_multimodal_chain_python_only_in_codec_steps(plans):
     assert p.count("MapInPandas") == 2
     assert "Scan ExistingRDD" in p  # the shared checkpointed resize
     assert "BatchEvalPython" not in p  # no row-at-a-time Python UDFs
+
+
+def test_ivf_topk_batch_broadcast_probes_and_group_limits(plans):
+    # batch ANN: the probe table broadcasts into the single assignment
+    # join (no SortMergeJoin, no cartesian against the base), and both
+    # per-query windows (probe pick + top-k) get WindowGroupLimit
+    p = plans("ivf_topk_batch")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
