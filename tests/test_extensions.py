@@ -688,3 +688,31 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     # weight >= scale => always kept (p = 1)
     sure = {i for i, w in rows if w >= 600.0}
     assert sure <= kept1
+
+
+def test_ivf_topk_batch_matches_single_and_handles_missing(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    batch = similarity.ivf_topk_batch(emb, [13, 42], k=5)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for qid in (13, 42):
+        single = [
+            (r["vec_id"], r["cos"]) for r in similarity.ivf_topk(emb, qid, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
+    # an id absent from the table contributes no rows; empty list -> empty
+    assert similarity.ivf_topk_batch(emb, [10**9], k=5).count() == 0
+    assert similarity.ivf_topk_batch(emb, [], k=5).count() == 0
+
+
+def test_weighted_sample_zero_weight_and_empty(spark):
+    from pagerank_mapreduce_implementation_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 0.0), (2, 1e9)], "doc_id long, w double")
+    kept = {r["doc_id"] for r in weighted_sample(df, "w", 600.0, "doc_id").collect()}
+    assert kept == {2}  # zero weight never sampled; huge weight always
+    empty = spark.createDataFrame([], "doc_id long, w double")
+    assert weighted_sample(empty, "w", 600.0, "doc_id").count() == 0

@@ -351,3 +351,23 @@ def test_personalized_pagerank_concentrates_on_reset_set(spark):
     for u in want:
         assert got[u] == pytest.approx(want[u], rel=1e-12), u
     assert got["a"] > got["d"]  # teleport target beats the disconnected src
+
+
+def test_weighted_pagerank_edge_cases(spark):
+    # all-zero weights: every source is dangling, nothing scatters and
+    # (deriving vertices from filtered links) the result is empty
+    z = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "c", 0.0)], "src string, dst string, weight double"
+    )
+    assert pagerank(z, n_iters=2, weight_col="weight").count() == 0
+    # ...unless the caller keeps the vertices explicitly: then they are
+    # all zero-inbound and sit at the (1-d) constant
+    vs = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")
+    got = {
+        r["url"]: r["rank"]
+        for r in pagerank(z, n_iters=2, weight_col="weight", vertices=vs).collect()
+    }
+    assert got == {"a": pytest.approx(0.15), "b": pytest.approx(0.15), "c": pytest.approx(0.15)}
+    # empty edges stay empty in the weighted path too
+    e = spark.createDataFrame([], "src string, dst string, weight double")
+    assert pagerank(e, n_iters=2, weight_col="weight").count() == 0
