@@ -144,6 +144,7 @@ def clean_corpus(
     contamination_ngram: int = 8,
     contamination_threshold: float = 0.01,
     cc_max_iters: int = 20,
+    sample_scale: float | None = None,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -158,7 +159,11 @@ def clean_corpus(
     5. exact dedup — drop non-keepers by content fingerprint
     6. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
        components -> keep each cluster's min doc_id
-    7. survivors written to ``output_path`` (parquet, overwrite)
+    7. deterministic importance downsampling (sampling.weighted_sample,
+       weight = byte length, p = min(1, bytes/sample_scale)) when
+       ``sample_scale`` set — the token-budget shaping pass; stable
+       under re-runs and appends like every other stage
+    8. survivors written to ``output_path`` (parquet, overwrite)
 
     Returns the surviving docs read back from ``output_path``.
     ``cc_max_iters`` bounds the cluster label propagation (raised
@@ -219,6 +224,17 @@ def clean_corpus(
         F.col("vertex").alias("doc_id")
     )
     survivors = docs.join(drop, "doc_id", "left_anti")
+    if sample_scale is not None:
+        from pagerank_mapreduce_implementation_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        survivors = weighted_sample(
+            survivors.withColumn("__w", F.octet_length("text")),
+            "__w",
+            sample_scale,
+            "doc_id",
+        ).drop("__w")
     survivors.write.mode("overwrite").parquet(output_path)
     # hand back the WRITTEN table, not the lazy plan: a consumer action
     # on the plan would re-run lang-id + quality + both dedup passes —

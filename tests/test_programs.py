@@ -233,3 +233,51 @@ def test_connected_components_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
+
+
+def test_clean_corpus_sampling_stage(spark, tmp_path):
+    """sample_scale adds the deterministic downsampling stage: the
+    sampled output is a subset of the unsampled run, reproducible
+    across re-runs, and long docs survive preferentially."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (i, ("long document body " * 40) if i % 2 == 0 else "tiny doc", "web")
+        for i in range(40)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+
+    full = {
+        r["doc_id"]
+        for r in clean_corpus(
+            spark, src, str(tmp_path / "out_full"), near_dup_threshold=0.99, ngram=3
+        ).collect()
+    }
+    kept1 = {
+        r["doc_id"]
+        for r in clean_corpus(
+            spark,
+            src,
+            str(tmp_path / "out_s1"),
+            near_dup_threshold=0.99,
+            ngram=3,
+            sample_scale=400.0,
+        ).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in clean_corpus(
+            spark,
+            src,
+            str(tmp_path / "out_s2"),
+            near_dup_threshold=0.99,
+            ngram=3,
+            sample_scale=400.0,
+        ).collect()
+    }
+    assert kept1 == kept2  # deterministic across runs
+    assert kept1 <= full and len(kept1) < len(full)
+    # every surviving long doc (>=400 bytes => p=1) that passed dedup is kept
+    long_survivors = {d for d in full if d % 2 == 0}
+    assert long_survivors & kept1 == long_survivors & full
