@@ -392,6 +392,15 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, 0.2, ngram=5)
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (dedup.ngram_containment_pairs): shingle
+    containment |A∩B|/min(|A|,|B|) — catches a small doc embedded in a
+    big one, which symmetric Jaccard scores near zero."""
+    return dedup.ngram_containment_pairs(
+        Catalog(spark, sf_dir).documents, 0.5, ngram=5
+    )
+
+
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(Catalog(spark, sf_dir).documents, max_hamming=12)
 
@@ -1141,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "simhash_dedup": _q_simhash_dedup,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -1312,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_dedup": oracles.minhash_near_dups_sql(0.5, ngram=5),
         "ngram_jaccard_dedup": oracles.ngram_jaccard_sql(0.2, 5),
+        "ngram_containment": oracles.ngram_containment_sql(0.5, 5),
         "simhash_dedup": oracles.simhash_near_dups_sql(12),
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),

@@ -348,6 +348,57 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment ``|A∩B| / min(|A|,|B|)``
+    — catches a small doc embedded in a big one (boilerplate templates,
+    quote-heavy pages, page-plus-navigation wrappers), which symmetric
+    Jaccard misses: a 50-shingle doc inside a 5000-shingle page has
+    Jaccard ~0.01 but containment 1.0.
+
+    Same exact-recall physical shape as ngram_jaccard_pairs (shared
+    shingle self-join counts the intersection; one shingle shuffle +
+    one pair aggregation; stop-shingle skew -> use an LSH front-end at
+    scale). Emits ``(doc_a, doc_b, containment)`` for pairs at or above
+    ``threshold``, with both directional ratios folded into the
+    max-containment (min-denominator) form.
+    """
+    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    try:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        out = (
+            inter.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("i").cast("double") / F.least(F.col("na"), F.col("nb")),
+                    6,
+                ).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -249,6 +249,22 @@ def ngram_jaccard_sql(threshold: float, ngram: int = 3) -> str:
     )
 
 
+def ngram_containment_sql(threshold: float, ngram: int = 3) -> str:
+    """Mirror of dedup.ngram_containment_pairs: |A∩B| / min(|A|, |B|)."""
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        "inter AS (SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS i "
+        "FROM sh p JOIN sh q ON p.shingle = q.shingle AND p.doc_id < q.doc_id "
+        "GROUP BY p.doc_id, q.doc_id), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) "
+        "SELECT t.doc_a, t.doc_b, "
+        "round(CAST(t.i AS DOUBLE) / least(sa.n, sb.n), 6) AS containment "
+        "FROM inter t JOIN sz sa ON sa.doc_id = t.doc_a "
+        "JOIN sz sb ON sb.doc_id = t.doc_b "
+        f"WHERE round(CAST(t.i AS DOUBLE) / least(sa.n, sb.n), 6) >= {threshold}"
+    )
+
+
 SIMHASH_SQL = (
     "tok AS (SELECT doc_id, w AS word FROM (SELECT doc_id, "
     "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> ''), "

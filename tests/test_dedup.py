@@ -146,3 +146,25 @@ def test_exact_dedup_skew_safe_property_equal(spark, planted):
     a = rows_of(dedup.exact_dedup(docs))
     b = rows_of(dedup.exact_dedup(docs, skew_safe=True))
     assert a == b and len(a) == 300
+
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    """A small doc fully embedded in a large one: Jaccard ~small,
+    containment == 1.0 — the asymmetric operator's reason to exist."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, 0.5, ngram=3).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # every 3-gram of the small doc is in the big
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 0.0001, ngram=3).collect()
+    }
+    assert jac[(1, 2)] < 0.05  # symmetric Jaccard would have missed it
