@@ -371,3 +371,45 @@ def test_weighted_pagerank_edge_cases(spark):
     # empty edges stay empty in the weighted path too
     e = spark.createDataFrame([], "src string, dst string, weight double")
     assert pagerank(e, n_iters=2, weight_col="weight").count() == 0
+
+
+def test_weighted_pagerank_random_graphs_match_python_oracle(spark):
+    """Randomized parity: weighted + personalized variants against the
+    pure-python evaluator on random weighted digraphs (duplicate edges
+    and red links included)."""
+    import random
+
+    for seed in (3, 19, 71):
+        rng = random.Random(seed)
+        n = 25
+        edges = [
+            (
+                f"v{rng.randrange(n)}",
+                f"v{rng.randrange(int(n * 1.4))}",  # ~30% red-link targets
+                round(rng.uniform(0.1, 5.0), 3),
+            )
+            for _ in range(80)
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, weight double")
+        got = {
+            r["url"]: r["rank"]
+            for r in pagerank(df, n_iters=6, weight_col="weight").collect()
+        }
+        want = py_pagerank_weighted(edges, 6)
+        assert set(got) == set(want), seed
+        for u in want:
+            assert got[u] == pytest.approx(want[u], rel=1e-9), (seed, u)
+
+        # personalized textbook over the same graph: teleport to 3 seeds
+        srcs = sorted({s for s, _, _ in edges})
+        seeds = {u: 1.0 / 3 for u in srcs[:3]}
+        rst = spark.createDataFrame(list(seeds.items()), "url string, reset double")
+        got_p = {
+            r["url"]: r["rank"]
+            for r in pagerank(
+                df, n_iters=6, mode="textbook", weight_col="weight", reset=rst
+            ).collect()
+        }
+        want_p = py_pagerank_weighted(edges, 6, reset=seeds, mode="textbook")
+        for u in want_p:
+            assert got_p[u] == pytest.approx(want_p[u], rel=1e-9), (seed, u)
