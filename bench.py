@@ -59,10 +59,16 @@ def main() -> None:
     def drop_persisted() -> None:
         # Release leftover persisted/localCheckpointed RDD blocks so GC
         # pressure from one query doesn't pollute the next measurement.
-        jsc = spark.sparkContext._jsc.sc()
-        it = jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # The RDD walk goes through private py4j internals — measurement
+        # hygiene only, so a Spark bump breaking it must degrade the
+        # bench, never crash it.
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception as exc:
+            print(f"  drop_persisted unavailable: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
 
     drop_persisted()
