@@ -422,6 +422,17 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_corpus_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus embedding matches (similarity.cosine_matches_ab):
+    the 'train' split (vec_id % 10 != 0) against the 'eval' split
+    (vec_id % 10 == 0) — embedding-space decontamination candidates,
+    LSH-bucketed on both sides (never |A|x|B|)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.cosine_matches_ab(train, ev, threshold=0.25)
+
+
 def _q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN serving (similarity.ivf_topk_batch): top-10 neighbors
     for 5 stored query vectors in ONE scan of the cell assignments —
@@ -570,6 +581,37 @@ def _q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"_stream_dedup_{next(_STREAM_SEQ)}"
     strm.run_to_memory(deduped, name, output_mode="append", state_partitions=8)
     return spark.table(name)
+
+
+def _q_streaming_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL++ distinct users per day (streaming/queries.py):
+    mergeable sketch registers as bounded per-group state. Audited the
+    same way as the batch approx_daily_uniques twin — the raw estimate
+    is implementation-defined, so the compared columns are the exact
+    count plus the 3-sigma in-bound flag (and since both twins run the
+    same HLL over the same rows, they share one oracle)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    rsd = 0.05
+    ev = strm.read_events_stream(spark, sf_dir)
+    agg = strm.streaming_approx_uniques(ev, rsd=rsd)
+    name = f"_stream_hll_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(agg, name, output_mode="complete", state_partitions=8)
+    approx = spark.table(name)
+    exact = (
+        Catalog(spark, sf_dir)
+        .events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("exact_uniques"))
+    )
+    in_bound = (
+        F.abs(F.col("approx_uniques") - F.col("exact_uniques"))
+        <= F.lit(3 * rsd) * F.col("exact_uniques")
+    ).cast("int")
+    return approx.join(exact, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "exact_uniques",
+        in_bound.alias("est_in_bound"),
+    )
 
 
 def _q_streaming_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_batch": _q_ivf_topk_batch,
+        "cross_corpus_matches": _q_cross_corpus_matches,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -1168,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
+        "streaming_approx_uniques": _q_streaming_approx_uniques,
         "blob_metadata": _q_blob_metadata,
         "top3_per_nation": _q_top3_per_nation,
         "events_hourly": _q_events_hourly,
@@ -1328,6 +1372,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),
         "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),
         "ivf_topk_batch": oracles.ivf_topk_batch_sql([0, 7, 21, 42, 99], 10, 16, 4),
+        "cross_corpus_matches": oracles.cosine_matches_ab_sql(
+            "vec_id % 10 <> 0", "vec_id % 10 = 0", 0.25
+        ),
         "token_stats": (
             f"WITH {_TOKS_ARR} SELECT doc_id, "
             "CAST(len(toks) AS INT) AS n_tokens, "
@@ -1507,6 +1554,14 @@ def oracle_sql() -> dict[str, str]:
         # red. CAST: DuckDB count(DISTINCT) is BIGINT (int64, matches
         # Spark); the literal 1 is INTEGER (int32, matches the int cast)
         "approx_daily_uniques": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS exact_uniques, "
+            "CAST(1 AS INTEGER) AS est_in_bound "
+            "FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
+        ),
+        # streaming twin runs the same HLL over the same rows -> same
+        # exact counts and the same must-be-in-bound flag
+        "streaming_approx_uniques": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, "
             "count(DISTINCT user_id) AS exact_uniques, "
             "CAST(1 AS INTEGER) AS est_in_bound "

@@ -287,6 +287,60 @@ def cosine_pairs_lsh(
     )
 
 
+def cosine_matches_ab(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CROSS-corpus cosine matches: ``(id_a, id_b, cos)`` with cos >=
+    threshold between two DIFFERENT embedding tables — the
+    embedding-space decontamination / cross-corpus linkage shape
+    ("which training docs are near any eval doc"), where the all-pairs
+    product |A|x|B| must never materialize.
+
+    Both sides are sketched with the SAME deterministic hyperplanes
+    (md5-derived, no RNG state — the property that makes cross-table
+    bucket keys comparable), so candidates are exactly the pairs that
+    collide in some band; the exact cosine verifies survivors once per
+    distinct pair. Same (bands, planes) recall knobs as
+    cosine_pairs_lsh; no ``a < b`` ordering filter because the id
+    spaces are unrelated.
+    """
+    ba = hyperplane_band_buckets(emb_a, num_planes, bands, id_col, vec_col).select(
+        F.col("vec_id").alias("id_a"), "band", "key"
+    )
+    bb = hyperplane_band_buckets(emb_b, num_planes, bands, id_col, vec_col).select(
+        F.col("vec_id").alias("id_b"), "band", "key"
+    )
+    cand = ba.join(bb, ["band", "key"]).select("id_a", "id_b").distinct()
+    base_a = emb_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    base_b = emb_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        cand.join(base_a, "id_a")
+        .join(base_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 

@@ -362,6 +362,42 @@ def cosine_pairs_lsh_sql(threshold: float, num_planes: int = 8, bands: int = 2) 
     )
 
 
+def cosine_matches_ab_sql(
+    a_where: str,
+    b_where: str,
+    threshold: float,
+    num_planes: int = 8,
+    bands: int = 2,
+) -> str:
+    """Mirror of similarity.cosine_matches_ab over two WHERE-filtered
+    views of the embeddings table (same deterministic hyperplanes on
+    both sides; no a<b filter — id spaces are unrelated)."""
+    r = num_planes // bands
+
+    def band_rows(where: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, "
+            + " + ".join(_plane_bit_sql(b * r + j, 1 << j) for j in range(r))
+            + f" AS key FROM embeddings WHERE {where}"
+            for b in range(bands)
+        )
+
+    return (
+        f"WITH bka AS ({band_rows(a_where)}), bkb AS ({band_rows(b_where)}), "
+        "cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b FROM bka x "
+        "JOIN bkb y ON x.band = y.band AND x.key = y.key), "
+        f"basea AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm "
+        f"FROM embeddings WHERE {a_where}), "
+        f"baseb AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm "
+        f"FROM embeddings WHERE {b_where}), "
+        "pairs AS (SELECT c.id_a, c.id_b, a.embedding AS va, b.embedding AS vb, "
+        "a.nrm AS na, b.nrm AS nb FROM cand c "
+        "JOIN basea a ON c.id_a = a.vec_id JOIN baseb b ON c.id_b = b.vec_id) "
+        f"SELECT id_a, id_b, round({_dot_sql('va', 'vb')} / (na * nb), 6) AS cos "
+        f"FROM pairs WHERE round({_dot_sql('va', 'vb')} / (na * nb), 6) >= {threshold}"
+    )
+
+
 def textbook_pagerank_sql(
     edges_sql: str = EDGES_SQL,
     n_iters: int = 10,

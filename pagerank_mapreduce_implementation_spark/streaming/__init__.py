@@ -2,6 +2,7 @@ from pagerank_mapreduce_implementation_spark.streaming.queries import (
     read_events_stream,
     read_table_stream,
     run_to_memory,
+    streaming_approx_uniques,
     streaming_bounded_dedup,
     streaming_click_attribution,
     streaming_exact_dedup,
@@ -16,6 +17,7 @@ __all__ = [
     "read_events_stream",
     "read_table_stream",
     "run_to_memory",
+    "streaming_approx_uniques",
     "streaming_bounded_dedup",
     "streaming_click_attribution",
     "streaming_exact_dedup",

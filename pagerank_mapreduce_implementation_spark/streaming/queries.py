@@ -152,6 +152,24 @@ def streaming_exact_dedup(
     ).dropDuplicates(["fingerprint"])
 
 
+def streaming_approx_uniques(
+    events: DataFrame, rsd: float = 0.05
+) -> DataFrame:
+    """HLL++ distinct users per day over an unbounded event stream —
+    the streaming twin of sketches.approx_uniques. The sketch's
+    MERGEABILITY is what makes it a streaming-native aggregate: state
+    per (day) group is the fixed-size HLL registers, merged
+    incrementally across micro-batches, never the user-id set (an
+    exact streaming countDistinct would hold every id in state
+    forever). Complete output mode; at 100 TB/day add a watermark +
+    window to age out closed days' registers."""
+    return (
+        events.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_uniques"))
+    )
+
+
 def streaming_bounded_dedup(
     events: DataFrame,
     key_col: str = "user_id",

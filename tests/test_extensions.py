@@ -716,3 +716,21 @@ def test_weighted_sample_zero_weight_and_empty(spark):
     assert kept == {2}  # zero weight never sampled; huge weight always
     empty = spark.createDataFrame([], "doc_id long, w double")
     assert weighted_sample(empty, "w", 600.0, "doc_id").count() == 0
+
+
+def test_cosine_matches_ab_cross_corpus(spark):
+    """Cross-corpus LSH matches: identical vectors across tables always
+    collide (same deterministic planes on both sides); scores are the
+    exact brute-force cosine; disjoint id spaces need no a<b filter."""
+    a_rows = [(1, [1.0, 0.0, 0.5]), (2, [-1.0, 2.0, 0.0])]
+    b_rows = [(101, [1.0, 0.0, 0.5]), (102, [0.0, -1.0, 3.0])]
+    emb_a = spark.createDataFrame(a_rows, "vec_id long, embedding array<float>")
+    emb_b = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_matches_ab(emb_a, emb_b, threshold=-1.0).collect()
+    }
+    assert got[(1, 101)] == 1.0  # identical vector in both corpora
+    for (ia, ib), c in got.items():
+        assert ia in {1, 2} and ib in {101, 102}
+        assert -1.0 <= c <= 1.0
