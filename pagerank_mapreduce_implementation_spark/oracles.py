@@ -100,9 +100,12 @@ def weighted_pagerank_sql(
     d = damping
     parts = [
         f"WITH links AS ({edges_sql}),",
-        "pages AS (SELECT DISTINCT src AS url FROM links),",
         "deg AS (SELECT src, sum(w) AS d FROM links GROUP BY src "
         "HAVING sum(w) <> 0),",
+        # vertex set from the FILTERED degree table: a source whose
+        # weights sum to 0 scatters nothing and leaves the default
+        # vertex set — exactly the operator's links-derived vertices
+        "pages AS (SELECT src AS url FROM deg),",
         "nn AS (SELECT count(*) AS n FROM pages),",
     ]
     if reset_sql is not None:

@@ -413,3 +413,25 @@ def test_weighted_pagerank_random_graphs_match_python_oracle(spark):
         want_p = py_pagerank_weighted(edges, 6, reset=seeds, mode="textbook")
         for u in want_p:
             assert got_p[u] == pytest.approx(want_p[u], rel=1e-9), (seed, u)
+
+
+def test_weighted_oracle_sql_agrees_on_zero_weight_sources(spark):
+    """The weighted recursive-CTE oracle and the operator must agree on
+    the vertex-set edge case: a source whose weights sum to 0 leaves
+    the DEFAULT vertex set on both sides."""
+    import duckdb
+
+    from pagerank_mapreduce_implementation_spark import oracles
+
+    edges = [("a", "b", 1.0), ("z", "b", 0.0), ("b", "a", 2.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {
+        r["url"]: round(r["rank"], 6)
+        for r in pagerank(df, n_iters=4, weight_col="weight").collect()
+    }
+    vals = ", ".join(f"('{s}','{t}',{w})" for s, t, w in edges)
+    sql = oracles.weighted_pagerank_sql(
+        edges_sql=f"SELECT * FROM (VALUES {vals}) t(src, dst, w)", n_iters=4
+    )
+    want = {u: r for u, r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want and "z" not in got
