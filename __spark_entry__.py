@@ -555,6 +555,23 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_bytes", scale=600.0, key_col="doc_id")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source importance sampling (sampling.stratified_weighted_sample):
+    within each source, keep docs with p = 0.7 * bytes / max_bytes(source)
+    — longer docs survive preferentially, every stratum keeps its own
+    scale. Max-normalized so the oracle's keep test is bit-identical."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        stratified_weighted_sample,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.octet_length("text").alias("n_bytes")
+    )
+    return stratified_weighted_sample(
+        docs, "n_bytes", "source", rate=0.7, key_col="doc_id"
+    ).select("doc_id", "source", "n_bytes")
+
+
 def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota (operators/sampling.py): keep the top
     50 docs per source by quality score — the curation quota pass.
@@ -1208,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
+        "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
@@ -1442,6 +1460,17 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))"
             "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 AS u FROM documents) "
             "WHERE u * 600.0 < CAST(n_bytes AS DOUBLE)"
+        ),
+        # stratum-max normalizer (order-independent) keeps the compare
+        # IEEE-exact — same 52-bit md5 uniform as weighted_doc_sample
+        "stratified_doc_sample": (
+            "SELECT doc_id, source, n_bytes FROM (SELECT doc_id, source, "
+            "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+            "('0x' || substr(md5('swsample:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+            "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 AS u, "
+            "max(CAST(octet_length(encode(text)) AS INT)::DOUBLE) "
+            "OVER (PARTITION BY source) AS mxw FROM documents) "
+            "WHERE u * mxw < 0.7 * CAST(n_bytes AS DOUBLE)"
         ),
         "source_quota": (
             f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "

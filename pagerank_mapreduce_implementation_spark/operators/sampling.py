@@ -123,6 +123,52 @@ def weighted_sample(
     return df.filter(u * F.lit(float(scale)) < F.col(weight_col).cast("double"))
 
 
+def stratified_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    rate: float,
+    key_col: str,
+    salt: str = "swsample:",
+) -> DataFrame:
+    """Per-group importance sampling: within each ``group_col`` stratum,
+    keep each row with probability ``rate * weight / max(weight over
+    the stratum)`` — the per-source curation sampler ("downsample every
+    source, keep its best-weighted rows preferentially") that a single
+    global scale can't express when strata have different weight
+    ranges.
+
+    The normalizer is the stratum MAX (not mean) on purpose: max of
+    doubles is ORDER-INDEPENDENT, so the keep test ``u * max_w <
+    rate * w`` stays IEEE-exact and bit-reproducible in the SQL oracle
+    — a mean would inherit partial-aggregation order and could flip
+    boundary rows between engines. Same 52-bit md5 uniform and
+    stability guarantees as weighted_sample.
+
+    Scale shape: one groupBy(group) max — strata counts are small, AQE
+    broadcasts the normalizer table — then a narrow filter; the
+    fingerprint math never shuffles the corpus.
+    """
+    mx = df.groupBy(group_col).agg(F.max(F.col(weight_col).cast("double")).alias("__mxw"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    return (
+        df.join(mx, group_col)
+        .filter(u * F.col("__mxw") < F.lit(float(rate)) * F.col(weight_col).cast("double"))
+        .drop("__mxw")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -734,3 +734,35 @@ def test_cosine_matches_ab_cross_corpus(spark):
     for (ia, ib), c in got.items():
         assert ia in {1, 2} and ib in {101, 102}
         assert -1.0 <= c <= 1.0
+
+
+def test_stratified_weighted_sample_per_group_normalization(spark):
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        stratified_weighted_sample,
+    )
+
+    # stratum A weights ~ [100, 1000], stratum B ~ [1, 10]: a GLOBAL
+    # scale would keep nearly nothing from B; per-stratum max keeps the
+    # best rows of BOTH
+    rows = [(i, "A", float(100 + i * 9)) for i in range(100)] + [
+        (1000 + i, "B", 1.0 + i * 0.09) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    kept = {
+        r["doc_id"]
+        for r in stratified_weighted_sample(df, "w", "source", 0.9, "doc_id").collect()
+    }
+    kept_a = [d for d in kept if d < 1000]
+    kept_b = [d for d in kept if d >= 1000]
+    assert len(kept_a) > 20 and len(kept_b) > 20  # both strata sampled
+    # deterministic across re-partitioning
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_weighted_sample(
+            df.repartition(7), "w", "source", 0.9, "doc_id"
+        ).collect()
+    }
+    assert kept == kept2
+    # the max-weight row of each stratum has p = rate; a weight-0 row never survives
+    z = spark.createDataFrame([(1, "A", 0.0)], "doc_id long, source string, w double")
+    assert stratified_weighted_sample(z, "w", "source", 0.9, "doc_id").count() == 0
