@@ -776,6 +776,54 @@ def _q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated sketch rollup (operators/sketches.py): per-day
+    DataSketches HLL sketches, then the MONTH total answered by
+    UNIONING the 30 daily sketches — never re-scanning events. Audit
+    (same pattern as the other sketch queries): per-day and total
+    estimates are implementation-defined, so the compared columns are
+    the exact counts plus in-bound flags (3σ at lg_k=12 ≈ 4.9%)."""
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    err3 = 3 * 1.04 / (2**12) ** 0.5
+    ev = Catalog(spark, sf_dir).events
+    daily = sketches.hll_daily_sketches(ev, "ts", "user_id").persist()
+    try:
+        per_day = daily.select(
+            "d", F.hll_sketch_estimate("sketch").alias("day_est")
+        )
+        total = sketches.hll_rollup_estimate(daily)
+        exact_day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+            F.countDistinct("user_id").alias("exact_uniques")
+        )
+        exact_total = ev.agg(
+            F.countDistinct("user_id").alias("exact_total")
+        )
+        day_flag = (
+            F.abs(F.col("day_est") - F.col("exact_uniques"))
+            <= F.lit(err3) * F.col("exact_uniques")
+        ).cast("int")
+        total_flag = (
+            F.abs(F.col("total_estimate") - F.col("exact_total"))
+            <= F.lit(err3) * F.col("exact_total")
+        ).cast("int")
+        out = (
+            per_day.join(exact_day, "d")
+            .crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(exact_total))
+            .select(
+                F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "exact_uniques",
+                day_flag.alias("day_in_bound"),
+                "exact_total",
+                total_flag.alias("total_in_bound"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        daily.unpersist()
+
+
 def _q_approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per day (operators/sketches.py),
     audited against the exact count IN the query: the raw estimate is
@@ -1243,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "approx_daily_uniques": _q_approx_daily_uniques,
         "approx_value_percentiles": _q_approx_value_percentiles,
+        "hll_sketch_rollup": _q_hll_sketch_rollup,
         "asof_clicks": _q_asof_clicks,
         "signup_followups": _q_signup_followups,
         "daily_uniques": _q_daily_uniques,
@@ -1586,6 +1635,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(ts, '%Y-%m-%d') AS day, "
             "count(DISTINCT user_id) AS exact_uniques, "
             "CAST(1 AS INTEGER) AS est_in_bound "
+            "FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
+        ),
+        # sketch rollup: day estimates AND the sketch-union total must
+        # each sit inside the 3-sigma bound; exact values anchor the hash
+        "hll_sketch_rollup": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS exact_uniques, "
+            "CAST(1 AS INTEGER) AS day_in_bound, "
+            "(SELECT count(DISTINCT user_id) FROM events) AS exact_total, "
+            "CAST(1 AS INTEGER) AS total_in_bound "
             "FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
         ),
         # streaming twin runs the same HLL over the same rows -> same

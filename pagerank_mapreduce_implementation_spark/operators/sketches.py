@@ -80,3 +80,31 @@ def value_percentiles(
         _pctl(value_col, p).alias(f"p{int(p * 100)}") for p in percentiles
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def hll_daily_sketches(
+    df: DataFrame, ts_col: str, key_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-day REUSABLE HLL sketches: ``(d, sketch: binary)`` via
+    Apache DataSketches (``hll_sketch_agg``). The point vs
+    approx_uniques: the sketch itself is the stored artifact — at
+    100 TB you materialize these per (day, dimension) cell once, then
+    answer any coarser rollup by UNIONING sketches (hll_union_agg)
+    without ever re-scanning the fact table. Relative error
+    ~1.04/sqrt(2^lg_k) (~1.6% at the default lg_k=12)."""
+    return df.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame, sketch_col: str = "sketch"
+) -> DataFrame:
+    """Union a sketch column to ONE total-cardinality estimate:
+    ``(total_estimate,)`` — the merge-not-rescan half of the
+    pre-aggregated sketch pattern."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "total_estimate"
+        )
+    )

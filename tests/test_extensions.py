@@ -766,3 +766,29 @@ def test_stratified_weighted_sample_per_group_normalization(spark):
     # the max-weight row of each stratum has p = rate; a weight-0 row never survives
     z = spark.createDataFrame([(1, "A", 0.0)], "doc_id long, source string, w double")
     assert stratified_weighted_sample(z, "w", "source", 0.9, "doc_id").count() == 0
+
+
+def test_hll_sketch_rollup_merge_within_bound(spark):
+    """The merge-not-rescan property: unioning per-group sketches
+    estimates the union cardinality within the same 3-sigma bound as a
+    direct full-column sketch. (The two estimates need NOT be equal:
+    hll_union_agg promotes registers to the HLL_8 target mode, while a
+    direct sketch can stay in sparse/HLL_4 mode — both are statistically
+    equivalent, not bit-identical.)"""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    rows = [(i % 500, f"2024-01-{1 + i % 20:02d}T00:00:00") for i in range(3000)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    daily = sketches.hll_daily_sketches(df, "ts", "user_id")
+    merged = sketches.hll_rollup_estimate(daily).collect()[0]["total_estimate"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    exact = 500
+    bound = 3 * 1.04 / (2**12) ** 0.5 * exact
+    assert abs(merged - exact) <= bound
+    assert abs(direct - exact) <= bound
