@@ -244,3 +244,13 @@ def test_ivf_topk_batch_broadcast_probes_and_group_limits(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_stratified_sample_broadcasts_normalizer(plans):
+    # the per-stratum max table is tiny -> broadcast join; the only
+    # shuffle is the normalizer aggregation itself, never the corpus
+    p = plans("stratified_doc_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Python" not in p
