@@ -295,3 +295,39 @@ def test_asof_tolerance_boundary_exact(spark, left_us, right_us, tol_us):
         for row in merged.itertuples()
     }
     assert got == want_pd
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]), min_size=0, max_size=10),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_containment_and_jaccard_match_python_sets(spark, docs):
+    """ngram_containment_pairs / ngram_jaccard_pairs == the pure-python
+    set formulas over every pair of documents (n=1 word sets)."""
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: set(words) for i, words in enumerate(docs)}
+    got_c = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(df, 0.0, ngram=1).collect()
+    }
+    got_j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, 0.0, ngram=1).collect()
+    }
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got_c and (a, b) not in got_j
+                continue
+            want_c = round(inter / min(len(sets[a]), len(sets[b])), 6)
+            want_j = round(inter / len(sets[a] | sets[b]), 6)
+            assert abs(got_c[(a, b)] - want_c) < 1e-9, (a, b)
+            assert abs(got_j[(a, b)] - want_j) < 1e-9, (a, b)
