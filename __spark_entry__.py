@@ -211,6 +211,14 @@ def _q_word_count_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_count(docs, pattern=text.TOKEN_BOUNDARY_RE)
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining chunk/pack step (operators/text.chunk_documents):
+    32-token windows, stride 24 — one narrow pass, chunk rows only."""
+    return text.chunk_documents(
+        Catalog(spark, sf_dir).documents, window=32, stride=24
+    )
+
+
 def _q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_word_count(Catalog(spark, sf_dir).documents)
 
@@ -1241,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_word_count": _q_salted_word_count,
         "word_count_boundary": _q_word_count_boundary,
         "doc_word_count": _q_doc_word_count,
+        "doc_chunks": _q_doc_chunks,
         "term_frequency": _q_term_frequency,
         "tfidf": _q_tfidf,
         "search": _q_search,
@@ -1336,6 +1345,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_count": (
             f"WITH {_TOK_LOWER} "
             "SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word"
+        ),
+        # same (a+b-1)/b integer ceil for the chunk count; DuckDB list
+        # slices are 1-based inclusive => [s+1 : s+window] = window toks
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0), "
+            "e AS (SELECT doc_id, toks, CAST(unnest(range(0, "
+            "CAST(1 + floor((greatest(n - 32, 0) + 23) / 24.0) AS BIGINT))) AS INT) "
+            "AS chunk_id FROM c) "
+            "SELECT doc_id, chunk_id, "
+            "array_to_string(toks[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk, "
+            "CAST(len(toks[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INT) AS n_tokens "
+            "FROM e"
         ),
         "term_frequency": (
             f"WITH {_TOK_LOWER}, {_TF} "

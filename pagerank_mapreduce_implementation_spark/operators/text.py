@@ -150,3 +150,57 @@ def search_ranked(
     lazy lineage (the jar materializes text files between each job;
     the engine materializes nothing)."""
     return ranked(search(tf_idf(docs, total_docs, **tok_kwargs), terms), k)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows per document — the pretraining
+    chunk/pack step: ``(doc_id, chunk_id, chunk, n_tokens)``.
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride+window)``;
+    the chunk count is ``1 + ceil(max(0, n-window)/stride)``, so every
+    token lands in at least one chunk, the final chunk may be short,
+    and no start index runs past the text. Zero-token docs emit no
+    chunks.
+
+    Scale shape: one narrow pass — split, a plan-time arithmetic chunk
+    count, ``transform(sequence(...))`` + explode; no shuffle, no
+    Python, no per-token row blow-up before the explode (the explode
+    emits chunk ROWS, not token rows). Integer ceil is the
+    ``(a+b-1)/b`` form evaluated in exact double range — identical in
+    the DuckDB oracle.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window ({window}) and stride ({stride}) must be positive")
+    toks = F.filter(
+        F.split(F.col(text_col), TOKEN_WS_RE), lambda x: x != ""
+    )
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), toks.alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.col("__n") - window, F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(F.col("__toks"), i * stride + 1, window).alias("__ctoks"),
+        ),
+    )
+    return (
+        staged.filter(F.col("__n") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.array_join(F.col("c.__ctoks"), " ").alias("chunk"),
+            F.size(F.col("c.__ctoks")).alias("n_tokens"),
+        )
+    )

@@ -792,3 +792,32 @@ def test_hll_sketch_rollup_merge_within_bound(spark):
     bound = 3 * 1.04 / (2**12) ** 0.5 * exact
     assert abs(merged - exact) <= bound
     assert abs(direct - exact) <= bound
+
+
+def test_chunk_documents_window_semantics(spark):
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),                                # fits one window
+            (3, ""),                                     # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"])
+        for r in text_ops.chunk_documents(docs, window=4, stride=3).collect()
+    }
+    # doc 1: 10 toks, window 4, stride 3 -> 1 + ceil(6/3) = 3 chunks
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)  # overlap of window-stride = 1
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    # every token appears in some chunk
+    covered = set(" ".join(c for (d, _), (c, _n) in sorted(got.items()) if d == 1).split())
+    assert covered == {f"t{i}" for i in range(10)}
+    assert got[(2, 0)] == ("a b c", 3)  # short doc: one short chunk
+    assert not any(d == 3 for d, _ in got)  # empty doc: nothing
+    with pytest.raises(ValueError, match="must be positive"):
+        text_ops.chunk_documents(docs, window=0, stride=3).collect()
