@@ -331,3 +331,35 @@ def test_containment_and_jaccard_match_python_sets(spark, docs):
             want_j = round(inter / len(sets[a] | sets[b]), 6)
             assert abs(got_c[(a, b)] - want_c) < 1e-9, (a, b)
             assert abs(got_j[(a, b)] - want_j) < 1e-9, (a, b)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    n_toks=st.integers(min_value=0, max_value=40),
+    window=st.integers(min_value=1, max_value=10),
+    stride=st.integers(min_value=1, max_value=10),
+)
+def test_chunk_documents_matches_python_windows(spark, n_toks, window, stride):
+    """chunk_documents == the python sliding-window formula for any
+    (n, window, stride): chunk i holds toks[i*stride : i*stride+window],
+    count = 1 + ceil(max(0, n-window)/stride), zero-token docs vanish."""
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    toks = [f"t{i}" for i in range(n_toks)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = {
+        r["chunk_id"]: (r["chunk"], r["n_tokens"])
+        for r in text_ops.chunk_documents(df, window=window, stride=stride).collect()
+    }
+    if n_toks == 0:
+        assert got == {}
+        return
+    n_chunks = 1 + math.ceil(max(0, n_toks - window) / stride)
+    want = {
+        i: (" ".join(toks[i * stride : i * stride + window]),
+            len(toks[i * stride : i * stride + window]))
+        for i in range(n_chunks)
+    }
+    assert got == want
