@@ -240,3 +240,37 @@ def clean_corpus(
     # on the plan would re-run lang-id + quality + both dedup passes —
     # a second full corpus pass at scale — instead of one footer read
     return spark.read.parquet(output_path)
+
+
+def pack_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk a cleaned corpus into overlapping token windows,
+    parquet-in -> parquet-out — the pack step that follows
+    ``clean_corpus`` in a pretraining data recipe: survivors become
+    ``(doc_id, chunk_id, chunk, n_tokens)`` rows sized for a model's
+    context window.
+
+    A single narrow pass end-to-end (text.chunk_documents does the
+    split + window arithmetic + chunk-row explode with no shuffle), so
+    at 100 TB this is scan-speed: read parquet, emit chunk rows, write
+    parquet. Returns the written table (one footer read, same contract
+    as clean_corpus).
+    """
+    from pagerank_mapreduce_implementation_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        spark.read.parquet(input_path),
+        window=window,
+        stride=stride,
+        text_col=text_col,
+        doc_col=doc_col,
+    )
+    chunks.write.mode("overwrite").parquet(output_path)
+    return spark.read.parquet(output_path)

@@ -281,3 +281,26 @@ def test_clean_corpus_sampling_stage(spark, tmp_path):
     # every surviving long doc (>=400 bytes => p=1) that passed dedup is kept
     long_survivors = {d for d in full if d % 2 == 0}
     assert long_survivors & kept1 == long_survivors & full
+
+
+def test_pack_corpus_end_to_end(spark, tmp_path):
+    """clean_corpus -> pack_corpus: the cleaned survivors come back as
+    overlapping token windows with every token covered."""
+    from pagerank_mapreduce_implementation_spark.programs import pack_corpus
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(11))) for i in range(6)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "chunks")
+    got = pack_corpus(spark, src, out, window=4, stride=3)
+    assert set(got.columns) == {"doc_id", "chunk_id", "chunk", "n_tokens"}
+    per_doc = {}
+    for r in got.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(6):
+        chunks = sorted(per_doc[i], key=lambda r: r["chunk_id"])
+        assert len(chunks) == 4  # 1 + ceil((11-4)/3)
+        covered = {t for r in chunks for t in r["chunk"].split()}
+        assert covered == {f"w{i}x{j}" for j in range(11)}
+    # written artifact is re-readable (the returned df IS the parquet)
+    assert spark.read.parquet(out).count() == got.count()
