@@ -144,6 +144,11 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     vip = cat.supplier.filter(F.col("s_suppkey") % 10 == 0)
     n_vip = vip.count()
+    if n_vip == 0:
+        raise ValueError(
+            f"personalized_pagerank: no VIP suppliers (s_suppkey % 10 == 0) "
+            f"in {sf_dir} — a reset vector needs a non-empty seed set"
+        )
     rst = vip.select(
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("url"),
         F.lit(1.0 / n_vip).alias("reset"),
@@ -753,10 +758,11 @@ def _q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an ``est_in_bound`` flag. The bound: a GK answer for p with
     accuracy a is an element whose rank is within n/a of p*n, so its
     VALUE must lie within the exact interpolated quantiles at
-    p ± 2/a (the extra 1/a over the sketch's own bound generously pads
-    the interpolation convention's rank slack; groups here are >>200
-    rows, where 0.01·n > n/a + 2). The oracle asserts the flag is 1
-    per group."""
+    p ± 2/a (the extra 1/a over the sketch's own 1/a rank bound pads
+    the interpolation convention's ±1-rank slack: the pad covers it
+    whenever pad·n = 0.02·n ≥ n/a + 2, i.e. n ≥ 200 at a=100 — groups
+    here are thousands of rows). The oracle asserts the flag is 1 per
+    group."""
     from pagerank_mapreduce_implementation_spark.operators import sketches
 
     accuracy = 100
@@ -1217,23 +1223,28 @@ def _q_streaming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental per-doc score sum — the index-build / serving split a
     production search pipeline uses. Same terms and same rounding as
     the batch ``search`` query, so the two share one oracle."""
-    import os
+    import shutil
     import tempfile
 
     from pagerank_mapreduce_implementation_spark import streaming as strm
 
     tfidf = text.tf_idf(Catalog(spark, sf_dir).documents)
-    # deterministic per-sf scratch dir: overwrite keeps exactly one
-    # index generation for the file-source stream to pick up
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_tfidf_idx_{sf_tag}")
-    tfidf.write.mode("overwrite").parquet(idx_dir)
-    stream = spark.readStream.schema(
-        spark.read.parquet(idx_dir).schema
-    ).parquet(idx_dir)
-    scored = strm.streaming_search(stream, SEARCH_TERMS)
-    name = f"_stream_search_{next(_STREAM_SEQ)}"
-    strm.run_to_memory(scored, name, output_mode="complete", state_partitions=8)
+    # run-private scratch dir (mkdtemp): a fixed shared path would race
+    # concurrent bench/driver processes (one overwriting the index
+    # while another's stream reads it) and collide across users of a
+    # shared /tmp; removed after the availableNow run drains it into
+    # the memory sink
+    idx_dir = tempfile.mkdtemp(prefix="spark_graft_tfidf_idx_")
+    try:
+        tfidf.write.mode("overwrite").parquet(idx_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(idx_dir).schema
+        ).parquet(idx_dir)
+        scored = strm.streaming_search(stream, SEARCH_TERMS)
+        name = f"_stream_search_{next(_STREAM_SEQ)}"
+        strm.run_to_memory(scored, name, output_mode="complete", state_partitions=8)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     return spark.table(name).select("doc_id", F.round("score", 6).alias("score"))
 
 

@@ -297,24 +297,31 @@ def minhash_near_dups(
         sh.unpersist()
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_scores(
     docs: DataFrame,
     threshold: float,
-    ngram: int = 3,
-    text_col: str = "text",
-    doc_col: str = "doc_id",
+    ngram: int,
+    text_col: str,
+    doc_col: str,
+    score_name: str,
+    score_expr,
 ) -> DataFrame:
-    """n-gram Jaccard dedup WITHOUT LSH: candidates = pairs sharing at
-    least one shingle (exact recall for threshold > 0; the shingle join
-    explodes on stop-shingles at scale — use minhash_near_dups there).
+    """Shared exact-recall pair scorer over shingle sets: candidates =
+    pairs sharing at least one shingle, scored by ``score_expr(i, na,
+    nb)`` (columns: intersection size and both set sizes), kept at or
+    above ``threshold``. Backs both the symmetric Jaccard and the
+    asymmetric containment operators so their physical shape can never
+    diverge.
+
+    Shingles are distinct per doc, so the self-join emits each
+    (doc_a, doc_b) pair exactly once per shared shingle — the group
+    count IS |A ∩ B|. One shingle-keyed shuffle + one pair aggregation,
+    vs. the LSH path's candidates->re-join->count (which is only needed
+    when candidates come from elsewhere). The shingle join explodes on
+    stop-shingles at scale — use the minhash/LSH front-end there.
     """
     sh = shingles(docs, ngram, text_col, doc_col).persist()
     try:
-        # Shingles are distinct per doc, so the self-join emits each
-        # (doc_a, doc_b) pair exactly once per shared shingle — the
-        # group count IS |A ∩ B|. One shingle-keyed shuffle + one pair
-        # aggregation, vs. the LSH path's candidates->re-join->count
-        # (which is only needed when candidates come from elsewhere).
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
@@ -329,23 +336,40 @@ def ngram_jaccard_pairs(
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
         nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        score = F.round(
+            score_expr(F.col("i").cast("double"), F.col("na"), F.col("nb")), 6
+        )
         out = (
             inter.join(na, "doc_a")
             .join(nb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(
-                    F.col("i").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("i")),
-                    6,
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", score.alias(score_name))
+            .filter(F.col(score_name) >= threshold)
         )
         return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """n-gram Jaccard dedup WITHOUT LSH: candidates = pairs sharing at
+    least one shingle (exact recall for threshold > 0; the shingle join
+    explodes on stop-shingles at scale — use minhash_near_dups there).
+    """
+    return _shingle_pair_scores(
+        docs,
+        threshold,
+        ngram,
+        text_col,
+        doc_col,
+        "jaccard",
+        lambda i, na, nb: i / (na + nb - i),
+    )
 
 
 def ngram_containment_pairs(
@@ -361,42 +385,21 @@ def ngram_containment_pairs(
     Jaccard misses: a 50-shingle doc inside a 5000-shingle page has
     Jaccard ~0.01 but containment 1.0.
 
-    Same exact-recall physical shape as ngram_jaccard_pairs (shared
-    shingle self-join counts the intersection; one shingle shuffle +
-    one pair aggregation; stop-shingle skew -> use an LSH front-end at
-    scale). Emits ``(doc_a, doc_b, containment)`` for pairs at or above
-    ``threshold``, with both directional ratios folded into the
+    Same exact-recall physical shape as ngram_jaccard_pairs (both are
+    the shared ``_shingle_pair_scores`` plan; only the score expression
+    differs). Emits ``(doc_a, doc_b, containment)`` for pairs at or
+    above ``threshold``, with both directional ratios folded into the
     max-containment (min-denominator) form.
     """
-    sh = shingles(docs, ngram, text_col, doc_col).persist()
-    try:
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("i"))
-        )
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-        nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-        out = (
-            inter.join(na, "doc_a")
-            .join(nb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(
-                    F.col("i").cast("double") / F.least(F.col("na"), F.col("nb")),
-                    6,
-                ).alias("containment"),
-            )
-            .filter(F.col("containment") >= threshold)
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+    return _shingle_pair_scores(
+        docs,
+        threshold,
+        ngram,
+        text_col,
+        doc_col,
+        "containment",
+        lambda i, na, nb: i / F.least(na, nb),
+    )
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -201,12 +201,16 @@ def pagerank(
     use_reset = reset is not None
     rvec = None
     if use_reset:
+        # sanitize like ``vertices``: duplicate urls in the caller's
+        # reset vector would otherwise duplicate vertex rows and double
+        # their seed/teleport mass silently — aggregate the mass per
+        # url instead (duplicates legitimately arise from un-deduped
+        # seed lists; summing preserves total teleport probability)
+        reset_clean = reset.groupBy("url").agg(
+            F.sum(F.col("reset").cast("double")).alias("reset")
+        )
         rvec = (
-            vertices.join(
-                reset.select("url", F.col("reset").cast("double").alias("reset")),
-                "url",
-                "left",
-            )
+            vertices.join(reset_clean, "url", "left")
             .select("url", F.coalesce("reset", F.lit(0.0)).alias("reset"))
             .coalesce(num_partitions)
             .persist()

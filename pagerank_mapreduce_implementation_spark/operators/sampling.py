@@ -81,6 +81,27 @@ def hash_split(
     )
 
 
+def _hash_uniform(key: Column, salt: str) -> Column:
+    """52-bit md5-derived uniform in [0, 1): the IEEE-exact sampling
+    coin. Every op in the expression — int->double of a <=52-bit value,
+    division by a power of two — is exactly specified by IEEE 754, so
+    a DuckDB oracle evaluating the same characters selects the same
+    rows (deliberately NO pow/log, whose libm rounding varies across
+    engines). Shared by both samplers: the oracle-parity contract
+    depends on every character of this expression, so it exists ONCE.
+    """
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -108,18 +129,7 @@ def weighted_sample(
     aggregates, pushdown-friendly. Pick ``scale`` ~= mean(weight) /
     target_rate from a stats pass.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 13
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .cast("double")
-        / F.lit(float(1 << 52))
-    )
+    u = _hash_uniform(F.col(key_col), salt)
     return df.filter(u * F.lit(float(scale)) < F.col(weight_col).cast("double"))
 
 
@@ -150,18 +160,7 @@ def stratified_weighted_sample(
     fingerprint math never shuffles the corpus.
     """
     mx = df.groupBy(group_col).agg(F.max(F.col(weight_col).cast("double")).alias("__mxw"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 13
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .cast("double")
-        / F.lit(float(1 << 52))
-    )
+    u = _hash_uniform(F.col(key_col), salt)
     return (
         df.join(mx, group_col)
         .filter(u * F.col("__mxw") < F.lit(float(rate)) * F.col(weight_col).cast("double"))

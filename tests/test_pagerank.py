@@ -435,3 +435,25 @@ def test_weighted_oracle_sql_agrees_on_zero_weight_sources(spark):
     )
     want = {u: r for u, r in duckdb.connect().execute(sql).fetchall()}
     assert got == want and "z" not in got
+
+
+def test_reset_with_duplicate_urls_aggregates_mass(spark):
+    """A reset vector with duplicate urls must NOT duplicate vertex
+    rows: duplicate mass is summed per url (code-review finding)."""
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    dup = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.5)], "url string, reset double"  # same url twice
+    )
+    single = spark.createDataFrame([("a", 1.0)], "url string, reset double")
+    got_dup = {
+        r["url"]: r["rank"]
+        for r in pagerank(edges, n_iters=4, mode="textbook", reset=dup).collect()
+    }
+    got_single = {
+        r["url"]: r["rank"]
+        for r in pagerank(edges, n_iters=4, mode="textbook", reset=single).collect()
+    }
+    srcs = {s for s, _ in EDGES}
+    assert len(got_dup) == len(srcs)  # one row per vertex, no dupes
+    for u in got_single:
+        assert got_dup[u] == pytest.approx(got_single[u], rel=1e-12), u
