@@ -1,0 +1,104 @@
+"""Vendored subword (BPE) tokenizer — the real-tokenizer upgrade over
+whitespace windows for the chunk/pack pipeline (round-4 verdict item 6:
+training packs count subword tokens, not words).
+
+The merge table lives in ``resources/bpe_merges.txt`` (rank-ordered
+``left<TAB>right`` lines), trained offline by ``scripts/train_bpe.py``
+on a fixed embedded English seed text — fully deterministic, no
+downloads, no runtime training.
+
+Encoding is character-level BPE with one-at-a-time application: start
+from the word's characters, then repeatedly merge the adjacent pair
+with the LOWEST merge rank (leftmost occurrence on rank ties) until no
+adjacent pair is in the table. Because training only ever creates a
+symbol after the merge that builds it, any pair containing a merged
+symbol ranks strictly after that merge — so this one-at-a-time loop
+produces the same pieces as the classic "merge every occurrence of the
+best pair" formulation, AND is expressible as a DuckDB recursive CTE
+(oracles.bpe_pieces_cte), which is what makes the doc_chunks_bpe query
+hash-checkable against a SQL oracle.
+
+Scale shape (100 TB posture): tokenization is the ONLY Python step —
+an Arrow-batched pandas UDF (`bpe_pieces_udf`) with a per-executor
+word→pieces cache (natural-language corpora repeat words heavily, so
+the cache hit rate is high and the merge loop runs only on distinct
+words per batch). Everything around it — the explode into chunk rows,
+the windowing arithmetic — stays in JVM codegen, identical to
+text.chunk_documents.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+
+_MERGES_PATH = (
+    pathlib.Path(__file__).resolve().parent.parent / "resources" / "bpe_merges.txt"
+)
+
+
+@functools.lru_cache(maxsize=1)
+def load_merge_ranks(path: str | None = None) -> dict[tuple[str, str], int]:
+    """Rank-ordered merge table: ``(left, right) -> rank`` (lower rank
+    = earlier merge = higher priority)."""
+    p = pathlib.Path(path) if path is not None else _MERGES_PATH
+    ranks: dict[tuple[str, str], int] = {}
+    with open(p) as fh:
+        for rank, line in enumerate(fh):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            left, _, right = line.partition("\t")
+            ranks[(left, right)] = rank
+    return ranks
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """BPE pieces of one word: leftmost-lowest-rank single-pair merges
+    until fixpoint (see module docstring for why this equals classic
+    all-occurrences application)."""
+    pieces = list(word)
+    while len(pieces) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(pieces) - 1):
+            r = ranks.get((pieces[i], pieces[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        pieces[best_i : best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+    return pieces
+
+
+@functools.lru_cache(maxsize=65536)
+def _encode_cached(word: str) -> tuple[str, ...]:
+    return tuple(encode_word(word, load_merge_ranks()))
+
+
+def encode_text(text: str) -> list[str]:
+    """Pieces of a whole text: whitespace-split, lowercase each word,
+    concatenate per-word pieces in order (word boundaries never merge
+    across — the standard pre-tokenize-then-BPE contract)."""
+    out: list[str] = []
+    for w in text.lower().split():
+        out.extend(_encode_cached(w))
+    return out
+
+
+def bpe_pieces_udf():
+    """Arrow-batched pandas UDF ``string -> array<string>``: the BPE
+    piece sequence of a text column. Built lazily so importing this
+    module never requires an active SparkSession."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _pieces(texts):
+        # touch the merge table once per batch (lru_cache makes the
+        # per-word loop hit only distinct new words)
+        load_merge_ranks()
+        return texts.map(lambda t: encode_text(t) if t is not None else [])
+
+    # real type objects, not strings: the module's lazy annotations
+    # (PEP 563) would hand pandas_udf the unresolvable text 'pd.Series'
+    _pieces.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_pieces, "array<string>")

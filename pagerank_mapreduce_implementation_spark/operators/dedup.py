@@ -159,6 +159,27 @@ def shingles(
     return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
+def df_capped_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` from a
+    ``(doc_id, shingle)`` shingle table — the stop-shingle skew cap for
+    the exact-recall pair scorers.
+
+    One groupBy(shingle) + one equi-join back, both on the shingle key
+    (AQE handles residual skew in the count itself — a count is cheap
+    even for the hottest key; it is the PAIR join downstream that a hot
+    shingle makes quadratic, and that join only ever sees df <= max_df
+    keys after this filter)."""
+    if max_df < 1:
+        raise ValueError(f"max_df ({max_df}) must be >= 1")
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle").select("doc_id", "shingle")
+
+
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
 
@@ -305,6 +326,7 @@ def _shingle_pair_scores(
     doc_col: str,
     score_name: str,
     score_expr,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Shared exact-recall pair scorer over shingle sets: candidates =
     pairs sharing at least one shingle, scored by ``score_expr(i, na,
@@ -317,10 +339,25 @@ def _shingle_pair_scores(
     (doc_a, doc_b) pair exactly once per shared shingle — the group
     count IS |A ∩ B|. One shingle-keyed shuffle + one pair aggregation,
     vs. the LSH path's candidates->re-join->count (which is only needed
-    when candidates come from elsewhere). The shingle join explodes on
-    stop-shingles at scale — use the minhash/LSH front-end there.
+    when candidates come from elsewhere).
+
+    ``max_shingle_df`` is the skew cap: shingles appearing in more than
+    that many documents are dropped from the shingle sets BEFORE the
+    self-join — candidate volume per shingle is then bounded by
+    C(max_shingle_df, 2), so one ubiquitous boilerplate shingle can no
+    longer pair the whole corpus quadratically (the classic stop-shingle
+    blow-up; without a cap, the self-join's hottest key is the corpus'
+    hottest shingle). The cap changes SEMANTICS deterministically:
+    scores become Jaccard/containment over the df-capped shingle sets
+    (sizes na/nb count capped sets too), which is the standard df-cap
+    approximation — a shingle shared by more than max_shingle_df docs
+    carries no near-dup signal anyway. ``None`` keeps the exact
+    uncapped semantics (fine when a profile shows no heavy shingles).
     """
-    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    sh = shingles(docs, ngram, text_col, doc_col)
+    if max_shingle_df is not None:
+        sh = df_capped_shingles(sh, max_shingle_df)
+    sh = sh.persist()
     try:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -356,10 +393,14 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard dedup WITHOUT LSH: candidates = pairs sharing at
-    least one shingle (exact recall for threshold > 0; the shingle join
-    explodes on stop-shingles at scale — use minhash_near_dups there).
+    least one shingle — exact recall for threshold > 0 when
+    ``max_shingle_df`` is None. At scale pass ``max_shingle_df`` (the
+    stop-shingle skew cap, see ``_shingle_pair_scores``) or use
+    minhash_near_dups: an uncapped ubiquitous shingle pairs its whole
+    doc list quadratically in the self-join.
     """
     return _shingle_pair_scores(
         docs,
@@ -369,6 +410,7 @@ def ngram_jaccard_pairs(
         doc_col,
         "jaccard",
         lambda i, na, nb: i / (na + nb - i),
+        max_shingle_df=max_shingle_df,
     )
 
 
@@ -378,6 +420,7 @@ def ngram_containment_pairs(
     ngram: int = 3,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment ``|A∩B| / min(|A|,|B|)``
     — catches a small doc embedded in a big one (boilerplate templates,
@@ -387,7 +430,8 @@ def ngram_containment_pairs(
 
     Same exact-recall physical shape as ngram_jaccard_pairs (both are
     the shared ``_shingle_pair_scores`` plan; only the score expression
-    differs). Emits ``(doc_a, doc_b, containment)`` for pairs at or
+    differs — and both take the same ``max_shingle_df`` stop-shingle
+    skew cap). Emits ``(doc_a, doc_b, containment)`` for pairs at or
     above ``threshold``, with both directional ratios folded into the
     max-containment (min-denominator) form.
     """
@@ -399,6 +443,7 @@ def ngram_containment_pairs(
         doc_col,
         "containment",
         lambda i, na, nb: i / F.least(na, nb),
+        max_shingle_df=max_shingle_df,
     )
 
 

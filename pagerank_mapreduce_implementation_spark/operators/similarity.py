@@ -408,7 +408,10 @@ def lloyd_centroids(
     Deterministic seed, no RNG; empty cells keep their previous
     centroid (the coalesce against the prior array). Lineage is cut
     each iteration with a lazy localCheckpoint so the final job does
-    not replay every earlier assignment pass.
+    not replay every earlier assignment pass; every checkpointed slot
+    is unpersisted after the final collect so no cached RDD blocks
+    outlive the call (round-4 advice: the leak was invisible under
+    bench.py's drop_persisted but not for library users).
     """
     spark = emb.sparkSession
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -438,6 +441,7 @@ def lloyd_centroids(
         )
     )
 
+    checkpointed: list[DataFrame] = []
     for _ in range(n_iters):
         staged = emb.crossJoin(F.broadcast(cur)).select(
             F.col(vec_col).cast("array<double>").alias("vec"),
@@ -491,9 +495,12 @@ def lloyd_centroids(
             )
         )
         cur = cur.localCheckpoint(eager=False)
+        checkpointed.append(cur)
 
     row = cur.select("cents").first()
     cents = row["cents"] if row is not None else []
+    for df in checkpointed:
+        df.unpersist()
     return [[float(x) for x in c["cvec"]] for c in cents]
 
 

@@ -163,10 +163,16 @@ def chunk_documents(
     chunk/pack step: ``(doc_id, chunk_id, chunk, n_tokens)``.
 
     Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride+window)``;
-    the chunk count is ``1 + ceil(max(0, n-window)/stride)``, so every
-    token lands in at least one chunk, the final chunk may be short,
-    and no start index runs past the text. Zero-token docs emit no
-    chunks.
+    the chunk count is ``min(1 + ceil(max(0, n-window)/stride),
+    1 + floor((n-1)/stride))`` — the first term stops once a chunk
+    reaches the final token, the second clamps every chunk START below
+    ``n`` (without it, ``stride > window`` emitted an empty trailing
+    chunk: n=3, window=1, stride=10 produced a chunk at start 10 —
+    round-4 advice). Every chunk is non-empty, the final chunk may be
+    short, and with ``stride <= window`` every token lands in at least
+    one chunk (``stride > window`` leaves inter-chunk gaps by
+    construction — that is what a strided sample asks for). Zero-token
+    docs emit no chunks.
 
     Scale shape: one narrow pass — split, a plan-time arithmetic chunk
     count, ``transform(sequence(...))`` + explode; no shuffle, no
@@ -180,12 +186,25 @@ def chunk_documents(
     toks = F.filter(
         F.split(F.col(text_col), TOKEN_WS_RE), lambda x: x != ""
     )
-    staged = docs.select(
-        F.col(doc_col).alias("doc_id"), toks.alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
-    n_chunks = F.lit(1) + F.floor(
-        (F.greatest(F.col("__n") - window, F.lit(0)) + F.lit(stride - 1))
-        / F.lit(stride)
+    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__toks"))
+    return _window_token_arrays(staged, window, stride)
+
+
+def _window_token_arrays(staged: DataFrame, window: int, stride: int) -> DataFrame:
+    """Shared windowing core for the chunkers: ``(doc_id, __toks)`` ->
+    ``(doc_id, chunk_id, chunk, n_tokens)`` chunk rows. Pure column
+    expressions (the count formula and clamp are documented on
+    chunk_documents); token-array PRODUCTION is the caller's business —
+    whitespace split stays fully in codegen, the BPE variant pays one
+    Arrow pass for the array and re-enters codegen here."""
+    staged = staged.withColumn("__n", F.size("__toks"))
+    n_chunks = F.least(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.col("__n") - window, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ),
+        F.lit(1) + F.floor((F.col("__n") - 1) / F.lit(stride)),
     )
     chunks = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
@@ -204,3 +223,38 @@ def chunk_documents(
             F.size(F.col("c.__ctoks")).alias("n_tokens"),
         )
     )
+
+
+def chunk_documents_bpe(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """``chunk_documents`` over SUBWORD (BPE) tokens instead of
+    whitespace words — the real chunk/pack contract: training packs are
+    sized in subword tokens, and a whitespace count under-fills them on
+    morpheme-rich text (round-4 verdict item 6).
+
+    Tokenization is the vendored deterministic BPE
+    (``functions/bpe.py``): lowercase whitespace words, each encoded to
+    merge-table pieces. ``chunk`` joins the window's pieces with
+    spaces; ``n_tokens`` counts pieces. Window semantics, the clamp,
+    and the output schema are IDENTICAL to chunk_documents (shared
+    ``_window_token_arrays`` core).
+
+    Scale shape: exactly ONE Arrow-batched Python pass (the piece
+    array), then codegen'd windowing — the pandas UDF is the documented
+    slow-path exception, paid only where a built-in cannot express the
+    semantics (merge-loop tokenization).
+    """
+    from pagerank_mapreduce_implementation_spark.functions.bpe import bpe_pieces_udf
+
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window ({window}) and stride ({stride}) must be positive")
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        bpe_pieces_udf()(F.col(text_col)).alias("__toks"),
+    )
+    return _window_token_arrays(staged, window, stride)

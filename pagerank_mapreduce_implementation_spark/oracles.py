@@ -109,9 +109,13 @@ def weighted_pagerank_sql(
         "nn AS (SELECT count(*) AS n FROM pages),",
     ]
     if reset_sql is not None:
+        # mirror of the operator's reset_clean aggregation
+        # (graph.pagerank): duplicate urls in the caller's reset vector
+        # sum their teleport mass instead of duplicating vertex rows
         parts.append(
             f"rv AS (SELECT p.url, coalesce(rs.reset, 0) AS reset "
-            f"FROM pages p LEFT JOIN ({reset_sql}) rs ON p.url = rs.url),"
+            f"FROM pages p LEFT JOIN (SELECT url, sum(reset) AS reset "
+            f"FROM ({reset_sql}) GROUP BY url) rs ON p.url = rs.url),"
         )
         parts.append("r0 AS (SELECT url, reset AS rank FROM rv),")
         vert, vcols = "rv", "p.reset"
@@ -195,12 +199,12 @@ def _shingles_ngram(n: int) -> str:
     )
 
 
-def _jaccard_tail(threshold: float) -> str:
+def _jaccard_tail(threshold: float, sh: str = "sh") -> str:
     return (
-        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        f"sz AS (SELECT doc_id, count(*) AS n FROM {sh} GROUP BY doc_id), "
         "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c "
-        "JOIN sh p ON p.doc_id = c.doc_a "
-        "JOIN sh q ON q.doc_id = c.doc_b AND q.shingle = p.shingle "
+        f"JOIN {sh} p ON p.doc_id = c.doc_a "
+        f"JOIN {sh} q ON q.doc_id = c.doc_b AND q.shingle = p.shingle "
         "GROUP BY c.doc_a, c.doc_b) "
         "SELECT t.doc_a, t.doc_b, round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6) "
         "AS jaccard FROM inter t "
@@ -243,23 +247,46 @@ def minhash_near_dups_sql(
     )
 
 
-def ngram_jaccard_sql(threshold: float, ngram: int = 3) -> str:
+def _df_cap_cte(max_shingle_df: int | None) -> str:
+    """Rewrites ``sh`` to the df-capped shingle table (mirror of
+    dedup.df_capped_shingles): drop shingles in more than
+    ``max_shingle_df`` docs BEFORE pairing. Empty string when None."""
+    if max_shingle_df is None:
+        return ""
     return (
-        f"WITH {_shingles_ngram(ngram)}, "
-        "cand AS (SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b FROM sh p "
-        "JOIN sh q ON p.shingle = q.shingle AND p.doc_id < q.doc_id), "
-        + _jaccard_tail(threshold)
+        ", sh_keep AS (SELECT shingle FROM sh GROUP BY shingle "
+        f"HAVING count(*) <= {max_shingle_df}), "
+        "shc AS (SELECT s.doc_id, s.shingle FROM sh s "
+        "JOIN sh_keep k ON s.shingle = k.shingle)"
     )
 
 
-def ngram_containment_sql(threshold: float, ngram: int = 3) -> str:
-    """Mirror of dedup.ngram_containment_pairs: |A∩B| / min(|A|, |B|)."""
+def ngram_jaccard_sql(
+    threshold: float, ngram: int = 3, max_shingle_df: int | None = None
+) -> str:
+    cap = _df_cap_cte(max_shingle_df)
+    sh = "shc" if max_shingle_df is not None else "sh"
     return (
-        f"WITH {_shingles_ngram(ngram)}, "
-        "inter AS (SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS i "
-        "FROM sh p JOIN sh q ON p.shingle = q.shingle AND p.doc_id < q.doc_id "
+        f"WITH {_shingles_ngram(ngram)}{cap}, "
+        f"cand AS (SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b FROM {sh} p "
+        f"JOIN {sh} q ON p.shingle = q.shingle AND p.doc_id < q.doc_id), "
+        + _jaccard_tail(threshold, sh)
+    )
+
+
+def ngram_containment_sql(
+    threshold: float, ngram: int = 3, max_shingle_df: int | None = None
+) -> str:
+    """Mirror of dedup.ngram_containment_pairs: |A∩B| / min(|A|, |B|),
+    over df-capped shingle sets when ``max_shingle_df`` is given."""
+    cap = _df_cap_cte(max_shingle_df)
+    sh = "shc" if max_shingle_df is not None else "sh"
+    return (
+        f"WITH {_shingles_ngram(ngram)}{cap}, "
+        f"inter AS (SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS i "
+        f"FROM {sh} p JOIN {sh} q ON p.shingle = q.shingle AND p.doc_id < q.doc_id "
         "GROUP BY p.doc_id, q.doc_id), "
-        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) "
+        f"sz AS (SELECT doc_id, count(*) AS n FROM {sh} GROUP BY doc_id) "
         "SELECT t.doc_a, t.doc_b, "
         "round(CAST(t.i AS DOUBLE) / least(sa.n, sb.n), 6) AS containment "
         "FROM inter t JOIN sz sa ON sa.doc_id = t.doc_a "
@@ -613,6 +640,63 @@ def daily_uniques_sql() -> str:
         "SELECT strftime(ts, '%Y-%m-%d') AS day, "
         "count(DISTINCT user_id) AS unique_users, "
         "count(*) AS n_events FROM events GROUP BY strftime(ts, '%Y-%m-%d')"
+    )
+
+
+def doc_chunks_bpe_sql(window: int, stride: int) -> str:
+    """Exact SQL oracle for text.chunk_documents_bpe: the vendored BPE
+    merge table embedded as a VALUES list, tokenization replayed as a
+    DuckDB RECURSIVE CTE (one leftmost-lowest-rank merge per step —
+    the same one-at-a-time loop the Python encoder runs, equivalent to
+    classic BPE because training orders merges before any pair that
+    contains their output), then the shared window/clamp arithmetic of
+    the doc_chunks oracle over the per-doc piece arrays.
+
+    The recursion runs over DISTINCT words only (natural-language
+    corpora repeat words heavily), then joins pieces back positionally
+    and flattens in word order — mirroring the UDF's per-word cache.
+    """
+    from pagerank_mapreduce_implementation_spark.functions.bpe import load_merge_ranks
+
+    ranks = load_merge_ranks()
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    merge_rows = ", ".join(
+        f"({rank}, {q(l)}, {q(r)})" for (l, r), rank in sorted(ranks.items(), key=lambda kv: kv[1])
+    )
+    return (
+        "WITH RECURSIVE "
+        f"merges(rank, l, r) AS (VALUES {merge_rows}), "
+        "t AS (SELECT doc_id, list_filter(list_transform("
+        r"regexp_split_to_array(text, '\s+'), w -> lower(w)), w -> w <> '') AS toks "
+        "FROM documents), "
+        "words AS (SELECT DISTINCT unnest(toks) AS word FROM t), "
+        "init AS (SELECT word, regexp_split_to_array(word, '') AS pieces FROM words), "
+        "st AS ("
+        "SELECT word, pieces FROM init "
+        "UNION ALL "
+        "SELECT word, pieces[1:bp-1] || [pieces[bp] || pieces[bp+1]] || pieces[bp+2:] "
+        "FROM (SELECT word, pieces, "
+        "(SELECT i FROM unnest(range(1, len(pieces))) AS u(i) "
+        "JOIN merges m ON m.l = pieces[i] AND m.r = pieces[i+1] "
+        "ORDER BY m.rank, i LIMIT 1) AS bp FROM st) WHERE bp IS NOT NULL), "
+        "enc AS (SELECT word, arg_min(pieces, len(pieces)) AS pieces "
+        "FROM st GROUP BY word), "
+        "pos AS (SELECT doc_id, i, toks[i] AS w FROM t, "
+        "unnest(range(1, len(toks) + 1)) AS u(i)), "
+        "docpieces AS (SELECT p.doc_id, "
+        "flatten(list(e.pieces ORDER BY p.i)) AS toks "
+        "FROM pos p JOIN enc e ON e.word = p.w GROUP BY p.doc_id), "
+        "c AS (SELECT doc_id, toks, len(toks) AS n FROM docpieces WHERE len(toks) > 0), "
+        "e2 AS (SELECT doc_id, toks, CAST(unnest(range(0, "
+        f"CAST(least(1 + floor((greatest(n - {window}, 0) + {stride - 1}) / {float(stride)}), "
+        f"1 + floor((n - 1) / {float(stride)})) AS BIGINT))) AS INT) "
+        "AS chunk_id FROM c) "
+        "SELECT doc_id, chunk_id, "
+        f"array_to_string(toks[chunk_id*{stride} + 1 : chunk_id*{stride} + {window}], ' ') AS chunk, "
+        f"CAST(len(toks[chunk_id*{stride} + 1 : chunk_id*{stride} + {window}]) AS INT) AS n_tokens "
+        "FROM e2"
     )
 
 

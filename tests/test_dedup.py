@@ -168,3 +168,89 @@ def test_ngram_containment_catches_embedded_doc(spark):
         for r in dedup.ngram_jaccard_pairs(docs, 0.0001, ngram=3).collect()
     }
     assert jac[(1, 2)] < 0.05  # symmetric Jaccard would have missed it
+
+
+def _hot_shingle_corpus(spark):
+    """Adversarial stop-shingle corpus: every doc opens with the same
+    boilerplate (one ubiquitous 3-gram run), then unique content — the
+    shape that makes an uncapped shingle self-join quadratic."""
+    boiler = "accept all cookies"
+    rows = [
+        (i, f"{boiler} unique{i} content{i} here{i} body{i}") for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), boiler
+
+
+def test_df_cap_bounds_candidate_volume(spark):
+    """df_capped_shingles provably bounds the pair join: after the cap,
+    no shingle's doc list exceeds max_df, so candidate pairs are
+    sum-over-shingles C(df,2) <= n_shingles*C(max_df,2) — the one
+    ubiquitous shingle can no longer contribute C(corpus,2)."""
+    docs, _ = _hot_shingle_corpus(spark)
+    sh = dedup.shingles(docs, n=3)
+    from pyspark.sql import functions as F
+
+    cap = 4
+    capped = dedup.df_capped_shingles(sh, cap)
+    dfreq = capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("d")).collect()
+    assert dfreq and all(r["d"] <= cap for r in dfreq)
+    capped_pairs = sum(r["d"] * (r["d"] - 1) // 2 for r in dfreq)
+    uncapped = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d")).collect()
+    uncapped_pairs = sum(r["d"] * (r["d"] - 1) // 2 for r in uncapped)
+    # the hot shingle alone contributes C(40,2)=780 uncapped candidates
+    assert uncapped_pairs >= 780
+    assert capped_pairs <= len(dfreq) * cap * (cap - 1) // 2
+    assert capped_pairs < uncapped_pairs / 10
+    with pytest.raises(ValueError):
+        dedup.df_capped_shingles(sh, 0)
+
+
+def test_df_cap_drops_boilerplate_only_pairs(spark):
+    """Docs that share ONLY the ubiquitous boilerplate shingles stop
+    pairing under the cap (their sole shared signal is df-capped away);
+    genuinely near-dup docs still pair."""
+    docs, _ = _hot_shingle_corpus(spark)
+    uncapped = dedup.ngram_jaccard_pairs(docs, 0.0001, ngram=3)
+    capped = dedup.ngram_jaccard_pairs(docs, 0.0001, ngram=3, max_shingle_df=4)
+    assert uncapped.count() == 40 * 39 // 2  # every pair shares the boilerplate
+    assert capped.count() == 0
+    cont = dedup.ngram_containment_pairs(docs, 0.0001, ngram=3, max_shingle_df=4)
+    assert cont.count() == 0
+
+
+def test_df_capped_scores_match_duckdb_oracle(spark):
+    """Capped operator == capped oracle SQL, exact equality, on an
+    adversarial corpus where the cap actually drops shingles (the sf
+    corpora have no hot shingles, so the driver gate alone never
+    exercises the capped branch's arithmetic)."""
+    import duckdb
+
+    from pagerank_mapreduce_implementation_spark import oracles
+
+    boiler = "accept all cookies please now"
+    rows = [
+        # 1,2 are near-dups sharing real content + boilerplate; 3..12 share
+        # ONLY the boilerplate with everyone
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (2, f"{boiler} alpha beta gamma delta epsilon eta"),
+    ] + [(i, f"{boiler} unique{i} filler{i} pad{i} x{i}") for i in range(3, 13)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for fn, sql_fn, col in [
+        (dedup.ngram_jaccard_pairs, oracles.ngram_jaccard_sql, "jaccard"),
+        (dedup.ngram_containment_pairs, oracles.ngram_containment_sql, "containment"),
+    ]:
+        got = {
+            (r["doc_a"], r["doc_b"]): r[col]
+            for r in fn(docs, 0.0001, ngram=3, max_shingle_df=3).collect()
+        }
+        want = {
+            (a, b): v
+            for a, b, v in con.execute(
+                sql_fn(0.0001, 3, max_shingle_df=3)
+            ).fetchall()
+        }
+        assert got == want and got  # non-empty: the near-dup pair survives
+        assert (1, 2) in got

@@ -342,7 +342,9 @@ def test_containment_and_jaccard_match_python_sets(spark, docs):
 def test_chunk_documents_matches_python_windows(spark, n_toks, window, stride):
     """chunk_documents == the python sliding-window formula for any
     (n, window, stride): chunk i holds toks[i*stride : i*stride+window],
-    count = 1 + ceil(max(0, n-window)/stride), zero-token docs vanish."""
+    count = min(1 + ceil(max(0, n-window)/stride), 1 + (n-1)//stride)
+    (the clamp keeps every chunk start < n, so stride > window can not
+    emit an empty trailing chunk), zero-token docs vanish."""
     import math
 
     from pagerank_mapreduce_implementation_spark.operators import text as text_ops
@@ -356,7 +358,10 @@ def test_chunk_documents_matches_python_windows(spark, n_toks, window, stride):
     if n_toks == 0:
         assert got == {}
         return
-    n_chunks = 1 + math.ceil(max(0, n_toks - window) / stride)
+    n_chunks = min(
+        1 + math.ceil(max(0, n_toks - window) / stride),
+        1 + (n_toks - 1) // stride,
+    )
     want = {
         i: (" ".join(toks[i * stride : i * stride + window]),
             len(toks[i * stride : i * stride + window]))
