@@ -162,10 +162,13 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Degenerate-reset guard (round-4 advice): a reset vector whose mass
     # never intersects the vertex set (VIPs with no lineitems) would make
     # every rank decay toward 0 — silently, since the oracle mirrors the
-    # same decay. Fail loudly instead.
-    live = rst.join(
-        edges.select(F.col("src").alias("url")).distinct(), "url", "left_semi"
-    ).count()
+    # same decay. Fail loudly instead. Existence probe on the pruned
+    # single-column lineitem scan (a VIP supplier is a vertex iff it
+    # ships any lineitem; l_quantity > 0 in TPC-H, so "has an edge row"
+    # == "weights sum nonzero"), not a distinct over the edge list.
+    live = (
+        cat.lineitem.filter((F.col("l_suppkey") % 10) == 0).limit(1).count()
+    )
     if live == 0:
         raise ValueError(
             f"personalized_pagerank: none of the {n_vip} VIP suppliers appear "

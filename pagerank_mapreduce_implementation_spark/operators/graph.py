@@ -169,27 +169,35 @@ def pagerank(
         # whose weights sum to 0 scatters nothing — filtered here, so it
         # behaves exactly like an edgeless (dangling) source and leaves
         # the DEFAULT vertex set (pass ``vertices`` to keep it).
-        part = (
-            edges.select("src", "dst", F.col(weight_col).cast("double").alias("__w"))
-            .repartition(num_partitions, "src")
-            .persist()
-        )
+        part = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("__w")
+        ).repartition(num_partitions, "src")
         deg = part.groupBy("src").agg(F.sum("__w").alias("out_degree"))
         links = part.join(deg, "src").filter(F.col("out_degree") != 0.0).persist()
     else:
-        part = edges.repartition(num_partitions, "src").persist()
+        # no persist on the pre-join side: deg and the join both read
+        # the SAME repartition exchange, and shuffle-stage reuse already
+        # computes it once inside the single materializing job below
+        part = edges.repartition(num_partitions, "src")
         deg = part.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         links = part.join(deg, "src").persist()
-    links.count()
-    part.unpersist()
+    derived_vertices = vertices is None
     if vertices is None:
+        # ONE materializing job for the persisted links AND the vertex
+        # count (the former links.count() + vertices.count() pair paid
+        # two passes): n = distinct scatter sources == the loop's
+        # vertex count. O5 count-all + O9 scalar broadcast (a literal).
+        n = int(
+            links.agg(F.count_distinct("src").alias("nv")).first()["nv"]
+        )
         vertices = links.select(F.col("src").alias("url")).distinct()
+        vertices = vertices.coalesce(num_partitions).persist()
     else:
+        links.count()
         vertices = vertices.select("url").distinct()
-    # keep the tiny vertex vector at the loop width (pinned or derived)
-    vertices = vertices.coalesce(num_partitions)
-    vertices = vertices.persist()
-    n = vertices.count()  # O5 count-all + O9 scalar broadcast (a literal)
+        # keep the tiny vertex vector at the loop width (pinned or derived)
+        vertices = vertices.coalesce(num_partitions).persist()
+        n = vertices.count()
     if n == 0:
         links.unpersist()
         vertices.unpersist()
@@ -226,13 +234,19 @@ def pagerank(
     # once from the persisted links table (vertices minus scatter
     # sources) instead of anti-joining against deg inside the loop,
     # whose lineage would re-shuffle the full edge table every
-    # iteration.
+    # iteration. When the set is EMPTY (every vertex scatters — always
+    # true when vertices derive from links), the whole dangling branch
+    # is skipped: the mass is exactly 0.0 every iteration, and dropping
+    # the +0.0 terms is bit-identical while saving a second reference
+    # to the lazy rank chain per step (measured ~2s of 7s at sf0.1).
     dangling_vs = None
     if mode == "textbook":
         dangling_vs = vertices.join(
             links.select(F.col("src").alias("url")), "url", "left_anti"
         ).persist()
-        dangling_vs.count()
+        if dangling_vs.count() == 0:
+            dangling_vs.unpersist()
+            dangling_vs = None
 
     # O14/O17 without a second join: a zero-contribution row tagged
     # ``own=1`` per vertex rides the SAME shuffle as the contributions.
@@ -258,6 +272,10 @@ def pagerank(
         else (F.col("rank") / F.col("out_degree"))
     )
 
+    # Uniform seed value (non-reset modes): iteration 1's rank vector
+    # is this CONSTANT, so its scatter join folds to a literal.
+    seed_rank = 1.0 / (seed_count if seed_count is not None else n)
+
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         # O13 scatter: contribution = rank(src)/out_degree(src) per edge
         # occurrence (rank*w/sum_w when weighted). links is
@@ -272,9 +290,21 @@ def pagerank(
         ]
         if use_reset:
             contrib_cols.append(F.lit(None).cast("double").alias("reset"))
-        contribs = links.join(
-            ranks.withColumnRenamed("url", "src"), "src"
-        ).select(*contrib_cols)
+        if _i == 0 and not use_reset and derived_vertices:
+            # First-iteration fusion: every rank is the SAME 1/N seed —
+            # substituting the literal for the join is bit-identical
+            # (identical double arithmetic) and saves the loop's first
+            # rank-side shuffle entirely. Only valid when the vertex set
+            # derives from links (src-set == vertex-set by construction);
+            # an explicit smaller ``vertices`` legitimately FILTERS
+            # scatter sources through this join, which a literal cannot.
+            contribs = links.withColumn("rank", F.lit(seed_rank)).select(
+                *contrib_cols
+            )
+        else:
+            contribs = links.join(
+                ranks.withColumnRenamed("url", "src"), "src"
+            ).select(*contrib_cols)
         # O15 gather: map-side partial agg, final agg on url.
         aggs = [F.sum("contrib").alias("contrib_sum"), F.max("own").alias("own")]
         if use_reset:
@@ -296,6 +326,21 @@ def pagerank(
         # The mass is a broadcast 1-row aggregate (scalar subquery), NOT
         # a driver-side collect — a collect would force a full
         # recomputation of the lazy rank chain every iteration.
+        if dangling_vs is None:
+            # no dangling vertices: mass is exactly 0.0 — drop the +0.0
+            # terms (bit-identical) and, crucially, the step's SECOND
+            # reference to the lazy rank chain.
+            if use_reset:
+                new_rank = F.lit(1.0 - damping) * F.col("reset") + F.lit(
+                    damping
+                ) * F.col("contrib_sum")
+            else:
+                new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.col(
+                    "contrib_sum"
+                )
+            return sums.filter(F.col("own") == 1).select(
+                "url", new_rank.alias("rank")
+            )
         dangling = (
             ranks.join(dangling_vs, "url", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
