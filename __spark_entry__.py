@@ -485,6 +485,22 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path end-to-end under the hash gate: 2 Lloyd
+    refinement iterations (exact_mean — bit-deterministic id-ordered
+    member folds, so the unrolled SQL oracle matches exactly) feeding
+    ivf_topk's probe/scan. Complements ivf_topk (first-n seed stand-in)
+    by gating the centroid REFINEMENT math itself, which round 4 left
+    unchecked beyond plan/property tests."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = similarity.lloyd_centroids(
+        emb, n_cells=8, n_iters=2, exact_mean=True
+    )
+    return similarity.ivf_topk(
+        emb, 0, k=10, n_cells=8, n_probe=3, centroids=cents
+    )
+
+
 def _q_cross_corpus_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus embedding matches (similarity.cosine_matches_ab):
     the 'train' split (vec_id % 10 != 0) against the 'eval' split
@@ -1356,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_batch": _q_ivf_topk_batch,
+        "ivf_topk_lloyd": _q_ivf_topk_lloyd,
         "cross_corpus_matches": _q_cross_corpus_matches,
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
@@ -1369,9 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": _q_blob_metadata,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "repetition_scores": _q_repetition,
         "word_count": _q_word_count,
@@ -1549,6 +1566,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),
         "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),
         "ivf_topk_batch": oracles.ivf_topk_batch_sql([0, 7, 21, 42, 99], 10, 16, 4),
+        "ivf_topk_lloyd": oracles.ivf_topk_lloyd_sql(
+            0, k=10, n_cells=8, n_probe=3, n_iters=2, dims=64
+        ),
         "cross_corpus_matches": oracles.cosine_matches_ab_sql(
             "vec_id % 10 <> 0", "vec_id % 10 = 0", 0.25
         ),

@@ -385,6 +385,7 @@ def lloyd_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_mean: bool = False,
 ) -> list[list[float]]:
     """K-means (Lloyd) centroid refinement as DataFrame ops — the
     production-recall upgrade over the first-n seed (which ivf_assign
@@ -396,6 +397,15 @@ def lloyd_centroids(
     the very end. No driver round-trip inside the loop (round-3 verdict
     item: the old version collected the means every iteration and
     re-shipped them as literals — wrong shape at 4k cells).
+
+    Practical ceiling: the broadcast payload is ``n_cells * dims``
+    doubles (plus norms) — ~80 MB at 10^4 cells x 10^3 dims, far under
+    Spark's 8 GB broadcast cap, so the shape holds through any sane IVF
+    configuration; past that, a coarse quantizer tree (IVF-HNSW-style)
+    is the right escalation, not a bigger broadcast.
+    ``tests/test_plans.py::test_ivf_assignment_exchange_free_at_256_cells``
+    pins the invariant that matters as cells grow: assignment stays a
+    narrow fold with zero shuffle exchanges.
 
     Each iteration: (1) assign every vector to its nearest centroid via
     the SAME narrow broadcast-fold ivf_assign uses (no shuffle), then
@@ -412,6 +422,18 @@ def lloyd_centroids(
     is unpersisted after the final collect so no cached RDD blocks
     outlive the call (round-4 advice: the leak was invisible under
     bench.py's drop_persisted but not for library users).
+
+    ``exact_mean=True`` switches step (2) to a BIT-DETERMINISTIC mean:
+    per cell, members are collected sorted by id and summed as one
+    sequential left fold (0.0 + v1 + v2 + ...), so the centroids are
+    independent of partitioning and row arrival order — the mode the
+    ``ivf_topk_lloyd`` driver query uses so its DuckDB oracle (the same
+    fold as ``list_reduce`` over ``list(... ORDER BY id)``) matches
+    hash-exactly. Cost: the per-cell member list materializes in one
+    task (cell_size x dims doubles), so it is the audit/oracle
+    configuration; the default ``F.avg`` path scales to arbitrary cell
+    sizes and differs only by float addition order (~1e-15 noise that
+    clustering does not care about).
     """
     spark = emb.sparkSession
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -444,6 +466,7 @@ def lloyd_centroids(
     checkpointed: list[DataFrame] = []
     for _ in range(n_iters):
         staged = emb.crossJoin(F.broadcast(cur)).select(
+            F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
             _norm(F.col(vec_col)).alias("vnorm"),
             F.col("cents"),
@@ -462,16 +485,37 @@ def lloyd_centroids(
             F.struct(F.lit(-2.0).alias("ccos"), F.lit(0).alias("cell_id")),
             lambda b, s: F.when(s["ccos"] > b["ccos"], s).otherwise(b),
         )
-        assign = staged.select("vec", best["cell_id"].alias("cell_id"))
-        means_1row = (
-            assign.groupBy("cell_id")
-            .agg(*[F.avg(F.col("vec")[i]).alias(f"c{i}") for i in range(dims)])
-            .select(
-                "cell_id",
-                F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("mvec"),
+        assign = staged.select("__id", "vec", best["cell_id"].alias("cell_id"))
+        if exact_mean:
+            # deterministic mean: id-sorted member list, ONE sequential
+            # elementwise fold (0.0 + v1 + v2 + ...) — identical to the
+            # oracle's list_reduce over list(vec ORDER BY id)
+            mem = assign.groupBy("cell_id").agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__id"), F.col("vec")))
+                ).alias("ms")
             )
-            .agg(F.collect_list(F.struct("cell_id", "mvec")).alias("m"))
-        )
+            mvec = F.transform(
+                F.aggregate(
+                    F.col("ms"),
+                    F.array_repeat(F.lit(0.0), dims),
+                    lambda acc, m: F.zip_with(acc, m["vec"], lambda a, b: a + b),
+                ),
+                lambda s: s / F.size(F.col("ms")),
+            )
+            means_1row = mem.select("cell_id", mvec.alias("mvec")).agg(
+                F.collect_list(F.struct("cell_id", "mvec")).alias("m")
+            )
+        else:
+            means_1row = (
+                assign.groupBy("cell_id")
+                .agg(*[F.avg(F.col("vec")[i]).alias(f"c{i}") for i in range(dims)])
+                .select(
+                    "cell_id",
+                    F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("mvec"),
+                )
+                .agg(F.collect_list(F.struct("cell_id", "mvec")).alias("m"))
+            )
         # merge: each cell takes its new mean, or keeps its previous
         # centroid when no vector landed in it this round
         cur = _with_cnorms(

@@ -533,6 +533,69 @@ def ivf_topk_batch_sql(
     )
 
 
+def ivf_topk_lloyd_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    dims: int = 64,
+) -> str:
+    """Mirror of similarity.lloyd_centroids(exact_mean=True) feeding
+    similarity.ivf_topk: the full production-recall IVF path under the
+    hash gate. Each Lloyd iteration is unrolled: argmax-cosine
+    assignment (ties to the lowest cell), then the BIT-DETERMINISTIC
+    per-cell mean — ``list_reduce`` over ``list(vec ORDER BY vec_id)``
+    is the same sequential left fold the operator's exact_mean mode
+    runs — with empty cells keeping their previous centroid via the
+    LEFT JOIN coalesce. ``dims`` must match the embedding width of the
+    table under test (the operator infers it; SQL cannot)."""
+    parts = [
+        "WITH seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        "CAST(embedding AS DOUBLE[]) AS cvec FROM "
+        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, "
+        f"{_norm_sql('embedding')} AS vnorm FROM embeddings), "
+    ]
+    prev = "seed"
+    for t in range(n_iters):
+        parts.append(
+            f"sc{t} AS (SELECT b.vec_id, b.vec, b.vnorm, c.cell_id, "
+            f"{_dot_sql('b.vec', 'c.cvec')} / (b.vnorm * {_norm_sql('c.cvec')}) "
+            f"AS ccos FROM base b CROSS JOIN {prev} c), "
+            f"as{t} AS (SELECT vec_id, vec, cell_id FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn "
+            f"FROM sc{t}) WHERE rn = 1), "
+            f"mean{t} AS (SELECT cell_id, list_transform(range(1, {dims + 1}), "
+            "d -> list_reduce(list_transform(ms, m -> m[d]), (a, b) -> a + b) "
+            "/ len(ms)) AS mvec FROM (SELECT cell_id, "
+            f"list(vec ORDER BY vec_id) AS ms FROM as{t} GROUP BY cell_id)), "
+            f"cents{t + 1} AS (SELECT p.cell_id, coalesce(m.mvec, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN mean{t} m ON p.cell_id = m.cell_id), "
+        )
+        prev = f"cents{t + 1}"
+    parts.append(
+        "scored AS (SELECT b.vec_id, b.vec, b.vnorm, c.cell_id, "
+        f"{_dot_sql('b.vec', 'c.cvec')} / (b.vnorm * {_norm_sql('c.cvec')}) "
+        f"AS ccos FROM base b CROSS JOIN {prev} c), "
+        "assign AS (SELECT vec_id, vec, cell_id FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn "
+        "FROM scored) WHERE rn = 1), "
+        "q AS (SELECT embedding AS qvec, "
+        f"{_norm_sql('embedding')} AS qnorm FROM embeddings "
+        f"WHERE vec_id = {query_vec_id}), "
+        f"probe AS (SELECT cell_id FROM {prev} c, q ORDER BY "
+        f"{_dot_sql('c.cvec', 'q.qvec')} / ({_norm_sql('c.cvec')} * q.qnorm) "
+        f"DESC, c.cell_id ASC LIMIT {n_probe}) "
+        f"SELECT a.vec_id, round({_dot_sql('a.vec', 'q.qvec')} / "
+        f"({_norm_sql('a.vec')} * q.qnorm), 6) AS cos "
+        "FROM assign a JOIN probe p ON a.cell_id = p.cell_id, q "
+        f"WHERE a.vec_id <> {query_vec_id} "
+        f"ORDER BY cos DESC, a.vec_id ASC LIMIT {k}"
+    )
+    return "".join(parts)
+
+
 def embedding_dedup_sql(
     threshold: float = 0.25, num_planes: int = 8, bands: int = 2
 ) -> str:

@@ -821,3 +821,23 @@ def test_chunk_documents_window_semantics(spark):
     assert not any(d == 3 for d, _ in got)  # empty doc: nothing
     with pytest.raises(ValueError, match="must be positive"):
         text_ops.chunk_documents(docs, window=0, stride=3).collect()
+
+
+def test_lloyd_exact_mean_partitioning_invariant(spark, sf_dir):
+    """exact_mean centroids are identical regardless of input
+    partitioning (the default avg mode only promises ~1e-15-noise
+    equivalence) — the property that lets ivf_topk_lloyd sit behind a
+    hash-exact SQL oracle."""
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = similarity.lloyd_centroids(emb, n_cells=4, n_iters=2, exact_mean=True)
+    b = similarity.lloyd_centroids(
+        emb.repartition(7), n_cells=4, n_iters=2, exact_mean=True
+    )
+    assert a == b  # bit-exact, not approximately
+    c = similarity.lloyd_centroids(emb, n_cells=4, n_iters=2)
+    assert len(c) == len(a) and all(
+        abs(x - y) < 1e-9 for ca, cb in zip(a, c) for x, y in zip(ca, cb)
+    )  # avg mode agrees to float-noise, by design

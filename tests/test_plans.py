@@ -254,3 +254,30 @@ def test_stratified_sample_broadcasts_normalizer(plans):
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Python" not in p
+
+
+def test_ivf_assignment_exchange_free_at_256_cells(spark, sf_dir):
+    """The centroid table rides as ONE broadcast array<struct> row; the
+    documented practical ceiling is n_cells*dims doubles of broadcast
+    payload (256*64 = 16k doubles = 128 KB here — far under the 8 GB
+    broadcast hard cap, fine to ~10^4 cells at 10^3 dims). What must
+    NOT change with cell count is the plan shape: assignment stays a
+    narrow per-row fold over the broadcast, with no shuffle exchange at
+    any width."""
+    from pagerank_mapreduce_implementation_spark.operators.similarity import ivf_assign
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    dims = 64
+    cents = [
+        [((i * dims + d) % 97) / 97.0 + 0.01 for d in range(dims)]
+        for i in range(256)
+    ]
+    _, assign = ivf_assign(emb, n_cells=256, centroids=cents)
+    p = plan_of(assign)
+    assert "SortMergeJoin" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row centroid side
+    # sanity: it executes and every vector lands in a valid cell
+    cells = {r["cell_id"] for r in assign.select("cell_id").distinct().collect()}
+    assert cells and all(1 <= c <= 256 for c in cells)
