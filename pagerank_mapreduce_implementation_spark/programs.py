@@ -250,6 +250,7 @@ def pack_corpus(
     stride: int = 48,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Chunk a cleaned corpus into overlapping token windows,
     parquet-in -> parquet-out — the pack step that follows
@@ -257,15 +258,30 @@ def pack_corpus(
     ``(doc_id, chunk_id, chunk, n_tokens)`` rows sized for a model's
     context window.
 
-    A single narrow pass end-to-end (text.chunk_documents does the
-    split + window arithmetic + chunk-row explode with no shuffle), so
-    at 100 TB this is scan-speed: read parquet, emit chunk rows, write
+    ``tokenizer``: ``"whitespace"`` windows whitespace words (pure
+    codegen, zero Python); ``"bpe"`` windows SUBWORD pieces from the
+    vendored deterministic BPE (functions/bpe.py) — the real training
+    contract, since packs are sized in subword tokens; costs exactly
+    one Arrow-batched Python pass for the piece arrays.
+
+    A single narrow pass end-to-end (the chunker does the tokenize +
+    window arithmetic + chunk-row explode with no shuffle), so at
+    100 TB this is scan-speed: read parquet, emit chunk rows, write
     parquet. Returns the written table (one footer read, same contract
     as clean_corpus).
     """
-    from pagerank_mapreduce_implementation_spark.operators.text import chunk_documents
+    from pagerank_mapreduce_implementation_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_bpe,
+    )
 
-    chunks = chunk_documents(
+    if tokenizer == "whitespace":
+        chunker = chunk_documents
+    elif tokenizer == "bpe":
+        chunker = chunk_documents_bpe
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    chunks = chunker(
         spark.read.parquet(input_path),
         window=window,
         stride=stride,

@@ -304,3 +304,41 @@ def test_pack_corpus_end_to_end(spark, tmp_path):
         assert covered == {f"w{i}x{j}" for j in range(11)}
     # written artifact is re-readable (the returned df IS the parquet)
     assert spark.read.parquet(out).count() == got.count()
+
+
+def test_pack_corpus_bpe_tokenizer(spark, tmp_path):
+    """pack_corpus(tokenizer='bpe') windows the vendored-BPE piece
+    sequence: chunk rows re-derive exactly from encode_text, and an
+    unknown tokenizer name fails loudly."""
+    import math
+
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.functions import bpe
+    from pagerank_mapreduce_implementation_spark.programs import pack_corpus
+
+    rows = [(1, "the window table scan merges the sorted stream"),
+            (2, "data store keeps the hot rows")]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "chunks_bpe")
+    window, stride = 6, 4
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"])
+        for r in pack_corpus(
+            spark, src, out, window=window, stride=stride, tokenizer="bpe"
+        ).collect()
+    }
+    want = {}
+    for doc_id, txt in rows:
+        toks = bpe.encode_text(txt)
+        n = len(toks)
+        n_chunks = min(
+            1 + math.ceil(max(0, n - window) / stride), 1 + (n - 1) // stride
+        )
+        for i in range(n_chunks):
+            sl = toks[i * stride : i * stride + window]
+            want[(doc_id, i)] = (" ".join(sl), len(sl))
+    assert got == want
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        pack_corpus(spark, src, str(tmp_path / "x"), tokenizer="sentencepiece")
