@@ -258,6 +258,24 @@ def _q_doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality signal (textstats.lm_scores): mean
+    -log10 p(word) per doc under the corpus' own unigram distribution —
+    the cheap perplexity-style outlier filter of real data pipelines."""
+    return textstats.lm_scores(Catalog(spark, sf_dir).documents)
+
+
+def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing layout (text.pack_sequences): every
+    doc's position in the concatenated token stream and its 512-token
+    training bin — computed as a two-phase distributed prefix sum
+    (per-id-bucket running sums + broadcast bucket offsets), never one
+    global window. All-integer, so the oracle is bit-exact trivially."""
+    return text.pack_sequences(
+        Catalog(spark, sf_dir).documents, budget=512, bucket_size=64
+    )
+
+
 def _q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_word_count(Catalog(spark, sf_dir).documents)
 
@@ -309,6 +327,30 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup over the part dimension (broadcast join)."""
     cat = Catalog(spark, sf_dir)
     return relational.brand_revenue(cat.part, cat.lineitem)
+
+
+def _q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brand_revenue through the SALTED join (operators/skew.py): big
+    side salted, dim replicated per salt — the rewrite for a hot fact
+    key that one reducer would otherwise own. Value-identical to the
+    plain join by construction (same oracle SQL as brand_revenue, like
+    salted_word_count's relationship to word_count): salting is a pure
+    physical strategy, never a semantic knob."""
+    from pagerank_mapreduce_implementation_spark.operators.relational import dsum
+    from pagerank_mapreduce_implementation_spark.operators.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    big = cat.lineitem.select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    small = cat.part.select("p_partkey", "p_brand")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        salted_join(big, small, "p_partkey", salt_buckets=8)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(disc_price).alias("revenue"))
+        .orderBy("p_brand")
+    )
 
 
 def _q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pagerank loop work)
         "doc_chunks": _q_doc_chunks,
         "doc_chunks_bpe": _q_doc_chunks_bpe,
+        "seq_packing": _q_seq_packing,
+        "lm_scores": _q_lm_scores,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "pagerank_top20": _q_pagerank,
@@ -1383,11 +1427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
         "streaming_approx_uniques": _q_streaming_approx_uniques,
+        "salted_brand_revenue": _q_salted_brand_revenue,
+        # --- window boundary (~50) — below here: round-4-green,
+        # unchanged code, due back on a later rotation
         "blob_metadata": _q_blob_metadata,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
-        # --- window boundary (~50) — below here: round-4-green,
-        # unchanged code, due back on a later rotation
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "repetition_scores": _q_repetition,
@@ -1460,6 +1505,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM e"
         ),
         "doc_chunks_bpe": oracles.doc_chunks_bpe_sql(32, 24),
+        # two-phase prefix sum == one flat running sum over doc_id order
+        # (the bucketing is a pure physical rewrite; integer arithmetic,
+        # so the mirror needs no rounding at all)
+        "lm_scores": (
+            f"WITH {_TOK}, "
+            "wc AS (SELECT word, count(*) AS wcnt FROM tok GROUP BY word), "
+            "tt AS (SELECT sum(wcnt) AS total FROM wc) "
+            "SELECT t.doc_id, count(*) AS n_tokens, "
+            "round(sum(-log10(CAST(wcnt AS DOUBLE) / (SELECT total FROM tt))) "
+            "/ count(*), 6) AS nll "
+            "FROM tok t JOIN wc ON t.word = wc.word GROUP BY t.doc_id"
+        ),
+        "seq_packing": (
+            "WITH t AS (SELECT doc_id, CAST(len(list_filter("
+            r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens "
+            "AS global_start FROM t) "
+            "SELECT doc_id, n_tokens, global_start, "
+            "global_start // 512 AS bin_id, "
+            "global_start % 512 AS bin_offset FROM c"
+        ),
         "term_frequency": (
             f"WITH {_TOK_LOWER}, {_TF} "
             "SELECT doc_id, word, round(tf, 6) AS tf FROM tf"
@@ -1541,6 +1609,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fingerprint = keepers.fingerprint)"
         ),
         "brand_revenue": (
+            "SELECT p_brand, count(*) AS n_items, "
+            "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        # the salted rewrite must be value-identical to the plain join
+        "salted_brand_revenue": (
             "SELECT p_brand, count(*) AS n_items, "
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "

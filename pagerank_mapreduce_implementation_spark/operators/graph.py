@@ -536,6 +536,7 @@ def _cc_star(
         .localCheckpoint(eager=True)
     )
     converged = False
+    e_count = e.count()
     for _ in range(max_iters):
         # large-star over the symmetrized neighborhood
         bidir = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
@@ -564,14 +565,17 @@ def _cc_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # exact fixed-point check on the two materialized sets
-        if e_new.count() == e.count() and e_new.join(
+        # exact fixed-point check on the two materialized sets (counts
+        # carried in python — equal counts is the cheap necessary
+        # condition that gates the anti-join confirmation)
+        e_new_count = e_new.count()
+        if e_new_count == e_count and e_new.join(
             e, ["hi", "lo"], "left_anti"
         ).isEmpty():
             e = e_new
             converged = True
             break
-        e = e_new
+        e, e_count = e_new, e_new_count
     if not converged:
         raise RuntimeError(
             f"connected_components(star) did not converge within {max_iters} "

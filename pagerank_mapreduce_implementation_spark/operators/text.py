@@ -225,6 +225,90 @@ def _window_token_arrays(staged: DataFrame, window: int, stride: int) -> DataFra
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate every document's
+    tokens in ``doc_col`` order into one virtual token stream and cut
+    it into fixed ``budget``-token bins — the step that turns a cleaned
+    corpus into fully-packed training sequences (no padding waste;
+    documents may straddle a bin boundary, exactly like production
+    packing).
+
+    Returns one row per document: ``(doc_id, n_tokens, global_start,
+    bin_id, bin_offset)`` where ``global_start`` is the document's
+    first-token position in the stream, ``bin_id = global_start //
+    budget`` (the bin its first token lands in) and ``bin_offset =
+    global_start % budget``. All-integer arithmetic — bit-exact in the
+    SQL oracle by construction, no float ordering concerns.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not one global window:
+    a single ``Window.orderBy(doc_id)`` would drag the whole corpus
+    into one task. Instead (1) docs land in deterministic contiguous
+    id-range buckets (``doc_id // bucket_size``), (2) the running sum
+    within each bucket is a per-bucket window (parallel across
+    buckets), (3) bucket totals — one row per bucket, corpus-size /
+    bucket_size rows — get their own tiny running sum and broadcast-
+    join back as each bucket's global offset. Two narrow windows + one
+    broadcast join instead of a serialized global sort; the classic
+    two-phase scan/prefix pattern. ``doc_col`` must be numeric and
+    unique (the corpus contract; hash ids first if not).
+    """
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget ({budget}) must be positive")
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size ({bucket_size}) must be positive")
+    toks = F.size(F.filter(F.split(F.col(text_col), TOKEN_WS_RE), lambda x: x != ""))
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        # integral division (not a double floor): exact for any id range
+        F.expr(f"{doc_col} div {int(bucket_size)}").alias("__bucket"),
+    )
+    in_bucket = Window.partitionBy("__bucket").orderBy("doc_id")
+    staged = staged.withColumn(
+        "__cum", F.sum("n_tokens").over(in_bucket)
+    )
+    # bucket totals: tiny (one row per id-range bucket); their running
+    # sum is a window over that tiny set, then a broadcast join back.
+    # The totals branch re-derives from the token-count scan (two
+    # column-pruned scans total — cheap on columnar storage; a caller
+    # packing a 100 TB corpus persists `docs`' token counts first and
+    # both branches then read the cache).
+    btot = staged.groupBy("__bucket").agg(F.max("__cum").alias("__btot"))
+    bprefix = btot.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__btot").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__prefix")
+    return (
+        staged.join(F.broadcast(bprefix), "__bucket")
+        .withColumn(
+            "global_start", F.col("__prefix") + F.col("__cum") - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "global_start",
+            # integral division, exact at any stream length
+            F.expr(f"global_start div {int(budget)}").alias("bin_id"),
+            (F.col("global_start") % budget).alias("bin_offset"),
+        )
+    )
+
+
 def chunk_documents_bpe(
     docs: DataFrame,
     window: int = 64,

@@ -203,3 +203,44 @@ def fingerprints(
         lambda acc, h: (acc * FINGERPRINT_BASE + h) % FINGERPRINT_MOD,
     )
     return docs.select(F.col(doc_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def lm_scores(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM surprisal per document — the classic cheap quality /
+    outlier signal (a doc whose words are rare under the corpus' own
+    unigram distribution is boilerplate-free gibberish or off-domain):
+    ``(doc_id, n_tokens, nll)`` with ``nll`` = mean over the doc's
+    token occurrences of ``-log10(count(word)/total_tokens)``, rounded
+    to 6 digits. Zero-token docs are dropped (no distribution to score
+    them under).
+
+    Scale shape: one tokenize explode (narrow) -> word counts (ONE
+    shuffle with map-side partial agg) -> total-token scalar as a
+    broadcast 1-row aggregate (never a driver collect) -> join token
+    occurrences back on word (the word-count side is vocabulary-sized;
+    AQE broadcasts it when it fits, shuffles otherwise) -> per-doc mean
+    (second shuffle). The same two-shuffle silhouette as tf-idf, which
+    is what this is: a probability-normalized df table.
+    """
+    tok = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wcnt"))
+    total = wc.agg(F.sum("wcnt").alias("__total"))
+    scored = (
+        tok.join(wc, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log10(F.col("wcnt").cast("double") / F.col("__total"))).alias(
+                "surprisal"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("nll"),
+    )

@@ -281,3 +281,18 @@ def test_ivf_assignment_exchange_free_at_256_cells(spark, sf_dir):
     # sanity: it executes and every vector lands in a valid cell
     cells = {r["cell_id"] for r in assign.select("cell_id").distinct().collect()}
     assert cells and all(1 <= c <= 256 for c in cells)
+
+
+def test_seq_packing_two_phase_prefix_sum_shape(plans):
+    """The distributed prefix sum keeps the SINGLE-partition window on
+    the tiny bucket-totals side only: the corpus side is a per-bucket
+    partitioned window + a broadcast join, never one global sort of
+    every document."""
+    p = plans("seq_packing")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    # exactly one single-partition exchange, and it feeds the
+    # bucket-totals window (rows = corpus/bucket_size), not the corpus
+    assert len(re.findall(r"Exchange SinglePartition", p)) == 1
+    # corpus-side running sum is partitioned by the id bucket
+    assert re.search(r"windowspecdefinition\(__bucket", p)

@@ -368,3 +368,40 @@ def test_chunk_documents_matches_python_windows(spark, n_toks, window, stride):
         for i in range(n_chunks)
     }
     assert got == want
+
+
+@given(
+    n_docs=st.integers(min_value=0, max_value=30),
+    budget=st.integers(min_value=1, max_value=40),
+    bucket_size=st.integers(min_value=1, max_value=10),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_pack_sequences_matches_flat_prefix_sum(
+    spark, n_docs, budget, bucket_size, data
+):
+    """pack_sequences == the flat python prefix sum over doc_id order,
+    for ANY bucket_size — the id-range bucketing is a pure physical
+    rewrite of the stream layout, never a semantic knob."""
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    lens = [
+        data.draw(st.integers(min_value=0, max_value=9), label=f"len{i}")
+        for i in range(n_docs)
+    ]
+    rows = [(i, " ".join(f"t{j}" for j in range(k))) for i, k in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["global_start"], r["bin_id"], r["bin_offset"])
+        for r in text_ops.pack_sequences(
+            df, budget=budget, bucket_size=bucket_size
+        ).collect()
+    }
+    start = 0
+    want = {}
+    for i, k in enumerate(lens):
+        want[i] = (k, start, start // budget, start % budget)
+        start += k
+    assert got == want
