@@ -366,6 +366,20 @@ def _q_order_priority_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_clean_counts(cat.orders, cat.lineitem)
 
 
+def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (dedup.incremental_minhash_dedup):
+    batch = docs with doc_id % 3 == 0 probed against the MinHash
+    SIGNATURE store of the rest of the corpus — signature-estimate
+    verification (integer equal-component count), the shape a 100 TB
+    corpus actually persists."""
+    docs = Catalog(spark, sf_dir).documents
+    seen = dedup.minhash_signatures(
+        dedup.shingles(docs.filter(F.col("doc_id") % 3 != 0), 5), 16
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.incremental_minhash_dedup(batch, seen, threshold=0.5, ngram=5)
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (operators/dedup.py): docs with id <
     median play the already-ingested corpus (its fingerprint store);
@@ -1409,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top20": _q_pagerank,
         # fill to the 50-window with round-4-green entries
         "minhash_dedup": _q_minhash_dedup,
+        "incremental_minhash_dedup": _q_incremental_minhash,
         "simhash_dedup": _q_simhash_dedup,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1426,10 +1441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
-        "streaming_approx_uniques": _q_streaming_approx_uniques,
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "streaming_approx_uniques": _q_streaming_approx_uniques,
         "blob_metadata": _q_blob_metadata,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1597,6 +1612,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # in-batch keeper = min doc_id per fingerprint; cross-batch =
         # anti-join against the seen store (docs with id < 250)
+        "incremental_minhash_dedup": oracles.incremental_minhash_sql(
+            "doc_id % 3 = 0", "doc_id % 3 <> 0", threshold=0.5, ngram=5
+        ),
         "incremental_dedup": (
             "WITH fp AS (SELECT doc_id, lang, source, "
             "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint "

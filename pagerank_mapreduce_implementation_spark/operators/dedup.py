@@ -218,14 +218,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     return staged.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bucket_candidates(
+def band_buckets(
     sig: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Candidate pairs sharing >= 1 LSH band bucket: ``(doc_a, doc_b)``.
-
-    With k=16, b=4 (r=4) the collision threshold is ~(1/4)^(1/4)=0.71.
-    The self-join shuffles on the bucket md5 — only docs in the same
-    bucket ever pair up.
+    """LSH band buckets of a signature table: ``(doc_id, band, bucket)``
+    — one pass over the signatures via an inline (band, bucket) struct
+    array explode (a bands-way union would recompute the signature
+    aggregation per band). The bucket key is the plain joined row
+    string — equality is all a bucket needs, no re-hash. Shared by the
+    corpus-wide candidate join AND the incremental batch-vs-store path.
     """
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
@@ -233,10 +234,6 @@ def lsh_bucket_candidates(
             "a remainder would silently drop signature rows from banding"
         )
     r = num_hashes // bands
-    # one pass over the signatures: explode an inline (band, bucket)
-    # struct array instead of a bands-way union (which would recompute
-    # the signature aggregation per band). The bucket key is the plain
-    # joined row string — equality is all a bucket needs, no re-hash.
     band_structs = F.array(
         *[
             F.struct(
@@ -248,9 +245,21 @@ def lsh_bucket_candidates(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_bucket_candidates(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs sharing >= 1 LSH band bucket: ``(doc_a, doc_b)``.
+
+    With k=16, b=4 (r=4) the collision threshold is ~(1/4)^(1/4)=0.71.
+    The self-join shuffles on the bucket md5 — only docs in the same
+    bucket ever pair up.
+    """
+    buckets = band_buckets(sig, num_hashes, bands)
     other = buckets.select(
         F.col("doc_id").alias("doc_b"), "band", "bucket"
     )
@@ -445,6 +454,126 @@ def ngram_containment_pairs(
         lambda i, na, nb: i / F.least(na, nb),
         max_shingle_df=max_shingle_df,
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion: a new batch against a MinHash
+    SIGNATURE store — the production shape at 100 TB, where the corpus
+    persists ``minhash_signatures`` output (num_hashes longs per doc),
+    never shingle sets (unbounded strings per doc). The near-dup
+    sibling of ``incremental_exact_dedup``.
+
+    Verification is the signature Jaccard ESTIMATE — the fraction of
+    equal minhash components, compared as an integer count against
+    ``ceil(threshold * num_hashes)`` (pure integer logic: bit-exact in
+    the SQL oracle, no float folds). Exact shingle Jaccard is
+    impossible here by design: the store has no shingles, and that is
+    the point — estimate-based verify is what signature stores buy.
+
+    Returns one row per batch doc: ``(doc_id, dup_of_store,
+    dup_of_batch, keep)``. A doc is ``dup_of_store`` if it shares an
+    LSH band bucket with ANY stored signature and the estimate clears
+    the threshold; ``dup_of_batch`` if the same holds against a
+    SMALLER-id batch doc (the keep-first rule, regardless of that doc's
+    own fate — it stands in for whatever it duplicates). ``keep`` =
+    neither. Append the kept docs' signatures to the store for the
+    next batch.
+
+    Shuffles: one signature aggregation over the (small) batch, a band
+    join against the store — bucketed on (band, bucket), so at scale
+    the store lives banded on disk and the probe co-locates — and one
+    component-compare join per candidate set. The store side is never
+    scanned beyond its band index + the candidate signatures.
+    """
+    import math
+
+    min_matches = math.ceil(num_hashes * threshold)
+    sig_b = minhash_signatures(
+        shingles(new_docs, ngram, text_col, doc_col), num_hashes
+    ).persist()
+    try:
+        bb_batch = band_buckets(sig_b, num_hashes, bands)
+        bb_store = band_buckets(seen_sigs, num_hashes, bands)
+        n_eq = sum(
+            [
+                F.when(F.col(f"h{i}") == F.col(f"s{i}"), 1).otherwise(0)
+                for i in range(num_hashes)
+            ],
+            F.lit(0),
+        )
+        store_sigs = seen_sigs.select(
+            F.col("doc_id").alias("store_id"),
+            *[F.col(f"h{i}").alias(f"s{i}") for i in range(num_hashes)],
+        )
+        cand_store = (
+            bb_batch.join(
+                bb_store.select(
+                    F.col("doc_id").alias("store_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("doc_id", "store_id")
+            .distinct()
+        )
+        dup_store = (
+            cand_store.join(sig_b, "doc_id")
+            .join(store_sigs, "store_id")
+            .filter(n_eq >= min_matches)
+            .select("doc_id")
+            .distinct()
+            .withColumn("dup_of_store", F.lit(1))
+        )
+        cand_batch = (
+            bb_batch.join(
+                bb_batch.select(
+                    F.col("doc_id").alias("store_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("store_id") < F.col("doc_id"))
+            .select("doc_id", "store_id")
+            .distinct()
+        )
+        batch_sigs = sig_b.select(
+            F.col("doc_id").alias("store_id"),
+            *[F.col(f"h{i}").alias(f"s{i}") for i in range(num_hashes)],
+        )
+        dup_batch = (
+            cand_batch.join(sig_b, "doc_id")
+            .join(batch_sigs, "store_id")
+            .filter(n_eq >= min_matches)
+            .select("doc_id")
+            .distinct()
+            .withColumn("dup_of_batch", F.lit(1))
+        )
+        out = (
+            sig_b.select("doc_id")
+            .join(dup_store, "doc_id", "left")
+            .join(dup_batch, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("dup_of_store", F.lit(0)).alias("dup_of_store"),
+                F.coalesce("dup_of_batch", F.lit(0)).alias("dup_of_batch"),
+            )
+            .withColumn(
+                "keep",
+                (
+                    (F.col("dup_of_store") == 0) & (F.col("dup_of_batch") == 0)
+                ).cast("int"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig_b.unpersist()
 
 
 # --- SimHash ----------------------------------------------------------------

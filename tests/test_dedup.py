@@ -254,3 +254,36 @@ def test_df_capped_scores_match_duckdb_oracle(spark):
         }
         assert got == want and got  # non-empty: the near-dup pair survives
         assert (1, 2) in got
+
+
+def test_incremental_minhash_dedup_planted(spark):
+    """Signature-store ingestion: a batch doc near-identical to a
+    stored doc is dropped as dup_of_store; two near-identical NEW docs
+    keep the smaller id and flag the larger as dup_of_batch; novel
+    content keeps. bands=8 for the ~0.35 collision threshold (same
+    recall reasoning as test_minhash_finds_planted_near_dup)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store_docs = spark.createDataFrame(
+        [(1, base), (2, "completely different stored content about engines")],
+        "doc_id long, text string",
+    )
+    seen = dedup.minhash_signatures(dedup.shingles(store_docs, 3), 16)
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # exact text of stored doc 1
+            (11, "brand new unique material nothing like anything else one"),
+            (12, "fresh pair of matching documents with shared phrasing here"),
+            (13, "fresh pair of matching documents with shared phrasing here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_minhash_dedup(
+            batch, seen, threshold=0.5, ngram=3, bands=8
+        ).collect()
+    }
+    assert out[10]["dup_of_store"] == 1 and out[10]["keep"] == 0
+    assert out[11]["keep"] == 1
+    assert out[12]["dup_of_batch"] == 0 and out[12]["keep"] == 1  # smaller id
+    assert out[13]["dup_of_batch"] == 1 and out[13]["keep"] == 0
