@@ -329,6 +329,13 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.brand_revenue(cat.part, cat.lineitem)
 
 
+def _q_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping-set aggregation (relational.lineitem_cube) —
+    all 4 grouping combinations of (returnflag, linestatus) in one
+    Expand+agg pass."""
+    return relational.lineitem_cube(Catalog(spark, sf_dir).lineitem)
+
+
 def _q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """brand_revenue through the SALTED join (operators/skew.py): big
     side salted, dim replicated per salt — the rewrite for a hot fact
@@ -1440,10 +1447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
-        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
+        "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
         "streaming_approx_uniques": _q_streaming_approx_uniques,
         "blob_metadata": _q_blob_metadata,
         "token_stats": _q_token_stats,
@@ -1631,6 +1639,11 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "returnflag_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+            "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         # the salted rewrite must be value-identical to the plain join
         "salted_brand_revenue": (

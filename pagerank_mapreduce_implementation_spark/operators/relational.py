@@ -132,6 +132,23 @@ def nation_year_rollup(
     )
 
 
+def lineitem_cube(lineitem: DataFrame) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): every grouping-set
+    combination — both dims, each dim alone, grand total — in ONE
+    Expand + hash-agg pass (the GROUPING SETS sibling of
+    ``nation_year_rollup``; at 100 TB one pass vs 2^dims re-scans).
+    NULL marks the aggregated-away level, standard SQL semantics."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price).alias("revenue"),
+        )
+    )
+
+
 def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Fact-to-dimension join → agg → sort over the ``part`` table:
     revenue and volume per brand. The part dim broadcasts (small side);

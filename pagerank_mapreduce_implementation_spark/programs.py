@@ -138,6 +138,7 @@ def clean_corpus(
     lang: str | None = None,
     min_quality: float = 0.0,
     max_repetition: float | None = None,
+    max_nll: float | None = None,
     bench_docs: DataFrame | None = None,
     near_dup_threshold: float = 0.5,
     ngram: int = 5,
@@ -154,6 +155,11 @@ def clean_corpus(
     2. quality floor (textstats.quality_scores composite)
     3. repetition cap (textstats.repetition_ratio) when
        ``max_repetition`` set — drops boilerplate/generated spam
+    3b. unigram-LM surprisal cap (textstats.lm_scores) when ``max_nll``
+       set — drops off-distribution outliers the stopword/length
+       heuristics miss (the perplexity-style filter; scored against the
+       INPUT corpus' own unigram distribution, before any filtering, so
+       the threshold means the same thing run over run)
     4. benchmark decontamination (contamination.decontaminate) when
        ``bench_docs`` is supplied — drops docs overlapping the eval set
     5. exact dedup — drop non-keepers by content fingerprint
@@ -203,6 +209,11 @@ def clean_corpus(
             .filter(F.col("repetition_ratio") <= max_repetition)
             .drop("repetition_ratio")
         )
+    if max_nll is not None:
+        nll = textstats.lm_scores(spark.read.parquet(input_path)).select(
+            "doc_id", "nll"
+        )
+        docs = docs.join(nll, "doc_id").filter(F.col("nll") <= max_nll).drop("nll")
     if bench_docs is not None:
         docs = decontaminate(
             docs,

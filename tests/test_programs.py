@@ -342,3 +342,29 @@ def test_pack_corpus_bpe_tokenizer(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="unknown tokenizer"):
         pack_corpus(spark, src, str(tmp_path / "x"), tokenizer="sentencepiece")
+
+
+def test_clean_corpus_lm_filter_stage(spark, tmp_path):
+    """max_nll drops the off-distribution outlier: a doc of words that
+    appear nowhere else scores far above the corpus-typical surprisal,
+    while repeated-vocabulary docs pass. Thresholds are computed from
+    the corpus' actual lm_scores so the test can't drift."""
+    from pagerank_mapreduce_implementation_spark.operators.textstats import lm_scores
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    common = "the data table keeps the sorted rows near the reader"
+    rows = [(i, common) for i in range(8)] + [
+        (100, "zxqv wplk mntr bghf cdjy qqaz")  # every word unique
+    ]
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(src)
+    scores = {r["doc_id"]: r["nll"] for r in lm_scores(docs).collect()}
+    assert scores[100] > scores[0]  # the outlier really is surprising
+    cut = (scores[0] + scores[100]) / 2
+    out = clean_corpus(
+        spark, src, str(tmp_path / "out"), max_nll=cut, near_dup_threshold=1.01
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 100 not in kept
+    assert 0 in kept  # keeper of the exact-dup group survives the cap
