@@ -423,6 +423,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-recall n-gram Jaccard pairs via PREFIX FILTERING (the
+    set-similarity-join literature's answer to the stop-shingle
+    blow-up; cf. Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06):
+    identical OUTPUT to the naive ``ngram_jaccard_pairs`` (same oracle
+    SQL), but candidates come from joining only each doc's PREFIX —
+    its rarest ``n - ceil(t*n) + 1`` shingles in global
+    (document-frequency, shingle) order — against the full shingle
+    table.
+
+    Why recall is exact: J(A,B) >= t implies |A∩B| >= ceil(t*|A|); if
+    B missed ALL of A's first ``|A| - ceil(t*|A|) + 1`` shingles, the
+    intersection would fit inside A's remaining ``ceil(t*|A|) - 1`` —
+    contradiction. So for every qualifying pair, EACH side's prefix
+    intersects the other's full shingle set — the prefix-vs-full join
+    finds the pair from both directions, and the least/greatest
+    normalization collapses them to one row.
+
+    Why it scales where the naive join explodes: prefixes hold each
+    doc's RAREST shingles — a corpus-wide boilerplate shingle is
+    (almost) never in any sizable doc's prefix, so the join key
+    distribution is capped by rare-shingle dfs instead of the hottest
+    shingle's C(df,2). Unlike ``max_shingle_df`` this changes NO
+    semantics — it is the production default; the df cap remains the
+    blunt fallback for adversarial inputs where even prefixes skew.
+
+    ``ceil(t*n)`` is computed as ``ceil(t*n - 1e-9)``: float noise may
+    only LENGTHEN the prefix (more candidates, same answer), never
+    shorten it (which could drop pairs).
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    try:
+        dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        w_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+        ranked = (
+            sh.join(dfq, "shingle")
+            .withColumn("__r", F.row_number().over(w_doc))
+            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        )
+        overlap_min = F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        prefix = ranked.filter(
+            F.col("__r") <= F.col("__n") - overlap_min + 1
+        ).select(F.col("doc_id").alias("doc_p"), "shingle")
+        other = sh.select(F.col("doc_id").alias("doc_o"), "shingle")
+        cand = (
+            prefix.join(other, "shingle")
+            .filter(F.col("doc_p") != F.col("doc_o"))
+            .select(
+                F.least("doc_p", "doc_o").alias("doc_a"),
+                F.greatest("doc_p", "doc_o").alias("doc_b"),
+            )
+            .distinct()
+        )
+        return jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     threshold: float,

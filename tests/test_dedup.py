@@ -287,3 +287,48 @@ def test_incremental_minhash_dedup_planted(spark):
     assert out[11]["keep"] == 1
     assert out[12]["dup_of_batch"] == 0 and out[12]["keep"] == 1  # smaller id
     assert out[13]["dup_of_batch"] == 1 and out[13]["keep"] == 0
+
+
+def test_prefix_filter_equals_naive_on_random_corpora(spark):
+    """ngram_jaccard_prefix_pairs == ngram_jaccard_pairs (naive exact)
+    row-for-row on randomized corpora and across thresholds — prefix
+    filtering must be a pure candidate pruning, never a recall change."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 14))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    n_pairs_low_t = None
+    for t in (0.1, 0.2, 0.5, 0.8):
+        naive = rows_of(dedup.ngram_jaccard_pairs(docs, t, ngram=2))
+        pref = rows_of(dedup.ngram_jaccard_prefix_pairs(docs, t, ngram=2))
+        assert pref == naive, f"threshold {t}"
+        if n_pairs_low_t is None:
+            n_pairs_low_t = len(naive)
+    assert n_pairs_low_t  # the loosest threshold exercised real pairs
+
+
+def test_prefix_filter_excludes_boilerplate_from_prefixes(spark):
+    """On the hot-shingle corpus the ubiquitous boilerplate shingles
+    stay OUT of every sizable doc's prefix (they are the most common,
+    prefixes hold the rarest), so the prefix join's hottest key is a
+    rare shingle — while output still equals the naive join's."""
+    docs, _ = _hot_shingle_corpus(spark)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    naive = rows_of(dedup.ngram_jaccard_pairs(docs, 0.0001, ngram=3))
+    pref = rows_of(dedup.ngram_jaccard_prefix_pairs(docs, 0.0001, ngram=3))
+    assert pref == naive and len(naive) == 40 * 39 // 2
+    # at a threshold where boilerplate-only overlap can't qualify,
+    # prefixes prune the candidate space to nothing
+    assert dedup.ngram_jaccard_prefix_pairs(docs, 0.9, ngram=3).count() == 0
