@@ -329,6 +329,38 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.brand_revenue(cat.part, cat.lineitem)
 
 
+#: fixed probe set for the count-min query: the search terms, two more
+#: common corpus words, and one absent word (est stays >= exact == 0)
+CMS_ITEMS = ["spark", "window", "table", "the", "merge", "zzqx_absent"]
+
+
+def _q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates (sketches.count_min_sketch_table):
+    depth x width counters — fixed state at ANY vocabulary size,
+    mergeable cell-wise across shards/days like the HLL rollup — probed
+    for a fixed item list and self-audited against the exact counts
+    (overcount >= 0 is the CMS guarantee, bounded by collisions).
+    Fully deterministic (commutative integer sums), so unlike HLL/GK
+    this sketch is hash-exact against its SQL oracle."""
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    toks = text.tokenize(Catalog(spark, sf_dir).documents)
+    sk = sketches.count_min_sketch_table(toks, "word", depth=4, width=256)
+    est = sketches.count_min_estimates(sk, CMS_ITEMS, depth=4, width=256)
+    exact = (
+        toks.filter(F.col("word").isin(CMS_ITEMS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .withColumnRenamed("word", "item")
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        "est",
+        F.coalesce("exact", F.lit(0)).alias("exact"),
+        (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+    )
+
+
 def _q_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE grouping-set aggregation (relational.lineitem_cube) —
     all 4 grouping combinations of (returnflag, linestatus) in one
@@ -1458,11 +1490,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
-        "source_quota": _q_source_quota,
+        "cms_word_counts": _q_cms_word_counts,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
         "streaming_approx_uniques": _q_streaming_approx_uniques,
@@ -1652,6 +1685,28 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "cms_word_counts": (
+            f"WITH {_TOK}, "
+            "dd AS (SELECT unnest(range(0, 4)) AS d), "
+            "cells AS (SELECT dd.d, ('0x' || substr(md5(CAST(dd.d AS VARCHAR) "
+            "|| ':' || t.word), 1, 7))::UBIGINT % 256 AS bucket "
+            "FROM tok t CROSS JOIN dd), "
+            "sk AS (SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket), "
+            "items(item) AS (VALUES "
+            + ", ".join(f"('{w}')" for w in CMS_ITEMS)
+            + "), "
+            "probes AS (SELECT i.item, dd.d, ('0x' || substr(md5(CAST(dd.d AS "
+            "VARCHAR) || ':' || i.item), 1, 7))::UBIGINT % 256 AS bucket "
+            "FROM items i CROSS JOIN dd), "
+            "est AS (SELECT p.item, min(coalesce(s.cnt, 0)) AS est FROM probes p "
+            "LEFT JOIN sk s ON p.d = s.d AND p.bucket = s.bucket GROUP BY p.item), "
+            "ex AS (SELECT word AS item, count(*) AS exact FROM tok WHERE word IN ("
+            + ", ".join(f"'{w}'" for w in CMS_ITEMS)
+            + ") GROUP BY word) "
+            "SELECT e.item, e.est, coalesce(x.exact, 0) AS exact, "
+            "e.est - coalesce(x.exact, 0) AS overcount "
+            "FROM est e LEFT JOIN ex x ON e.item = x.item"
         ),
         "returnflag_cube": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "

@@ -108,3 +108,86 @@ def hll_rollup_estimate(
             "total_estimate"
         )
     )
+
+
+# --- count-min sketch -------------------------------------------------------
+
+def _cms_bucket(item: Column, d: int, width: int) -> Column:
+    """Row-d bucket of an item: first 7 md5 hex digits (28 bits) of
+    ``"{d}:{item}"`` mod width — the same md5-derived universal-hash
+    recipe the minhash family uses, identical in the SQL oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), item)), 1, 7), 16, 10
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def count_min_sketch_table(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of an item column as a ``(d, bucket, cnt)``
+    table — ``depth * width`` rows of state TOTAL, independent of item
+    cardinality (the heavy-hitter / frequency-estimate companion to
+    the HLL distinct sketch; Cormode & Muthukrishnan 2005).
+
+    Deterministic by construction: counters are plain sums over
+    (row, bucket) cells, and addition commutes — the sketch is
+    identical under any partitioning or arrival order (unlike
+    Misra-Gries, whose kept set is order-dependent). It is also
+    MERGEABLE: sketches of two corpora add cell-wise, so per-shard /
+    per-day sketch tables roll up without re-scanning, exactly like
+    the HLL rollup. One narrow explode (depth rows per item
+    occurrence) + one groupBy with map-side partial aggregation.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col(item_col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimates(
+    sketch: DataFrame,
+    items: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point frequency estimates for ``items`` from a
+    ``count_min_sketch_table``: ``(item, est)`` with
+    ``est = min over rows d of cell(d, bucket_d(item))`` — the CMS
+    guarantee ``est >= true count`` always, overcount bounded by
+    collisions (~N/width per row, min over depth rows). The probe is a
+    tiny broadcast join against the fixed-size sketch table."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(w,) for w in items], "item string"
+    ).select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("item"), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

@@ -841,3 +841,41 @@ def test_lloyd_exact_mean_partitioning_invariant(spark, sf_dir):
     assert len(c) == len(a) and all(
         abs(x - y) < 1e-9 for ca, cb in zip(a, c) for x, y in zip(ca, cb)
     )  # avg mode agrees to float-noise, by design
+
+
+def test_count_min_sketch_guarantees(spark):
+    """CMS invariants: est >= exact for every item (never undercounts),
+    bounded state (depth*width cells max), partitioning-invariance
+    (commutative sums), and merge = cell-wise add across two corpora."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    rows = [(i, f"w{i % 17}") for i in range(400)] + [(1000 + j, "hot") for j in range(200)]
+    df = spark.createDataFrame(rows, "id long, word string")
+    depth, width = 4, 32  # narrow width to force real collisions
+    sk = sketches.count_min_sketch_table(df, "word", depth, width)
+    assert sk.count() <= depth * width
+    items = [f"w{k}" for k in range(17)] + ["hot", "absent"]
+    est = {
+        r["item"]: r["est"]
+        for r in sketches.count_min_estimates(sk, items, depth, width).collect()
+    }
+    exact = {r["word"]: r["cnt"] for r in df.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for it in items:
+        assert est[it] >= exact.get(it, 0), it
+    assert est["hot"] >= 200
+    # partitioning-invariant: identical sketch cells from a repartition
+    sk2 = sketches.count_min_sketch_table(df.repartition(13), "word", depth, width)
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk2.collect()))
+    # mergeable: sketch(A union B) == cellwise-sum(sketch A, sketch B)
+    a, b = df.filter("id < 300"), df.filter("id >= 300")
+    ska = sketches.count_min_sketch_table(a, "word", depth, width)
+    skb = sketches.count_min_sketch_table(b, "word", depth, width)
+    merged = (
+        ska.unionByName(skb)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
