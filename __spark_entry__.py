@@ -334,6 +334,17 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_ITEMS = ["spark", "window", "table", "the", "merge", "zzqx_absent"]
 
 
+def _q_user_purchase_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-Arrow batch surface (operators/grouped.grouped_median):
+    per-user purchase count + median value through applyInPandas — the
+    escape hatch for custom per-group logic, here with a sort-based
+    (order-independent) kernel so the plumbing itself is hash-gated."""
+    from pagerank_mapreduce_implementation_spark.operators.grouped import grouped_median
+
+    ev = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    return grouped_median(ev, "user_id", "value")
+
+
 def _q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates (sketches.count_min_sketch_table):
     depth x width counters — fixed state at ANY vocabulary size,
@@ -1489,12 +1500,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
-        "stratified_doc_sample": _q_stratified_sample,
         "cms_word_counts": _q_cms_word_counts,
+        "user_purchase_medians": _q_user_purchase_medians,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
@@ -1685,6 +1697,14 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        # pandas' sort-based median == DuckDB's quantile_cont(0.5)
+        # (same two-middle interpolation); round(,6) on both sides
+        # absorbs the one-ulp (a+b)/2 vs a+(b-a)/2 formulation gap
+        "user_purchase_medians": (
+            "SELECT user_id, count(*) AS n, "
+            "round(median(value), 6) AS median_value "
+            "FROM events WHERE event_type = 'purchase' GROUP BY user_id"
         ),
         "cms_word_counts": (
             f"WITH {_TOK}, "

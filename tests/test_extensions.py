@@ -879,3 +879,22 @@ def test_count_min_sketch_guarantees(spark):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def test_grouped_median_applyinpandas(spark):
+    """grouped_median: per-group Arrow kernel matches a hand-computed
+    median (odd and even group sizes, any key dtype from the schema),
+    and empty input keeps the output schema."""
+    from pagerank_mapreduce_implementation_spark.operators.grouped import grouped_median
+
+    rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 1.5), (2, 2.5)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r["user_id"]: (r["n"], r["median_value"]) for r in grouped_median(
+        df, "user_id", "value").collect()}
+    assert got == {1: (3, 20.0), 2: (2, 2.0)}
+    empty = spark.createDataFrame([], "user_id long, value double")
+    out = grouped_median(empty, "user_id", "value")
+    assert out.columns == ["user_id", "n", "median_value"] and out.count() == 0
+    # string keys work too (key dtype read from the schema)
+    sdf = spark.createDataFrame([("a", 4.0), ("a", 6.0)], "k string, value double")
+    assert grouped_median(sdf, "k", "value").collect()[0]["median_value"] == 5.0
