@@ -334,6 +334,20 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_ITEMS = ["spark", "window", "table", "the", "merge", "zzqx_absent"]
 
 
+def _q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel (sessions.event_funnel): signup -> click ->
+    purchase within 72h of the user's first signup; per-user step
+    timestamps + reach count. One vertex-sized frontier join per step,
+    never a per-user event collection."""
+    from pagerank_mapreduce_implementation_spark.operators.sessions import event_funnel
+
+    return event_funnel(
+        Catalog(spark, sf_dir).events,
+        ["signup", "click", "purchase"],
+        within_hours=72,
+    )
+
+
 def _q_user_purchase_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-Arrow batch surface (operators/grouped.grouped_median):
     per-user purchase count + median value through applyInPandas — the
@@ -1499,13 +1513,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
         "hash_splits": _q_hash_splits,
-        "weighted_doc_sample": _q_weighted_sample,
         "cms_word_counts": _q_cms_word_counts,
         "user_purchase_medians": _q_user_purchase_medians,
+        "signup_funnel": _q_signup_funnel,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
@@ -1697,6 +1712,28 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        # first-touch anchor (min signup), greedy per-step mins; TS_NS
+        # casts match Spark's ns pandas dtype (same move as asof_clicks)
+        "signup_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR "
+            "GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 72 HOUR "
+            "GROUP BY e.user_id) "
+            "SELECT s1.user_id, CAST(s1.t1 AS TIMESTAMP_NS) AS t1, "
+            "CAST(s2.t2 AS TIMESTAMP_NS) AS t2, "
+            "CAST(s3.t3 AS TIMESTAMP_NS) AS t3, "
+            "CAST(1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END) + "
+            "(CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS reached "
+            "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+            "LEFT JOIN s3 ON s1.user_id = s3.user_id"
         ),
         # pandas' sort-based median == DuckDB's quantile_cont(0.5)
         # (same two-middle interpolation); round(,6) on both sides

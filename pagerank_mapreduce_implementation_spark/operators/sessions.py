@@ -57,3 +57,69 @@ def user_sessions(
             "value_sum",
         )
     )
+
+
+def event_funnel(
+    events,
+    steps: list[str],
+    within_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """FIRST-TOUCH funnel analysis: for each user, the funnel anchored
+    at their EARLIEST ``steps[0]`` event — every later step must happen
+    strictly after the previous one and inside ``within_hours`` of the
+    anchor. Returns ``(user_id, t1, t2, ..., reached)`` with NULL
+    timestamps from the first missed step on and ``reached`` = number
+    of completed steps. Given the fixed anchor, greedy matching
+    (min(t_k) at each step) is optimal — an earlier t_k only leaves
+    more of the window for step k+1 — so the result is deterministic
+    and well-defined. (A later anchor could sometimes complete when
+    the first-touch one does not; first-touch is the standard
+    attribution choice and the one this operator implements.)
+
+    Scale shape: one filtered aggregation per step, each joining the
+    (one-row-per-user) previous frontier back to the pruned event scan
+    — the per-step frontier is vertex-sized, never event-sized, and
+    the event side is filtered to ONE type before the join (pushed to
+    the scan). No windows, no per-user event collection; step count is
+    the only multiplier.
+    """
+    from pyspark.sql import functions as F
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+            .join(out, user_col)
+            .filter(
+                (F.col("__ts") > F.col(f"t{i - 1}"))
+                & (
+                    F.col("__ts")
+                    <= F.col("t1") + F.expr(f"INTERVAL {int(within_hours)} HOURS")
+                )
+            )
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    reached = sum(
+        [
+            F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+            for i in range(1, len(steps) + 1)
+        ],
+        F.lit(0),
+    )
+    return out.select(
+        user_col,
+        *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
+        reached.cast("int").alias("reached"),
+    )

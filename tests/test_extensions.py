@@ -898,3 +898,41 @@ def test_grouped_median_applyinpandas(spark):
     # string keys work too (key dtype read from the schema)
     sdf = spark.createDataFrame([("a", 4.0), ("a", 6.0)], "k string, value double")
     assert grouped_median(sdf, "k", "value").collect()[0]["median_value"] == 5.0
+
+
+def test_event_funnel_first_touch_semantics(spark):
+    """event_funnel anchors at the FIRST step-1 event: steps must be
+    strictly ordered and inside the anchor window; out-of-order or
+    late events don't count; reach truncates at the first miss."""
+    import datetime as dt
+
+    from pagerank_mapreduce_implementation_spark.operators.sessions import event_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1 completes: signup@0, click@1h, purchase@2h
+        (1, t0, "signup"), (1, t0 + h, "click"), (1, t0 + 2 * h, "purchase"),
+        # u2: purchase BEFORE click -> reach 2 only
+        (2, t0, "signup"), (2, t0 + 2 * h, "click"), (2, t0 + 1 * h, "purchase"),
+        # u3: click outside the 24h window of the FIRST signup; the
+        # later signup would qualify, but first-touch anchors at t0
+        (3, t0, "signup"), (3, t0 + 30 * h, "signup"), (3, t0 + 31 * h, "click"),
+        # u4: never signs up -> absent from the funnel entirely
+        (4, t0, "click"), (4, t0 + h, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in event_funnel(
+            ev, ["signup", "click", "purchase"], within_hours=24
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["reached"] == 3 and out[1]["t3"] == t0 + 2 * h
+    assert out[2]["reached"] == 2 and out[2]["t3"] is None
+    assert out[3]["reached"] == 1 and out[3]["t1"] == t0  # first-touch anchor
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        event_funnel(ev, [])
