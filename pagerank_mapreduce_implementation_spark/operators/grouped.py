@@ -8,7 +8,11 @@ resampling): each group arrives as ONE Arrow-backed pandas frame.
 The cost model to respect at 100 TB: one shuffle on the group key,
 then each group must FIT IN MEMORY in a single task — right for
 per-user / per-session groups (bounded fan-in), wrong for per-day or
-per-language groups (use built-in aggregates or salt first).
+per-language groups (use built-in aggregates or salt first). There is
+also a fixed PER-GROUP Python cost (~3 ms/group measured at sf0.1:
+1.5k groups ≈ 4.5 s, vs ~0.3 s for the same median as a built-in
+``F.percentile``) — the surface is for kernels built-ins CANNOT
+express; never route an expressible aggregate through it.
 
 The demonstration kernel here (per-group count + median) is
 deliberately one a SQL oracle can verify exactly — sort-based median
