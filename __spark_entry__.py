@@ -334,6 +334,23 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_ITEMS = ["spark", "window", "table", "the", "merge", "zzqx_absent"]
 
 
+#: target mixture for the data-mixing query: three sources at 50/30/20
+#: token proportions; the other 17 sources drop (not in the recipe)
+MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data mixing (sampling.mix_sources): deterministic
+    per-source subsampling so surviving token mass hits the 50/30/20
+    target — the binding source keeps everything, the rest thin out by
+    the IEEE-exact md5-uniform coin. Returns the surviving doc rows."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import mix_sources
+
+    return mix_sources(Catalog(spark, sf_dir).documents, MIX_TARGET).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def _q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch funnel (sessions.event_funnel): signup -> click ->
     purchase within 72h of the user's first signup; per-user step
@@ -1512,14 +1529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_matches": _q_cross_corpus_matches,
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
-        "hash_splits": _q_hash_splits,
         "cms_word_counts": _q_cms_word_counts,
         "user_purchase_medians": _q_user_purchase_medians,
         "signup_funnel": _q_signup_funnel,
+        "source_mix": _q_source_mix,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
@@ -1712,6 +1730,24 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        # same 52-bit md5 uniform as weighted_doc_sample; multiply
+        # order (u*T < p*k) mirrored character-for-character
+        "source_mix": (
+            "WITH t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
+            r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+            "FROM documents), "
+            "tot AS (SELECT source, sum(nt) AS T FROM t GROUP BY source), "
+            "pr(source, p) AS (VALUES "
+            + ", ".join(f"('{s}', {p})" for s, p in sorted(MIX_TARGET.items()))
+            + "), "
+            "t2 AS (SELECT tot.source, tot.T, pr.p FROM tot JOIN pr USING (source)), "
+            "kk AS (SELECT min(CAST(T AS DOUBLE) / p) AS k FROM t2) "
+            "SELECT t.doc_id, t.source, t.n_chars "
+            "FROM t JOIN t2 ON t.source = t2.source, kk "
+            "WHERE ('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 13))"
+            "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 "
+            "* CAST(t2.T AS DOUBLE) < t2.p * kk.k"
         ),
         # first-touch anchor (min signup), greedy per-step mins; TS_NS
         # casts match Spark's ns pandas dtype (same move as asof_clicks)

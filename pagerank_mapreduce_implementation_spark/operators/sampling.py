@@ -195,3 +195,59 @@ def quota_sample(
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def mix_sources(
+    docs: DataFrame,
+    target_props: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministic DATA MIXING: subsample each source so the
+    surviving TOKEN mass matches ``target_props`` proportions, keeping
+    as much data as possible — the pretraining mixture-shaping stage
+    ("50% web, 30% code, 20% papers").
+
+    Math: with per-source token totals ``T_s`` and target proportions
+    ``p_s``, the largest achievable mixture total without OVERSAMPLING
+    any source is ``k = min_s T_s / p_s``; each source's token budget
+    is ``B_s = p_s * k`` (the binding source keeps everything) and a
+    doc survives iff ``u(doc) * T_s < p_s * k`` — the same IEEE-exact
+    52-bit md5-uniform keep test as ``weighted_sample`` (no division
+    on the row side, identical expression in the SQL oracle, so the
+    surviving row SET is bit-reproducible). Sources absent from
+    ``target_props`` are dropped; surviving token mass per source is
+    ``B_s`` in expectation (doc-level Bernoulli).
+
+    Scale shape: one narrow token-count pass + a sources-sized
+    aggregate (tiny dim table, broadcast back) + a per-row filter —
+    no shuffle of the corpus itself, append-stable and re-run-stable
+    like every sampling op here.
+    """
+    spark = docs.sparkSession
+    if not target_props:
+        raise ValueError("target_props must be non-empty")
+    if any(p <= 0 for p in target_props.values()):
+        raise ValueError("target proportions must be positive")
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    staged = docs.withColumn("__nt", toks.cast("long"))
+    totals = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T"))
+    props = spark.createDataFrame(
+        [(s, float(p)) for s, p in sorted(target_props.items())],
+        f"{source_col} string, __p double",
+    )
+    t2 = totals.join(F.broadcast(props), source_col)
+    kdf = t2.agg(
+        F.min(F.col("__T").cast("double") / F.col("__p")).alias("__k")
+    )
+    rates = t2.crossJoin(F.broadcast(kdf))
+    return (
+        staged.join(F.broadcast(rates), source_col)
+        .filter(
+            _hash_uniform(F.col(doc_col), salt) * F.col("__T").cast("double")
+            < F.col("__p") * F.col("__k")
+        )
+        .drop("__nt", "__T", "__p", "__k")
+    )

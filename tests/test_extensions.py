@@ -936,3 +936,50 @@ def test_event_funnel_first_touch_semantics(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         event_funnel(ev, [])
+
+
+def test_mix_sources_hits_target_proportions(spark):
+    """mix_sources: the binding source keeps everything, surviving
+    token mass lands near the target proportions, non-target sources
+    vanish, and the surviving row set is repartition-invariant."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators.sampling import mix_sources
+
+    rng = random.Random(7)
+    rows = []
+    sizes = {"web": 2000, "code": 900, "papers": 400, "junk": 500}
+    i = 0
+    for src, total in sizes.items():
+        made = 0
+        while made < total:
+            n = rng.randrange(5, 15)
+            rows.append((i, src, " ".join(f"t{j}" for j in range(n))))
+            made += n
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = {"web": 0.5, "code": 0.3, "papers": 0.2}
+    out = mix_sources(docs, target)
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    got = {
+        r["source"]: r["nt"]
+        for r in out.groupBy("source").agg(F.sum(toks).alias("nt")).collect()
+    }
+    assert set(got) == set(target)  # junk dropped
+    # papers binds (400/0.2=2000 < 2000/0.5=4000, 900/0.3=3000): keeps all
+    assert got["papers"] == sizes["papers"]
+    k = sizes["papers"] / target["papers"]
+    for s, p in target.items():
+        assert got[s] <= sizes[s]
+        assert abs(got[s] - p * k) / (p * k) < 0.25, (s, got[s], p * k)
+    same = mix_sources(docs.repartition(11), target)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in same.collect()
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_sources(docs, {})
+    with pytest.raises(ValueError, match="positive"):
+        mix_sources(docs, {"web": 0.0})
