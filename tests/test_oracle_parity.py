@@ -73,3 +73,29 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_documented_gap():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+def test_rotation_policy_window_invariant():
+    """The registry ORDER is the driver-window rotation policy (the
+    driver checks the first 50 entries): everything BELOW the window
+    must have been green in the most recent driver CORRECTNESS file,
+    so nothing stale or unchecked ever hides past the boundary. Skips
+    when no driver artifact exists (fresh clone)."""
+    import glob
+    import json
+    import os
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver correctness artifacts")
+    latest_green = set()
+    with open(files[-1]) as fh:
+        for k, v in json.load(fh).items():
+            if v.get("rows_match") and v.get("schema_match") and not v.get("err"):
+                latest_green.add(k)
+    below = list(entrymod.queries())[50:]
+    stale = [q for q in below if q not in latest_green]
+    assert not stale, (
+        f"queries below the 50-entry driver window were NOT green in "
+        f"{os.path.basename(files[-1])}: {stale} — rotate them forward"
+    )

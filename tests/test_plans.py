@@ -296,3 +296,37 @@ def test_seq_packing_two_phase_prefix_sum_shape(plans):
     assert len(re.findall(r"Exchange SinglePartition", p)) == 1
     # corpus-side running sum is partitioned by the id bucket
     assert re.search(r"windowspecdefinition\(__bucket", p)
+
+
+def test_lm_scores_two_shuffle_silhouette(plans):
+    """lm_scores shares tf-idf's shape: tokenize (narrow) -> word-count
+    shuffle -> join back (broadcast at this scale) -> per-doc agg
+    shuffle. No sort-merge join, no cartesian of the corpus."""
+    p = plans("lm_scores")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_source_mix_broadcasts_rates_no_corpus_sort_join(plans):
+    """source_mix: the per-source rate table (sources x 1 rows) joins
+    back as a broadcast; the only corpus shuffle is the tiny-payload
+    source-totals aggregation."""
+    p = plans("source_mix")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_probe_join_broadcast(plans):
+    """cms_word_counts: the probe side joins the fixed-size sketch via
+    broadcast — never a sort-merge of the sketch."""
+    p = plans("cms_word_counts")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_signup_funnel_no_cartesian(plans):
+    """Funnel frontier joins are equi-joins on the user key with a
+    range residual — never a cartesian/range explosion."""
+    p = plans("signup_funnel")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
