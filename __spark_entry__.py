@@ -333,6 +333,43 @@ def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: common corpus words, and one absent word (est stays >= exact == 0)
 CMS_ITEMS = ["spark", "window", "table", "the", "merge", "zzqx_absent"]
 
+#: probe users for the STREAMING count-min twin (stringified ids; the
+#: last never occurs — its estimate still bounds exact == 0 from above)
+CMS_USER_ITEMS = ["0", "1", "7", "42", "149", "999999"]
+
+
+def _q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min (streaming/queries.streaming_cms_cells):
+    per-user frequency estimates with state = the fixed depth x width
+    cell table, never a per-user map — the bounded-state answer to
+    streaming heavy-hitter monitoring. Commutative integer adds make
+    the streamed cells identical to the batch sketch, so this twin is
+    hash-exact against the batch CMS SQL oracle (unlike the HLL twin,
+    whose registers are implementation-defined)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators import sketches
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    cells = strm.streaming_cms_cells(ev, "user_id", depth=4, width=256)
+    name = f"_stream_cms_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(cells, name, output_mode="complete", state_partitions=8)
+    est = sketches.count_min_estimates(
+        spark.table(name), CMS_USER_ITEMS, depth=4, width=256
+    )
+    exact = (
+        Catalog(spark, sf_dir)
+        .events.select(F.col("user_id").cast("string").alias("item"))
+        .filter(F.col("item").isin(CMS_USER_ITEMS))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        "est",
+        F.coalesce("exact", F.lit(0)).alias("exact"),
+        (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+    )
+
 
 #: target mixture for the data-mixing query: three sources at 50/30/20
 #: token proportions; the other 17 sources drop (not in the recipe)
@@ -1526,10 +1563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_batch": _q_ivf_topk_batch,
         "ivf_topk_lloyd": _q_ivf_topk_lloyd,
-        "cross_corpus_matches": _q_cross_corpus_matches,
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
         "cms_word_counts": _q_cms_word_counts,
+        "streaming_cms_counts": _q_streaming_cms_counts,
         "user_purchase_medians": _q_user_purchase_medians,
         "signup_funnel": _q_signup_funnel,
         "source_mix": _q_source_mix,
@@ -1537,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (~50) — below here: round-4-green,
         # unchanged code, due back on a later rotation
+        "cross_corpus_matches": _q_cross_corpus_matches,
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
@@ -1730,6 +1768,30 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        # the streaming twin's cells are bit-identical to a batch CMS
+        # over the same rows (commutative adds) -> full hash oracle
+        "streaming_cms_counts": (
+            "WITH src AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events), "
+            "dd AS (SELECT unnest(range(0, 4)) AS d), "
+            "cells AS (SELECT dd.d, ('0x' || substr(md5(CAST(dd.d AS VARCHAR) "
+            "|| ':' || s.item), 1, 7))::UBIGINT % 256 AS bucket "
+            "FROM src s CROSS JOIN dd), "
+            "sk AS (SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket), "
+            "items(item) AS (VALUES "
+            + ", ".join(f"('{w}')" for w in CMS_USER_ITEMS)
+            + "), "
+            "probes AS (SELECT i.item, dd.d, ('0x' || substr(md5(CAST(dd.d AS "
+            "VARCHAR) || ':' || i.item), 1, 7))::UBIGINT % 256 AS bucket "
+            "FROM items i CROSS JOIN dd), "
+            "est AS (SELECT p.item, min(coalesce(s.cnt, 0)) AS est FROM probes p "
+            "LEFT JOIN sk s ON p.d = s.d AND p.bucket = s.bucket GROUP BY p.item), "
+            "ex AS (SELECT item, count(*) AS exact FROM src WHERE item IN ("
+            + ", ".join(f"'{w}'" for w in CMS_USER_ITEMS)
+            + ") GROUP BY item) "
+            "SELECT e.item, e.est, coalesce(x.exact, 0) AS exact, "
+            "e.est - coalesce(x.exact, 0) AS overcount "
+            "FROM est e LEFT JOIN ex x ON e.item = x.item"
         ),
         # same 52-bit md5 uniform as weighted_doc_sample; multiply
         # order (u*T < p*k) mirrored character-for-character

@@ -170,6 +170,42 @@ def streaming_approx_uniques(
     )
 
 
+def streaming_cms_cells(
+    events: DataFrame,
+    item_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch cells over an unbounded stream — the streaming
+    twin of sketches.count_min_sketch_table: state is EXACTLY the
+    ``depth * width`` counter cells regardless of item cardinality
+    (a streaming exact per-item count would grow state with the
+    universe forever; CMS is the bounded-state answer for streaming
+    heavy-hitter / frequency monitoring). Counter updates are
+    commutative integer adds, so the cells a micro-batch sequence
+    produces are IDENTICAL to the batch sketch over the same rows —
+    probe the materialized cells with sketches.count_min_estimates.
+    Complete output mode (the cell table IS the state, fixed-size)."""
+    from pagerank_mapreduce_implementation_spark.operators.sketches import _cms_bucket
+
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(
+                            F.col(item_col).cast("string"), d, width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def streaming_bounded_dedup(
     events: DataFrame,
     key_col: str = "user_id",
