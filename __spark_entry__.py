@@ -1673,8 +1673,11 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT doc_id, CAST(len(list_filter("
             r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) "
             "AS n_tokens FROM documents), "
-            "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
-            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens "
+            # DuckDB's sum(BIGINT) is HUGEINT, which surfaces as float64
+            # (32.0 vs Spark's long 32) and breaks the value hash — cast
+            # the window sum back to BIGINT (round-5 verdict item 1)
+            "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens "
             "AS global_start FROM t) "
             "SELECT doc_id, n_tokens, global_start, "
             "global_start // 512 AS bin_id, "

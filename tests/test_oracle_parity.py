@@ -62,6 +62,21 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # The driver hashes STRINGIFIED values, so an integer column on one
+    # side and a float on the other (32 vs 32.0) hash-mismatches even
+    # when assert_frame_equal(check_dtype=False) calls them equal —
+    # exactly how the r5 seq_packing HUGEINT oracle bug slipped through
+    # 269 local tests (round-5 verdict item 3). Fail loudly on any
+    # integer-vs-float kind divergence.
+    for col in got.columns:
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        assert not (
+            (gk in "iu" and wk == "f") or (gk == "f" and wk in "iu")
+        ), (
+            f"{name}.{col}: integer-vs-float dtype divergence "
+            f"(spark {got[col].dtype} vs oracle {want[col].dtype}) — "
+            "values would hash-mismatch at the driver"
+        )
 
 
 def test_entry_smoke(spark):
