@@ -31,6 +31,13 @@ from __future__ import annotations
 
 import functools
 import pathlib
+import re
+
+# EXACTLY DuckDB/RE2's \s ([ \t\n\f\r]): Python str.split() splits on
+# ALL Unicode whitespace (\v, \x1c-\x1f, U+00A0, U+2028, ...), which
+# silently diverges from the SQL oracle's regexp_split_to_array(text,
+# '\s+') on any non-ASCII-whitespace corpus (round-5 advice).
+_ASCII_WS_RE = re.compile(r"[ \t\n\f\r]+")
 
 _MERGES_PATH = (
     pathlib.Path(__file__).resolve().parent.parent / "resources" / "bpe_merges.txt"
@@ -76,12 +83,14 @@ def _encode_cached(word: str) -> tuple[str, ...]:
 
 
 def encode_text(text: str) -> list[str]:
-    """Pieces of a whole text: whitespace-split, lowercase each word,
+    """Pieces of a whole text: ASCII-whitespace-split (the oracle's RE2
+    ``\\s`` class — see ``_ASCII_WS_RE``), lowercase each word,
     concatenate per-word pieces in order (word boundaries never merge
     across — the standard pre-tokenize-then-BPE contract)."""
     out: list[str] = []
-    for w in text.lower().split():
-        out.extend(_encode_cached(w))
+    for w in _ASCII_WS_RE.split(text.lower()):
+        if w:
+            out.extend(_encode_cached(w))
     return out
 
 

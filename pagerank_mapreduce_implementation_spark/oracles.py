@@ -774,18 +774,21 @@ def daily_uniques_sql() -> str:
     )
 
 
-def doc_chunks_bpe_sql(window: int, stride: int) -> str:
-    """Exact SQL oracle for text.chunk_documents_bpe: the vendored BPE
-    merge table embedded as a VALUES list, tokenization replayed as a
-    DuckDB RECURSIVE CTE (one leftmost-lowest-rank merge per step —
-    the same one-at-a-time loop the Python encoder runs, equivalent to
-    classic BPE because training orders merges before any pair that
-    contains their output), then the shared window/clamp arithmetic of
-    the doc_chunks oracle over the per-doc piece arrays.
+def _bpe_docpieces_ctes() -> str:
+    """Shared CTE prefix replaying the vendored BPE tokenizer in DuckDB
+    (used by the doc_chunks_bpe and seq_packing_bpe oracles): the merge
+    table embedded as a VALUES list, tokenization as a RECURSIVE CTE
+    (one leftmost-lowest-rank merge per step — the same one-at-a-time
+    loop the Python encoder runs, equivalent to classic BPE because
+    training orders merges before any pair that contains their output).
 
     The recursion runs over DISTINCT words only (natural-language
     corpora repeat words heavily), then joins pieces back positionally
     and flattens in word order — mirroring the UDF's per-word cache.
+    Exposes ``t(doc_id, toks)`` (lowercased whitespace words, so every
+    document keeps a row) and ``docpieces(doc_id, toks)`` (per-doc BPE
+    piece arrays; docs with zero words have no row — LEFT JOIN from
+    ``t`` when empties must survive).
     """
     from pagerank_mapreduce_implementation_spark.functions.bpe import load_merge_ranks
 
@@ -818,7 +821,17 @@ def doc_chunks_bpe_sql(window: int, stride: int) -> str:
         "unnest(range(1, len(toks) + 1)) AS u(i)), "
         "docpieces AS (SELECT p.doc_id, "
         "flatten(list(e.pieces ORDER BY p.i)) AS toks "
-        "FROM pos p JOIN enc e ON e.word = p.w GROUP BY p.doc_id), "
+        "FROM pos p JOIN enc e ON e.word = p.w GROUP BY p.doc_id)"
+    )
+
+
+def doc_chunks_bpe_sql(window: int, stride: int) -> str:
+    """Exact SQL oracle for text.chunk_documents_bpe: the shared BPE
+    piece CTEs (``_bpe_docpieces_ctes``) followed by the window/clamp
+    arithmetic of the doc_chunks oracle over the per-doc piece arrays.
+    """
+    return (
+        f"{_bpe_docpieces_ctes()}, "
         "c AS (SELECT doc_id, toks, len(toks) AS n FROM docpieces WHERE len(toks) > 0), "
         "e2 AS (SELECT doc_id, toks, CAST(unnest(range(0, "
         f"CAST(least(1 + floor((greatest(n - {window}, 0) + {stride - 1}) / {float(stride)}), "
@@ -828,6 +841,28 @@ def doc_chunks_bpe_sql(window: int, stride: int) -> str:
         f"array_to_string(toks[chunk_id*{stride} + 1 : chunk_id*{stride} + {window}], ' ') AS chunk, "
         f"CAST(len(toks[chunk_id*{stride} + 1 : chunk_id*{stride} + {window}]) AS INT) AS n_tokens "
         "FROM e2"
+    )
+
+
+def seq_packing_bpe_sql(budget: int) -> str:
+    """Exact SQL oracle for text.pack_sequences(tokenizer='bpe'): BPE
+    piece COUNTS per document (shared CTEs; LEFT JOIN keeps zero-word
+    docs with n_tokens = 0, matching the UDF's empty piece array), then
+    the flat running sum the engine's two-phase distributed prefix sum
+    must equal. The window sum is cast back to BIGINT — DuckDB's
+    sum(BIGINT) is HUGEINT, which pandas surfaces as float64 and the
+    driver hash rejects (the r5 seq_packing lesson)."""
+    return (
+        f"{_bpe_docpieces_ctes()}, "
+        "t2 AS (SELECT t.doc_id, "
+        "CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens "
+        "FROM t LEFT JOIN docpieces d ON t.doc_id = d.doc_id), "
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens "
+        "AS global_start FROM t2) "
+        "SELECT doc_id, n_tokens, global_start, "
+        f"global_start // {budget} AS bin_id, "
+        f"global_start % {budget} AS bin_offset FROM c"
     )
 
 

@@ -881,23 +881,59 @@ def test_count_min_sketch_guarantees(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
 
 
-def test_grouped_median_applyinpandas(spark):
-    """grouped_median: per-group Arrow kernel matches a hand-computed
-    median (odd and even group sizes, any key dtype from the schema),
-    and empty input keeps the output schema."""
-    from pagerank_mapreduce_implementation_spark.operators.grouped import grouped_median
+def test_grouped_theilsen_kernel_and_modes(spark):
+    """grouped_theilsen: the per-group Theil-Sen slope (median of
+    pairwise slopes over distinct-x pairs) matches a hand computation;
+    the batched (collect_list + vectorized pandas UDF) and apply
+    (applyInPandas) physical modes agree exactly; arrival order never
+    changes the result; degenerate groups (singleton, all-equal x)
+    yield NULL slope."""
+    from pagerank_mapreduce_implementation_spark.operators.grouped import (
+        _theilsen_slope,
+        grouped_theilsen,
+    )
 
-    rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 1.5), (2, 2.5)]
-    df = spark.createDataFrame(rows, "user_id long, value double")
-    got = {r["user_id"]: (r["n"], r["median_value"]) for r in grouped_median(
-        df, "user_id", "value").collect()}
-    assert got == {1: (3, 20.0), 2: (2, 2.0)}
-    empty = spark.createDataFrame([], "user_id long, value double")
-    out = grouped_median(empty, "user_id", "value")
-    assert out.columns == ["user_id", "n", "median_value"] and out.count() == 0
-    # string keys work too (key dtype read from the schema)
-    sdf = spark.createDataFrame([("a", 4.0), ("a", 6.0)], "k string, value double")
-    assert grouped_median(sdf, "k", "value").collect()[0]["median_value"] == 5.0
+    # hand check: points (0,0),(1,2),(2,2) -> pairwise slopes 2,1,0
+    # -> median 1.0
+    assert _theilsen_slope([0.0, 1.0, 2.0], [0.0, 2.0, 2.0]) == 1.0
+    # even pair count interpolates: (0,0),(1,3) and (1,3),(2,4) plus
+    # (0,0),(2,4) -> slopes 3,1,2 -> median 2; add (3,4): slopes
+    # 3,1,2, 4/3, 1/2, 0 -> sorted [0,.5,1,4/3,2,3] -> median (1+4/3)/2
+    assert _theilsen_slope(
+        [0.0, 1.0, 2.0, 3.0], [0.0, 3.0, 4.0, 4.0]
+    ) == (1.0 + 4.0 / 3.0) / 2.0
+    assert _theilsen_slope([5.0], [1.0]) is None
+    assert _theilsen_slope([2.0, 2.0, 2.0], [1.0, 9.0, 4.0]) is None
+
+    rows = [
+        (1, 0.0, 0.0), (1, 1.0, 2.0), (1, 2.0, 2.0),
+        (2, 10.0, 5.0),                      # singleton -> NULL
+        (3, 7.0, 1.0), (3, 7.0, 9.0),        # equal x -> NULL
+        (4, 0.0, 1.0), (4, 2.0, 5.0),        # one pair -> 2.0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, x double, y double")
+    want = {1: (3, 1.0), 2: (1, None), 3: (2, None), 4: (2, 2.0)}
+    for mode in ("batched", "apply"):
+        got = {
+            r["user_id"]: (r["n"], r["slope"])
+            for r in grouped_theilsen(df, "user_id", "x", "y", mode=mode).collect()
+        }
+        assert got == want, mode
+    # arrival order independence (the hash-gate requirement)
+    shuffled = spark.createDataFrame(rows[::-1], "user_id long, x double, y double")
+    a = sorted(map(tuple, grouped_theilsen(df, "user_id", "x", "y").collect()))
+    b = sorted(map(tuple, grouped_theilsen(shuffled, "user_id", "x", "y").collect()))
+    assert a == b
+    # empty input keeps the schema; string keys work (dtype from schema)
+    empty = spark.createDataFrame([], "user_id long, x double, y double")
+    out = grouped_theilsen(empty, "user_id", "x", "y")
+    assert out.columns == ["user_id", "n", "slope"] and out.count() == 0
+    sdf = spark.createDataFrame(
+        [("a", 0.0, 4.0), ("a", 1.0, 6.0)], "k string, x double, y double"
+    )
+    assert grouped_theilsen(sdf, "k", "x", "y").collect()[0]["slope"] == 2.0
+    with pytest.raises(ValueError):
+        grouped_theilsen(df, "user_id", "x", "y", mode="nope")
 
 
 def test_event_funnel_first_touch_semantics(spark):

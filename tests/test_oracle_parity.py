@@ -93,8 +93,11 @@ def test_every_query_has_oracle_or_documented_gap():
 def test_rotation_policy_window_invariant():
     """The registry ORDER is the driver-window rotation policy (the
     driver checks the first 50 entries): everything BELOW the window
-    must have been green in the most recent driver CORRECTNESS file,
-    so nothing stale or unchecked ever hides past the boundary. Skips
+    must have been FULLY green (rows+schema+hash) within the last TWO
+    driver CORRECTNESS files — with >50 registered queries a single
+    file can never cover the registry, so the policy alternates
+    cohorts and this guard enforces that nothing stale or unchecked
+    ever hides past the boundary for two consecutive rounds. Skips
     when no driver artifact exists (fresh clone)."""
     import glob
     import json
@@ -103,14 +106,21 @@ def test_rotation_policy_window_invariant():
     files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no driver correctness artifacts")
-    latest_green = set()
-    with open(files[-1]) as fh:
-        for k, v in json.load(fh).items():
-            if v.get("rows_match") and v.get("schema_match") and not v.get("err"):
-                latest_green.add(k)
+    recent_green = set()
+    for path in files[-2:]:
+        with open(path) as fh:
+            for k, v in json.load(fh).items():
+                if (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                    and not v.get("err")
+                ):
+                    recent_green.add(k)
     below = list(entrymod.queries())[50:]
-    stale = [q for q in below if q not in latest_green]
+    stale = [q for q in below if q not in recent_green]
     assert not stale, (
         f"queries below the 50-entry driver window were NOT green in "
-        f"{os.path.basename(files[-1])}: {stale} — rotate them forward"
+        f"the last two driver files {[os.path.basename(p) for p in files[-2:]]}: "
+        f"{stale} — rotate them forward"
     )
