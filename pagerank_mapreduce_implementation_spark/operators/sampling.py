@@ -219,12 +219,23 @@ def mix_sources(
     on the row side, identical expression in the SQL oracle, so the
     surviving row SET is bit-reproducible). Sources absent from
     ``target_props`` are dropped; surviving token mass per source is
-    ``B_s`` in expectation (doc-level Bernoulli).
+    ``B_s`` in expectation (doc-level Bernoulli). Every ``target_props``
+    key must exist in the corpus — a missing (e.g. typo'd) source would
+    silently drop out of the inner join and reshape the whole mixture
+    through ``k = min T_s/p_s``, so it raises instead (round-5 advice:
+    the fail-loud posture of the personalized-pagerank reset guard).
+    The check collects the sources-sized totals — a tiny dim table
+    already materialized for ``k``.
 
-    Scale shape: one narrow token-count pass + a sources-sized
-    aggregate (tiny dim table, broadcast back) + a per-row filter —
-    no shuffle of the corpus itself, append-stable and re-run-stable
-    like every sampling op here.
+    Scale shape: one narrow token-count pass collects the
+    sources-sized totals (a tiny dim table — a handful of rows at any
+    corpus size) to the driver, which validates the keys, derives
+    ``k`` (long->double, division, min: the exact IEEE ops the SQL
+    oracle runs, so driver-side derivation is bit-identical), and
+    ships the per-source rate rows back as a broadcast; the action-time
+    plan is then just scan + broadcast-join + filter — no shuffle of
+    the corpus itself, append-stable and re-run-stable like every
+    sampling op here.
     """
     spark = docs.sparkSession
     if not target_props:
@@ -233,20 +244,30 @@ def mix_sources(
         raise ValueError("target proportions must be positive")
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
     staged = docs.withColumn("__nt", toks.cast("long"))
-    totals = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T"))
-    props = spark.createDataFrame(
-        [(s, float(p)) for s, p in sorted(target_props.items())],
-        f"{source_col} string, __p double",
+    trows = (
+        staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
     )
-    t2 = totals.join(F.broadcast(props), source_col)
-    kdf = t2.agg(
-        F.min(F.col("__T").cast("double") / F.col("__p")).alias("__k")
+    present = {r[0] for r in trows}
+    missing = sorted(set(target_props) - present)
+    if missing:
+        raise ValueError(
+            f"target_props sources not present in the corpus: {missing} "
+            f"(corpus sources: {sorted(present)}) — a silent drop would "
+            "reshape the whole mixture via k = min(T_s/p_s)"
+        )
+    tmap = {r[0]: int(r["__T"]) for r in trows if r[0] in target_props}
+    k = min(float(t) / float(target_props[s]) for s, t in tmap.items())
+    rates = spark.createDataFrame(
+        [
+            (s, float(t), float(target_props[s]), k)
+            for s, t in sorted(tmap.items())
+        ],
+        f"{source_col} string, __T double, __p double, __k double",
     )
-    rates = t2.crossJoin(F.broadcast(kdf))
     return (
         staged.join(F.broadcast(rates), source_col)
         .filter(
-            _hash_uniform(F.col(doc_col), salt) * F.col("__T").cast("double")
+            _hash_uniform(F.col(doc_col), salt) * F.col("__T")
             < F.col("__p") * F.col("__k")
         )
         .drop("__nt", "__T", "__p", "__k")

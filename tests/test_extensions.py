@@ -657,6 +657,29 @@ def test_lloyd_no_driver_roundtrip_inside_loop(spark, monkeypatch):
     assert counts[1] == counts[4], counts
 
 
+def test_lloyd_releases_checkpoint_storage(spark):
+    """Round-5 advice (medium): ``DataFrame.unpersist()`` is a NO-OP on
+    localCheckpoint'ed frames (the checkpoint persists its RDD outside
+    the cache manager), so the r4 'fix' still leaked one cached RDD per
+    iteration. The release now diffs ``getPersistentRDDs`` and
+    unpersists at the RDD layer — assert via ``getRDDStorageInfo`` that
+    no cached blocks outlive the call."""
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def cached_ids():
+        return {
+            int(info.id())
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = cached_ids()
+    got = similarity.lloyd_centroids(emb, n_cells=4, n_iters=2)
+    assert len(got) == 4
+    leaked = cached_ids() - before
+    assert not leaked, f"lloyd_centroids leaked cached RDDs: {leaked}"
+
+
 def test_weighted_sample_deterministic_and_proportional(spark):
     from pagerank_mapreduce_implementation_spark.operators.sampling import weighted_sample
 
@@ -1019,3 +1042,7 @@ def test_mix_sources_hits_target_proportions(spark):
         mix_sources(docs, {})
     with pytest.raises(ValueError, match="positive"):
         mix_sources(docs, {"web": 0.0})
+    # a typo'd source must FAIL LOUDLY, not silently reshape the
+    # mixture by dropping out of the totals join (round-5 advice)
+    with pytest.raises(ValueError, match="wob"):
+        mix_sources(docs, {"wob": 0.5, "code": 0.5})
