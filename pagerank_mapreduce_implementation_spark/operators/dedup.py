@@ -531,12 +531,20 @@ def incremental_minhash_dedup(
     bands: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    seen_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion: a new batch against a MinHash
     SIGNATURE store — the production shape at 100 TB, where the corpus
     persists ``minhash_signatures`` output (num_hashes longs per doc),
     never shingle sets (unbounded strings per doc). The near-dup
-    sibling of ``incremental_exact_dedup``.
+    sibling of ``incremental_exact_dedup``. ``seen_bands`` optionally
+    supplies the store's PRECOMPUTED band index (``band_buckets``
+    columns ``doc_id, band, bucket`` — the layout
+    ``programs.clean_corpus`` persists alongside the signatures);
+    when omitted it is derived from ``seen_sigs`` on the fly. A
+    persisted index keeps the probe from re-banding the whole store
+    every batch — at scale it lives partitioned by (band, bucket) so
+    the probe join co-locates.
 
     Verification is the signature Jaccard ESTIMATE — the fraction of
     equal minhash components, compared as an integer count against
@@ -568,7 +576,11 @@ def incremental_minhash_dedup(
     ).persist()
     try:
         bb_batch = band_buckets(sig_b, num_hashes, bands)
-        bb_store = band_buckets(seen_sigs, num_hashes, bands)
+        bb_store = (
+            seen_bands
+            if seen_bands is not None
+            else band_buckets(seen_sigs, num_hashes, bands)
+        )
         n_eq = sum(
             [
                 F.when(F.col(f"h{i}") == F.col(f"s{i}"), 1).otherwise(0)
