@@ -298,6 +298,34 @@ def test_seq_packing_two_phase_prefix_sum_shape(plans):
     assert re.search(r"windowspecdefinition\(__bucket", p)
 
 
+def test_seq_packing_bpe_same_prefix_sum_shape(plans):
+    """The BPE twin must keep seq_packing's distributed prefix-sum
+    shape — the tokenizer swap adds exactly one Arrow-batched Python
+    eval for the piece COUNT and changes nothing about the windows:
+    single-partition exchange only on the bucket totals, corpus window
+    partitioned by the id bucket, broadcast join back."""
+    p = plans("seq_packing_bpe")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert len(re.findall(r"Exchange SinglePartition", p)) == 1
+    assert re.search(r"windowspecdefinition\(__bucket", p)
+    assert "ArrowEvalPython" in p  # the one permitted Python pass
+
+
+def test_user_purchase_trend_batched_not_per_group_python(plans):
+    """The Theil-Sen query rides the BATCHED grouped surface: one
+    hash-partitioned collect_list aggregation (JVM shuffle with partial
+    aggregation) + one vectorized Arrow eval over the packed arrays —
+    NOT applyInPandas' per-group FlatMapGroupsInPandas (the ~3 ms/group
+    fixed cost the r5 bench measured). The type filter reaches the
+    parquet scan."""
+    p = plans("user_purchase_trend")
+    assert "FlatMapGroupsInPandas" not in p
+    assert "ArrowEvalPython" in p
+    assert re.search(r"PushedFilters: \[.*event_type", p)
+    assert "SortMergeJoin" not in p
+
+
 def test_lm_scores_two_shuffle_silhouette(plans):
     """lm_scores shares tf-idf's shape: tokenize (narrow) -> word-count
     shuffle -> join back (broadcast at this scale) -> per-doc agg
