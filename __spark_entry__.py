@@ -527,6 +527,33 @@ def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_dedup(batch, seen, threshold=0.5, ngram=5)
 
 
+def _q_streaming_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cross-batch near-dup probe (streaming/queries.
+    streaming_minhash_probe): the documents stream (doc_id % 3 == 0)
+    probed against the static MinHash signature store of the rest of
+    the corpus. Signatures are stateless per-row expressions
+    (dedup.rowwise_minhash_signatures — min over the shingle array per
+    universal-hash coefficient, bit-identical to the shuffle path), so
+    the probe is a stream-static broadcast join with zero streaming
+    state except the final per-doc min. Oracle = the batch SQL
+    (hash-exact, not rows-only)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    docs = strm.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    seen = dedup.minhash_signatures(
+        dedup.shingles(
+            Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 3 != 0), 5
+        ),
+        16,
+    )
+    out = strm.streaming_minhash_probe(docs, seen, threshold=0.5, ngram=5)
+    name = f"_stream_mh_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(out, name, output_mode="complete", state_partitions=8)
+    return spark.table(name)
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (operators/dedup.py): docs with id <
     median play the already-ingested corpus (its fingerprint store);
@@ -1595,14 +1622,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round's adjacent work (dedup store program, flagship)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_minhash_dedup": _q_incremental_minhash,
+        "streaming_minhash_probe": _q_streaming_minhash_probe,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "lm_scores": _q_lm_scores,
         "doc_chunks": _q_doc_chunks,
         "pagerank_top20": _q_pagerank,
-        "wiki_pagerank": _q_wiki_pagerank,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "wiki_pagerank": _q_wiki_pagerank,
         "weighted_pagerank_top20": _q_weighted_pagerank,
         "personalized_pagerank_top20": _q_personalized_pagerank,
         "multimodal_chain": _q_multimodal_chain,
@@ -1784,6 +1812,12 @@ def oracle_sql() -> dict[str, str]:
         # in-batch keeper = min doc_id per fingerprint; cross-batch =
         # anti-join against the seen store (docs with id < 250)
         "incremental_minhash_dedup": oracles.incremental_minhash_sql(
+            "doc_id % 3 = 0", "doc_id % 3 <> 0", threshold=0.5, ngram=5
+        ),
+        # the streaming probe's stateless per-row signatures are
+        # bit-identical to the batch shuffle path, so its oracle is the
+        # batch SQL restricted to the dup-of-store verdict
+        "streaming_minhash_probe": oracles.streaming_minhash_probe_sql(
             "doc_id % 3 = 0", "doc_id % 3 <> 0", threshold=0.5, ngram=5
         ),
         "incremental_dedup": (

@@ -218,6 +218,64 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     return staged.groupBy("doc_id").agg(*aggs)
 
 
+def rowwise_minhash_signatures(
+    docs: DataFrame,
+    ngram: int = 5,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """The SAME MinHash signature as ``minhash_signatures`` computed as
+    PURE per-row column expressions — no explode, no groupBy, no
+    shuffle: shingle array -> base-hash array -> ``array_min`` per
+    coefficient. ``min`` is duplicate-insensitive, so skipping the
+    shingle DISTINCT changes nothing; docs with zero shingles emit no
+    row (matching the shuffle path, where they produce no shingle rows
+    to aggregate).
+
+    Exists for the STREAMING probe (streaming_minhash_probe): a
+    stateless signature makes cross-batch near-dup detection a
+    stream-static broadcast join with ZERO streaming state — the
+    batch path keeps the explode+groupBy form because map-side partial
+    aggregation beats per-row array passes when the corpus is already
+    being shuffled anyway.
+    """
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = docs.select(F.col(doc_col).alias("doc_id"), arr.alias("__toks"))
+    if ngram == 1:
+        sh = F.col("__toks")
+    else:
+        sh = F.when(
+            F.size("__toks") >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - ngram + 1),
+                lambda i: F.array_join(F.slice("__toks", i, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    base = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+    # name the base array so the per-coefficient mins don't re-derive
+    # the md5s num_hashes times (no CSE across higher-order functions)
+    staged = toks.select("doc_id", base.alias("__hb")).filter(
+        F.size("__hb") > 0
+    )
+    return staged.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__hb"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+        ],
+    )
+
+
 def band_buckets(
     sig: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:

@@ -329,6 +329,63 @@ def incremental_minhash_sql(
     )
 
 
+def streaming_minhash_probe_sql(
+    batch_where: str,
+    store_where: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+) -> str:
+    """Mirror of streaming.streaming_minhash_probe over two WHERE-split
+    views of ``documents``: the stream side's per-row signatures equal
+    the shuffle-path signatures (min is duplicate-insensitive), so this
+    reuses incremental_minhash_sql's signature CTEs and keeps only the
+    dup-of-store verdict — one row per stream doc that clears the
+    equal-component estimate, with the smallest matching store doc."""
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_coeffs,
+    )
+
+    min_matches = math.ceil(num_hashes * threshold)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a}::BIGINT * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    sep = " || ',' || "
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"{sep.join(f'CAST(h{b * r + j} AS VARCHAR)' for j in range(r))} "
+            f"AS bucket FROM {src}"
+            for b in range(bands)
+        )
+
+    n_eq = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        "hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))"
+        f"::UBIGINT::BIGINT % {MINHASH_P} AS hb FROM sh), "
+        f"mhb AS (SELECT doc_id, {mins} FROM hb WHERE {batch_where} GROUP BY doc_id), "
+        f"mhs AS (SELECT doc_id, {mins} FROM hb WHERE {store_where} GROUP BY doc_id), "
+        f"bkb AS ({band_rows('mhb')}), "
+        f"bks AS ({band_rows('mhs')}), "
+        "cs AS (SELECT DISTINCT b.doc_id, s.doc_id AS store_id FROM bkb b "
+        "JOIN bks s ON b.band = s.band AND b.bucket = s.bucket) "
+        "SELECT c.doc_id, min(c.store_id) AS dup_store_id FROM cs c "
+        "JOIN mhb x ON x.doc_id = c.doc_id "
+        f"JOIN mhs y ON y.doc_id = c.store_id WHERE {n_eq} >= {min_matches} "
+        "GROUP BY c.doc_id"
+    )
+
+
 def ngram_jaccard_sql(
     threshold: float, ngram: int = 3, max_shingle_df: int | None = None
 ) -> str:

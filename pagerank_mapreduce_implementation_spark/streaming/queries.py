@@ -234,6 +234,96 @@ def streaming_bounded_dedup(
     )
 
 
+def streaming_minhash_probe(
+    docs: DataFrame,
+    seen_sigs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming cross-batch NEAR-dup detection: an unbounded document
+    stream probed against a STATIC MinHash signature store — the
+    streaming twin of ``dedup.incremental_minhash_dedup``'s
+    ``dup_of_store`` verdict.
+
+    The whole probe is STATELESS per micro-batch by construction:
+    signatures come from ``dedup.rowwise_minhash_signatures`` (pure
+    per-row column expressions — no shuffle, no streaming aggregation
+    state), band structs explode per row, and the store's band index +
+    signatures join in as broadcast STATIC sides (stream-static joins
+    carry no state store). The only stateful operator is the final
+    per-doc min — bounded by the number of DUPLICATE docs seen, not the
+    stream (and a production sink could drop even that and emit raw
+    match evidence in append mode).
+
+    Emits ``(doc_id, dup_store_id)`` for stream docs whose equal-
+    component estimate against some store signature clears
+    ``ceil(threshold * num_hashes)`` — ``dup_store_id`` is the smallest
+    matching store doc. Within-stream duplicates are out of scope here
+    (pair with streaming_exact_dedup / streaming_bounded_dedup);
+    batch-vs-store semantics are bit-identical to the batch operator,
+    so the oracle is the batch SQL.
+    """
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        band_buckets,
+        rowwise_minhash_signatures,
+    )
+
+    min_matches = math.ceil(num_hashes * threshold)
+    r = num_hashes // bands
+    sig = rowwise_minhash_signatures(
+        docs, ngram, num_hashes, text_col=text_col, doc_col=doc_col
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"h{b * r + j}") for j in range(r)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bb = sig.select(
+        "doc_id",
+        *[f"h{i}" for i in range(num_hashes)],
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        "doc_id",
+        *[f"h{i}" for i in range(num_hashes)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    store_bands = band_buckets(seen_sigs, num_hashes, bands).select(
+        F.col("doc_id").alias("store_id"), "band", "bucket"
+    )
+    store_sigs = seen_sigs.select(
+        F.col("doc_id").alias("store_id"),
+        *[F.col(f"h{i}").alias(f"s{i}") for i in range(num_hashes)],
+    )
+    n_eq = sum(
+        [
+            F.when(F.col(f"h{i}") == F.col(f"s{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+        F.lit(0),
+    )
+    matches = (
+        bb.join(F.broadcast(store_bands), ["band", "bucket"])
+        .join(F.broadcast(store_sigs), "store_id")
+        .filter(n_eq >= min_matches)
+    )
+    return matches.groupBy("doc_id").agg(
+        F.min("store_id").alias("dup_store_id")
+    )
+
+
 def streaming_search(
     tfidf_stream: DataFrame, terms: list[str]
 ) -> DataFrame:

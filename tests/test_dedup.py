@@ -289,6 +289,71 @@ def test_incremental_minhash_dedup_planted(spark):
     assert out[13]["dup_of_batch"] == 1 and out[13]["keep"] == 0
 
 
+def test_rowwise_signatures_equal_shuffle_path(spark):
+    """dedup.rowwise_minhash_signatures (stateless per-row arrays, the
+    streaming-probe form) must be BIT-IDENTICAL to minhash_signatures
+    (explode + groupBy shuffle) on randomized corpora — including docs
+    with repeated shingles (min is duplicate-insensitive) and docs too
+    short to shingle (both paths emit no row)."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 20))))
+        for i in range(40)
+    ] + [(100, "a b"), (101, "")]  # too short for ngram=3 / empty
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for ngram in (1, 3):
+        shuffle = sorted(
+            map(tuple, dedup.minhash_signatures(
+                dedup.shingles(docs, ngram), 16
+            ).collect())
+        )
+        rowwise = sorted(
+            map(tuple, dedup.rowwise_minhash_signatures(
+                docs, ngram, 16
+            ).collect())
+        )
+        assert rowwise == shuffle, f"ngram={ngram}"
+        assert rowwise  # non-degenerate
+    # the short/empty docs appear in neither
+    ids = {t[0] for t in rowwise}
+    assert 101 not in ids
+
+
+def test_streaming_minhash_probe_stateless_plan(spark, tmp_path):
+    """The streaming probe's pre-aggregation stage must be STATELESS:
+    no shuffle exchange on the stream side before the final per-doc
+    min (signatures are per-row expressions; the store joins in as a
+    broadcast). Checked on the batch-equivalent plan of the production
+    composition — store signatures read from parquet, the layout
+    clean_corpus persists — where the ONLY exchange left in the whole
+    plan is the final per-doc aggregation."""
+    from pagerank_mapreduce_implementation_spark.streaming.queries import (
+        streaming_minhash_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} x y z") for i in range(30)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigs")
+    dedup.minhash_signatures(dedup.shingles(docs, 3), 16).write.parquet(store)
+    out = streaming_minhash_probe(
+        docs, spark.read.parquet(store), threshold=0.2, ngram=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # and it resolves to real matches (every doc matches itself's twin
+    # set at this permissive threshold)
+    assert out.count() > 0
+
+
 def test_prefix_filter_equals_naive_on_random_corpora(spark):
     """ngram_jaccard_prefix_pairs == ngram_jaccard_pairs (naive exact)
     row-for-row on randomized corpora and across thresholds — prefix
