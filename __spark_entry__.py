@@ -291,6 +291,18 @@ def _q_seq_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin ASSEMBLY (text.pack_bins): the actual 512-token training
+    sequences pack_sequences lays out — docs concatenated in id order
+    and cut at bin boundaries, one row per bin with its token text.
+    The only full-corpus shuffle is the inherent one (the output is a
+    reordered copy of the tokens), keyed on bin_id with per-bin state
+    bounded by the budget."""
+    return text.pack_bins(
+        Catalog(spark, sf_dir).documents, budget=512, bucket_size=64
+    )
+
+
 def _q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_word_count(Catalog(spark, sf_dir).documents)
 
@@ -1627,9 +1639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "lm_scores": _q_lm_scores,
         "doc_chunks": _q_doc_chunks,
-        "pagerank_top20": _q_pagerank,
+        "packed_bins": _q_packed_bins,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "pagerank_top20": _q_pagerank,
         "wiki_pagerank": _q_wiki_pagerank,
         "weighted_pagerank_top20": _q_weighted_pagerank,
         "personalized_pagerank_top20": _q_personalized_pagerank,
@@ -1742,6 +1755,24 @@ def oracle_sql() -> dict[str, str]:
             "global_start % 512 AS bin_offset FROM c"
         ),
         "seq_packing_bpe": oracles.seq_packing_bpe_sql(512),
+        # bin assembly: flat running sum -> per-token global positions
+        # -> per-bin ordered string_agg (DuckDB) == sort_array struct
+        # concat (Spark); all-integer cuts, so the text is bit-exact
+        "packed_bins": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), "
+            "p AS (SELECT doc_id, toks, CAST(sum(n) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n "
+            "AS gs FROM c), "
+            "tok AS (SELECT doc_id, gs + i - 1 AS gpos, toks[i] AS tok "
+            "FROM p, unnest(range(1, len(toks) + 1)) AS u(i)) "
+            "SELECT gpos // 512 AS bin_id, count(*) AS n_tokens, "
+            "count(DISTINCT doc_id) AS n_docs, "
+            "string_agg(tok, ' ' ORDER BY gpos) AS text "
+            "FROM tok GROUP BY gpos // 512"
+        ),
         "term_frequency": (
             f"WITH {_TOK_LOWER}, {_TF} "
             "SELECT doc_id, word, round(tf, 6) AS tf FROM tf"

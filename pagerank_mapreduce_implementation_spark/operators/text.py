@@ -325,6 +325,80 @@ def pack_sequences(
     )
 
 
+def pack_bins(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    bucket_size: int = 4096,
+    tokenizer: str = "ws",
+) -> DataFrame:
+    """MATERIALIZE the packed training bins that ``pack_sequences``
+    lays out: one row per ``budget``-token bin — ``(bin_id, n_tokens,
+    n_docs, text)`` with ``text`` the bin's tokens in stream order
+    (documents straddle boundaries exactly as production packing cuts
+    them; the final bin may be short).
+
+    Scale shape: the layout is the two-phase distributed prefix sum of
+    ``pack_sequences`` (broadcast-joined back by doc — never a global
+    sort), then materialization is ONE token-level shuffle keyed on
+    bin_id: posexplode to (global position, token), integral div/mod to
+    (bin, offset), groupBy bin with a sort_array over the bounded
+    (<= budget rows) per-bin struct list. That token shuffle is
+    inherent — the output IS a reordered copy of the corpus — and each
+    bin's state is bounded by ``budget`` tokens, so no group can
+    outgrow a task at any corpus size. At 100 TB you'd write bins
+    range-partitioned by bin_id; the per-bin math is unchanged.
+
+    ``tokenizer`` as in ``pack_sequences`` (``"ws"`` / ``"bpe"``);
+    token COUNTS and bin cuts agree with the layout op by construction
+    (same split expression feeds both).
+    """
+    layout = pack_sequences(
+        docs, budget, text_col, doc_col, bucket_size, tokenizer
+    ).select("doc_id", "global_start")
+    if tokenizer == "ws":
+        toks = F.filter(F.split(F.col(text_col), TOKEN_WS_RE), lambda x: x != "")
+    else:  # "bpe" — pack_sequences already validated the value
+        from pagerank_mapreduce_implementation_spark.functions.bpe import bpe_pieces_udf
+
+        toks = bpe_pieces_udf()(F.col(text_col))
+    token_rows = (
+        docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__toks"))
+        .join(layout, "doc_id")
+        .select("doc_id", "global_start", F.posexplode("__toks").alias("pos", "tok"))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("global_start") + F.col("pos")).alias("__gpos"),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(f"__gpos div {int(budget)}").alias("bin_id"),
+            (F.col("__gpos") % budget).alias("__off"),
+        )
+    )
+    return (
+        token_rows.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__off"), F.col("tok")))
+            ).alias("__cells"),
+        )
+        .select(
+            "bin_id",
+            "n_tokens",
+            "n_docs",
+            F.array_join(
+                F.transform(F.col("__cells"), lambda c: c["tok"]), " "
+            ).alias("text"),
+        )
+    )
+
+
 def chunk_documents_bpe(
     docs: DataFrame,
     window: int = 64,
