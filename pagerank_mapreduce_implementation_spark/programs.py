@@ -377,42 +377,61 @@ def pack_corpus(
     text_col: str = "text",
     doc_col: str = "doc_id",
     tokenizer: str = "whitespace",
+    layout: str = "windows",
+    budget: int = 512,
 ) -> DataFrame:
-    """Chunk a cleaned corpus into overlapping token windows,
-    parquet-in -> parquet-out — the pack step that follows
-    ``clean_corpus`` in a pretraining data recipe: survivors become
-    ``(doc_id, chunk_id, chunk, n_tokens)`` rows sized for a model's
-    context window.
+    """Turn a cleaned corpus into model-ready token rows, parquet-in ->
+    parquet-out — the pack step that follows ``clean_corpus`` in a
+    pretraining data recipe.
 
-    ``tokenizer``: ``"whitespace"`` windows whitespace words (pure
-    codegen, zero Python); ``"bpe"`` windows SUBWORD pieces from the
+    ``layout="windows"`` (default): overlapping per-document token
+    windows — survivors become ``(doc_id, chunk_id, chunk, n_tokens)``
+    rows sized for a model's context window. A single narrow pass
+    end-to-end (tokenize + window arithmetic + chunk-row explode, no
+    shuffle): scan-speed at 100 TB.
+
+    ``layout="bins"``: GPT-style PACKED sequences — every document's
+    tokens concatenated in id order and cut into fixed ``budget``-token
+    bins (``text.pack_bins``): ``(bin_id, n_tokens, n_docs, text)``
+    rows, no padding waste, docs straddling boundaries. Costs the one
+    inherent token-level shuffle (the output is a reordered copy of
+    the corpus), with per-bin state bounded by ``budget``.
+
+    ``tokenizer``: ``"whitespace"`` counts/windows whitespace words
+    (pure codegen, zero Python); ``"bpe"`` uses SUBWORD pieces from the
     vendored deterministic BPE (functions/bpe.py) — the real training
     contract, since packs are sized in subword tokens; costs exactly
     one Arrow-batched Python pass for the piece arrays.
 
-    A single narrow pass end-to-end (the chunker does the tokenize +
-    window arithmetic + chunk-row explode with no shuffle), so at
-    100 TB this is scan-speed: read parquet, emit chunk rows, write
-    parquet. Returns the written table (one footer read, same contract
-    as clean_corpus).
+    Returns the written table (one footer read, same contract as
+    clean_corpus).
     """
     from pagerank_mapreduce_implementation_spark.operators.text import (
         chunk_documents,
         chunk_documents_bpe,
+        pack_bins,
     )
 
-    if tokenizer == "whitespace":
-        chunker = chunk_documents
-    elif tokenizer == "bpe":
-        chunker = chunk_documents_bpe
-    else:
+    if tokenizer not in ("whitespace", "bpe"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    chunks = chunker(
-        spark.read.parquet(input_path),
-        window=window,
-        stride=stride,
-        text_col=text_col,
-        doc_col=doc_col,
-    )
-    chunks.write.mode("overwrite").parquet(output_path)
+    if layout == "windows":
+        chunker = chunk_documents if tokenizer == "whitespace" else chunk_documents_bpe
+        out = chunker(
+            spark.read.parquet(input_path),
+            window=window,
+            stride=stride,
+            text_col=text_col,
+            doc_col=doc_col,
+        )
+    elif layout == "bins":
+        out = pack_bins(
+            spark.read.parquet(input_path),
+            budget=budget,
+            text_col=text_col,
+            doc_col=doc_col,
+            tokenizer="ws" if tokenizer == "whitespace" else "bpe",
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    out.write.mode("overwrite").parquet(output_path)
     return spark.read.parquet(output_path)

@@ -424,6 +424,34 @@ def test_pack_corpus_bpe_tokenizer(spark, tmp_path):
         pack_corpus(spark, src, str(tmp_path / "x"), tokenizer="sentencepiece")
 
 
+def test_pack_corpus_bins_layout(spark, tmp_path):
+    """pack_corpus(layout='bins') materializes the packed sequences:
+    the concatenation of all bins in bin order equals the concatenation
+    of all docs' tokens in id order; every bin except possibly the last
+    holds exactly `budget` tokens; docs straddle boundaries."""
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.programs import pack_corpus
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(7))) for i in range(10)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "bins")
+    got = sorted(
+        pack_corpus(spark, src, out, layout="bins", budget=16).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    assert [r["bin_id"] for r in got] == list(range(len(got)))
+    stream = " ".join(r["text"] for r in got).split()
+    want = [f"d{i}t{j}" for i in range(10) for j in range(7)]
+    assert stream == want  # 70 tokens -> 4 full bins + 6-token tail
+    assert [r["n_tokens"] for r in got] == [16, 16, 16, 16, 6]
+    # bin 0 = docs 0,1 fully + doc 2's first 2 tokens -> 3 docs
+    assert got[0]["n_docs"] == 3
+    with pytest.raises(ValueError, match="unknown layout"):
+        pack_corpus(spark, src, str(tmp_path / "x"), layout="scroll")
+
+
 def test_clean_corpus_lm_filter_stage(spark, tmp_path):
     """max_nll drops the off-distribution outlier: a doc of words that
     appear nowhere else scores far above the corpus-typical surprisal,
