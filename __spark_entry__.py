@@ -722,6 +722,16 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(Catalog(spark, sf_dir).documents, max_hamming=12)
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector INT8 quantization (similarity.quantize_embeddings):
+    the 4x storage-shrink pass before ANN serving. Zero-shuffle per-row
+    array math; both engines round half-away-from-zero, so the full
+    quantized vector (comma-joined) sits behind the hash gate."""
+    return similarity.quantize_embeddings(
+        Catalog(spark, sf_dir).embeddings, as_string=True
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(Catalog(spark, sf_dir).embeddings, 0, 10)
 
@@ -1638,10 +1648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "lm_scores": _q_lm_scores,
-        "doc_chunks": _q_doc_chunks,
         "packed_bins": _q_packed_bins,
+        "embedding_quantize": _q_embedding_quantize,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "doc_chunks": _q_doc_chunks,
         "pagerank_top20": _q_pagerank,
         "wiki_pagerank": _q_wiki_pagerank,
         "weighted_pagerank_top20": _q_weighted_pagerank,
@@ -2003,6 +2014,20 @@ def oracle_sql() -> dict[str, str]:
             0.5, 5, max_shingle_df=NGRAM_MAX_SHINGLE_DF
         ),
         "simhash_dedup": oracles.simhash_near_dups_sql(12),
+        # int8 quantization: float->double lossless, identical IEEE
+        # division/multiply, round() is half-away-from-zero in BOTH
+        # engines — the full quantized vector hash-compares exactly
+        "embedding_quantize": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "m AS (SELECT vec_id, v, "
+            "list_max(list_transform(v, x -> abs(x))) AS mx FROM v) "
+            "SELECT vec_id, round(mx/127, 9) AS scale, "
+            "CASE WHEN mx > 0 THEN array_to_string(list_transform(v, "
+            "x -> CAST(CAST(round(x/mx*127, 0) AS INT) AS VARCHAR)), ',') "
+            "ELSE array_to_string(list_transform(v, x -> '0'), ',') END "
+            "AS qvec FROM m"
+        ),
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),
         "ivf_topk": oracles.ivf_topk_sql(0, 10, 16, 4),

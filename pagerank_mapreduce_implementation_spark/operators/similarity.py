@@ -57,6 +57,53 @@ def _norm(a: Column) -> Column:
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    as_string: bool = False,
+) -> DataFrame:
+    """Symmetric per-vector INT8 quantization — the storage-shrink pass
+    an embedding corpus takes before ANN serving (4x smaller than
+    float32; dequantize with one scalar multiply per vector):
+    ``(vec_id, scale, qvec)`` with ``scale = max|v| / 127`` and
+    ``qvec[i] = round(v[i] / max|v| * 127)`` as ints in [-127, 127].
+    Zero vectors quantize to all-zero with scale 0.
+
+    Pure per-row array math (all-double, float->double lossless), zero
+    shuffle — scan speed at any corpus size. Deterministic: both
+    engines round half-away-from-zero, so the SQL oracle is bit-exact.
+    ``as_string=True`` returns ``qvec`` comma-joined (the hash-gate
+    form: a sortable scalar column); default is ``array<int>`` for
+    downstream math.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = emb.select(F.col(id_col).alias("vec_id"), v.alias("__v")).withColumn(
+        "__mx", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    )
+    q = F.when(
+        F.col("__mx") > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x / F.col("__mx") * 127, 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    out = staged.select(
+        "vec_id",
+        F.round(F.col("__mx") / 127, 9).alias("scale"),
+        q.alias("qvec"),
+    )
+    if as_string:
+        out = out.select(
+            "vec_id",
+            "scale",
+            F.array_join(
+                F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+            ).alias("qvec"),
+        )
+    return out
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec_id: int,
