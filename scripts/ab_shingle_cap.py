@@ -60,11 +60,6 @@ def main() -> None:
             n = df.count()
             times.append(round(time.monotonic() - t0, 3))
             # drop any checkpoint the op pinned so runs are independent
-            for (rid, jrdd) in [
-                (int(k), None)
-                for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-            ]:
-                pass
             m = spark.sparkContext._jsc.getPersistentRDDs()
             for k in m.keySet().toArray():
                 m.get(k).unpersist(False)
