@@ -554,6 +554,12 @@ def _q_streaming_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = strm.read_table_stream(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 3 == 0
     )
+    # store prep stays on the SHUFFLE path: bit-identical to rowwise
+    # (tests/test_dedup.py pins the equality) but measurably faster for
+    # bulk signature building (A/B'd 3.0 s vs 5.1 s at sf0.1 — partial
+    # aggregation beats 16 per-row array passes); rowwise is the
+    # STREAM side's shape, where statelessness is the requirement. In
+    # production this side is a parquet read of the persisted store.
     seen = dedup.minhash_signatures(
         dedup.shingles(
             Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 3 != 0), 5
