@@ -368,22 +368,35 @@ def pack_bins(
         .join(layout, "doc_id")
         .select("doc_id", "global_start", F.posexplode("__toks").alias("pos", "tok"))
         .select(
-            "doc_id",
+            "global_start",
             "tok",
             (F.col("global_start") + F.col("pos")).alias("__gpos"),
         )
         .select(
-            "doc_id",
             "tok",
             F.expr(f"__gpos div {int(budget)}").alias("bin_id"),
             (F.col("__gpos") % budget).alias("__off"),
+            # a doc's FIRST token within this bin sits at
+            # max(its global_start, the bin start) — exactly one such
+            # token per (doc, bin), so summing the flag counts distinct
+            # contributing docs WITHOUT a countDistinct (whose Expand
+            # would double the token shuffle — the plan's largest)
+            (
+                F.col("__gpos")
+                == F.greatest(
+                    F.col("global_start"),
+                    F.expr(f"__gpos div {int(budget)}") * budget,
+                )
+            )
+            .cast("long")
+            .alias("__doc_head"),
         )
     )
     return (
         token_rows.groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("__doc_head").alias("n_docs"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("__off"), F.col("tok")))
             ).alias("__cells"),

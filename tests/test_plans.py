@@ -312,6 +312,21 @@ def test_seq_packing_bpe_same_prefix_sum_shape(plans):
     assert "ArrowEvalPython" in p  # the one permitted Python pass
 
 
+def test_packed_bins_no_expand_no_global_sort(plans):
+    """Bin assembly carries ONE inherent big shuffle (tokens keyed on
+    bin_id); what must never appear around it: a countDistinct Expand
+    (would double that shuffle — n_docs rides a doc-head flag instead),
+    a global sort of the token stream, or a sort-merge join (the layout
+    joins back by broadcast). The single-partition exchange allowance
+    is the layout's tiny bucket-totals window."""
+    p = plans("packed_bins")
+    assert "Expand" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"Exchange SinglePartition", p)) == 1
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_user_purchase_trend_batched_not_per_group_python(plans):
     """The Theil-Sen query rides the BATCHED grouped surface: one
     hash-partitioned collect_list aggregation (JVM shuffle with partial
