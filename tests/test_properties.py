@@ -405,3 +405,53 @@ def test_pack_sequences_matches_flat_prefix_sum(
         want[i] = (k, start, start // budget, start % budget)
         start += k
     assert got == want
+
+
+@given(
+    n_docs=st.integers(min_value=0, max_value=25),
+    budget=st.integers(min_value=1, max_value=30),
+    bucket_size=st.integers(min_value=1, max_value=8),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_pack_bins_reconstructs_token_stream(
+    spark, n_docs, budget, bucket_size, data
+):
+    """pack_bins invariants for ANY corpus/budget/bucketing: bins in
+    order concatenate back to the exact doc-id-ordered token stream,
+    every bin but the last holds exactly `budget` tokens, and n_docs
+    equals the python count of docs overlapping each bin."""
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    lens = [
+        data.draw(st.integers(min_value=0, max_value=7), label=f"len{i}")
+        for i in range(n_docs)
+    ]
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(k))) for i, k in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = sorted(
+        text_ops.pack_bins(df, budget=budget, bucket_size=bucket_size).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    stream = [f"d{i}t{j}" for i, k in enumerate(lens) for j in range(k)]
+    if not stream:
+        assert got == []
+        return
+    n_bins = (len(stream) + budget - 1) // budget
+    assert [r["bin_id"] for r in got] == list(range(n_bins))
+    assert " ".join(r["text"] for r in got).split() == stream
+    sizes = [r["n_tokens"] for r in got]
+    assert sizes[:-1] == [budget] * (n_bins - 1)
+    assert sizes[-1] == len(stream) - budget * (n_bins - 1)
+    # n_docs: python truth from doc spans
+    spans, start = {}, 0
+    for i, k in enumerate(lens):
+        if k:
+            spans[i] = (start, start + k - 1)
+            start += k
+    for r in got:
+        lo, hi = r["bin_id"] * budget, r["bin_id"] * budget + r["n_tokens"] - 1
+        want = sum(1 for a, b in spans.values() if a <= hi and b >= lo)
+        assert r["n_docs"] == want, (r["bin_id"], r["n_docs"], want)
