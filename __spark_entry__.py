@@ -738,6 +738,22 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING over the int8 store: brute-force cosine top-k on the
+    quantized vectors (similarity.quantize_embeddings -> cosine_topk).
+    Cosine is scale-invariant, so the per-vector dequant multiply
+    cancels and serving ranks the raw int8 arrays in double — the whole
+    path (quantize + score + top-k) sits behind one hash gate, proving
+    the quantized store is servable without ever materializing float32
+    reconstructions."""
+    qd = similarity.quantize_embeddings(Catalog(spark, sf_dir).embeddings)
+    recon = qd.select(
+        "vec_id",
+        F.transform("qvec", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return similarity.cosine_topk(recon, 0, 10)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(Catalog(spark, sf_dir).embeddings, 0, 10)
 
@@ -1653,11 +1669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_minhash_probe": _q_streaming_minhash_probe,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
-        "lm_scores": _q_lm_scores,
         "packed_bins": _q_packed_bins,
         "embedding_quantize": _q_embedding_quantize,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "lm_scores": _q_lm_scores,
         "doc_chunks": _q_doc_chunks,
         "pagerank_top20": _q_pagerank,
         "wiki_pagerank": _q_wiki_pagerank,
@@ -2033,6 +2050,28 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(CAST(round(x/mx*127, 0) AS INT) AS VARCHAR)), ',') "
             "ELSE array_to_string(list_transform(v, x -> '0'), ',') END "
             "AS qvec FROM m"
+        ),
+        # serving over the int8 store: identical quantization CTEs,
+        # then the same sequential-fold cosine as cosine_topk over the
+        # integer arrays (scale cancels in cosine)
+        "quantized_cosine_topk": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "m AS (SELECT vec_id, v, "
+            "list_max(list_transform(v, x -> abs(x))) AS mx FROM v), "
+            "qv AS (SELECT vec_id, CASE WHEN mx > 0 THEN list_transform(v, "
+            "x -> CAST(CAST(round(x/mx*127, 0) AS INT) AS DOUBLE)) "
+            "ELSE list_transform(v, x -> 0.0) END AS q FROM m), "
+            "qq AS (SELECT q FROM qv WHERE vec_id = 0) "
+            "SELECT e.vec_id, round("
+            "list_sum(list_transform(range(1, len(e.q) + 1), "
+            "i -> e.q[i] * qq.q[i])) / "
+            "(sqrt(list_sum(list_transform(range(1, len(e.q) + 1), "
+            "i -> e.q[i] * e.q[i]))) * "
+            "sqrt(list_sum(list_transform(range(1, len(qq.q) + 1), "
+            "i -> qq.q[i] * qq.q[i])))), 6) AS cos "
+            "FROM qv e, qq WHERE e.vec_id <> 0 "
+            "ORDER BY cos DESC, e.vec_id ASC LIMIT 10"
         ),
         "cosine_topk": oracles.cosine_topk_sql(0, 10),
         "cosine_pairs": oracles.cosine_pairs_lsh_sql(0.25, num_planes=16, bands=2),
