@@ -312,6 +312,17 @@ def test_seq_packing_bpe_same_prefix_sum_shape(plans):
     assert "ArrowEvalPython" in p  # the one permitted Python pass
 
 
+def test_embedding_quantize_zero_shuffle(plans):
+    """Int8 quantization is pure per-row array math: NO exchange of any
+    kind, no Python, and the scan reads only the two needed columns."""
+    p = plans("embedding_quantize")
+    assert "Exchange" not in p
+    assert "Python" not in p
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None
+    assert len(scan_cols.group(1).split(",")) <= 2
+
+
 def test_packed_bins_no_expand_no_global_sort(plans):
     """Bin assembly carries ONE inherent big shuffle (tokens keyed on
     bin_id); what must never appear around it: a countDistinct Expand
