@@ -857,6 +857,15 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_ratio(Catalog(spark, sf_dir).documents, ngram=2)
 
 
+def _q_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n-gram coverage (textstats.top_ngram_stats): the Gopher rule
+    repetition_ratio misses — how much ONE phrase dominates a doc.
+    Per-doc top-1 via a WindowGroupLimit-pruned row_number; the
+    lexicographic tiebreak makes the winner deterministic, so the full
+    row (gram included) sits behind the hash gate."""
+    return textstats.top_ngram_stats(Catalog(spark, sf_dir).documents, ngram=2)
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass (operators/redaction.py) over deterministic
     synthetic contact cards built from the customer table (the corpus
@@ -1668,12 +1677,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": _q_incremental_minhash,
         "streaming_minhash_probe": _q_streaming_minhash_probe,
         "exact_dedup": _q_exact_dedup,
-        "incremental_dedup": _q_incremental_dedup,
         "packed_bins": _q_packed_bins,
         "embedding_quantize": _q_embedding_quantize,
         "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "top_ngram_stats": _q_top_ngram_stats,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "incremental_dedup": _q_incremental_dedup,
         "lm_scores": _q_lm_scores,
         "doc_chunks": _q_doc_chunks,
         "pagerank_top20": _q_pagerank,
@@ -2050,6 +2060,26 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(CAST(round(x/mx*127, 0) AS INT) AS VARCHAR)), ',') "
             "ELSE array_to_string(list_transform(v, x -> '0'), ',') END "
             "AS qvec FROM m"
+        ),
+        # per-doc top n-gram: duplicates-kept 2-gram windows, argmax by
+        # (count desc, gram asc) — the deterministic tiebreak that makes
+        # the winning gram itself hash-comparable
+        "top_ngram_stats": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS gram FROM t), "
+            "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g "
+            "GROUP BY doc_id, gram), "
+            "r AS (SELECT doc_id, gram, cnt, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn, "
+            "CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_ngrams "
+            "FROM c) "
+            "SELECT doc_id, gram AS top_gram, cnt AS top_cnt, n_ngrams, "
+            "round(CAST(cnt AS DOUBLE) / n_ngrams, 6) AS top_frac "
+            "FROM r WHERE rn = 1"
         ),
         # serving over the int8 store: identical quantization CTEs,
         # then the same sequential-fold cosine as cosine_topk over the

@@ -184,6 +184,60 @@ def repetition_ratio(
     )
 
 
+def top_ngram_stats(
+    docs: DataFrame, ngram: int = 2, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher-style TOP-n-gram coverage rule (repetition_ratio's
+    sibling: that one scores how much of the doc repeats at all, this
+    one scores how much ONE phrase dominates — boilerplate headers and
+    generated loops concentrate mass on a single n-gram): per doc, the
+    most frequent n-gram (duplicates kept, ties to the lexicographically
+    smallest gram) and the fraction of the doc's n-grams it accounts
+    for: ``(doc_id, top_gram, top_cnt, n_ngrams, top_frac)``. Docs too
+    short to form an n-gram emit no row.
+
+    Shape: gram explode -> (doc, gram) count -> per-doc top-1 via a
+    row_number window (WindowGroupLimit prunes per-partition before
+    the shuffle) + a per-doc total riding the same counted table — the
+    tf-idf-style two-shuffle silhouette, nothing quadratic.
+    """
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )
+    grams = F.when(
+        F.size("_toks") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - ngram + 1),
+            lambda i: F.array_join(F.slice("_toks", i, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        staged.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_gram"), F.col("cnt").alias("top_cnt"))
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_ngrams"))
+    return top.join(totals, "doc_id").select(
+        "doc_id",
+        "top_gram",
+        "top_cnt",
+        "n_ngrams",
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n_ngrams").cast("double"), 6
+        ).alias("top_frac"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
 ) -> DataFrame:
