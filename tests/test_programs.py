@@ -452,6 +452,28 @@ def test_pack_corpus_bins_layout(spark, tmp_path):
         pack_corpus(spark, src, str(tmp_path / "x"), layout="scroll")
 
 
+def test_pack_bins_bpe_tokenizer(spark, tmp_path):
+    """pack_bins(tokenizer='bpe') cuts the SUBWORD stream: bins
+    re-derive exactly from encode_text piece concatenation in doc-id
+    order."""
+    from pagerank_mapreduce_implementation_spark.functions import bpe
+    from pagerank_mapreduce_implementation_spark.operators.text import pack_bins
+
+    rows = [(1, "the window table scan merges the sorted stream"),
+            (2, "data store keeps the hot rows")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 8
+    got = sorted(
+        pack_bins(docs, budget=budget, tokenizer="bpe").collect(),
+        key=lambda r: r["bin_id"],
+    )
+    stream = [p for _, txt in rows for p in bpe.encode_text(txt)]
+    assert " ".join(r["text"] for r in got).split() == stream
+    n_bins = (len(stream) + budget - 1) // budget
+    assert [r["bin_id"] for r in got] == list(range(n_bins))
+    assert all(r["n_tokens"] == budget for r in got[:-1])
+
+
 def test_clean_corpus_lm_filter_stage(spark, tmp_path):
     """max_nll drops the off-distribution outlier: a doc of words that
     appear nowhere else scores far above the corpus-typical surprisal,
