@@ -1508,6 +1508,55 @@ def _q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_chain: a deterministic RIFF PCM16 WAV
+    per document (multimodal.wav_test_signal — every int16 sample an
+    integer formula on doc_id, so the oracle regenerates them in SQL),
+    run through the REAL wav codec: decode_audio(wav_decoder) metadata
+    + extract_features(wav_feature_extractor) 2-frame RMS/zero-crossing
+    fingerprints, all via Arrow mapInPandas. The extractor's sums are
+    explicit sequential folds so the doubles match DuckDB's list_sum
+    bit-for-bit before the float32 schema cast (which the oracle
+    mirrors with a CAST AS REAL round-trip — the multimodal_chain
+    move)."""
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda d: multimodal.wav_encode(
+                            multimodal.wav_test_signal(d), 8000
+                        )
+                    ),
+                }
+            )
+
+    # blobs feed TWO consumers (metadata + features): cut the lineage
+    # so the synth pass runs once, not once per branch
+    blobs = docs.mapInPandas(synth, schema=multimodal.BLOB_SCHEMA).localCheckpoint(
+        eager=False
+    )
+    meta = multimodal.decode_audio(blobs, multimodal.wav_decoder)
+    feats = multimodal.extract_features(
+        blobs, extractor=lambda b: multimodal.wav_feature_extractor(b, 2)
+    )
+    return meta.join(
+        feats.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.col("embedding")[0].cast("double"), 6).alias("rms_0"),
+            F.round(F.col("embedding")[1].cast("double"), 6).alias("zcr_0"),
+            F.round(F.col("embedding")[2].cast("double"), 6).alias("rms_1"),
+            F.round(F.col("embedding")[3].cast("double"), 6).alias("zcr_1"),
+        ),
+        "doc_id",
+    )
+
+
 def _q_multimodal_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline under the driver gate (round-3 verdict
     item 3): synthesize a deterministic P6 PPM per document with JVM
@@ -1676,13 +1725,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "incremental_minhash_dedup": _q_incremental_minhash,
         "streaming_minhash_probe": _q_streaming_minhash_probe,
-        "exact_dedup": _q_exact_dedup,
+        "audio_features": _q_audio_features,
         "packed_bins": _q_packed_bins,
         "embedding_quantize": _q_embedding_quantize,
         "quantized_cosine_topk": _q_quantized_cosine_topk,
         "top_ngram_stats": _q_top_ngram_stats,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "lm_scores": _q_lm_scores,
         "doc_chunks": _q_doc_chunks,
@@ -2060,6 +2110,32 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(CAST(round(x/mx*127, 0) AS INT) AS VARCHAR)), ',') "
             "ELSE array_to_string(list_transform(v, x -> '0'), ',') END "
             "AS qvec FROM m"
+        ),
+        # audio twin: regenerate the deterministic int16 signal from the
+        # same integer formula, fold RMS/ZCR with list_sum (== the
+        # extractor's sequential python folds), float32 round-trip cast
+        # on the features (the multimodal_chain move)
+        "audio_features": (
+            "WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents), "
+            "s AS (SELECT doc_id, n, list_transform(range(0, n), "
+            "i -> (doc_id * 31 + i * 17) % 256 - 128) AS sm FROM d), "
+            "fr AS (SELECT doc_id, n, sm[1 : n // 2] AS f0, "
+            "sm[n // 2 + 1 : n] AS f1 FROM s) "
+            "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, "
+            "CAST(n AS BIGINT) AS n_samples, "
+            "n * 1000.0 / 8000.0 AS duration_ms, "
+            "CAST(44 + 2 * n AS BIGINT) AS n_bytes, "
+            + ", ".join(
+                "round(CAST(CAST(sqrt(list_sum(list_transform("
+                f"{f}, v -> (v/32768.0)*(v/32768.0))) / len({f})) "
+                f"AS REAL) AS DOUBLE), 6) AS rms_{i}, "
+                "round(CAST(CAST(list_sum(list_transform("
+                f"range(1, len({f})), j -> CASE WHEN {f}[j] * {f}[j+1] < 0 "
+                f"THEN 1 ELSE 0 END)) / (len({f}) - 1) AS REAL) AS DOUBLE), 6) "
+                f"AS zcr_{i}"
+                for i, f in enumerate(["f0", "f1"])
+            )
+            + " FROM fr"
         ),
         # per-doc top n-gram: duplicates-kept 2-gram windows, argmax by
         # (count desc, gram asc) — the deterministic tiebreak that makes

@@ -300,6 +300,167 @@ def ppm_feature_extractor(b: bytes, grid: int = 2) -> list[float]:
     return feats
 
 
+# --- real pure-numpy WAV (RIFF PCM16 mono) codec ---------------------------
+#
+# Same philosophy as the PPM codec: no audio LIBRARY ships here, but
+# canonical WAV is a fixed RIFF header + raw little-endian PCM — fully
+# parseable with bytes + numpy. These make decode_audio /
+# extract_features run FOR REAL on WAV payloads (and document the
+# decoder-injection contract for compressed formats like mp3/flac,
+# which DO need a codec and stay injection-only).
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, "
+    "duration_ms double, n_bytes bigint"
+)
+
+
+def wav_encode(samples, sample_rate: int = 8000) -> bytes:
+    """int16 sample array -> canonical 44-byte-header RIFF/WAVE PCM16
+    mono bytes. Pure bytes + numpy."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+
+    def u32(x: int) -> bytes:
+        return int(x).to_bytes(4, "little")
+
+    def u16(x: int) -> bytes:
+        return int(x).to_bytes(2, "little")
+
+    return b"".join(
+        [
+            b"RIFF", u32(36 + n), b"WAVE",
+            b"fmt ", u32(16), u16(1), u16(1), u32(sample_rate),
+            u32(sample_rate * 2), u16(2), u16(16),
+            b"data", u32(n), pcm,
+        ]
+    )
+
+
+def _wav_parse(b: bytes):
+    """Parse RIFF/WAVE PCM16 mono: returns (sample_rate, int16 numpy
+    array). Walks the chunk list (not a fixed 44-byte assumption);
+    raises on truncation, compression, or multi-channel payloads —
+    silently mis-parsed audio would poison every downstream feature.
+    """
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sr = channels = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        ln = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + ln]
+        if len(body) < ln:
+            raise ValueError(f"WAV chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("fmt chunk shorter than PCM layout")
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1:
+                raise ValueError(f"only PCM (fmt=1) supported, got {fmt}")
+        elif cid == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if channels != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit mono supported, got {channels}ch/{bits}bit"
+        )
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+def wav_decoder(b: bytes) -> tuple[int, int]:
+    """Real ``decoder`` for decode_audio: (sample_rate, n_samples)."""
+    sr, samples = _wav_parse(b)
+    return sr, len(samples)
+
+
+def decode_audio(
+    blobs: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Audio metadata decode: ``(doc_id, sample_rate, n_samples,
+    duration_ms, n_bytes)`` through the same Arrow mapInPandas plumbing
+    as decode_image. Pass ``decoder`` (bytes -> (sample_rate,
+    n_samples)); ``wav_decoder`` makes it real for WAV — compressed
+    formats (mp3/flac/ogg) need a codec library and raise without one.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "audio decoding is stubbed for compressed formats: pass "
+            "decoder=... (multimodal.wav_decoder runs real RIFF PCM16)"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["content"].map(lambda b: decoder(bytes(b)))
+            sr = meta.map(lambda m: m[0])
+            n = meta.map(lambda m: m[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": sr.astype("int32"),
+                    "n_samples": n.astype("int64"),
+                    "duration_ms": n.astype("float64") * 1000.0 / sr.astype("float64"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+def wav_feature_extractor(b: bytes, frames: int = 2) -> list[float]:
+    """Real ``extractor`` for extract_features over WAV payloads:
+    ``frames`` equal time slices, each contributing (RMS, zero-crossing
+    rate) — the classic cheap audio fingerprint. Sums run as explicit
+    SEQUENTIAL left folds (not numpy pairwise reductions) so the SQL
+    oracle's list_sum reproduces the doubles bit-for-bit before the
+    float32 schema cast."""
+    import math
+
+    _, samples = _wav_parse(b)
+    n = len(samples)
+    feats: list[float] = []
+    for f in range(frames):
+        lo, hi = (f * n) // frames, ((f + 1) * n) // frames
+        chunk = samples[lo:hi]
+        acc = 0.0
+        for v in chunk:
+            x = float(v) / 32768.0
+            acc += x * x
+        # math.sqrt, not **0.5: C pow(x, 0.5) may differ from sqrt by
+        # an ulp, and the oracle computes sqrt()
+        rms = math.sqrt(acc / len(chunk)) if len(chunk) else 0.0
+        crossings = 0
+        for j in range(len(chunk) - 1):
+            if int(chunk[j]) * int(chunk[j + 1]) < 0:
+                crossings += 1
+        zcr = crossings / (len(chunk) - 1) if len(chunk) > 1 else 0.0
+        feats.extend([rms, zcr])
+    return feats
+
+
+def wav_test_signal(doc_id: int, base: int = 64):
+    """Deterministic int16 test signal for the driver query and tests:
+    ``n = base + doc_id % base`` samples, ``s_i = ((doc_id*31 + i*17) %
+    256) - 128`` — every value reproducible with integer SQL."""
+    import numpy as np
+
+    n = base + int(doc_id) % base
+    i = np.arange(n, dtype="int64")
+    return ((int(doc_id) * 31 + i * 17) % 256 - 128).astype("<i2")
+
+
 # concatenated-PPM "video": 4-byte big-endian frame count, then each
 # frame as 4-byte length + P6 payload — a container format simple
 # enough to demux with slicing, so sample_frames runs for real too

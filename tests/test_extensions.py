@@ -629,6 +629,62 @@ def test_frames_demuxer_rejects_truncation(spark):
         mm.frames_demuxer(b"\x00")
 
 
+def test_wav_codec_round_trip_and_guards(spark):
+    """WAV PCM16 codec: encode -> parse round-trips samples + rate
+    exactly; malformed payloads (truncation, stereo, non-PCM,
+    wrong magic) raise instead of mis-parsing; decode_audio without a
+    decoder is an explicit stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    samples = np.array([0, 100, -100, 32767, -32768, 1], dtype="<i2")
+    b = mm.wav_encode(samples, 44100)
+    sr, got = mm._wav_parse(b)
+    assert sr == 44100 and np.array_equal(got, samples)
+    assert mm.wav_decoder(b) == (44100, 6)
+    assert len(b) == 44 + 12
+    with _pytest.raises(ValueError, match="RIFF"):
+        mm._wav_parse(b"nope" + b[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        mm._wav_parse(b[:-3])
+    # stereo header rejected: channels field at fmt body offset 2
+    stereo = bytearray(b)
+    stereo[22] = 2
+    with _pytest.raises(ValueError, match="mono"):
+        mm._wav_parse(bytes(stereo))
+    compressed = bytearray(b)
+    compressed[20] = 3  # IEEE float fmt tag
+    with _pytest.raises(ValueError, match="PCM"):
+        mm._wav_parse(bytes(compressed))
+    with _pytest.raises(NotImplementedError, match="stubbed"):
+        mm.decode_audio(spark.createDataFrame([], "doc_id long, content binary"))
+
+
+def test_wav_features_hand_computed(spark):
+    """wav_feature_extractor matches a hand computation: RMS of a
+    constant-amplitude square wave and ZCR of an alternating signal."""
+    import math
+
+    import numpy as np
+
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    # alternating +/-1000: every adjacent pair crosses zero
+    sig = np.array([1000, -1000] * 8, dtype="<i2")
+    feats = mm.wav_feature_extractor(mm.wav_encode(sig, 8000), frames=2)
+    rms = math.sqrt(sum((1000.0 / 32768.0) ** 2 for _ in range(8)) / 8)
+    assert feats == [rms, 1.0, rms, 1.0]
+    # decode_audio metadata end-to-end through mapInPandas
+    blobs = spark.createDataFrame(
+        [(7, mm.wav_encode(sig, 16000))], "doc_id long, content binary"
+    )
+    row = mm.decode_audio(blobs, mm.wav_decoder).collect()[0]
+    assert (row.sample_rate, row.n_samples, row.n_bytes) == (16000, 16, 44 + 32)
+    assert row.duration_ms == 16 * 1000.0 / 16000.0
+
+
 def test_lloyd_no_driver_roundtrip_inside_loop(spark, monkeypatch):
     """Round-3 verdict item 7: the Lloyd loop must not collect per
     iteration. Centroid state stays a 1-row DataFrame; the only driver
