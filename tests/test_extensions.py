@@ -685,6 +685,33 @@ def test_wav_features_hand_computed(spark):
     assert row.duration_ms == 16 * 1000.0 / 16000.0
 
 
+def test_audio_blobs_feed_ann_pipeline(spark):
+    """The multimodal -> similarity bridge works for AUDIO exactly as
+    for images: WAV blobs -> extract_features(wav_feature_extractor)
+    yields (vec_id, embedding) that cosine_topk consumes directly, and
+    an identical signal is its own nearest neighbor."""
+    import numpy as np
+
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    def sig(seed, flip=1):
+        i = np.arange(96, dtype="int64")
+        return (((seed * 13 + i * 29) % 200 - 100) * flip).astype("<i2")
+
+    rows = [
+        (0, mm.wav_encode(sig(5), 8000)),
+        (1, mm.wav_encode(sig(5), 8000)),      # identical to 0
+        (2, mm.wav_encode(sig(77), 8000)),
+        (3, mm.wav_encode(sig(123), 8000)),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, content binary")
+    emb = mm.extract_features(
+        blobs, extractor=lambda b: mm.wav_feature_extractor(b, 4)
+    )
+    top = similarity.cosine_topk(emb, 0, k=3).collect()
+    assert top[0]["vec_id"] == 1 and abs(top[0]["cos"] - 1.0) < 1e-6
+
+
 def test_lloyd_no_driver_roundtrip_inside_loop(spark, monkeypatch):
     """Round-3 verdict item 7: the Lloyd loop must not collect per
     iteration. Centroid state stays a 1-row DataFrame; the only driver

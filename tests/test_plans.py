@@ -323,6 +323,17 @@ def test_embedding_quantize_zero_shuffle(plans):
     assert len(scan_cols.group(1).split(",")) <= 2
 
 
+def test_audio_features_two_arrow_passes_no_shuffle_before_join(plans):
+    """The audio chain is mapInPandas plumbing end-to-end: Arrow evals
+    for synth+decode+featurize, a single join of two slim metadata
+    branches, and NO sort-merge join or corpus shuffle — the blobs
+    never move between executors."""
+    p = plans("audio_features")
+    assert "SortMergeJoin" not in p
+    assert "MapInPandas" in p
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_packed_bins_no_expand_no_global_sort(plans):
     """Bin assembly carries ONE inherent big shuffle (tokens keyed on
     bin_id); what must never appear around it: a countDistinct Expand
