@@ -857,6 +857,48 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_ratio(Catalog(spark, sf_dir).documents, ngram=2)
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus observability rollup — the report a pipeline
+    prints after clean_corpus: doc/token/byte mass, mean quality, and
+    each source's token share. One corpus aggregation + a broadcast of
+    the sources-sized totals; the quality mean rides the DECIMAL(18,6)
+    cast so the float sum is order-independent (the pricing_summary
+    convention)."""
+    docs = Catalog(spark, sf_dir).documents
+    q = textstats.quality_scores(docs).select("doc_id", "quality")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        toks.cast("long").alias("__nt"),
+        F.octet_length("text").cast("long").alias("__nb"),
+    ).join(q, "doc_id")
+    per = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nb").alias("n_bytes"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__T"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            "avg_quality",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("__T").cast("double"), 6
+            ).alias("token_share"),
+        )
+    )
+
+
 def _q_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-n-gram coverage (textstats.top_ngram_stats): the Gopher rule
     repetition_ratio misses — how much ONE phrase dominates a doc.
@@ -1722,7 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition,
         # fill to the 50-window with round-5-green entries touched by
         # this round's adjacent work (dedup store program, flagship)
-        "minhash_dedup": _q_minhash_dedup,
         "incremental_minhash_dedup": _q_incremental_minhash,
         "streaming_minhash_probe": _q_streaming_minhash_probe,
         "audio_features": _q_audio_features,
@@ -1730,8 +1771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "quantized_cosine_topk": _q_quantized_cosine_topk,
         "top_ngram_stats": _q_top_ngram_stats,
+        "corpus_report": _q_corpus_report,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "minhash_dedup": _q_minhash_dedup,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "lm_scores": _q_lm_scores,
@@ -2136,6 +2179,33 @@ def oracle_sql() -> dict[str, str]:
                 for i, f in enumerate(["f0", "f1"])
             )
             + " FROM fr"
+        ),
+        # per-source rollup: quality CTE shared with quality_scores,
+        # DECIMAL(18,6)-cast quality sum (order-independent), BIGINT
+        # casts on the HUGEINT window sums (the r5 lesson), broadcast
+        # total for token_share
+        "corpus_report": (
+            f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
+            "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
+            r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
+            "FROM t), "
+            "qq AS (SELECT doc_id, n_tokens, "
+            "round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE)/100) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END)) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END)), 6) AS quality "
+            "FROM q), "
+            "j AS (SELECT d.source, qq.n_tokens, strlen(d.text) AS nb, qq.quality "
+            "FROM documents d JOIN qq ON d.doc_id = qq.doc_id), "
+            "per AS (SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+            "CAST(sum(nb) AS BIGINT) AS n_bytes, "
+            "round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) "
+            "AS avg_quality FROM j GROUP BY source), "
+            "tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS T FROM per) "
+            "SELECT source, n_docs, n_tokens, n_bytes, avg_quality, "
+            "round(CAST(n_tokens AS DOUBLE) / CAST(tt.T AS DOUBLE), 6) AS token_share "
+            "FROM per, tt"
         ),
         # per-doc top n-gram: duplicates-kept 2-gram windows, argmax by
         # (count desc, gram asc) — the deterministic tiebreak that makes
