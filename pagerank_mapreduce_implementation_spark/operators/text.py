@@ -339,33 +339,66 @@ def pack_bins(
     (documents straddle boundaries exactly as production packing cuts
     them; the final bin may be short).
 
-    Scale shape: the layout is the two-phase distributed prefix sum of
-    ``pack_sequences`` (broadcast-joined back by doc — never a global
-    sort), then materialization is ONE token-level shuffle keyed on
-    bin_id: posexplode to (global position, token), integral div/mod to
-    (bin, offset), groupBy bin with a sort_array over the bounded
-    (<= budget rows) per-bin struct list. That token shuffle is
-    inherent — the output IS a reordered copy of the corpus — and each
-    bin's state is bounded by ``budget`` tokens, so no group can
-    outgrow a task at any corpus size. At 100 TB you'd write bins
-    range-partitioned by bin_id; the per-bin math is unchanged.
+    Scale shape: the layout IS pack_sequences' two-phase distributed
+    prefix sum, computed INLINE with the token arrays riding along —
+    per-bucket running sums (parallel) + a broadcast of the tiny
+    bucket-totals prefix — so there is NO corpus-wide doc_id self-join
+    to fetch global_start back (an earlier version joined the layout
+    to the docs by id: broadcastable at test scale, a sort-merge of
+    the whole corpus against itself at 100 TB). Materialization is
+    then ONE token-level shuffle keyed on bin_id: posexplode to
+    (global position, token), integral div/mod to (bin, offset),
+    groupBy bin with a sort_array over the bounded (<= budget rows)
+    per-bin struct list. That token shuffle is inherent — the output
+    IS a reordered copy of the corpus — and each bin's state is
+    bounded by ``budget`` tokens, so no group can outgrow a task at
+    any corpus size. At 100 TB you'd write bins range-partitioned by
+    bin_id; the per-bin math is unchanged.
 
     ``tokenizer`` as in ``pack_sequences`` (``"ws"`` / ``"bpe"``);
     token COUNTS and bin cuts agree with the layout op by construction
-    (same split expression feeds both).
+    (same split expression, same window arithmetic).
     """
-    layout = pack_sequences(
-        docs, budget, text_col, doc_col, bucket_size, tokenizer
-    ).select("doc_id", "global_start")
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget ({budget}) must be positive")
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size ({bucket_size}) must be positive")
     if tokenizer == "ws":
         toks = F.filter(F.split(F.col(text_col), TOKEN_WS_RE), lambda x: x != "")
-    else:  # "bpe" — pack_sequences already validated the value
+    elif tokenizer == "bpe":
         from pagerank_mapreduce_implementation_spark.functions.bpe import bpe_pieces_udf
 
         toks = bpe_pieces_udf()(F.col(text_col))
+    else:
+        raise ValueError(f"tokenizer must be 'ws' or 'bpe', got {tokenizer!r}")
+    # pack_sequences' prefix-sum layout, with __toks carried through
+    # the per-bucket window (the totals branch prunes it away)
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.expr(f"{doc_col} div {int(bucket_size)}").alias("__bucket"),
+    ).withColumn("__nt", F.size("__toks").cast("long"))
+    in_bucket = Window.partitionBy("__bucket").orderBy("doc_id")
+    staged = staged.withColumn("__cum", F.sum("__nt").over(in_bucket))
+    btot = staged.groupBy("__bucket").agg(F.max("__cum").alias("__btot"))
+    bprefix = btot.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__btot").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__prefix")
     token_rows = (
-        docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__toks"))
-        .join(layout, "doc_id")
+        staged.join(F.broadcast(bprefix), "__bucket")
+        .withColumn(
+            "global_start", F.col("__prefix") + F.col("__cum") - F.col("__nt")
+        )
         .select("doc_id", "global_start", F.posexplode("__toks").alias("pos", "tok"))
         .select(
             "global_start",

@@ -344,7 +344,13 @@ def test_packed_bins_no_expand_no_global_sort(plans):
     p = plans("packed_bins")
     assert "Expand" not in p
     assert "SortMergeJoin" not in p
-    assert "BroadcastHashJoin" in p
+    # exactly ONE join in the whole plan: the broadcast of the tiny
+    # bucket-prefix table, keyed on __bucket — the r6 inline rewrite
+    # removed the corpus-wide doc_id layout join entirely (it was
+    # broadcastable at test scale but a corpus-vs-corpus sort-merge at
+    # 100 TB)
+    assert p.count("BroadcastHashJoin") == 1
+    assert re.search(r"BroadcastHashJoin \[__bucket", p)
     assert len(re.findall(r"Exchange SinglePartition", p)) == 1
     assert "Exchange rangepartitioning" not in p
 
