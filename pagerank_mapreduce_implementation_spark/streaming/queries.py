@@ -243,11 +243,20 @@ def streaming_minhash_probe(
     bands: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    broadcast_store: bool = True,
 ) -> DataFrame:
     """Streaming cross-batch NEAR-dup detection: an unbounded document
     stream probed against a STATIC MinHash signature store — the
     streaming twin of ``dedup.incremental_minhash_dedup``'s
     ``dup_of_store`` verdict.
+
+    ``broadcast_store`` pins the store's band index + signatures as
+    broadcast build sides (right while the store fits the 8 GB
+    broadcast cap — hundreds of millions of signatures). Past that,
+    set False: a stream-static join stays STATELESS under any
+    strategy, and Catalyst shuffles the micro-batch against the
+    (bucketed-on-disk) store instead — same results, same zero state,
+    just no driver-side pin of an over-large table.
 
     The whole probe is STATELESS per micro-batch by construction:
     signatures come from ``dedup.rowwise_minhash_signatures`` (pure
@@ -314,9 +323,12 @@ def streaming_minhash_probe(
         ],
         F.lit(0),
     )
+    if broadcast_store:
+        store_bands = F.broadcast(store_bands)
+        store_sigs = F.broadcast(store_sigs)
     matches = (
-        bb.join(F.broadcast(store_bands), ["band", "bucket"])
-        .join(F.broadcast(store_sigs), "store_id")
+        bb.join(store_bands, ["band", "bucket"])
+        .join(store_sigs, "store_id")
         .filter(n_eq >= min_matches)
     )
     return matches.groupBy("doc_id").agg(
