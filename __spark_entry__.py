@@ -860,22 +860,26 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus observability rollup — the report a pipeline
     prints after clean_corpus: doc/token/byte mass, mean quality, and
-    each source's token share. One corpus aggregation + a broadcast of
-    the sources-sized totals; the quality mean rides the DECIMAL(18,6)
+    each source's token share. JOIN-FREE by construction: quality is a
+    narrow projection of the same row, so quality_scores carries
+    source + byte length through its single pass (keep_cols) instead
+    of the corpus-vs-corpus doc_id join an aggregate-then-join shape
+    would pay at 100 TB. One corpus aggregation + a broadcast of the
+    sources-sized totals; the quality mean rides the DECIMAL(18,6)
     cast so the float sum is order-independent (the pricing_summary
     convention)."""
     docs = Catalog(spark, sf_dir).documents
-    q = textstats.quality_scores(docs).select("doc_id", "quality")
-    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
-    staged = docs.select(
-        "doc_id",
-        "source",
-        toks.cast("long").alias("__nt"),
-        F.octet_length("text").cast("long").alias("__nb"),
-    ).join(q, "doc_id")
+    staged = textstats.quality_scores(
+        docs,
+        keep_cols=(
+            "source",
+            F.octet_length("text").cast("long").alias("__nb"),
+        ),
+        with_tokens=True,
+    )
     per = staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__nt").alias("n_tokens"),
+        F.sum("n_tokens").alias("n_tokens"),
         F.sum("__nb").alias("n_bytes"),
         F.round(
             F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")

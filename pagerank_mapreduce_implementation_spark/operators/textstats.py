@@ -62,19 +62,32 @@ def token_stats(
 
 
 def quality_scores(
-    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Heuristic quality features + combined score per doc:
-    ``(doc_id, n_chars, punct_ratio, stopword_ratio, quality)``.
+    ``(doc_id, [keep_cols...], [n_tokens,] n_chars, punct_ratio,
+    stopword_ratio, quality)``.
 
     quality = 0.4*min(1, n_tokens/100) + 0.3*(1-punct_ratio)
             + 0.3*(1-stopword_ratio) — a simple monotone combination of
     the classic heuristics; rounded 6.
+
+    ``keep_cols`` (column names or Column expressions) ride through the
+    single narrow pass so aggregating consumers (corpus_report) never
+    need a corpus-vs-corpus doc_id join back to the source table —
+    quality is a projection of the same row, not a separate dataset.
+    ``with_tokens`` additionally exposes the whitespace token count.
     """
     # Stage scalar features once (see token_stats on why): the ratios
     # and the combined score below reference each feature 2-3 times.
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
     staged = docs.select(
         F.col(doc_col).alias("doc_id"),
+        *kept,
         F.size(_tokens(text_col)).alias("_n_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
         F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")).alias(
@@ -84,6 +97,10 @@ def quality_scores(
             F.filter(_tokens(text_col), lambda w: F.lower(w).isin(STOPWORDS))
         ).alias("_stop"),
     )
+    kept_names = [
+        c if isinstance(c, str) else staged.columns[1 + i]
+        for i, c in enumerate(keep_cols)
+    ]
     n_tokens = F.col("_n_tokens")
     punct_ratio = F.when(
         F.col("n_chars") > 0, F.col("_punct").cast("double") / F.col("n_chars")
@@ -98,6 +115,8 @@ def quality_scores(
     )
     return staged.select(
         "doc_id",
+        *kept_names,
+        *([F.col("_n_tokens").cast("long").alias("n_tokens")] if with_tokens else []),
         "n_chars",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -323,6 +323,18 @@ def test_embedding_quantize_zero_shuffle(plans):
     assert len(scan_cols.group(1).split(",")) <= 2
 
 
+def test_corpus_report_join_free_single_rollup(plans):
+    """corpus_report must NOT join quality back by doc_id (quality is
+    a projection of the same row — keep_cols rides it through one
+    pass): no equi-join of any kind, just the source rollup, the tiny
+    totals aggregate, and its 1-row broadcast back."""
+    p = plans("corpus_report")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p  # no doc_id equi-join survives
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row total
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
+
+
 def test_audio_features_two_arrow_passes_no_shuffle_before_join(plans):
     """The audio chain is mapInPandas plumbing end-to-end: Arrow evals
     for synth+decode+featurize, a single join of two slim metadata
