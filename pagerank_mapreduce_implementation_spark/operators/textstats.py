@@ -125,20 +125,33 @@ def quality_scores(
 
 
 def lang_id(
-    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """Marker-word language-ID heuristic: ``(doc_id, pred_lang, score)``.
+    """Marker-word language-ID heuristic: ``(doc_id, [keep_cols...],
+    pred_lang, score)``.
 
     Scores each language by marker-token hits; predicts the max-scoring
     language (ties: lexicographically first; all-zero: 'unknown'). A
     real pipeline swaps the markers for char-n-gram profiles — the
     dataflow (narrow scan-side classify) is the deliverable.
+    ``keep_cols`` rides input columns through the pass so filtering
+    consumers (clean_corpus) never join the verdict back by doc_id.
     """
     # Stage 1: tokenize once. Stage 2: one score column per language
     # (each scans the staged array once). Stage 3: argmax over the
     # named score columns — the CASE chain references every score 2-3
     # times, which would re-split the text ~20x per row if inlined.
-    toks = docs.select(F.col(doc_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"), *kept, _tokens(text_col).alias("_toks")
+    )
+    kept_names = [
+        c if isinstance(c, str) else toks.columns[1 + i]
+        for i, c in enumerate(keep_cols)
+    ]
 
     def marker_hits(markers: list[str]) -> Column:
         # NB: the filter lambda must be single-parameter — a second
@@ -147,6 +160,7 @@ def lang_id(
 
     scored = toks.select(
         "doc_id",
+        *kept_names,
         *[
             marker_hits(markers).alias(f"_s_{lang}")
             for lang, markers in LANG_MARKERS.items()
@@ -160,13 +174,18 @@ def lang_id(
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return scored.select(
         "doc_id",
+        *kept_names,
         pred.alias("pred_lang"),
         best.cast("int").alias("score"),
     )
 
 
 def repetition_ratio(
-    docs: DataFrame, ngram: int = 2, text_col: str = "text", doc_col: str = "doc_id"
+    docs: DataFrame,
+    ngram: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Within-document n-gram repetition (the Gopher/C4-style quality
     signal: boilerplate and generated spam repeat themselves):
@@ -177,11 +196,17 @@ def repetition_ratio(
     Narrow per-row array math — tokens -> n-gram array (duplicates
     KEPT, unlike dedup.shingles) -> size vs array_distinct size. Zero
     shuffles; at 100 TB this runs at scan speed alongside the other
-    quality features.
+    quality features. ``keep_cols`` rides input columns through (see
+    quality_scores) so filter consumers skip the doc_id join-back.
     """
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
     staged = docs.select(
-        F.col(doc_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+        F.col(doc_col).alias("doc_id"), *kept, _tokens(text_col).alias("_toks")
     )
+    kept_names = [
+        c if isinstance(c, str) else staged.columns[1 + i]
+        for i, c in enumerate(keep_cols)
+    ]
     grams = F.when(
         F.size("_toks") >= ngram,
         F.transform(
@@ -189,7 +214,7 @@ def repetition_ratio(
             lambda i: F.array_join(F.slice("_toks", i, ngram), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = staged.select("doc_id", grams.alias("_grams"))
+    g = staged.select("doc_id", *kept_names, grams.alias("_grams"))
     n_g = F.size("_grams")
     n_d = F.size(F.array_distinct("_grams"))
     rep = F.when(
@@ -197,6 +222,7 @@ def repetition_ratio(
     ).otherwise(F.lit(0.0))
     return g.select(
         "doc_id",
+        *kept_names,
         n_g.alias("n_ngrams"),
         n_d.alias("n_distinct"),
         F.round(rep, 6).alias("repetition_ratio"),

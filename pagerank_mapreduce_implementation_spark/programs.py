@@ -276,24 +276,28 @@ def _clean_corpus_body(
     connected_components,
 ) -> DataFrame:
     docs = spark.read.parquet(input_path)
+    # Stages 1-3 score PER-ROW features; keep_cols rides the full row
+    # through each scoring pass so the verdict never needs a
+    # corpus-vs-corpus doc_id join back (three joins saved — at 100 TB
+    # those were the most expensive non-dedup steps in the program)
+    passthru = tuple(c for c in docs.columns if c != "doc_id")
     if lang is not None:
-        detected = textstats.lang_id(docs).select("doc_id", "pred_lang")
         docs = (
-            docs.join(detected, "doc_id")
+            textstats.lang_id(docs, keep_cols=passthru)
             .filter(F.col("pred_lang") == lang)
-            .drop("pred_lang")
+            .select("doc_id", *passthru)
         )
     if min_quality > 0.0:
-        q = textstats.quality_scores(docs).select("doc_id", "quality")
-        docs = docs.join(q, "doc_id").filter(
-            F.col("quality") >= min_quality
-        ).drop("quality")
-    if max_repetition is not None:
-        rep = textstats.repetition_ratio(docs).select("doc_id", "repetition_ratio")
         docs = (
-            docs.join(rep, "doc_id")
+            textstats.quality_scores(docs, keep_cols=passthru)
+            .filter(F.col("quality") >= min_quality)
+            .select("doc_id", *passthru)
+        )
+    if max_repetition is not None:
+        docs = (
+            textstats.repetition_ratio(docs, keep_cols=passthru)
             .filter(F.col("repetition_ratio") <= max_repetition)
-            .drop("repetition_ratio")
+            .select("doc_id", *passthru)
         )
     if max_nll is not None:
         nll = textstats.lm_scores(spark.read.parquet(input_path)).select(
