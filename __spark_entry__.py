@@ -995,12 +995,14 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota (operators/sampling.py): keep the top
     50 docs per source by quality score — the curation quota pass.
-    WindowGroupLimit prunes per-partition before the window shuffle."""
+    WindowGroupLimit prunes per-partition before the window shuffle;
+    the quality score rides keep_cols through one narrow pass instead
+    of a corpus-vs-corpus doc_id join-back (round-6 join audit)."""
     from pagerank_mapreduce_implementation_spark.operators.sampling import quota_sample
 
-    docs = Catalog(spark, sf_dir).documents
-    qual = textstats.quality_scores(docs).select("doc_id", "quality")
-    staged = docs.select("doc_id", "source").join(qual, "doc_id")
+    staged = textstats.quality_scores(
+        Catalog(spark, sf_dir).documents, keep_cols=("source",)
+    ).select("doc_id", "source", "quality")
     return quota_sample(
         staged, group_col="source", order_col="quality", k=50, key_col="doc_id"
     ).select("doc_id", "source", "quality", "rn")
