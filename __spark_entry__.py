@@ -1544,6 +1544,24 @@ def _q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming twin (streaming_sliding_events, 2h
+    size / 1h slide): every event double-counts into its two
+    overlapping windows — the rolling-rate semantics tumbling windows
+    can't express. Deterministic over the static input, so it gets a
+    full SQL oracle (each event's two window starts regenerated via
+    unnest)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    agg = strm.streaming_sliding_events(
+        ev, size="2 hours", slide="1 hour", watermark="2 hours"
+    )
+    name = f"_stream_slide_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(agg, name)
+    return spark.table(name)
+
+
 def _q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming word count over the documents table (same tokenize
     expression as the batch word_count — batch/stream parity)."""
@@ -1768,9 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "repetition_scores": _q_repetition,
-        # fill to the 50-window with round-5-green entries touched by
-        # this round's adjacent work (dedup store program, flagship)
-        "incremental_minhash_dedup": _q_incremental_minhash,
+        # fill to the 50-window with round-6 additions (all of these
+        # are new or changed this round, so they MUST be in the window)
         "streaming_minhash_probe": _q_streaming_minhash_probe,
         "audio_features": _q_audio_features,
         "packed_bins": _q_packed_bins,
@@ -1778,8 +1795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_cosine_topk": _q_quantized_cosine_topk,
         "top_ngram_stats": _q_top_ngram_stats,
         "corpus_report": _q_corpus_report,
+        "streaming_events_sliding": _q_streaming_events_sliding,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "incremental_minhash_dedup": _q_incremental_minhash,
         "minhash_dedup": _q_minhash_dedup,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2425,6 +2444,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_word_count": (
             f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
+        ),
+        # sliding 2h/1h: each event belongs to exactly TWO windows,
+        # starts = {hour(ts) - 1h, hour(ts)} — regenerated via unnest,
+        # then the same count/decimal-sum as the tumbling twin
+        "streaming_events_sliding": (
+            "WITH x AS (SELECT event_type, value, "
+            "unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, "
+            "date_trunc('hour', ts)]) AS ws FROM events) "
+            "SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, "
+            "CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP_NS) AS window_end, "
+            "event_type, count(*) AS cnt, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum "
+            "FROM x GROUP BY ws, event_type"
         ),
         # gaps-and-islands mirror of Spark's session_window: a new
         # session starts when the gap to the previous event is >= 30

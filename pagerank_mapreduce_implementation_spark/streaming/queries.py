@@ -116,6 +116,42 @@ def streaming_windowed_events(
     )
 
 
+def streaming_sliding_events(
+    events: DataFrame,
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window event counts/sums — the overlapping-window mode
+    (every event lands in size/slide windows simultaneously), the
+    rolling-rate view tumbling windows can't express:
+    ``(window_start, window_end, event_type, cnt, value_sum)``.
+
+    State: one group per (open window, type) — size/slide times the
+    tumbling state, closed by the same watermark. Spark implements the
+    overlap by EXPANDING each row into its size/slide windows before
+    the aggregation; at 100 TB pick slide accordingly (the expansion
+    multiplies shuffle volume by exactly size/slide).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
 def streaming_word_count(lines: DataFrame, text_col: str = "value") -> DataFrame:
     """Running word count over an unbounded text column — the streaming
     form of operators/text.word_count (same tokenize expression)."""
