@@ -1786,8 +1786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "repetition_scores": _q_repetition,
-        # fill to the 50-window with round-6 additions (all of these
-        # are new or changed this round, so they MUST be in the window)
+        # (a cont.) round-6 NEW queries — never driver-checked, so they
+        # must sit inside the window. Round-7 rotation note: after the
+        # r6 driver file lands, this whole window is fresh-green; the
+        # 45 below-window queries (r5-green) are the next cohort due
+        # forward, plus anything round 7 changes.
         "streaming_minhash_probe": _q_streaming_minhash_probe,
         "audio_features": _q_audio_features,
         "packed_bins": _q_packed_bins,
