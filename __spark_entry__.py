@@ -189,6 +189,15 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the supplier link graph
+    (graph.degree_histogram) — the skew profile read before a PageRank
+    run: duplicate edges counted like the scatter, dangling vertices
+    as the out_degree = 0 row from two scalar counts (no vertex
+    anti-join)."""
+    return graph.degree_histogram(_edges(spark, sf_dir))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = graph.pagerank(_edges(spark, sf_dir), n_iters=10, mode="reference")
     return (
@@ -1748,7 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_purchase_trend": _q_user_purchase_trend,
         "doc_chunks_bpe": _q_doc_chunks_bpe,
         "source_mix": _q_source_mix,
-        "ivf_topk_lloyd": _q_ivf_topk_lloyd,
+        # (ivf_topk_lloyd's r6 change is checkpoint RELEASE only — zero
+        # output change, r5-green, so it cedes its window slot to the
+        # new graph_degree_histogram and sits just below the boundary)
         # (b) the 36-query cohort last checked in round 4 — due back
         "word_count": _q_word_count,
         "salted_word_count": _q_salted_word_count,
@@ -1799,8 +1810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": _q_top_ngram_stats,
         "corpus_report": _q_corpus_report,
         "streaming_events_sliding": _q_streaming_events_sliding,
+        "graph_degree_histogram": _q_graph_degree_histogram,
         # --- window boundary (50) — below here: round-5-green,
         # unchanged code, due back on a later rotation
+        "ivf_topk_lloyd": _q_ivf_topk_lloyd,
         "incremental_minhash_dedup": _q_incremental_minhash,
         "minhash_dedup": _q_minhash_dedup,
         "exact_dedup": _q_exact_dedup,
@@ -1853,6 +1866,21 @@ def oracle_sql() -> dict[str, str]:
     terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
     return {
         "pagerank_top20": pagerank_sql(EDGES_SQL, n_iters=10, limit=20),
+        # degree distribution: duplicate-edge-counting degree agg +
+        # histogram; dangling row = distinct vertices - scoring sources
+        "graph_degree_histogram": (
+            f"WITH e AS ({EDGES_SQL}), "
+            "od AS (SELECT src, count(*) AS out_degree FROM e GROUP BY src), "
+            "hist AS (SELECT out_degree, count(*) AS n_vertices FROM od "
+            "GROUP BY out_degree), "
+            "verts AS (SELECT DISTINCT src AS v FROM e "
+            "UNION SELECT DISTINCT dst FROM e), "
+            "z AS (SELECT CAST(0 AS BIGINT) AS out_degree, "
+            "(SELECT count(*) FROM verts) - (SELECT count(*) FROM od) "
+            "AS n_vertices) "
+            "SELECT out_degree, n_vertices FROM hist "
+            "UNION ALL SELECT out_degree, n_vertices FROM z WHERE n_vertices > 0"
+        ),
         "word_count": (
             f"WITH {_TOK} SELECT word, count(*) AS cnt FROM tok GROUP BY word"
         ),

@@ -80,6 +80,40 @@ def out_degree(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Out-degree DISTRIBUTION of a link graph — the skew profile you
+    read BEFORE running PageRank at scale (a fat tail here is what
+    makes the scatter shuffle hot, and what sizes `num_partitions` /
+    motivates salting): ``(out_degree, n_vertices)``, duplicate edges
+    counted exactly as the scatter does, dangling vertices (appear
+    only as a destination) reported as the ``out_degree = 0`` row.
+
+    Shape: degree agg -> tiny histogram agg; the zero row comes from
+    two SCALAR counts (distinct vertices minus scoring sources)
+    broadcast-crossed — no vertex-sized anti-join. Nothing here is
+    edge-quadratic; both aggregations are the same key the PageRank
+    loop shuffles on anyway.
+    """
+    od = out_degree(edges)
+    hist = od.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    nv = verts.agg(F.count(F.lit(1)).alias("__nv"))
+    ns = od.agg(F.count(F.lit(1)).alias("__ns"))
+    zero = (
+        nv.crossJoin(F.broadcast(ns))
+        .select(
+            F.lit(0).cast("long").alias("out_degree"),
+            (F.col("__nv") - F.col("__ns")).alias("n_vertices"),
+        )
+        .filter(F.col("n_vertices") > 0)
+    )
+    return hist.unionByName(zero)
+
+
 def pagerank(
     edges: DataFrame,
     n_iters: int = 10,
