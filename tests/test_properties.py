@@ -455,3 +455,49 @@ def test_pack_bins_reconstructs_token_stream(
         lo, hi = r["bin_id"] * budget, r["bin_id"] * budget + r["n_tokens"] - 1
         want = sum(1 for a, b in spans.values() if a <= hi and b >= lo)
         assert r["n_docs"] == want, (r["bin_id"], r["n_docs"], want)
+
+
+@given(
+    n_edges=st.integers(min_value=0, max_value=60),
+    n_nodes=st.integers(min_value=1, max_value=15),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_degree_histogram_invariants(spark, n_edges, n_nodes, data):
+    """degree_histogram on random multigraphs: sum(deg * n_vertices)
+    == edge count, sum(n_vertices) == distinct vertex count, the zero
+    row counts exactly the dangling (dst-only) vertices, and duplicate
+    edges count like the PageRank scatter (degree 2 for a doubled
+    edge)."""
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    edges = [
+        (
+            f"v{data.draw(st.integers(0, n_nodes - 1), label=f's{i}')}",
+            f"v{data.draw(st.integers(0, n_nodes - 1), label=f'd{i}')}",
+        )
+        for i in range(n_edges)
+    ]
+    df = (
+        spark.createDataFrame(edges, "src string, dst string")
+        if edges
+        else spark.createDataFrame([], "src string, dst string")
+    )
+    hist = {r["out_degree"]: r["n_vertices"] for r in degree_histogram(df).collect()}
+    if not edges:
+        assert hist == {}
+        return
+    assert sum(d * n for d, n in hist.items()) == len(edges)
+    verts = {v for e in edges for v in e}
+    assert sum(hist.values()) == len(verts)
+    srcs = {s for s, _ in edges}
+    dangling = len(verts - srcs)
+    assert hist.get(0, 0) == dangling
+    from collections import Counter
+
+    out = Counter(s for s, _ in edges)
+    want = Counter(out.values())
+    for d, n in want.items():
+        assert hist[d] == n, (d, hist.get(d), n)
