@@ -1,0 +1,68 @@
+"""Driver pre-flight: replay the grading driver's correctness pass —
+the FIRST 50 registry queries, in registry order, in ONE SparkSession,
+each compared to its DuckDB oracle with a driver-style stringified
+hash (columns sorted by name, rows sorted, values stringified) at
+sf0.01. Catches cross-query interference (leaked cache blocks, memory
+sink collisions, session-state drift) that the alphabetically-ordered
+pytest parametrization cannot."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from pagerank_mapreduce_implementation_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+N = int(os.environ.get("PREFLIGHT_N", "50"))
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return hashlib.md5(
+        df.astype(str).to_csv(index=False).encode()
+    ).hexdigest()
+
+
+def main() -> None:
+    spark = get_spark(app_name="driver-preflight")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    osql = entry.oracle_sql()
+    failures = []
+    for i, (name, fn) in enumerate(list(entry.queries().items())[:N]):
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+            want = con.sql(osql[name]).df()
+            rows_ok = len(got) == len(want)
+            schema_ok = sorted(got.columns) == sorted(want.columns)
+            hash_ok = rows_ok and schema_ok and frame_hash(got) == frame_hash(want)
+            status = "OK" if hash_ok else "FAIL"
+            if not hash_ok:
+                failures.append(name)
+            print(f"[{i:2d}] {status} {name} rows={len(got)}", flush=True)
+        except Exception as exc:  # noqa: BLE001 — report, keep replaying
+            failures.append(name)
+            print(f"[{i:2d}] ERROR {name}: {exc}", flush=True)
+    print(json.dumps({"checked": N, "failures": failures}))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
