@@ -80,22 +80,30 @@ def out_degree(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
 
 
-def degree_histogram(edges: DataFrame) -> DataFrame:
-    """Out-degree DISTRIBUTION of a link graph — the skew profile you
-    read BEFORE running PageRank at scale (a fat tail here is what
-    makes the scatter shuffle hot, and what sizes `num_partitions` /
-    motivates salting): ``(out_degree, n_vertices)``, duplicate edges
-    counted exactly as the scatter does, dangling vertices (appear
-    only as a destination) reported as the ``out_degree = 0`` row.
+def degree_histogram(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """Degree DISTRIBUTION of a link graph — the skew profile you
+    read BEFORE running PageRank at scale: ``(out_degree, n_vertices)``
+    (or ``in_degree`` with ``direction="in"``), duplicate edges
+    counted exactly as the scatter does, degree-0 vertices (dangling
+    sinks for "out"; sources nothing links to for "in") reported as
+    the zero row. ``"out"``'s fat tail is what makes the scatter
+    EMIT-side expensive (one row per outlink); ``"in"``'s fat tail is
+    the gather-side hot key the contribution aggregation shuffles
+    into — the one that sizes `num_partitions` / motivates salting.
 
     Shape: degree agg -> tiny histogram agg; the zero row comes from
-    two SCALAR counts (distinct vertices minus scoring sources)
+    two SCALAR counts (distinct vertices minus scoring keys)
     broadcast-crossed — no vertex-sized anti-join. Nothing here is
-    edge-quadratic; both aggregations are the same key the PageRank
-    loop shuffles on anyway.
+    edge-quadratic; both aggregations are keys the PageRank loop
+    shuffles on anyway.
     """
-    od = out_degree(edges)
-    hist = od.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    key, deg_name = (
+        ("src", "out_degree") if direction == "out" else ("dst", "in_degree")
+    )
+    od = edges.groupBy(key).agg(F.count(F.lit(1)).alias(deg_name))
+    hist = od.groupBy(deg_name).agg(F.count(F.lit(1)).alias("n_vertices"))
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -106,7 +114,7 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     zero = (
         nv.crossJoin(F.broadcast(ns))
         .select(
-            F.lit(0).cast("long").alias("out_degree"),
+            F.lit(0).cast("long").alias(deg_name),
             (F.col("__nv") - F.col("__ns")).alias("n_vertices"),
         )
         .filter(F.col("n_vertices") > 0)

@@ -501,3 +501,14 @@ def test_degree_histogram_invariants(spark, n_edges, n_nodes, data):
     want = Counter(out.values())
     for d, n in want.items():
         assert hist[d] == n, (d, hist.get(d), n)
+    # the "in" direction mirrors everything on dst
+    hist_in = {
+        r["in_degree"]: r["n_vertices"]
+        for r in degree_histogram(df, direction="in").collect()
+    }
+    assert sum(d * n for d, n in hist_in.items()) == len(edges)
+    assert sum(hist_in.values()) == len(verts)
+    ind = Counter(d for _, d in edges)
+    assert hist_in.get(0, 0) == len(verts) - len(set(ind))
+    for d, n in Counter(ind.values()).items():
+        assert hist_in[d] == n
