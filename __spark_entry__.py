@@ -885,6 +885,7 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length("text").cast("long").alias("__nb"),
         ),
         with_tokens=True,
+        score_only=True,
     )
     per = staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1010,7 +1011,7 @@ def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_mapreduce_implementation_spark.operators.sampling import quota_sample
 
     staged = textstats.quality_scores(
-        Catalog(spark, sf_dir).documents, keep_cols=("source",)
+        Catalog(spark, sf_dir).documents, keep_cols=("source",), score_only=True
     ).select("doc_id", "source", "quality")
     return quota_sample(
         staged, group_col="source", order_col="quality", k=50, key_col="doc_id"

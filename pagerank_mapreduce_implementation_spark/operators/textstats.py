@@ -67,46 +67,69 @@ def quality_scores(
     doc_col: str = "doc_id",
     keep_cols: tuple = (),
     with_tokens: bool = False,
+    score_only: bool = False,
 ) -> DataFrame:
     """Heuristic quality features + combined score per doc:
     ``(doc_id, [keep_cols...], [n_tokens,] n_chars, punct_ratio,
-    stopword_ratio, quality)``.
+    stopword_ratio, quality)`` — or just ``(doc_id, [keep_cols...],
+    [n_tokens,] quality)`` with ``score_only=True``.
 
     quality = 0.4*min(1, n_tokens/100) + 0.3*(1-punct_ratio)
             + 0.3*(1-stopword_ratio) — a simple monotone combination of
     the classic heuristics; rounded 6.
 
     ``keep_cols`` (column names or Column expressions) ride through the
-    single narrow pass so aggregating consumers (corpus_report) never
-    need a corpus-vs-corpus doc_id join back to the source table —
-    quality is a projection of the same row, not a separate dataset.
-    ``with_tokens`` additionally exposes the whitespace token count.
+    single narrow pass so aggregating/filtering consumers
+    (corpus_report, clean_corpus) never need a corpus-vs-corpus doc_id
+    join back to the source table — quality is a projection of the
+    same row, not a separate dataset. ``with_tokens`` additionally
+    exposes the whitespace token count. ``score_only=True`` is the
+    FILTER-CONSUMER mode: it drops the feature columns from the
+    output, which is what lets an input table that itself has an
+    ``n_chars``/``punct_ratio``-named column pass through keep_cols
+    without an ambiguous-reference collision (the bug a full-schema
+    sf0.1 corpus exposed: documents ships its own n_chars). In full
+    mode a colliding keep_col raises immediately instead of producing
+    a duplicate-named output.
     """
-    # Stage scalar features once (see token_stats on why): the ratios
-    # and the combined score below reference each feature 2-3 times.
+    # Internal staging names are _q_-prefixed so kept PAYLOAD columns
+    # can never collide with the feature computation itself.
+    feature_out = (
+        () if score_only else ("n_chars", "punct_ratio", "stopword_ratio")
+    )
+    reserved = set(feature_out) | {"quality"} | (
+        {"n_tokens"} if with_tokens else set()
+    )
     kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
     staged = docs.select(
         F.col(doc_col).alias("doc_id"),
         *kept,
-        F.size(_tokens(text_col)).alias("_n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(_tokens(text_col)).alias("_q_n_tokens"),
+        F.length(F.col(text_col)).alias("_q_n_chars"),
         F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")).alias(
-            "_punct"
+            "_q_punct"
         ),
         F.size(
             F.filter(_tokens(text_col), lambda w: F.lower(w).isin(STOPWORDS))
-        ).alias("_stop"),
+        ).alias("_q_stop"),
     )
     kept_names = [
         c if isinstance(c, str) else staged.columns[1 + i]
         for i, c in enumerate(keep_cols)
     ]
-    n_tokens = F.col("_n_tokens")
+    clash = sorted(set(kept_names) & reserved)
+    if clash:
+        raise ValueError(
+            f"keep_cols {clash} collide with quality output columns; "
+            "use score_only=True (filter-consumer mode) or alias them"
+        )
+    n_tokens = F.col("_q_n_tokens")
     punct_ratio = F.when(
-        F.col("n_chars") > 0, F.col("_punct").cast("double") / F.col("n_chars")
+        F.col("_q_n_chars") > 0,
+        F.col("_q_punct").cast("double") / F.col("_q_n_chars"),
     ).otherwise(0.0)
     stop_ratio = F.when(
-        n_tokens > 0, F.col("_stop").cast("double") / n_tokens
+        n_tokens > 0, F.col("_q_stop").cast("double") / n_tokens
     ).otherwise(0.0)
     quality = (
         F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / 100)
@@ -116,10 +139,16 @@ def quality_scores(
     return staged.select(
         "doc_id",
         *kept_names,
-        *([F.col("_n_tokens").cast("long").alias("n_tokens")] if with_tokens else []),
-        "n_chars",
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        *([F.col("_q_n_tokens").cast("long").alias("n_tokens")] if with_tokens else []),
+        *(
+            []
+            if score_only
+            else [
+                F.col("_q_n_chars").alias("n_chars"),
+                F.round(punct_ratio, 6).alias("punct_ratio"),
+                F.round(stop_ratio, 6).alias("stopword_ratio"),
+            ]
+        ),
         F.round(quality, 6).alias("quality"),
     )
 
@@ -152,6 +181,9 @@ def lang_id(
         c if isinstance(c, str) else toks.columns[1 + i]
         for i, c in enumerate(keep_cols)
     ]
+    clash = sorted(set(kept_names) & {"pred_lang", "score"})
+    if clash:
+        raise ValueError(f"keep_cols {clash} collide with lang_id output columns")
 
     def marker_hits(markers: list[str]) -> Column:
         # NB: the filter lambda must be single-parameter — a second
@@ -207,6 +239,13 @@ def repetition_ratio(
         c if isinstance(c, str) else staged.columns[1 + i]
         for i, c in enumerate(keep_cols)
     ]
+    clash = sorted(
+        set(kept_names) & {"n_ngrams", "n_distinct", "repetition_ratio"}
+    )
+    if clash:
+        raise ValueError(
+            f"keep_cols {clash} collide with repetition_ratio output columns"
+        )
     grams = F.when(
         F.size("_toks") >= ngram,
         F.transform(

@@ -289,7 +289,7 @@ def _clean_corpus_body(
         )
     if min_quality > 0.0:
         docs = (
-            textstats.quality_scores(docs, keep_cols=passthru)
+            textstats.quality_scores(docs, keep_cols=passthru, score_only=True)
             .filter(F.col("quality") >= min_quality)
             .select("doc_id", *passthru)
         )

@@ -226,6 +226,44 @@ def test_clean_corpus_repetition_and_decontamination_stages(spark, tmp_path):
     assert ids == [1, 4]
 
 
+def test_clean_corpus_full_schema_columns_survive_filters(spark, tmp_path):
+    """Regression (round-6, found by an sf0.1 end-to-end run): a corpus
+    whose schema carries feature-named columns (`n_chars`, like the
+    driver testdata) must pass every filter stage via keep_cols without
+    an AMBIGUOUS_REFERENCE collision — the scoring passes run in
+    score-only mode. All original columns survive to the output."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "web", 49),
+        (2, "the small fast engine keeps all of the hot rows in it", "en", "web", 53),
+    ]
+    src, out = str(tmp_path / "fs_in"), str(tmp_path / "fs_out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    kept = clean_corpus(
+        spark, src, out,
+        lang="en", min_quality=0.1, max_repetition=0.95,
+        near_dup_threshold=0.5, ngram=3,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+    assert set(kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    # full mode still guards loudly against output-name collisions
+    import pytest as _pytest
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.read.parquet(src)
+    with _pytest.raises(ValueError, match="n_chars"):
+        textstats.quality_scores(docs, keep_cols=("n_chars",))
+    # score-only mode accepts the same keep_cols
+    got = textstats.quality_scores(
+        docs, keep_cols=("n_chars",), score_only=True
+    )
+    assert got.columns == ["doc_id", "n_chars", "quality"]
+
+
 def test_clean_corpus_signature_store_two_batch_roundtrip(spark, tmp_path):
     """Round-5 verdict item 7: the signature-store write path. Batch 1
     seeds ``{store}/sigs`` + ``{store}/bands`` with its survivors'
