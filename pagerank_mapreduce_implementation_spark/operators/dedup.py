@@ -856,3 +856,128 @@ def embedding_near_dup_survivors(
     # survivors keep the caller's own columns — projecting a fixed
     # schema here would break any docs frame that lacks it
     return docs.join(dropped, doc_col, "left_anti")
+
+
+# --- Exact-substring (suffix-array style) runs ------------------------------
+
+
+def substring_runs(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_df: int | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): maximal verbatim token runs of
+    length >= ``min_len`` shared between document PAIRS — the dedup
+    mode document-granularity fingerprints (exact_dedup), MinHash,
+    SimHash, and Jaccard all miss: a 50-token boilerplate passage
+    embedded in two otherwise-different documents.
+
+    Returns ``(doc_a, doc_b, a_start, b_start, match_len)`` with
+    ``doc_a < doc_b``, 0-based token starts in each doc, and
+    ``match_len`` in tokens. One row per MAXIMAL run (a shared 20-token
+    passage emits one length-20 row, not 13 overlapping k-gram rows).
+
+    Algorithm — the distributed equivalent of the suffix-array scan,
+    built from the engine's existing k-gram machinery instead of a
+    monolithic suffix array (which is a single-machine data structure;
+    the ES/Lee implementation shards it, this expresses the same
+    semantics as three key-bounded shuffles):
+
+    1. every doc emits its k-gram positions ``(doc_id, pos,
+       md5(gram))`` — narrow explode, same shape as ``shingles``;
+    2. grams meeting in a hash bucket pair up (``doc_a < doc_b``) —
+       the ONE corpus-sized shuffle, keyed on the gram hash exactly
+       like the shingle self-join, with the same stop-gram df cap
+       (``max_gram_df``: grams in more than that many docs are dropped
+       BEFORE pairing — boilerplate k-grams are the quadratic skew
+       key at 100 TB, the ``max_shingle_df`` rail);
+    3. adjacent hits merge into maximal runs: hits of one pair on one
+       DIAGONAL (``ia - ib`` constant) at consecutive ``ia`` are the
+       same underlying substring, so gaps-and-islands over
+       ``(doc_a, doc_b, diag)`` — a window partitioned by pair+diag,
+       candidate-volume-sized, never corpus-sized — turns each island
+       of ``c`` consecutive k-grams into one run of ``c + k - 1``
+       tokens.
+
+    md5 gram hashes make step 2's key 128-bit (collisions negligible
+    AND mirrored: the SQL oracle joins the identical md5, so even a
+    collision would agree). ``min_len >= k`` required: runs shorter
+    than k are invisible to a k-gram scan by construction.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    if min_len < k:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= k ({k}): a {k}-gram scan "
+            f"cannot see shared runs shorter than {k} tokens"
+        )
+    # named token-array column first: no CSE across higher-order
+    # functions (same measured pitfall as shingles)
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = docs.select(F.col(doc_col).alias("doc_id"), arr.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.md5(F.array_join(F.slice("toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    if max_gram_df is not None:
+        if max_gram_df < 1:
+            raise ValueError(f"max_gram_df ({max_gram_df}) must be >= 1")
+        # df counts DOCS per gram (a gram repeated within one doc is
+        # one df), so the cap bounds pair fan-out per gram at C(df, 2)
+        hot = (
+            grams.select("doc_id", "gh")
+            .distinct()
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("gh")
+        )
+        grams = grams.join(hot, "gh", "left_anti")
+    hits = (
+        grams.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("ia"), "gh")
+        .join(
+            grams.select(
+                F.col("doc_id").alias("doc_b"), F.col("pos").alias("ib"), "gh"
+            ),
+            "gh",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ia", "ib")
+    )
+    diag = (F.col("ia") - F.col("ib")).alias("__diag")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("ia") - F.col("ib")).orderBy("ia")
+    islands = hits.select(
+        "doc_a",
+        "doc_b",
+        diag,
+        "ia",
+        (F.col("ia") - F.row_number().over(w)).alias("__grp"),
+    )
+    runs = (
+        islands.groupBy("doc_a", "doc_b", "__diag", "__grp")
+        .agg(
+            F.min("ia").alias("a_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("match_len"),
+        )
+        .filter(F.col("match_len") >= min_len)
+    )
+    return runs.select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        (F.col("a_start") - F.col("__diag")).alias("b_start"),
+        "match_len",
+    )

@@ -936,3 +936,43 @@ def connected_components_sql(pairs_sql: str, a: str = "doc_a", b: str = "doc_b")
         "UNION SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u) "
         "SELECT u AS vertex, min(v) AS component FROM reach GROUP BY u"
     )
+
+
+def substring_runs_sql(
+    k: int = 8, min_len: int = 12, max_gram_df: int | None = None
+) -> str:
+    """Mirror of dedup.substring_runs over ``documents``: k-gram md5
+    positions -> pair hits -> gaps-and-islands maximal runs. Positions
+    are 0-based on both sides (DuckDB's 1-based unnest(range(1, ..))
+    index shifts down by one); ``count(*) + k - 1`` turns an island of
+    consecutive k-gram hits into its run length in tokens."""
+    cap = ""
+    g = "g"
+    if max_gram_df is not None:
+        cap = (
+            ", hot AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df "
+            f"FROM g GROUP BY gh) WHERE df > {max_gram_df}), "
+            "gc AS (SELECT g.* FROM g ANTI JOIN hot USING (gh))"
+        )
+        g = "gc"
+    return (
+        "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), w -> w <> '') AS toks FROM documents), "
+        f"tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {k}), "
+        "g AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, "
+        f"md5(array_to_string(toks[i : i + {k - 1}], ' ')) AS gh "
+        f"FROM tt, unnest(range(1, len(toks) - {k} + 2)) AS u(i))"
+        f"{cap}, "
+        "hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"a.pos AS ia, b.pos AS ib FROM {g} a JOIN {g} b "
+        "ON a.gh = b.gh AND a.doc_id < b.doc_id), "
+        "isl AS (SELECT doc_a, doc_b, ia - ib AS diag, ia, "
+        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib "
+        "ORDER BY ia) AS grp FROM hits), "
+        "runs AS (SELECT doc_a, doc_b, diag, min(ia) AS a_start, "
+        f"count(*) + {k} - 1 AS match_len FROM isl "
+        "GROUP BY doc_a, doc_b, diag, grp) "
+        "SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, "
+        f"CAST(match_len AS BIGINT) AS match_len FROM runs "
+        f"WHERE match_len >= {min_len}"
+    )
