@@ -152,6 +152,74 @@ def search_ranked(
     return ranked(search(tf_idf(docs, total_docs, **tok_kwargs), terms), k)
 
 
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    total_docs: int | None = None,
+    **tok_kwargs,
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson et al., Okapi at TREC-3) —
+    what a real retrieval user reaches for where ``search`` reproduces
+    the jar's plain tf-idf sum (Search$Map @89): raw-count term
+    frequency saturated by ``k1`` and normalized by document length
+    against the corpus mean (``b``), summed over matched query terms:
+
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|d|/avgdl))
+        idf(t)   = log10(1 + (N - df + 0.5)/(df + 0.5))   (Lucene form,
+                                                           never negative)
+
+    Returns ``(doc_id, score)`` for docs matching >= 1 term. Lowercased
+    tokens by default (the doc-pipeline convention of doc_word_count).
+
+    Scale shape — no new corpus shuffle beyond tf-idf's two: tokenize
+    (narrow) -> per-doc lengths (shuffle 1, map-side combine) -> term
+    frequencies over the IN-list-FILTERED tokens (shuffle 2, but of the
+    terms-only slice — df for the query terms falls out of that same
+    tiny table, unlike O27 which must df-count the whole vocabulary) ->
+    avgdl as a broadcast 1-row aggregate (never a collect) -> the
+    lengths join back is query-hits-vs-lengths on doc_id (AQE
+    broadcasts the hit side when small) -> per-doc sum over <= |terms|
+    rows. Every double expression is written in the exact operand
+    order the SQL oracle computes (integer sums, one division each),
+    so the score is reproducible to the driver's 6-digit gate.
+    """
+    if total_docs is None:
+        total_docs = docs.count()
+    tok_kwargs.setdefault("lowercase", True)
+    tok = tokenize(docs, **tok_kwargs)
+    lengths = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lengths.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl")
+    )
+    tf = (
+        tok.filter(F.col("word").isin(list(terms)))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df per query term from the filtered tf table (rows unique per
+    # (doc, word), so count(*) == docs containing the term) — a
+    # <=|terms|-row frame, broadcast explicitly
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = F.lit(float(total_docs))
+    idf = F.log10(
+        F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+    )
+    part = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfc), "word")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("__part"))
+        .groupBy("doc_id")
+        .agg(F.sum("__part").alias("score"))
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     window: int = 64,
