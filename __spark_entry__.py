@@ -737,6 +737,63 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(Catalog(spark, sf_dir).documents, max_hamming=12)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (dedup.substring_runs, Lee et al. 2022):
+    maximal verbatim token runs >= 12 tokens shared between doc pairs —
+    the dedup mode every document-granularity sketch misses (a 50-token
+    boilerplate passage inside two otherwise-different docs). 8-gram
+    rolling scan -> pair hits in md5 buckets (df-capped at 64, the
+    max_shingle_df rail) -> gaps-and-islands merge on the pair+diagonal
+    key. All-integer output, so the oracle is bit-exact trivially."""
+    return dedup.substring_runs(
+        Catalog(spark, sf_dir).documents,
+        k=8,
+        min_len=12,
+        max_gram_df=NGRAM_MAX_SHINGLE_DF,
+    )
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (text.bm25_search, k1=1.2 b=0.75): the
+    length-normalized saturating score a real retrieval user reaches
+    for where `search` reproduces the jar's tf-idf sum. No new corpus
+    shuffle beyond tf-idf's two (tests/test_plans.py pins it); df for
+    the query terms falls out of the IN-filtered slice instead of a
+    whole-vocabulary count."""
+    scored = text.bm25_search(Catalog(spark, sf_dir).documents, SEARCH_TERMS)
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup (multimodal.phash_near_dups): a
+    deterministic 16x16 PPM per document (multimodal.phash_test_image —
+    8x8 grid of 2x2 md5-derived gray cells; doc_id%4 variants of one
+    doc_id//4 group invert 4 cells inside ONE band chunk, so group
+    variants stay bandable) hashed by the REAL codec path: P6 parse ->
+    nearest-neighbor 8x8 resample -> 60-bit average hash (Arrow
+    mapInPandas), then the SAME 15-bit-chunk Hamming band join as
+    SimHash (dedup.hamming_band_pairs). Every pixel byte is md5 +
+    integer arithmetic, so the oracle rebuilds the hash analytically
+    (the audio_features move)."""
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda d: multimodal.phash_test_image(int(d))
+                    ),
+                }
+            )
+
+    blobs = docs.mapInPandas(synth, schema=multimodal.BLOB_SCHEMA)
+    return multimodal.phash_near_dups(blobs, max_hamming=10)
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector INT8 quantization (similarity.quantize_embeddings):
     the 4x storage-shrink pass before ANN serving. Zero-shuffle per-row
@@ -1750,70 +1807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query has a driver-green row within the last 2 rounds
     # (round-5 verdict item 2).
     return {
-        # (a) round-6 changes: seq_packing oracle cast fix (+ new BPE
-        # twin), Theil-Sen grouped kernel, BPE ASCII-whitespace fix,
-        # mix_sources validation, Lloyd checkpoint release
-        "seq_packing": _q_seq_packing,
-        "seq_packing_bpe": _q_seq_packing_bpe,
-        "user_purchase_trend": _q_user_purchase_trend,
-        "doc_chunks_bpe": _q_doc_chunks_bpe,
-        "source_mix": _q_source_mix,
-        # (ivf_topk_lloyd's r6 change is checkpoint RELEASE only — zero
-        # output change, r5-green, so it cedes its window slot to the
-        # new graph_degree_histogram and sits just below the boundary)
-        # (b) the 36-query cohort last checked in round 4 — due back
-        "word_count": _q_word_count,
-        "salted_word_count": _q_salted_word_count,
-        "word_count_boundary": _q_word_count_boundary,
-        "doc_word_count": _q_doc_word_count,
-        "term_frequency": _q_term_frequency,
-        "tfidf": _q_tfidf,
-        "search": _q_search,
-        "search_top10": _q_search_top10,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "nation_order_stats": _q_nation_order_stats,
-        "nation_year_rollup": _q_nation_year_rollup,
-        "order_priority": _q_order_priority,
-        "order_priority_clean": _q_order_priority_clean,
-        "brand_revenue": _q_brand_revenue,
-        "supplier_nation_revenue": _q_supplier_nation_revenue,
-        "top3_per_nation": _q_top3_per_nation,
-        "events_hourly": _q_events_hourly,
-        "user_sessions": _q_user_sessions,
-        "event_props_stats": _q_event_props_stats,
-        "customer_order_counts": _q_customer_order_counts,
-        "repeat_error_users": _q_repeat_error_users,
-        "cross_corpus_matches": _q_cross_corpus_matches,
-        "hash_splits": _q_hash_splits,
-        "weighted_doc_sample": _q_weighted_sample,
-        "stratified_doc_sample": _q_stratified_sample,
-        "source_quota": _q_source_quota,
-        "streaming_exact_dedup": _q_streaming_exact_dedup,
-        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
-        "streaming_approx_uniques": _q_streaming_approx_uniques,
-        "blob_metadata": _q_blob_metadata,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
-        "repetition_scores": _q_repetition,
-        # (a cont.) round-6 NEW queries — never driver-checked, so they
-        # must sit inside the window. Round-7 rotation note: after the
-        # r6 driver file lands, this whole window is fresh-green; the
-        # 45 below-window queries (r5-green) are the next cohort due
-        # forward, plus anything round 7 changes.
-        "streaming_minhash_probe": _q_streaming_minhash_probe,
-        "audio_features": _q_audio_features,
-        "packed_bins": _q_packed_bins,
-        "embedding_quantize": _q_embedding_quantize,
-        "quantized_cosine_topk": _q_quantized_cosine_topk,
-        "top_ngram_stats": _q_top_ngram_stats,
-        "corpus_report": _q_corpus_report,
-        "streaming_events_sliding": _q_streaming_events_sliding,
-        "graph_degree_histogram": _q_graph_degree_histogram,
-        # --- window boundary (50) — below here: round-5-green,
-        # unchanged code, due back on a later rotation
+        # (a) round-7 NEW queries — never driver-checked
+        "substring_dedup": _q_substring_dedup,
+        "bm25_search": _q_bm25_search,
+        "image_phash_dups": _q_image_phash_dups,
+        # (b) the 46-query cohort last checked in round 5 — due back
+        # (age would hit 3 rounds if left below the boundary), and it
+        # happens to include every query whose code round 7 touched
+        # (simhash_dedup's shared band machinery, the incremental
+        # dedup checkpoint contract + store validation)
         "ivf_topk_lloyd": _q_ivf_topk_lloyd,
         "incremental_minhash_dedup": _q_incremental_minhash,
         "minhash_dedup": _q_minhash_dedup,
@@ -1860,6 +1862,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_funnel": _q_signup_funnel,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
+        # (c) round-7 oracle change (median formulation hardening) —
+        # r6-green but its ORACLE text changed, so it re-verifies
+        "user_purchase_trend": _q_user_purchase_trend,
+        # --- window boundary (50) — below here: round-6-green,
+        # unchanged output, due back on the round-8 rotation
+        "seq_packing": _q_seq_packing,
+        "seq_packing_bpe": _q_seq_packing_bpe,
+        "doc_chunks_bpe": _q_doc_chunks_bpe,
+        "source_mix": _q_source_mix,
+        "word_count": _q_word_count,
+        "salted_word_count": _q_salted_word_count,
+        "word_count_boundary": _q_word_count_boundary,
+        "doc_word_count": _q_doc_word_count,
+        "term_frequency": _q_term_frequency,
+        "tfidf": _q_tfidf,
+        "search": _q_search,
+        "search_top10": _q_search_top10,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "nation_order_stats": _q_nation_order_stats,
+        "nation_year_rollup": _q_nation_year_rollup,
+        "order_priority": _q_order_priority,
+        "order_priority_clean": _q_order_priority_clean,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_nation_revenue": _q_supplier_nation_revenue,
+        "top3_per_nation": _q_top3_per_nation,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "event_props_stats": _q_event_props_stats,
+        "customer_order_counts": _q_customer_order_counts,
+        "repeat_error_users": _q_repeat_error_users,
+        "cross_corpus_matches": _q_cross_corpus_matches,
+        "hash_splits": _q_hash_splits,
+        "weighted_doc_sample": _q_weighted_sample,
+        "stratified_doc_sample": _q_stratified_sample,
+        "source_quota": _q_source_quota,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
+        "streaming_approx_uniques": _q_streaming_approx_uniques,
+        "blob_metadata": _q_blob_metadata,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "repetition_scores": _q_repetition,
+        "streaming_minhash_probe": _q_streaming_minhash_probe,
+        "audio_features": _q_audio_features,
+        "packed_bins": _q_packed_bins,
+        "embedding_quantize": _q_embedding_quantize,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "top_ngram_stats": _q_top_ngram_stats,
+        "corpus_report": _q_corpus_report,
+        "streaming_events_sliding": _q_streaming_events_sliding,
+        "graph_degree_histogram": _q_graph_degree_histogram,
     }
 
 
@@ -2197,6 +2253,28 @@ def oracle_sql() -> dict[str, str]:
             0.5, 5, max_shingle_df=NGRAM_MAX_SHINGLE_DF
         ),
         "simhash_dedup": oracles.simhash_near_dups_sql(12),
+        "substring_dedup": oracles.substring_runs_sql(
+            8, 12, NGRAM_MAX_SHINGLE_DF
+        ),
+        # BM25 (Lucene idf form): every double expression in the same
+        # operand order as text.bm25_search; integer sums feed one
+        # division each, so round(6) gates bit-equal values
+        "bm25_search": (
+            f"WITH {_TOK_LOWER}, "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+            "st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok "
+            f"WHERE word IN ({terms}) GROUP BY doc_id, word), "
+            "dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) "
+            "SELECT tf.doc_id, round(sum("
+            "log10(1.0 + (nn.n - dfq.df + 0.5)/(dfq.df + 0.5)) "
+            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))"
+            "), 6) AS score "
+            "FROM tf JOIN dfq USING (word) JOIN dl ON dl.doc_id = tf.doc_id, "
+            "st, nn GROUP BY tf.doc_id"
+        ),
+        "image_phash_dups": oracles.phash_near_dups_sql(10),
         # int8 quantization: float->double lossless, identical IEEE
         # division/multiply, round() is half-away-from-zero in BOTH
         # engines — the full quantized vector hash-compares exactly

@@ -762,6 +762,68 @@ def simhash(
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
+def hamming_band_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    chunks: int = 4,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-banded near-dup pairs over ANY integer fingerprint
+    column (SimHash text prints, perceptual image hashes, …):
+    ``(doc_a, doc_b, hamming)`` for pairs at distance <= ``max_hamming``.
+
+    Candidates come from equal ``bits/chunks``-bit chunks (pigeonhole:
+    any pair with hamming <= chunks-1 shares a chunk; larger
+    max_hamming trades recall, like all LSH — the SQL oracle mirrors
+    the identical bucketing so parity is exact by design). Verified
+    with ``bit_count(xor)``. The chunk self-join shuffles on
+    (chunk, key) — never the all-pairs product; a hot bucket (many
+    identical fingerprints) is AQE's skew-join case.
+    """
+    bits_per = bits // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.expr(f"shiftright({fp_col}, {c * bits_per})")
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .alias("key"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = fp.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("__fp"), F.explode(chunk_structs).alias("cc")
+    ).select(
+        "doc_id", "__fp", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
+    )
+    other = buckets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__fp").alias("fp_b"),
+        "chunk",
+        "key",
+    )
+    cand = (
+        buckets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("__fp").alias("fp_a"),
+            "chunk",
+            "key",
+        )
+        .join(other, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -773,48 +835,12 @@ def simhash_near_dups(
 
     Candidates come from equal 15-bit chunks (pigeonhole: any pair with
     hamming <= chunks-1 shares a chunk; larger max_hamming trades
-    recall, like all LSH). Verified with bit_count(xor).
+    recall, like all LSH). Verified with bit_count(xor) — the shared
+    ``hamming_band_pairs`` machinery.
     """
-    bits_per = SIMHASH_BITS // chunks
     fp = simhash(docs, text_col, doc_col).persist()
     try:
-        chunk_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.expr(f"shiftright(simhash, {c * bits_per})")
-                    .bitwiseAND(F.lit((1 << bits_per) - 1))
-                    .alias("key"),
-                )
-                for c in range(chunks)
-            ]
-        )
-        buckets = fp.select("doc_id", "simhash", F.explode(chunk_structs).alias("cc")).select(
-            "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
-        )
-        other = buckets.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("sim_b"),
-            "chunk",
-            "key",
-        )
-        cand = (
-            buckets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("simhash").alias("sim_a"),
-                "chunk",
-                "key",
-            )
-            .join(other, ["chunk", "key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sim_a", "sim_b")
-            .distinct()
-        )
-        out = cand.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
-        ).filter(F.col("hamming") <= max_hamming)
+        out = hamming_band_pairs(fp, "simhash", max_hamming, chunks, SIMHASH_BITS)
         return out.localCheckpoint(eager=True)
     finally:
         fp.unpersist()

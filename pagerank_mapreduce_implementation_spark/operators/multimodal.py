@@ -489,3 +489,118 @@ def frames_demuxer(b: bytes) -> list[bytes]:
         frames.append(b[i + 4 : i + 4 + ln])
         i += 4 + ln
     return frames
+
+
+# --- perceptual image hashing (average hash) --------------------------------
+#
+# The image-corpus curation twin of text SimHash: a 60-bit average
+# hash over a grayscale thumbnail, deduped with the SAME Hamming
+# band machinery (dedup.hamming_band_pairs). Runs FOR REAL over PPM
+# payloads via the codec above; compressed formats go through the
+# decoder-injection contract like everything else in this module.
+
+PHASH_BITS = 60  # matches SIMHASH_BITS so the band machinery is shared
+PHASH_GRID = 8  # 8x8 thumbnail; bits 0..59 come from cells 0..59
+
+
+def ppm_ahash(b: bytes, grid: int = PHASH_GRID, bits: int = PHASH_BITS) -> int:
+    """Average-hash over a P6 PPM payload: nearest-neighbor resample to
+    ``grid``x``grid`` (the exact integer index grid of ``ppm_resizer``),
+    per-pixel integer grayscale ``(r + g + b) // 3``, then bit ``j`` of
+    the hash is set iff cell ``j``'s gray >= the mean gray over ALL
+    ``grid*grid`` cells (row-major ``j = y*grid + x``, first ``bits``
+    cells only — 60 of 64 keeps the hash in a signed 64-bit long, the
+    SimHash convention). Every step is integer (one double mean), so a
+    SQL oracle can reproduce the hash analytically for a deterministic
+    pixel generator."""
+    import numpy as np
+
+    w, h, px = _ppm_parse(b)
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    thumb = px[ys][:, xs].astype(np.int64)  # grid x grid x 3
+    gray = (thumb[:, :, 0] + thumb[:, :, 1] + thumb[:, :, 2]) // 3
+    flat = gray.reshape(-1)
+    mean = float(flat.sum()) / float(flat.size)
+    out = 0
+    for j in range(bits):
+        if float(flat[j]) >= mean:
+            out |= 1 << j
+    return out
+
+
+def phash_images(
+    blobs: DataFrame,
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Perceptual hash per image blob: ``(doc_id, phash)`` through the
+    Arrow ``mapInPandas`` plumbing (the decode_image shape). Default
+    ``hasher`` is the real PPM average-hash; inject a DCT/pHash over a
+    decoded array for compressed formats."""
+    fn = hasher or ppm_ahash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["content"].map(lambda b: fn(bytes(b))).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema="doc_id bigint, phash bigint")
+
+
+def phash_near_dups(
+    blobs: DataFrame,
+    max_hamming: int = 10,
+    chunks: int = 4,
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash:
+    ``(doc_a, doc_b, hamming)`` — the standard image-corpus curation op
+    (re-encoded/resized/lightly-edited copies land within a few bits).
+
+    One Arrow hashing pass (narrow) -> the shared 15-bit-chunk Hamming
+    band join (dedup.hamming_band_pairs): candidates only from equal
+    chunks, verified with bit_count(xor) — never the all-pairs product.
+    The hash is 60-bit so text SimHash and image pHash share one
+    banding/verify implementation and one oracle shape.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    # persist -> eager checkpoint -> unpersist: the simhash_near_dups
+    # cadence (the band self-join reads the hash table twice; without
+    # the persist the Python hashing pass would run once per side)
+    fp = phash_images(blobs, hasher).persist()
+    try:
+        out = hamming_band_pairs(fp, "phash", max_hamming, chunks, PHASH_BITS)
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()
+
+
+def phash_test_image(doc_id: int) -> bytes:
+    """Deterministic 16x16 P6 PPM test image for the driver query and
+    tests: an 8x8 grid of 2x2 constant gray cells (so the real
+    nearest-neighbor resample to 8x8 reads back exactly the cell
+    values), cell ``j``'s gray byte from ``md5(f"{g}:{j}")`` where
+    ``g = doc_id // 4`` — docs in one group share a base pattern —
+    and the ``r = doc_id % 4`` variant INVERTS cells ``15r..15r+3``
+    (4 cells inside hash chunk ``r``, so two variants of one group
+    still agree on >= 2 of the 4 band chunks and meet as candidates).
+    Every byte is reproducible with md5 + integer SQL."""
+    import hashlib
+
+    import numpy as np
+
+    g, r = int(doc_id) // 4, int(doc_id) % 4
+    v = np.empty(64, dtype=np.int64)
+    for j in range(64):
+        byte = int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[:2], 16)
+        v[j] = 255 - byte if 15 * r <= j < 15 * r + 4 else byte
+    cells = v.reshape(8, 8).astype(np.uint8)
+    px16 = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
+    return ppm_encode(np.stack([px16] * 3, axis=2))

@@ -976,3 +976,38 @@ def substring_runs_sql(
         f"CAST(match_len AS BIGINT) AS match_len FROM runs "
         f"WHERE match_len >= {min_len}"
     )
+
+
+def phash_near_dups_sql(max_hamming: int = 10, chunks: int = 4) -> str:
+    """Mirror of multimodal.phash_near_dups over the deterministic
+    phash_test_image corpus (one image per ``documents`` row): cell
+    bytes regenerated from the same md5 formula, average-hash bits
+    from the same integer-vs-double-mean compare, then the identical
+    15-bit chunk band join + bit_count verify as the SimHash oracle."""
+    bits_per = 60 // chunks
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, phash, {c} AS chunk, "
+        f"(phash >> {c * bits_per}) & {(1 << bits_per) - 1} AS key FROM fp"
+        for c in range(chunks)
+    )
+    return (
+        "WITH cells AS (SELECT doc_id, j, "
+        "CASE WHEN j >= 15*(doc_id % 4) AND j < 15*(doc_id % 4) + 4 "
+        "THEN 255 - (('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)), 1, 2))::INT) "
+        "ELSE ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)), 1, 2))::INT END AS v "
+        "FROM documents, unnest(range(0, 64)) AS u(j)), "
+        "m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE)/64.0 AS mean "
+        "FROM cells GROUP BY doc_id), "
+        "fp AS (SELECT c.doc_id, sum(CASE WHEN c.j < 60 AND c.v >= m.mean "
+        "THEN (1::BIGINT << CAST(c.j AS INT)) ELSE 0 END) AS phash "
+        "FROM cells c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id), "
+        f"bk AS ({chunk_rows}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.phash AS fp_a, "
+        "y.doc_id AS doc_b, y.phash AS fp_b FROM bk x "
+        "JOIN bk y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming FROM cand "
+        f"WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}"
+    )
