@@ -369,14 +369,32 @@ def minhash_near_dups(
     bands: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
 
     Recall is band-limited (standard LSH tradeoff): pairs whose
     signatures never collide in any band are not candidates. Tune
     (num_hashes, bands) to the target threshold.
+
+    ``materialize=True`` (default) returns an eager ``localCheckpoint``
+    — the shingle table is persisted for the build and released before
+    returning, so repeated actions on the result never recompute the
+    pipeline. The checkpoint pins executor storage that
+    ``DataFrame.unpersist()`` CANNOT free; when done, call
+    ``util.release_result(result)`` (after which the result is dead).
+    ``materialize=False`` returns the lazy plan instead — nothing
+    pinned, nothing to release, but every action replays the full
+    pipeline (shingles included): the right mode when the result feeds
+    exactly one write.
     """
-    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    sh = shingles(docs, ngram, text_col, doc_col)
+    if not materialize:
+        sig = minhash_signatures(sh, num_hashes)
+        return jaccard_verify(
+            lsh_bucket_candidates(sig, num_hashes, bands), sh, threshold
+        )
+    sh = sh.persist()
     try:
         sig = minhash_signatures(sh, num_hashes)
         cand = lsh_bucket_candidates(sig, num_hashes, bands)
@@ -394,6 +412,7 @@ def _shingle_pair_scores(
     score_name: str,
     score_expr,
     max_shingle_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Shared exact-recall pair scorer over shingle sets: candidates =
     pairs sharing at least one shingle, scored by ``score_expr(i, na,
@@ -424,7 +443,8 @@ def _shingle_pair_scores(
     sh = shingles(docs, ngram, text_col, doc_col)
     if max_shingle_df is not None:
         sh = df_capped_shingles(sh, max_shingle_df)
-    sh = sh.persist()
+    if materialize:
+        sh = sh.persist()
     try:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -449,9 +469,10 @@ def _shingle_pair_scores(
             .select("doc_a", "doc_b", score.alias(score_name))
             .filter(F.col(score_name) >= threshold)
         )
-        return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True) if materialize else out
     finally:
-        sh.unpersist()
+        if materialize:
+            sh.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -461,6 +482,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     doc_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard dedup WITHOUT LSH: candidates = pairs sharing at
     least one shingle — exact recall for threshold > 0 when
@@ -468,6 +490,10 @@ def ngram_jaccard_pairs(
     stop-shingle skew cap, see ``_shingle_pair_scores``) or use
     minhash_near_dups: an uncapped ubiquitous shingle pairs its whole
     doc list quadratically in the self-join.
+
+    ``materialize``: see ``minhash_near_dups`` — True returns an eager
+    checkpoint (release with ``util.release_result`` when done); False
+    returns the lazy plan (nothing pinned, recomputes per action).
     """
     return _shingle_pair_scores(
         docs,
@@ -478,6 +504,7 @@ def ngram_jaccard_pairs(
         "jaccard",
         lambda i, na, nb: i / (na + nb - i),
         max_shingle_df=max_shingle_df,
+        materialize=materialize,
     )
 
 
@@ -487,6 +514,7 @@ def ngram_jaccard_prefix_pairs(
     ngram: int = 3,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT-recall n-gram Jaccard pairs via PREFIX FILTERING (the
     set-similarity-join literature's answer to the stop-shingle
@@ -519,7 +547,9 @@ def ngram_jaccard_prefix_pairs(
     """
     from pyspark.sql.window import Window
 
-    sh = shingles(docs, ngram, text_col, doc_col).persist()
+    sh = shingles(docs, ngram, text_col, doc_col)
+    if materialize:
+        sh = sh.persist()
     try:
         dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         w_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
@@ -542,9 +572,11 @@ def ngram_jaccard_prefix_pairs(
             )
             .distinct()
         )
-        return jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+        verified = jaccard_verify(cand, sh, threshold)
+        return verified.localCheckpoint(eager=True) if materialize else verified
     finally:
-        sh.unpersist()
+        if materialize:
+            sh.unpersist()
 
 
 def ngram_containment_pairs(
@@ -554,6 +586,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     doc_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment ``|A∩B| / min(|A|,|B|)``
     — catches a small doc embedded in a big one (boilerplate templates,
@@ -577,6 +610,7 @@ def ngram_containment_pairs(
         "containment",
         lambda i, na, nb: i / F.least(na, nb),
         max_shingle_df=max_shingle_df,
+        materialize=materialize,
     )
 
 
@@ -590,6 +624,8 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     doc_col: str = "doc_id",
     seen_bands: DataFrame | None = None,
+    validate_bands: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion: a new batch against a MinHash
     SIGNATURE store — the production shape at 100 TB, where the corpus
@@ -625,8 +661,54 @@ def incremental_minhash_dedup(
     the store lives banded on disk and the probe co-locates — and one
     component-compare join per candidate set. The store side is never
     scanned beyond its band index + the candidate signatures.
+
+    ``validate_bands=True`` (default) guards the silent-miss failure
+    mode of a supplied ``seen_bands``: an index built under DIFFERENT
+    ``num_hashes``/``bands`` produces bucket strings that never equal
+    this probe's, so every store candidate silently vanishes. The
+    check samples ONE store doc, recomputes its ``band_buckets`` rows
+    under this call's parameters (bucket = the comma-joined signature
+    chunk, so it is reproducible from ``seen_sigs`` alone), and raises
+    ``ValueError`` on any mismatch. Cost: two driver-side lookups of
+    <= ``bands`` rows — noise next to the probe itself. This catches
+    parameter drift deterministically; a TORN store commit (some docs
+    signed but unbanded) only shows if the sample lands on a torn doc
+    — full sigs<->bands coverage is the caller's store-integrity
+    check, which ``programs.clean_corpus`` runs (and repairs) before
+    every probe.
+
+    ``materialize``: see ``minhash_near_dups`` — True (default)
+    returns an eager checkpoint; release with ``util.release_result``
+    when done. False returns the lazy plan (nothing pinned; each
+    action recomputes the batch signatures).
     """
     import math
+
+    if validate_bands and seen_bands is not None:
+        r = num_hashes // bands if bands > 0 else 0
+        sample = seen_sigs.limit(1).collect()
+        if sample:
+            srow = sample[0]
+            expected = {
+                (b, ",".join(str(srow[f"h{b * r + j}"]) for j in range(r)))
+                for b in range(bands)
+            }
+            got = {
+                (row["band"], row["bucket"])
+                for row in seen_bands.filter(
+                    F.col("doc_id") == srow["doc_id"]
+                ).collect()
+            }
+            if got != expected:
+                raise ValueError(
+                    "seen_bands is not the band_buckets index of seen_sigs "
+                    f"under num_hashes={num_hashes}, bands={bands}: sampled "
+                    f"doc {srow['doc_id']!r} has index rows {sorted(got)} "
+                    f"but its signature bands to {sorted(expected)}. A "
+                    "mismatched index silently drops every store candidate; "
+                    "rebuild it with band_buckets(seen_sigs, num_hashes, "
+                    "bands) or pass seen_bands=None to derive it on the fly."
+                )
 
     min_matches = math.ceil(num_hashes * threshold)
     sig_b = minhash_signatures(
@@ -707,7 +789,7 @@ def incremental_minhash_dedup(
                 ).cast("int"),
             )
         )
-        return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True) if materialize else out
     finally:
         sig_b.unpersist()
 
@@ -830,6 +912,7 @@ def simhash_near_dups(
     chunks: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: ``(doc_a, doc_b, hamming)``.
 
@@ -837,8 +920,16 @@ def simhash_near_dups(
     hamming <= chunks-1 shares a chunk; larger max_hamming trades
     recall, like all LSH). Verified with bit_count(xor) — the shared
     ``hamming_band_pairs`` machinery.
+
+    ``materialize``: see ``minhash_near_dups`` — True (default)
+    persists the fingerprint table for the band self-join and returns
+    an eager checkpoint (release with ``util.release_result``); False
+    returns the lazy plan, recomputing the fingerprints per action.
     """
-    fp = simhash(docs, text_col, doc_col).persist()
+    fp = simhash(docs, text_col, doc_col)
+    if not materialize:
+        return hamming_band_pairs(fp, "simhash", max_hamming, chunks, SIMHASH_BITS)
+    fp = fp.persist()
     try:
         out = hamming_band_pairs(fp, "simhash", max_hamming, chunks, SIMHASH_BITS)
         return out.localCheckpoint(eager=True)

@@ -556,6 +556,7 @@ def phash_near_dups(
     max_hamming: int = 10,
     chunks: int = 4,
     hasher: Callable[[bytes], int] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Image near-dup pairs by perceptual hash:
     ``(doc_a, doc_b, hamming)`` — the standard image-corpus curation op
@@ -573,8 +574,15 @@ def phash_near_dups(
 
     # persist -> eager checkpoint -> unpersist: the simhash_near_dups
     # cadence (the band self-join reads the hash table twice; without
-    # the persist the Python hashing pass would run once per side)
-    fp = phash_images(blobs, hasher).persist()
+    # the persist the Python hashing pass would run once per side).
+    # materialize contract matches minhash_near_dups: True pins an
+    # eager checkpoint (release with util.release_result when done);
+    # False returns the lazy plan — the Arrow hashing pass then runs
+    # once PER SIDE of the band join on every action.
+    fp = phash_images(blobs, hasher)
+    if not materialize:
+        return hamming_band_pairs(fp, "phash", max_hamming, chunks, PHASH_BITS)
+    fp = fp.persist()
     try:
         out = hamming_band_pairs(fp, "phash", max_hamming, chunks, PHASH_BITS)
         return out.localCheckpoint(eager=True)

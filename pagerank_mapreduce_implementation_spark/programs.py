@@ -47,6 +47,69 @@ def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+#: clean_corpus probes its signature store with incremental_minhash_dedup's
+#: DEFAULT banding; the integrity check below must count against the same
+#: constant or every intact store would look torn.
+_STORE_BANDS = 4
+
+
+def _validated_band_index(
+    spark: SparkSession,
+    signature_store: str,
+    store_sigs: DataFrame,
+    store_bands: DataFrame | None,
+) -> DataFrame:
+    """Return a band index PROVEN to cover ``store_sigs`` exactly,
+    rebuilding it from the signatures when it does not — the integrity
+    gate in front of every store probe.
+
+    The store commit is two parquet appends (``sigs`` then ``bands``);
+    a failure between them — or a partially-committed append — leaves
+    signed docs invisible to the band-index probe, which would SILENTLY
+    pass their future duplicates through (round-7 advice: the one
+    latent correctness hazard). Rather than trusting a commit marker,
+    every probe first checks the derived invariant: each sigs doc has
+    exactly ``_STORE_BANDS`` index rows and the index has no docs the
+    sigs lack (one full join over doc_ids — doc-count-sized, far
+    cheaper than the probe it protects). On ANY violation the index is
+    rebuilt from the signatures (the source of truth; bands are pure
+    derivation), the ``bands`` dir is overwritten with the repair, and
+    the rebuilt index is used — loud in the logs, correct in the
+    result, and the store is healed for the next batch.
+    """
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    if store_bands is not None:
+        per_doc = store_bands.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__nb")
+        )
+        torn = (
+            store_sigs.select("doc_id")
+            .withColumn("__sig", F.lit(1))
+            .join(per_doc, "doc_id", "full")
+            .filter(
+                F.col("__sig").isNull()
+                | F.col("__nb").isNull()
+                | (F.col("__nb") != _STORE_BANDS)
+            )
+            .limit(1)
+            .count()
+        )
+        if torn == 0:
+            return store_bands
+        import warnings
+
+        warnings.warn(
+            f"signature store {signature_store!r}: band index does not "
+            "cover the signature table (torn commit or partial append); "
+            "rebuilding the index from the signatures",
+            stacklevel=3,
+        )
+    rebuilt = dedup.band_buckets(store_sigs, bands=_STORE_BANDS)
+    rebuilt.write.mode("overwrite").parquet(f"{signature_store}/bands")
+    return spark.read.parquet(f"{signature_store}/bands")
+
+
 def run_pagerank(
     spark: SparkSession,
     input_path: str,
@@ -318,7 +381,12 @@ def _clean_corpus_body(
     if signature_store is not None:
         store_sigs = _read_parquet_or_none(spark, f"{signature_store}/sigs")
         if store_sigs is not None:
-            store_bands = _read_parquet_or_none(spark, f"{signature_store}/bands")
+            store_bands = _validated_band_index(
+                spark,
+                signature_store,
+                store_sigs,
+                _read_parquet_or_none(spark, f"{signature_store}/bands"),
+            )
             probe = dedup.incremental_minhash_dedup(
                 docs,
                 store_sigs,
@@ -361,7 +429,12 @@ def _clean_corpus_body(
         # append the batch survivors' signatures + band index, computed
         # from the WRITTEN table (one footer read, no pipeline re-run);
         # checkpoint so the signature aggregation runs once for both
-        # writes (the caller's RDD-layer release frees it)
+        # writes (the caller's RDD-layer release frees it). The two
+        # appends are NOT atomic together — sigs lands before bands, so
+        # a failure between them leaves signed-but-unbanded docs. That
+        # torn state is caught (and the index rebuilt from the sigs) by
+        # _validated_band_index before the NEXT batch's probe, so it
+        # can never silently pass a cross-batch duplicate.
         new_sigs = dedup.minhash_signatures(
             dedup.shingles(written, ngram)
         ).localCheckpoint(eager=True)

@@ -27,3 +27,29 @@ def release_persistent_rdds_since(spark, before: set[int]) -> None:
     for k in jmap.keySet().toArray():
         if int(k) not in before:
             jmap.get(k).unpersist(False)
+
+
+def release_result(df) -> None:
+    """Release the executor storage pinned by a MATERIALIZED operator
+    result — a DataFrame an operator returned via
+    ``localCheckpoint(eager=True)`` (``minhash_near_dups``,
+    ``ngram_jaccard_pairs``, ``simhash_near_dups``,
+    ``incremental_minhash_dedup``, ``embedding_cosine_dups``,
+    ``phash_near_dups``, ...). Call it when you are DONE with the
+    result: the checkpoint's lineage is truncated, so any action on
+    ``df`` after release fails loudly with
+    ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` rather than silently
+    recomputing.
+
+    Why this exists (round 6/7 advice): ``DataFrame.unpersist()`` is a
+    documented NO-OP on checkpointed frames — the checkpoint pins its
+    RDD outside the cache manager, so the only real handle is the
+    ``LogicalRDD`` plan node's underlying RDD, which this reaches via
+    the analyzed plan. A lazy (non-checkpointed) DataFrame is accepted
+    and ignored — releasing a plan that pins nothing is a no-op, so
+    callers can release unconditionally (e.g. results obtained with
+    ``materialize=False``).
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(False)

@@ -397,3 +397,95 @@ def test_prefix_filter_excludes_boilerplate_from_prefixes(spark):
     # at a threshold where boilerplate-only overlap can't qualify,
     # prefixes prune the candidate space to nothing
     assert dedup.ngram_jaccard_prefix_pairs(docs, 0.9, ngram=3).count() == 0
+
+
+def _cached_rdd_ids(spark):
+    return {
+        int(info.id())
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_materialized_results_are_releasable_by_direct_callers(spark, planted):
+    """Round-7 verdict item 4: the eager-checkpoint returns must be
+    releasable WITHOUT going through programs.clean_corpus. Contract:
+    materialize=True pins exactly the result (release_result frees it);
+    materialize=False pins nothing and returns identical rows."""
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    ops = [
+        lambda m: dedup.minhash_near_dups(planted, 0.5, ngram=3, materialize=m),
+        lambda m: dedup.ngram_jaccard_pairs(planted, 0.5, ngram=3, materialize=m),
+        lambda m: dedup.ngram_jaccard_prefix_pairs(
+            planted, 0.5, ngram=3, materialize=m
+        ),
+        lambda m: dedup.ngram_containment_pairs(
+            planted, 0.5, ngram=3, materialize=m
+        ),
+        lambda m: dedup.simhash_near_dups(planted, 60, materialize=m),
+        lambda m: dedup.incremental_minhash_dedup(
+            planted.filter("doc_id >= 3"),
+            dedup.minhash_signatures(
+                dedup.shingles(planted.filter("doc_id <= 2"), 3)
+            ),
+            threshold=0.5,
+            ngram=3,
+            materialize=m,
+        ),
+    ]
+    for build in ops:
+        before = _cached_rdd_ids(spark)
+        lazy_rows = sorted(tuple(r) for r in build(False).collect())
+        assert _cached_rdd_ids(spark) == before  # lazy mode pins nothing
+        out = build(True)
+        eager_rows = sorted(tuple(r) for r in out.collect())
+        assert eager_rows == lazy_rows
+        assert _cached_rdd_ids(spark) - before  # checkpoint is pinned
+        release_result(out)
+        assert _cached_rdd_ids(spark) == before  # ... and released
+        release_result(build(False))  # no-op on a lazy frame
+
+
+def test_phash_near_dups_releasable(spark):
+    from pagerank_mapreduce_implementation_spark.operators import multimodal
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    blobs = spark.createDataFrame(
+        [(i, multimodal.phash_test_image(i)) for i in range(6)],
+        "doc_id long, content binary",
+    )
+    before = _cached_rdd_ids(spark)
+    lazy_rows = sorted(
+        tuple(r) for r in multimodal.phash_near_dups(blobs, materialize=False).collect()
+    )
+    assert _cached_rdd_ids(spark) == before
+    out = multimodal.phash_near_dups(blobs)
+    assert sorted(tuple(r) for r in out.collect()) == lazy_rows
+    assert _cached_rdd_ids(spark) - before
+    release_result(out)
+    assert _cached_rdd_ids(spark) == before
+
+
+def test_incremental_minhash_rejects_mismatched_band_index(spark, planted):
+    """Round-7 verdict item 6: a seen_bands index built under different
+    banding parameters never matches the probe's bucket strings — every
+    store candidate silently vanishes. The probe must refuse it."""
+    sigs = dedup.minhash_signatures(dedup.shingles(planted, 3))
+    wrong_bands = dedup.band_buckets(sigs, num_hashes=16, bands=2)
+    with pytest.raises(ValueError, match="band_buckets index"):
+        dedup.incremental_minhash_dedup(
+            planted, sigs, ngram=3, bands=4, seen_bands=wrong_bands
+        )
+    # the matching index is accepted and probes identically to on-the-fly
+    right_bands = dedup.band_buckets(sigs, num_hashes=16, bands=4)
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    with_idx = dedup.incremental_minhash_dedup(
+        planted, sigs, ngram=3, bands=4, seen_bands=right_bands
+    )
+    without_idx = dedup.incremental_minhash_dedup(planted, sigs, ngram=3, bands=4)
+    assert sorted(tuple(r) for r in with_idx.collect()) == sorted(
+        tuple(r) for r in without_idx.collect()
+    )
+    release_result(with_idx)
+    release_result(without_idx)

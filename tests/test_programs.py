@@ -344,6 +344,109 @@ def test_clean_corpus_signature_store_two_batch_roundtrip(spark, tmp_path):
     )
 
 
+def test_clean_corpus_torn_store_commit_repaired(spark, tmp_path):
+    """Round-7 verdict item 1 (fault injection): the store commit is
+    two appends (sigs, then bands); kill the writer between them and
+    the store holds signed-but-unbanded docs — the state that used to
+    silently pass those docs' future duplicates. The next probe must
+    instead detect the torn index, rebuild it from the signatures
+    (loudly), DROP the cross-batch near-dup of the torn doc, and leave
+    the on-disk index healed.
+    """
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    b1 = [(1, base, "en", "web", len(base))]
+    src1, out1 = str(tmp_path / "b1_in"), str(tmp_path / "b1_out")
+    spark.createDataFrame(
+        b1, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src1)
+    clean_corpus(
+        spark, src1, out1, near_dup_threshold=0.5, ngram=3,
+        signature_store=store,
+    )
+
+    # simulate the crash: append doc 2's SIGNATURES without its bands
+    # (exactly what dying between clean_corpus's two appends leaves)
+    torn_text = "a torn commit survivor about catalyst shuffle plans " * 4
+    torn = spark.createDataFrame(
+        [(2, torn_text)], "doc_id long, text string"
+    )
+    dedup.minhash_signatures(dedup.shingles(torn, 3)).write.mode(
+        "append"
+    ).parquet(f"{store}/sigs")
+
+    # batch 2: doc 10 near-dups the TORN doc 2 — only a repaired index
+    # can catch it; doc 11 is genuinely new
+    near = torn_text + "with a small extra tail"
+    fresh = "a brand new unique document unseen by any earlier batch at all"
+    b2 = [
+        (10, near, "en", "web", len(near)),
+        (11, fresh, "en", "web", len(fresh)),
+    ]
+    src2, out2 = str(tmp_path / "b2_in"), str(tmp_path / "b2_out")
+    spark.createDataFrame(
+        b2, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src2)
+    with pytest.warns(UserWarning, match="torn commit|rebuilding the index"):
+        kept2 = clean_corpus(
+            spark, src2, out2, near_dup_threshold=0.5, ngram=3,
+            signature_store=store,
+        )
+    assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == [11]
+
+    # the store is healed: the band index covers every signed doc
+    # (including torn doc 2 and batch-2 survivor 11) exactly
+    sigs = spark.read.parquet(f"{store}/sigs")
+    bands = spark.read.parquet(f"{store}/bands")
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == [1, 2, 11]
+    assert sorted(map(tuple, bands.collect())) == sorted(
+        map(tuple, dedup.band_buckets(sigs).collect())
+    )
+
+
+def test_clean_corpus_missing_band_index_rebuilt(spark, tmp_path):
+    """A store with signatures but NO bands dir at all (the first
+    append died even earlier) also probes correctly: the index is
+    derived from the sigs and persisted."""
+    import shutil
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src1, out1 = str(tmp_path / "b1_in"), str(tmp_path / "b1_out")
+    spark.createDataFrame(
+        [(1, base, "en", "web", len(base))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src1)
+    clean_corpus(
+        spark, src1, out1, near_dup_threshold=0.5, ngram=3,
+        signature_store=store,
+    )
+    shutil.rmtree(f"{store}/bands")
+
+    near = base + "with a small extra tail"
+    src2, out2 = str(tmp_path / "b2_in"), str(tmp_path / "b2_out")
+    spark.createDataFrame(
+        [(10, near, "en", "web", len(near))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src2)
+    kept2 = clean_corpus(
+        spark, src2, out2, near_dup_threshold=0.5, ngram=3,
+        signature_store=store,
+    )
+    assert kept2.count() == 0  # the cross-batch dup was still caught
+    sigs = spark.read.parquet(f"{store}/sigs")
+    bands = spark.read.parquet(f"{store}/bands")
+    assert sorted(map(tuple, bands.collect())) == sorted(
+        map(tuple, dedup.band_buckets(sigs).collect())
+    )
+
+
 def test_connected_components_empty_edges(spark):
     from pagerank_mapreduce_implementation_spark.operators.graph import (
         connected_components,
