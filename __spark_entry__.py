@@ -756,10 +756,12 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring (text.bm25_search, k1=1.2 b=0.75): the
     length-normalized saturating score a real retrieval user reaches
-    for where `search` reproduces the jar's tf-idf sum. No new corpus
-    shuffle beyond tf-idf's two (tests/test_plans.py pins it); df for
-    the query terms falls out of the IN-filtered slice instead of a
-    whole-vocabulary count."""
+    for where `search` reproduces the jar's tf-idf sum. ONE corpus
+    tokenize pass + ONE corpus shuffle: query-term tfs pivot into the
+    per-doc length aggregation, avgdl + dfs fall out of a 1-row
+    broadcast agg of that frame (tests/test_plans.py::
+    test_bm25_single_scan_single_corpus_shuffle pins the executed
+    shape)."""
     scored = text.bm25_search(Catalog(spark, sf_dir).documents, SEARCH_TERMS)
     return scored.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -2256,23 +2258,39 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": oracles.substring_runs_sql(
             8, 12, NGRAM_MAX_SHINGLE_DF
         ),
-        # BM25 (Lucene idf form): every double expression in the same
-        # operand order as text.bm25_search; integer sums feed one
-        # division each, so round(6) gates bit-equal values
+        # BM25 (Lucene idf form), mirroring text.bm25_search's pivoted
+        # single-agg plan: per-term tf columns from one GROUP BY doc_id,
+        # avgdl + per-term df from one 1-row agg of that frame, and the
+        # score summed as the SAME left-to-right ordered addition over
+        # the terms list (deterministic — no partial-agg association
+        # order on either side); round(6) absorbs the remaining
+        # log10/divide ulp
         "bm25_search": (
             f"WITH {_TOK_LOWER}, "
-            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
-            "st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl), "
-            "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok "
-            f"WHERE word IN ({terms}) GROUP BY doc_id, word), "
-            "dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "agg AS (SELECT doc_id, count(*) AS dl, "
+            + ", ".join(
+                f"sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+                for i, t in enumerate(SEARCH_TERMS)
+            )
+            + " FROM tok GROUP BY doc_id), "
+            "st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, "
+            + ", ".join(
+                f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                for i in range(len(SEARCH_TERMS))
+            )
+            + " FROM agg), "
             "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) "
-            "SELECT tf.doc_id, round(sum("
-            "log10(1.0 + (nn.n - dfq.df + 0.5)/(dfq.df + 0.5)) "
-            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))"
-            "), 6) AS score "
-            "FROM tf JOIN dfq USING (word) JOIN dl ON dl.doc_id = tf.doc_id, "
-            "st, nn GROUP BY tf.doc_id"
+            "SELECT doc_id, round("
+            + " + ".join(
+                f"(CASE WHEN tf{i} > 0 THEN "
+                f"log10(1.0 + (nn.n - st.df{i} + 0.5)/(st.df{i} + 0.5)) "
+                f"* (tf{i} * 2.2) / "
+                f"(tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl)) "
+                "ELSE 0.0 END)"
+                for i in range(len(SEARCH_TERMS))
+            )
+            + ", 6) AS score FROM agg, st, nn WHERE "
+            + " OR ".join(f"tf{i} > 0" for i in range(len(SEARCH_TERMS)))
         ),
         "image_phash_dups": oracles.phash_near_dups_sql(10),
         # int8 quantization: float->double lossless, identical IEEE

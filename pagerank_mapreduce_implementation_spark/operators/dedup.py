@@ -997,6 +997,14 @@ def substring_runs(
     ``doc_a < doc_b``, 0-based token starts in each doc, and
     ``match_len`` in tokens. One row per MAXIMAL run (a shared 20-token
     passage emits one length-20 row, not 13 overlapping k-gram rows).
+    CAVEAT under ``max_gram_df``: the cap drops hot grams BEFORE
+    pairing, so a capped gram in the middle of a shared passage splits
+    that maximal run at the gram's position — the two flanks come back
+    as separate (shorter) rows, and a flank that falls below
+    ``min_len`` is dropped entirely. Maximality is therefore exact only
+    over the df-capped gram sets (the standard stop-gram trade, same as
+    ``max_shingle_df``); ``tests/test_dedup.py`` pins the split
+    behavior so it stays deliberate.
 
     Algorithm — the distributed equivalent of the suffix-array scan,
     built from the engine's existing k-gram machinery instead of a

@@ -598,7 +598,10 @@ def phash_test_image(doc_id: int) -> bytes:
     ``g = doc_id // 4`` — docs in one group share a base pattern —
     and the ``r = doc_id % 4`` variant INVERTS cells ``15r..15r+3``
     (4 cells inside hash chunk ``r``, so two variants of one group
-    still agree on >= 2 of the 4 band chunks and meet as candidates).
+    USUALLY still agree on enough band chunks to meet as candidates —
+    not guaranteed: the inversion also shifts the global mean, which
+    can flip near-mean bits in OTHER chunks; parity with the oracle is
+    unaffected either way, since the oracle mirrors the bucketing).
     Every byte is reproducible with md5 + integer SQL."""
     import hashlib
 

@@ -37,6 +37,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -173,50 +175,76 @@ def bm25_search(
     Returns ``(doc_id, score)`` for docs matching >= 1 term. Lowercased
     tokens by default (the doc-pipeline convention of doc_word_count).
 
-    Scale shape — no new corpus shuffle beyond tf-idf's two: tokenize
-    (narrow) -> per-doc lengths (shuffle 1, map-side combine) -> term
-    frequencies over the IN-list-FILTERED tokens (shuffle 2, but of the
-    terms-only slice — df for the query terms falls out of that same
-    tiny table, unlike O27 which must df-count the whole vocabulary) ->
-    avgdl as a broadcast 1-row aggregate (never a collect) -> the
-    lengths join back is query-hits-vs-lengths on doc_id (AQE
-    broadcasts the hit side when small) -> per-doc sum over <= |terms|
-    rows. Every double expression is written in the exact operand
-    order the SQL oracle computes (integer sums, one division each),
-    so the score is reproducible to the driver's 6-digit gate.
+    Scale shape — ONE corpus tokenize pass, ONE corpus shuffle: the
+    per-doc frequencies of the (few) query terms are PIVOTED into
+    columns of the same per-doc aggregation that counts document
+    length, so ``(doc_id, dl, tf_0..tf_k)`` rides a single map-side
+    combined shuffle (the round-7 formulation scanned the corpus once
+    per branch — lengths, tf, df, avgdl — because Catalyst's exchange
+    reuse does not merge the cloned self-join branches; the pivot
+    removes the branches instead of hoping). avgdl and every term's df
+    then fall out of ONE 1-row aggregate of that frame (broadcast,
+    never a collect), and the score is a pure column expression — no
+    joins at all after the agg. ``tests/test_plans.py`` pins the
+    executed shape: one Generate(explode) in the final adaptive plan,
+    no SortMergeJoin. The pivot bounds the agg width at 2 + |terms|
+    columns: right for query-shaped term lists (tens), not for
+    hundred-term batches (wide rows beat a second scan well past that,
+    but revisit the row form if terms outgrow a broadcast row).
+
+    The score sums parts in ``terms``-list order as one left-to-right
+    column expression — DETERMINISTIC float addition (the round-7 form
+    summed via groupBy, exposing the 6-digit gate to partial-agg
+    association order), and each part's operand order matches the SQL
+    oracle exactly, so the remaining cross-engine risk is log10/divide
+    ulp only.
     """
     if total_docs is None:
         total_docs = docs.count()
     tok_kwargs.setdefault("lowercase", True)
+    # dedupe while preserving order: a repeated query term must not
+    # double-count its part
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
     tok = tokenize(docs, **tok_kwargs)
-    lengths = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = lengths.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl")
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    tf = (
-        tok.filter(F.col("word").isin(list(terms)))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = agg.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    # df per query term from the filtered tf table (rows unique per
-    # (doc, word), so count(*) == docs containing the term) — a
-    # <=|terms|-row frame, broadcast explicitly
-    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = F.lit(float(total_docs))
-    idf = F.log10(
-        F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+
+    def part(i: int):
+        dfq = F.col(f"__df{i}")
+        tf = F.col(f"__tf{i}")
+        idf = F.log10(F.lit(1.0) + (n - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+        )
+        return F.when(
+            tf > 0, idf * (tf * F.lit(k1 + 1.0)) / denom
+        ).otherwise(F.lit(0.0))
+
+    score = part(0)
+    for i in range(1, len(terms)):
+        score = score + part(i)
+    matched = functools.reduce(
+        lambda a, b: a | b, [F.col(f"__tf{i}") > 0 for i in range(len(terms))]
     )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
-    )
-    part = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
     return (
-        tf.join(F.broadcast(dfc), "word")
-        .join(lengths, "doc_id")
+        agg.filter(matched)
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", part.alias("__part"))
-        .groupBy("doc_id")
-        .agg(F.sum("__part").alias("score"))
+        .select("doc_id", score.alias("score"))
     )
 
 

@@ -489,3 +489,79 @@ def test_incremental_minhash_rejects_mismatched_band_index(spark, planted):
     )
     release_result(with_idx)
     release_result(without_idx)
+
+
+def _docs_of(spark, *texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_substring_runs_merges_maximal_run(spark):
+    """A shared 20-token passage comes back as ONE maximal row with the
+    exact starts in each doc — not 13 overlapping k-gram rows."""
+    passage = " ".join(f"w{i}" for i in range(20))
+    docs = _docs_of(spark, passage, f"j1 j2 j3 {passage} q1 q2")
+    rows = dedup.substring_runs(docs, k=8, min_len=12).collect()
+    assert [tuple(r) for r in rows] == [(1, 2, 0, 3, 20)]
+
+
+def test_substring_runs_within_doc_repeats_use_diagonals(spark):
+    """A doc containing the same phrase TWICE matches a one-copy doc on
+    two different diagonals — two separate runs, one per occurrence,
+    never merged across occurrences."""
+    phrase = " ".join(f"p{i}" for i in range(8))
+    docs = _docs_of(spark, f"{phrase} {phrase}", f"{phrase} t0 t1 t2")
+    rows = sorted(
+        tuple(r) for r in dedup.substring_runs(docs, k=8, min_len=8).collect()
+    )
+    assert rows == [(1, 2, 0, 0, 8), (1, 2, 8, 0, 8)]
+
+
+def test_substring_runs_df_cap_splits_run_at_hot_gram(spark):
+    """The documented max_gram_df trade: a capped gram INSIDE a shared
+    passage splits the maximal run at its position. Planted: docs 1-2
+    share a 20-token run whose k-gram at position 6 also appears in
+    docs 3 and 4 (df=4); with max_gram_df=2 the run splits into the two
+    13-token flanks, uncapped it stays one 20-token row."""
+    passage = " ".join(f"w{i}" for i in range(20))
+    hot_gram = " ".join(f"w{i}" for i in range(6, 14))  # k-gram at pos 6
+    docs = _docs_of(spark, passage, passage, hot_gram, hot_gram)
+
+    uncapped = sorted(
+        tuple(r) for r in dedup.substring_runs(docs, k=8, min_len=12).collect()
+    )
+    assert uncapped == [(1, 2, 0, 0, 20)]  # doc3/4 runs are 8 < min_len
+
+    capped = sorted(
+        tuple(r)
+        for r in dedup.substring_runs(
+            docs, k=8, min_len=12, max_gram_df=2
+        ).collect()
+    )
+    # islands 0-5 and 7-12 -> runs of 6+7=13 tokens each
+    assert capped == [(1, 2, 0, 0, 13), (1, 2, 7, 7, 13)]
+    # and a flank below min_len vanishes entirely
+    assert (
+        dedup.substring_runs(docs, k=8, min_len=14, max_gram_df=2).count() == 0
+    )
+
+
+def test_substring_runs_min_len_equals_k_boundary(spark):
+    """min_len == k is the shortest visible run: exactly one shared
+    k-gram scores a k-token row at min_len=k and nothing at k+1."""
+    gram = " ".join(f"g{i}" for i in range(8))
+    docs = _docs_of(spark, f"a1 a2 {gram}", f"{gram} b1 b2")
+    rows = dedup.substring_runs(docs, k=8, min_len=8).collect()
+    assert [tuple(r) for r in rows] == [(1, 2, 2, 0, 8)]
+    assert dedup.substring_runs(docs, k=8, min_len=9).count() == 0
+
+
+def test_substring_runs_parameter_validation(spark):
+    docs = _docs_of(spark, "a b c")
+    with pytest.raises(ValueError, match="min_len"):
+        dedup.substring_runs(docs, k=8, min_len=7)
+    with pytest.raises(ValueError, match="k"):
+        dedup.substring_runs(docs, k=0, min_len=0)
+    with pytest.raises(ValueError, match="max_gram_df"):
+        dedup.substring_runs(docs, k=2, min_len=2, max_gram_df=0)

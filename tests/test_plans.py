@@ -413,3 +413,53 @@ def test_signup_funnel_no_cartesian(plans):
     p = plans("signup_funnel")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_single_scan_single_corpus_shuffle(spark, sf_dir):
+    """bm25_search pivots the query-term tfs into the per-doc length
+    aggregation: the EXECUTED adaptive plan must tokenize the corpus
+    exactly once (one Generate/explode), reuse that aggregation's
+    exchange for the avgdl/df branch, and never sort-merge join."""
+    qs = entrymod.queries()
+    df = qs["bm25_search"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+    # one corpus shuffle (the doc_id agg) + the 1-row stats partition;
+    # the stats branch REUSES the agg exchange rather than rescanning
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2
+    assert ("ReusedExchange" in final) or ("ReusedQueryStage" in final)
+
+
+def test_substring_runs_window_keyed_by_pair_and_diagonal(plans):
+    """substring_dedup's gaps-and-islands window partitions by
+    (doc_a, doc_b, diagonal) — candidate-volume-sized — never by a
+    corpus-wide key; candidates come from the gram-hash equi-join,
+    never a cartesian."""
+    p = plans("substring_dedup")
+    assert "CartesianProduct" not in p
+    # every window spec opens with the pair columns
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs
+    for s in specs:
+        assert s.startswith("doc_a#") and ", doc_b#" in s
+
+
+def test_phash_images_one_arrow_pass_no_shuffle(spark):
+    """The hashing pass is ONE Arrow mapInPandas over the blobs —
+    narrow, zero exchanges; the default phash_near_dups persists it so
+    the band self-join reads the hashes twice without re-decoding."""
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    blobs = spark.createDataFrame(
+        [(i, mm.phash_test_image(i)) for i in range(4)],
+        "doc_id long, content binary",
+    )
+    p = plan_of(mm.phash_images(blobs))
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p
+    # the band join over the fingerprints: equi-join on (chunk, key),
+    # never the all-pairs product
+    p2 = plan_of(mm.phash_near_dups(blobs, materialize=False))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
