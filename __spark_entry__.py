@@ -1809,66 +1809,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query has a driver-green row within the last 2 rounds
     # (round-5 verdict item 2).
     return {
-        # (a) round-7 NEW queries — never driver-checked
-        "substring_dedup": _q_substring_dedup,
+        # (a) round-8 CODE+ORACLE change: bm25_search was rewritten to
+        # the pivoted single-scan plan and its oracle to the matching
+        # ordered-sum SQL — r7-green no longer certifies it, so it
+        # re-verifies this round
         "bm25_search": _q_bm25_search,
-        "image_phash_dups": _q_image_phash_dups,
-        # (b) the 46-query cohort last checked in round 5 — due back
-        # (age would hit 3 rounds if left below the boundary), and it
-        # happens to include every query whose code round 7 touched
-        # (simhash_dedup's shared band machinery, the incremental
-        # dedup checkpoint contract + store validation)
-        "ivf_topk_lloyd": _q_ivf_topk_lloyd,
-        "incremental_minhash_dedup": _q_incremental_minhash,
-        "minhash_dedup": _q_minhash_dedup,
-        "exact_dedup": _q_exact_dedup,
-        "incremental_dedup": _q_incremental_dedup,
-        "lm_scores": _q_lm_scores,
-        "doc_chunks": _q_doc_chunks,
-        "pagerank_top20": _q_pagerank,
-        "wiki_pagerank": _q_wiki_pagerank,
-        "weighted_pagerank_top20": _q_weighted_pagerank,
-        "personalized_pagerank_top20": _q_personalized_pagerank,
-        "multimodal_chain": _q_multimodal_chain,
-        "streaming_search": _q_streaming_search,
-        "hll_sketch_rollup": _q_hll_sketch_rollup,
-        "approx_value_percentiles": _q_approx_value_percentiles,
-        "pagerank_textbook_top20": _q_pagerank_textbook,
-        "embedding_dedup": _q_embedding_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "streaming_click_attribution": _q_streaming_click_attribution,
-        "streaming_events_hourly": _q_streaming_events_hourly,
-        "streaming_word_count": _q_streaming_word_count,
-        "streaming_user_sessions": _q_streaming_user_sessions,
-        "streaming_user_stats": _q_streaming_user_stats,
-        "window_shoppers": _q_window_shoppers,
-        "customer_order_gaps": _q_customer_order_gaps,
-        "daily_type_pivot": _q_daily_type_pivot,
-        "value_percentiles": _q_value_percentiles,
-        "approx_daily_uniques": _q_approx_daily_uniques,
-        "asof_clicks": _q_asof_clicks,
-        "signup_followups": _q_signup_followups,
-        "daily_uniques": _q_daily_uniques,
-        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "ngram_containment": _q_ngram_containment,
-        "simhash_dedup": _q_simhash_dedup,
-        "cosine_topk": _q_cosine_topk,
-        "cosine_pairs": _q_cosine_pairs,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_topk_batch": _q_ivf_topk_batch,
-        "contamination_audit": _q_contamination,
-        "pii_redaction": _q_pii_redaction,
-        "cms_word_counts": _q_cms_word_counts,
-        "streaming_cms_counts": _q_streaming_cms_counts,
-        "signup_funnel": _q_signup_funnel,
-        "returnflag_cube": _q_returnflag_cube,
-        "salted_brand_revenue": _q_salted_brand_revenue,
-        # (c) round-7 oracle change (median formulation hardening) —
-        # r6-green but its ORACLE text changed, so it re-verifies
-        "user_purchase_trend": _q_user_purchase_trend,
-        # --- window boundary (50) — below here: round-6-green,
-        # unchanged output, due back on the round-8 rotation
+        # (b) the 49-query cohort last checked in round 6 — due back
+        # (the r6/r7 rotation halves swap each round; registry is at
+        # the 2x50 window capacity, so this cohort + (a) is EXACTLY
+        # the 50 slots — new round-8 operators ship with local DuckDB
+        # parity tests instead of registry entries)
         "seq_packing": _q_seq_packing,
         "seq_packing_bpe": _q_seq_packing_bpe,
         "doc_chunks_bpe": _q_doc_chunks_bpe,
@@ -1918,6 +1868,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "streaming_events_sliding": _q_streaming_events_sliding,
         "graph_degree_histogram": _q_graph_degree_histogram,
+        # --- window boundary (50) — below here: round-7-green,
+        # unchanged output, due back on the round-9 rotation
+        "substring_dedup": _q_substring_dedup,
+        "image_phash_dups": _q_image_phash_dups,
+        "ivf_topk_lloyd": _q_ivf_topk_lloyd,
+        "incremental_minhash_dedup": _q_incremental_minhash,
+        "minhash_dedup": _q_minhash_dedup,
+        "exact_dedup": _q_exact_dedup,
+        "incremental_dedup": _q_incremental_dedup,
+        "lm_scores": _q_lm_scores,
+        "doc_chunks": _q_doc_chunks,
+        "pagerank_top20": _q_pagerank,
+        "wiki_pagerank": _q_wiki_pagerank,
+        "weighted_pagerank_top20": _q_weighted_pagerank,
+        "personalized_pagerank_top20": _q_personalized_pagerank,
+        "multimodal_chain": _q_multimodal_chain,
+        "streaming_search": _q_streaming_search,
+        "hll_sketch_rollup": _q_hll_sketch_rollup,
+        "approx_value_percentiles": _q_approx_value_percentiles,
+        "pagerank_textbook_top20": _q_pagerank_textbook,
+        "embedding_dedup": _q_embedding_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "streaming_click_attribution": _q_streaming_click_attribution,
+        "streaming_events_hourly": _q_streaming_events_hourly,
+        "streaming_word_count": _q_streaming_word_count,
+        "streaming_user_sessions": _q_streaming_user_sessions,
+        "streaming_user_stats": _q_streaming_user_stats,
+        "window_shoppers": _q_window_shoppers,
+        "customer_order_gaps": _q_customer_order_gaps,
+        "daily_type_pivot": _q_daily_type_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "approx_daily_uniques": _q_approx_daily_uniques,
+        "asof_clicks": _q_asof_clicks,
+        "signup_followups": _q_signup_followups,
+        "daily_uniques": _q_daily_uniques,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
+        "simhash_dedup": _q_simhash_dedup,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_topk_batch": _q_ivf_topk_batch,
+        "contamination_audit": _q_contamination,
+        "pii_redaction": _q_pii_redaction,
+        "cms_word_counts": _q_cms_word_counts,
+        "streaming_cms_counts": _q_streaming_cms_counts,
+        "signup_funnel": _q_signup_funnel,
+        "returnflag_cube": _q_returnflag_cube,
+        "salted_brand_revenue": _q_salted_brand_revenue,
+        # round-7 oracle change (median formulation hardening),
+        # r7-green
+        "user_purchase_trend": _q_user_purchase_trend,
     }
 
 

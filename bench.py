@@ -131,10 +131,14 @@ def main() -> None:
             "ncpu": probe_start["ncpu"],
         }
     )
-    # Emit the identical summary line FIRST and LAST in the epilogue
-    # (and persist it to bench_result.json): a tail-truncated capture —
-    # round-4's BENCH json recorded parsed:null from exactly that —
-    # still contains one complete parseable copy.
+    # Emission order (round-6/7 carry: the driver keeps only the LAST
+    # ~2000 stdout chars, and the full 99-query summary is ~3k chars —
+    # it can never survive that window intact, which is why BENCH_r0{4,
+    # 6,7} recorded parsed:null): (1) the full contract line, complete
+    # in logs and persisted to bench_result.json; (2) LAST, a COMPACT
+    # contract-shaped line (2-decimal timings of the slowest queries
+    # only) sized well under the tail window, so a tail-truncated
+    # capture always ends with one complete parseable JSON line.
     print(summary, flush=True)
     try:
         with open(
@@ -145,7 +149,21 @@ def main() -> None:
     except OSError as exc:
         print(f"  bench_result.json not written: {exc}", file=sys.stderr)
     spark.stop()
-    print(summary, flush=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    compact = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "queries": {k: round(v, 2) for k, v in slowest.items()},
+            "queries_note": "15 slowest; full timings in bench_result.json",
+            "contended": probe_start["contended"],
+        },
+        separators=(",", ":"),
+    )
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,7 @@ def pagerank(
     seed_count: int | None = None,
     weight_col: str | None = None,
     reset: DataFrame | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges.
 
@@ -407,7 +408,14 @@ def pagerank(
     # dangling); the dangling branch recomputes at most
     # materialize_every-1 lazy iterations, which A/B-measures cheaper
     # than eagerly materializing every step (8.6s -> 6.4s at sf0.1).
-    driver = IterationDriver(materialize_every=materialize_every)
+    # reliable_dir switches the lineage truncation from executor-local
+    # checkpoint blocks to RELIABLE checkpoints in that directory —
+    # the preemptible-cluster mode: a lost executor replays from the
+    # persisted state, not from iteration 0 (tests/test_pagerank.py
+    # pins value parity + on-disk checkpoint files).
+    driver = IterationDriver(
+        materialize_every=materialize_every, reliable_dir=reliable_dir
+    )
     result = driver.run(ranks, step, n_iters)
     # Result is materialized (localCheckpoint at the final boundary) —
     # the static tables can be dropped (reference GC'd intermediate

@@ -376,6 +376,10 @@ def _wav_parse(b: bytes):
         raise ValueError(
             f"only 16-bit mono supported, got {channels}ch/{bits}bit"
         )
+    if sr <= 0:
+        # a zero/negative rate would flow into duration_ms as inf/NaN
+        # or a negative duration — poison, not a parse result
+        raise ValueError(f"non-positive sample rate {sr}")
     return sr, np.frombuffer(data, dtype="<i2")
 
 
@@ -425,7 +429,10 @@ def wav_feature_extractor(b: bytes, frames: int = 2) -> list[float]:
     rate) — the classic cheap audio fingerprint. Sums run as explicit
     SEQUENTIAL left folds (not numpy pairwise reductions) so the SQL
     oracle's list_sum reproduces the doubles bit-for-bit before the
-    float32 schema cast."""
+    float32 schema cast. Degenerate-frame convention (signals shorter
+    than ``frames`` samples): an empty frame scores rms=0.0, and a
+    frame with fewer than 2 samples scores zcr=0.0 — a defined value,
+    never a 0/0; an oracle must mirror the same guards."""
     import math
 
     _, samples = _wav_parse(b)

@@ -29,6 +29,26 @@ FINGERPRINT_BASE = 131
 FINGERPRINT_MOD = 1_000_000_007
 
 
+def _check_keep_cols(kept_names: list[str], reserved: set, op: str) -> None:
+    """Fail-loud validation shared by every keep_cols passthrough:
+    collisions with the operator's OUTPUT columns, with the ``doc_id``
+    key the operator emits itself, or WITHIN keep_cols (a duplicate
+    name) would all surface later as a downstream AMBIGUOUS_REFERENCE
+    miles from the call site (round-7 advice) — raise here instead."""
+    dupes = sorted({n for n in kept_names if kept_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"keep_cols contains duplicate names {dupes}; alias them apart"
+        )
+    clash = sorted(set(kept_names) & (reserved | {"doc_id"}))
+    if clash:
+        raise ValueError(
+            f"keep_cols {clash} collide with {op} output columns "
+            "(doc_id is always emitted by the operator itself); "
+            "alias the input columns apart"
+        )
+
+
 def _tokens(text_col: str) -> Column:
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
 
@@ -117,12 +137,7 @@ def quality_scores(
         c if isinstance(c, str) else staged.columns[1 + i]
         for i, c in enumerate(keep_cols)
     ]
-    clash = sorted(set(kept_names) & reserved)
-    if clash:
-        raise ValueError(
-            f"keep_cols {clash} collide with quality output columns; "
-            "use score_only=True (filter-consumer mode) or alias them"
-        )
+    _check_keep_cols(kept_names, reserved, "quality_scores")
     n_tokens = F.col("_q_n_tokens")
     punct_ratio = F.when(
         F.col("_q_n_chars") > 0,
@@ -181,9 +196,7 @@ def lang_id(
         c if isinstance(c, str) else toks.columns[1 + i]
         for i, c in enumerate(keep_cols)
     ]
-    clash = sorted(set(kept_names) & {"pred_lang", "score"})
-    if clash:
-        raise ValueError(f"keep_cols {clash} collide with lang_id output columns")
+    _check_keep_cols(kept_names, {"pred_lang", "score"}, "lang_id")
 
     def marker_hits(markers: list[str]) -> Column:
         # NB: the filter lambda must be single-parameter — a second
@@ -239,13 +252,11 @@ def repetition_ratio(
         c if isinstance(c, str) else staged.columns[1 + i]
         for i, c in enumerate(keep_cols)
     ]
-    clash = sorted(
-        set(kept_names) & {"n_ngrams", "n_distinct", "repetition_ratio"}
+    _check_keep_cols(
+        kept_names,
+        {"n_ngrams", "n_distinct", "repetition_ratio"},
+        "repetition_ratio",
     )
-    if clash:
-        raise ValueError(
-            f"keep_cols {clash} collide with repetition_ratio output columns"
-        )
     grams = F.when(
         F.size("_toks") >= ngram,
         F.transform(

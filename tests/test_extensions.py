@@ -151,6 +151,30 @@ def test_repetition_ratio_semantics(spark):
     assert got[4]["repetition_ratio"] == 0.0
 
 
+def test_keep_cols_collisions_fail_loud(spark):
+    """Round-7 advice: a keep_cols entry named doc_id (the key every
+    operator emits itself) or duplicated within keep_cols used to defer
+    to a downstream AMBIGUOUS_REFERENCE far from the call site — all
+    three passthrough operators must raise at the call instead."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "web")], "doc_id long, text string, source string"
+    )
+    for op in (
+        lambda **kw: textstats.quality_scores(docs, **kw),
+        lambda **kw: textstats.lang_id(docs, **kw),
+        lambda **kw: textstats.repetition_ratio(docs, **kw),
+    ):
+        with pytest.raises(ValueError, match="doc_id"):
+            op(keep_cols=("doc_id",))
+        with pytest.raises(ValueError, match="duplicate"):
+            op(keep_cols=("source", "source"))
+    # output-column collisions still raise (the pre-existing guard)
+    with pytest.raises(ValueError, match="pred_lang"):
+        textstats.lang_id(docs, keep_cols=(F.lit(1).alias("pred_lang"),))
+
+
 def test_contamination_check_and_decontaminate(spark):
     from pagerank_mapreduce_implementation_spark.operators.contamination import (
         contamination_check,
@@ -658,6 +682,11 @@ def test_wav_codec_round_trip_and_guards(spark):
     compressed[20] = 3  # IEEE float fmt tag
     with _pytest.raises(ValueError, match="PCM"):
         mm._wav_parse(bytes(compressed))
+    # zero sample rate would flow into duration as inf/NaN — reject
+    zerorate = bytearray(b)
+    zerorate[24:28] = (0).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="sample rate"):
+        mm._wav_parse(bytes(zerorate))
     with _pytest.raises(NotImplementedError, match="stubbed"):
         mm.decode_audio(spark.createDataFrame([], "doc_id long, content binary"))
 

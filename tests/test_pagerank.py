@@ -457,3 +457,55 @@ def test_reset_with_duplicate_urls_aggregates_mass(spark):
     assert len(got_dup) == len(srcs)  # one row per vertex, no dupes
     for u in got_single:
         assert got_dup[u] == pytest.approx(got_single[u], rel=1e-12), u
+
+
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """Round-6/7 verdict carry: the preemptible-cluster fault-tolerance
+    path. reliable_dir switches the loop's lineage truncation from
+    executor-local checkpoint blocks to RELIABLE checkpoints in the
+    given directory — ranks must be BIT-identical to the default path
+    (same plan, only the truncation storage differs) and real
+    checkpoint files must land in the directory."""
+    import os
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    default = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+
+    ckpt = str(tmp_path / "reliable")
+    reliable = {
+        r["url"]: r["rank"]
+        for r in pagerank(edges, n_iters=10, reliable_dir=ckpt).collect()
+    }
+    assert reliable == default  # bit-identical, not approx
+
+    # the loop actually wrote reliable checkpoint state (one rdd-*
+    # subtree per truncation boundary, each with part files)
+    written = []
+    for root, _dirs, files in os.walk(ckpt):
+        written += [os.path.join(root, f) for f in files if f.startswith("part-")]
+    assert written, f"no checkpoint part files under {ckpt}"
+
+
+def test_iteration_driver_reliable_dir_truncates_lineage(spark, tmp_path):
+    """IterationDriver(reliable_dir=...) itself: state after a reliable
+    truncation is a checkpoint scan (no growing lineage) and survives
+    further iterations with correct values."""
+    from pagerank_mapreduce_implementation_spark.plans.iterative import (
+        IterationDriver,
+    )
+
+    state = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+
+    def step(df, i):
+        from pyspark.sql import functions as F
+
+        return df.select("id", (F.col("v") * 2.0).alias("v"))
+
+    out = IterationDriver(
+        materialize_every=2, reliable_dir=str(tmp_path / "ck")
+    ).run(state, step, n_iters=6)
+    assert {r.id: r.v for r in out.collect()} == {1: 64.0, 2: 128.0}
+    # the returned frame's plan reads the checkpoint, not the 6-step
+    # lineage (Scan ExistingRDD / RDDScanExec at the root)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
