@@ -1106,3 +1106,77 @@ def substring_runs(
         (F.col("a_start") - F.col("__diag")).alias("b_start"),
         "match_len",
     )
+
+
+def strip_substring_runs(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_df: int | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    runs: DataFrame | None = None,
+) -> DataFrame:
+    """The REMOVAL step ``substring_runs`` reports for (Lee et al.
+    2022 end their pipeline in deletion, not a report): cut every
+    shared run's token span out of the HIGHER-id document of each pair
+    (the keep-first rule every dedup operator here uses — the lower-id
+    doc keeps the passage, so exactly one verbatim copy survives any
+    duplicate chain a<b<c).
+
+    Returns ``docs`` with ``text_col`` rebuilt minus the stripped
+    spans plus an ``n_stripped`` token count. Documents with no spans
+    pass through BYTE-identical (no whitespace canonicalization);
+    stripped documents are rebuilt by single-space-joining their
+    surviving tokens, in original order — the tokenized-rebuild
+    convention (``substring_runs`` positions are token indices, so
+    original inter-token whitespace inside a stripped doc is not
+    recoverable, and normalizing it is what every public
+    implementation of the paper does). Other columns ride through
+    untouched — metadata like a precomputed ``n_chars`` is NOT
+    recomputed.
+
+    Overlapping spans (one doc victim to several pairs, or several
+    runs on different diagonals) need no merge pass: a token is kept
+    iff NO span covers it — set-union semantics via ``exists`` over
+    the doc's span array, evaluated per token in one narrow pass.
+
+    Scale shape: ``substring_runs``'s bounded shuffles + ONE span
+    aggregation keyed by victim doc (candidate-volume-sized) + a
+    broadcast-or-shuffle join back to the corpus; the rebuild is pure
+    column expressions (filter-with-index + array_join), zero Python.
+    Pass a precomputed ``runs`` frame to reuse a report you already
+    paid for; it must carry this function's (k, min_len) semantics.
+    """
+    if runs is None:
+        runs = substring_runs(docs, k, min_len, max_gram_df, text_col, doc_col)
+    spans = (
+        runs.select(
+            F.col("doc_b").alias(doc_col),
+            F.struct(
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("match_len")).alias("e"),
+            ).alias("sp"),
+        )
+        .groupBy(doc_col)
+        .agg(F.collect_list("sp").alias("__spans"))
+    )
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    staged = docs.join(spans, doc_col, "left").withColumn("__toks", arr)
+    kept = F.filter(
+        F.col("__toks"),
+        lambda w, i: ~F.exists(
+            F.col("__spans"), lambda sp: (sp["s"] <= i) & (i < sp["e"])
+        ),
+    )
+    new_text = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    n_stripped = F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+        F.size("__toks") - F.size(kept)
+    )
+    out_cols = [
+        new_text.alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return staged.select(*out_cols, n_stripped.alias("n_stripped"))

@@ -536,6 +536,67 @@ def ppm_ahash(b: bytes, grid: int = PHASH_GRID, bits: int = PHASH_BITS) -> int:
     return out
 
 
+def ppm_dcthash(
+    b: bytes, grid: int = 16, keep: int = 8, bits: int = PHASH_BITS
+) -> int:
+    """DCT-based perceptual hash over a P6 PPM payload — the classic
+    "pHash" construction, sitting beside ``ppm_ahash`` as an injectable
+    ``hasher`` for ``phash_images``/``phash_near_dups`` (same 60-bit
+    output, so the shared ``hamming_band_pairs`` banding and verify
+    work unchanged).
+
+    Why it exists when ahash already does (round-7 verdict item 8):
+    the average hash thresholds RAW grays against their mean, so a
+    global brightness shift moves every gray AND the mean by the same
+    amount only in exact integer arithmetic — a shift that clips or a
+    nonuniform exposure change flips near-mean bits. The DCT hash
+    thresholds AC frequency coefficients, and a uniform brightness
+    shift lands ENTIRELY in the DC coefficient, which is excluded —
+    ``tests/test_phash.py`` pins hash equality under a +40 gray shift
+    where the average hash is allowed to drift.
+
+    Construction (deterministic, numpy-double): nearest-neighbor
+    resample to ``grid`` x ``grid`` integer grays (the ppm_ahash
+    sampling), orthonormal 2-D DCT-II, row-major flatten of the
+    low-frequency ``keep`` x ``keep`` corner minus the DC term, bit
+    ``j`` set iff coefficient ``j`` > the median of the first ``bits``
+    coefficients (median-balanced: ~half the bits set for ANY input,
+    the standard pHash trick that maximizes Hamming discrimination).
+    No SQL-oracle twin: cos() doubles are not portably reproducible
+    across engines, so this variant ships with local goldens instead
+    of a registry entry (the banding it feeds IS oracle-covered via
+    ``image_phash_dups``).
+    """
+    import numpy as np
+
+    if keep * keep - 1 < bits:
+        raise ValueError(
+            f"keep={keep} yields {keep * keep - 1} AC coefficients "
+            f"< bits={bits}"
+        )
+    w, h, px = _ppm_parse(b)
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    thumb = px[ys][:, xs].astype(np.int64)
+    gray = ((thumb[:, :, 0] + thumb[:, :, 1] + thumb[:, :, 2]) // 3).astype(
+        np.float64
+    )
+    n = np.arange(grid, dtype=np.float64)
+    k = n.reshape(-1, 1)
+    # orthonormal DCT-II basis: D[k, n] = c_k * cos(pi*(2n+1)*k/(2N))
+    D = np.cos(np.pi * (2.0 * n + 1.0) * k / (2.0 * grid))
+    D[0, :] *= np.sqrt(1.0 / grid)
+    D[1:, :] *= np.sqrt(2.0 / grid)
+    coeffs = D @ gray @ D.T
+    ac = coeffs[:keep, :keep].reshape(-1)[1:][:bits]
+    med = float(np.median(ac))
+    out = 0
+    for j in range(bits):
+        if float(ac[j]) > med:
+            out |= 1 << j
+    return out
+
+
 def phash_images(
     blobs: DataFrame,
     hasher: Callable[[bytes], int] | None = None,

@@ -225,6 +225,9 @@ def clean_corpus(
     cc_max_iters: int = 20,
     sample_scale: float | None = None,
     signature_store: str | None = None,
+    substring_k: int | None = None,
+    substring_min_len: int = 20,
+    substring_max_gram_df: int | None = None,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -242,6 +245,16 @@ def clean_corpus(
     4. benchmark decontamination (contamination.decontaminate) when
        ``bench_docs`` is supplied — drops docs overlapping the eval set
     5. exact dedup — drop non-keepers by content fingerprint
+    5a. exact-substring STRIP (dedup.strip_substring_runs, Lee et al.
+       2022's removal step) when ``substring_k`` is set: verbatim
+       token runs of >= ``substring_min_len`` shared between doc pairs
+       are cut out of the higher-id doc, so exactly one copy of any
+       boilerplate passage survives — document-granularity dedup
+       (stages 5/5b/6) cannot see these. Runs BEFORE the signature
+       stages so near-dup signatures (and the persisted store) are
+       computed over the stripped text. Stripped docs are rebuilt
+       space-joined (the tokenized-rebuild convention); untouched docs
+       pass through byte-identical.
     5b. CROSS-BATCH near-dup dedup against a persisted MinHash
        SIGNATURE store when ``signature_store`` is set (the round-trip
        that makes ``dedup.incremental_minhash_dedup`` a production
@@ -307,6 +320,9 @@ def clean_corpus(
             cc_max_iters=cc_max_iters,
             sample_scale=sample_scale,
             signature_store=signature_store,
+            substring_k=substring_k,
+            substring_min_len=substring_min_len,
+            substring_max_gram_df=substring_max_gram_df,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -333,6 +349,9 @@ def _clean_corpus_body(
     cc_max_iters,
     sample_scale,
     signature_store,
+    substring_k,
+    substring_min_len,
+    substring_max_gram_df,
     dedup,
     textstats,
     decontaminate,
@@ -377,6 +396,17 @@ def _clean_corpus_body(
 
     exact = dedup.exact_dedup(docs).filter(F.col("is_dup") == 0).select("doc_id")
     docs = docs.join(exact, "doc_id", "left_semi")
+
+    if substring_k is not None:
+        # stage 5a: cut shared verbatim passages out of the higher-id
+        # doc BEFORE the signature stages, so the minhash signatures
+        # (and the persisted store) describe the stripped text
+        docs = dedup.strip_substring_runs(
+            docs,
+            k=substring_k,
+            min_len=substring_min_len,
+            max_gram_df=substring_max_gram_df,
+        ).drop("n_stripped")
 
     if signature_store is not None:
         store_sigs = _read_parquet_or_none(spark, f"{signature_store}/sigs")

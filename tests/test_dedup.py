@@ -565,3 +565,61 @@ def test_substring_runs_parameter_validation(spark):
         dedup.substring_runs(docs, k=0, min_len=0)
     with pytest.raises(ValueError, match="max_gram_df"):
         dedup.substring_runs(docs, k=2, min_len=2, max_gram_df=0)
+
+
+def test_strip_substring_runs_removes_from_higher_id_doc(spark):
+    """Lee et al. removal semantics: the lower-id doc keeps the shared
+    passage, every higher-id victim loses exactly its span; untouched
+    docs pass through BYTE-identical (double spaces preserved)."""
+    passage = " ".join(f"w{i}" for i in range(20))
+    docs = _docs_of(
+        spark,
+        passage,
+        f"j1 j2 j3 {passage} q1 q2",
+        f"{passage} z1 z2",
+        "totally   unrelated words only here",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.strip_substring_runs(docs, k=8, min_len=12).collect()
+    }
+    assert out[1] == (passage, 0)  # keeper: untouched
+    assert out[2] == ("j1 j2 j3 q1 q2", 20)
+    assert out[3] == ("z1 z2", 20)
+    assert out[4] == ("totally   unrelated words only here", 0)  # byte-identical
+
+
+def test_strip_substring_runs_overlapping_spans_union(spark):
+    """A doc victim to several overlapping runs keeps a token iff NO
+    span covers it — union semantics, no double-deletion artifacts.
+    Doc 3 shares [p0..p11] with doc 1 and [p6..p17] with doc 2: the
+    union [0, 18) is stripped, leaving only the tail."""
+    toks = [f"p{i}" for i in range(18)]
+    docs = _docs_of(
+        spark,
+        " ".join(toks[:12]),
+        " ".join(toks[6:]),
+        " ".join(toks) + " tail1 tail2",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.strip_substring_runs(docs, k=6, min_len=10).collect()
+    }
+    assert out[3] == ("tail1 tail2", 18)
+    # docs 1 and 2 overlap only 6 tokens — below min_len, so neither
+    # is touched (the runs report never saw that pair)
+    assert out[1] == (" ".join(toks[:12]), 0)
+    assert out[2] == (" ".join(toks[6:]), 0)
+
+
+def test_strip_substring_runs_extra_columns_ride_through(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "web"), (2, "a b c d e f", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.text, r.source, r.n_stripped)
+        for r in dedup.strip_substring_runs(docs, k=3, min_len=3).collect()
+    }
+    assert out[1] == ("a b c d e f", "web", 0)
+    assert out[2] == ("", "books", 6)

@@ -68,3 +68,84 @@ def test_phash_near_dups_finds_recompressed_copy(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def _cell_image(values, shift=0):
+    """16x16 P6 from 64 cell bytes (2x2-constant cells), optionally
+    brightness-shifted by a constant."""
+    import numpy as np
+
+    cells = (np.asarray(values, dtype=np.int64) + shift).clip(0, 255)
+    c8 = cells.reshape(8, 8).astype(np.uint8)
+    px = np.repeat(np.repeat(c8, 2, axis=0), 2, axis=1)
+    return mm.ppm_encode(np.stack([px] * 3, axis=2))
+
+
+def test_dcthash_invariant_under_brightness_shift():
+    """The DCT hash's reason to exist: a uniform brightness shift lands
+    entirely in the excluded DC coefficient, so the hash is IDENTICAL —
+    while ahash's raw-gray thresholds are allowed to drift."""
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(f"dct:{j}".encode()).hexdigest()[:2], 16) % 180 + 20
+        for j in range(64)
+    ]  # grays in [20, 199]: a +40 shift never clips
+    base, shifted = _cell_image(vals), _cell_image(vals, shift=40)
+    assert mm.ppm_dcthash(base) == mm.ppm_dcthash(shifted)
+    assert bin(mm.ppm_dcthash(base)).count("1") in range(20, 41)  # median-balanced
+
+
+def test_dcthash_median_balance_and_discrimination():
+    """~half the 60 bits set for any input (median threshold), and
+    unrelated images land far apart in Hamming distance."""
+    import hashlib
+
+    def img(seed):
+        return _cell_image(
+            [
+                int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:2], 16)
+                for j in range(64)
+            ]
+        )
+
+    h1, h2 = mm.ppm_dcthash(img("one")), mm.ppm_dcthash(img("two"))
+    assert bin(h1 ^ h2).count("1") > 10
+    for h in (h1, h2):
+        assert 25 <= bin(h).count("1") <= 35
+
+
+def test_dcthash_near_dup_recall_through_band_join(spark):
+    """The injectable-hasher contract: phash_near_dups with the DCT
+    hash finds a brightness-shifted copy at Hamming 0 (the exact case
+    average-hash banding can lose) and keeps unrelated images apart."""
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(f"rec:{j}".encode()).hexdigest()[:2], 16) % 180 + 20
+        for j in range(64)
+    ]
+    other = [
+        int(hashlib.md5(f"zzz:{j}".encode()).hexdigest()[:2], 16)
+        for j in range(64)
+    ]
+    blobs = spark.createDataFrame(
+        [(1, _cell_image(vals)), (2, _cell_image(vals, shift=40)),
+         (3, _cell_image(other))],
+        "doc_id long, content binary",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm.phash_near_dups(
+            blobs, max_hamming=6, hasher=mm.ppm_dcthash, materialize=False
+        ).collect()
+    }
+    assert rows.get((1, 2)) == 0
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_dcthash_parameter_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="AC coefficients"):
+        mm.ppm_dcthash(mm.phash_test_image(0), keep=7)  # 48 < 60

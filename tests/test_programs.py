@@ -639,3 +639,50 @@ def test_clean_corpus_lm_filter_stage(spark, tmp_path):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 100 not in kept
     assert 0 in kept  # keeper of the exact-dup group survives the cap
+
+
+def test_clean_corpus_substring_strip_stage(spark, tmp_path):
+    """Stage 5a (round-7 verdict item 8): with substring_k set, a
+    verbatim passage shared across surviving docs is cut from the
+    higher-id doc before the near-dup stages; the written table holds
+    the stripped text, and the signature store (when set) is seeded
+    from the STRIPPED survivors."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    passage = " ".join(f"boiler{i}" for i in range(24))
+    uniq_a = " ".join(f"alpha{i}" for i in range(30))
+    uniq_b = " ".join(f"beta{i}" for i in range(30))
+    rows = [
+        (1, f"{uniq_a} {passage}", "en", "web", 0),
+        (2, f"{passage} {uniq_b}", "en", "web", 0),
+    ]
+    src, out, store = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    kept = clean_corpus(
+        spark,
+        src,
+        out,
+        near_dup_threshold=0.9,
+        ngram=5,
+        substring_k=8,
+        substring_min_len=16,
+        signature_store=store,
+    )
+    got = {r.doc_id: r.text for r in kept.select("doc_id", "text").collect()}
+    assert got[1] == f"{uniq_a} {passage}"  # keeper untouched
+    assert got[2] == uniq_b  # passage stripped, unique tail rebuilt
+    # store signatures describe the STRIPPED text
+    sigs = spark.read.parquet(f"{store}/sigs")
+    expect = dedup.minhash_signatures(
+        dedup.shingles(kept.select("doc_id", "text"), 5)
+    )
+    assert sorted(map(tuple, sigs.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
