@@ -105,6 +105,22 @@ def tf_idf(docs: DataFrame, total_docs: int | None = None, **tok_kwargs) -> Data
     size when it is small — the decision belongs to the runtime stats,
     not the operator (tests/test_plans.py pins the broadcast at test
     scale without the hint).
+
+    Known plan shape (audited round 8): the tf and df branches each
+    scan+tokenize the corpus — Catalyst column-prunes the df branch's
+    aggregate (it needs only distinct (doc, word), not the count), so
+    the two exchanges canonicalize DIFFERENTLY and exchange reuse
+    cannot merge them. This is the deliberate trade: the single-scan
+    alternatives all concentrate a hot word's full postings in one
+    task (df via a window over word = no partial aggregation; df via
+    collect_list = a multi-GB row for a stopword), which at 100 TB is
+    a straggler/OOM, not a win — the second scan is columnar,
+    pruned, and embarrassingly parallel. bm25_search avoids the
+    rescan only because its term list is finite (pivoted columns);
+    an unbounded vocabulary has no such pivot. Callers who amortize
+    (run many searches over one corpus) should materialize this
+    table once — ``search`` over a parquet-backed tf-idf pushes the
+    IN-list to the scan.
     """
     if total_docs is None:
         total_docs = docs.count()
