@@ -512,3 +512,77 @@ def test_degree_histogram_invariants(spark, n_edges, n_nodes, data):
     assert hist_in.get(0, 0) == len(verts) - len(set(ind))
     for d, n in Counter(ind.values()).items():
         assert hist_in[d] == n
+
+
+def _py_substring_runs(token_lists: list[list[str]], k: int, min_len: int):
+    """Brute-force reference for substring_runs: for each doc pair,
+    every maximal diagonal island of matching k-grams (the quadratic
+    definition the distributed operator must equal)."""
+    out = set()
+    grams = [
+        {i: " ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+        for t in token_lists
+    ]
+    for a in range(len(token_lists)):
+        for b in range(a + 1, len(token_lists)):
+            hits = {
+                (ia, ib)
+                for ia, ga in grams[a].items()
+                for ib, gb in grams[b].items()
+                if ga == gb
+            }
+            for ia, ib in hits:
+                if (ia - 1, ib - 1) in hits:
+                    continue  # not an island start
+                ln = 0
+                while (ia + ln, ib + ln) in hits:
+                    ln += 1
+                match_len = ln + k - 1
+                if match_len >= min_len:
+                    out.add((a + 1, b + 1, ia, ib, match_len))
+    return out
+
+
+def _py_strip(token_lists: list[list[str]], runs) -> dict[int, tuple[str, int]]:
+    spans: dict[int, set] = {i + 1: set() for i in range(len(token_lists))}
+    for _a, b, _ia, ib, ln in runs:
+        spans[b].update(range(ib, ib + ln))
+    out = {}
+    for i, toks in enumerate(token_lists):
+        did = i + 1
+        if spans[did]:
+            kept = [w for j, w in enumerate(toks) if j not in spans[did]]
+            out[did] = (" ".join(kept), len(toks) - len(kept))
+        else:
+            out[did] = (" ".join(toks), 0)
+    return out
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+        min_size=2,
+        max_size=4,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+    extra=st.integers(min_value=0, max_value=2),
+)
+def test_substring_runs_and_strip_match_bruteforce(spark, docs, k, extra):
+    """substring_runs == the quadratic maximal-island definition, and
+    strip_substring_runs == span-union removal from the higher-id doc,
+    on random corpora over a tiny alphabet (maximally collision-prone:
+    repeated grams, multi-diagonal matches, nested islands)."""
+    min_len = k + extra
+    rows = [(i + 1, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_runs = {
+        tuple(r) for r in dedup.substring_runs(df, k=k, min_len=min_len).collect()
+    }
+    want_runs = _py_substring_runs(docs, k, min_len)
+    assert got_runs == want_runs
+    got_strip = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.strip_substring_runs(df, k=k, min_len=min_len).collect()
+    }
+    assert got_strip == _py_strip(docs, want_runs)
