@@ -45,11 +45,24 @@ def release_result(df) -> None:
     documented NO-OP on checkpointed frames — the checkpoint pins its
     RDD outside the cache manager, so the only real handle is the
     ``LogicalRDD`` plan node's underlying RDD, which this reaches via
-    the analyzed plan. A lazy (non-checkpointed) DataFrame is accepted
-    and ignored — releasing a plan that pins nothing is a no-op, so
-    callers can release unconditionally (e.g. results obtained with
-    ``materialize=False``).
+    the analyzed plan. The WHOLE plan tree is walked, so composite
+    results built over checkpoints (``connected_components``' label
+    union over its materialized edge fixed point, a join of two
+    released operators' outputs) release every checkpoint they
+    reference, not just a checkpoint at the root. A lazy
+    (non-checkpointed) DataFrame is accepted and ignored — releasing a
+    plan that pins nothing is a no-op, so callers can release
+    unconditionally (e.g. results obtained with ``materialize=False``).
+
+    Shared-lineage caveat: a checkpoint referenced by TWO live frames
+    dies for both — release only when done with everything derived
+    from the result (the same rule as any manual unpersist).
     """
-    plan = df._jdf.queryExecution().analyzed()
-    if plan.getClass().getSimpleName() == "LogicalRDD":
-        plan.rdd().unpersist(False)
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        p = stack.pop()
+        if p.getClass().getSimpleName() == "LogicalRDD":
+            p.rdd().unpersist(False)
+        children = p.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))

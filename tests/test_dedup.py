@@ -626,3 +626,46 @@ def test_strip_substring_runs_extra_columns_ride_through(spark):
     }
     assert out[1] == ("a b c d e f", "web", 0)
     assert out[2] == ("", "books", 6)
+
+
+def test_release_result_walks_composite_plans(spark):
+    """release_result must free checkpoints ANYWHERE in the plan, not
+    just at the root — connected_components returns a union OVER its
+    materialized fixed point, and users join released operators'
+    outputs before releasing."""
+    from pagerank_mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    # composite: union of two root checkpoints
+    a = spark.createDataFrame([(1,)], "x long").localCheckpoint(eager=True)
+    b = spark.createDataFrame([(2,)], "x long").localCheckpoint(eager=True)
+    before = _cached_rdd_ids(spark)  # includes a and b
+    u = a.unionByName(b)
+    assert u.count() == 2
+    release_result(u)
+    # both roots' checkpoint RDDs are gone
+    assert len(_cached_rdd_ids(spark)) <= len(before) - 2
+
+    # the real composite: CC's final labels reference its edge/vertex
+    # checkpoints; release_result must reach them through union+join
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    pre = _cached_rdd_ids(spark)
+    out = connected_components(edges, algorithm="star")
+    labels = {r.vertex: r.component for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert _cached_rdd_ids(spark) - pre  # fixed point is pinned
+    release_result(out)
+    # the checkpoints the RESULT references are freed; iteration
+    # intermediates (unreferenced) are the ContextCleaner's job
+    import py4j
+
+    try:
+        out.count()
+        leaked = True
+    except py4j.protocol.Py4JJavaError:
+        leaked = False  # truncated lineage is gone = released
+    assert not leaked
