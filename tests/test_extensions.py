@@ -1158,3 +1158,26 @@ def test_mix_sources_hits_target_proportions(spark):
     # mixture by dropping out of the totals join (round-5 advice)
     with pytest.raises(ValueError, match="wob"):
         mix_sources(docs, {"wob": 0.5, "code": 0.5})
+
+
+def test_bm25_search_term_semantics(spark):
+    """Pivoted-plan edge semantics: duplicate query terms count once
+    (dict.fromkeys dedupe), empty term lists fail loud, and scores
+    rank a term-dense short doc above a sparse long one."""
+    from pagerank_mapreduce_implementation_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast"),
+            (2, "spark " + " ".join(f"w{i}" for i in range(60))),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.score for r in bm25_search(docs, ["spark"]).collect()}
+    assert set(scores) == {1, 2}  # doc 3 matches nothing -> no row
+    assert scores[1] > scores[2]  # tf-saturated + length-normalized
+    dup = {r.doc_id: r.score for r in bm25_search(docs, ["spark", "spark"]).collect()}
+    assert dup == scores  # a repeated term must not double its part
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_search(docs, [])
