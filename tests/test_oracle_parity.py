@@ -124,3 +124,43 @@ def test_rotation_policy_window_invariant():
         f"the last two driver files {[os.path.basename(p) for p in files[-2:]]}: "
         f"{stale} — rotate them forward"
     )
+
+
+def test_registry_rotation_invariant():
+    """The grading driver checks only the FIRST 50 queries() entries
+    per round, so every registry query must be green within the last
+    two rounds: (window this round) ∪ (green last round) must cover
+    the registry, and everything below the boundary must have a green
+    row in the LATEST correctness file. Guards the rotation policy
+    mechanically (round-6/7 verdicts each audited this by hand)."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        import pytest
+
+        pytest.skip("no driver correctness files yet")
+    latest = json.load(open(files[-1]))
+    green = {
+        k
+        for k, v in latest.items()
+        if isinstance(v, dict)
+        and v.get("rows_match")
+        and v.get("schema_match")
+        and not v.get("err")
+    }
+    qs = list(entrymod.queries())
+    window, below = set(qs[:50]), qs[50:]
+    stale_below = [k for k in below if k not in green]
+    assert not stale_below, (
+        f"queries below the 50-slot window lack a green row in "
+        f"{os.path.basename(files[-1])} (they will exceed the 2-round "
+        f"freshness budget): {stale_below} — rotate them into the window"
+    )
+    uncovered = set(qs) - window - green
+    assert not uncovered, f"neither windowed nor recently green: {uncovered}"
