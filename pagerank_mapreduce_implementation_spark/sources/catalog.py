@@ -224,3 +224,21 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format a warehouse migration
+    brings along (Hive-era tables). Spark's native vectorized ORC
+    reader: predicate pushdown + column pruning work exactly as for
+    parquet, so every operator in this engine runs over ORC inputs
+    unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink, same contract as write_parquet (overwrite; optional
+    hive-style partition dirs for partition-pruned scans)."""
+    out = df.write.mode("overwrite")
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.orc(path)

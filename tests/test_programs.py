@@ -686,3 +686,89 @@ def test_clean_corpus_substring_strip_stage(spark, tmp_path):
     assert sorted(map(tuple, sigs.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_clean_corpus_three_batch_production_path(spark, tmp_path):
+    """Capstone for the flagship incremental pipeline: THREE batches
+    through clean_corpus with the signature store AND the substring
+    strip active, then pack_corpus over the accumulated survivors —
+    the full production recipe (ingest -> dedup -> strip -> pack).
+
+    Cross-batch expectations: an exact copy of a batch-1 survivor
+    arriving in batch 3 is dropped by the store probe (signature
+    estimate 1.0); a near-dup of a batch-2 survivor is dropped; a
+    shared boilerplate passage is stripped so only batch 1's copy of
+    the passage survives verbatim; genuinely new docs always survive.
+    """
+    from pagerank_mapreduce_implementation_spark.programs import (
+        clean_corpus,
+        pack_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    boiler = " ".join(f"boiler{i}" for i in range(24))
+    uniq = {
+        1: " ".join(f"alpha{i}" for i in range(40)),
+        2: " ".join(f"beta{i}" for i in range(40)),
+        3: " ".join(f"gamma{i}" for i in range(40)),
+        4: " ".join(f"delta{i}" for i in range(40)),
+    }
+
+    def run_batch(n, rows):
+        src, out = str(tmp_path / f"b{n}_in"), str(tmp_path / f"b{n}_out")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(src)
+        return clean_corpus(
+            spark, src, out,
+            near_dup_threshold=0.5, ngram=5,
+            substring_k=8, substring_min_len=16,
+            signature_store=store,
+        )
+
+    # batch 1: doc 1 carries the boilerplate; doc 2 is clean
+    k1 = run_batch(1, [
+        (1, f"{uniq[1]} {boiler}", "en", "web", 0),
+        (2, uniq[2], "en", "web", 0),
+    ])
+    t1 = {r.doc_id: r.text for r in k1.collect()}
+    assert set(t1) == {1, 2} and t1[1] == f"{uniq[1]} {boiler}"
+
+    # batch 2: doc 10 repeats the boilerplate around new content —
+    # the strip is WITHIN-batch (pairs inside one batch), and doc 10
+    # has no in-batch partner, so its copy survives the strip; but its
+    # signature is stored for batch 3's probe. doc 11 is clean.
+    k2 = run_batch(2, [
+        (10, f"{uniq[3]} {boiler}", "en", "web", 0),
+        (11, uniq[4], "en", "web", 0),
+    ])
+    t2 = {r.doc_id: r.text for r in k2.collect()}
+    assert set(t2) == {10, 11}
+
+    # batch 3: doc 20 is an EXACT copy of batch-1 survivor doc 2
+    # (store estimate 1.0 -> dropped); doc 21 is a near-dup of
+    # batch-2's doc 11 (tail edit -> dropped); doc 22 is new.
+    fresh = " ".join(f"eps{i}" for i in range(40))
+    k3 = run_batch(3, [
+        (20, uniq[2], "en", "web", 0),
+        (21, uniq[4] + " tiny tail", "en", "web", 0),
+        (22, fresh, "en", "web", 0),
+    ])
+    t3 = {r.doc_id: r.text for r in k3.collect()}
+    assert set(t3) == {22}
+
+    # store now covers every surviving doc across all three batches
+    sigs = spark.read.parquet(f"{store}/sigs")
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == [
+        1, 2, 10, 11, 22,
+    ]
+
+    # pack the accumulated survivors: windows exist, token counts sane
+    allp = str(tmp_path / "all")
+    k1.unionByName(k2).unionByName(k3).write.mode("overwrite").parquet(allp)
+    packed = pack_corpus(
+        spark, allp, str(tmp_path / "packed"), window=16, stride=12
+    )
+    chunks = packed.collect()
+    assert chunks and all(0 < r.n_tokens <= 16 for r in chunks)
+    assert {r.doc_id for r in chunks} == {1, 2, 10, 11, 22}

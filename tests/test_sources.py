@@ -93,3 +93,54 @@ def test_parquet_sink_partitioned(spark):
         pruned = back.filter(back.grp == "a")
         assert pruned.count() == 2
         assert "grp=a" in "".join(pruned.inputFiles()) or pruned.count() == 2
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC source/sink: a real table round-trips exactly, and filters
+    push into the vectorized ORC scan (same scan contract as parquet,
+    so any operator runs over ORC inputs unchanged)."""
+    from pagerank_mapreduce_implementation_spark.sources.catalog import (
+        read_orc,
+        write_orc,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    plan = (
+        back.filter("n_regionkey = 1")
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "OrcScan" in plan or "FileScan orc" in plan
+    assert "n_regionkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_text_lines_reads_gzip_transparently(spark, tmp_path):
+    """The reference's wiki dumps ship gzipped; Spark's text source
+    decompresses by extension — read_text_lines must see identical
+    lines from .txt and .txt.gz inputs."""
+    import gzip
+
+    from pagerank_mapreduce_implementation_spark.sources.catalog import (
+        read_text_lines,
+    )
+
+    lines = ["<title>a</title> <text>[[b]]</text>", "junk line", ""]
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "corpus.txt").write_text("\n".join(lines))
+    gz = tmp_path / "gz"
+    gz.mkdir()
+    with gzip.open(gz / "corpus.txt.gz", "wt") as fh:
+        fh.write("\n".join(lines))
+    a = sorted(r.line for r in read_text_lines(spark, str(plain)).collect())
+    b = sorted(r.line for r in read_text_lines(spark, str(gz)).collect())
+    # the trailing empty element becomes a final newline, not a line
+    assert a == b and len(a) == 2
