@@ -207,6 +207,8 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     a_i < 2^28, base < 2^31, so products stay far below 2^63 — the
     arithmetic is overflow-exact in both Spark and the SQL oracle.
     """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes ({num_hashes}) must be >= 1")
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
         "long"
     ) % F.lit(MINHASH_P)

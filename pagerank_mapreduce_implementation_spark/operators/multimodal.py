@@ -186,6 +186,10 @@ def sample_frames(
     """Video frame sampling stub: explode 1-in-N frames per payload to
     ``(doc_id, frame_idx, frame)``. Raises unless a real container
     demuxer is supplied (none ships here)."""
+    if every_n < 1:
+        # would divide-by-zero INSIDE the Arrow batch, failing the job
+        # with an executor stack instead of at the call site
+        raise ValueError(f"every_n ({every_n}) must be >= 1")
     if decoder is None:
         raise NotImplementedError(
             "video demuxing is stubbed: no container/codec library in this "
@@ -435,6 +439,10 @@ def wav_feature_extractor(b: bytes, frames: int = 2) -> list[float]:
     never a 0/0; an oracle must mirror the same guards."""
     import math
 
+    if frames < 1:
+        # frames=0 would silently return [] — an empty feature vector
+        # masquerading as a successful extraction
+        raise ValueError(f"frames ({frames}) must be >= 1")
     _, samples = _wav_parse(b)
     n = len(samples)
     feats: list[float] = []

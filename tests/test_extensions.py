@@ -1181,3 +1181,20 @@ def test_bm25_search_term_semantics(spark):
     assert dup == scores  # a repeated term must not double its part
     with pytest.raises(ValueError, match="at least one query term"):
         bm25_search(docs, [])
+
+
+def test_parameter_guards_fail_loud(spark):
+    """Round-8 validation sweep: params that used to fail with an
+    obscure internal error (empty-agg assertion, Arrow-batch division
+    by zero, a silent [] return) must raise ValueError at the call."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    sh = spark.createDataFrame([(1, "a")], "doc_id long, shingle string")
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.minhash_signatures(sh, num_hashes=0)
+    blobs = spark.createDataFrame([], "doc_id long, content binary")
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.sample_frames(blobs, every_n=0, decoder=lambda b: [])
+    sig = multimodal.wav_encode(multimodal.wav_test_signal(1))
+    with pytest.raises(ValueError, match="frames"):
+        multimodal.wav_feature_extractor(sig, frames=0)
