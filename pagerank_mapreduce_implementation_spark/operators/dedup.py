@@ -965,11 +965,24 @@ def embedding_near_dup_survivors(
     buckets are missed (documented in cosine_pairs_lsh); the SQL
     oracle mirrors the identical sketch construction, so parity is
     exact by design.
+
+    The pair set materializes eagerly inside (cosine_pairs_lsh's
+    default cadence — the sketch fold runs over the vectors once), so
+    the returned survivors frame references a pinned checkpoint:
+    release with ``util.release_result(survivors)`` when done (it
+    walks composite plans), or let ``programs.clean_corpus``'s
+    RDD-layer release handle it.
     """
     from pagerank_mapreduce_implementation_spark.operators.similarity import cosine_pairs_lsh
 
     pairs = cosine_pairs_lsh(
-        emb, threshold, num_planes, bands, id_col=id_col, vec_col=vec_col
+        emb,
+        threshold,
+        num_planes,
+        bands,
+        id_col=id_col,
+        vec_col=vec_col,
+        materialize=True,
     )
     dropped = pairs.select(F.col("vec_b").alias(doc_col)).distinct()
     # survivors keep the caller's own columns — projecting a fixed

@@ -294,6 +294,7 @@ def cosine_pairs_lsh(
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """All-pairs cosine >= threshold, candidates from banded hyperplane
     buckets (OR-of-ANDs): ``(vec_a, vec_b, cos)``.
@@ -308,38 +309,61 @@ def cosine_pairs_lsh(
     the (bands, num_planes) knobs trade candidate volume for recall:
     more, smaller bands -> higher recall AND coarser per-band buckets
     (the thing a single wide band gets wrong at corpus scale).
+
+    ``materialize=False`` (default — the op's historical shape):
+    fully lazy, nothing pinned; each action computes the sketch once
+    per join side (audited round 8: 3 scans of the embedding source).
+    ``materialize=True`` is the dedup-module cadence: the bucket table
+    — both sides of the self-join — is persisted so the sketch fold
+    runs over the vectors ONCE (the thing that matters when the
+    vector scan dominates), and the (small) verified pair set returns
+    as an eager checkpoint; release with ``util.release_result`` when
+    done (only id/band/key rows are pinned, never the vectors).
+    A/B at sf0.1: the one-shot lazy query is faster (the checkpoint
+    job + block writes outweigh the saved sketch pass at small scan
+    cost), while consumers that reuse the pairs or anti-join them
+    (``embedding_near_dup_survivors``) measure faster materialized —
+    pick per call shape; at vector-scan-bound scale True saves a full
+    corpus pass.
     """
     buckets = hyperplane_band_buckets(emb, num_planes, bands, id_col, vec_col)
-    cand = (
-        buckets.withColumnRenamed("vec_id", "vec_a")
-        .join(buckets.select(F.col("vec_id").alias("vec_b"), "band", "key"), ["band", "key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
-    )
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-                "cos"
-            ),
+    if materialize:
+        buckets = buckets.persist()
+    try:
+        cand = (
+            buckets.withColumnRenamed("vec_id", "vec_a")
+            .join(buckets.select(F.col("vec_id").alias("vec_b"), "band", "key"), ["band", "key"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
         )
-        .filter(F.col("cos") >= threshold)
-    )
+        base = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        a = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+        )
+        b = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+        )
+        out = (
+            cand.join(a, "vec_a")
+            .join(b, "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                    "cos"
+                ),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+        return out.localCheckpoint(eager=True) if materialize else out
+    finally:
+        if materialize:
+            buckets.unpersist()
 
 
 def cosine_matches_ab(

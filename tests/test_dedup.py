@@ -669,3 +669,30 @@ def test_release_result_walks_composite_plans(spark):
     except py4j.protocol.Py4JJavaError:
         leaked = False  # truncated lineage is gone = released
     assert not leaked
+
+
+def test_cosine_pairs_lsh_materialize_contract(spark):
+    """The similarity pair op exposes the dedup cadence as opt-in:
+    the lazy default pins nothing; materialize=True persists the
+    bucket table for ONE sketch pass and returns a releasable
+    checkpoint with identical rows."""
+    import random
+
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    before = _cached_rdd_ids(spark)
+    lazy = sorted(
+        tuple(r) for r in similarity.cosine_pairs_lsh(emb, 0.3).collect()
+    )
+    assert not _cached_rdd_ids(spark) - before  # lazy default pins nothing
+    out = similarity.cosine_pairs_lsh(emb, 0.3, materialize=True)
+    assert sorted(tuple(r) for r in out.collect()) == lazy and lazy
+    assert _cached_rdd_ids(spark) - before
+    release_result(out)
+    assert not _cached_rdd_ids(spark) - before

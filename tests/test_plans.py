@@ -137,21 +137,46 @@ def test_tfidf_df_join_broadcast_by_aqe_not_hint(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
-def test_cosine_pairs_candidates_from_band_buckets(plans):
+def test_cosine_pairs_candidates_from_band_buckets(spark, sf_dir):
     # banded LSH: candidates come from the (band, key) bucket join —
-    # never a cartesian/nested-loop product of the vector table
-    p = plans("cosine_pairs")
+    # never a cartesian/nested-loop product of the vector table.
+    # materialize=False exposes the real plan (the default returns a
+    # checkpoint scan — same rows, invisible lineage)
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    p = plan_of(similarity.cosine_pairs_lsh(emb, 0.2, bands=4, materialize=False))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     # the pair-dedup before exact scoring is a real aggregation step
     assert "HashAggregate" in p
 
 
-def test_embedding_dedup_anti_join_no_cartesian(plans):
-    p = plans("embedding_dedup")
-    assert "CartesianProduct" not in p
-    # the drop list is small -> broadcast anti join
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+def test_embedding_dedup_anti_join_no_cartesian(spark, sf_dir):
+    # the checkpointed pair set feeds ONE anti-join against the docs;
+    # audit the drop-list join on the returned (composite) plan
+    from pagerank_mapreduce_implementation_spark.operators import dedup as dd
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    out = dd.embedding_near_dup_survivors(
+        cat.documents, cat.embeddings, threshold=0.2, bands=4
+    )
+    try:
+        # the drop list is a checkpoint scan with NO plan-time stats,
+        # so the static plan defaults to SMJ; AQE measures the tiny
+        # materialized pair set at runtime and converts the anti-join
+        # to broadcast — assert on the EXECUTED adaptive plan
+        out.collect()
+        p = plan_of(out).split("+- == Initial Plan ==")[0]
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p
+        assert "SortMergeJoin" not in p
+    finally:
+        from pagerank_mapreduce_implementation_spark.util import release_result
+
+        release_result(out)
 
 
 def test_salted_word_count_two_phase(plans):
