@@ -691,3 +691,93 @@ def phash_test_image(doc_id: int) -> bytes:
     cells = v.reshape(8, 8).astype(np.uint8)
     px16 = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
     return ppm_encode(np.stack([px16] * 3, axis=2))
+
+
+def wav_fingerprint(b: bytes, bits: int = PHASH_BITS) -> int:
+    """Energy-delta audio fingerprint over a WAV PCM16 payload — the
+    audio member of the shared 60-bit near-dup family (text SimHash,
+    image pHash): bit ``j`` is set iff frame ``j+1`` carries MORE
+    energy than frame ``j``, over ``bits + 1`` equal time slices.
+    The classic robust-audio-hash shape (cf. Haitsma & Kalker 2002's
+    band-energy-delta fingerprint, mono-band variant): amplitude
+    scaling multiplies every frame energy by the same factor, so the
+    delta SIGNS — and the hash — are invariant to gain changes, the
+    audio analog of the DCT hash's brightness invariance
+    (``tests/test_phash.py`` pins a half-gain golden).
+
+    Frame energy is the INTEGER sum of squared samples (int64-exact:
+    max 32768^2 * samples-per-frame, far below 2^63 for any real
+    clip), so the fingerprint is bit-reproducible everywhere.
+    Clips shorter than ``bits + 1`` samples raise — a fingerprint of
+    mostly-empty frames would collide everything short.
+    """
+    _, samples = _wav_parse(b)
+    n = len(samples)
+    frames = bits + 1
+    if n < frames:
+        raise ValueError(
+            f"clip has {n} samples < {frames} fingerprint frames; "
+            "pad or skip sub-second stubs instead of hashing them"
+        )
+    s = samples.astype("int64")
+    energies = [
+        int((s[(f * n) // frames : ((f + 1) * n) // frames] ** 2).sum())
+        for f in range(frames)
+    ]
+    out = 0
+    for j in range(bits):
+        if energies[j + 1] > energies[j]:
+            out |= 1 << j
+    return out
+
+
+def audio_fingerprints(
+    blobs: DataFrame,
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Audio fingerprint per WAV blob: ``(doc_id, afp)`` through the
+    same Arrow ``mapInPandas`` plumbing as ``phash_images``. Inject
+    ``hasher`` for compressed formats (decode to PCM16 first)."""
+    fn = hasher or wav_fingerprint
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": pdf["content"].map(lambda b: fn(bytes(b))).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema="doc_id bigint, afp bigint")
+
+
+def audio_near_dups(
+    blobs: DataFrame,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    hasher: Callable[[bytes], int] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Audio near-dup pairs by energy-delta fingerprint:
+    ``(doc_a, doc_b, hamming)`` — re-encoded/re-gained copies of one
+    recording land within a few bits (speech-corpus curation's audio
+    dedup). Identical cadence and contract to ``phash_near_dups``:
+    one Arrow hashing pass (persisted so the band self-join reads it
+    twice without re-decoding) into the shared 15-bit-chunk Hamming
+    band join; ``materialize=False`` returns the lazy plan, the
+    default returns a releasable eager checkpoint
+    (``util.release_result``)."""
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    fp = audio_fingerprints(blobs, hasher)
+    if not materialize:
+        return hamming_band_pairs(fp, "afp", max_hamming, chunks, PHASH_BITS)
+    fp = fp.persist()
+    try:
+        out = hamming_band_pairs(fp, "afp", max_hamming, chunks, PHASH_BITS)
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()

@@ -149,3 +149,59 @@ def test_dcthash_parameter_validation():
 
     with pytest.raises(ValueError, match="AC coefficients"):
         mm.ppm_dcthash(mm.phash_test_image(0), keep=7)  # 48 < 60
+
+
+def test_wav_fingerprint_gain_invariant():
+    """The audio hash's reason to exist: amplitude scaling multiplies
+    every frame energy by the same factor, so the delta signs — and
+    the fingerprint — are identical at half gain."""
+    import numpy as np
+
+    sig = mm.wav_test_signal(7, base=256)
+    half = (sig.astype(np.int64) // 2).astype("<i2")
+    fp = mm.wav_fingerprint(mm.wav_encode(sig))
+    assert fp == mm.wav_fingerprint(mm.wav_encode(half))
+    assert 0 < bin(fp).count("1") < 60  # real deltas, not constant
+
+
+def test_wav_fingerprint_discriminates_and_rejects_stubs():
+    import numpy as np
+    import pytest
+
+    a = mm.wav_fingerprint(mm.wav_encode(mm.wav_test_signal(1, base=256)))
+    b = mm.wav_fingerprint(mm.wav_encode(mm.wav_test_signal(900, base=256)))
+    assert bin(a ^ b).count("1") > 8
+    with pytest.raises(ValueError, match="fingerprint frames"):
+        mm.wav_fingerprint(mm.wav_encode(np.zeros(10, dtype="<i2")))
+
+
+def test_audio_near_dups_finds_regained_copy(spark):
+    """End-to-end: a re-gained copy pairs at Hamming 0 through the
+    shared band join; unrelated clips stay apart; the materialize
+    contract matches phash_near_dups."""
+    import numpy as np
+
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    sig = mm.wav_test_signal(7, base=256)
+    half = (sig.astype(np.int64) // 2).astype("<i2")
+    other = mm.wav_test_signal(901, base=256)
+    blobs = spark.createDataFrame(
+        [
+            (1, mm.wav_encode(sig)),
+            (2, mm.wav_encode(half)),
+            (3, mm.wav_encode(other)),
+        ],
+        "doc_id long, content binary",
+    )
+    lazy = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm.audio_near_dups(blobs, max_hamming=6, materialize=False).collect()
+    }
+    assert lazy.get((1, 2)) == 0
+    assert (1, 3) not in lazy and (2, 3) not in lazy
+    out = mm.audio_near_dups(blobs, max_hamming=6)
+    assert {
+        (r.doc_a, r.doc_b): r.hamming for r in out.collect()
+    } == lazy
+    release_result(out)
