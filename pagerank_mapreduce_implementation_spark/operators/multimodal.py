@@ -781,3 +781,86 @@ def audio_near_dups(
         return out.localCheckpoint(eager=True)
     finally:
         fp.unpersist()
+
+
+def video_frame_hashes(
+    blobs: DataFrame,
+    every_n: int = 1,
+    demuxer: Callable[[bytes], list[bytes]] | None = None,
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for video payloads:
+    ``(doc_id, frame_idx, fhash)`` — demux through ``sample_frames``
+    (default: the real ``frames_demuxer`` over the packed container),
+    then the image hash (default ``ppm_ahash``) over each kept frame
+    in a second Arrow pass. Two ``mapInPandas`` stages, both narrow —
+    the frame explosion never shuffles."""
+    fn = hasher or ppm_ahash
+    frames = sample_frames(blobs, every_n, decoder=demuxer or frames_demuxer)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "fhash": pdf["frame"].map(lambda b: fn(bytes(b))).astype("int64"),
+                }
+            )
+
+    return frames.mapInPandas(run, schema="doc_id bigint, frame_idx int, fhash bigint")
+
+
+def video_near_dups(
+    blobs: DataFrame,
+    min_shared: int = 2,
+    every_n: int = 1,
+    max_frame_df: int | None = None,
+    demuxer: Callable[[bytes], list[bytes]] | None = None,
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Video near-dup pairs by SHARED FRAME HASHES:
+    ``(doc_a, doc_b, shared_frames)`` for pairs sharing at least
+    ``min_shared`` distinct perceptual frame hashes — the standard
+    clip-dedup shape (re-encodes, trims, and re-containered copies
+    keep runs of visually-identical frames; whole-file hashing sees
+    none of that). The video member of the near-dup family: where
+    text pairs on shingles and images band on one hash, videos pair
+    on their frame-hash SETS — physically the ``ngram_jaccard`` plan
+    (distinct (doc, key) rows -> key-equi self-join -> pair count),
+    so the scale properties are the proven ones: one frame-hash-keyed
+    shuffle, candidates bounded per key.
+
+    ``max_frame_df`` is the stop-frame cap (the ``max_shingle_df``
+    rail): a ubiquitous frame — black frames, title cards — pairs its
+    whole doc list quadratically; hashes appearing in more than
+    ``max_frame_df`` videos are dropped before pairing, deterministic
+    df-cap semantics as documented for shingles. Lazy plan: nothing
+    pinned (the per-doc distinct hash table is corpus-sized; persist
+    belongs to the caller running several passes)."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared ({min_shared}) must be >= 1")
+    fh = (
+        video_frame_hashes(blobs, every_n, demuxer, hasher)
+        .select("doc_id", "fhash")
+        .distinct()
+    )
+    if max_frame_df is not None:
+        if max_frame_df < 1:
+            raise ValueError(f"max_frame_df ({max_frame_df}) must be >= 1")
+        hot = (
+            fh.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_frame_df)
+            .select("fhash")
+        )
+        fh = fh.join(hot, "fhash", "left_anti")
+    other = fh.select(F.col("doc_id").alias("doc_b"), "fhash")
+    return (
+        fh.select(F.col("doc_id").alias("doc_a"), "fhash")
+        .join(other, "fhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )

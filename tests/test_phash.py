@@ -205,3 +205,67 @@ def test_audio_near_dups_finds_regained_copy(spark):
         (r.doc_a, r.doc_b): r.hamming for r in out.collect()
     } == lazy
     release_result(out)
+
+
+def _video(frame_ids, flip=None):
+    """Packed container of test-image frames; optional per-frame cell
+    inversion to make a 'different' frame."""
+    frames = []
+    for j, fid in enumerate(frame_ids):
+        if flip is not None and j in flip:
+            fid = fid + 1000  # a different deterministic frame
+        frames.append(mm.phash_test_image(fid))
+    return mm.frames_pack(frames)
+
+
+def test_video_near_dups_shared_frames(spark):
+    """Clips sharing frames pair with the exact shared-count; a trimmed
+    re-container (subset of frames) still pairs; unrelated clips do
+    not; min_shared gates weak overlaps."""
+    v1 = _video([0, 4, 8, 12])
+    v2 = _video([4, 8, 12, 16])       # shares 3 frames with v1
+    v3 = _video([8, 100, 104, 108])   # shares 1 frame with v1/v2
+    v4 = _video([200, 204, 208])      # unrelated
+    blobs = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3), (4, v4)], "doc_id long, content binary"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_frames
+        for r in mm.video_near_dups(blobs, min_shared=2).collect()
+    }
+    assert pairs == {(1, 2): 3}
+    loose = {
+        (r.doc_a, r.doc_b): r.shared_frames
+        for r in mm.video_near_dups(blobs, min_shared=1).collect()
+    }
+    assert loose[(1, 2)] == 3 and loose[(1, 3)] == 1 and loose[(2, 3)] == 1
+    assert not any(4 in p for p in loose)
+
+
+def test_video_near_dups_stop_frame_cap(spark):
+    """A ubiquitous frame (title card in every clip) pairs everything;
+    the df cap drops it before pairing, keeping only genuine overlap."""
+    title = 500
+    blobs = spark.createDataFrame(
+        [
+            (1, _video([title, 0, 4])),
+            (2, _video([title, 0, 8])),
+            (3, _video([title, 100, 104])),
+            (4, _video([title, 200, 204])),
+        ],
+        "doc_id long, content binary",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in mm.video_near_dups(blobs, min_shared=1).collect()
+    }
+    assert uncapped == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    capped = {
+        (r.doc_a, r.doc_b): r.shared_frames
+        for r in mm.video_near_dups(blobs, min_shared=1, max_frame_df=3).collect()
+    }
+    assert capped == {(1, 2): 1}  # only the real shared frame survives
+    import pytest
+
+    with pytest.raises(ValueError, match="min_shared"):
+        mm.video_near_dups(blobs, min_shared=0)
