@@ -818,6 +818,7 @@ def video_near_dups(
     max_frame_df: int | None = None,
     demuxer: Callable[[bytes], list[bytes]] | None = None,
     hasher: Callable[[bytes], int] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Video near-dup pairs by SHARED FRAME HASHES:
     ``(doc_a, doc_b, shared_frames)`` for pairs sharing at least
@@ -835,9 +836,16 @@ def video_near_dups(
     rail): a ubiquitous frame — black frames, title cards — pairs its
     whole doc list quadratically; hashes appearing in more than
     ``max_frame_df`` videos are dropped before pairing, deterministic
-    df-cap semantics as documented for shingles. Lazy plan: nothing
-    pinned (the per-doc distinct hash table is corpus-sized; persist
-    belongs to the caller running several passes)."""
+    df-cap semantics as documented for shingles.
+
+    ``materialize=True`` (default — the phash cadence, and here it
+    matters most: video DECODE is the dominant cost, and the self-join
+    reads the hash table twice, so lazily it would demux+hash every
+    clip once PER SIDE): the distinct frame-hash table is persisted
+    for the join and the (small) pair set returns as a releasable
+    eager checkpoint (``util.release_result``). ``materialize=False``
+    returns the lazy plan — nothing pinned, double decode per action.
+    """
     if min_shared < 1:
         raise ValueError(f"min_shared ({min_shared}) must be >= 1")
     fh = (
@@ -845,22 +853,31 @@ def video_near_dups(
         .select("doc_id", "fhash")
         .distinct()
     )
-    if max_frame_df is not None:
-        if max_frame_df < 1:
-            raise ValueError(f"max_frame_df ({max_frame_df}) must be >= 1")
-        hot = (
-            fh.groupBy("fhash")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_frame_df)
-            .select("fhash")
+    if materialize:
+        fh = fh.persist()
+    try:
+        if max_frame_df is not None:
+            if max_frame_df < 1:
+                raise ValueError(f"max_frame_df ({max_frame_df}) must be >= 1")
+            hot = (
+                fh.groupBy("fhash")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_frame_df)
+                .select("fhash")
+            )
+            capped = fh.join(hot, "fhash", "left_anti")
+        else:
+            capped = fh
+        other = capped.select(F.col("doc_id").alias("doc_b"), "fhash")
+        out = (
+            capped.select(F.col("doc_id").alias("doc_a"), "fhash")
+            .join(other, "fhash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared_frames"))
+            .filter(F.col("shared_frames") >= min_shared)
         )
-        fh = fh.join(hot, "fhash", "left_anti")
-    other = fh.select(F.col("doc_id").alias("doc_b"), "fhash")
-    return (
-        fh.select(F.col("doc_id").alias("doc_a"), "fhash")
-        .join(other, "fhash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_frames"))
-        .filter(F.col("shared_frames") >= min_shared)
-    )
+        return out.localCheckpoint(eager=True) if materialize else out
+    finally:
+        if materialize:
+            fh.unpersist()

@@ -269,3 +269,32 @@ def test_video_near_dups_stop_frame_cap(spark):
 
     with pytest.raises(ValueError, match="min_shared"):
         mm.video_near_dups(blobs, min_shared=0)
+
+
+def test_video_near_dups_materialize_contract(spark):
+    """Default materializes (ONE demux+hash pass for both join sides —
+    decode dominates for video) and releases; lazy mode pins nothing
+    and returns identical rows."""
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    def cached():
+        return {
+            int(i.id())
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    blobs = spark.createDataFrame(
+        [(1, _video([0, 4, 8])), (2, _video([4, 8, 12])), (3, _video([100, 104, 108]))],
+        "doc_id long, content binary",
+    )
+    before = cached()
+    lazy = sorted(
+        tuple(r)
+        for r in mm.video_near_dups(blobs, min_shared=1, materialize=False).collect()
+    )
+    assert not cached() - before
+    out = mm.video_near_dups(blobs, min_shared=1)
+    assert sorted(tuple(r) for r in out.collect()) == lazy and lazy
+    assert cached() - before
+    release_result(out)
+    assert not cached() - before
