@@ -298,3 +298,33 @@ def test_video_near_dups_materialize_contract(spark):
     assert cached() - before
     release_result(out)
     assert not cached() - before
+
+
+def test_wav_fingerprint_matches_duckdb_oracle():
+    """Cross-engine anchor (the audio_features oracle move): the
+    fingerprint is pure integer arithmetic, so DuckDB can regenerate
+    the deterministic test signals analytically and reproduce every
+    bit — the oracle a future registry entry would use."""
+    import duckdb
+
+    bits, frames, base = 60, 61, 256
+    sql = f"""
+    WITH d AS (SELECT doc_id, {base} + doc_id % {base} AS n
+               FROM range(0, 40) t(doc_id)),
+    s AS (SELECT doc_id, n, list_transform(range(0, n),
+               i -> (doc_id*31 + i*17) % 256 - 128) AS sm FROM d),
+    e AS (SELECT doc_id, list_transform(range(0, {frames}),
+               f -> list_sum(list_transform(
+                   sm[(f*n)//{frames} + 1 : ((f+1)*n)//{frames}],
+                   v -> v*v))) AS en FROM s)
+    SELECT doc_id, list_sum(list_transform(range(0, {bits}),
+        j -> CASE WHEN en[j+2] > en[j+1] THEN (1::BIGINT << j)
+             ELSE 0 END))::BIGINT AS afp
+    FROM e ORDER BY doc_id
+    """
+    oracle = dict(duckdb.connect().execute(sql).fetchall())
+    for doc_id in range(40):
+        got = mm.wav_fingerprint(
+            mm.wav_encode(mm.wav_test_signal(doc_id, base=base))
+        )
+        assert got == oracle[doc_id], doc_id
