@@ -328,3 +328,50 @@ def test_wav_fingerprint_matches_duckdb_oracle():
             mm.wav_encode(mm.wav_test_signal(doc_id, base=base))
         )
         assert got == oracle[doc_id], doc_id
+
+
+def test_video_near_dups_matches_duckdb_oracle(spark):
+    """Cross-engine anchor for the video op: clips built as 3 frames
+    per doc with fid = doc_id + {0,1,2} (consecutive docs overlap in 2
+    frames), the oracle regenerating every frame's average hash from
+    the md5 cell formula (the image_phash_dups oracle's hash
+    expression) and mirroring the distinct/self-join/pair-count."""
+    import duckdb
+
+    n_docs, fpd = 18, 3
+    blobs = spark.createDataFrame(
+        [
+            (d, mm.frames_pack([mm.phash_test_image(d + k) for k in range(fpd)]))
+            for d in range(n_docs)
+        ],
+        "doc_id long, content binary",
+    )
+    got = sorted(
+        tuple(r)
+        for r in mm.video_near_dups(blobs, min_shared=2, materialize=False).collect()
+    )
+    sql = f"""
+    WITH docs AS (SELECT doc_id FROM range(0, {n_docs}) t(doc_id)),
+    fr AS (SELECT doc_id, doc_id + k AS fid
+           FROM docs, unnest(range(0, {fpd})) u(k)),
+    cells AS (SELECT fid, j,
+        CASE WHEN j >= 15*(fid % 4) AND j < 15*(fid % 4) + 4
+        THEN 255 - (('0x' || substr(md5(CAST(fid // 4 AS VARCHAR)
+             || ':' || CAST(j AS VARCHAR)), 1, 2))::INT)
+        ELSE ('0x' || substr(md5(CAST(fid // 4 AS VARCHAR)
+             || ':' || CAST(j AS VARCHAR)), 1, 2))::INT END AS v
+        FROM (SELECT DISTINCT fid FROM fr), unnest(range(0, 64)) u(j)),
+    m AS (SELECT fid, CAST(sum(v) AS DOUBLE)/64.0 AS mean
+          FROM cells GROUP BY fid),
+    fp AS (SELECT c.fid, sum(CASE WHEN c.j < 60 AND c.v >= m.mean
+           THEN (1::BIGINT << CAST(c.j AS INT)) ELSE 0 END) AS fhash
+           FROM cells c JOIN m ON c.fid = m.fid GROUP BY c.fid),
+    fh AS (SELECT DISTINCT fr.doc_id, fp.fhash
+           FROM fr JOIN fp ON fr.fid = fp.fid)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           count(*) AS shared_frames
+    FROM fh x JOIN fh y ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2
+    """
+    oracle = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == oracle and got  # non-empty: consecutive docs overlap
