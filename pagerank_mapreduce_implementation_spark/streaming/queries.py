@@ -531,3 +531,96 @@ def run_to_memory(
     finally:
         if old is not None:
             spark.conf.set(conf_key, old)
+
+
+def streaming_phash_probe(
+    blobs: DataFrame,
+    seen_fp: DataFrame,
+    max_hamming: int = 10,
+    chunks: int = 4,
+    hasher=None,
+    broadcast_store: bool = True,
+) -> DataFrame:
+    """Streaming IMAGE near-dup probe: an unbounded blob stream checked
+    against a STATIC perceptual-hash store (``seen_fp``: ``(doc_id,
+    phash)`` — the layout ``multimodal.phash_images`` persists) — the
+    multimodal twin of ``streaming_minhash_probe``, built from the
+    identical pieces: a stateless per-row fingerprint (here the Arrow
+    ``mapInPandas`` hashing pass, which Structured Streaming runs
+    per-micro-batch with no state), the 15-bit-chunk pigeonhole
+    explode, and a stream-static join against the store's chunk index
+    (broadcast under ``broadcast_store``, else a shuffle against the
+    bucketed-on-disk store — stateless either way).
+
+    Emits one row per stream doc with a verified match:
+    ``(doc_id, dup_store_id, min_hamming)`` — the smallest matching
+    store doc and the closest distance. The final per-doc aggregation
+    is the ONLY stateful operator, bounded by the number of MATCHED
+    stream docs, exactly the minhash probe's contract. Recall is the
+    batch operator's (chunks-1 Hamming guaranteed, banded above), so
+    the batch composition is the oracle.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.multimodal import (
+        PHASH_BITS,
+        phash_images,
+    )
+
+    bits_per = PHASH_BITS // chunks
+    fp = phash_images(blobs, hasher)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.expr(f"shiftright(phash, {c * bits_per})")
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .alias("key"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    stream_chunks = fp.select(
+        "doc_id", "phash", F.explode(chunk_structs).alias("cc")
+    ).select(
+        "doc_id",
+        "phash",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.key").alias("key"),
+    )
+    store = seen_fp.select(
+        F.col("doc_id").alias("store_id"), F.col("phash").alias("fp_s")
+    )
+    store_chunks = store.select(
+        "store_id",
+        "fp_s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.expr(f"shiftright(fp_s, {c * bits_per})")
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            ).alias("cc")
+        ).alias("cc"),
+    ).select(
+        "store_id",
+        "fp_s",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.key").alias("key"),
+    )
+    if broadcast_store:
+        store_chunks = F.broadcast(store_chunks)
+    hamming = F.bit_count(F.col("phash").bitwiseXOR(F.col("fp_s")))
+    return (
+        stream_chunks.join(store_chunks, ["chunk", "key"])
+        .filter(hamming <= max_hamming)
+        .select("doc_id", "store_id", hamming.alias("hamming"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("store_id").alias("dup_store_id"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )

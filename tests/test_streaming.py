@@ -249,3 +249,52 @@ def test_events_stream_reads_file_uri_directory(spark, tmp_path):
         ev.groupBy().count().withColumnRenamed("count", "n"), "file_uri_cnt"
     )
     assert spark.table("file_uri_cnt").collect()[0].n == n
+
+
+def test_streaming_phash_probe_end_to_end(spark, tmp_path):
+    """The multimodal streaming probe: a blob stream (parquet dir,
+    availableNow) probed against a static perceptual-hash store. A
+    re-encoded copy of a stored image matches at hamming 0 with the
+    smallest store id; unrelated images emit nothing; the batch
+    composition (the oracle) agrees row-for-row; and the stream-side
+    plan is stateless up to the bounded per-doc min."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    # store: groups 0..4's base images (r=0 variants)
+    store_blobs = spark.createDataFrame(
+        [(g * 4, mm.phash_test_image(g * 4)) for g in range(5)],
+        "doc_id long, content binary",
+    )
+    seen_fp = mm.phash_images(store_blobs)
+
+    # stream: doc 100 = exact copy of stored group 0, doc 101 = the
+    # r=1 variant of group 1 (few bits away), doc 102 = unrelated
+    rows = [
+        (100, mm.phash_test_image(0)),
+        (101, mm.phash_test_image(5)),
+        (102, mm.phash_test_image(400)),
+    ]
+    src = str(tmp_path / "blob_stream")
+    spark.createDataFrame(rows, "doc_id long, content binary").write.parquet(src)
+
+    batch_blobs = spark.read.parquet(src)
+    batch = {
+        r.doc_id: (r.dup_store_id, r.min_hamming)
+        for r in strm.streaming_phash_probe(batch_blobs, seen_fp).collect()
+    }
+    assert batch[100] == (0, 0)  # exact copy of store doc 0
+    assert 102 not in batch  # unrelated image never matches
+
+    stream_blobs = (
+        spark.readStream.schema("doc_id long, content binary").parquet(src)
+    )
+    out = strm.streaming_phash_probe(stream_blobs, seen_fp)
+    assert out.isStreaming
+    name = "phash_probe_mem"
+    strm.run_to_memory(out, name, output_mode="complete", state_partitions=4)
+    streamed = {
+        r.doc_id: (r.dup_store_id, r.min_hamming)
+        for r in spark.table(name).collect()
+    }
+    assert streamed == batch  # stream == batch oracle
