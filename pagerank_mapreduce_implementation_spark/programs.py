@@ -267,7 +267,14 @@ def clean_corpus(
        store. First run against an empty/missing store skips the probe
        and just seeds it. The store is signatures-only by design — no
        shingles, bounded bytes/doc — and the probe reads the persisted
-       band index rather than re-banding the store each batch.
+       band index rather than re-banding the store each batch. There
+       is deliberately NO separate exact-fingerprint store: an exact
+       cross-batch duplicate has an IDENTICAL signature (estimate =
+       num_hashes/num_hashes = 1.0 >= any threshold), so the
+       signature store already catches it — a second store would add
+       a commit surface without adding recall
+       (``dedup.incremental_exact_dedup`` remains available for
+       pipelines that want fingerprint-only semantics).
     6. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
        components -> keep each cluster's min doc_id
     7. deterministic importance downsampling (sampling.weighted_sample,
