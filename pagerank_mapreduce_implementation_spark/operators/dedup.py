@@ -687,7 +687,16 @@ def incremental_minhash_dedup(
     import math
 
     if validate_bands and seen_bands is not None:
-        r = num_hashes // bands if bands > 0 else 0
+        if bands <= 0 or num_hashes % bands != 0:
+            # the band_buckets divisibility error, raised HERE first:
+            # a truncated r would build a wrong expected-bucket set and
+            # report a misleading 'mismatched index' instead
+            raise ValueError(
+                f"bands ({bands}) must evenly divide num_hashes "
+                f"({num_hashes}); a remainder would silently drop "
+                "signature rows from banding"
+            )
+        r = num_hashes // bands
         sample = seen_sigs.limit(1).collect()
         if sample:
             srow = sample[0]

@@ -582,6 +582,11 @@ def ppm_dcthash(
             f"keep={keep} yields {keep * keep - 1} AC coefficients "
             f"< bits={bits}"
         )
+    if keep > grid:
+        # without this the [:keep, :keep] slice silently truncates to
+        # grid x grid and the ac[j] indexing IndexErrors inside the
+        # executor instead of at the call site
+        raise ValueError(f"keep={keep} exceeds grid={grid}")
     w, h, px = _ppm_parse(b)
     ys = (np.arange(grid) * h) // grid
     xs = (np.arange(grid) * w) // grid
@@ -691,6 +696,47 @@ def phash_test_image(doc_id: int) -> bytes:
     cells = v.reshape(8, 8).astype(np.uint8)
     px16 = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
     return ppm_encode(np.stack([px16] * 3, axis=2))
+
+
+def dct_test_image(doc_id: int) -> bytes:
+    """Deterministic 16x16 P6 PPM for the DCT-hash driver query: doc
+    pairs ``(2g, 2g+1)`` share one md5-derived 8x8 cell pattern (gray
+    byte ``md5(f"{g}:{j}") % 200`` — headroom so a shift never clips)
+    and the ODD member is the even member shifted +40 gray uniformly.
+    A uniform shift lands entirely in the DCT's DC coefficient, which
+    ``ppm_dcthash`` excludes, so the pair hashes IDENTICALLY (hamming
+    0) while ``ppm_ahash`` near-mean bits may drift — the
+    brightness-invariance claim at corpus shape. The oracle needs no
+    cos() math: it predicts exactly the (2g, 2g+1, 0) pair set."""
+    import hashlib
+
+    import numpy as np
+
+    g, shift = int(doc_id) // 2, 40 * (int(doc_id) % 2)
+    v = np.empty(64, dtype=np.int64)
+    for j in range(64):
+        v[j] = int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[:2], 16) % 200 + shift
+    cells = v.reshape(8, 8).astype(np.uint8)
+    px16 = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
+    return ppm_encode(np.stack([px16] * 3, axis=2))
+
+
+def wav_test_clip(doc_id: int, base: int = 256):
+    """Deterministic int16 test clip for the audio near-dup driver
+    query: docs in one GROUP ``g = doc_id // 4`` share the base signal
+    ``s_i = ((g*31 + i*17) % 256) - 128`` over ``n = base + g % base``
+    samples, and variant ``r = doc_id % 4`` plays it at GAIN ``r + 1``
+    (pure integer scaling, max |s| = 512, well inside int16). Frame
+    energies scale by ``(r+1)^2`` uniformly, so every energy-delta
+    SIGN — and the ``wav_fingerprint`` — is identical across a group's
+    four gain variants: the gain-invariance claim at corpus shape,
+    and every sample is reproducible with integer SQL."""
+    import numpy as np
+
+    g, r = int(doc_id) // 4, int(doc_id) % 4
+    n = base + g % base
+    i = np.arange(n, dtype="int64")
+    return (((g * 31 + i * 17) % 256 - 128) * (r + 1)).astype("<i2")
 
 
 def wav_fingerprint(b: bytes, bits: int = PHASH_BITS) -> int:
@@ -811,6 +857,112 @@ def video_frame_hashes(
     return frames.mapInPandas(run, schema="doc_id bigint, frame_idx int, fhash bigint")
 
 
+def video_shared_runs(
+    blobs: DataFrame,
+    min_run: int = 2,
+    every_n: int = 1,
+    max_frame_df: int | None = None,
+    demuxer: Callable[[bytes], list[bytes]] | None = None,
+    hasher: Callable[[bytes], int] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Maximal CONTIGUOUS runs of identical perceptual frame hashes
+    shared between clip pairs: ``(doc_a, doc_b, a_start, b_start,
+    run_len)`` with ``doc_a < doc_b``, positions and lengths in
+    SAMPLED-frame index space (``pos = frame_idx // every_n``) — the
+    temporal analog of ``substring_runs`` (Lee et al.'s maximal-run
+    scan with frames for tokens), and the precision upgrade over
+    ``video_near_dups``: a trimmed or re-containered copy keeps a long
+    run of visually-identical frames IN ORDER, while a slideshow that
+    happens to reuse ``min_shared`` scattered stock frames does not —
+    shared-count matching cannot tell those apart, run matching can.
+
+    Plan shape is ``substring_runs``'s, proven at the text scale: one
+    frame-hash-keyed self-join (the only corpus-sized shuffle, with
+    the same ``max_frame_df`` stop-frame df cap applied BEFORE
+    pairing — a capped hash splits runs at that frame, the documented
+    stop-gram trade), then gaps-and-islands per (pair, diagonal) — a
+    window over candidate volume, never corpus volume. One row per
+    maximal run; a hash repeated WITHIN a clip (static scenes) yields
+    one diagonal per alignment, exactly like repeated k-grams.
+
+    ``materialize=True`` (default): the frame-hash table is persisted
+    so decode+hash runs once for both join sides, and the (small) run
+    set returns as a releasable eager checkpoint
+    (``util.release_result``); ``False`` returns the lazy plan.
+    """
+    from pyspark.sql.window import Window
+
+    if min_run < 1:
+        raise ValueError(f"min_run ({min_run}) must be >= 1")
+    fh = video_frame_hashes(blobs, every_n, demuxer, hasher).select(
+        "doc_id",
+        F.floor(F.col("frame_idx") / every_n).cast("int").alias("pos"),
+        "fhash",
+    )
+    if materialize:
+        fh = fh.persist()
+    try:
+        if max_frame_df is not None:
+            if max_frame_df < 1:
+                raise ValueError(f"max_frame_df ({max_frame_df}) must be >= 1")
+            hot = (
+                fh.select("doc_id", "fhash")
+                .distinct()
+                .groupBy("fhash")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_frame_df)
+                .select("fhash")
+            )
+            capped = fh.join(hot, "fhash", "left_anti")
+        else:
+            capped = fh
+        hits = (
+            capped.select(
+                F.col("doc_id").alias("doc_a"), F.col("pos").alias("ia"), "fhash"
+            )
+            .join(
+                capped.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("ib"),
+                    "fhash",
+                ),
+                "fhash",
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ia", "ib")
+        )
+        w = Window.partitionBy(
+            "doc_a", "doc_b", F.col("ia") - F.col("ib")
+        ).orderBy("ia")
+        islands = hits.select(
+            "doc_a",
+            "doc_b",
+            (F.col("ia") - F.col("ib")).alias("__diag"),
+            "ia",
+            (F.col("ia") - F.row_number().over(w)).alias("__grp"),
+        )
+        runs = (
+            islands.groupBy("doc_a", "doc_b", "__diag", "__grp")
+            .agg(
+                F.min("ia").alias("a_start"),
+                F.count(F.lit(1)).alias("run_len"),
+            )
+            .filter(F.col("run_len") >= min_run)
+            .select(
+                "doc_a",
+                "doc_b",
+                "a_start",
+                (F.col("a_start") - F.col("__diag")).alias("b_start"),
+                "run_len",
+            )
+        )
+        return runs.localCheckpoint(eager=True) if materialize else runs
+    finally:
+        if materialize:
+            fh.unpersist()
+
+
 def video_near_dups(
     blobs: DataFrame,
     min_shared: int = 2,
@@ -837,6 +989,16 @@ def video_near_dups(
     whole doc list quadratically; hashes appearing in more than
     ``max_frame_df`` videos are dropped before pairing, deterministic
     df-cap semantics as documented for shingles.
+
+    AT SCALE, DON'T RUN THE DEFAULTS: ``every_n=1`` hashes every frame
+    (decode is the dominant cost — a 30 fps corpus pays 30x what
+    ``every_n=30`` does for nearly the same pair recall, since near-dup
+    clips share long frame RUNS) and ``max_frame_df=None`` leaves the
+    quadratic stop-frame key uncapped. The 100 TB configuration is
+    ``every_n`` in the tens plus a ``max_frame_df`` around the
+    expected copy count (the shingle-cap sizing rule); the exact
+    defaults here stay recall-maximal so small-corpus results are
+    complete.
 
     ``materialize=True`` (default — the phash cadence, and here it
     matters most: video DECODE is the dominant cost, and the self-join

@@ -1011,3 +1011,191 @@ def phash_near_dups_sql(max_hamming: int = 10, chunks: int = 4) -> str:
         "CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming FROM cand "
         f"WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}"
     )
+
+
+# cell/fp CTEs shared by the image-hash oracles: the phash_test_image
+# md5 gray formula and the ppm_ahash 60-bit average-hash bits, keyed by
+# an arbitrary id relation/column (docs for images, frame ids for video)
+def _ahash_fp_ctes(ids_sql: str, id_col: str = "doc_id") -> str:
+    return (
+        f"ids AS ({ids_sql}), "
+        f"cells AS (SELECT {id_col}, j, "
+        f"CASE WHEN j >= 15*({id_col} % 4) AND j < 15*({id_col} % 4) + 4 "
+        f"THEN 255 - (('0x' || substr(md5(CAST({id_col} // 4 AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)), 1, 2))::INT) "
+        f"ELSE ('0x' || substr(md5(CAST({id_col} // 4 AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)), 1, 2))::INT END AS v "
+        "FROM ids, unnest(range(0, 64)) AS u(j)), "
+        f"m AS (SELECT {id_col}, CAST(sum(v) AS DOUBLE)/64.0 AS mean "
+        f"FROM cells GROUP BY {id_col}), "
+        f"fp AS (SELECT c.{id_col}, sum(CASE WHEN c.j < 60 AND c.v >= m.mean "
+        "THEN (1::BIGINT << CAST(c.j AS INT)) ELSE 0 END) AS fphash "
+        f"FROM cells c JOIN m ON c.{id_col} = m.{id_col} GROUP BY c.{id_col})"
+    )
+
+
+def _band_pairs_tail(
+    rel: str, fp_col: str, max_hamming: int, chunks: int, id_col: str = "doc_id"
+) -> str:
+    """The hamming_band_pairs mirror over any (id, fingerprint)
+    relation: 15-bit chunk buckets -> distinct candidate pairs ->
+    bit_count verify. Appended after a WITH chain (starts with ', ')."""
+    bits_per = 60 // chunks
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {fp_col}, {c} AS chunk, "
+        f"({fp_col} >> {c * bits_per}) & {(1 << bits_per) - 1} AS key FROM {rel}"
+        for c in range(chunks)
+    )
+    return (
+        f", bk AS ({chunk_rows}), "
+        f"cand AS (SELECT DISTINCT x.{id_col} AS doc_a, x.{fp_col} AS fp_a, "
+        f"y.{id_col} AS doc_b, y.{fp_col} AS fp_b FROM bk x "
+        f"JOIN bk y ON x.chunk = y.chunk AND x.key = y.key "
+        f"AND x.{id_col} < y.{id_col}) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming FROM cand "
+        f"WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}"
+    )
+
+
+def audio_near_dups_sql(
+    max_hamming: int = 8, chunks: int = 4, base: int = 256
+) -> str:
+    """Mirror of multimodal.audio_near_dups over the wav_test_clip
+    corpus (one WAV per ``documents`` row): integer samples regenerated
+    from the group/gain formula, frame energies as int sums of squares,
+    the 60-bit energy-delta fingerprint, then the identical 15-bit
+    chunk band join + bit_count verify as every Hamming-family oracle.
+    Gain variants of one group scale every energy by (r+1)^2, so their
+    fingerprints collide exactly — the invariance the query proves."""
+    frames = 61
+    return (
+        f"WITH d AS (SELECT doc_id, doc_id // 4 AS g, "
+        "doc_id % 4 + 1 AS gain FROM documents), "
+        f"p AS (SELECT doc_id, g, gain, {base} + g % {base} AS n FROM d), "
+        "s AS (SELECT doc_id, n, list_transform(range(0, n), "
+        "i -> ((g*31 + i*17) % 256 - 128) * gain) AS sm FROM p), "
+        f"e AS (SELECT doc_id, list_transform(range(0, {frames}), "
+        f"f -> list_sum(list_transform("
+        f"sm[(f*n)//{frames} + 1 : ((f+1)*n)//{frames}], v -> v*v))) AS en "
+        "FROM s), "
+        "afp AS (SELECT doc_id, list_sum(list_transform(range(0, 60), "
+        "j -> CASE WHEN en[j+2] > en[j+1] THEN (1::BIGINT << j) "
+        "ELSE 0 END))::BIGINT AS afp FROM e)"
+        + _band_pairs_tail("afp", "afp", max_hamming, chunks)
+    )
+
+
+def video_near_dups_sql(min_shared: int = 2, frames_per_doc: int = 3) -> str:
+    """Mirror of multimodal.video_near_dups over the synthetic clip
+    corpus (one clip per ``documents`` row, frame ids ``doc_id + k`` so
+    consecutive docs overlap in frames_per_doc - 1 frames): every
+    frame's average hash regenerated from the phash_test_image md5 cell
+    formula, then the distinct (doc, fhash) / fhash-equi self-join /
+    pair-count plan — physically the ngram_jaccard shape."""
+    return (
+        "WITH fr0 AS (SELECT doc_id, doc_id + k AS fid "
+        f"FROM documents, unnest(range(0, {frames_per_doc})) AS u(k)), "
+        + _ahash_fp_ctes("SELECT DISTINCT fid FROM fr0", "fid")
+        + ", fh AS (SELECT DISTINCT fr0.doc_id, fp.fphash "
+        "FROM fr0 JOIN fp ON fr0.fid = fp.fid) "
+        "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "count(*) AS shared_frames "
+        "FROM fh x JOIN fh y ON x.fphash = y.fphash AND x.doc_id < y.doc_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )
+
+
+def streaming_phash_probe_sql(
+    max_hamming: int = 10, chunks: int = 4, stream_mod: int = 3
+) -> str:
+    """Mirror of streaming.streaming_phash_probe: the documents stream
+    (doc_id % stream_mod == 0) probed against the static hash store of
+    the rest — per-doc average hashes from the phash_test_image cell
+    formula, chunk-bucket candidates, bit_count verify, then the
+    per-stream-doc (min store id, min hamming) aggregation that is the
+    query's only stateful operator."""
+    bits_per = 60 // chunks
+    chunk_rows_s = " UNION ALL ".join(
+        f"SELECT doc_id, fphash, {c} AS chunk, "
+        f"(fphash >> {c * bits_per}) & {(1 << bits_per) - 1} AS key FROM strm"
+        for c in range(chunks)
+    )
+    chunk_rows_t = " UNION ALL ".join(
+        f"SELECT doc_id AS store_id, fphash AS fp_s, {c} AS chunk, "
+        f"(fphash >> {c * bits_per}) & {(1 << bits_per) - 1} AS key FROM store"
+        for c in range(chunks)
+    )
+    return (
+        "WITH "
+        + _ahash_fp_ctes("SELECT doc_id FROM documents")
+        + f", strm AS (SELECT * FROM fp WHERE doc_id % {stream_mod} = 0), "
+        f"store AS (SELECT * FROM fp WHERE doc_id % {stream_mod} <> 0), "
+        f"bks AS ({chunk_rows_s}), bkt AS ({chunk_rows_t}), "
+        "hits AS (SELECT DISTINCT s.doc_id, t.store_id, "
+        "CAST(bit_count(xor(s.fphash, t.fp_s)) AS INT) AS hamming "
+        "FROM bks s JOIN bkt t ON s.chunk = t.chunk AND s.key = t.key "
+        f"WHERE bit_count(xor(s.fphash, t.fp_s)) <= {max_hamming}) "
+        "SELECT doc_id, min(store_id) AS dup_store_id, "
+        "min(hamming) AS min_hamming FROM hits GROUP BY doc_id"
+    )
+
+
+def strip_substring_runs_sql(
+    k: int = 8, min_len: int = 12, max_gram_df: int | None = None
+) -> str:
+    """Mirror of dedup.strip_substring_runs over ``documents``: the
+    substring_runs CTE chain -> victim (doc_b) span sets -> per-token
+    NOT-EXISTS span-cover filter -> single-space rebuild, untouched
+    docs passing through byte-identical. n_stripped = original token
+    count minus kept count."""
+    runs = substring_runs_sql(k, min_len, max_gram_df)
+    return (
+        f"WITH runs AS ({runs}), "
+        "spans AS (SELECT doc_b AS doc_id, b_start AS s, "
+        "b_start + match_len AS e FROM runs), "
+        "victims AS (SELECT DISTINCT doc_id FROM spans), "
+        "vt AS (SELECT d.doc_id, "
+        r"list_filter(regexp_split_to_array(d.text, '\s+'), w -> w <> '') AS toks "
+        "FROM documents d JOIN victims USING (doc_id)), "
+        "cnt AS (SELECT doc_id, len(toks) AS ntok FROM vt), "
+        "tokix AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx, toks[i] AS w "
+        "FROM vt, unnest(range(1, len(toks) + 1)) AS u(i)), "
+        "keep AS (SELECT t.* FROM tokix t WHERE NOT EXISTS "
+        "(SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id "
+        "AND s.s <= t.idx AND t.idx < s.e)), "
+        "ka AS (SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS new_text, "
+        "count(*) AS nkept FROM keep GROUP BY doc_id), "
+        "rebuilt AS (SELECT c.doc_id, coalesce(ka.new_text, '') AS new_text, "
+        "c.ntok - coalesce(ka.nkept, 0) AS n_stripped "
+        "FROM cnt c LEFT JOIN ka USING (doc_id)) "
+        "SELECT d.doc_id, coalesce(r.new_text, d.text) AS text, "
+        "CAST(coalesce(r.n_stripped, 0) AS INT) AS n_stripped "
+        "FROM documents d LEFT JOIN rebuilt r USING (doc_id)"
+    )
+
+
+def video_shared_runs_sql(min_run: int = 2, frames_per_doc: int = 3) -> str:
+    """Mirror of multimodal.video_shared_runs over the synthetic clip
+    corpus (frame ids ``doc_id + k``, positions 0..frames_per_doc-1):
+    frame hashes from the phash_test_image md5 cell formula, the
+    fhash-keyed pair self-join, then the substring_runs_sql
+    gaps-and-islands per (pair, diagonal)."""
+    return (
+        "WITH fr0 AS (SELECT doc_id, CAST(k AS INT) AS pos, doc_id + k AS fid "
+        f"FROM documents, unnest(range(0, {frames_per_doc})) AS u(k)), "
+        + _ahash_fp_ctes("SELECT DISTINCT fid FROM fr0", "fid")
+        + ", fh AS (SELECT fr0.doc_id, fr0.pos, fp.fphash "
+        "FROM fr0 JOIN fp ON fr0.fid = fp.fid), "
+        "hits AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.pos AS ia, y.pos AS ib FROM fh x JOIN fh y "
+        "ON x.fphash = y.fphash AND x.doc_id < y.doc_id), "
+        "isl AS (SELECT doc_a, doc_b, ia - ib AS diag, ia, "
+        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib "
+        "ORDER BY ia) AS grp FROM hits), "
+        "runs AS (SELECT doc_a, doc_b, diag, min(ia) AS a_start, "
+        "count(*) AS run_len FROM isl GROUP BY doc_a, doc_b, diag, grp) "
+        "SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, "
+        f"CAST(run_len AS BIGINT) AS run_len FROM runs "
+        f"WHERE run_len >= {min_run}"
+    )

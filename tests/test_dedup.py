@@ -469,6 +469,19 @@ def test_phash_near_dups_releasable(spark):
     assert not _cached_rdd_ids(spark) - before
 
 
+def test_incremental_minhash_band_validation_divisibility(spark, planted):
+    """Round-8 advice: when bands does not divide num_hashes, the
+    validate_bands path must raise band_buckets' clear divisibility
+    error up front — not build a truncated expected set and report a
+    misleading 'mismatched index'."""
+    sigs = dedup.minhash_signatures(dedup.shingles(planted, 3))
+    some_bands = dedup.band_buckets(sigs, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.incremental_minhash_dedup(
+            planted, sigs, ngram=3, bands=3, seen_bands=some_bands
+        )
+
+
 def test_incremental_minhash_rejects_mismatched_band_index(spark, planted):
     """Round-7 verdict item 6: a seen_bands index built under different
     banding parameters never matches the probe's bucket strings — every

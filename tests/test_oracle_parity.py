@@ -90,77 +90,50 @@ def test_every_query_has_oracle_or_documented_gap():
     assert set(osql) <= set(qs)
 
 
-def test_rotation_policy_window_invariant():
-    """The registry ORDER is the driver-window rotation policy (the
-    driver checks the first 50 entries): everything BELOW the window
-    must have been FULLY green (rows+schema+hash) within the last TWO
-    driver CORRECTNESS files — with >50 registered queries a single
-    file can never cover the registry, so the policy alternates
-    cohorts and this guard enforces that nothing stale or unchecked
-    ever hides past the boundary for two consecutive rounds. Skips
-    when no driver artifact exists (fresh clone)."""
+def test_registry_rotation_invariant():
+    """The grading driver checks only the FIRST 50 queries() entries
+    per round, so the registry order IS the rotation policy. Freshness
+    budget (round-9 policy, r8 verdict item 2a): every query must have
+    a driver-green row within the last B = ceil(len(registry)/50)
+    rounds. At authoring time that means every query BELOW the window
+    must be fully green (rows+schema+hash, no err) in one of the last
+    B-1 driver CORRECTNESS files — after the upcoming driver round it
+    is then within B. Boundary-tolerant by construction (r8 verdict
+    item 3): the round boundary moves queries from "green in latest"
+    to "green in previous", which stays inside the budget; the test
+    goes red only when a below-window query's newest green row is
+    genuinely about to fall out. Skips on a fresh clone."""
     import glob
     import json
+    import math
     import os
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no driver correctness artifacts")
+    qs = list(entrymod.queries())
+    budget = math.ceil(len(qs) / 50)
     recent_green = set()
-    for path in files[-2:]:
+    for path in files[-(budget - 1) :] if budget > 1 else []:
         with open(path) as fh:
             for k, v in json.load(fh).items():
                 if (
-                    v.get("rows_match")
+                    isinstance(v, dict)
+                    and v.get("rows_match")
                     and v.get("schema_match")
                     and v.get("hash_match")
                     and not v.get("err")
                 ):
                     recent_green.add(k)
-    below = list(entrymod.queries())[50:]
+    window, below = set(qs[:50]), qs[50:]
+    checked = [os.path.basename(p) for p in files[-(budget - 1) :]]
     stale = [q for q in below if q not in recent_green]
     assert not stale, (
-        f"queries below the 50-entry driver window were NOT green in "
-        f"the last two driver files {[os.path.basename(p) for p in files[-2:]]}: "
-        f"{stale} — rotate them forward"
+        f"queries below the 50-entry driver window lack a fully-green "
+        f"row in the last {budget - 1} driver files {checked} (they "
+        f"will blow the {budget}-round freshness budget after the next "
+        f"round): {stale} — rotate them into the window"
     )
-
-
-def test_registry_rotation_invariant():
-    """The grading driver checks only the FIRST 50 queries() entries
-    per round, so every registry query must be green within the last
-    two rounds: (window this round) ∪ (green last round) must cover
-    the registry, and everything below the boundary must have a green
-    row in the LATEST correctness file. Guards the rotation policy
-    mechanically (round-6/7 verdicts each audited this by hand)."""
-    import glob
-    import json
-    import os
-
-    import __spark_entry__ as entrymod
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    if not files:
-        import pytest
-
-        pytest.skip("no driver correctness files yet")
-    latest = json.load(open(files[-1]))
-    green = {
-        k
-        for k, v in latest.items()
-        if isinstance(v, dict)
-        and v.get("rows_match")
-        and v.get("schema_match")
-        and not v.get("err")
-    }
-    qs = list(entrymod.queries())
-    window, below = set(qs[:50]), qs[50:]
-    stale_below = [k for k in below if k not in green]
-    assert not stale_below, (
-        f"queries below the 50-slot window lack a green row in "
-        f"{os.path.basename(files[-1])} (they will exceed the 2-round "
-        f"freshness budget): {stale_below} — rotate them into the window"
-    )
-    uncovered = set(qs) - window - green
+    uncovered = set(qs) - window - recent_green
     assert not uncovered, f"neither windowed nor recently green: {uncovered}"

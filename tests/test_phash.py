@@ -149,6 +149,39 @@ def test_dcthash_parameter_validation():
 
     with pytest.raises(ValueError, match="AC coefficients"):
         mm.ppm_dcthash(mm.phash_test_image(0), keep=7)  # 48 < 60
+    # round-8 advice: keep > grid passed the AC guard but silently
+    # truncated the slice and IndexError'd inside the executor
+    with pytest.raises(ValueError, match="exceeds grid"):
+        mm.ppm_dcthash(mm.phash_test_image(0), grid=7, keep=8)
+
+
+def test_dct_test_image_pair_invariance():
+    """The image_dct_dups driver corpus: (2g, 2g+1) is base + uniform
+    +40 shift, so the DCT hashes are identical while distinct groups
+    land far apart — the property the registry oracle predicts."""
+    for g in range(8):
+        b, s = mm.dct_test_image(2 * g), mm.dct_test_image(2 * g + 1)
+        assert mm.ppm_dcthash(b) == mm.ppm_dcthash(s)
+    h0, h1 = (
+        mm.ppm_dcthash(mm.dct_test_image(0)),
+        mm.ppm_dcthash(mm.dct_test_image(2)),
+    )
+    assert bin(h0 ^ h1).count("1") > 10
+
+
+def test_wav_test_clip_gain_group_invariance():
+    """The audio_near_dups driver corpus: the 4 gain variants of one
+    group fingerprint identically (energy deltas scale uniformly);
+    distinct groups differ."""
+    for g in range(4):
+        fps = {
+            mm.wav_fingerprint(mm.wav_encode(mm.wav_test_clip(4 * g + r)))
+            for r in range(4)
+        }
+        assert len(fps) == 1
+    a = mm.wav_fingerprint(mm.wav_encode(mm.wav_test_clip(0)))
+    b = mm.wav_fingerprint(mm.wav_encode(mm.wav_test_clip(4)))
+    assert a != b
 
 
 def test_wav_fingerprint_gain_invariant():
@@ -375,3 +408,76 @@ def test_video_near_dups_matches_duckdb_oracle(spark):
     """
     oracle = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == oracle and got  # non-empty: consecutive docs overlap
+
+
+def test_video_shared_runs_precision_over_shared_count(spark):
+    """The run matcher's reason to exist (temporal substring_runs):
+    doc 2 is doc 1 TRIMMED (drops the first frame — frames 11,12,13
+    survive contiguously), doc 3 reuses the SAME THREE frames but
+    scattered out of order. Shared-count sees both pairs identically
+    (3 shared hashes); run matching keeps the trim (run 3) and rejects
+    the scatter (max run 1)."""
+    blobs = spark.createDataFrame(
+        [
+            (1, _video([10, 11, 12, 13])),
+            (2, _video([11, 12, 13])),
+            (3, _video([13, 11, 12])),
+        ],
+        "doc_id long, content binary",
+    )
+    counts = {
+        (r.doc_a, r.doc_b): r.shared_frames
+        for r in mm.video_near_dups(
+            blobs, min_shared=3, materialize=False
+        ).collect()
+    }
+    assert counts.get((1, 2)) == 3 and counts.get((1, 3)) == 3  # blind
+    runs = {
+        (r.doc_a, r.doc_b): (r.a_start, r.b_start, r.run_len)
+        for r in mm.video_shared_runs(
+            blobs, min_run=3, materialize=False
+        ).collect()
+    }
+    assert runs == {(1, 2): (1, 0, 3)}  # trim kept, scatter rejected
+
+
+def test_video_shared_runs_sampling_and_cap(spark):
+    """every_n reindexes positions into sampled space (frames 0,2,4 ->
+    pos 0,1,2 at every_n=2, so the shared tail is still a RUN), and
+    max_frame_df drops a ubiquitous frame BEFORE pairing, splitting
+    runs at its position — the documented stop-gram trade."""
+    blobs = spark.createDataFrame(
+        [
+            (1, _video([20, 91, 21, 92, 22, 93])),
+            (2, _video([20, 94, 21, 95, 22, 96])),
+        ],
+        "doc_id long, content binary",
+    )
+    runs = {
+        (r.doc_a, r.doc_b): (r.a_start, r.b_start, r.run_len)
+        for r in mm.video_shared_runs(
+            blobs, min_run=3, every_n=2, materialize=False
+        ).collect()
+    }
+    assert runs == {(1, 2): (0, 0, 3)}  # kept frames 20,21,22 contiguous
+    # a stop frame (here 21, shared by both docs + a third) capped at
+    # df<=1 splits the run into sub-min_run flanks -> no pair survives
+    blobs3 = spark.createDataFrame(
+        [
+            (1, _video([20, 21, 22])),
+            (2, _video([20, 21, 22])),
+            (3, _video([21, 50, 51])),
+        ],
+        "doc_id long, content binary",
+    )
+    capped = mm.video_shared_runs(
+        blobs3, min_run=3, max_frame_df=2, materialize=False
+    ).collect()
+    assert capped == []  # frame 21 in 3 docs > cap -> run split at pos 1
+    uncapped = {
+        (r.doc_a, r.doc_b): r.run_len
+        for r in mm.video_shared_runs(
+            blobs3, min_run=3, materialize=False
+        ).collect()
+    }
+    assert uncapped == {(1, 2): 3}

@@ -407,6 +407,112 @@ def test_clean_corpus_torn_store_commit_repaired(spark, tmp_path):
     )
 
 
+def test_clean_corpus_duplicated_sig_append_healed_once(spark, tmp_path):
+    """Round-8 advice: a retried/duplicated store append leaves every
+    doc's signature rows twice — the old integrity gate would re-flag
+    the rebuilt index as torn on EVERY subsequent batch (a perpetual
+    repair loop). The probe must instead dedupe the sigs ONCE (loudly),
+    rebuild bands against the healed table, and run the next batch
+    with no repair at all."""
+    import warnings
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src1, out1 = str(tmp_path / "b1_in"), str(tmp_path / "b1_out")
+    spark.createDataFrame(
+        [(1, base, "en", "web", len(base))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src1)
+    clean_corpus(
+        spark, src1, out1, near_dup_threshold=0.5, ngram=3,
+        signature_store=store,
+    )
+
+    # simulate the retried commit: BOTH dirs appended a second time
+    # with identical rows (localCheckpoint: can't lazily re-read a dir
+    # while appending to it)
+    sigs_copy = spark.read.parquet(f"{store}/sigs").localCheckpoint(eager=True)
+    sigs_copy.write.mode("append").parquet(f"{store}/sigs")
+    bands_copy = spark.read.parquet(f"{store}/bands").localCheckpoint(eager=True)
+    bands_copy.write.mode("append").parquet(f"{store}/bands")
+
+    fresh = "a brand new unique document unseen by any earlier batch at all"
+    src2, out2 = str(tmp_path / "b2_in"), str(tmp_path / "b2_out")
+    spark.createDataFrame(
+        [(10, fresh, "en", "web", len(fresh))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src2)
+    with pytest.warns(UserWarning, match="more than once in sigs"):
+        clean_corpus(
+            spark, src2, out2, near_dup_threshold=0.5, ngram=3,
+            signature_store=store,
+        )
+    sigs = spark.read.parquet(f"{store}/sigs")
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == [1, 10]
+    bands = spark.read.parquet(f"{store}/bands")
+    assert sorted(map(tuple, bands.collect())) == sorted(
+        map(tuple, dedup.band_buckets(sigs).collect())
+    )
+
+    # the loop terminates: batch 3 probes with NO repair warning, and a
+    # near-dup of the once-duplicated doc is still caught
+    near = base + "with a small extra tail"
+    src3, out3 = str(tmp_path / "b3_in"), str(tmp_path / "b3_out")
+    spark.createDataFrame(
+        [(20, near, "en", "web", len(near))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src3)
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*(torn commit|more than once in sigs).*"
+        )
+        kept3 = clean_corpus(
+            spark, src3, out3, near_dup_threshold=0.5, ngram=3,
+            signature_store=store,
+        )
+    assert kept3.count() == 0
+
+
+def test_clean_corpus_conflicting_sig_append_raises(spark, tmp_path):
+    """The unhealable variant: the same doc_id appended with DIFFERENT
+    signature rows is corruption — the probe must refuse loudly, never
+    guess which signature is authoritative."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src1, out1 = str(tmp_path / "b1_in"), str(tmp_path / "b1_out")
+    spark.createDataFrame(
+        [(1, base, "en", "web", len(base))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src1)
+    clean_corpus(
+        spark, src1, out1, near_dup_threshold=0.5, ngram=3,
+        signature_store=store,
+    )
+    corrupt = (
+        spark.read.parquet(f"{store}/sigs")
+        .withColumn("h0", F.col("h0") + 1)
+        .localCheckpoint(eager=True)
+    )
+    corrupt.write.mode("append").parquet(f"{store}/sigs")
+
+    src2, out2 = str(tmp_path / "b2_in"), str(tmp_path / "b2_out")
+    spark.createDataFrame(
+        [(10, "some new text entirely", "en", "web", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(src2)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        clean_corpus(
+            spark, src2, out2, near_dup_threshold=0.5, ngram=3,
+            signature_store=store,
+        )
+
+
 def test_clean_corpus_missing_band_index_rebuilt(spark, tmp_path):
     """A store with signatures but NO bands dir at all (the first
     append died even earlier) also probes correctly: the index is
@@ -653,9 +759,16 @@ def test_clean_corpus_substring_strip_stage(spark, tmp_path):
     passage = " ".join(f"boiler{i}" for i in range(24))
     uniq_a = " ".join(f"alpha{i}" for i in range(30))
     uniq_b = " ".join(f"beta{i}" for i in range(30))
+    # doc 3: NO shared span, and deliberately non-canonical whitespace
+    # — the clean_corpus whitespace contract says it must survive
+    # byte-identical (round-8 verdict item 6)
+    messy = "gamma0  gamma1\tgamma2   gamma3 " + " ".join(
+        f"gamma{i}" for i in range(4, 30)
+    )
     rows = [
         (1, f"{uniq_a} {passage}", "en", "web", 0),
         (2, f"{passage} {uniq_b}", "en", "web", 0),
+        (3, messy, "en", "web", 0),
     ]
     src, out, store = (
         str(tmp_path / "in"),
@@ -678,6 +791,7 @@ def test_clean_corpus_substring_strip_stage(spark, tmp_path):
     got = {r.doc_id: r.text for r in kept.select("doc_id", "text").collect()}
     assert got[1] == f"{uniq_a} {passage}"  # keeper untouched
     assert got[2] == uniq_b  # passage stripped, unique tail rebuilt
+    assert got[3] == messy  # untouched doc: BYTE-identical, tabs kept
     # store signatures describe the STRIPPED text
     sigs = spark.read.parquet(f"{store}/sigs")
     expect = dedup.minhash_signatures(
@@ -772,3 +886,69 @@ def test_clean_corpus_three_batch_production_path(spark, tmp_path):
     chunks = packed.collect()
     assert chunks and all(0 < r.n_tokens <= 16 for r in chunks)
     assert {r.doc_id for r in chunks} == {1, 2, 10, 11, 22}
+
+
+def test_dedup_media_end_to_end_all_modalities(spark, tmp_path):
+    """dedup_media (round 9): the modality twin of clean_corpus's dedup
+    stages — near-dup pairs -> connected components -> keep-first ->
+    written survivors, for image, audio, and video corpora; extra
+    columns ride through; pinned checkpoints are released."""
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+    from pagerank_mapreduce_implementation_spark.programs import dedup_media
+    from pagerank_mapreduce_implementation_spark.util import persistent_rdd_ids
+
+    before = persistent_rdd_ids(spark)
+
+    # image: docs 0..3 are gain.. er, variants of group 0 won't all
+    # pair reliably — use dct_test_image pairs instead: (0,1) and (2,3)
+    # are brightness pairs (hamming 0 under the DCT hash), 4 unrelated
+    src = str(tmp_path / "img_in")
+    spark.createDataFrame(
+        [(i, mm.dct_test_image(i), f"img{i}.ppm") for i in range(5)],
+        "doc_id long, content binary, name string",
+    ).write.parquet(src)
+    out = dedup_media(
+        spark,
+        src,
+        str(tmp_path / "img_out"),
+        modality="image",
+        max_hamming=0,
+        hasher=mm.ppm_dcthash,
+    )
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [0, 2, 4]
+    assert set(out.columns) == {"doc_id", "content", "name"}  # cols survive
+
+    # audio: docs 4g..4g+3 share a fingerprint (gain variants) -> one
+    # survivor per group, the lowest id
+    asrc = str(tmp_path / "aud_in")
+    spark.createDataFrame(
+        [
+            (i, mm.wav_encode(mm.wav_test_clip(i)))
+            for i in range(8)
+        ],
+        "doc_id long, content binary",
+    ).write.parquet(asrc)
+    aout = dedup_media(
+        spark, asrc, str(tmp_path / "aud_out"), modality="audio", max_hamming=0
+    )
+    assert sorted(r.doc_id for r in aout.select("doc_id").collect()) == [0, 4]
+
+    # video with min_run: doc 2 is doc 1 trimmed (contiguous run of 3),
+    # doc 3 scatters the same frames -> only the trim clusters
+    vsrc = str(tmp_path / "vid_in")
+    clips = [
+        (1, mm.frames_pack([mm.phash_test_image(f) for f in (10, 11, 12, 13)])),
+        (2, mm.frames_pack([mm.phash_test_image(f) for f in (11, 12, 13)])),
+        (3, mm.frames_pack([mm.phash_test_image(f) for f in (13, 11, 12)])),
+    ]
+    spark.createDataFrame(clips, "doc_id long, content binary").write.parquet(vsrc)
+    vout = dedup_media(
+        spark, vsrc, str(tmp_path / "vid_out"), modality="video", min_run=3
+    )
+    assert sorted(r.doc_id for r in vout.select("doc_id").collect()) == [1, 3]
+
+    assert not persistent_rdd_ids(spark) - before  # nothing left pinned
+    with pytest.raises(ValueError, match="unknown modality"):
+        dedup_media(spark, vsrc, str(tmp_path / "x"), modality="text")
