@@ -917,6 +917,77 @@ def hamming_band_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_store_probe(
+    fp: DataFrame,
+    store_fp: DataFrame,
+    fp_col: str = "phash",
+    max_hamming: int = 10,
+    chunks: int = 4,
+    bits: int = SIMHASH_BITS,
+    broadcast_store: bool = True,
+) -> DataFrame:
+    """Cross-probe of a batch fingerprint table against a persisted
+    STORE of fingerprints — the incremental/streaming twin of
+    ``hamming_band_pairs``'s self-join, factored out so the streaming
+    image probe and the batch media-store program share one
+    implementation. Both inputs carry ``(doc_id, <fp_col>)``; emits one
+    row per batch doc with a verified match: ``(doc_id, dup_store_id,
+    min_hamming)`` — the smallest matching store doc and the closest
+    distance.
+
+    Candidates come from equal ``bits/chunks``-bit chunks on BOTH
+    sides (same pigeonhole recall as the self-join: any pair within
+    chunks-1 Hamming is guaranteed a shared chunk), verified with
+    ``bit_count(xor)``. The store's chunk index is broadcast under
+    ``broadcast_store`` (the store is fingerprints-only — 8 bytes/doc
+    — so even a billion-doc store is ~32 GB exploded; set False past
+    the broadcast cap to shuffle against a store bucketed on
+    (chunk, key) instead). Stateless row-wise expressions throughout,
+    which is what lets Structured Streaming run it per micro-batch
+    with no state beyond the caller's final aggregation.
+    """
+    bits_per = bits // chunks
+
+    def chunked(frame: DataFrame, idc: str, fpc: str, out_id: str, out_fp: str):
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.expr(f"shiftright({fpc}, {c * bits_per})")
+                    .bitwiseAND(F.lit((1 << bits_per) - 1))
+                    .alias("key"),
+                )
+                for c in range(chunks)
+            ]
+        )
+        return frame.select(
+            F.col(idc).alias(out_id),
+            F.col(fpc).alias(out_fp),
+            F.explode(structs).alias("cc"),
+        ).select(
+            out_id,
+            out_fp,
+            F.col("cc.chunk").alias("chunk"),
+            F.col("cc.key").alias("key"),
+        )
+
+    stream_chunks = chunked(fp, "doc_id", fp_col, "doc_id", "__fp")
+    store_chunks = chunked(store_fp, "doc_id", fp_col, "store_id", "fp_s")
+    if broadcast_store:
+        store_chunks = F.broadcast(store_chunks)
+    hamming = F.bit_count(F.col("__fp").bitwiseXOR(F.col("fp_s")))
+    return (
+        stream_chunks.join(store_chunks, ["chunk", "key"])
+        .filter(hamming <= max_hamming)
+        .select("doc_id", "store_id", hamming.alias("hamming"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("store_id").alias("dup_store_id"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 3,

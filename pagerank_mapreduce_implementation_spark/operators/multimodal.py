@@ -857,14 +857,52 @@ def video_frame_hashes(
     return frames.mapInPandas(run, schema="doc_id bigint, frame_idx int, fhash bigint")
 
 
+def _island_runs(
+    hits: DataFrame, a_id: str, b_id: str, min_run: int
+) -> DataFrame:
+    """Gaps-and-islands merge of aligned position hits into maximal
+    runs — the substring_runs step 3 shape, shared by the within-batch
+    self-join and the batch-vs-store cross probe. ``hits`` carries
+    ``(a_id, b_id, ia, ib)``; returns ``(a_id, b_id, a_start, b_start,
+    run_len)`` for runs of >= ``min_run`` consecutive hits on one
+    (pair, diagonal). The window is candidate-volume-sized, never
+    corpus-sized."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(a_id, b_id, F.col("ia") - F.col("ib")).orderBy("ia")
+    islands = hits.select(
+        a_id,
+        b_id,
+        (F.col("ia") - F.col("ib")).alias("__diag"),
+        "ia",
+        (F.col("ia") - F.row_number().over(w)).alias("__grp"),
+    )
+    return (
+        islands.groupBy(a_id, b_id, "__diag", "__grp")
+        .agg(
+            F.min("ia").alias("a_start"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select(
+            a_id,
+            b_id,
+            "a_start",
+            (F.col("a_start") - F.col("__diag")).alias("b_start"),
+            "run_len",
+        )
+    )
+
+
 def video_shared_runs(
-    blobs: DataFrame,
+    blobs: DataFrame | None,
     min_run: int = 2,
     every_n: int = 1,
     max_frame_df: int | None = None,
     demuxer: Callable[[bytes], list[bytes]] | None = None,
     hasher: Callable[[bytes], int] | None = None,
     materialize: bool = True,
+    frame_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal CONTIGUOUS runs of identical perceptual frame hashes
     shared between clip pairs: ``(doc_a, doc_b, a_start, b_start,
@@ -890,17 +928,25 @@ def video_shared_runs(
     so decode+hash runs once for both join sides, and the (small) run
     set returns as a releasable eager checkpoint
     (``util.release_result``); ``False`` returns the lazy plan.
+    ``frame_hashes`` supplies a PRECOMPUTED ``video_frame_hashes``
+    table (same ``every_n``!), skipping the decode pass entirely —
+    lifecycle of that table (persist/release) then belongs to the
+    caller, so the internal persist is skipped.
     """
-    from pyspark.sql.window import Window
-
     if min_run < 1:
         raise ValueError(f"min_run ({min_run}) must be >= 1")
-    fh = video_frame_hashes(blobs, every_n, demuxer, hasher).select(
+    src = (
+        frame_hashes
+        if frame_hashes is not None
+        else video_frame_hashes(blobs, every_n, demuxer, hasher)
+    )
+    fh = src.select(
         "doc_id",
         F.floor(F.col("frame_idx") / every_n).cast("int").alias("pos"),
         "fhash",
     )
-    if materialize:
+    own = materialize and frame_hashes is None
+    if own:
         fh = fh.persist()
     try:
         if max_frame_df is not None:
@@ -932,45 +978,22 @@ def video_shared_runs(
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", "ia", "ib")
         )
-        w = Window.partitionBy(
-            "doc_a", "doc_b", F.col("ia") - F.col("ib")
-        ).orderBy("ia")
-        islands = hits.select(
-            "doc_a",
-            "doc_b",
-            (F.col("ia") - F.col("ib")).alias("__diag"),
-            "ia",
-            (F.col("ia") - F.row_number().over(w)).alias("__grp"),
-        )
-        runs = (
-            islands.groupBy("doc_a", "doc_b", "__diag", "__grp")
-            .agg(
-                F.min("ia").alias("a_start"),
-                F.count(F.lit(1)).alias("run_len"),
-            )
-            .filter(F.col("run_len") >= min_run)
-            .select(
-                "doc_a",
-                "doc_b",
-                "a_start",
-                (F.col("a_start") - F.col("__diag")).alias("b_start"),
-                "run_len",
-            )
-        )
+        runs = _island_runs(hits, "doc_a", "doc_b", min_run)
         return runs.localCheckpoint(eager=True) if materialize else runs
     finally:
-        if materialize:
+        if own:
             fh.unpersist()
 
 
 def video_near_dups(
-    blobs: DataFrame,
+    blobs: DataFrame | None,
     min_shared: int = 2,
     every_n: int = 1,
     max_frame_df: int | None = None,
     demuxer: Callable[[bytes], list[bytes]] | None = None,
     hasher: Callable[[bytes], int] | None = None,
     materialize: bool = True,
+    frame_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Video near-dup pairs by SHARED FRAME HASHES:
     ``(doc_a, doc_b, shared_frames)`` for pairs sharing at least
@@ -1007,15 +1030,20 @@ def video_near_dups(
     for the join and the (small) pair set returns as a releasable
     eager checkpoint (``util.release_result``). ``materialize=False``
     returns the lazy plan — nothing pinned, double decode per action.
+    ``frame_hashes`` supplies a precomputed ``video_frame_hashes``
+    table, skipping the decode pass; its lifecycle then belongs to
+    the caller, so the internal persist is skipped.
     """
     if min_shared < 1:
         raise ValueError(f"min_shared ({min_shared}) must be >= 1")
-    fh = (
-        video_frame_hashes(blobs, every_n, demuxer, hasher)
-        .select("doc_id", "fhash")
-        .distinct()
+    src = (
+        frame_hashes
+        if frame_hashes is not None
+        else video_frame_hashes(blobs, every_n, demuxer, hasher)
     )
-    if materialize:
+    fh = src.select("doc_id", "fhash").distinct()
+    own = materialize and frame_hashes is None
+    if own:
         fh = fh.persist()
     try:
         if max_frame_df is not None:
@@ -1041,5 +1069,5 @@ def video_near_dups(
         )
         return out.localCheckpoint(eager=True) if materialize else out
     finally:
-        if materialize:
+        if own:
             fh.unpersist()

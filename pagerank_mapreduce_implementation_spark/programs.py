@@ -619,22 +619,26 @@ def dedup_media(
     hasher=None,
     demuxer=None,
     cc_max_iters: int = 20,
+    fingerprint_store: str | None = None,
+    chunks: int = 4,
+    broadcast_store: bool = True,
 ) -> DataFrame:
     """Media-corpus near-dup removal end to end (the modality twin of
-    ``clean_corpus``'s dedup stages, wiring round-8's operators into a
-    file-in/file-out program): read a ``(doc_id, content binary, ...)``
-    parquet corpus, pair near-duplicates with the modality's operator —
+    ``clean_corpus``'s dedup stages, wiring round-8/9's operators into
+    a file-in/file-out program): read a ``(doc_id, content binary,
+    ...)`` parquet corpus, pair near-duplicates with the modality's
+    machinery —
 
-    - ``modality="image"``: ``phash_near_dups`` (``max_hamming``;
+    - ``modality="image"``: perceptual-hash banding (``max_hamming``;
       inject ``hasher=multimodal.ppm_dcthash`` for brightness-robust
       matching),
-    - ``modality="audio"``: ``audio_near_dups`` (gain-invariant
-      energy-delta fingerprints, same ``max_hamming`` knob),
-    - ``modality="video"``: ``video_near_dups`` (``min_shared`` frame
-      hashes) or, when ``min_run`` is set, ``video_shared_runs``
-      (contiguous runs — stricter precision for trimmed copies); both
-      honor ``every_n``/``max_frame_df``, the knobs a 100 TB run MUST
-      set (see video_near_dups),
+    - ``modality="audio"``: the gain-invariant energy-delta
+      fingerprint (same ``max_hamming`` knob; ``wav_fingerprint``
+      default, injectable for compressed formats),
+    - ``modality="video"``: shared frame hashes (``min_shared``) or,
+      when ``min_run`` is set, contiguous shared runs (trimmed-copy
+      precision); both honor ``every_n``/``max_frame_df``, the knobs
+      a 100 TB run MUST set (see video_near_dups),
 
     then cluster the pair graph with large/small-star connected
     components and keep each cluster's LOWEST doc_id (the keep-first
@@ -643,13 +647,33 @@ def dedup_media(
     written table (one footer read; the pipeline's pinned
     checkpoints are released before returning).
 
-    Scale shape: one Arrow decode+hash pass, the modality operator's
-    banded/key-bounded candidate join (never all-pairs), CC's
+    ``fingerprint_store`` makes the program INCREMENTAL across batches
+    (the media analog of ``clean_corpus(signature_store=...)``): batch
+    docs are first probed against ``{store}/fps`` — fingerprints only,
+    never blobs: ``(doc_id, phash)`` for image/audio (8 bytes/doc,
+    probed via the shared ``hamming_store_probe`` chunk index,
+    broadcast under ``broadcast_store``), ``(doc_id, frame_idx,
+    fhash)`` for video (probed by shared-count, or by cross-batch
+    RUNS when ``min_run`` is set — positions persist, so run semantics
+    survive the batch boundary; store and probe must use the same
+    ``every_n``). Cross-batch duplicates are dropped, then the batch
+    survivors' fingerprints are APPENDED for batch N+1. First run
+    against a missing store just seeds it. Doc ids must be globally
+    unique across batches (the clean_corpus store contract).
+
+    Scale shape: ONE Arrow decode+hash pass total (persisted and
+    reused by the store probe, the within-batch pairing, and the store
+    append — video decode is the dominant cost, so this matters most
+    there), banded/key-bounded candidate joins (never all-pairs), CC's
     diameter-independent rounds over the (tiny) pair graph, one
     anti-join against the corpus. Columns besides ``content`` ride
     through untouched.
     """
     from pagerank_mapreduce_implementation_spark.operators import multimodal
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        hamming_band_pairs,
+        hamming_store_probe,
+    )
     from pagerank_mapreduce_implementation_spark.operators.graph import (
         connected_components,
     )
@@ -658,41 +682,106 @@ def dedup_media(
         release_persistent_rdds_since,
     )
 
+    if modality not in ("image", "audio", "video"):
+        raise ValueError(
+            f"unknown modality {modality!r}: expected image, audio, or video"
+        )
     docs = spark.read.parquet(input_path)
+    store = (
+        _read_parquet_or_none(spark, f"{fingerprint_store}/fps")
+        if fingerprint_store is not None
+        else None
+    )
     rdds_before = persistent_rdd_ids(spark)
     try:
-        if modality == "image":
-            pairs = multimodal.phash_near_dups(
-                docs, max_hamming=max_hamming, hasher=hasher
-            )
-        elif modality == "audio":
-            pairs = multimodal.audio_near_dups(
-                docs, max_hamming=max_hamming, hasher=hasher
-            )
-        elif modality == "video":
+        if modality == "video":
+            fh = multimodal.video_frame_hashes(
+                docs, every_n, demuxer, hasher
+            ).persist()
+            fh_kept = fh
+            if store is not None:
+                # defensive distinct: a retried append duplicates rows
+                # but never conflicts (fingerprints are derived), so
+                # dedupe at probe time instead of a repair pass
+                s = store.select(
+                    F.col("doc_id").alias("store_id"), "frame_idx", "fhash"
+                ).distinct()
+                if min_run is not None:
+                    pos = F.floor(F.col("frame_idx") / every_n).cast("int")
+                    hits = (
+                        fh.select("doc_id", pos.alias("ia"), "fhash")
+                        .distinct()
+                        .join(
+                            s.select(
+                                "store_id", pos.alias("ib"), "fhash"
+                            ),
+                            "fhash",
+                        )
+                        .select("doc_id", "store_id", "ia", "ib")
+                    )
+                    matched = (
+                        multimodal._island_runs(
+                            hits, "doc_id", "store_id", min_run
+                        )
+                        .select("doc_id")
+                        .distinct()
+                    )
+                else:
+                    matched = (
+                        fh.select("doc_id", "fhash")
+                        .distinct()
+                        .join(s.select("store_id", "fhash").distinct(), "fhash")
+                        .groupBy("doc_id", "store_id")
+                        .agg(F.count(F.lit(1)).alias("__n"))
+                        .filter(F.col("__n") >= min_shared)
+                        .select("doc_id")
+                        .distinct()
+                    )
+                docs = docs.join(matched, "doc_id", "left_anti")
+                fh_kept = fh.join(matched, "doc_id", "left_anti")
             if min_run is not None:
                 pairs = multimodal.video_shared_runs(
-                    docs,
+                    None,
                     min_run=min_run,
                     every_n=every_n,
                     max_frame_df=max_frame_df,
-                    demuxer=demuxer,
-                    hasher=hasher,
+                    materialize=False,
+                    frame_hashes=fh_kept,
                 )
             else:
                 pairs = multimodal.video_near_dups(
-                    docs,
+                    None,
                     min_shared=min_shared,
                     every_n=every_n,
                     max_frame_df=max_frame_df,
-                    demuxer=demuxer,
-                    hasher=hasher,
+                    materialize=False,
+                    frame_hashes=fh_kept,
                 )
+            fp = None
         else:
-            raise ValueError(
-                f"unknown modality {modality!r}: expected image, audio, "
-                "or video"
+            h = hasher or (
+                multimodal.wav_fingerprint if modality == "audio" else None
             )
+            # phash_images is content-agnostic: (doc_id, fn(content)) —
+            # the audio fingerprint rides the same Arrow pass
+            fp = multimodal.phash_images(docs, h).persist()
+            fp_kept = fp
+            if store is not None:
+                matched = hamming_store_probe(
+                    fp,
+                    store.select("doc_id", "phash").distinct(),
+                    "phash",
+                    max_hamming,
+                    chunks,
+                    multimodal.PHASH_BITS,
+                    broadcast_store=broadcast_store,
+                ).select("doc_id")
+                docs = docs.join(matched, "doc_id", "left_anti")
+                fp_kept = fp.join(matched, "doc_id", "left_anti")
+            pairs = hamming_band_pairs(
+                fp_kept, "phash", max_hamming, chunks, multimodal.PHASH_BITS
+            )
+            fh = None
         comps = connected_components(
             pairs.select("doc_a", "doc_b"),
             "doc_a",
@@ -704,6 +793,16 @@ def dedup_media(
         )
         survivors = docs.join(drop, "doc_id", "left_anti")
         survivors.write.mode("overwrite").parquet(output_path)
-        return spark.read.parquet(output_path)
+        written = spark.read.parquet(output_path)
+        if fingerprint_store is not None:
+            ids = written.select("doc_id")
+            if modality == "video":
+                new_rows = fh.join(ids, "doc_id", "left_semi").select(
+                    "doc_id", "frame_idx", "fhash"
+                )
+            else:
+                new_rows = fp.join(ids, "doc_id", "left_semi")
+            new_rows.write.mode("append").parquet(f"{fingerprint_store}/fps")
+        return written
     finally:
         release_persistent_rdds_since(spark, rdds_before)

@@ -560,67 +560,20 @@ def streaming_phash_probe(
     batch operator's (chunks-1 Hamming guaranteed, banded above), so
     the batch composition is the oracle.
     """
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        hamming_store_probe,
+    )
     from pagerank_mapreduce_implementation_spark.operators.multimodal import (
         PHASH_BITS,
         phash_images,
     )
 
-    bits_per = PHASH_BITS // chunks
-    fp = phash_images(blobs, hasher)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.expr(f"shiftright(phash, {c * bits_per})")
-                .bitwiseAND(F.lit((1 << bits_per) - 1))
-                .alias("key"),
-            )
-            for c in range(chunks)
-        ]
-    )
-    stream_chunks = fp.select(
-        "doc_id", "phash", F.explode(chunk_structs).alias("cc")
-    ).select(
-        "doc_id",
+    return hamming_store_probe(
+        phash_images(blobs, hasher),
+        seen_fp,
         "phash",
-        F.col("cc.chunk").alias("chunk"),
-        F.col("cc.key").alias("key"),
-    )
-    store = seen_fp.select(
-        F.col("doc_id").alias("store_id"), F.col("phash").alias("fp_s")
-    )
-    store_chunks = store.select(
-        "store_id",
-        "fp_s",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.expr(f"shiftright(fp_s, {c * bits_per})")
-                        .bitwiseAND(F.lit((1 << bits_per) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            ).alias("cc")
-        ).alias("cc"),
-    ).select(
-        "store_id",
-        "fp_s",
-        F.col("cc.chunk").alias("chunk"),
-        F.col("cc.key").alias("key"),
-    )
-    if broadcast_store:
-        store_chunks = F.broadcast(store_chunks)
-    hamming = F.bit_count(F.col("phash").bitwiseXOR(F.col("fp_s")))
-    return (
-        stream_chunks.join(store_chunks, ["chunk", "key"])
-        .filter(hamming <= max_hamming)
-        .select("doc_id", "store_id", hamming.alias("hamming"))
-        .groupBy("doc_id")
-        .agg(
-            F.min("store_id").alias("dup_store_id"),
-            F.min("hamming").alias("min_hamming"),
-        )
+        max_hamming,
+        chunks,
+        PHASH_BITS,
+        broadcast_store=broadcast_store,
     )

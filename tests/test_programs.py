@@ -952,3 +952,80 @@ def test_dedup_media_end_to_end_all_modalities(spark, tmp_path):
     assert not persistent_rdd_ids(spark) - before  # nothing left pinned
     with pytest.raises(ValueError, match="unknown modality"):
         dedup_media(spark, vsrc, str(tmp_path / "x"), modality="text")
+
+
+def test_dedup_media_fingerprint_store_image_roundtrip(spark, tmp_path):
+    """dedup_media(fingerprint_store=...): batch 1 seeds {store}/fps
+    with survivors' perceptual hashes; batch 2's brightness-shifted
+    copy of a batch-1 doc is caught by the cross-batch probe (DCT hash,
+    hamming 0) while a fresh image passes and its hash is appended."""
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+    from pagerank_mapreduce_implementation_spark.programs import dedup_media
+
+    store = str(tmp_path / "store")
+    src1 = str(tmp_path / "b1_in")
+    spark.createDataFrame(
+        [(0, mm.dct_test_image(0)), (2, mm.dct_test_image(2))],
+        "doc_id long, content binary",
+    ).write.parquet(src1)
+    out1 = dedup_media(
+        spark, src1, str(tmp_path / "b1_out"), modality="image",
+        max_hamming=0, hasher=mm.ppm_dcthash, fingerprint_store=store,
+    )
+    assert sorted(r.doc_id for r in out1.select("doc_id").collect()) == [0, 2]
+
+    # batch 2: doc 10 = dct_test_image(1) is doc 0's +40 shift (store
+    # dup); doc 11 = dct_test_image(4) is a fresh group
+    src2 = str(tmp_path / "b2_in")
+    spark.createDataFrame(
+        [(10, mm.dct_test_image(1)), (11, mm.dct_test_image(4))],
+        "doc_id long, content binary",
+    ).write.parquet(src2)
+    out2 = dedup_media(
+        spark, src2, str(tmp_path / "b2_out"), modality="image",
+        max_hamming=0, hasher=mm.ppm_dcthash, fingerprint_store=store,
+    )
+    assert sorted(r.doc_id for r in out2.select("doc_id").collect()) == [11]
+    fps = spark.read.parquet(f"{store}/fps")
+    assert sorted(r.doc_id for r in fps.select("doc_id").collect()) == [0, 2, 11]
+    # stored hash equals the direct hash (fingerprints-only store):
+    # doc 11 carries dct_test_image(4)'s content
+    want = mm.ppm_dcthash(mm.dct_test_image(4))
+    assert {r.phash for r in fps.filter("doc_id = 11").collect()} == {want}
+
+
+def test_dedup_media_fingerprint_store_video_runs_roundtrip(spark, tmp_path):
+    """Video store probe preserves RUN semantics across batches: the
+    store keeps (doc_id, frame_idx, fhash) rows, so a batch-2 TRIM of a
+    batch-1 clip matches on a contiguous cross-batch run while a
+    scattered reuse of the same frames does not."""
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+    from pagerank_mapreduce_implementation_spark.programs import dedup_media
+
+    def clip(fids):
+        return mm.frames_pack([mm.phash_test_image(f) for f in fids])
+
+    store = str(tmp_path / "store")
+    src1 = str(tmp_path / "b1_in")
+    spark.createDataFrame(
+        [(1, clip([10, 11, 12, 13]))], "doc_id long, content binary"
+    ).write.parquet(src1)
+    dedup_media(
+        spark, src1, str(tmp_path / "b1_out"), modality="video",
+        min_run=3, fingerprint_store=store,
+    )
+
+    src2 = str(tmp_path / "b2_in")
+    spark.createDataFrame(
+        [(20, clip([11, 12, 13])), (21, clip([13, 11, 12]))],
+        "doc_id long, content binary",
+    ).write.parquet(src2)
+    out2 = dedup_media(
+        spark, src2, str(tmp_path / "b2_out"), modality="video",
+        min_run=3, fingerprint_store=store,
+    )
+    # 20 = trim of stored 1 (cross-batch run of 3) -> dropped;
+    # 21 = same frames scattered -> max cross run 1 -> kept
+    assert sorted(r.doc_id for r in out2.select("doc_id").collect()) == [21]
+    fps = spark.read.parquet(f"{store}/fps")
+    assert sorted(set(r.doc_id for r in fps.select("doc_id").collect())) == [1, 21]
