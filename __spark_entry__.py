@@ -750,6 +750,10 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         min_len=12,
         max_gram_df=NGRAM_MAX_SHINGLE_DF,
+        # persist the gram table for its three consumers (A/B'd
+        # 2.8 -> 1.8 s at sf0.1); the checkpoint releases via the
+        # bench/driver persisted-RDD sweep
+        materialize=True,
     )
 
 

@@ -1080,6 +1080,7 @@ def substring_runs(
     max_gram_df: int | None = None,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): maximal verbatim token runs of
@@ -1127,6 +1128,17 @@ def substring_runs(
     AND mirrored: the SQL oracle joins the identical md5, so even a
     collision would agree). ``min_len >= k`` required: runs shorter
     than k are invisible to a k-gram scan by construction.
+
+    ``materialize=True`` persists the GRAM table for its three
+    consumers (the df-cap count and both self-join sides — Catalyst
+    clones equi-join diamonds into different pruned subtrees, so
+    lazily the corpus is tokenized+hashed three times) and returns the
+    (small) run report as a releasable eager checkpoint
+    (``util.release_result``); measured 2.8 s -> 1.8 s at sf0.1. The
+    default stays lazy — the one-job shape with nothing pinned; at
+    memory-tight extremes the persisted gram table (tens of bytes per
+    token, MEMORY_AND_DISK) is the documented trade against three
+    tokenize passes.
     """
     from pyspark.sql.window import Window
 
@@ -1152,55 +1164,67 @@ def substring_runs(
             )
         ).alias("pos", "gh"),
     )
-    if max_gram_df is not None:
-        if max_gram_df < 1:
-            raise ValueError(f"max_gram_df ({max_gram_df}) must be >= 1")
-        # df counts DOCS per gram (a gram repeated within one doc is
-        # one df), so the cap bounds pair fan-out per gram at C(df, 2)
-        hot = (
-            grams.select("doc_id", "gh")
-            .distinct()
-            .groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_gram_df)
-            .select("gh")
+    if materialize:
+        grams = grams.persist()
+    try:
+        capped = grams
+        if max_gram_df is not None:
+            if max_gram_df < 1:
+                raise ValueError(f"max_gram_df ({max_gram_df}) must be >= 1")
+            # df counts DOCS per gram (a gram repeated within one doc is
+            # one df), so the cap bounds pair fan-out per gram at C(df, 2)
+            hot = (
+                grams.select("doc_id", "gh")
+                .distinct()
+                .groupBy("gh")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_gram_df)
+                .select("gh")
+            )
+            capped = grams.join(hot, "gh", "left_anti")
+        hits = (
+            capped.select(
+                F.col("doc_id").alias("doc_a"), F.col("pos").alias("ia"), "gh"
+            )
+            .join(
+                capped.select(
+                    F.col("doc_id").alias("doc_b"), F.col("pos").alias("ib"), "gh"
+                ),
+                "gh",
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ia", "ib")
         )
-        grams = grams.join(hot, "gh", "left_anti")
-    hits = (
-        grams.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("ia"), "gh")
-        .join(
-            grams.select(
-                F.col("doc_id").alias("doc_b"), F.col("pos").alias("ib"), "gh"
-            ),
-            "gh",
+        diag = (F.col("ia") - F.col("ib")).alias("__diag")
+        w = Window.partitionBy(
+            "doc_a", "doc_b", F.col("ia") - F.col("ib")
+        ).orderBy("ia")
+        islands = hits.select(
+            "doc_a",
+            "doc_b",
+            diag,
+            "ia",
+            (F.col("ia") - F.row_number().over(w)).alias("__grp"),
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ia", "ib")
-    )
-    diag = (F.col("ia") - F.col("ib")).alias("__diag")
-    w = Window.partitionBy("doc_a", "doc_b", F.col("ia") - F.col("ib")).orderBy("ia")
-    islands = hits.select(
-        "doc_a",
-        "doc_b",
-        diag,
-        "ia",
-        (F.col("ia") - F.row_number().over(w)).alias("__grp"),
-    )
-    runs = (
-        islands.groupBy("doc_a", "doc_b", "__diag", "__grp")
-        .agg(
-            F.min("ia").alias("a_start"),
-            (F.count(F.lit(1)) + F.lit(k - 1)).alias("match_len"),
+        runs = (
+            islands.groupBy("doc_a", "doc_b", "__diag", "__grp")
+            .agg(
+                F.min("ia").alias("a_start"),
+                (F.count(F.lit(1)) + F.lit(k - 1)).alias("match_len"),
+            )
+            .filter(F.col("match_len") >= min_len)
         )
-        .filter(F.col("match_len") >= min_len)
-    )
-    return runs.select(
-        "doc_a",
-        "doc_b",
-        "a_start",
-        (F.col("a_start") - F.col("__diag")).alias("b_start"),
-        "match_len",
-    )
+        out = runs.select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") - F.col("__diag")).alias("b_start"),
+            "match_len",
+        )
+        return out.localCheckpoint(eager=True) if materialize else out
+    finally:
+        if materialize:
+            grams.unpersist()
 
 
 def strip_substring_runs(
@@ -1211,6 +1235,7 @@ def strip_substring_runs(
     text_col: str = "text",
     doc_col: str = "doc_id",
     runs: DataFrame | None = None,
+    materialize_runs: bool = True,
 ) -> DataFrame:
     """The REMOVAL step ``substring_runs`` reports for (Lee et al.
     2022 end their pipeline in deletion, not a report): cut every
@@ -1242,9 +1267,25 @@ def strip_substring_runs(
     column expressions (filter-with-index + array_join), zero Python.
     Pass a precomputed ``runs`` frame to reuse a report you already
     paid for; it must carry this function's (k, min_len) semantics.
+
+    ``materialize_runs`` (default True) computes the internal run
+    report with ``substring_runs(materialize=True)`` — the gram table
+    persists for its three consumers and the report pins as an eager
+    checkpoint that the RETURNED frame references; release it with the
+    surrounding program scope (``util.release_result`` on any consumer
+    of this output, or ``release_persistent_rdds_since`` as
+    ``clean_corpus`` does). Ignored when ``runs`` is supplied.
     """
     if runs is None:
-        runs = substring_runs(docs, k, min_len, max_gram_df, text_col, doc_col)
+        runs = substring_runs(
+            docs,
+            k,
+            min_len,
+            max_gram_df,
+            text_col,
+            doc_col,
+            materialize=materialize_runs,
+        )
     spans = (
         runs.select(
             F.col("doc_b").alias(doc_col),

@@ -513,6 +513,31 @@ def _docs_of(spark, *texts):
     )
 
 
+def test_substring_runs_materialize_contract(spark):
+    """materialize=True (the driver-query setting) returns the same
+    rows as the lazy default, pins an eager checkpoint the lazy path
+    does not, and releases cleanly via util.release_result."""
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    passage = " ".join(f"w{i}" for i in range(20))
+    docs = _docs_of(spark, passage, f"j1 j2 j3 {passage} q1 q2")
+    before = _cached_rdd_ids(spark)
+    lazy = sorted(
+        tuple(r)
+        for r in dedup.substring_runs(
+            docs, k=8, min_len=12, max_gram_df=64
+        ).collect()
+    )
+    assert not _cached_rdd_ids(spark) - before  # lazy pins nothing
+    out = dedup.substring_runs(
+        docs, k=8, min_len=12, max_gram_df=64, materialize=True
+    )
+    assert sorted(tuple(r) for r in out.collect()) == lazy and lazy
+    assert _cached_rdd_ids(spark) - before  # checkpoint pinned
+    release_result(out)
+    assert not _cached_rdd_ids(spark) - before  # gram persist released too
+
+
 def test_substring_runs_merges_maximal_run(spark):
     """A shared 20-token passage comes back as ONE maximal row with the
     exact starts in each doc — not 13 overlapping k-gram rows."""

@@ -457,12 +457,21 @@ def test_bm25_single_scan_single_corpus_shuffle(spark, sf_dir):
     assert ("ReusedExchange" in final) or ("ReusedQueryStage" in final)
 
 
-def test_substring_runs_window_keyed_by_pair_and_diagonal(plans):
+def test_substring_runs_window_keyed_by_pair_and_diagonal(spark, sf_dir):
     """substring_dedup's gaps-and-islands window partitions by
     (doc_a, doc_b, diagonal) — candidate-volume-sized — never by a
     corpus-wide key; candidates come from the gram-hash equi-join,
-    never a cartesian."""
-    p = plans("substring_dedup")
+    never a cartesian. Inspected on the LAZY operator — the registry
+    query's eager checkpoint (materialize=True since round 9)
+    truncates the lineage to a LogicalRDD scan."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    p = plan_of(
+        dedup.substring_runs(
+            Catalog(spark, sf_dir).documents, k=8, min_len=12, max_gram_df=64
+        )
+    )
     assert "CartesianProduct" not in p
     # every window spec opens with the pair columns
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
@@ -488,3 +497,22 @@ def test_phash_images_one_arrow_pass_no_shuffle(spark):
     # never the all-pairs product
     p2 = plan_of(mm.phash_near_dups(blobs, materialize=False))
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+
+
+def test_hamming_store_probe_broadcasts_store_chunk_index(spark):
+    """The batch-vs-store probe (round 9, shared by streaming_phash_
+    probe and dedup_media's fingerprint store): the store's chunk
+    index joins BROADCAST under the default — a stream/batch-side
+    shuffle against a fingerprint store would serialize ingestion on
+    the store's partitioning — and never sort-merge or cartesian."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    fp = spark.createDataFrame(
+        [(i, i * 37) for i in range(20)], "doc_id long, phash long"
+    )
+    store = spark.createDataFrame(
+        [(100 + i, i * 37) for i in range(20)], "doc_id long, phash long"
+    )
+    p = plan_of(dedup.hamming_store_probe(fp, store, "phash", 10))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
