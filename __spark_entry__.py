@@ -2097,7 +2097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. First the 6 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort.
+        # cohort. ROUND-10 ROTATION PLAN: window = these 6 + the first
+        # 44 of the r8 cohort; the remaining 6 r8-cohort entries lead
+        # round 11 (all deadlines check out under the 3-round budget —
+        # the rotation test verifies mechanically).
         "customer_order_gaps": _q_customer_order_gaps,
         "daily_type_pivot": _q_daily_type_pivot,
         "value_percentiles": _q_value_percentiles,

@@ -144,3 +144,65 @@ def test_text_lines_reads_gzip_transparently(spark, tmp_path):
     b = sorted(r.line for r in read_text_lines(spark, str(gz)).collect())
     # the trailing empty element becomes a final newline, not a line
     assert a == b and len(a) == 2
+
+
+def test_write_clustered_parquet_layout_enables_pruning(spark, tmp_path, sf_dir):
+    """write_clustered_parquet range-partitions + sorts on the cluster
+    key, so the written files carry NARROW, NON-OVERLAPPING parquet
+    footer min/max stats on that column — the physical property that
+    lets a key-range predicate prune whole files and row groups
+    instead of brute-scanning. Audited directly in the footers via
+    pyarrow, plus the filter-pushdown half on re-read."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.sources import (
+        write_clustered_parquet,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered_parquet(li, path, ["l_shipdate"], num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+
+    # footer audit: per-file (min, max) shipdate ranges must not
+    # overlap across files (range partitioning puts equal keys in ONE
+    # partition, so ranges are disjoint), and row groups within a file
+    # must be internally ordered (sortWithinPartitions)
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.schema.column(i).name == "l_shipdate"
+        )
+        prev_max = None
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max  # sorted within the file
+            prev_max = st.max
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        ranges.append((fmin, fmax))
+    assert len(ranges) > 1  # the range exchange actually fanned out
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, "file key ranges overlap — clustering broken"
+
+    # pushdown half: a range predicate reaches the clustered scan
+    plan = (
+        back.filter(F.col("l_shipdate") < "1995-01-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan
