@@ -777,6 +777,80 @@ def wav_fingerprint(b: bytes, bits: int = PHASH_BITS) -> int:
     return out
 
 
+def wav_spectral_fingerprint(
+    b: bytes, bits: int = PHASH_BITS, frames: int = 11, bands: int = 7
+) -> int:
+    """Spectral band-energy-delta audio fingerprint — the full
+    Haitsma & Kalker (2002) construction, beside the mono-band
+    ``wav_fingerprint`` as an injectable ``hasher`` for
+    ``audio_near_dups`` (same 60-bit output, same banding):
+    bit ``(n, m)`` is the sign of the TIME-delta of the
+    FREQUENCY-delta of band energies,
+    ``(E[n][m] - E[n][m+1]) - (E[n-1][m] - E[n-1][m+1]) > 0``,
+    over ``frames`` time slices x ``bands`` spectral bands —
+    ``(frames-1) * (bands-1)`` bits (defaults: 10 x 6 = 60).
+
+    Why it exists when the energy-delta print already does: the mono
+    fingerprint sums TOTAL frame energy, so any additive bias — a DC
+    offset from a bad ADC, re-encoder dither — shifts every frame's
+    energy NON-uniformly (cross terms with the signal) and flips
+    bits. Here band 0 starts at FFT bin 1, so DC is excluded by
+    construction, and the double-delta cancels any per-frame additive
+    spectral tilt; gain invariance is inherited (energies scale
+    uniformly, signs unchanged). Band edges are geometric over the
+    bin range — the bark-band log spacing of the paper without
+    assuming a sample rate.
+
+    numpy rfft doubles are deterministic per platform but NOT
+    portable across engines, so this variant ships with pytest
+    goldens (like ``ppm_dcthash``) rather than an SQL oracle; the
+    banding it feeds is oracle-covered via ``audio_near_dups``.
+    """
+    import numpy as np
+
+    if (frames - 1) * (bands - 1) < bits:
+        raise ValueError(
+            f"frames={frames} x bands={bands} yields "
+            f"{(frames - 1) * (bands - 1)} bits < bits={bits}"
+        )
+    _, samples = _wav_parse(b)
+    n = len(samples)
+    if n < frames * 2 * bands:
+        raise ValueError(
+            f"clip has {n} samples < {frames * 2 * bands} needed for "
+            f"{frames} frames x {bands} bands; pad or skip stubs"
+        )
+    s = samples.astype(np.float64)
+    # per-frame band energies: |rfft|^2 summed over geometric bin bands
+    E = np.empty((frames, bands), dtype=np.float64)
+    for f in range(frames):
+        seg = s[(f * n) // frames : ((f + 1) * n) // frames]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        nb = len(spec)
+        # geometric edges over [1, nb): DC (bin 0) excluded
+        edges = np.unique(
+            np.round(
+                np.geomspace(1, max(nb - 1, 2), bands + 1)
+            ).astype(int)
+        )
+        while len(edges) < bands + 1:  # tiny frames: pad edge list
+            edges = np.append(edges, edges[-1] + 1)
+        for m in range(bands):
+            lo, hi = edges[m], max(edges[m + 1], edges[m] + 1)
+            E[f, m] = float(spec[lo:hi].sum())
+    out = 0
+    j = 0
+    for f2 in range(1, frames):
+        for m in range(bands - 1):
+            if j >= bits:
+                break
+            d = (E[f2, m] - E[f2, m + 1]) - (E[f2 - 1, m] - E[f2 - 1, m + 1])
+            if d > 0:
+                out |= 1 << j
+            j += 1
+    return out
+
+
 def audio_fingerprints(
     blobs: DataFrame,
     hasher: Callable[[bytes], int] | None = None,

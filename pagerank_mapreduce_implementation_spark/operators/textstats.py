@@ -393,3 +393,139 @@ def lm_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("nll"),
     )
+
+
+#: the stopword list of the Gopher rule set (Rae et al. 2021,
+#: App. A1.1: "the, be, to, of, and, that, have, with")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A — the published filter battery most large text
+    pipelines start from), as ONE zero-shuffle pass of pure column
+    expressions: ``(doc_id, [keep_cols...], n_words, mean_word_len,
+    symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+    stopword_hits, keep)`` with ``keep`` the conjunction of all
+    bounds (defaults = the paper's):
+
+    - ``min_words <= n_words <= max_words``
+    - mean word length in ``[min_mean_word_len, max_mean_word_len]``
+    - symbol-to-word ratio (``#`` and ``...``) ``<= max_symbol_ratio``
+    - ``<= max_bullet_ratio`` of lines starting with a bullet
+      (``-``, ``*``, or the bullet glyph)
+    - ``<= max_ellipsis_ratio`` of lines ending with ``...``
+    - ``>= min_alpha_word_ratio`` of words containing a letter
+    - ``>= min_stopword_hits`` hits from GOPHER_STOPWORDS
+
+    Every ratio is rounded to 6 digits BEFORE its comparison, so the
+    keep verdict is bit-deterministic across engines and a SQL oracle
+    can mirror boundary cases exactly. Empty documents fail ``keep``
+    with zeroed metrics rather than nulls. ``keep_cols`` ride through
+    the same narrow pass (the quality_scores contract) so filtering
+    consumers never join back to the source.
+    """
+    metrics = (
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_word_ratio",
+        "stopword_hits",
+    )
+    _check_keep_cols(
+        [c for c in keep_cols if isinstance(c, str)],
+        set(metrics) | {"keep"},
+        "gopher_rules",
+    )
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    toks = _tokens(text_col)
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln) != ""
+    )
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        *kept,
+        toks.alias("_g_toks"),
+        lines.alias("_g_lines"),
+        F.length(text_col).alias("_g_len"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+        ).alias("_g_hashes"),
+        (
+            (
+                F.length(text_col)
+                - F.length(
+                    F.regexp_replace(F.col(text_col), r"\.\.\.", "")
+                )
+            )
+            / F.lit(3)
+        ).cast("long").alias("_g_ellipses"),
+    )
+    n_words = F.size("_g_toks")
+    n_lines = F.size("_g_lines")
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+    word_chars = F.aggregate(
+        "_g_toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(
+        F.filter("_g_toks", lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_hits = F.size(
+        F.filter("_g_toks", lambda w: F.lower(w).isin(GOPHER_STOPWORDS))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            "_g_lines",
+            lambda ln: F.trim(ln).rlike("^([-*•])"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter("_g_lines", lambda ln: F.trim(ln).rlike("\\.\\.\\.$"))
+    )
+    out = staged.select(
+        "doc_id",
+        *[c for c in staged.columns if c not in {
+            "doc_id", "_g_toks", "_g_lines", "_g_len", "_g_hashes",
+            "_g_ellipses",
+        }],
+        n_words.alias("n_words"),
+        safe(word_chars, n_words).alias("mean_word_len"),
+        safe(F.col("_g_hashes") + F.col("_g_ellipses"), n_words).alias(
+            "symbol_ratio"
+        ),
+        safe(bullet_lines, n_lines).alias("bullet_ratio"),
+        safe(ellipsis_lines, n_lines).alias("ellipsis_ratio"),
+        safe(alpha_words, n_words).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("keep", keep)

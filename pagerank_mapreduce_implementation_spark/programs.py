@@ -279,12 +279,18 @@ def clean_corpus(
     substring_k: int | None = None,
     substring_min_len: int = 20,
     substring_max_gram_df: int | None = None,
+    gopher: bool | dict = False,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
     reference twin — the reference has no data-hygiene stage at all):
 
     1. language filter (textstats.lang_id heuristic) when ``lang`` set
+    1b. Gopher rule battery (textstats.gopher_rules, Rae et al. 2021)
+       when ``gopher`` is truthy — drops docs failing the published
+       word-count / word-length / symbol / bullet / ellipsis / alpha /
+       stopword bounds in one zero-shuffle pass; pass a dict to
+       override individual thresholds (forwarded as kwargs)
     2. quality floor (textstats.quality_scores composite)
     3. repetition cap (textstats.repetition_ratio) when
        ``max_repetition`` set — drops boilerplate/generated spam
@@ -385,6 +391,7 @@ def clean_corpus(
             substring_k=substring_k,
             substring_min_len=substring_min_len,
             substring_max_gram_df=substring_max_gram_df,
+            gopher=gopher,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -414,6 +421,7 @@ def _clean_corpus_body(
     substring_k,
     substring_min_len,
     substring_max_gram_df,
+    gopher,
     dedup,
     textstats,
     decontaminate,
@@ -429,6 +437,13 @@ def _clean_corpus_body(
         docs = (
             textstats.lang_id(docs, keep_cols=passthru)
             .filter(F.col("pred_lang") == lang)
+            .select("doc_id", *passthru)
+        )
+    if gopher:
+        kwargs = gopher if isinstance(gopher, dict) else {}
+        docs = (
+            textstats.gopher_rules(docs, keep_cols=passthru, **kwargs)
+            .filter(F.col("keep"))
             .select("doc_id", *passthru)
         )
     if min_quality > 0.0:

@@ -1198,3 +1198,85 @@ def test_parameter_guards_fail_loud(spark):
     sig = multimodal.wav_encode(multimodal.wav_test_signal(1))
     with pytest.raises(ValueError, match="frames"):
         multimodal.wav_feature_extractor(sig, frames=0)
+
+
+def test_gopher_rules_matches_duckdb_oracle(spark, sf_dir):
+    """Gopher rule battery (round 9): metrics and the keep verdict
+    hash-exact against a DuckDB mirror over the real documents table
+    plus hand-built edge docs (empty text, bullet lists, ellipsis
+    spam, symbol floods, short/non-alpha) — ratios rounded 6 BEFORE
+    comparison on both sides so boundary verdicts agree bit-for-bit.
+    This SQL is the registry-oracle candidate for a future round."""
+    import duckdb
+    import pandas as pd
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    edge = [
+        (9001, ""),
+        (9002, "- one\n- two\n- three\n* four"),
+        (9003, "wait...\nmore...\nokay then\nfine..."),
+        (9004, "#### ## # " + " ".join(f"w{i}" for i in range(60))),
+        (9005, " ".join("1234567" for _ in range(80))),
+        (9006, " ".join(f"the word{i} of and that have with be to" for i in range(12))),
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).union(spark.createDataFrame(edge, "doc_id long, text string"))
+    got = (
+        textstats.gopher_rules(docs)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    stop = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("documents", pdf)
+    want = con.sql(
+        r"""
+        WITH t AS (SELECT doc_id,  text,
+            list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks,
+            list_filter(regexp_split_to_array(text, '\n'), ln -> trim(ln) <> '') AS lines
+          FROM documents),
+        m AS (SELECT doc_id,
+            len(toks) AS n_words, len(lines) AS n_lines,
+            coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS word_chars,
+            len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+            len(list_filter(toks, w -> list_contains([%s], lower(w)))) AS stop_hits,
+            len(list_filter(lines, ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines,
+            len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS ellipsis_lines,
+            length(text) - length(replace(text, '#', '')) AS hashes,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+          FROM t),
+        r AS (SELECT doc_id, CAST(n_words AS INT) AS n_words,
+            round(CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END, 6) AS mean_word_len,
+            round(CASE WHEN n_words > 0 THEN (hashes + ellipses)::DOUBLE / n_words ELSE 0 END, 6) AS symbol_ratio,
+            round(CASE WHEN n_lines > 0 THEN bullet_lines::DOUBLE / n_lines ELSE 0 END, 6) AS bullet_ratio,
+            round(CASE WHEN n_lines > 0 THEN ellipsis_lines::DOUBLE / n_lines ELSE 0 END, 6) AS ellipsis_ratio,
+            round(CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words ELSE 0 END, 6) AS alpha_word_ratio,
+            CAST(stop_hits AS INT) AS stopword_hits
+          FROM m)
+        SELECT *, (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+            AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+            AND stopword_hits >= 2) AS keep
+        FROM r ORDER BY doc_id
+        """
+        % stop
+    ).df()
+    want = want.sort_values("doc_id", ignore_index=True)
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the battery is non-trivial on this corpus: both verdicts occur
+    assert got["keep"].any() and (~got["keep"]).any()
+    # edge docs behave: empty fails with zeroed metrics; bullets/
+    # ellipses/symbols/non-alpha each trip their rule
+    row = got.set_index("doc_id")
+    assert not row.loc[9001, "keep"] and row.loc[9001, "n_words"] == 0
+    assert row.loc[9002, "bullet_ratio"] == 1.0
+    assert row.loc[9003, "ellipsis_ratio"] == 0.75
+    assert row.loc[9004, "symbol_ratio"] > 0.1
+    assert row.loc[9005, "alpha_word_ratio"] == 0.0
+    assert row.loc[9006, "keep"]

@@ -481,3 +481,108 @@ def test_video_shared_runs_sampling_and_cap(spark):
         ).collect()
     }
     assert uncapped == {(1, 2): 3}
+
+
+def test_video_shared_runs_empty_and_disjoint_inputs(spark):
+    """Edge paths: no shared frames -> empty result; single doc ->
+    empty; min_run=0 rejected at the call site."""
+    import pytest
+
+    lone = spark.createDataFrame(
+        [(1, _video([70, 71, 72]))], "doc_id long, content binary"
+    )
+    assert mm.video_shared_runs(lone, min_run=2, materialize=False).count() == 0
+    disjoint = spark.createDataFrame(
+        [(1, _video([70, 71, 72])), (2, _video([80, 81, 82]))],
+        "doc_id long, content binary",
+    )
+    assert (
+        mm.video_shared_runs(disjoint, min_run=1, materialize=False).count() == 0
+    )
+    with pytest.raises(ValueError, match="min_run"):
+        mm.video_shared_runs(lone, min_run=0)
+
+
+def test_hamming_store_probe_empty_store_and_no_match(spark):
+    """An empty store (first batch) and a disjoint store both yield
+    zero matches — the probe must not error or fabricate rows."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    fp = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1111 << 30)], "doc_id long, phash long"
+    )
+    empty = spark.createDataFrame([], "doc_id long, phash long")
+    assert dedup.hamming_store_probe(fp, empty, "phash", 10).count() == 0
+    far = spark.createDataFrame(
+        [(9, (1 << 60) - 1 - 0b1111)], "doc_id long, phash long"
+    )
+    assert dedup.hamming_store_probe(fp, far, "phash", 2).count() == 0
+
+
+def test_wav_spectral_fingerprint_invariances():
+    """The spectral (Haitsma-Kalker) print's reason to exist beside the
+    mono energy-delta print: gain invariance is shared, but a DC offset
+    — which perturbs the mono print's total energies via cross terms —
+    is EXCLUDED by construction (bands start at FFT bin 1)."""
+    import numpy as np
+
+    sig = mm.wav_test_signal(7, base=512)
+    base = mm.wav_fingerprint  # mono
+    spec = mm.wav_spectral_fingerprint
+
+    half = (sig.astype(np.int64) // 2).astype("<i2")
+    assert spec(mm.wav_encode(sig)) == spec(mm.wav_encode(half))  # gain
+
+    offset = (sig.astype(np.int64) + 50).astype("<i2")
+    assert spec(mm.wav_encode(sig)) == spec(mm.wav_encode(offset))  # DC
+    # the mono print is NOT DC-invariant on this signal — the exact gap
+    # the spectral variant closes (guards the motivation, not an axiom)
+    assert base(mm.wav_encode(sig)) != base(mm.wav_encode(offset))
+
+    fp = spec(mm.wav_encode(sig))
+    assert 5 < bin(fp).count("1") < 55  # real variation, not constant
+
+
+def test_wav_spectral_fingerprint_discriminates_and_bands(spark):
+    """Unrelated signals land far apart; injected as hasher into
+    audio_near_dups, a gain-scaled copy pairs at hamming 0 through the
+    shared banding while the unrelated clip stays out."""
+    import numpy as np
+
+    rng_a = mm.wav_test_signal(3, base=512)
+    rng_b = mm.wav_test_signal(101, base=512)
+    ha = mm.wav_spectral_fingerprint(mm.wav_encode(rng_a))
+    hb = mm.wav_spectral_fingerprint(mm.wav_encode(rng_b))
+    assert bin(ha ^ hb).count("1") > 8
+
+    double = (rng_a.astype(np.int64) * 2).astype("<i2")
+    blobs = spark.createDataFrame(
+        [
+            (1, mm.wav_encode(rng_a)),
+            (2, mm.wav_encode(double)),
+            (3, mm.wav_encode(rng_b)),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm.audio_near_dups(
+            blobs,
+            max_hamming=4,
+            hasher=mm.wav_spectral_fingerprint,
+            materialize=False,
+        ).collect()
+    }
+    assert rows.get((1, 2)) == 0
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_wav_spectral_fingerprint_parameter_validation():
+    import pytest
+
+    wav = mm.wav_encode(mm.wav_test_signal(1, base=512))
+    with pytest.raises(ValueError, match="bits"):
+        mm.wav_spectral_fingerprint(wav, frames=5, bands=5)  # 16 < 60
+    tiny = mm.wav_encode(mm.wav_test_signal(0, base=64)[:100])
+    with pytest.raises(ValueError, match="samples"):
+        mm.wav_spectral_fingerprint(tiny)

@@ -1029,3 +1029,31 @@ def test_dedup_media_fingerprint_store_video_runs_roundtrip(spark, tmp_path):
     assert sorted(r.doc_id for r in out2.select("doc_id").collect()) == [21]
     fps = spark.read.parquet(f"{store}/fps")
     assert sorted(set(r.doc_id for r in fps.select("doc_id").collect())) == [1, 21]
+
+
+def test_clean_corpus_gopher_stage(spark, tmp_path):
+    """Stage 1b (round 9): gopher=True drops docs failing the Gopher
+    rule battery before the dedup stages; a dict overrides individual
+    thresholds; columns survive the pass."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    good = " ".join(
+        f"the word{i} of and that have with be to" for i in range(12)
+    )
+    short = "the tiny one of and"  # fails min_words=50
+    rows = [
+        (1, good, "en", "web", len(good)),
+        (2, short, "en", "web", len(short)),
+    ]
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    kept = clean_corpus(spark, src, out, gopher=True)
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
+    assert set(kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    # threshold override: min_words=3 lets the short doc through
+    kept2 = clean_corpus(
+        spark, src, str(tmp_path / "out2"), gopher={"min_words": 3}
+    )
+    assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == [1, 2]
