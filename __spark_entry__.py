@@ -927,6 +927,18 @@ def _q_video_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_shared_runs(blobs, min_run=2)
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule battery (textstats.gopher_rules,
+    Rae et al. 2021 App. A — the published filter set most large text
+    pipelines start from): per-doc metrics + the keep verdict, one
+    zero-shuffle pass of pure column expressions. Ratios are rounded 6
+    BEFORE comparison on both engines, so boundary verdicts hash
+    exactly; keep is cast to int (0/1) to keep the hash gate off
+    boolean formatting."""
+    out = textstats.gopher_rules(Catalog(spark, sf_dir).documents)
+    return out.withColumn("keep", F.col("keep").cast("int"))
+
+
 def _q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL step substring_dedup reports for (dedup.
     strip_substring_runs, Lee et al. 2022): shared >=12-token runs cut
@@ -2047,8 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_strip": _q_substring_strip,
         "streaming_phash_probe": _q_streaming_phash_probe,
         "orc_pricing_roundtrip": _q_orc_pricing_roundtrip,
-        # (b) 43 of the 49-query cohort last checked in round 7 — due
-        # back (the remaining 6, simplest-and-unchanged, sit right
+        "gopher_rules": _q_gopher_rules,
+        # (b) 42 of the 49-query cohort last checked in round 7 — due
+        # back (the remaining 7, simplest-and-unchanged, sit right
         # below the boundary: green r7 = within the 3-round budget,
         # and they lead the round-10 window)
         "substring_dedup": _q_substring_dedup,
@@ -2077,7 +2090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_sessions": _q_streaming_user_sessions,
         "streaming_user_stats": _q_streaming_user_stats,
         "window_shoppers": _q_window_shoppers,
-        "signup_followups": _q_signup_followups,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
@@ -2095,12 +2107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_brand_revenue": _q_salted_brand_revenue,
         "user_purchase_trend": _q_user_purchase_trend,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 6 deferred r7-green
+        # 3-round freshness budget. First the 7 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 6 + the first
-        # 44 of the r8 cohort; the remaining 6 r8-cohort entries lead
+        # cohort. ROUND-10 ROTATION PLAN: window = these 7 + the first
+        # 43 of the r8 cohort; the remaining 7 r8-cohort entries lead
         # round 11 (all deadlines check out under the 3-round budget —
         # the rotation test verifies mechanically).
+        "signup_followups": _q_signup_followups,
         "customer_order_gaps": _q_customer_order_gaps,
         "daily_type_pivot": _q_daily_type_pivot,
         "value_percentiles": _q_value_percentiles,
@@ -2988,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
             8, 12, NGRAM_MAX_SHINGLE_DF
         ),
         "streaming_phash_probe": oracles.streaming_phash_probe_sql(10),
+        "gopher_rules": oracles.gopher_rules_sql(),
         # the DCT hash's brightness-invariance prediction: a uniform
         # +40 gray shift lives entirely in the excluded DC coefficient,
         # so the pair set is EXACTLY base/shifted at hamming 0 — no

@@ -1199,3 +1199,52 @@ def video_shared_runs_sql(min_run: int = 2, frames_per_doc: int = 3) -> str:
         f"CAST(run_len AS BIGINT) AS run_len FROM runs "
         f"WHERE run_len >= {min_run}"
     )
+
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> str:
+    """Mirror of textstats.gopher_rules over ``documents``: the same
+    token/line splits, integer counts, rounded-6 ratios, and the keep
+    conjunction evaluated on the ROUNDED values (so boundary verdicts
+    agree bit-for-bit); keep cast to int like the Spark side."""
+    from pagerank_mapreduce_implementation_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return (
+        r"WITH t AS (SELECT doc_id, text, "
+        r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks, "
+        r"list_filter(regexp_split_to_array(text, '\n'), ln -> trim(ln) <> '') AS lines "
+        "FROM documents), "
+        "m AS (SELECT doc_id, len(toks) AS n_words, len(lines) AS n_lines, "
+        "coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS word_chars, "
+        "len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words, "
+        f"len(list_filter(toks, w -> list_contains([{stop}], lower(w)))) AS stop_hits, "
+        "len(list_filter(lines, ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines, "
+        r"len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS ellipsis_lines, "
+        "length(text) - length(replace(text, '#', '')) AS hashes, "
+        "(length(text) - length(replace(text, '...', ''))) // 3 AS ellipses "
+        "FROM t), "
+        "r AS (SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+        "round(CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END, 6) AS mean_word_len, "
+        "round(CASE WHEN n_words > 0 THEN (hashes + ellipses)::DOUBLE / n_words ELSE 0 END, 6) AS symbol_ratio, "
+        "round(CASE WHEN n_lines > 0 THEN bullet_lines::DOUBLE / n_lines ELSE 0 END, 6) AS bullet_ratio, "
+        "round(CASE WHEN n_lines > 0 THEN ellipsis_lines::DOUBLE / n_lines ELSE 0 END, 6) AS ellipsis_ratio, "
+        "round(CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words ELSE 0 END, 6) AS alpha_word_ratio, "
+        "CAST(stop_hits AS INT) AS stopword_hits FROM m) "
+        f"SELECT *, CAST((n_words >= {min_words} AND n_words <= {max_words} "
+        f"AND mean_word_len >= {min_mean_word_len} AND mean_word_len <= {max_mean_word_len} "
+        f"AND symbol_ratio <= {max_symbol_ratio} AND bullet_ratio <= {max_bullet_ratio} "
+        f"AND ellipsis_ratio <= {max_ellipsis_ratio} AND alpha_word_ratio >= {min_alpha_word_ratio} "
+        f"AND stopword_hits >= {min_stopword_hits}) AS INT) AS keep FROM r"
+    )
