@@ -939,6 +939,34 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep", F.col("keep").cast("int"))
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line removal, keep-first (dedup.line_dedup
+    — the CCNet/MassiveText boilerplate pass, Wenzek et al. 2020).
+    The flat synthetic docs carry no newlines, so the query stages a
+    lined corpus first (10 tokens per line, identical chunking in the
+    oracle); near-dup docs share aligned 10-token lines, so real drops
+    happen (163 lines at sf0.001). Rebuilt text sits behind md5 so the
+    byte-exact rebuild is what the hash gate certifies."""
+    toks = F.split(F.col("text"), " ")
+    staged = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(10)).cast("int") - F.lit(1),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup.line_dedup(staged)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_dropped_lines"
+    )
+
+
 def _q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL step substring_dedup reports for (dedup.
     strip_substring_runs, Lee et al. 2022): shared >=12-token runs cut
@@ -2060,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_phash_probe": _q_streaming_phash_probe,
         "orc_pricing_roundtrip": _q_orc_pricing_roundtrip,
         "gopher_rules": _q_gopher_rules,
+        "line_dedup": _q_line_dedup,
         # (b) 42 of the 49-query cohort last checked in round 7 — due
         # back (the remaining 7, simplest-and-unchanged, sit right
         # below the boundary: green r7 = within the 3-round budget,
@@ -2105,14 +2134,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_funnel": _q_signup_funnel,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
-        "user_purchase_trend": _q_user_purchase_trend,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 7 deferred r7-green
+        # 3-round freshness budget. First the 8 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 7 + the first
-        # 43 of the r8 cohort; the remaining 7 r8-cohort entries lead
+        # cohort. ROUND-10 ROTATION PLAN: window = these 8 + the first
+        # 42 of the r8 cohort; the remaining 8 r8-cohort entries lead
         # round 11 (all deadlines check out under the 3-round budget —
         # the rotation test verifies mechanically).
+        "user_purchase_trend": _q_user_purchase_trend,
         "signup_followups": _q_signup_followups,
         "customer_order_gaps": _q_customer_order_gaps,
         "daily_type_pivot": _q_daily_type_pivot,
@@ -3002,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_phash_probe": oracles.streaming_phash_probe_sql(10),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "line_dedup": oracles.line_dedup_sql(),
         # the DCT hash's brightness-invariance prediction: a uniform
         # +40 gray shift lives entirely in the excluded DC coefficient,
         # so the pair set is EXACTLY base/shifted at hamming 0 — no

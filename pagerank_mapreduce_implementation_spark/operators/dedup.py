@@ -1316,3 +1316,208 @@ def strip_substring_runs(
         for c in docs.columns
     ]
     return staged.select(*out_cols, n_stripped.alias("n_stripped"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_line_chars: int = 1,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    key: "Callable[[Column], Column] | None" = None,
+) -> DataFrame:
+    """Corpus-wide repeated-LINE removal, keep-first (the CCNet /
+    MassiveText boilerplate pass — Wenzek et al. 2020 deduplicate
+    normalized paragraph hashes across shards to strip cookie
+    banners, nav bars, and license boilerplate that whole-document
+    dedup can never see).
+
+    Splits ``text_col`` on the LITERAL separator ``sep``, keys each
+    line (default: ``md5(lower(trim(line)))`` — CCNet's
+    case-insensitive normalization without its digit-stripping,
+    documented deviation), and keeps only the FIRST occurrence of
+    each key corpus-wide, ordered by ``(doc_id, line_idx)``. Lines
+    whose trimmed length is < ``min_line_chars`` are exempt: blank
+    separators never collapse across the corpus. Duplicates WITHIN
+    one document count too (second copy drops), matching CCNet's
+    shard-global behavior.
+
+    Returns ``docs`` with ``text_col`` rebuilt (surviving lines
+    re-joined with ``sep``, original order) plus ``n_dropped_lines``.
+    Documents losing no lines pass through BYTE-identical — the
+    rebuild only touches victims.
+
+    Scale shape (the ``strip_substring_runs`` contract): explode is
+    narrow; ONE corpus-sized groupBy on the line key computes
+    (df, first-owner) with map-side partial aggregation — skew-safe
+    where a window over the key would serialize a billion-row
+    boilerplate line into one task; the key join back is
+    candidate-volume-bounded by AQE; per-victim drop indices
+    aggregate in a second (victim-sized) shuffle; the corpus join +
+    filter-with-index rebuild is pure column expressions, zero
+    Python.
+    """
+    import re as _re
+
+    if min_line_chars < 1:
+        # 0 would admit the empty string as a dedup key: every blank
+        # line in the corpus collapses into one, silently rewriting
+        # documents that share no content
+        raise ValueError(f"min_line_chars ({min_line_chars}) must be >= 1")
+    keyfn = key or (lambda c: F.md5(F.lower(F.trim(c))))
+    pat = _re.escape(sep)
+
+    lines = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("idx", "line"),
+    ).filter(F.length(F.trim("line")) >= min_line_chars)
+    keyed = lines.select("doc_id", "idx", keyfn(F.col("line")).alias("k"))
+    # one shuffle: (df, first-owner) per key — min(struct) orders by
+    # (doc_id, idx) lexicographically = the keep-first rule
+    stats = keyed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.min(F.struct("doc_id", "idx")).alias("__first"),
+    )
+    dropped = (
+        keyed.join(stats.filter(F.col("__df") > 1), "k")
+        .filter(
+            (F.col("doc_id") != F.col("__first.doc_id"))
+            | (F.col("idx") != F.col("__first.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("idx").alias("__drops"))
+    )
+    staged = docs.join(
+        dropped.withColumnRenamed("doc_id", doc_col), doc_col, "left"
+    ).withColumn("__lines", F.split(F.col(text_col), pat))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda ln, i: ~F.array_contains(F.col("__drops"), i),
+    )
+    new_text = F.when(F.col("__drops").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, sep)
+    )
+    n_dropped = F.when(F.col("__drops").isNull(), F.lit(0)).otherwise(
+        F.size("__drops")
+    )
+    out_cols = [
+        new_text.alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return staged.select(*out_cols, n_dropped.alias("n_dropped_lines"))
+
+
+def semdedup(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    n_iters: int = 2,
+    keep_rule: str = "min_id",
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means-cluster-
+    bounded cosine comparison. Cluster the embeddings (Lloyd,
+    bit-deterministic ``exact_mean`` centroids), compare vectors only
+    WITHIN their cluster, and drop one member of every pair with
+    cosine >= ``threshold``:
+
+    - ``keep_rule="min_id"`` (default): the higher id drops — the
+      keep-first rule every dedup operator here uses.
+    - ``keep_rule="centroid_far"``: the member CLOSER to its centroid
+      drops (ties: higher id) — the paper's rule; keeping low-
+      centroid-similarity examples preserves cluster-edge diversity.
+
+    Returns the surviving ``docs`` rows, caller's schema preserved
+    (the ``embedding_near_dup_survivors`` contract — ids in ``emb``'s
+    ``id_col`` name ``docs``' ``doc_col``).
+
+    Scale shape — the paper's point re-expressed in Spark terms:
+    clustering REPLACES the quadratic all-pairs product with per-cell
+    products of ~(N/n_cells)^2 / 2 candidates, tuned by ``n_cells``
+    (their 100M-scale runs use k=50k; cells just need to fit a task).
+    Centroids are a driver-side dim table broadcast into ONE narrow
+    assignment fold (``ivf_assign`` — no shuffle); the only shuffle is
+    the cell-keyed self-join, AQE-split when a cell skews; the drop
+    set is distinct victim ids — tiny, broadcast into the final
+    anti-join. Recall caveat (documented, inherent to the method): a
+    pair STRADDLING two cells is never compared; raise ``n_iters`` /
+    choose ``n_cells`` by corpus geometry to taste.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ivf_assign,
+        lloyd_centroids,
+    )
+
+    if keep_rule not in ("min_id", "centroid_far"):
+        raise ValueError(
+            f"unknown keep_rule {keep_rule!r}: expected min_id or centroid_far"
+        )
+    if not (0.0 < threshold <= 1.0):
+        # <=0 admits every within-cell pair: the anti-join then drops
+        # all but one doc per cell — a corpus wipe, not a dedup
+        raise ValueError(f"threshold ({threshold}) must be in (0, 1]")
+
+    cents = lloyd_centroids(
+        emb, n_cells, n_iters, id_col, vec_col, exact_mean=True
+    )
+    cents_df, assign = ivf_assign(emb, n_cells, id_col, vec_col, centroids=cents)
+    side = assign.select(
+        "vec_id", "cell_id", "vec", _norm(F.col("vec")).alias("vnorm")
+    )
+    if keep_rule == "centroid_far":
+        # each row's cosine to its OWN centroid (broadcast dim join)
+        side = side.join(F.broadcast(cents_df), "cell_id").select(
+            "vec_id",
+            "cell_id",
+            "vec",
+            "vnorm",
+            (
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("vnorm") * F.col("cnorm"))
+            ).alias("ccos"),
+        )
+    side = side.persist()
+    try:
+        a = side.select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("id_a"),
+            F.col("vec").alias("va"),
+            F.col("vnorm").alias("na"),
+            *([F.col("ccos").alias("ccos_a")] if keep_rule == "centroid_far" else []),
+        )
+        b = side.select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("vnorm").alias("nb"),
+            *([F.col("ccos").alias("ccos_b")] if keep_rule == "centroid_far" else []),
+        )
+        pairs = (
+            a.join(b, "cell_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+        if keep_rule == "centroid_far":
+            victim = (
+                F.when(F.col("ccos_a") > F.col("ccos_b"), F.col("id_a"))
+                .when(F.col("ccos_b") > F.col("ccos_a"), F.col("id_b"))
+                .otherwise(F.greatest("id_a", "id_b"))
+            )
+        else:
+            victim = F.col("id_b")
+        dropped = (
+            pairs.select(victim.alias(doc_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        side.unpersist()
+    return docs.join(F.broadcast(dropped), doc_col, "left_anti")

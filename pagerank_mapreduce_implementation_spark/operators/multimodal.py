@@ -910,25 +910,42 @@ def video_frame_hashes(
     hasher: Callable[[bytes], int] | None = None,
 ) -> DataFrame:
     """Per-sampled-frame perceptual hashes for video payloads:
-    ``(doc_id, frame_idx, fhash)`` — demux through ``sample_frames``
-    (default: the real ``frames_demuxer`` over the packed container),
-    then the image hash (default ``ppm_ahash``) over each kept frame
-    in a second Arrow pass. Two ``mapInPandas`` stages, both narrow —
-    the frame explosion never shuffles."""
+    ``(doc_id, frame_idx, fhash)`` — demux (default: the real
+    ``frames_demuxer`` over the packed container), sample 1-in-N, and
+    hash (default ``ppm_ahash``) each kept frame in ONE fused Arrow
+    ``mapInPandas`` pass. Fused deliberately: a demux stage that emits
+    a ``frame binary`` column ships every frame's bytes back through
+    Arrow to the JVM only for the next stage to ship them into Python
+    again — at video scale the frames ARE the data, so the fused pass
+    keeps them inside a single Python batch and only 16 bytes/frame
+    (doc_id, frame_idx, fhash) ever cross back. Narrow; never
+    shuffles. Semantics identical to ``sample_frames`` → hash (the
+    composable path for callers who need the frames themselves)."""
+    if every_n < 1:
+        # would divide-by-zero INSIDE the Arrow batch, failing the job
+        # with an executor stack instead of at the call site
+        raise ValueError(f"every_n ({every_n}) must be >= 1")
     fn = hasher or ppm_ahash
-    frames = sample_frames(blobs, every_n, decoder=demuxer or frames_demuxer)
+    demux = demuxer or frames_demuxer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "fhash": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i, frame in enumerate(demux(bytes(content))):
+                    if i % every_n == 0:
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["fhash"].append(fn(bytes(frame)))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "frame_idx": pdf["frame_idx"],
-                    "fhash": pdf["frame"].map(lambda b: fn(bytes(b))).astype("int64"),
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "fhash": pd.Series(out["fhash"], dtype="int64"),
                 }
             )
 
-    return frames.mapInPandas(run, schema="doc_id bigint, frame_idx int, fhash bigint")
+    return blobs.mapInPandas(run, schema="doc_id bigint, frame_idx int, fhash bigint")
 
 
 def _island_runs(

@@ -1248,3 +1248,36 @@ def gopher_rules_sql(
         f"AND ellipsis_ratio <= {max_ellipsis_ratio} AND alpha_word_ratio >= {min_alpha_word_ratio} "
         f"AND stopword_hits >= {min_stopword_hits}) AS INT) AS keep FROM r"
     )
+
+
+def line_dedup_sql() -> str:
+    """Mirror of dedup.line_dedup over the 10-tokens-per-line staging
+    of ``documents`` (the registry query's shape): identical chunking,
+    md5(lower(trim(line))) keys, keep-first by (doc_id, idx) via a
+    window, ordered string_agg rebuild — untouched docs reassemble to
+    the same bytes because split+join on the literal separator is
+    lossless. Output matches the Spark side: (doc_id, text_md5,
+    n_dropped_lines int)."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "staged AS (SELECT doc_id, array_to_string("
+        "[array_to_string(toks[(i*10+1):(i*10+10)], ' ') "
+        "for i in range(CAST(ceil(len(toks)/10.0) AS BIGINT))], "
+        "chr(10)) AS text FROM t), "
+        "lines AS (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS line, "
+        "unnest(range(len(string_split(text, chr(10))))) AS idx "
+        "FROM staged), "
+        "keyed AS (SELECT doc_id, idx, md5(lower(trim(line))) AS k "
+        "FROM lines WHERE len(trim(line)) >= 1), "
+        "ranked AS (SELECT doc_id, idx, row_number() OVER "
+        "(PARTITION BY k ORDER BY doc_id, idx) AS rn FROM keyed), "
+        "dropped AS (SELECT doc_id, idx FROM ranked WHERE rn > 1) "
+        "SELECT s.doc_id, md5(coalesce("
+        "(SELECT string_agg(l.line, chr(10) ORDER BY l.idx) FROM lines l "
+        "LEFT JOIN dropped d ON d.doc_id = l.doc_id AND d.idx = l.idx "
+        "WHERE l.doc_id = s.doc_id AND d.doc_id IS NULL), '')) AS text_md5, "
+        "CAST((SELECT count(*) FROM dropped d WHERE d.doc_id = s.doc_id) "
+        "AS INT) AS n_dropped_lines FROM staged s"
+    )

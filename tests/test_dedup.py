@@ -734,3 +734,117 @@ def test_cosine_pairs_lsh_materialize_contract(spark):
     assert _cached_rdd_ids(spark) - before
     release_result(out)
     assert not _cached_rdd_ids(spark) - before
+
+
+def test_line_dedup_keep_first_corpus_wide(spark):
+    """CCNet keep-first: the (doc_id, line_idx)-smallest occurrence of
+    each normalized line survives; every later copy drops, including a
+    second copy WITHIN one document. Blank lines are exempt (never
+    collapse), untouched docs pass through byte-identical."""
+    docs = _docs_of(
+        spark,
+        "alpha beta\ncookie banner\ngamma",
+        "cookie banner\ndelta\n\ncookie banner",
+        "unique   text\n\nmore  here",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_dropped_lines)
+        for r in dedup.line_dedup(docs).collect()
+    }
+    assert out[1] == ("alpha beta\ncookie banner\ngamma", 0)  # keeper
+    assert out[2] == ("delta\n", 2)  # both copies drop; blank kept
+    # byte-identical: double spaces + blank line preserved
+    assert out[3] == ("unique   text\n\nmore  here", 0)
+
+
+def test_line_dedup_normalization_and_exemption(spark):
+    """Default key is md5(lower(trim(line))): case/edge-whitespace
+    variants of a line are the SAME key; min_line_chars exempts short
+    lines from dedup entirely."""
+    docs = _docs_of(
+        spark,
+        "Cookie Banner\nx\nbody one",
+        "  cookie banner  \nx\nbody two",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_dropped_lines)
+        for r in dedup.line_dedup(docs, min_line_chars=2).collect()
+    }
+    assert out[1] == ("Cookie Banner\nx\nbody one", 0)
+    # normalized dup dropped; 1-char line "x" exempt despite df=2
+    assert out[2] == ("x\nbody two", 1)
+    with pytest.raises(ValueError, match="min_line_chars"):
+        dedup.line_dedup(docs, min_line_chars=0)
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    """Cross-engine parity on a corpus with real line structure: the
+    lined staging of the sf0.001 documents (10 tokens per line, the
+    registry query's shape). DuckDB replays split/key/keep-first/
+    rebuild independently."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    toks = F.split(F.col("text"), " ")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(10)).cast("int") - F.lit(1),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    got = {
+        r.doc_id: (r.text, r.n_dropped_lines)
+        for r in dedup.line_dedup(docs).collect()
+    }
+    con = duckdb.connect()
+    want_rows = con.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') toks
+          FROM read_parquet('{sf}/documents.parquet')
+        ), staged AS (
+          SELECT doc_id, array_to_string(
+            [array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+             for i in range(cast(ceil(len(toks)/10.0) as bigint))],
+            chr(10)) AS text
+          FROM t
+        ), lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                 unnest(range(len(string_split(text, chr(10))))) AS idx
+          FROM staged
+        ), keyed AS (
+          SELECT doc_id, idx, md5(lower(trim(line))) k
+          FROM lines WHERE len(trim(line)) >= 1
+        ), ranked AS (
+          SELECT doc_id, idx,
+                 row_number() OVER (PARTITION BY k ORDER BY doc_id, idx) rn
+          FROM keyed
+        ), dropped AS (
+          SELECT doc_id, idx FROM ranked WHERE rn > 1
+        ), rebuilt AS (
+          SELECT s.doc_id,
+                 coalesce((SELECT string_agg(l.line, chr(10) ORDER BY l.idx)
+                           FROM lines l
+                           LEFT JOIN dropped d
+                             ON d.doc_id = l.doc_id AND d.idx = l.idx
+                           WHERE l.doc_id = s.doc_id AND d.doc_id IS NULL),
+                          '') AS text,
+                 (SELECT count(*) FROM dropped d WHERE d.doc_id = s.doc_id)
+                   AS n_dropped
+          FROM staged s
+        )
+        SELECT doc_id, text, n_dropped FROM rebuilt
+        """
+    ).fetchall()
+    want = {d: (t, n) for d, t, n in want_rows}
+    assert got == want
+    assert sum(n for _, n in got.values()) > 0  # the corpus has real dups

@@ -499,6 +499,29 @@ def test_phash_images_one_arrow_pass_no_shuffle(spark):
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
 
 
+def test_video_frame_hashes_one_fused_arrow_pass(spark):
+    """Video demux+sample+hash is ONE fused Arrow mapInPandas (round
+    9): a separate demux stage would ship every frame's bytes through
+    a JVM round-trip only to re-enter Python for hashing — at video
+    scale the frames are the data. Narrow: zero exchanges."""
+    from pagerank_mapreduce_implementation_spark.operators import multimodal as mm
+
+    frames = [mm.phash_test_image(i) for i in range(3)]
+    blobs = spark.createDataFrame(
+        [(1, mm.frames_pack(frames))], "doc_id long, content binary"
+    )
+    fh = mm.video_frame_hashes(blobs, every_n=2)
+    p = plan_of(fh)
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p
+    # fused output matches the composable sample_frames -> hash path
+    got = {(r.doc_id, r.frame_idx, r.fhash) for r in fh.collect()}
+    want = {
+        (1, i, mm.ppm_ahash(f)) for i, f in enumerate(frames) if i % 2 == 0
+    }
+    assert got == want
+
+
 def test_hamming_store_probe_broadcasts_store_chunk_index(spark):
     """The batch-vs-store probe (round 9, shared by streaming_phash_
     probe and dedup_media's fingerprint store): the store's chunk
