@@ -967,6 +967,26 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semdedup, Abbas et al. 2023): k-means-cluster-
+    bounded semantic dedup over the embeddings table with the paper's
+    keep rule (the pair member closer to its centroid drops — cluster-
+    edge diversity survives). Lloyd centroids in bit-deterministic
+    exact_mean mode; every cosine is a double-fold IEEE-exact on both
+    engines, so the survivor set is an equality, not an approximation.
+    Threshold 0.4 sits 1.3e-4 from the nearest pair cosine at sf0.01 —
+    no boundary jitter."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.semdedup(
+        cat.documents.select("doc_id", "lang", "source", "n_chars"),
+        cat.embeddings,
+        n_cells=8,
+        threshold=0.4,
+        n_iters=2,
+        keep_rule="centroid_far",
+    )
+
+
 def _q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL step substring_dedup reports for (dedup.
     strip_substring_runs, Lee et al. 2022): shared >=12-token runs cut
@@ -2089,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_pricing_roundtrip": _q_orc_pricing_roundtrip,
         "gopher_rules": _q_gopher_rules,
         "line_dedup": _q_line_dedup,
+        "semdedup": _q_semdedup,
         # (b) 42 of the 49-query cohort last checked in round 7 — due
         # back (the remaining 7, simplest-and-unchanged, sit right
         # below the boundary: green r7 = within the 3-round budget,
@@ -2133,14 +2154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_counts": _q_streaming_cms_counts,
         "signup_funnel": _q_signup_funnel,
         "returnflag_cube": _q_returnflag_cube,
-        "salted_brand_revenue": _q_salted_brand_revenue,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 8 deferred r7-green
+        # 3-round freshness budget. First the 9 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 8 + the first
-        # 42 of the r8 cohort; the remaining 8 r8-cohort entries lead
+        # cohort. ROUND-10 ROTATION PLAN: window = these 9 + the first
+        # 41 of the r8 cohort; the remaining 9 r8-cohort entries lead
         # round 11 (all deadlines check out under the 3-round budget —
         # the rotation test verifies mechanically).
+        "salted_brand_revenue": _q_salted_brand_revenue,
         "user_purchase_trend": _q_user_purchase_trend,
         "signup_followups": _q_signup_followups,
         "customer_order_gaps": _q_customer_order_gaps,
@@ -3032,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_phash_probe": oracles.streaming_phash_probe_sql(10),
         "gopher_rules": oracles.gopher_rules_sql(),
         "line_dedup": oracles.line_dedup_sql(),
+        "semdedup": oracles.semdedup_sql(8, 0.4, 2, keep_rule="centroid_far"),
         # the DCT hash's brightness-invariance prediction: a uniform
         # +40 gray shift lives entirely in the excluded DC coefficient,
         # so the pair set is EXACTLY base/shifted at hamming 0 — no

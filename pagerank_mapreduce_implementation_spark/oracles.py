@@ -1281,3 +1281,68 @@ def line_dedup_sql() -> str:
         "CAST((SELECT count(*) FROM dropped d WHERE d.doc_id = s.doc_id) "
         "AS INT) AS n_dropped_lines FROM staged s"
     )
+
+
+def semdedup_sql(
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    n_iters: int = 2,
+    keep_rule: str = "centroid_far",
+) -> str:
+    """Mirror of dedup.semdedup (Abbas et al. 2023): Lloyd-unrolled
+    centroids (the ivf_topk_lloyd construction — identical
+    deterministic seed, bit-exact sequential folds), assignment that
+    KEEPS the winning centroid-cosine, within-cell pairs >= threshold,
+    and the victim rule (``centroid_far``: the member closer to its
+    centroid drops, ties to the higher id; ``min_id``: the higher id
+    drops). Survivors of ``documents`` — the embedding_dedup output
+    shape. All cosines are double-fold IEEE-exact on both engines, so
+    the threshold and the ccos ordering compare bit-for-bit."""
+    parts = [
+        "WITH seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        "CAST(embedding AS DOUBLE[]) AS cvec FROM "
+        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, "
+        f"{_norm_sql('embedding')} AS vnorm FROM embeddings), ",
+    ]
+    prev = "seed"
+    for t in range(n_iters):
+        parts.append(
+            f"sc{t} AS (SELECT b.vec_id, b.vec, b.vnorm, c.cell_id, "
+            f"{_dot_sql('b.vec', 'c.cvec')} / (b.vnorm * {_norm_sql('c.cvec')}) "
+            f"AS ccos FROM base b CROSS JOIN {prev} c), "
+            f"as{t} AS (SELECT vec_id, vec, cell_id FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn "
+            f"FROM sc{t}) WHERE rn = 1), "
+            "mean"
+            f"{t} AS (SELECT cell_id, list_transform(range(1, len(ms[1]) + 1), "
+            "d -> list_reduce(list_transform(ms, m -> m[d]), (a, b) -> a + b) "
+            "/ len(ms)) AS mvec FROM (SELECT cell_id, "
+            f"list(vec ORDER BY vec_id) AS ms FROM as{t} GROUP BY cell_id)), "
+            f"cents{t + 1} AS (SELECT p.cell_id, coalesce(m.mvec, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN mean{t} m ON p.cell_id = m.cell_id), "
+        )
+        prev = f"cents{t + 1}"
+    victim = (
+        "CASE WHEN a.ccos > b.ccos THEN a.vec_id "
+        "WHEN b.ccos > a.ccos THEN b.vec_id "
+        "ELSE greatest(a.vec_id, b.vec_id) END"
+        if keep_rule == "centroid_far"
+        else "b.vec_id"
+    )
+    parts.append(
+        "scored AS (SELECT b.vec_id, b.vec, b.vnorm, c.cell_id, "
+        f"{_dot_sql('b.vec', 'c.cvec')} / (b.vnorm * {_norm_sql('c.cvec')}) "
+        f"AS ccos FROM base b CROSS JOIN {prev} c), "
+        "assign AS (SELECT vec_id, vec, vnorm, cell_id, ccos FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY ccos DESC, cell_id ASC) AS rn FROM scored) WHERE rn = 1), "
+        f"dropped AS (SELECT DISTINCT {victim} AS doc_id "
+        "FROM assign a JOIN assign b "
+        "ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id "
+        f"WHERE {_dot_sql('a.vec', 'b.vec')} / (a.vnorm * b.vnorm) "
+        f">= {threshold}) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+        "LEFT JOIN dropped x ON d.doc_id = x.doc_id WHERE x.doc_id IS NULL"
+    )
+    return "".join(parts)

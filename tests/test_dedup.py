@@ -848,3 +848,85 @@ def test_line_dedup_matches_duckdb_oracle(spark):
     want = {d: (t, n) for d, t, n in want_rows}
     assert got == want
     assert sum(n for _, n in got.values()) > 0  # the corpus has real dups
+
+
+def test_semdedup_basic_rules(spark):
+    """Cluster-bounded semantic dedup on a hand-built geometry: two
+    tight clusters along axes e1 and e2, n_cells=2 splits them; the
+    within-cluster pair above threshold drops one member per rule.
+    min_id drops the higher id; centroid_far drops the member CLOSER
+    to its centroid."""
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [
+            (1, vec(0.0)),        # cluster A anchor (seed 1)
+            (2, vec(1.5708)),     # cluster B anchor (seed 2) ~ e2
+            (3, vec(0.30)),       # near A; cos(0.30)=0.955 with id 1
+            (4, vec(1.5708 - 0.6)),  # near B; cos(0.6)=0.825 w/ id 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 5)], "doc_id long, text string"
+    )
+    # threshold 0.9: only the (1,3) pair qualifies. min_id drops 3.
+    out = dedup.semdedup(docs, emb, n_cells=2, threshold=0.9, n_iters=1)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 4}
+    # centroid_far: after 1 Lloyd iter centroid A = mean(v1, v3); v1
+    # and v3 are symmetric around it EXCEPT float noise decides — use
+    # threshold 0.8 so (2,4) also pairs: centroid B = mean(v2, v4),
+    # equidistant too; tie falls to greatest id. Both drops must be
+    # deterministic and the survivor set stable across runs.
+    out2a = dedup.semdedup(
+        docs, emb, n_cells=2, threshold=0.8, n_iters=1, keep_rule="centroid_far"
+    )
+    out2b = dedup.semdedup(
+        docs, emb, n_cells=2, threshold=0.8, n_iters=1, keep_rule="centroid_far"
+    )
+    got = {r.doc_id for r in out2a.collect()}
+    assert got == {r.doc_id for r in out2b.collect()}
+    assert len(got) == 2  # one drop per cluster
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_rule"):
+        dedup.semdedup(docs, emb, keep_rule="nope")
+    with _pytest.raises(ValueError, match="threshold"):
+        dedup.semdedup(docs, emb, threshold=0.0)
+
+
+def test_semdedup_matches_duckdb_oracle(spark):
+    """Cross-engine parity of the full SemDeDup path (Lloyd centroids
+    -> cell-bounded pairs -> victim rule -> survivors) at sf0.001,
+    both keep rules. Cosines are double-fold IEEE-exact on both
+    engines, so this is an equality check, not approximate."""
+    import duckdb
+
+    from pagerank_mapreduce_implementation_spark import oracles
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    for rule in ("centroid_far", "min_id"):
+        out = dedup.semdedup(
+            docs, emb, n_cells=8, threshold=0.4, n_iters=2, keep_rule=rule
+        )
+        got = sorted(r.doc_id for r in out.collect())
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                oracles.semdedup_sql(8, 0.4, 2, keep_rule=rule)
+            ).fetchall()
+        )
+        assert got == want, f"{rule}: survivor mismatch"
+        assert len(got) < docs.count()  # something actually dropped

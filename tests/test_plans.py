@@ -539,3 +539,20 @@ def test_hamming_store_probe_broadcasts_store_chunk_index(spark):
     p = plan_of(dedup.hamming_store_probe(fp, store, "phash", 10))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_semdedup_plan_cluster_bounded(spark):
+    """SemDeDup's scale contract: no all-pairs product anywhere (the
+    cluster self-join is an equi-join on cell_id), centroid assignment
+    is the broadcast 1-row fold (cross joins in the plan are only that
+    1-row broadcast), and the victim drop-list enters the final
+    anti-join as a BROADCAST."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = dedup.semdedup(docs, emb, n_cells=4, threshold=0.4, n_iters=1)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
