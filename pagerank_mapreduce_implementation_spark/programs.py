@@ -280,6 +280,12 @@ def clean_corpus(
     substring_min_len: int = 20,
     substring_max_gram_df: int | None = None,
     gopher: bool | dict = False,
+    line_dedup: bool | dict = False,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_cells: int = 16,
+    semantic_iters: int = 2,
+    semantic_keep: str = "centroid_far",
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -301,6 +307,12 @@ def clean_corpus(
        the threshold means the same thing run over run)
     4. benchmark decontamination (contamination.decontaminate) when
        ``bench_docs`` is supplied — drops docs overlapping the eval set
+    4b. corpus-wide repeated-LINE removal (dedup.line_dedup, the
+       CCNet keep-first boilerplate pass) when ``line_dedup`` is
+       truthy — runs BEFORE document-level dedup so fingerprints and
+       signatures describe content, not shared nav-bars/banners; pass
+       a dict to forward kwargs (``sep``, ``min_line_chars``). Docs
+       losing no lines pass through byte-identical
     5. exact dedup — drop non-keepers by content fingerprint
     5a. exact-substring STRIP (dedup.strip_substring_runs, Lee et al.
        2022's removal step) when ``substring_k`` is set: verbatim
@@ -338,6 +350,13 @@ def clean_corpus(
        pipelines that want fingerprint-only semantics).
     6. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
        components -> keep each cluster's min doc_id
+    6b. SEMANTIC dedup (dedup.semdedup, Abbas et al. 2023) when an
+       ``embeddings`` frame is supplied (ids in ``vec_id`` naming
+       ``doc_id``) — k-means-cluster-bounded cosine pairs over the
+       SURVIVORS' embeddings (restricted first, so already-dropped
+       docs can't evict a live one), victims per ``semantic_keep``
+       (the paper's ``centroid_far`` default or ``min_id``). Catches
+       paraphrase-level redundancy no lexical stage sees
     7. deterministic importance downsampling (sampling.weighted_sample,
        weight = byte length, p = min(1, bytes/sample_scale)) when
        ``sample_scale`` set — the token-budget shaping pass; stable
@@ -392,6 +411,12 @@ def clean_corpus(
             substring_min_len=substring_min_len,
             substring_max_gram_df=substring_max_gram_df,
             gopher=gopher,
+            line_dedup=line_dedup,
+            embeddings=embeddings,
+            semantic_threshold=semantic_threshold,
+            semantic_cells=semantic_cells,
+            semantic_iters=semantic_iters,
+            semantic_keep=semantic_keep,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -422,6 +447,12 @@ def _clean_corpus_body(
     substring_min_len,
     substring_max_gram_df,
     gopher,
+    line_dedup,
+    embeddings,
+    semantic_threshold,
+    semantic_cells,
+    semantic_iters,
+    semantic_keep,
     dedup,
     textstats,
     decontaminate,
@@ -471,6 +502,10 @@ def _clean_corpus_body(
             threshold=contamination_threshold,
         )
 
+    if line_dedup:
+        ld_kwargs = line_dedup if isinstance(line_dedup, dict) else {}
+        docs = dedup.line_dedup(docs, **ld_kwargs).drop("n_dropped_lines")
+
     exact = dedup.exact_dedup(docs).filter(F.col("is_dup") == 0).select("doc_id")
     docs = docs.join(exact, "doc_id", "left_semi")
 
@@ -516,6 +551,20 @@ def _clean_corpus_body(
         F.col("vertex").alias("doc_id")
     )
     survivors = docs.join(drop, "doc_id", "left_anti")
+    if embeddings is not None:
+        emb_live = embeddings.join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        survivors = dedup.semdedup(
+            survivors,
+            emb_live,
+            n_cells=semantic_cells,
+            threshold=semantic_threshold,
+            n_iters=semantic_iters,
+            keep_rule=semantic_keep,
+        )
     if sample_scale is not None:
         from pagerank_mapreduce_implementation_spark.operators.sampling import (
             weighted_sample,

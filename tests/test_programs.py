@@ -1057,3 +1057,87 @@ def test_clean_corpus_gopher_stage(spark, tmp_path):
         spark, src, str(tmp_path / "out2"), gopher={"min_words": 3}
     )
     assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == [1, 2]
+
+
+def test_clean_corpus_line_dedup_stage(spark, tmp_path):
+    """Stage 4b (round 9): line_dedup=True strips corpus-wide repeated
+    lines (keep-first) BEFORE document-level dedup, so two docs that
+    differ only by shared boilerplate become exact duplicates and
+    collapse; untouched docs pass through byte-identical."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    banner = "accept all cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique body alpha"),
+        (2, f"{banner}\nunique body beta"),
+        (3, "no  boilerplate   here"),  # byte-identity probe
+    ]
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    kept = {
+        r.doc_id: r.text
+        for r in clean_corpus(spark, src, out, line_dedup=True).collect()
+    }
+    assert kept[1] == f"{banner}\nunique body alpha"  # keeper keeps line
+    assert kept[2] == "unique body beta"  # boilerplate stripped
+    assert kept[3] == "no  boilerplate   here"  # BYTE-identical
+    # dict form forwards kwargs: min_line_chars above the banner
+    # length exempts every line -> nothing stripped
+    kept2 = {
+        r.doc_id: r.text
+        for r in clean_corpus(
+            spark, src, str(tmp_path / "out2"), line_dedup={"min_line_chars": 99}
+        ).collect()
+    }
+    assert kept2[2] == f"{banner}\nunique body beta"
+
+
+def test_clean_corpus_semantic_stage(spark, tmp_path):
+    """Stage 6b (round 9): an embeddings frame activates SemDeDup over
+    the SURVIVORS — a high-cosine pair drops one member (paper rule:
+    the one closer to its centroid), and embeddings of docs already
+    dropped upstream cannot evict a live doc."""
+    import math
+
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (1, "alpha content body one"),
+        (2, "alpha content body one"),  # exact dup of 1: dropped at stage 5
+        (3, "semantic twin of doc one"),
+        (4, "totally different subject"),
+    ]
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    emb = spark.createDataFrame(
+        [
+            (1, vec(0.0)),
+            (2, vec(0.05)),  # near 1 — but doc 2 is already gone
+            (3, vec(0.10)),  # cos(0.10)=0.995 with doc 1: semantic dup
+            (4, vec(1.5708)),  # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            spark,
+            src,
+            out,
+            embeddings=emb,
+            semantic_threshold=0.9,
+            semantic_cells=2,
+            semantic_iters=1,
+        ).collect()
+    )
+    # doc 2 went at exact dedup; of the (1,3) semantic pair one member
+    # drops; doc 4 survives
+    assert len(kept) == 2 and 4 in kept
+    assert set(kept) <= {1, 3, 4}
