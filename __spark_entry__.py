@@ -967,6 +967,32 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (textstats.c4_rules, Raffel et al. 2020
+    §2.2 — the line-level half of the published-filter canon). The
+    flat synthetic docs carry no newlines or punctuation, so the query
+    stages a lined corpus first (10 tokens per line, '.' appended to
+    two of every three lines — identical staging in the oracle): the
+    terminal-punct and min-words line rules then bite line-by-line and
+    the >=5-sentence page verdict splits the corpus both ways. Full
+    clean_text sits behind the hash gate."""
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(toks) / F.lit(10)).cast("int") - F.lit(1),
+        ),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when(i % 3 < 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    staged = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return textstats.c4_rules(staged)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semdedup, Abbas et al. 2023): k-means-cluster-
     bounded semantic dedup over the embeddings table with the paper's
@@ -2110,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
+        "c4_rules": _q_c4_rules,
         # (b) 42 of the 49-query cohort last checked in round 7 — due
         # back (the remaining 7, simplest-and-unchanged, sit right
         # below the boundary: green r7 = within the 3-round budget,
@@ -2153,14 +2180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_counts": _q_cms_word_counts,
         "streaming_cms_counts": _q_streaming_cms_counts,
         "signup_funnel": _q_signup_funnel,
-        "returnflag_cube": _q_returnflag_cube,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 9 deferred r7-green
+        # 3-round freshness budget. First the 10 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 9 + the first
-        # 41 of the r8 cohort; the remaining 9 r8-cohort entries lead
+        # cohort. ROUND-10 ROTATION PLAN: window = these 10 + the first
+        # 40 of the r8 cohort; the remaining 10 r8-cohort entries lead
         # round 11 (all deadlines check out under the 3-round budget —
         # the rotation test verifies mechanically).
+        "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         "user_purchase_trend": _q_user_purchase_trend,
         "signup_followups": _q_signup_followups,
@@ -3054,6 +3081,17 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": oracles.gopher_rules_sql(),
         "line_dedup": oracles.line_dedup_sql(),
         "semdedup": oracles.semdedup_sql(8, 0.4, 2, keep_rule="centroid_far"),
+        "c4_rules": oracles.c4_rules_sql(
+            source=(
+                "(SELECT doc_id, array_to_string("
+                "[array_to_string(toks[(i*10+1):(i*10+10)], ' ') || "
+                "(CASE WHEN i % 3 < 2 THEN '.' ELSE '' END) "
+                "for i in range(CAST(ceil(len(toks)/10.0) AS BIGINT))], "
+                "chr(10)) AS text FROM "
+                "(SELECT doc_id, string_split(text, ' ') AS toks "
+                "FROM documents)) staged"
+            )
+        ),
         # the DCT hash's brightness-invariance prediction: a uniform
         # +40 gray shift lives entirely in the excluded DC coefficient,
         # so the pair set is EXACTLY base/shifted at hamming 0 — no

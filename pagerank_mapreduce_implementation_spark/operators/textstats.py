@@ -529,3 +529,88 @@ def gopher_rules(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("keep", keep)
+
+
+def c4_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple = (),
+    drop_needles: tuple = ("lorem ipsum", "{"),
+    line_drop_needle: str = "javascript",
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the
+    line-level half of the published-filter canon; ``gopher_rules`` is
+    the document-level half), as ONE zero-shuffle pass of pure column
+    expressions: ``(doc_id, [keep_cols...], clean_text, n_lines_kept,
+    keep)``.
+
+    Line level (a line SURVIVES into ``clean_text`` iff all hold):
+    - ends in a terminal punctuation mark (``.``, ``!``, ``?``, or a
+      closing quote after one) — trailing whitespace ignored;
+    - has >= ``min_words_per_line`` whitespace words;
+    - does not contain ``line_drop_needle`` (paper: the word
+      "Javascript" — matched case-insensitively as a substring, the
+      common public reading).
+
+    Page level (``keep``):
+    - >= ``min_sentences`` surviving lines (each surviving line ends
+      in terminal punctuation, so surviving-line count is this
+      implementation's sentence count — documented proxy; the paper
+      counts sentences, splitting on the same marks);
+    - none of ``drop_needles`` occur in the ORIGINAL text, matched
+      case-insensitively ("lorem ipsum" and the curly brace per the
+      paper);
+    - no word of ``bad_words`` occurs (case-insensitive whole-word).
+      The paper uses an external blocklist; none ships here, so the
+      default is empty — pass your own.
+
+    Surviving lines re-join with ``\\n`` in original order. Dropped
+    pages still report their ``clean_text`` (the paper discards them;
+    ``clean_corpus``-style consumers filter on ``keep``). keep is int
+    0/1 (hash-gate form).
+    """
+    reserved = {"clean_text", "n_lines_kept", "keep"}
+    _check_keep_cols(
+        [c for c in keep_cols if isinstance(c, str)], reserved, "c4_rules"
+    )
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line ({min_words_per_line}) must be >= 1"
+        )
+    if min_sentences < 0:
+        raise ValueError(f"min_sentences ({min_sentences}) must be >= 0")
+    kept_cols = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+
+    term = r'[.!?]["’”]?\s*$'
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
+    )
+    survives = lambda ln: (  # noqa: E731
+        ln.rlike(term)
+        & (n_words(ln) >= min_words_per_line)
+        & ~F.contains(F.lower(ln), F.lit(line_drop_needle.lower()))
+    )
+    kept_lines = F.filter(lines, survives)
+    lowered = F.lower(F.col(text_col))
+    page_ok = F.size(kept_lines) >= min_sentences
+    for needle in drop_needles:
+        page_ok = page_ok & ~F.contains(lowered, F.lit(needle.lower()))
+    if bad_words:
+        words = F.transform(
+            F.filter(F.split(lowered, r"\s+"), lambda w: w != ""),
+            lambda w: F.regexp_replace(w, r"^\W+|\W+$", ""),
+        )
+        bad = F.array(*[F.lit(w.lower()) for w in bad_words])
+        page_ok = page_ok & ~F.exists(words, lambda w: F.array_contains(bad, w))
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        *kept_cols,
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.size(kept_lines).alias("n_lines_kept"),
+        page_ok.cast("int").alias("keep"),
+    )

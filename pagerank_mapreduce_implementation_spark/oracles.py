@@ -1346,3 +1346,30 @@ def semdedup_sql(
         "LEFT JOIN dropped x ON d.doc_id = x.doc_id WHERE x.doc_id IS NULL"
     )
     return "".join(parts)
+
+
+def _c4_line_survives_sql(ln: str = "ln") -> str:
+    """One surviving-line predicate shared by c4_rules oracles."""
+    return (
+        f"regexp_matches({ln}, '[.!?][\"’”]?\\s*$') AND "
+        f"len(list_filter(regexp_split_to_array(trim({ln}), '\\s+'), "
+        f"w -> w <> '')) >= 3 AND NOT contains(lower({ln}), 'javascript')"
+    )
+
+
+def c4_rules_sql(min_sentences: int = 5, source: str = "documents") -> str:
+    """Mirror of textstats.c4_rules defaults over ``source`` (a table
+    or a parenthesized staged subquery): same line-survival predicate,
+    \\n re-join, surviving-line sentence count, and the lorem-ipsum /
+    curly-brace page needles; keep cast to int."""
+    surv = _c4_line_survives_sql()
+    return (
+        f"WITH t AS (SELECT doc_id, text, "
+        f"list_filter(string_split(text, chr(10)), ln -> {surv}) AS kept "
+        f"FROM {source}) "
+        "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text, "
+        "CAST(len(kept) AS INT) AS n_lines_kept, "
+        f"CAST((len(kept) >= {min_sentences} "
+        "AND NOT contains(lower(text), 'lorem ipsum') "
+        "AND NOT contains(lower(text), '{')) AS INT) AS keep FROM t"
+    )

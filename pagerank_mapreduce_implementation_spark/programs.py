@@ -280,6 +280,7 @@ def clean_corpus(
     substring_min_len: int = 20,
     substring_max_gram_df: int | None = None,
     gopher: bool | dict = False,
+    c4: bool | dict = False,
     line_dedup: bool | dict = False,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
@@ -297,6 +298,11 @@ def clean_corpus(
        word-count / word-length / symbol / bullet / ellipsis / alpha /
        stopword bounds in one zero-shuffle pass; pass a dict to
        override individual thresholds (forwarded as kwargs)
+    1c. C4 heuristics (textstats.c4_rules, Raffel et al. 2020) when
+       ``c4`` is truthy — pages failing the C4 verdict drop AND kept
+       pages are REWRITTEN to their surviving lines (terminal-punct /
+       min-words / javascript line rules), so every later stage sees
+       the cleaned text; dict form forwards kwargs
     2. quality floor (textstats.quality_scores composite)
     3. repetition cap (textstats.repetition_ratio) when
        ``max_repetition`` set — drops boilerplate/generated spam
@@ -411,6 +417,7 @@ def clean_corpus(
             substring_min_len=substring_min_len,
             substring_max_gram_df=substring_max_gram_df,
             gopher=gopher,
+            c4=c4,
             line_dedup=line_dedup,
             embeddings=embeddings,
             semantic_threshold=semantic_threshold,
@@ -447,6 +454,7 @@ def _clean_corpus_body(
     substring_min_len,
     substring_max_gram_df,
     gopher,
+    c4,
     line_dedup,
     embeddings,
     semantic_threshold,
@@ -476,6 +484,19 @@ def _clean_corpus_body(
             textstats.gopher_rules(docs, keep_cols=passthru, **kwargs)
             .filter(F.col("keep"))
             .select("doc_id", *passthru)
+        )
+    if c4:
+        c4_kwargs = c4 if isinstance(c4, dict) else {}
+        docs = (
+            textstats.c4_rules(docs, keep_cols=passthru, **c4_kwargs)
+            .filter(F.col("keep") == 1)
+            .select(
+                "doc_id",
+                *[
+                    F.col("clean_text").alias(c) if c == "text" else F.col(c)
+                    for c in passthru
+                ],
+            )
         )
     if min_quality > 0.0:
         docs = (

@@ -1280,3 +1280,87 @@ def test_gopher_rules_matches_duckdb_oracle(spark, sf_dir):
     assert row.loc[9004, "symbol_ratio"] > 0.1
     assert row.loc[9005, "alpha_word_ratio"] == 0.0
     assert row.loc[9006, "keep"]
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    """C4 heuristics (Raffel et al. 2020 §2.2): terminal-punct lines
+    with >=3 words survive, javascript lines drop, lorem-ipsum /
+    curly-brace / short pages fail keep; bad_words is whole-word and
+    case-insensitive."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    five_ok = "\n".join(f"this is sentence number {i}." for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, five_ok),
+            (2, five_ok + "\nenable JavaScript to continue."),
+            (3, five_ok + "\nlorem ipsum dolor sit amet."),
+            (4, five_ok + "\nfunction f() { return 1; }"),
+            (5, "too short. page here."),
+            (6, "no punct line at all\n" + five_ok),
+            (7, "ok. ok?\nyes! it ends \"right.\"\n" + five_ok),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.c4_rules(docs).collect()}
+    assert out[1].keep == 1 and out[1].n_lines_kept == 5
+    assert out[1].clean_text == five_ok
+    # javascript LINE drops but the page (5 other sentences) keeps
+    assert out[2].keep == 1 and out[2].n_lines_kept == 5
+    assert "JavaScript" not in out[2].clean_text
+    assert out[3].keep == 0  # lorem ipsum page needle
+    assert out[4].keep == 0  # curly brace page needle
+    assert out[5].keep == 0 and out[5].n_lines_kept == 1  # < 5 sentences
+    assert out[6].keep == 1  # punctless line dropped, page survives
+    # "ok. ok?" has only 2 words -> drops; the closing-quote terminal
+    # line survives
+    assert out[7].n_lines_kept == 6
+    assert out[7].clean_text.startswith('yes! it ends "right."')
+    bad = {
+        r.doc_id: r.keep
+        for r in textstats.c4_rules(docs, bad_words=("SENTENCE",)).collect()
+    }
+    assert bad[1] == 0  # whole-word, case-insensitive hit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_words_per_line"):
+        textstats.c4_rules(docs, min_words_per_line=0)
+    with _pytest.raises(ValueError, match="keep_cols"):
+        textstats.c4_rules(docs, keep_cols=("keep",))
+
+
+def test_c4_rules_matches_duckdb_oracle(spark, sf_dir):
+    """c4_rules vs the DuckDB mirror over hand-built punctuated pages
+    UNION the real (punctless — all lines drop, keep=0) documents
+    table: clean_text bytes, counts, and verdicts all exact."""
+    import duckdb
+
+    from pagerank_mapreduce_implementation_spark import oracles
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    edge = [
+        (9101, "\n".join(f"good sentence number {i} here." for i in range(6))),
+        (9102, "one two.\nthis line is long enough!\nShort? no\nJAVASCRIPT required here.\nok fine then...\nanother proper sentence here.\nand one more for luck.\nplus a sixth good one."),
+        (9103, ""),
+        (9104, "braces { appear }\n" + "\n".join(f"s {i} x y." for i in range(6))),
+        (9105, "Lorem Ipsum generator.\nreal sentence one here.\nreal sentence two here.\nreal sentence three here.\nreal sentence four here.\nreal sentence five here."),
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).union(spark.createDataFrame(edge, "doc_id long, text string"))
+    got = (
+        textstats.c4_rules(docs)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = (
+        con.sql(oracles.c4_rules_sql())
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["keep"].sum() >= 2  # both verdicts present

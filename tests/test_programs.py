@@ -1141,3 +1141,31 @@ def test_clean_corpus_semantic_stage(spark, tmp_path):
     # drops; doc 4 survives
     assert len(kept) == 2 and 4 in kept
     assert set(kept) <= {1, 3, 4}
+
+
+def test_clean_corpus_c4_stage(spark, tmp_path):
+    """Stage 1c (round 9): c4=True drops pages failing the C4 verdict
+    and REWRITES kept pages to their surviving lines before any other
+    stage; dict form forwards kwargs."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    good = "\n".join(f"a proper sentence number {i}." for i in range(6))
+    rows = [
+        (1, good + "\nnoise line without punct"),
+        (2, "lorem ipsum dolor sit amet.\n" + good),  # page needle
+        (3, "too short. honestly."),  # < 5 sentences
+    ]
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    kept = {r.doc_id: r.text for r in clean_corpus(spark, src, out, c4=True).collect()}
+    assert sorted(kept) == [1]
+    assert kept[1] == good  # noise line rewritten away
+    kept2 = {
+        r.doc_id
+        for r in clean_corpus(
+            spark, src, str(tmp_path / "out2"), c4={"min_sentences": 1}
+        ).collect()
+    }
+    assert kept2 == {1, 3}
