@@ -993,6 +993,33 @@ def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.c4_rules(staged)
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION battery (textstats.gopher_repetition, Rae et
+    al. 2021 Table A1 — dup-line fractions + top/dup n-gram character
+    mass, the within-doc half of the published filter set). Staged
+    over 10-token lines (the line_dedup staging — near-dup docs share
+    aligned lines AND long token runs, so both the line and the n-gram
+    rules bite; identical staging in the oracle). The oracle is
+    deliberately RELATIONAL (unnest+GROUP BY+argmax+position joins)
+    where the operator is per-row folds — two independent formulations
+    under one hash gate."""
+    toks = F.split(F.col("text"), " ")
+    staged = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(10)).cast("int") - F.lit(1),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return textstats.gopher_repetition(staged)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semdedup, Abbas et al. 2023): k-means-cluster-
     bounded semantic dedup over the embeddings table with the paper's
@@ -2137,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
         "c4_rules": _q_c4_rules,
+        "gopher_repetition": _q_gopher_repetition,
         # (b) 42 of the 49-query cohort last checked in round 7 — due
         # back (the remaining 7, simplest-and-unchanged, sit right
         # below the boundary: green r7 = within the 3-round budget,
@@ -2179,14 +2207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "cms_word_counts": _q_cms_word_counts,
         "streaming_cms_counts": _q_streaming_cms_counts,
-        "signup_funnel": _q_signup_funnel,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 10 deferred r7-green
+        # 3-round freshness budget. First the 11 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 10 + the first
-        # 40 of the r8 cohort; the remaining 10 r8-cohort entries lead
+        # cohort. ROUND-10 ROTATION PLAN: window = these 11 + the first
+        # 39 of the r8 cohort; the remaining 11 r8-cohort entries lead
         # round 11 (all deadlines check out under the 3-round budget —
         # the rotation test verifies mechanically).
+        "signup_funnel": _q_signup_funnel,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
         "user_purchase_trend": _q_user_purchase_trend,
@@ -3081,6 +3109,16 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": oracles.gopher_rules_sql(),
         "line_dedup": oracles.line_dedup_sql(),
         "semdedup": oracles.semdedup_sql(8, 0.4, 2, keep_rule="centroid_far"),
+        "gopher_repetition": oracles.gopher_repetition_sql(
+            source=(
+                "(SELECT doc_id, array_to_string("
+                "[array_to_string(toks[(i*10+1):(i*10+10)], ' ') "
+                "for i in range(CAST(ceil(len(toks)/10.0) AS BIGINT))], "
+                "chr(10)) AS text FROM "
+                "(SELECT doc_id, string_split(text, ' ') AS toks "
+                "FROM documents)) staged"
+            )
+        ),
         "c4_rules": oracles.c4_rules_sql(
             source=(
                 "(SELECT doc_id, array_to_string("

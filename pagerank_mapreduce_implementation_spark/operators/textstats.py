@@ -614,3 +614,261 @@ def c4_rules(
         F.size(kept_lines).alias("n_lines_kept"),
         page_ok.cast("int").alias("keep"),
     )
+
+
+#: Rae et al. 2021 Table A1 repetition thresholds (fraction caps)
+GOPHER_TOP_NGRAM_CAPS: tuple = ((2, 0.20), (3, 0.18), (4, 0.16))
+GOPHER_DUP_NGRAM_CAPS: tuple = (
+    (5, 0.15),
+    (6, 0.14),
+    (7, 0.13),
+    (8, 0.12),
+    (9, 0.11),
+    (10, 0.10),
+)
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    top_ngram_caps: tuple = GOPHER_TOP_NGRAM_CAPS,
+    dup_ngram_caps: tuple = GOPHER_DUP_NGRAM_CAPS,
+) -> DataFrame:
+    """The Gopher REPETITION rule set (Rae et al. 2021, Table A1 —
+    the within-doc half of the published battery; ``gopher_rules``
+    covers the quality half): per doc,
+
+    - ``dup_line_frac``: occurrences-beyond-first of each distinct
+      (trimmed, nonblank) line / total such lines;
+    - ``dup_line_char_frac``: characters of those beyond-first line
+      occurrences / characters of all such lines;
+    - ``top_{n}gram_char_frac`` (n per ``top_ngram_caps``): the most
+      frequent n-gram's ``count * length(gram)`` over ``length(text)``
+      — 0.0 when the top count is 1 (a gram seen once is not
+      repetition); ties break to the lexicographically smallest gram.
+      Self-overlapping grams ("spam spam spam...") can push this
+      above 1.0 — the standard public count×len formula, kept as-is
+      so thresholds mean what the paper's do;
+    - ``dup_{n}gram_char_frac`` (n per ``dup_ngram_caps``): characters
+      of tokens covered by ANY occurrence of an n-gram appearing >= 2
+      times, counted once per token (overlap-safe position marking,
+      the standard public reading), over total token characters;
+    - ``keep``: every fraction <= its cap (int 0/1), fractions
+      rounded-6 BEFORE comparison (the cross-engine-exact verdict
+      convention of ``gopher_rules``).
+
+    Empty docs report zeros and keep=1 — absence of text is the
+    quality battery's business, not repetition's.
+
+    Scale shape: ZERO shuffle — every metric is a per-row fold over
+    the doc's own token/line arrays (sorted-array adjacency for dup
+    counting, a run-length left fold for the top gram, an
+    exists-window scan for coverage), so the pass runs at scan speed
+    with full column pruning at any corpus size; per-row cost is
+    bounded by the doc's own length, never the corpus. All indexing
+    is null-safe ``get`` — no ANSI out-of-bounds paths on short docs.
+    """
+    metrics = ["dup_line_frac", "dup_line_char_frac"]
+    metrics += [f"top_{n}gram_char_frac" for n, _ in top_ngram_caps]
+    metrics += [f"dup_{n}gram_char_frac" for n, _ in dup_ngram_caps]
+    _check_keep_cols(
+        [c for c in keep_cols if isinstance(c, str)],
+        set(metrics) | {"keep"},
+        "gopher_repetition",
+    )
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+
+    def r6(c: Column) -> Column:
+        return F.round(c, 6)
+
+    def safe_div(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    def seq1(hi: Column) -> Column:
+        # 1..hi, EMPTY when hi < 1 (Spark's sequence descends on
+        # start > stop — never feed it an unclamped bound)
+        return F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    def adjacent_dup_mask(sorted_arr: Column, value_of) -> Column:
+        # for each 1-based i, value_of(elem_i) when elem_i == elem_{i-1}
+        # (an occurrence beyond the first of its value), else 0
+        return F.transform(
+            seq1(F.size(sorted_arr)),
+            lambda i: F.when(
+                F.get(sorted_arr, i - 1) == F.get(sorted_arr, i - 2),
+                value_of(F.get(sorted_arr, i - 1)),
+            ).otherwise(F.lit(0)),
+        )
+
+    def isum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + x)
+
+    lines = F.array_sort(
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+            lambda ln: ln != "",
+        )
+    )
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        *kept,
+        F.col(text_col).alias("__txt"),
+        lines.alias("__lines"),
+        _tokens(text_col).alias("__toks"),
+    )
+
+    nl = F.size("__lines")
+    dup_line_occ = F.size(
+        F.filter(
+            adjacent_dup_mask(F.col("__lines"), lambda ln: F.lit(1)),
+            lambda x: x > 0,
+        )
+    )
+    dup_line_chars = isum(adjacent_dup_mask(F.col("__lines"), F.length))
+    all_line_chars = isum(F.transform("__lines", F.length))
+    out_cols = [
+        r6(safe_div(dup_line_occ, nl)).alias("dup_line_frac"),
+        r6(safe_div(dup_line_chars, all_line_chars)).alias(
+            "dup_line_char_frac"
+        ),
+    ]
+
+    nt = F.size("__toks")
+
+    def grams_of(n: int) -> Column:
+        return F.transform(
+            seq1(nt - n + 1),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        )
+
+    for n, _cap in top_ngram_caps:
+        gs = F.array_sort(grams_of(n))
+        # left fold over the sorted grams; strict > keeps the FIRST
+        # (lexicographically smallest) maximal run on ties
+        best = F.aggregate(
+            gs,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit("").alias("bestg"),
+            ),
+            lambda st, g: F.struct(
+                g.alias("prev"),
+                F.when(g == st["prev"], st["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    F.when(g == st["prev"], st["run"] + 1).otherwise(F.lit(1)),
+                    st["best"],
+                ).alias("best"),
+                F.when(
+                    F.when(g == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+                    > st["best"],
+                    g,
+                )
+                .otherwise(st["bestg"])
+                .alias("bestg"),
+            ),
+        )
+        frac = F.when(
+            best["best"] >= 2,
+            safe_div(best["best"] * F.length(best["bestg"]), F.length("__txt")),
+        ).otherwise(F.lit(0.0))
+        out_cols.append(r6(frac).alias(f"top_{n}gram_char_frac"))
+
+    tok_chars = isum(F.transform("__toks", F.length))
+    for n, _cap in dup_ngram_caps:
+        gname, sgname, dpname = f"__g{n}", f"__sg{n}", f"__dp{n}"
+        # Every intermediate lands in its OWN column: an expression
+        # referenced inside a higher-order-function lambda is
+        # re-evaluated PER ELEMENT (first cut re-sorted the gram table
+        # once per token — minutes per 500 docs); attribute references
+        # are O(1), and CollapseProject keeps multiply-referenced
+        # non-cheap aliases materialized.
+        staged = staged.withColumn(gname, grams_of(n))
+        # (gram, pos) structs sorted by gram: an occurrence is
+        # duplicated iff a sorted neighbor shares its gram
+        staged = staged.withColumn(
+            sgname,
+            F.array_sort(
+                F.transform(
+                    seq1(F.size(gname)),
+                    lambda k: F.struct(
+                        F.get(gname, k - 1).alias("g"), k.alias("k")
+                    ),
+                )
+            ),
+        )
+        staged = staged.withColumn(
+            dpname,
+            F.array_sort(
+                F.filter(
+                    F.transform(
+                        seq1(F.size(sgname)),
+                        lambda i: F.when(
+                            (
+                                F.get(sgname, i - 1)["g"]
+                                == F.get(sgname, i - 2)["g"]
+                            )
+                            | (
+                                F.get(sgname, i - 1)["g"]
+                                == F.get(sgname, i)["g"]
+                            ),
+                            F.get(sgname, i - 1)["k"],
+                        ),
+                    ),
+                    lambda k: k.isNotNull(),
+                )
+            ),
+        )
+        # interval-union char mass: fold the ASCENDING duplicate start
+        # positions, each contributing tokens [max(k, prev_end+1),
+        # k+n-1] — overlap-safe by construction, O(dups · n) per doc
+        # with zero per-token work
+        covered = F.aggregate(
+            F.col(dpname),
+            F.struct(F.lit(0).alias("pe"), F.lit(0).alias("chars")),
+            lambda st, k: F.struct(
+                (k + n - 1).alias("pe"),
+                (
+                    st["chars"]
+                    + isum(
+                        F.transform(
+                            F.slice(
+                                "__toks",
+                                F.greatest(k, st["pe"] + 1),
+                                F.greatest(
+                                    k + n - F.greatest(k, st["pe"] + 1),
+                                    F.lit(0),
+                                ),
+                            ),
+                            F.length,
+                        )
+                    )
+                ).alias("chars"),
+            ),
+        )["chars"]
+        out_cols.append(
+            r6(safe_div(covered, tok_chars)).alias(f"dup_{n}gram_char_frac")
+        )
+
+    caps = dict(
+        [
+            ("dup_line_frac", max_dup_line_frac),
+            ("dup_line_char_frac", max_dup_line_char_frac),
+        ]
+        + [(f"top_{n}gram_char_frac", cap) for n, cap in top_ngram_caps]
+        + [(f"dup_{n}gram_char_frac", cap) for n, cap in dup_ngram_caps]
+    )
+    res = staged.select("doc_id", *[F.col(c) if isinstance(c, str) else c for c in keep_cols], *out_cols)
+    keep_expr = F.lit(True)
+    for m, cap in caps.items():
+        keep_expr = keep_expr & (F.col(m) <= cap)
+    return res.withColumn("keep", keep_expr.cast("int"))

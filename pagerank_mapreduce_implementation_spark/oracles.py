@@ -1373,3 +1373,111 @@ def c4_rules_sql(min_sentences: int = 5, source: str = "documents") -> str:
         "AND NOT contains(lower(text), 'lorem ipsum') "
         "AND NOT contains(lower(text), '{')) AS INT) AS keep FROM t"
     )
+
+
+def gopher_repetition_sql(
+    source: str = "documents",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    top_ngram_caps: tuple = ((2, 0.20), (3, 0.18), (4, 0.16)),
+    dup_ngram_caps: tuple = (
+        (5, 0.15),
+        (6, 0.14),
+        (7, 0.13),
+        (8, 0.12),
+        (9, 0.11),
+        (10, 0.10),
+    ),
+) -> str:
+    """Mirror of textstats.gopher_repetition over ``source`` —
+    deliberately RELATIONAL where the operator is per-row folds
+    (unnest + GROUP BY counts, a row_number argmax for the top gram,
+    an occurrence×offset join for position coverage), so the parity
+    check exercises two independent formulations of the same
+    definitions. Fractions rounded-6 before the keep conjunction on
+    both engines."""
+    parts = [
+        "WITH t AS (SELECT doc_id, text, "
+        r"list_filter(list_transform(string_split(text, chr(10)), "
+        "ln -> trim(ln)), ln -> ln <> '') AS lns, "
+        r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') "
+        f"AS toks FROM {source}), "
+        "lcnt AS (SELECT doc_id, ln, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(lns) AS ln FROM t) GROUP BY doc_id, ln), "
+        "lstat AS (SELECT doc_id, sum(c - 1) AS dup_occ, "
+        "sum((c - 1) * length(ln)) AS dup_chars, "
+        "sum(c * length(ln)) AS all_chars, sum(c) AS n_lines "
+        "FROM lcnt GROUP BY doc_id), ",
+    ]
+    sel = [
+        "round(CASE WHEN coalesce(l.n_lines, 0) > 0 THEN "
+        "CAST(l.dup_occ AS DOUBLE) / l.n_lines ELSE 0.0 END, 6) "
+        "AS dup_line_frac",
+        "round(CASE WHEN coalesce(l.all_chars, 0) > 0 THEN "
+        "CAST(l.dup_chars AS DOUBLE) / l.all_chars ELSE 0.0 END, 6) "
+        "AS dup_line_char_frac",
+    ]
+    joins = ["LEFT JOIN lstat l ON t.doc_id = l.doc_id"]
+    for n, _cap in top_ngram_caps + dup_ngram_caps:
+        parts.append(
+            f"g{n} AS (SELECT doc_id, g, count(*) AS c FROM "
+            f"(SELECT doc_id, array_to_string(toks[(i+1):(i+{n})], ' ') AS g "
+            f"FROM t, unnest(range(greatest(len(toks) - {n} + 1, 0))) u(i)) "
+            "GROUP BY doc_id, g), "
+        )
+    for n, _cap in top_ngram_caps:
+        parts.append(
+            f"top{n} AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) "
+            f"AS rn FROM g{n}) WHERE rn = 1), "
+        )
+        sel.append(
+            f"round(CASE WHEN coalesce(tp{n}.c, 0) >= 2 "
+            "AND length(t.text) > 0 THEN "
+            f"CAST(tp{n}.c * length(tp{n}.g) AS DOUBLE) / length(t.text) "
+            f"ELSE 0.0 END, 6) AS top_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN top{n} tp{n} ON t.doc_id = tp{n}.doc_id")
+    for n, _cap in dup_ngram_caps:
+        parts.append(
+            f"occ{n} AS (SELECT p.doc_id, p.k FROM "
+            "(SELECT doc_id, i + 1 AS k, "
+            f"array_to_string(toks[(i+1):(i+{n})], ' ') AS g "
+            f"FROM t, unnest(range(greatest(len(toks) - {n} + 1, 0))) u(i)) p "
+            f"JOIN g{n} x ON p.doc_id = x.doc_id AND p.g = x.g "
+            "WHERE x.c >= 2), "
+            f"cov{n} AS (SELECT DISTINCT doc_id, k + d AS pos FROM occ{n}, "
+            f"unnest(range({n})) v(d)), "
+            f"cc{n} AS (SELECT c.doc_id, "
+            "sum(length(t.toks[c.pos])) AS chars "
+            f"FROM cov{n} c JOIN t ON c.doc_id = t.doc_id "
+            "GROUP BY c.doc_id), "
+        )
+        sel.append(
+            "round(CASE WHEN tkc.chars > 0 THEN "
+            f"CAST(coalesce(cc{n}.chars, 0) AS DOUBLE) / tkc.chars "
+            f"ELSE 0.0 END, 6) AS dup_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN cc{n} ON t.doc_id = cc{n}.doc_id")
+    parts.append(
+        "tkc AS (SELECT doc_id, coalesce(list_sum(list_transform(toks, "
+        "w -> length(w))), 0) AS chars FROM t) "
+    )
+    joins.append("LEFT JOIN tkc ON t.doc_id = tkc.doc_id")
+    caps = (
+        [("dup_line_frac", max_dup_line_frac),
+         ("dup_line_char_frac", max_dup_line_char_frac)]
+        + [(f"top_{n}gram_char_frac", c) for n, c in top_ngram_caps]
+        + [(f"dup_{n}gram_char_frac", c) for n, c in dup_ngram_caps]
+    )
+    keep = " AND ".join(f"{m} <= {c}" for m, c in caps)
+    inner = (
+        "".join(parts)
+        + "SELECT t.doc_id, "
+        + ", ".join(sel)
+        + " FROM t "
+        + " ".join(joins)
+    )
+    return (
+        f"SELECT *, CAST(({keep}) AS INT) AS keep FROM ({inner}) metrics"
+    )

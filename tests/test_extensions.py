@@ -1364,3 +1364,76 @@ def test_c4_rules_matches_duckdb_oracle(spark, sf_dir):
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["keep"].sum() >= 2  # both verdicts present
+
+
+def test_gopher_repetition_semantics(spark):
+    """Repetition battery (Rae et al. 2021 Table A1): dup-line
+    fractions, top n-gram mass, overlap-safe dup n-gram coverage,
+    empty-doc neutrality, keep verdicts."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "one two three four five one two three four five x"),
+            (3, "line a\nline b\nline a\nline a\nline c"),
+            (4, ""),
+            (5, "w1 w2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.gopher_repetition(docs).collect()}
+    assert out[1].keep == 1 and out[1].dup_5gram_char_frac == 0.0
+    # doc 2: the 5-gram "one two three four five" repeats; its two
+    # occurrences cover tokens 1-10 of 11; token chars 3+3+5+4+4 = 19
+    # per window, total chars 39 (incl 'x'); covered = 38/39
+    assert out[2].dup_5gram_char_frac == round(38 / 39, 6)
+    assert out[2].dup_6gram_char_frac == 0.0  # no 6-gram repeats
+    assert out[2].keep == 0
+    # doc 3: "line a" x3 -> 2 beyond-first of 5 lines
+    assert out[3].dup_line_frac == 0.4
+    assert out[3].keep == 0
+    assert out[4].keep == 1 and out[5].keep == 1  # empty/short neutral
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_cols"):
+        textstats.gopher_repetition(docs, keep_cols=("keep",))
+
+
+def test_gopher_repetition_matches_duckdb_oracle(spark, sf_dir):
+    """Parity against the RELATIONAL DuckDB mirror (unnest+GROUP BY vs
+    the operator's per-row folds — two independent formulations) over
+    hand-built repetition shapes UNION the real documents table (real
+    n-gram dups, no lines)."""
+    import duckdb
+    import pandas as pd
+
+    from pagerank_mapreduce_implementation_spark import oracles
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    edge = [
+        (9201, "spam spam spam spam spam spam other words"),
+        (9202, "one two three four five one two three four five x"),
+        (9203, "line a\nline b\nline a\nline a\nline c\nsome more words here"),
+        (9204, ""),
+        (9205, "x y\nx y\nx y\nx y"),
+        (9206, "p q r s t u v w p q r s t u v w p q r s t u v w"),
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).union(spark.createDataFrame(edge, "doc_id long, text string"))
+    got = (
+        textstats.gopher_repetition(docs)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = (
+        con.sql(oracles.gopher_repetition_sql())
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["keep"].nunique() == 2  # both verdicts present
