@@ -280,6 +280,7 @@ def clean_corpus(
     substring_min_len: int = 20,
     substring_max_gram_df: int | None = None,
     gopher: bool | dict = False,
+    gopher_rep: bool | dict = False,
     c4: bool | dict = False,
     line_dedup: bool | dict = False,
     embeddings: DataFrame | None = None,
@@ -306,6 +307,12 @@ def clean_corpus(
     2. quality floor (textstats.quality_scores composite)
     3. repetition cap (textstats.repetition_ratio) when
        ``max_repetition`` set — drops boilerplate/generated spam
+    3a2. Gopher REPETITION battery (textstats.gopher_repetition,
+       Rae et al. 2021 Table A1) when ``gopher_rep`` is truthy —
+       drops docs failing the published dup-line / top-gram /
+       dup-gram caps in one zero-shuffle pass (the within-doc
+       repetition rules; ``max_repetition`` stays as the single-knob
+       alternative); dict form forwards kwargs
     3b. unigram-LM surprisal cap (textstats.lm_scores) when ``max_nll``
        set — drops off-distribution outliers the stopword/length
        heuristics miss (the perplexity-style filter; scored against the
@@ -417,6 +424,7 @@ def clean_corpus(
             substring_min_len=substring_min_len,
             substring_max_gram_df=substring_max_gram_df,
             gopher=gopher,
+            gopher_rep=gopher_rep,
             c4=c4,
             line_dedup=line_dedup,
             embeddings=embeddings,
@@ -454,6 +462,7 @@ def _clean_corpus_body(
     substring_min_len,
     substring_max_gram_df,
     gopher,
+    gopher_rep,
     c4,
     line_dedup,
     embeddings,
@@ -508,6 +517,13 @@ def _clean_corpus_body(
         docs = (
             textstats.repetition_ratio(docs, keep_cols=passthru)
             .filter(F.col("repetition_ratio") <= max_repetition)
+            .select("doc_id", *passthru)
+        )
+    if gopher_rep:
+        gr_kwargs = gopher_rep if isinstance(gopher_rep, dict) else {}
+        docs = (
+            textstats.gopher_repetition(docs, keep_cols=passthru, **gr_kwargs)
+            .filter(F.col("keep") == 1)
             .select("doc_id", *passthru)
         )
     if max_nll is not None:

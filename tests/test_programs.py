@@ -1169,3 +1169,30 @@ def test_clean_corpus_c4_stage(spark, tmp_path):
         ).collect()
     }
     assert kept2 == {1, 3}
+
+
+def test_clean_corpus_gopher_repetition_stage(spark, tmp_path):
+    """Stage 3a2 (round 9): gopher_rep=True drops docs failing the
+    repetition caps; dict form forwards kwargs."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    spammy = "buy now " * 30 + "limited offer"
+    clean = " ".join(f"distinct{i} token{i*7+3}" for i in range(20))
+    rows = [(1, clean), (2, spammy)]
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    kept = clean_corpus(spark, src, out, gopher_rep=True)
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
+    # loosened caps keep both
+    kept2 = clean_corpus(
+        spark,
+        src,
+        str(tmp_path / "out2"),
+        gopher_rep={
+            "top_ngram_caps": ((2, 9.9),),
+            "dup_ngram_caps": ((5, 1.0),),
+        },
+    )
+    assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == [1, 2]
