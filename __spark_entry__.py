@@ -993,6 +993,26 @@ def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.c4_rules(staged)
 
 
+def _q_hits_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (graph.hits) over the same lineitem-derived edge
+    set as the pagerank family: top-20 authorities after 10 full
+    iterations, hub+authority rounded 6 (ordering on the ROUNDED score
+    with the url tiebreak — deterministic cross-engine, the
+    pagerank_top20 convention). Edge table shuffled once per join key
+    (src- and dst-partitioned persisted copies); per-iteration cost is
+    two vertex-sized shuffles + two broadcast 1-row norms."""
+    out = graph.hits(_edges(spark, sf_dir), n_iters=10)
+    return (
+        out.select(
+            "url",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("url"))
+        .limit(20)
+    )
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher REPETITION battery (textstats.gopher_repetition, Rae et
     al. 2021 Table A1 — dup-line fractions + top/dup n-gram character
@@ -2165,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "c4_rules": _q_c4_rules,
         "gopher_repetition": _q_gopher_repetition,
+        "hits_top20": _q_hits_top20,
         # (b) 42 of the 49-query cohort last checked in round 7 — due
         # back (the remaining 7, simplest-and-unchanged, sit right
         # below the boundary: green r7 = within the 3-round budget,
@@ -2206,14 +2227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
         "cms_word_counts": _q_cms_word_counts,
-        "streaming_cms_counts": _q_streaming_cms_counts,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 11 deferred r7-green
+        # 3-round freshness budget. First the 12 deferred r7-green
         # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 11 + the first
-        # 39 of the r8 cohort; the remaining 11 r8-cohort entries lead
+        # cohort. ROUND-10 ROTATION PLAN: window = these 12 + the first
+        # 38 of the r8 cohort; the remaining 12 r8-cohort entries lead
         # round 11 (all deadlines check out under the 3-round budget —
         # the rotation test verifies mechanically).
+        "streaming_cms_counts": _q_streaming_cms_counts,
         "signup_funnel": _q_signup_funnel,
         "returnflag_cube": _q_returnflag_cube,
         "salted_brand_revenue": _q_salted_brand_revenue,
@@ -3109,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": oracles.gopher_rules_sql(),
         "line_dedup": oracles.line_dedup_sql(),
         "semdedup": oracles.semdedup_sql(8, 0.4, 2, keep_rule="centroid_far"),
+        "hits_top20": oracles.hits_sql(limit=20),
         "gopher_repetition": oracles.gopher_repetition_sql(
             source=(
                 "(SELECT doc_id, array_to_string("

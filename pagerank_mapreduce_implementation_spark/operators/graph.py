@@ -638,3 +638,106 @@ def _cc_star(
         "vertex", F.col("vertex").alias("component")
     )
     return member_labels.unionByName(centers)
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 10,
+    materialize_every: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kleinberg's HITS over ``(src, dst)`` edges: ``(url, hub,
+    authority)`` after ``n_iters`` full iterations (the natural
+    companion to the reference's PageRank — authority flows along
+    links, hub credit flows back), L2-normalized after each
+    half-step, duplicate edges contributing per occurrence (the
+    ``pagerank`` scatter convention).
+
+    Per iteration: ``auth_raw(v) = Σ hub(u)`` over in-edges, normalize;
+    ``hub_raw(u) = Σ auth(v)`` over out-edges, normalize. Vertices =
+    src ∪ dst (both endpoints score); a vertex with no in-edges holds
+    authority 0, no out-edges hub 0. The norm is a broadcast 1-row
+    scalar (the dangling-mass pattern); zero norms (empty graph edge
+    case) yield all-zero scores rather than NaN.
+
+    Scale shape, the ``pagerank`` contract applied twice: the edge
+    table is shuffled ONCE per join key — a src-partitioned and a
+    dst-partitioned persisted copy — so each iteration's two joins
+    re-shuffle only the vertex-sized score vectors, never the edges;
+    score updates are groupBy sums with map-side partial aggregation;
+    lineage is cut on the ``IterationDriver`` cadence. Cost per
+    iteration: two vertex-sized shuffles + two 1-row aggregates.
+    """
+    from pagerank_mapreduce_implementation_spark.plans.iterative import (
+        IterationDriver,
+    )
+
+    spark = edges.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = edges.select("src", "dst")
+    links_src = e.repartition(nparts, "src").persist()
+    links_dst = e.repartition(nparts, "dst").persist()
+    vertices = (
+        links_src.select(F.col("src").alias("url"))
+        .union(links_dst.select(F.col("dst").alias("url")))
+        .distinct()
+        .coalesce(nparts)
+        .persist()
+    )
+    vertices.count()  # materialize links + vertices in one pass each
+
+    def normalized(scores: DataFrame, raw: str, out: str) -> DataFrame:
+        nrm = scores.agg(
+            F.sqrt(F.sum(F.col(raw) * F.col(raw))).alias("__n")
+        )
+        return scores.crossJoin(F.broadcast(nrm)).select(
+            "url",
+            F.when(F.col("__n") > 0, F.col(raw) / F.col("__n"))
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        a_raw = (
+            links_src.join(
+                state.select(F.col("url").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("url"))
+            .agg(F.sum("hub").alias("__raw"))
+        )
+        auth = normalized(
+            vertices.join(a_raw, "url", "left").select(
+                "url", F.coalesce("__raw", F.lit(0.0)).alias("__raw")
+            ),
+            "__raw",
+            "authority",
+        )
+        h_raw = (
+            links_dst.join(
+                auth.select(F.col("url").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("url"))
+            .agg(F.sum("authority").alias("__raw"))
+        )
+        hub = normalized(
+            vertices.join(h_raw, "url", "left").select(
+                "url", F.coalesce("__raw", F.lit(0.0)).alias("__raw")
+            ),
+            "__raw",
+            "hub",
+        )
+        return hub.join(auth, "url")
+
+    init = vertices.select(
+        "url", F.lit(1.0).alias("hub"), F.lit(0.0).alias("authority")
+    )
+    out = IterationDriver(materialize_every=materialize_every).run(
+        init, step, n_iters
+    )
+    out = out.select("url", "hub", "authority")
+    links_src.unpersist()
+    links_dst.unpersist()
+    vertices.unpersist()
+    return out

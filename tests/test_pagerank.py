@@ -509,3 +509,71 @@ def test_iteration_driver_reliable_dir_truncates_lineage(spark, tmp_path):
     # lineage (Scan ExistingRDD / RDDScanExec at the root)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan
+
+
+def test_hits_known_geometry(spark):
+    """HITS on a tiny directed graph with an obvious hub/authority
+    split: h -> {a1, a2, a3}, plus a stray edge a1 -> h. The fan-out
+    vertex dominates hub scores, the fan-in targets dominate
+    authority; duplicate edges count per occurrence."""
+    from pagerank_mapreduce_implementation_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("a1", "h")],
+        "src string, dst string",
+    )
+    out = {r.url: r for r in graph.hits(edges, n_iters=10).collect()}
+    assert set(out) == {"h", "a1", "a2", "a3"}
+    assert out["h"].hub == max(r.hub for r in out.values())
+    assert out["h"].authority < out["a1"].authority
+    assert abs(out["a2"].authority - out["a3"].authority) < 1e-12
+    # a1 also gets hub mass (it links to h); a2/a3 link nowhere: hub 0
+    assert out["a2"].hub == 0.0 and out["a1"].hub > 0.0
+    # L2 norms are 1 after the final normalization
+    import math
+
+    assert abs(math.fsum(r.hub ** 2 for r in out.values()) - 1.0) < 1e-9
+    assert abs(math.fsum(r.authority ** 2 for r in out.values()) - 1.0) < 1e-9
+    # duplicate edge doubles the contribution: a1 pulls ahead of a2
+    edges2 = edges.union(
+        spark.createDataFrame([("h", "a1")], "src string, dst string")
+    )
+    out2 = {r.url: r for r in graph.hits(edges2, n_iters=10).collect()}
+    assert out2["a1"].authority > out2["a2"].authority
+
+
+def test_hits_matches_duckdb_oracle(spark, sf_dir):
+    """Cross-engine parity of the full 10-iteration HITS over the real
+    lineitem-derived edge set (the pagerank graph), rounded 6 — the
+    pagerank_sql convention."""
+    import duckdb
+
+    from pagerank_mapreduce_implementation_spark import oracles
+    from pagerank_mapreduce_implementation_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .crossJoin(
+            spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .agg(F.count("*").alias("ns"))
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(
+                F.lit("s"),
+                (F.col("l_partkey") % (2 * F.col("ns")) + 1),
+            ).alias("dst"),
+        )
+    )
+    got = sorted(
+        (r.url, round(r.hub, 6), round(r.authority, 6))
+        for r in graph.hits(edges, n_iters=10).collect()
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(oracles.hits_sql()).fetchall())
+    assert got == want
