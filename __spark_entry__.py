@@ -2175,14 +2175,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 105
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 112
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
-    # query is fresh if green in the latest OR previous driver file).
+    # query is fresh if green in one of the last-budget driver files).
     return {
-        # (a) NEW round-9 registrations — the six round-8 operators
-        # that shipped with local DuckDB-parity pytests only (r8
-        # verdict item 2): first driver certification this round
+        # (a) CHANGED this round: hits rewritten (deferred-norm
+        # support-only loop, 62s->9s), gopher_repetition staging
+        # spread — both need fresh driver certification
+        "gopher_repetition": _q_gopher_repetition,
+        "hits_top20": _q_hits_top20,
+        "gopher_rules": _q_gopher_rules,
+        # (b) the 12-query cohort last green in round 7 — their r7
+        # rows age out of the 3-file budget when round 10 lands, so
+        # they MUST be certified this round
+        "streaming_cms_counts": _q_streaming_cms_counts,
+        "signup_funnel": _q_signup_funnel,
+        "returnflag_cube": _q_returnflag_cube,
+        "salted_brand_revenue": _q_salted_brand_revenue,
+        "user_purchase_trend": _q_user_purchase_trend,
+        "signup_followups": _q_signup_followups,
+        "customer_order_gaps": _q_customer_order_gaps,
+        "daily_type_pivot": _q_daily_type_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "approx_daily_uniques": _q_approx_daily_uniques,
+        "asof_clicks": _q_asof_clicks,
+        "daily_uniques": _q_daily_uniques,
+        # (c) 35 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 15 (below the
+        # boundary) lead round 11
+        "bm25_search": _q_bm25_search,
+        "seq_packing": _q_seq_packing,
+        "seq_packing_bpe": _q_seq_packing_bpe,
+        "doc_chunks_bpe": _q_doc_chunks_bpe,
+        "source_mix": _q_source_mix,
+        "word_count": _q_word_count,
+        "salted_word_count": _q_salted_word_count,
+        "word_count_boundary": _q_word_count_boundary,
+        "doc_word_count": _q_doc_word_count,
+        "term_frequency": _q_term_frequency,
+        "tfidf": _q_tfidf,
+        "search": _q_search,
+        "search_top10": _q_search_top10,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "nation_order_stats": _q_nation_order_stats,
+        "nation_year_rollup": _q_nation_year_rollup,
+        "order_priority": _q_order_priority,
+        "order_priority_clean": _q_order_priority_clean,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_nation_revenue": _q_supplier_nation_revenue,
+        "top3_per_nation": _q_top3_per_nation,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "event_props_stats": _q_event_props_stats,
+        "customer_order_counts": _q_customer_order_counts,
+        "repeat_error_users": _q_repeat_error_users,
+        "cross_corpus_matches": _q_cross_corpus_matches,
+        "hash_splits": _q_hash_splits,
+        "weighted_doc_sample": _q_weighted_sample,
+        "stratified_doc_sample": _q_stratified_sample,
+        "source_quota": _q_source_quota,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
+        "streaming_approx_uniques": _q_streaming_approx_uniques,
+        # --- window boundary (50) — below here: green within the
+        # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
+        # the next 15 (r8-green, budget expires at r11) + 35 of the 47
+        # r9/r10-green entries at the back; the rest lead round 12
+        # (deadlines check out under the 3-round budget — the rotation
+        # test verifies mechanically).
+        "blob_metadata": _q_blob_metadata,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "repetition_scores": _q_repetition,
+        "streaming_minhash_probe": _q_streaming_minhash_probe,
+        "audio_features": _q_audio_features,
+        "packed_bins": _q_packed_bins,
+        "embedding_quantize": _q_embedding_quantize,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "top_ngram_stats": _q_top_ngram_stats,
+        "corpus_report": _q_corpus_report,
+        "streaming_events_sliding": _q_streaming_events_sliding,
+        "graph_degree_histogram": _q_graph_degree_histogram,
+        # r9-green cohort (due by round 12)
         "image_dct_dups": _q_image_dct_dups,
         "audio_near_dups": _q_audio_near_dups,
         "video_near_dups": _q_video_near_dups,
@@ -2190,16 +2268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_strip": _q_substring_strip,
         "streaming_phash_probe": _q_streaming_phash_probe,
         "orc_pricing_roundtrip": _q_orc_pricing_roundtrip,
-        "gopher_rules": _q_gopher_rules,
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
         "c4_rules": _q_c4_rules,
-        "gopher_repetition": _q_gopher_repetition,
-        "hits_top20": _q_hits_top20,
-        # (b) 42 of the 49-query cohort last checked in round 7 — due
-        # back (the remaining 7, simplest-and-unchanged, sit right
-        # below the boundary: green r7 = within the 3-round budget,
-        # and they lead the round-10 window)
         "substring_dedup": _q_substring_dedup,
         "image_phash_dups": _q_image_phash_dups,
         "ivf_topk_lloyd": _q_ivf_topk_lloyd,
@@ -2237,76 +2308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
         "cms_word_counts": _q_cms_word_counts,
-        # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. First the 12 deferred r7-green
-        # queries (they LEAD the round-10 window), then the r8-green
-        # cohort. ROUND-10 ROTATION PLAN: window = these 12 + the first
-        # 38 of the r8 cohort; the remaining 12 r8-cohort entries lead
-        # round 11 (all deadlines check out under the 3-round budget —
-        # the rotation test verifies mechanically).
-        "streaming_cms_counts": _q_streaming_cms_counts,
-        "signup_funnel": _q_signup_funnel,
-        "returnflag_cube": _q_returnflag_cube,
-        "salted_brand_revenue": _q_salted_brand_revenue,
-        "user_purchase_trend": _q_user_purchase_trend,
-        "signup_followups": _q_signup_followups,
-        "customer_order_gaps": _q_customer_order_gaps,
-        "daily_type_pivot": _q_daily_type_pivot,
-        "value_percentiles": _q_value_percentiles,
-        "approx_daily_uniques": _q_approx_daily_uniques,
-        "asof_clicks": _q_asof_clicks,
-        "daily_uniques": _q_daily_uniques,
-        # r8-green cohort (due by round 11)
-        "bm25_search": _q_bm25_search,
-        "seq_packing": _q_seq_packing,
-        "seq_packing_bpe": _q_seq_packing_bpe,
-        "doc_chunks_bpe": _q_doc_chunks_bpe,
-        "source_mix": _q_source_mix,
-        "word_count": _q_word_count,
-        "salted_word_count": _q_salted_word_count,
-        "word_count_boundary": _q_word_count_boundary,
-        "doc_word_count": _q_doc_word_count,
-        "term_frequency": _q_term_frequency,
-        "tfidf": _q_tfidf,
-        "search": _q_search,
-        "search_top10": _q_search_top10,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "nation_order_stats": _q_nation_order_stats,
-        "nation_year_rollup": _q_nation_year_rollup,
-        "order_priority": _q_order_priority,
-        "order_priority_clean": _q_order_priority_clean,
-        "brand_revenue": _q_brand_revenue,
-        "supplier_nation_revenue": _q_supplier_nation_revenue,
-        "top3_per_nation": _q_top3_per_nation,
-        "events_hourly": _q_events_hourly,
-        "user_sessions": _q_user_sessions,
-        "event_props_stats": _q_event_props_stats,
-        "customer_order_counts": _q_customer_order_counts,
-        "repeat_error_users": _q_repeat_error_users,
-        "cross_corpus_matches": _q_cross_corpus_matches,
-        "hash_splits": _q_hash_splits,
-        "weighted_doc_sample": _q_weighted_sample,
-        "stratified_doc_sample": _q_stratified_sample,
-        "source_quota": _q_source_quota,
-        "streaming_exact_dedup": _q_streaming_exact_dedup,
-        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
-        "streaming_approx_uniques": _q_streaming_approx_uniques,
-        "blob_metadata": _q_blob_metadata,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
-        "repetition_scores": _q_repetition,
-        "streaming_minhash_probe": _q_streaming_minhash_probe,
-        "audio_features": _q_audio_features,
-        "packed_bins": _q_packed_bins,
-        "embedding_quantize": _q_embedding_quantize,
-        "quantized_cosine_topk": _q_quantized_cosine_topk,
-        "top_ngram_stats": _q_top_ngram_stats,
-        "corpus_report": _q_corpus_report,
-        "streaming_events_sliding": _q_streaming_events_sliding,
-        "graph_degree_histogram": _q_graph_degree_histogram,
     }
 
 

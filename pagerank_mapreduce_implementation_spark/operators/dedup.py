@@ -939,10 +939,14 @@ def hamming_store_probe(
     sides (same pigeonhole recall as the self-join: any pair within
     chunks-1 Hamming is guaranteed a shared chunk), verified with
     ``bit_count(xor)``. The store's chunk index is broadcast under
-    ``broadcast_store`` (the store is fingerprints-only — 8 bytes/doc
-    — so even a billion-doc store is ~32 GB exploded; set False past
-    the broadcast cap to shuffle against a store bucketed on
-    (chunk, key) instead). Stateless row-wise expressions throughout,
+    ``broadcast_store``. The store is fingerprints-only (~8 bytes +
+    ids per doc, ×``chunks`` exploded), so the default holds to
+    roughly the 100M-fingerprint mark under an 8 GB
+    ``spark.sql.maxBroadcastTableSize``-era budget — comfortably every
+    per-tenant or per-day store, but NOT a billion-doc corpus index:
+    past the broadcast cap set ``broadcast_store=False`` to shuffle
+    against a store bucketed on (chunk, key) instead (same plan the
+    self-join uses). Stateless row-wise expressions throughout,
     which is what lets Structured Streaming run it per micro-batch
     with no state beyond the caller's final aggregation.
     """

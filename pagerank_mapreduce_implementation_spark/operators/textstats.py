@@ -430,7 +430,9 @@ def gopher_rules(
       (``-``, ``*``, or the bullet glyph)
     - ``<= max_ellipsis_ratio`` of lines ending with ``...``
     - ``>= min_alpha_word_ratio`` of words containing a letter
-    - ``>= min_stopword_hits`` hits from GOPHER_STOPWORDS
+    - ``>= min_stopword_hits`` DISTINCT GOPHER_STOPWORDS present
+      (the paper's "at least two of the following words" — a doc
+      repeating one stopword counts it once)
 
     Every ratio is rounded to 6 digits BEFORE its comparison, so the
     keep verdict is bit-deterministic across engines and a SQL oracle
@@ -489,8 +491,15 @@ def gopher_rules(
     alpha_words = F.size(
         F.filter("_g_toks", lambda w: w.rlike("[A-Za-z]"))
     )
+    # DISTINCT stopwords present, not total occurrences: Rae et al.'s
+    # rule is "at least two of the following words", so a doc chanting
+    # one stopword ("the ... the") scores 1, not its repeat count
+    # (array_intersect dedupes on both engines)
     stop_hits = F.size(
-        F.filter("_g_toks", lambda w: F.lower(w).isin(GOPHER_STOPWORDS))
+        F.array_intersect(
+            F.transform("_g_toks", F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
     )
     bullet_lines = F.size(
         F.filter(

@@ -1229,7 +1229,7 @@ def gopher_rules_sql(
         "m AS (SELECT doc_id, len(toks) AS n_words, len(lines) AS n_lines, "
         "coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS word_chars, "
         "len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words, "
-        f"len(list_filter(toks, w -> list_contains([{stop}], lower(w)))) AS stop_hits, "
+        f"len(list_intersect(list_transform(toks, w -> lower(w)), [{stop}])) AS stop_hits, "
         "len(list_filter(lines, ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines, "
         r"len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS ellipsis_lines, "
         "length(text) - length(replace(text, '#', '')) AS hashes, "

@@ -1219,6 +1219,9 @@ def test_gopher_rules_matches_duckdb_oracle(spark, sf_dir):
         (9004, "#### ## # " + " ".join(f"w{i}" for i in range(60))),
         (9005, " ".join("1234567" for _ in range(80))),
         (9006, " ".join(f"the word{i} of and that have with be to" for i in range(12))),
+        # 60 occurrences of ONE stopword: distinct-count semantics
+        # score 1 (occurrence-count would score 60 and pass the gate)
+        (9007, " ".join("the" for _ in range(60))),
     ]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -1243,7 +1246,7 @@ def test_gopher_rules_matches_duckdb_oracle(spark, sf_dir):
             len(toks) AS n_words, len(lines) AS n_lines,
             coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS word_chars,
             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
-            len(list_filter(toks, w -> list_contains([%s], lower(w)))) AS stop_hits,
+            len(list_intersect(list_transform(toks, w -> lower(w)), [%s])) AS stop_hits,
             len(list_filter(lines, ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines,
             len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS ellipsis_lines,
             length(text) - length(replace(text, '#', '')) AS hashes,
@@ -1280,6 +1283,7 @@ def test_gopher_rules_matches_duckdb_oracle(spark, sf_dir):
     assert row.loc[9004, "symbol_ratio"] > 0.1
     assert row.loc[9005, "alpha_word_ratio"] == 0.0
     assert row.loc[9006, "keep"]
+    assert row.loc[9007, "stopword_hits"] == 1 and not row.loc[9007, "keep"]
 
 
 def test_c4_rules_line_and_page_semantics(spark):
