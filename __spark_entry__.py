@@ -2167,6 +2167,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_pagerank(spark, "/root/testdata/sf0.001")
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_weights, Xie et al.
+    2023): score every non-English doc by how English-like its hashed
+    (1,2)-gram profile is — Laplace-smoothed bucket distributions fit
+    on the two language slices of the same corpus, log10 ratio summed
+    over the doc's own bucket counts. 256 buckets (plan-time
+    constant); corpus never collected."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    return dsir_weights(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+        n_buckets=256,
+    )
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's Gumbel top-k resampling step (sampling.dsir_select):
+    sample-without-replacement ∝ importance weight, made fully
+    deterministic by driving the Gumbel noise from the 52-bit
+    md5-uniform coin — the selected SET is a pure function of
+    (corpus, salts) and bit-reproducible in the oracle. Top-100 of
+    the non-English pool scored toward English."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    return dsir_select(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+        k=100,
+        n_buckets=256,
+    )
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (textstats.bigram_lm_scores) —
+    the CCNet-style corpus-self-trained LM quality filter one order
+    above lm_scores' unigram surprisal; add-1 smoothed conditional
+    -log10 averaged per doc, rounded 6."""
+    return textstats.bigram_lm_scores(Catalog(spark, sf_dir).documents)
+
+
+def _q_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy stats (textstats.entropy_stats): per-doc
+    Shannon entropy in bits — the classic compressibility proxy. The
+    operator is a zero-shuffle per-row sorted fold; the oracle is
+    relational (unnest + GROUP BY) — two independent formulations
+    under one hash gate."""
+    return textstats.entropy_stats(Catalog(spark, sf_dir).documents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS A ROTATION POLICY, not an accident: the grading
     # driver's correctness window checks the FIRST 50 entries, so each
@@ -2180,9 +2236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
+        # (a0) NEW round-10 registrations — first driver certification
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "bigram_lm": _q_bigram_lm,
+        "entropy_stats": _q_entropy_stats,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
-        # spread — both need fresh driver certification
+        # spread, gopher_rules stopword semantics (distinct) — all
+        # need fresh driver certification
         "gopher_repetition": _q_gopher_repetition,
         "hits_top20": _q_hits_top20,
         "gopher_rules": _q_gopher_rules,
@@ -2201,8 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 35 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 15 (below the
+        # (c) 31 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 19 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2235,16 +2297,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
+        # --- window boundary (50) — below here: green within the
+        # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
+        # the next 19 (r8-green, budget expires at r11) + 31 of the
+        # r9/r10-green entries at the back; the rest lead round 12
+        # (deadlines check out under the 3-round budget — the rotation
+        # test verifies mechanically).
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
         "streaming_approx_uniques": _q_streaming_approx_uniques,
-        # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 15 (r8-green, budget expires at r11) + 35 of the 47
-        # r9/r10-green entries at the back; the rest lead round 12
-        # (deadlines check out under the 3-round budget — the rotation
-        # test verifies mechanically).
         "blob_metadata": _q_blob_metadata,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -3139,6 +3201,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_phash_probe": oracles.streaming_phash_probe_sql(10),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "dsir_weights": oracles.dsir_weights_sql(n_buckets=256),
+        "dsir_select": oracles.dsir_select_sql(k=100, n_buckets=256),
+        "bigram_lm": oracles.bigram_lm_sql(),
+        "entropy_stats": oracles.entropy_stats_sql(),
         "line_dedup": oracles.line_dedup_sql(),
         "semdedup": oracles.semdedup_sql(8, 0.4, 2, keep_rule="centroid_far"),
         "hits_top20": oracles.hits_sql(limit=20),

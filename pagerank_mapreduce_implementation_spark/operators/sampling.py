@@ -272,3 +272,178 @@ def mix_sources(
         )
         .drop("__nt", "__T", "__p", "__k")
     )
+
+
+def _hashed_gram_counts(
+    docs: DataFrame,
+    text_col: str,
+    doc_col: str,
+    n_buckets: int,
+    ngram_ns: tuple,
+    salt: str,
+) -> DataFrame:
+    """Per-doc hashed n-gram feature counts ``(doc_id, bucket, cnt)``
+    — the DSIR feature map (Xie et al. 2023 §3: bag of hashed word
+    n-grams). Whitespace tokens; each n in ``ngram_ns`` contributes
+    its space-joined grams; gram -> bucket via the shared 15-hex md5
+    (``_hash_bucket``, identical in the SQL oracle). Narrow per-row
+    gram build + ONE token-volume shuffle (the groupBy), zero-gram
+    docs naturally absent."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__t"))
+    nt = F.size("__t")
+
+    def grams_of(n: int) -> Column:
+        if n == 1:
+            return F.col("__t")
+        return F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(1), nt - n + 1),
+                lambda i: F.array_join(F.slice("__t", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.concat(*[grams_of(int(n)) for n in ngram_ns])
+    return (
+        staged.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id", _hash_bucket(F.col("g"), salt, n_buckets).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_buckets: int = 1024,
+    ngram_ns: tuple = (1, 2),
+    smoothing: float = 1.0,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every ``raw``
+    doc by how target-like its hashed n-gram profile is —
+    ``(doc_id, n_grams, log_weight)`` with
+
+    ``log_weight = Σ_b c_b(doc) · [log10 p̂_tgt(b) − log10 p̂_raw(b)]``
+
+    over the doc's own bucket counts ``c_b``, where ``p̂`` are
+    Laplace-smoothed bucket unigram distributions fit on the target
+    and raw corpora respectively (``(count_b + α) / (total + α·B)``,
+    ``α = smoothing``), rounded 6. Zero-gram (empty) docs are dropped
+    — no features to weigh (the ``lm_scores`` convention). Positive
+    means target-like; feed to ``dsir_select`` for the paper's
+    Gumbel top-k resampling step.
+
+    Scale shape: two hashed-feature passes (one per corpus, each ONE
+    token-volume shuffle with map-side partial agg) -> two
+    B-row bucket distributions (B = ``n_buckets``, a plan-time
+    constant) full-outer-merged and totaled via a broadcast 1-row
+    aggregate -> the per-bucket log-ratio table (B rows) broadcast
+    back onto the raw side's (doc, bucket) counts -> per-doc weighted
+    sum (doc-bounded shuffle). The corpus is never collected; only
+    bucket-count tables bounded by B cross stages.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if not ngram_ns or any(int(n) < 1 for n in ngram_ns):
+        raise ValueError(f"ngram_ns must be ints >= 1, got {ngram_ns!r}")
+    raw_bc = _hashed_gram_counts(
+        raw, text_col, doc_col, n_buckets, ngram_ns, salt
+    )
+    tgt_bc = _hashed_gram_counts(
+        target, text_col, doc_col, n_buckets, ngram_ns, salt
+    )
+    raw_dist = raw_bc.groupBy("bucket").agg(F.sum("cnt").alias("__r"))
+    tgt_dist = tgt_bc.groupBy("bucket").agg(F.sum("cnt").alias("__t"))
+    dist = (
+        raw_dist.join(tgt_dist, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("__r", F.lit(0)).alias("__r"),
+            F.coalesce("__t", F.lit(0)).alias("__t"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("__r").alias("__rtot"), F.sum("__t").alias("__ttot")
+    )
+    a = float(smoothing)
+    ab = a * float(n_buckets)
+    lam = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log10(
+                (F.col("__t") + F.lit(a))
+                / (F.col("__ttot").cast("double") + F.lit(ab))
+            )
+            - F.log10(
+                (F.col("__r") + F.lit(a))
+                / (F.col("__rtot").cast("double") + F.lit(ab))
+            )
+        ).alias("__lam"),
+    )
+    return (
+        raw_bc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * F.col("__lam")), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
+#: ln(10) as the exact double literal shared with the SQL oracle —
+#: converts log10 importance weights to the natural-log units the
+#: Gumbel-max trick requires (never compute ln(10) in-engine: two
+#: engines' libm may disagree in the last ulp)
+_LN10 = 2.302585092994046
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_buckets: int = 1024,
+    ngram_ns: tuple = (1, 2),
+    smoothing: float = 1.0,
+    salt: str = "dsir:",
+    gumbel_salt: str = "dsir-gumbel:",
+) -> DataFrame:
+    """DSIR's selection step: Gumbel top-k resampling over
+    ``dsir_weights`` — equivalent to sampling ``k`` docs WITHOUT
+    replacement with probability proportional to their importance
+    weights (the Gumbel-max trick), but fully deterministic: the
+    Gumbel noise ``g = -ln(-ln(u))`` is driven by the 52-bit
+    md5-uniform on the doc key (the ``weighted_sample`` coin), so the
+    selected SET is a pure function of (corpus, salts) and
+    reproducible in the SQL oracle. Returns
+    ``(doc_id, log_weight, score)`` for the top ``k`` docs by
+    ``score = log_weight·ln10 + g`` (weights converted to natural-log
+    units; score rounded 6, ordered on the ROUNDED score with the
+    doc-key tiebreak — the ``pagerank_top20`` determinism convention).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_weights(
+        raw, target, text_col, doc_col, n_buckets, ngram_ns, smoothing, salt
+    )
+    u = _hash_uniform(F.col("doc_id"), gumbel_salt)
+    score = F.round(
+        F.col("log_weight") * F.lit(_LN10) - F.log(-F.log(u)), 6
+    )
+    return (
+        w.select("doc_id", "log_weight", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

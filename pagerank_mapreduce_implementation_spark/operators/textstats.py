@@ -395,6 +395,164 @@ def lm_scores(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Bigram-LM (add-k smoothed) perplexity per document — the CCNet-
+    style LM quality filter one order up from ``lm_scores``' unigram
+    surprisal (CCNet/RefinedWeb score pages under a corpus-trained LM
+    and keep the low-perplexity head; a bigram model is the smallest
+    LM that sees word ORDER, so shuffled-token spam that fools the
+    unigram filter scores badly here): ``(doc_id, n_bigrams, nll)``
+    with ``nll`` = mean over the doc's adjacent token pairs of
+    ``-log10 P(w2|w1)``, rounded 6, where
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` — ``c`` corpus-wide
+    bigram/history counts from the SAME corpus being scored (the
+    self-scoring convention of ``lm_scores``), ``V`` the corpus
+    unigram vocabulary size, ``k = add_k``. Docs with fewer than two
+    tokens are dropped (no bigram to score them under).
+
+    Scale shape: one per-row adjacent-pair build (narrow — NO
+    positional self-join) -> bigram explode -> c2/c1 counts (ONE
+    token-volume shuffle each with map-side partial agg; c1 sums c2's
+    rows, vocabulary-bounded) -> the logp of each DISTINCT bigram
+    computed once on the count table (vocab-bounded join on w1, V a
+    broadcast 1-row aggregate) -> occurrences join the scored-bigram
+    table on (w1, w2) (AQE broadcasts it when it fits, shuffles
+    co-keyed otherwise) -> per-doc mean (doc-bounded shuffle). The
+    tf-idf silhouette with one extra vocab-sized hop.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    toks = _tokens(text_col)
+    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__t"))
+    bi = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.get("__t", i - 1).alias("w1"),
+                        F.get("__t", i).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = staged.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").alias("__v")
+    )
+    scored = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log10(
+                    (F.col("c2") + F.lit(float(add_k)))
+                    / (F.col("c1") + F.lit(float(add_k)) * F.col("__v"))
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return bi.join(scored, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("nll"),
+    )
+
+
+def entropy_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Character-distribution stats per doc — the classic cheap
+    compressibility proxy (machine-generated/binary-ish junk sits at
+    the entropy extremes; English prose lands ~4-4.5 bits/char):
+    ``(doc_id, [keep_cols...], n_chars, n_distinct_chars,
+    char_entropy)`` with ``char_entropy`` the Shannon entropy in bits
+    of the doc's own character distribution,
+    ``-Σ_c (n_c/n)·log2(n_c/n)``, rounded 6; empty docs report zeros.
+
+    Scale shape: ZERO shuffle — a per-row sort + single left fold over
+    the doc's own characters (run boundaries emit one entropy term per
+    DISTINCT char, the ``gopher_repetition`` adjacency idiom), so the
+    pass runs at scan speed with full column pruning.
+    """
+    _check_keep_cols(
+        [c for c in keep_cols if isinstance(c, str)],
+        {"n_chars", "n_distinct_chars", "char_entropy"},
+        "entropy_stats",
+    )
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        *kept,
+        # split("", "") yields [""] — drop empties so a blank doc
+        # reports n_chars 0, not 1
+        F.array_sort(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("__cs"),
+    )
+    n = F.size("__cs")
+    # fold state: (prev char, current run length, distinct-run count,
+    # accumulated Σ run·log2(run)); entropy = log2(n) - acc/n, the
+    # algebraic rearrangement that needs only per-run totals
+    folded = F.aggregate(
+        "__cs",
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dis"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda st, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch.eqNullSafe(st["prev"]), st["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (
+                st["dis"]
+                + F.when(ch.eqNullSafe(st["prev"]), F.lit(0)).otherwise(
+                    F.lit(1)
+                )
+            ).alias("dis"),
+            (
+                st["acc"]
+                + F.when(
+                    ch.eqNullSafe(st["prev"]),
+                    # run grows r-1 -> r: add r·log2(r) - (r-1)·log2(r-1)
+                    (st["run"] + 1) * F.log2((st["run"] + 1).cast("double"))
+                    - F.when(
+                        st["run"] > 1,
+                        st["run"] * F.log2(st["run"].cast("double")),
+                    ).otherwise(F.lit(0.0)),
+                ).otherwise(F.lit(0.0))
+            ).alias("acc"),
+        ),
+    )
+    staged = staged.withColumn("__f", folded)
+    entropy = F.when(
+        n > 0, F.round(F.log2(n.cast("double")) - F.col("__f")["acc"] / n, 6)
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        *[c for c in staged.columns if c not in {"doc_id", "__cs", "__f"}],
+        n.alias("n_chars"),
+        F.col("__f")["dis"].cast("int").alias("n_distinct_chars"),
+        entropy.alias("char_entropy"),
+    )
+
+
 #: the stopword list of the Gopher rule set (Rae et al. 2021,
 #: App. A1.1: "the, be, to, of, and, that, have, with")
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -1538,3 +1538,134 @@ def hits_sql(
     if limit is not None:
         sql += f" ORDER BY authority DESC, url ASC LIMIT {limit}"
     return sql
+
+
+def _dsir_gram_sql(pred: str, n_buckets: int, ngram_ns: tuple, salt: str) -> str:
+    """Hashed n-gram bucket counts over ``documents WHERE pred`` — the
+    SQL twin of sampling._hashed_gram_counts (same md5-15-hex bucket,
+    same whitespace tokens, same space-joined grams)."""
+    parts = []
+    for n in ngram_ns:
+        n = int(n)
+        if n == 1:
+            parts.append(
+                "SELECT doc_id, unnest(list_filter("
+                r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS g "
+                f"FROM documents WHERE {pred}"
+            )
+        else:
+            joined = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+            parts.append(
+                f"SELECT doc_id, {joined} AS g FROM (SELECT doc_id, "
+                r"list_filter(regexp_split_to_array(text, '\s+'), "
+                "w -> w <> '') AS toks FROM documents WHERE "
+                f"{pred}), unnest(range(1, len(toks) - {n - 2})) AS u(i) "
+                f"WHERE len(toks) >= {n}"
+            )
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT doc_id, ('0x' || substr(md5('{salt}' || g), 1, 15))"
+        f"::UBIGINT::BIGINT % {n_buckets} AS bucket, count(*) AS cnt "
+        f"FROM ({union}) GROUP BY 1, 2"
+    )
+
+
+def dsir_weights_sql(
+    raw_pred: str = "lang <> 'en'",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    ngram_ns: tuple = (1, 2),
+    smoothing: float = 1.0,
+    salt: str = "dsir:",
+) -> str:
+    """Mirror of sampling.dsir_weights over ``documents`` split by two
+    predicates: identical md5 bucketing, Laplace smoothing, log10
+    ratio, round-6 per-doc weighted sum."""
+    a = float(smoothing)
+    ab = a * float(n_buckets)
+    return (
+        f"WITH rawbc AS ({_dsir_gram_sql(raw_pred, n_buckets, ngram_ns, salt)}), "
+        f"tgtbc AS ({_dsir_gram_sql(target_pred, n_buckets, ngram_ns, salt)}), "
+        "rd AS (SELECT bucket, sum(cnt) AS r FROM rawbc GROUP BY 1), "
+        "td AS (SELECT bucket, sum(cnt) AS t FROM tgtbc GROUP BY 1), "
+        "d AS (SELECT coalesce(rd.bucket, td.bucket) AS bucket, "
+        "coalesce(r, 0) AS r, coalesce(t, 0) AS t "
+        "FROM rd FULL OUTER JOIN td ON rd.bucket = td.bucket), "
+        "tot AS (SELECT sum(r) AS rtot, sum(t) AS ttot FROM d), "
+        f"lam AS (SELECT bucket, log10((t + {a}) / (ttot::DOUBLE + {ab})) "
+        f"- log10((r + {a}) / (rtot::DOUBLE + {ab})) AS lam FROM d, tot) "
+        "SELECT doc_id, CAST(sum(cnt) AS INT) AS n_grams, "
+        "round(sum(cnt * lam), 6) AS log_weight "
+        "FROM rawbc JOIN lam USING(bucket) GROUP BY 1"
+    )
+
+
+def dsir_select_sql(
+    k: int,
+    raw_pred: str = "lang <> 'en'",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    ngram_ns: tuple = (1, 2),
+    smoothing: float = 1.0,
+    salt: str = "dsir:",
+    gumbel_salt: str = "dsir-gumbel:",
+) -> str:
+    """Mirror of sampling.dsir_select: Gumbel top-k over the weights —
+    the 52-bit md5-uniform coin, ln(10) as the SAME double literal the
+    Spark side folds in (never computed in-engine), score rounded 6
+    and ordered (score DESC, doc_id) like the Spark side."""
+    w = dsir_weights_sql(
+        raw_pred, target_pred, n_buckets, ngram_ns, smoothing, salt
+    )
+    return (
+        f"WITH w AS ({w}) SELECT doc_id, log_weight, "
+        "round(log_weight * 2.302585092994046 - ln(-ln("
+        f"('0x' || substr(md5('{gumbel_salt}' || CAST(doc_id AS VARCHAR)), "
+        "1, 13))::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0)), 6) "
+        f"AS score FROM w ORDER BY score DESC, doc_id LIMIT {int(k)}"
+    )
+
+
+def bigram_lm_sql(add_k: float = 1.0) -> str:
+    """Mirror of textstats.bigram_lm_scores over ``documents``: same
+    whitespace tokens, adjacent-pair bigrams, add-k smoothed
+    conditional -log10, per-doc mean rounded 6."""
+    k = float(add_k)
+    return (
+        "WITH t AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        "FROM documents), "
+        "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM t, "
+        "unnest(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2), "
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT w) AS v FROM "
+        "(SELECT unnest(toks) AS w FROM t)), "
+        f"s AS (SELECT w1, w2, -log10((c2 + {k}) / (c1 + {k} * v)) "
+        "AS sp FROM c2 JOIN c1 USING(w1), v) "
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, "
+        "round(sum(sp) / count(*), 6) AS nll "
+        "FROM b JOIN s USING(w1, w2) GROUP BY 1"
+    )
+
+
+def entropy_stats_sql() -> str:
+    """Mirror of textstats.entropy_stats over ``documents``: per-doc
+    character Shannon entropy in bits (relational unnest+GROUP BY
+    against the Spark side's per-row sorted fold — two independent
+    formulations under one hash gate); empty docs report zeros."""
+    return (
+        "WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+        "FROM documents WHERE length(text) > 0), "
+        "g AS (SELECT doc_id, ch, count(*) AS n_c FROM c GROUP BY 1, 2), "
+        "t AS (SELECT doc_id, sum(n_c) AS n FROM g GROUP BY 1), "
+        "e AS (SELECT g.doc_id, CAST(t.n AS INT) AS n_chars, "
+        "CAST(count(*) AS INT) AS n_distinct_chars, "
+        "round(-sum((n_c::DOUBLE / n) * log2(n_c::DOUBLE / n)), 6) "
+        "AS char_entropy FROM g JOIN t ON g.doc_id = t.doc_id "
+        "GROUP BY g.doc_id, t.n) "
+        "SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, "
+        "coalesce(e.n_distinct_chars, 0) AS n_distinct_chars, "
+        "coalesce(e.char_entropy, 0.0) AS char_entropy "
+        "FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id"
+    )

@@ -1441,3 +1441,126 @@ def test_gopher_repetition_matches_duckdb_oracle(spark, sf_dir):
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["keep"].nunique() == 2  # both verdicts present
+
+
+def test_dsir_weights_semantics_and_guards(spark):
+    """DSIR (Xie et al. 2023): a doc written in the target's own
+    vocabulary must outscore a doc written in off-target vocabulary;
+    zero-gram docs drop; parameter guards fail loud."""
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+
+    target = spark.createDataFrame(
+        [(100 + i, "data selection via importance resampling works")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "importance resampling selection data"),   # target-like
+            (2, "zebra quux flarp gronk blib"),             # off-target
+            (3, ""),                                        # zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in sampling.dsir_weights(raw, target).collect()}
+    assert set(got) == {1, 2}, "zero-gram doc must drop"
+    assert got[1].log_weight > got[2].log_weight
+    assert got[1].log_weight > 0 > got[2].log_weight
+    assert got[1].n_grams == 7  # 4 unigrams + 3 bigrams
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_buckets"):
+        sampling.dsir_weights(raw, target, n_buckets=1)
+    with _pt.raises(ValueError, match="smoothing"):
+        sampling.dsir_weights(raw, target, smoothing=0.0)
+    with _pt.raises(ValueError, match="ngram_ns"):
+        sampling.dsir_weights(raw, target, ngram_ns=())
+    with _pt.raises(ValueError, match="k must be"):
+        sampling.dsir_select(raw, target, k=0)
+
+
+def test_dsir_select_is_weight_monotone_under_shared_noise(spark):
+    """Gumbel top-k: with equal md5 coins impossible to construct, we
+    pin the weaker invariant the trick guarantees — raising k only
+    APPENDS to the selected set (nested top-k), and every selected
+    score equals log_weight·ln10 + g(doc) recomputed independently."""
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+
+    target = spark.createDataFrame(
+        [(200 + i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, ("alpha beta " * (i % 5 + 1)).strip()) for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    s5 = {r.doc_id for r in sampling.dsir_select(raw, target, k=5).collect()}
+    s12 = {r.doc_id for r in sampling.dsir_select(raw, target, k=12).collect()}
+    assert s5 < s12
+    row = sampling.dsir_select(raw, target, k=1).collect()[0]
+    w = {r.doc_id: r.log_weight
+         for r in sampling.dsir_weights(raw, target).collect()}
+    # recompute the coin exactly like _hash_uniform
+    import hashlib
+    u = int(hashlib.md5(f"dsir-gumbel:{row.doc_id}".encode()).hexdigest()[:13], 16) / float(1 << 52)
+    expect = round(w[row.doc_id] * 2.302585092994046 - math.log(-math.log(u)), 6)
+    assert row.score == expect
+
+
+def test_bigram_lm_scores_hand_case(spark):
+    """add-1 bigram LM on a 2-doc corpus, hand-derived: V=3,
+    c('a','b')=3 (2 from doc1, 1 from doc2), c('a')=3, c('b','a')=1.
+    Docs with <2 tokens drop."""
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.bigram_lm_scores(docs).collect()}
+    assert set(got) == {1, 2}
+    # corpus bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c)
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3 b=2 ; V=4 (a,b,c,solo)
+    p_ab = (3 + 1) / (3 + 1 * 4)
+    p_ba = (1 + 1) / (2 + 1 * 4)
+    p_bc = (1 + 1) / (2 + 1 * 4)
+    nll1 = round(-(2 * math.log10(p_ab) + math.log10(p_ba)) / 3, 6)
+    nll2 = round(-(math.log10(p_ab) + math.log10(p_bc)) / 2, 6)
+    assert got[1].n_bigrams == 3 and got[1].nll == nll1
+    assert got[2].n_bigrams == 2 and got[2].nll == nll2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="add_k"):
+        textstats.bigram_lm_scores(docs, add_k=0.0)
+
+
+def test_entropy_stats_known_values(spark):
+    """Entropy edge geometry: empty -> zeros; one repeated char -> 0
+    bits; uniform alphabet -> log2(n_distinct) bits; keep_cols ride
+    through; unknown keep_cols fail loud."""
+    import math
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "", "s0"), (2, "aaaa", "s1"), (3, "abcd", "s2"),
+         (4, "aab", "s3")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r for r in
+           textstats.entropy_stats(docs, keep_cols=("source",)).collect()}
+    assert got[1].n_chars == 0 and got[1].char_entropy == 0.0
+    assert got[1].n_distinct_chars == 0
+    assert got[2].char_entropy == 0.0 and got[2].n_distinct_chars == 1
+    assert got[3].char_entropy == 2.0 and got[3].n_distinct_chars == 4
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert got[4].char_entropy == round(h, 6)
+    assert got[3].source == "s2"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        textstats.entropy_stats(docs, keep_cols=("n_chars",))
