@@ -288,6 +288,11 @@ def clean_corpus(
     semantic_cells: int = 16,
     semantic_iters: int = 2,
     semantic_keep: str = "centroid_far",
+    min_char_entropy: float | None = None,
+    max_char_entropy: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 1024,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -318,6 +323,10 @@ def clean_corpus(
        heuristics miss (the perplexity-style filter; scored against the
        INPUT corpus' own unigram distribution, before any filtering, so
        the threshold means the same thing run over run)
+    3c. character-entropy band (textstats.entropy_stats) when
+       ``min_char_entropy`` / ``max_char_entropy`` set — drops the
+       compressibility extremes (repeated-char junk at the low end,
+       binary-ish noise at the high end) in one zero-shuffle pass
     4. benchmark decontamination (contamination.decontaminate) when
        ``bench_docs`` is supplied — drops docs overlapping the eval set
     4b. corpus-wide repeated-LINE removal (dedup.line_dedup, the
@@ -374,6 +383,13 @@ def clean_corpus(
        weight = byte length, p = min(1, bytes/sample_scale)) when
        ``sample_scale`` set — the token-budget shaping pass; stable
        under re-runs and appends like every other stage
+    7b. DSIR target-aware selection (sampling.dsir_select, Xie et al.
+       2023) when ``dsir_target`` (a docs frame exemplifying the
+       desired distribution) and ``dsir_k`` are BOTH set — keeps the
+       ``dsir_k`` survivors Gumbel-top-k-sampled ∝ hashed-n-gram
+       importance weight toward the target; runs LAST so the budget
+       applies to already-clean data. Deterministic like stage 7 (the
+       md5-uniform coin drives the Gumbel noise)
     8. survivors written to ``output_path`` (parquet, overwrite)
 
     Returns the surviving docs read back from ``output_path``.
@@ -432,6 +448,11 @@ def clean_corpus(
             semantic_cells=semantic_cells,
             semantic_iters=semantic_iters,
             semantic_keep=semantic_keep,
+            min_char_entropy=min_char_entropy,
+            max_char_entropy=max_char_entropy,
+            dsir_target=dsir_target,
+            dsir_k=dsir_k,
+            dsir_buckets=dsir_buckets,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -470,11 +491,22 @@ def _clean_corpus_body(
     semantic_cells,
     semantic_iters,
     semantic_keep,
+    min_char_entropy,
+    max_char_entropy,
+    dsir_target,
+    dsir_k,
+    dsir_buckets,
     dedup,
     textstats,
     decontaminate,
     connected_components,
 ) -> DataFrame:
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError(
+            "dsir_target and dsir_k must be set together — a target "
+            "with no budget (or a budget with no target) has no "
+            "defined selection"
+        )
     docs = spark.read.parquet(input_path)
     # Stages 1-3 score PER-ROW features; keep_cols rides the full row
     # through each scoring pass so the verdict never needs a
@@ -531,6 +563,14 @@ def _clean_corpus_body(
             "doc_id", "nll"
         )
         docs = docs.join(nll, "doc_id").filter(F.col("nll") <= max_nll).drop("nll")
+    if min_char_entropy is not None or max_char_entropy is not None:
+        # stage 3c: compressibility band — zero-shuffle per-row fold
+        ent = textstats.entropy_stats(docs, keep_cols=passthru)
+        if min_char_entropy is not None:
+            ent = ent.filter(F.col("char_entropy") >= min_char_entropy)
+        if max_char_entropy is not None:
+            ent = ent.filter(F.col("char_entropy") <= max_char_entropy)
+        docs = ent.select("doc_id", *passthru)
     if bench_docs is not None:
         docs = decontaminate(
             docs,
@@ -613,6 +653,22 @@ def _clean_corpus_body(
             sample_scale,
             "doc_id",
         ).drop("__w")
+    if dsir_target is not None:
+        # stage 7b: target-aware DSIR budget — the selected-id set is
+        # k rows, a left_semi join back keeps the survivors' schema.
+        # The stage consumes survivors twice (gram counts + the join
+        # back), so cut the lineage first — otherwise every upstream
+        # filter stage re-runs per consumer; the caller's RDD-layer
+        # release frees the checkpoint after the write lands.
+        from pagerank_mapreduce_implementation_spark.operators.sampling import (
+            dsir_select,
+        )
+
+        survivors = survivors.localCheckpoint(eager=True)
+        chosen = dsir_select(
+            survivors, dsir_target, k=dsir_k, n_buckets=dsir_buckets
+        ).select("doc_id")
+        survivors = survivors.join(chosen, "doc_id", "left_semi")
     survivors.write.mode("overwrite").parquet(output_path)
     # hand back the WRITTEN table, not the lazy plan: a consumer action
     # on the plan would re-run lang-id + quality + both dedup passes —

@@ -1196,3 +1196,84 @@ def test_clean_corpus_gopher_repetition_stage(spark, tmp_path):
         },
     )
     assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == [1, 2]
+
+
+def test_clean_corpus_entropy_band_stage(spark, tmp_path):
+    """min/max_char_entropy drop the compressibility extremes: a
+    repeated-char doc (0 bits) and a full-alphabet noise doc sit
+    outside the band; normal prose survives."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    import string
+
+    rows = [
+        (1, "a normal english sentence with varied words here", "web"),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "web"),  # ~0 bits
+        (3, " ".join([string.printable] * 3), "web"),  # near-max bits
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    kept = {
+        r["doc_id"]
+        for r in clean_corpus(
+            spark,
+            src,
+            str(tmp_path / "out"),
+            near_dup_threshold=0.99,
+            ngram=3,
+            min_char_entropy=2.0,
+            max_char_entropy=5.5,
+        ).collect()
+    }
+    assert 1 in kept and 2 not in kept and 3 not in kept
+
+
+def test_clean_corpus_dsir_stage(spark, tmp_path):
+    """dsir_target + dsir_k select the budgeted, target-like tail:
+    exactly k survivors, biased toward the target's vocabulary; the
+    two knobs must be set together."""
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (i, "machine learning data pipelines scale with spark "
+            f"uniquifier{i}", "web")
+        for i in range(10)
+    ] + [
+        (100 + i, "cooking recipes garden flowers weekend travel "
+                  f"uniquifier{100+i}", "web")
+        for i in range(10)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    target = spark.createDataFrame(
+        [(1000 + i, "machine learning pipelines on spark at scale")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        near_dup_threshold=0.99,
+        ngram=3,
+        dsir_target=target,
+        dsir_k=8,
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert len(kept) == 8
+    # the ML-vocabulary half must dominate the selection
+    assert len([d for d in kept if d < 100]) >= 6
+    # schema preserved
+    assert {"doc_id", "text", "source"} <= set(out[0].asDict())
+
+    with pytest.raises(ValueError, match="dsir_target and dsir_k"):
+        clean_corpus(
+            spark, src, str(tmp_path / "out2"),
+            dsir_target=target,
+        )
