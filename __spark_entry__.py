@@ -2206,6 +2206,34 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (sketches.bloom_filter_table /
+    bloom_filter_probe): build a 1024-bit k=3 filter over the
+    src0..src9 docs' content fingerprints, probe EVERY doc's
+    fingerprint — members hit true, the rest mostly false with a
+    DELIBERATE false-positive sliver (the 1024-bit sizing), all
+    deterministic md5 arithmetic so the verdictS hash-exact
+    cross-engine. The 100 TB story: broadcastable pre-filter that
+    reserves the exact anti-join for the maybe_member sliver."""
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_filter_probe,
+        bloom_filter_table,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("item"),
+    )
+    build = docs.filter(
+        F.col("source").isin([f"src{i}" for i in range(10)])
+    )
+    flt = bloom_filter_table(build, "item", n_bits=1024, n_hashes=3)
+    return bloom_filter_probe(docs, flt, "item", n_bits=1024, n_hashes=3)
+
+
 def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (textstats.bigram_lm_scores) —
     the CCNet-style corpus-self-trained LM quality filter one order
@@ -2219,8 +2247,15 @@ def _q_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shannon entropy in bits — the classic compressibility proxy. The
     operator is a zero-shuffle per-row sorted fold; the oracle is
     relational (unnest + GROUP BY) — two independent formulations
-    under one hash gate."""
-    return textstats.entropy_stats(Catalog(spark, sf_dir).documents)
+    under one hash gate. Spread across cores first (the
+    gopher_repetition staging note: a zero-shuffle CPU-bound pass
+    inherits the scan's split count, and the local sf tables are one
+    file)."""
+    return textstats.entropy_stats(
+        Catalog(spark, sf_dir).documents.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2241,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "bigram_lm": _q_bigram_lm,
         "entropy_stats": _q_entropy_stats,
+        "bloom_probe": _q_bloom_probe,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
         # spread, gopher_rules stopword semantics (distinct) — all
@@ -2263,8 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 31 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 19 (below the
+        # (c) 30 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 20 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2296,13 +2332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_matches": _q_cross_corpus_matches,
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
-        "stratified_doc_sample": _q_stratified_sample,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 19 (r8-green, budget expires at r11) + 31 of the
+        # the next 20 (r8-green, budget expires at r11) + 30 of the
         # r9/r10-green entries at the back; the rest lead round 12
         # (deadlines check out under the 3-round budget — the rotation
         # test verifies mechanically).
+        "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_bounded_dedup": _q_streaming_bounded_dedup,
@@ -3205,6 +3241,33 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": oracles.dsir_select_sql(k=100, n_buckets=256),
         "bigram_lm": oracles.bigram_lm_sql(),
         "entropy_stats": oracles.entropy_stats_sql(),
+        # mirror of sketches.bloom_filter_table/_probe: same md5 bit
+        # positions ('bloom:<h>:' salts), 32-bit words, bit_or cells,
+        # all-bits-present verdict; build half = src0..src9
+        "bloom_probe": (
+            "WITH fp AS (SELECT source, md5(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g')))) AS item "
+            "FROM documents), "
+            "cells AS (SELECT ('0x' || substr(md5('bloom:' || h || ':' "
+            "|| item), 1, 15))::UBIGINT::BIGINT % 1024 AS p "
+            "FROM (SELECT DISTINCT item FROM fp WHERE source IN "
+            "('src0','src1','src2','src3','src4','src5','src6','src7',"
+            "'src8','src9')), (VALUES (0),(1),(2)) t(h)), "
+            "words AS (SELECT p // 32 AS word, "
+            "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits "
+            "FROM cells GROUP BY 1), "
+            "pc AS (SELECT item, ('0x' || substr(md5('bloom:' || h || "
+            "':' || item), 1, 15))::UBIGINT::BIGINT % 1024 AS p "
+            "FROM (SELECT DISTINCT item FROM fp), "
+            "(VALUES (0),(1),(2)) t(h)), "
+            "hits AS (SELECT item, CASE WHEN bits IS NOT NULL AND "
+            "(bits & mask) = mask THEN 1 ELSE 0 END AS hit "
+            "FROM (SELECT item, p // 32 AS word, "
+            "1::BIGINT << CAST(p % 32 AS INT) AS mask FROM pc) "
+            "LEFT JOIN words USING(word)) "
+            "SELECT item, CAST(min(hit) AS BOOLEAN) AS maybe_member "
+            "FROM hits GROUP BY 1"
+        ),
         "line_dedup": oracles.line_dedup_sql(),
         "semdedup": oracles.semdedup_sql(8, 0.4, 2, keep_rule="centroid_far"),
         "hits_top20": oracles.hits_sql(limit=20),

@@ -191,3 +191,141 @@ def count_min_estimates(
         .groupBy("item")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+def _bloom_pos(item: Column, h: int, n_bits: int, salt: str) -> Column:
+    """Bit position of hash function ``h`` for an item: the shared
+    15-hex md5 -> 60-bit long construction (identical in DuckDB),
+    namespaced per hash index so the k functions are independent."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{h}:"), item.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+
+
+def bloom_filter_table(
+    df: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    salt: str = "bloom:",
+) -> DataFrame:
+    """Bloom filter over an item column as a sparse ``(word, bits)``
+    table — at most ``n_bits/32`` rows of state TOTAL, independent of
+    item cardinality (Bloom 1970; the MEMBERSHIP companion to the HLL
+    distinct sketch and the count-min frequency sketch). 32-bit words
+    packed into BIGINT cells: bit ``p`` of the filter lives at word
+    ``p // 32``, mask ``1 << (p % 32)`` — 32 and not 64 because a
+    ``1 << 63`` mask overflows a signed BIGINT in ANSI engines (DuckDB
+    raises), while every 32-bit mask is portable arithmetic.
+
+    Deterministic and MERGEABLE by construction: cells are bit_or
+    folds, which commute — the table is identical under any
+    partitioning, and filters of two corpora OR cell-wise (groupBy
+    word, bit_or again) without re-scanning either corpus. No false
+    negatives ever; false-positive rate ~``(1 - e^(-kn/m))^k``
+    (k = ``n_hashes``, n = items, m = ``n_bits``) — size m ~10 bits
+    per expected item for ~1% FPR at k=4.
+
+    The 100 TB shape this exists for: a fingerprint Bloom filter of a
+    multi-billion-doc store is a few GB of (word, bits) rows — small
+    enough to BROADCAST — so an incremental batch can drop its
+    definitely-new docs with a map-side probe and reserve the
+    shuffle-heavy exact anti-join (``incremental_exact_dedup``) for
+    the ``maybe_member`` sliver the filter cannot clear.
+
+    One narrow explode (``n_hashes`` cells per item) + one groupBy
+    with map-side partial aggregation over <= ``n_bits/32`` keys.
+    """
+    if n_bits < 32 or n_bits % 32 != 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 32, got {n_bits}"
+        )
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(item_col), h, n_bits, salt).alias("p")
+                    for h in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    ).select(
+        (F.col("p") / 32).cast("long").alias("word"),
+        # F.shiftleft takes only a literal shift — the SQL form
+        # accepts a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    return (
+        cells.groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_filter_probe(
+    df: DataFrame,
+    filter_df: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    salt: str = "bloom:",
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Membership probe of DISTINCT items against a
+    ``bloom_filter_table``: ``(item, maybe_member)`` — ``false`` is
+    definitive (no false negatives), ``true`` means "verify with the
+    exact path". ``n_bits``/``n_hashes``/``salt`` must match the build
+    (they define the hash family; a mismatch silently probes garbage,
+    so pass them from one shared config). The filter is broadcast
+    under ``broadcast_filter`` (<= ``n_bits/32`` rows — a 2^30-bit
+    filter is 4 MB of words); set False past the broadcast cap to
+    shuffle-join on ``word`` instead. Probe cost: ``n_hashes`` cells
+    per item through one join + one all-bits-present groupBy."""
+    if n_bits < 32 or n_bits % 32 != 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 32, got {n_bits}"
+        )
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    probes = df.select(F.col(item_col).alias("item")).distinct().select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col("item"), h, n_bits, salt).alias("p")
+                    for h in range(n_hashes)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "item",
+        (F.col("p") / 32).cast("long").alias("word"),
+        # F.shiftleft takes only a literal shift — the SQL form
+        # accepts a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    flt = F.broadcast(filter_df) if broadcast_filter else filter_df
+    hit = probes.join(flt, "word", "left").select(
+        "item",
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        ).alias("__hit"),
+    )
+    return hit.groupBy("item").agg(
+        F.min(F.col("__hit").cast("int")).cast("boolean").alias("maybe_member")
+    )

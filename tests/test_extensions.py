@@ -1564,3 +1564,53 @@ def test_entropy_stats_known_values(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         textstats.entropy_stats(docs, keep_cols=("n_chars",))
+
+
+def test_bloom_filter_no_false_negatives_and_fp_rate(spark):
+    """Bloom invariants: every built item probes true (no false
+    negatives ever); a disjoint probe set at ~10 bits/item k=4 shows
+    a small false-positive rate; parameter guards fail loud; filters
+    MERGE by cell-wise bit_or."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_filter_probe,
+        bloom_filter_table,
+    )
+
+    members = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(300)], "item string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(300)], "item string"
+    )
+    flt = bloom_filter_table(members, "item", n_bits=3200, n_hashes=4)
+    assert flt.count() <= 3200 // 32
+    got_m = bloom_filter_probe(members, flt, "item", n_bits=3200, n_hashes=4)
+    assert got_m.filter(~F.col("maybe_member")).count() == 0
+    got_o = bloom_filter_probe(others, flt, "item", n_bits=3200, n_hashes=4)
+    fp = got_o.filter(F.col("maybe_member")).count()
+    assert fp < 30  # ~1-2% expected at 10.7 bits/item, k=4
+
+    # mergeability: filter(A) OR filter(B) == filter(A ∪ B), cell-wise
+    fa = bloom_filter_table(members, "item", n_bits=3200, n_hashes=4)
+    fb = bloom_filter_table(others, "item", n_bits=3200, n_hashes=4)
+    merged = (
+        fa.unionByName(fb).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_filter_table(
+        members.unionByName(others), "item", n_bits=3200, n_hashes=4
+    )
+    assert (
+        merged.join(direct, "word")
+        .filter(merged["bits"] != direct["bits"])
+        .count()
+        == 0
+    )
+    assert merged.count() == direct.count()
+
+    with _pt.raises(ValueError, match="n_bits"):
+        bloom_filter_table(members, "item", n_bits=100)
+    with _pt.raises(ValueError, match="n_hashes"):
+        bloom_filter_probe(members, flt, "item", n_hashes=0)
