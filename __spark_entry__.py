@@ -2234,6 +2234,27 @@ def _q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filter_probe(docs, flt, "item", n_bits=1024, n_hashes=3)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (textstats.quality_classifier_scores):
+    logistic regression over handcrafted feature ratios, z-score
+    standardized, 10 full-batch GD steps — the fastText-style learned
+    quality filter, made oracle-gateable by round-12/decimal(32,12)
+    moment+gradient sums (order-independent exact addition) and
+    IEEE-exact double arithmetic everywhere else; the DuckDB oracle
+    RETRAINS the model from the same CTEs and lands on bit-identical
+    weights. Weak label: doc length > 300 chars (the synthetic corpus
+    ships no learnable semantic labels; accuracy ~0.97 shows real
+    learning, not label lookup — length is not a direct feature)."""
+    return textstats.quality_classifier_scores(
+        Catalog(spark, sf_dir).documents.repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        F.length("text") > 300,
+        n_iters=10,
+        learning_rate=1.0,
+    )
+
+
 def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (textstats.bigram_lm_scores) —
     the CCNet-style corpus-self-trained LM quality filter one order
@@ -2277,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "entropy_stats": _q_entropy_stats,
         "bloom_probe": _q_bloom_probe,
+        "quality_classifier": _q_quality_classifier,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
         # spread, gopher_rules stopword semantics (distinct) — all
@@ -2299,8 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 30 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 20 (below the
+        # (c) 29 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 21 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2331,13 +2353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_error_users": _q_repeat_error_users,
         "cross_corpus_matches": _q_cross_corpus_matches,
         "hash_splits": _q_hash_splits,
-        "weighted_doc_sample": _q_weighted_sample,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 20 (r8-green, budget expires at r11) + 30 of the
+        # the next 21 (r8-green, budget expires at r11) + 29 of the
         # r9/r10-green entries at the back; the rest lead round 12
         # (deadlines check out under the 3-round budget — the rotation
         # test verifies mechanically).
+        "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
@@ -3241,6 +3263,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": oracles.dsir_select_sql(k=100, n_buckets=256),
         "bigram_lm": oracles.bigram_lm_sql(),
         "entropy_stats": oracles.entropy_stats_sql(),
+        "quality_classifier": oracles.quality_classifier_sql(
+            "length(text) > 300", n_iters=10, learning_rate=1.0
+        ),
         # mirror of sketches.bloom_filter_table/_probe: same md5 bit
         # positions ('bloom:<h>:' salts), 32-bit words, bit_or cells,
         # all-bits-present verdict; build half = src0..src9

@@ -1039,3 +1039,215 @@ def gopher_repetition(
     for m, cap in caps.items():
         keep_expr = keep_expr & (F.col(m) <= cap)
     return res.withColumn("keep", keep_expr.cast("int"))
+
+
+#: classifier feature schema (order is the weight-vector order; the
+#: SQL oracle mirrors the exact expressions): bias, capped word count,
+#: capped mean word length, distinct-stopword fraction, alpha-word
+#: ratio, digit-word ratio — every value a ratio of integer counts
+#: (IEEE-exact division, no libm anywhere in the feature map)
+QUALITY_CLF_FEATURES = ("x1", "x2", "x3", "x4", "x5")
+
+
+def _quality_clf_features(
+    docs: DataFrame, text_col: str, doc_col: str, label: Column
+) -> DataFrame:
+    toks = _tokens(text_col)
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        label.cast("double").alias("y"),
+        toks.alias("__t"),
+    )
+    nw = F.size("__t")
+    word_chars = F.aggregate(
+        "__t", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_len = F.when(nw > 0, word_chars.cast("double") / nw).otherwise(
+        F.lit(0.0)
+    )
+    stop = F.size(
+        F.array_intersect(
+            F.transform("__t", F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    alpha = F.size(F.filter("__t", lambda w: w.rlike("[A-Za-z]")))
+    digit = F.size(F.filter("__t", lambda w: w.rlike("[0-9]")))
+    ratio = lambda num: F.when(  # noqa: E731
+        nw > 0, num.cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        "y",
+        (F.least(nw, F.lit(1000)).cast("double") / F.lit(1000.0)).alias("x1"),
+        (F.least(mean_len, F.lit(20.0)) / F.lit(20.0)).alias("x2"),
+        (stop.cast("double") / F.lit(8.0)).alias("x3"),
+        ratio(alpha).alias("x4"),
+        ratio(digit).alias("x5"),
+    )
+
+
+def _standardized_clf_features(
+    docs: DataFrame, text_col: str, doc_col: str, label: Column
+) -> tuple[DataFrame, list[tuple[float, float]]]:
+    """Z-score-standardized classifier features plus the (μ, σ) pairs:
+    moment sums under the round-12/decimal(32,12) order-independence
+    contract, μ/σ derived driver-side in IEEE-exact double arithmetic
+    (decimal→double cast, division, multiply, sqrt — all exactly
+    specified, so the SQL oracle's identical expressions produce the
+    identical doubles)."""
+    raw = _quality_clf_features(docs, text_col, doc_col, label)
+    mrow = raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.coalesce(
+                F.sum(F.round(F.col(c), 12).cast("decimal(32,12)")),
+                F.lit(0).cast("decimal(32,12)"),
+            ).alias(f"s_{c}")
+            for c in QUALITY_CLF_FEATURES
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.round(F.col(c) * F.col(c), 12).cast("decimal(32,12)")
+                ),
+                F.lit(0).cast("decimal(32,12)"),
+            ).alias(f"q_{c}")
+            for c in QUALITY_CLF_FEATURES
+        ],
+    ).first()
+    n = mrow["n"]
+    stats: list[tuple[float, float]] = []
+    for c in QUALITY_CLF_FEATURES:
+        if n == 0:
+            stats.append((0.0, 0.0))
+            continue
+        mu = float(mrow[f"s_{c}"]) / n
+        var = float(mrow[f"q_{c}"]) / n - mu * mu
+        sigma = var**0.5 if var > 0 else 0.0
+        stats.append((mu, sigma))
+    std = raw.select(
+        "doc_id",
+        "y",
+        *[
+            (
+                ((F.col(c) - F.lit(mu)) / F.lit(sigma)).alias(c)
+                if sigma > 0
+                else F.lit(0.0).alias(c)
+            )
+            for c, (mu, sigma) in zip(QUALITY_CLF_FEATURES, stats)
+        ],
+    )
+    return std, stats
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_iters: int = 5,
+    learning_rate: float = 0.5,
+) -> list[float]:
+    """Train a logistic-regression quality classifier on cheap
+    handcrafted features — the distributed, oracle-reproducible core
+    of the fastText-style quality filter every public pretraining
+    pipeline runs (CCNet / GPT-3 / LLaMA report LR or fastText
+    classifiers over page features with weak labels like "looks like
+    a reference corpus page"): full-batch gradient descent,
+    ``w ← w + lr · (1/N) Σ (y_i − σ(w·x_i)) x_i``, returning the
+    ``[bias, x1..x5]`` weight list after ``n_iters`` steps from zero
+    init.
+
+    Bit-reproducibility contract (what makes this ORACLE-GATEABLE,
+    which no MLlib trainer is): each doc's per-feature gradient
+    contribution is rounded to 12 digits and summed as
+    ``decimal(32,12)`` — decimal addition is exact and commutative, so
+    the gradient is identical under ANY partitioning or arrival order;
+    the round-12 absorbs the one-ulp cross-engine wiggle of the single
+    ``exp`` in σ; every other op (feature ratios, the weight update)
+    is IEEE-exact double arithmetic the SQL oracle replays verbatim.
+    The driver folds the 6-scalar gradient row per iteration into the
+    next iteration's plan literals (the ``mix_sources`` bounded-collect
+    precedent — 6 scalars per step, never data-sized).
+
+    Features are z-score STANDARDIZED first (full-batch GD on raw
+    [0,1]-ish ratios needs hundreds of steps when the discriminative
+    feature's spread is a few percent of its cap; on unit-variance
+    features it converges in tens): the per-feature moment sums ride
+    the same round-12 + ``decimal(32,12)`` contract, and the
+    ``sqrt`` in σ is IEEE-exactly specified (unlike exp/log, sqrt is
+    REQUIRED correctly rounded), so the standardization constants are
+    bit-identical across engines too. A zero-variance feature
+    standardizes to 0 (contributes nothing) rather than NaN.
+
+    Scale shape: ONE zero-shuffle feature pass cached (6 doubles +
+    label per doc), one moment aggregate, then ``n_iters`` map-side-
+    partial aggregate jobs over the cached table — classic full-batch
+    distributed GD; no shuffle after the feature pass, nothing
+    driver-side but the moment and gradient scalars.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if learning_rate <= 0:
+        raise ValueError(f"learning_rate must be > 0, got {learning_rate}")
+    feats, _ = _standardized_clf_features(docs, text_col, doc_col, label)
+    feats = feats.persist()
+    try:
+        n = feats.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty corpus")
+        w = [0.0] * (1 + len(QUALITY_CLF_FEATURES))
+        for _ in range(n_iters):
+            z = F.lit(w[0])
+            for j, c in enumerate(QUALITY_CLF_FEATURES):
+                z = z + F.lit(w[j + 1]) * F.col(c)
+            resid = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            sums = feats.agg(
+                *[
+                    F.sum(
+                        F.round(resid * x, 12).cast("decimal(32,12)")
+                    ).alias(f"g{j}")
+                    for j, x in enumerate(
+                        [F.lit(1.0), *[F.col(c) for c in QUALITY_CLF_FEATURES]]
+                    )
+                ]
+            ).first()
+            w = [
+                wj + learning_rate * (float(sums[j]) / n)
+                for j, wj in enumerate(w)
+            ]
+        return w
+    finally:
+        feats.unpersist()
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_iters: int = 5,
+    learning_rate: float = 0.5,
+) -> DataFrame:
+    """Train-and-score in one call (the registry/pipeline surface):
+    ``(doc_id, label, score, predicted)`` — ``score`` = σ(w·x) under
+    the ``train_quality_classifier`` weights (round 6), ``predicted``
+    = score >= 0.5. Weak labels in, calibrated-ish quality scores out;
+    filter on ``score`` like any other textstats verdict column.
+    Scoring is a second zero-shuffle pass (same standardization, same
+    trained weights — all plan literals)."""
+    w = train_quality_classifier(
+        docs, label, text_col, doc_col, n_iters, learning_rate
+    )
+    feats, _ = _standardized_clf_features(docs, text_col, doc_col, label)
+    z = F.lit(w[0])
+    for j, c in enumerate(QUALITY_CLF_FEATURES):
+        z = z + F.lit(w[j + 1]) * F.col(c)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        score.alias("score"),
+        (score >= 0.5).alias("predicted"),
+    )

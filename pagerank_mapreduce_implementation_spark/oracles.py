@@ -1669,3 +1669,106 @@ def entropy_stats_sql() -> str:
         "coalesce(e.char_entropy, 0.0) AS char_entropy "
         "FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id"
     )
+
+
+def quality_classifier_sql(
+    label_pred: str = "length(text) > 300",
+    n_iters: int = 10,
+    learning_rate: float = 1.0,
+) -> str:
+    """Mirror of textstats.quality_classifier_scores over
+    ``documents``: identical feature ratios, round-12/decimal(32,12)
+    moment and gradient sums (order-independent exact addition — the
+    same contract both engines), z-score standardization with
+    IEEE-exact sqrt, and the full-batch GD unrolled one CTE pair per
+    iteration (the hits_sql/lloyd unroll convention). Every double op
+    (casts, divisions, multiplies, the left-to-right dot product) is
+    written in the same association order the Spark/driver side uses,
+    so the trained weights — and therefore every score — are
+    bit-identical."""
+    from pagerank_mapreduce_implementation_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        QUALITY_CLF_FEATURES,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    lr = float(learning_rate)
+    fc = list(QUALITY_CLF_FEATURES)
+    parts = [
+        "WITH feats AS (SELECT doc_id, "
+        f"CAST(CAST({label_pred} AS INT) AS DOUBLE) AS y, "
+        "least(len(toks), 1000)::DOUBLE / 1000.0 AS x1, "
+        "least(CASE WHEN len(toks) > 0 THEN "
+        "list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks) "
+        "ELSE 0.0 END, 20.0) / 20.0 AS x2, "
+        f"len(list_intersect(list_transform(toks, w -> lower(w)), [{stop}]))"
+        "::DOUBLE / 8.0 AS x3, "
+        "CASE WHEN len(toks) > 0 THEN len(list_filter(toks, "
+        "w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(toks) "
+        "ELSE 0.0 END AS x4, "
+        "CASE WHEN len(toks) > 0 THEN len(list_filter(toks, "
+        "w -> regexp_matches(w, '[0-9]')))::DOUBLE / len(toks) "
+        "ELSE 0.0 END AS x5 "
+        "FROM (SELECT doc_id, text, list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        "FROM documents)), ",
+        "mom AS (SELECT count(*) AS n, "
+        + ", ".join(
+            f"sum(CAST(round({c}, 12) AS DECIMAL(32,12))) AS s_{c}, "
+            f"sum(CAST(round({c} * {c}, 12) AS DECIMAL(32,12))) AS q_{c}"
+            for c in fc
+        )
+        + " FROM feats), ",
+        "st AS (SELECT "
+        + ", ".join(
+            f"CAST(s_{c} AS DOUBLE) / n AS mu_{c}, "
+            f"CASE WHEN CAST(q_{c} AS DOUBLE) / n - "
+            f"(CAST(s_{c} AS DOUBLE) / n) * (CAST(s_{c} AS DOUBLE) / n) > 0 "
+            f"THEN sqrt(CAST(q_{c} AS DOUBLE) / n - "
+            f"(CAST(s_{c} AS DOUBLE) / n) * (CAST(s_{c} AS DOUBLE) / n)) "
+            f"ELSE 0.0 END AS sg_{c}"
+            for c in fc
+        )
+        + ", n FROM mom), ",
+        "std AS (SELECT doc_id, y, "
+        + ", ".join(
+            f"CASE WHEN sg_{c} > 0 THEN ({c} - mu_{c}) / sg_{c} "
+            f"ELSE 0.0 END AS {c}"
+            for c in fc
+        )
+        + " FROM feats, st), ",
+        "w0 AS (SELECT 0.0 AS b, "
+        + ", ".join(f"0.0 AS w_{c}" for c in fc)
+        + "), ",
+    ]
+    dot = "(b + " + " + ".join(f"w_{c} * {c}" for c in fc) + ")"
+    resid = f"(y - 1.0 / (1.0 + exp(-{dot})))"
+    xs = ["1.0"] + fc
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(
+            f"g{i} AS (SELECT "
+            + ", ".join(
+                f"sum(CAST(round({resid} * {x}, 12) AS DECIMAL(32,12))) "
+                f"AS s{j}"
+                for j, x in enumerate(xs)
+            )
+            + f" FROM std, w{p}), "
+        )
+        names = ["b"] + [f"w_{c}" for c in fc]
+        parts.append(
+            f"w{i} AS (SELECT "
+            + ", ".join(
+                f"{nm} + {lr} * (CAST(s{j} AS DOUBLE) / n) AS {nm}"
+                for j, nm in enumerate(names)
+            )
+            + f" FROM w{p}, g{i}, st) "
+            + ("," if i < n_iters else "")
+        )
+    parts.append(
+        f" SELECT doc_id, CAST(y AS INT) AS label, "
+        f"round(1.0 / (1.0 + exp(-{dot})), 6) AS score, "
+        f"round(1.0 / (1.0 + exp(-{dot})), 6) >= 0.5 AS predicted "
+        f"FROM std, w{n_iters}"
+    )
+    return "".join(parts)
