@@ -2234,6 +2234,36 @@ def _q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filter_probe(docs, flt, "item", n_bits=1024, n_hashes=3)
 
 
+def _q_streaming_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom membership probe (streaming.streaming_bloom_probe):
+    the documents stream's content fingerprints checked per-row
+    against the static filter built over the src0..src9 half — fully
+    STATELESS (n_hashes stream-static broadcast joins, no distinct,
+    no agg; append mode), zero streaming state. Output (doc_id,
+    maybe_member); oracle = the batch row-wise composition."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_filter_table,
+    )
+
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    build = (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.col("source").isin([f"src{i}" for i in range(10)]))
+        .select(fp.alias("item"))
+    )
+    flt = bloom_filter_table(build, "item", n_bits=1024, n_hashes=3)
+    stream = strm.read_table_stream(spark, sf_dir, "documents").select(
+        "doc_id", fp.alias("item")
+    )
+    out = strm.streaming_bloom_probe(
+        stream, flt, "item", n_bits=1024, n_hashes=3
+    ).select("doc_id", "maybe_member")
+    name = f"_stream_bloom_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(out, name, output_mode="append", state_partitions=8)
+    return spark.table(name)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (textstats.quality_classifier_scores):
     logistic regression over handcrafted feature ratios, z-score
@@ -2299,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_stats": _q_entropy_stats,
         "bloom_probe": _q_bloom_probe,
         "quality_classifier": _q_quality_classifier,
+        "streaming_bloom_probe": _q_streaming_bloom_probe,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
         # spread, gopher_rules stopword semantics (distinct) — all
@@ -2321,8 +2352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 29 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 21 (below the
+        # (c) 28 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 22 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2352,13 +2383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
         "cross_corpus_matches": _q_cross_corpus_matches,
-        "hash_splits": _q_hash_splits,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 21 (r8-green, budget expires at r11) + 29 of the
+        # the next 22 (r8-green, budget expires at r11) + 28 of the
         # r9/r10-green entries at the back; the rest lead round 12
         # (deadlines check out under the 3-round budget — the rotation
         # test verifies mechanically).
+        "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
         "source_quota": _q_source_quota,
@@ -3265,6 +3296,31 @@ def oracle_sql() -> dict[str, str]:
         "entropy_stats": oracles.entropy_stats_sql(),
         "quality_classifier": oracles.quality_classifier_sql(
             "length(text) > 300", n_iters=10, learning_rate=1.0
+        ),
+        # row-wise (per-doc) twin of bloom_probe — no distinct, the
+        # streaming probe's exact batch composition
+        "streaming_bloom_probe": (
+            "WITH fp AS (SELECT doc_id, source, md5(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g')))) AS item "
+            "FROM documents), "
+            "cells AS (SELECT ('0x' || substr(md5('bloom:' || h || ':' "
+            "|| item), 1, 15))::UBIGINT::BIGINT % 1024 AS p "
+            "FROM (SELECT DISTINCT item FROM fp WHERE source IN "
+            "('src0','src1','src2','src3','src4','src5','src6','src7',"
+            "'src8','src9')), (VALUES (0),(1),(2)) t(h)), "
+            "words AS (SELECT p // 32 AS word, "
+            "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits "
+            "FROM cells GROUP BY 1), "
+            "pc AS (SELECT doc_id, ('0x' || substr(md5('bloom:' || h || "
+            "':' || item), 1, 15))::UBIGINT::BIGINT % 1024 AS p "
+            "FROM fp, (VALUES (0),(1),(2)) t(h)), "
+            "hits AS (SELECT doc_id, CASE WHEN bits IS NOT NULL AND "
+            "(bits & mask) = mask THEN 1 ELSE 0 END AS hit "
+            "FROM (SELECT doc_id, p // 32 AS word, "
+            "1::BIGINT << CAST(p % 32 AS INT) AS mask FROM pc) "
+            "LEFT JOIN words USING(word)) "
+            "SELECT doc_id, CAST(min(hit) AS BOOLEAN) AS maybe_member "
+            "FROM hits GROUP BY 1"
         ),
         # mirror of sketches.bloom_filter_table/_probe: same md5 bit
         # positions ('bloom:<h>:' salts), 32-bit words, bit_or cells,

@@ -329,3 +329,60 @@ def bloom_filter_probe(
     return hit.groupBy("item").agg(
         F.min(F.col("__hit").cast("int")).cast("boolean").alias("maybe_member")
     )
+
+
+def bloom_membership_rowwise(
+    df: DataFrame,
+    filter_df: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    salt: str = "bloom:",
+) -> DataFrame:
+    """Per-ROW Bloom membership verdict — adds ``maybe_member`` to
+    ``df`` with every input column preserved, via ``n_hashes``
+    broadcast equi-joins against the sparse word table (one per hash
+    function) ANDed together. Unlike ``bloom_filter_probe`` there is
+    NO distinct and NO aggregation, so the plan is fully STATELESS:
+    on an unbounded stream each micro-batch probes through plain
+    stream-static broadcast joins with zero streaming state — the
+    membership twin of ``streaming_minhash_probe``'s contract. Same
+    hash family as the build (``n_bits``/``n_hashes``/``salt`` must
+    match); no false negatives, ``maybe_member = false`` is
+    definitive."""
+    if n_bits < 32 or n_bits % 32 != 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 32, got {n_bits}"
+        )
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    cols = list(df.columns)
+    out = df
+    verdict = F.lit(True)
+    for h in range(n_hashes):
+        out = out.withColumn(
+            f"__bm_p{h}", _bloom_pos(F.col(item_col), h, n_bits, salt)
+        )
+        out = out.withColumn(
+            f"__bm_m{h}",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__bm_p{h} % 32 AS INT))"
+            ),
+        )
+        fh = F.broadcast(
+            filter_df.select(
+                F.col("word").alias(f"__bm_w{h}"),
+                F.col("bits").alias(f"__bm_b{h}"),
+            )
+        )
+        out = out.withColumn(
+            f"__bm_w{h}", (F.col(f"__bm_p{h}") / 32).cast("long")
+        ).join(fh, f"__bm_w{h}", "left")
+        verdict = verdict & (
+            F.col(f"__bm_b{h}").isNotNull()
+            & (
+                F.col(f"__bm_b{h}").bitwiseAND(F.col(f"__bm_m{h}"))
+                == F.col(f"__bm_m{h}")
+            )
+        )
+    return out.select(*cols, verdict.alias("maybe_member"))

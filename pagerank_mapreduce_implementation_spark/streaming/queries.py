@@ -577,3 +577,29 @@ def streaming_phash_probe(
         PHASH_BITS,
         broadcast_store=broadcast_store,
     )
+
+
+def streaming_bloom_probe(
+    items: DataFrame,
+    filter_df: DataFrame,
+    item_col: str = "item",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    salt: str = "bloom:",
+) -> DataFrame:
+    """Streaming Bloom MEMBERSHIP probe: an unbounded item stream
+    checked per-row against a static ``bloom_filter_table`` — the
+    membership twin of ``streaming_minhash_probe``. Fully STATELESS:
+    ``sketches.bloom_membership_rowwise`` probes through ``n_hashes``
+    stream-static broadcast equi-joins (no distinct, no aggregation),
+    so there is NO streaming state at all — not even the matched-doc
+    agg the minhash/phash probes keep. ``maybe_member = false`` is
+    definitive (no false negatives); route the true sliver to the
+    exact path. The batch operator composition is the oracle."""
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_membership_rowwise,
+    )
+
+    return bloom_membership_rowwise(
+        items, filter_df, item_col, n_bits, n_hashes, salt
+    )

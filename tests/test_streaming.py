@@ -298,3 +298,52 @@ def test_streaming_phash_probe_end_to_end(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert streamed == batch  # stream == batch oracle
+
+
+def test_streaming_bloom_probe_end_to_end(spark, tmp_path):
+    """The streaming Bloom membership probe: an item stream checked
+    per-row against a static filter. Members verdict true (no false
+    negatives), stream output row-for-row equals the batch row-wise
+    composition, and the plan carries ZERO streaming state (append
+    mode works with no watermark — nothing stateful to bound)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_membership_rowwise,
+    )
+
+    members = spark.createDataFrame(
+        [(f"fp-{i}",) for i in range(100)], "item string"
+    )
+    flt = bloom_filter_table(members, "item", n_bits=3200, n_hashes=4)
+
+    rows = [(i, f"fp-{i}") for i in range(50)] + [
+        (1000 + i, f"new-{i}") for i in range(50)
+    ]
+    src = str(tmp_path / "item_stream")
+    spark.createDataFrame(rows, "doc_id long, item string").write.parquet(src)
+
+    batch = {
+        r.doc_id: r.maybe_member
+        for r in bloom_membership_rowwise(
+            spark.read.parquet(src), flt, "item", n_bits=3200, n_hashes=4
+        ).collect()
+    }
+    assert all(batch[i] for i in range(50))  # no false negatives
+
+    stream = spark.readStream.schema("doc_id long, item string").parquet(src)
+    out = strm.streaming_bloom_probe(
+        stream, flt, "item", n_bits=3200, n_hashes=4
+    )
+    assert out.isStreaming
+    strm.run_to_memory(
+        out.select("doc_id", "maybe_member"),
+        "_t_bloom_stream",
+        output_mode="append",
+        state_partitions=4,
+    )
+    got = {
+        r.doc_id: r.maybe_member
+        for r in spark.table("_t_bloom_stream").collect()
+    }
+    assert got == batch
