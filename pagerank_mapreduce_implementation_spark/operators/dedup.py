@@ -85,6 +85,10 @@ def incremental_exact_dedup(
     seen_fingerprints: DataFrame,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    bloom_prefilter: DataFrame | None = None,
+    bloom_n_bits: int = 1 << 16,
+    bloom_n_hashes: int = 4,
+    bloom_salt: str = "bloom:",
 ) -> DataFrame:
     """Incremental ingestion dedup: survivors of a NEW batch against an
     existing corpus fingerprint store (``seen_fingerprints``: one
@@ -101,8 +105,22 @@ def incremental_exact_dedup(
        by fingerprint so the anti-join co-locates without a shuffle of
        the store.
 
+    ``bloom_prefilter`` (a ``sketches.bloom_filter_table`` built over
+    the SAME store's fingerprints, persisted alongside it) splits
+    stage 2: docs the filter clears (``maybe_member = false``, which a
+    Bloom filter guarantees correct) skip the anti-join entirely via a
+    stateless broadcast probe, and only the maybe_member sliver pays
+    the store join. Results are IDENTICAL with or without the
+    prefilter — it is purely a physical rewrite (property-tested) —
+    but on a mostly-novel ingest the store-sized join shrinks to the
+    duplicate+false-positive fraction: a multi-billion-row store scan
+    becomes a few-MB broadcast for ~99% of the batch. The filter's
+    ``n_bits``/``n_hashes``/``salt`` must match how it was built.
+
     Returns the caller's schema plus ``fingerprint`` (append it to the
-    store for the next batch). The corpus-wide pass stays
+    store for the next batch; OR the batch's bits into the Bloom store
+    cell-wise — ``bloom_filter_table`` outputs merge by
+    ``groupBy(word).bit_or(bits)``). The corpus-wide pass stays
     ``exact_dedup``; this is the per-increment path that avoids
     re-reading the whole corpus every ingest.
     """
@@ -116,9 +134,31 @@ def incremental_exact_dedup(
         .filter(F.col(doc_col) == F.col("__keeper"))
         .drop("__keeper")
     )
-    return in_batch.join(
-        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    if bloom_prefilter is None:
+        return in_batch.join(
+            seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+        )
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_membership_rowwise,
     )
+
+    probed = bloom_membership_rowwise(
+        in_batch,
+        bloom_prefilter,
+        "fingerprint",
+        n_bits=bloom_n_bits,
+        n_hashes=bloom_n_hashes,
+        salt=bloom_salt,
+    )
+    cleared = probed.filter(~F.col("maybe_member")).drop("maybe_member")
+    sliver = (
+        probed.filter(F.col("maybe_member"))
+        .drop("maybe_member")
+        .join(
+            seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+        )
+    )
+    return cleared.unionByName(sliver)
 
 
 def shingles(

@@ -1656,3 +1656,53 @@ def test_quality_classifier_learns_separable_labels(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pt.raises(ValueError, match="empty corpus"):
         textstats.train_quality_classifier(empty, F.lit(True))
+
+
+def test_incremental_exact_dedup_bloom_prefilter_is_pure_rewrite(spark):
+    """bloom_prefilter is a PHYSICAL rewrite: with a filter built over
+    the store's fingerprints, the survivor set is identical to the
+    plain anti-join path — including when false positives force docs
+    through the sliver join — and novel docs cleared by the filter
+    skip the store entirely."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_filter_table,
+    )
+
+    seen_docs = spark.createDataFrame(
+        [(i, f"stored document body number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    store = seen_docs.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    # batch: 30 dups of stored docs, 70 novel, plus an in-batch dup
+    batch = spark.createDataFrame(
+        [(1000 + i, f"stored document body number {i}") for i in range(30)]
+        + [(2000 + i, f"fresh text {i}") for i in range(70)]
+        + [(3000, "fresh text 0")],
+        "doc_id long, text string",
+    )
+    plain = {
+        r.doc_id
+        for r in dedup.incremental_exact_dedup(batch, store).collect()
+    }
+    # tiny filter (512 bits for 200 items) forces a real FP sliver
+    for n_bits in (512, 64 * 1024):
+        flt = bloom_filter_table(
+            store, "fingerprint", n_bits=n_bits, n_hashes=3
+        )
+        with_bloom = {
+            r.doc_id
+            for r in dedup.incremental_exact_dedup(
+                batch,
+                store,
+                bloom_prefilter=flt,
+                bloom_n_bits=n_bits,
+                bloom_n_hashes=3,
+            ).collect()
+        }
+        assert with_bloom == plain
+    assert all(d >= 2000 for d in plain) and len(plain) == 70
