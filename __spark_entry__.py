@@ -2264,6 +2264,15 @@ def _q_streaming_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty (textstats.novelty_scores, n=5): share of each
+    doc's distinct 5-grams appearing in NO other doc — the
+    corpus-level originality / memorization-risk read pairwise dedup
+    misses. tf-idf silhouette: shingle distinct + df groupBy on one
+    partitioning, co-keyed join back, doc-bounded gather."""
+    return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (textstats.quality_classifier_scores):
     logistic regression over handcrafted feature ratios, z-score
@@ -2330,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": _q_bloom_probe,
         "quality_classifier": _q_quality_classifier,
         "streaming_bloom_probe": _q_streaming_bloom_probe,
+        "novelty_scores": _q_novelty_scores,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
         # spread, gopher_rules stopword semantics (distinct) — all
@@ -2352,8 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 28 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 22 (below the
+        # (c) 27 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 23 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2382,13 +2392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props_stats,
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
-        "cross_corpus_matches": _q_cross_corpus_matches,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 22 (r8-green, budget expires at r11) + 28 of the
+        # the next 23 (r8-green, budget expires at r11) + 27 of the
         # r9/r10-green entries at the back; the rest lead round 12
         # (deadlines check out under the 3-round budget — the rotation
         # test verifies mechanically).
+        "cross_corpus_matches": _q_cross_corpus_matches,
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
         "stratified_doc_sample": _q_stratified_sample,
@@ -3297,6 +3307,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": oracles.quality_classifier_sql(
             "length(text) > 300", n_iters=10, learning_rate=1.0
         ),
+        "novelty_scores": oracles.novelty_scores_sql(5),
         # row-wise (per-doc) twin of bloom_probe — no distinct, the
         # streaming probe's exact batch composition
         "streaming_bloom_probe": (

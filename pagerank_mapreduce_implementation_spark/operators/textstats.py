@@ -1251,3 +1251,49 @@ def quality_classifier_scores(
         score.alias("score"),
         (score >= 0.5).alias("predicted"),
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY — the share of a doc's distinct word
+    n-grams that appear in NO other document: ``(doc_id, n_grams,
+    novel_frac)``, ``novel_frac`` rounded 6. The cheap corpus-level
+    originality signal the dedup family doesn't give you: near-zero
+    novelty flags template/boilerplate pages that slip under pairwise
+    dedup thresholds (each pair overlaps a little, the corpus overlaps
+    a lot), and the LOW tail of shared grams is the memorization-risk
+    read (how much of this doc exists verbatim elsewhere). Docs with
+    fewer than ``n`` tokens are dropped (no gram to judge).
+
+    Scale shape, the tf-idf silhouette: one shingle explode+distinct
+    (shuffle on the gram), the document-frequency groupBy rides the
+    SAME partitioning (no second exchange), the doc join back is
+    co-keyed on the gram, then one doc-bounded gather. Reuses
+    ``dedup.shingles`` — one tokenizer, one gram convention across
+    the engine.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        shingles,
+    )
+
+    sh = shingles(docs, n, text_col=text_col, doc_col=doc_col)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(df_tbl, "shingle")
+        .groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_frac"),
+        )
+        .withColumnRenamed(doc_col, "doc_id")
+    )

@@ -1772,3 +1772,18 @@ def quality_classifier_sql(
         f"FROM std, w{n_iters}"
     )
     return "".join(parts)
+
+
+def novelty_scores_sql(n: int = 5) -> str:
+    """Mirror of textstats.novelty_scores over ``documents``: the
+    shared shingle CTE (same tokenizer/gram/distinct conventions as
+    every dedup oracle), document frequency per gram, per-doc novel
+    fraction rounded 6."""
+    return (
+        f"WITH {_shingles_ngram(n)}, "
+        "dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) "
+        "SELECT sh.doc_id, CAST(count(*) AS INT) AS n_grams, "
+        "round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE "
+        "/ count(*), 6) AS novel_frac "
+        "FROM sh JOIN dfq USING(shingle) GROUP BY sh.doc_id"
+    )

@@ -1706,3 +1706,31 @@ def test_incremental_exact_dedup_bloom_prefilter_is_pure_rewrite(spark):
         }
         assert with_bloom == plain
     assert all(d >= 2000 for d in plain) and len(plain) == 70
+
+
+def test_novelty_scores_semantics(spark):
+    """Novelty geometry: a doc sharing every 3-gram with another
+    scores 0; a fully unique doc scores 1; partial overlap lands at
+    the exact fraction; short docs (< n tokens) drop; n guard."""
+    import pytest as _pt
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),           # grams abc bcd cde (shared with 2)
+            (2, "a b c d e"),           # exact copy -> both 0.0
+            (3, "x y z w v"),           # fully unique -> 1.0
+            (4, "a b c q r s"),         # abc shared; bcq cqr qrs unique
+            (5, "one two"),             # < 3 tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.novelty_scores(docs, n=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].novel_frac == 0.0 and got[2].novel_frac == 0.0
+    assert got[3].novel_frac == 1.0 and got[3].n_grams == 3
+    assert got[4].novel_frac == 0.75 and got[4].n_grams == 4
+
+    with _pt.raises(ValueError, match="n must be"):
+        textstats.novelty_scores(docs, n=0)
