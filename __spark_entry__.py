@@ -312,6 +312,22 @@ def _q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_packed_bins_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin assembly WITH the document-boundary map
+    (text.pack_bins(with_doc_spans=True)): each 512-token bin carries
+    ``doc_spans`` — "off:doc_id;..." — the block-diagonal attention
+    mask / position-id reset input a trainer needs over packed
+    sequences. doc_id rides only the one-per-(doc,bin) head tokens
+    through the inherent shuffle; encoded as one canonical string so
+    the cross-engine hash is stable."""
+    return text.pack_bins(
+        Catalog(spark, sf_dir).documents,
+        budget=512,
+        bucket_size=64,
+        with_doc_spans=True,
+    )
+
+
 def _q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_word_count(Catalog(spark, sf_dir).documents)
 
@@ -2340,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "streaming_bloom_probe": _q_streaming_bloom_probe,
         "novelty_scores": _q_novelty_scores,
+        "packed_bins_spans": _q_packed_bins_spans,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
         # spread, gopher_rules stopword semantics (distinct) — all
@@ -2362,8 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 27 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 23 (below the
+        # (c) 26 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 24 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2391,13 +2408,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "event_props_stats": _q_event_props_stats,
         "customer_order_counts": _q_customer_order_counts,
-        "repeat_error_users": _q_repeat_error_users,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 23 (r8-green, budget expires at r11) + 27 of the
+        # the next 24 (r8-green, budget expires at r11) + 26 of the
         # r9/r10-green entries at the back; the rest lead round 12
         # (deadlines check out under the 3-round budget — the rotation
         # test verifies mechanically).
+        "repeat_error_users": _q_repeat_error_users,
         "cross_corpus_matches": _q_cross_corpus_matches,
         "hash_splits": _q_hash_splits,
         "weighted_doc_sample": _q_weighted_sample,
@@ -3308,6 +3325,28 @@ def oracle_sql() -> dict[str, str]:
             "length(text) > 300", n_iters=10, learning_rate=1.0
         ),
         "novelty_scores": oracles.novelty_scores_sql(5),
+        # packed_bins plus the head-token doc-boundary map: a head is
+        # the token at max(doc global_start, bin start) — same flag
+        # arithmetic as the Spark side's __doc_head
+        "packed_bins_spans": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), "
+            "p AS (SELECT doc_id, toks, CAST(sum(n) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n "
+            "AS gs FROM c), "
+            "tok AS (SELECT doc_id, gs, gs + i - 1 AS gpos, toks[i] AS tok "
+            "FROM p, unnest(range(1, len(toks) + 1)) AS u(i)) "
+            "SELECT gpos // 512 AS bin_id, count(*) AS n_tokens, "
+            "count(DISTINCT doc_id) AS n_docs, "
+            "string_agg(tok, ' ' ORDER BY gpos) AS text, "
+            "coalesce(string_agg(CAST(gpos % 512 AS VARCHAR) || ':' || "
+            "CAST(doc_id AS VARCHAR), ';' ORDER BY gpos) "
+            "FILTER (WHERE gpos = greatest(gs, (gpos // 512) * 512)), '') "
+            "AS doc_spans "
+            "FROM tok GROUP BY gpos // 512"
+        ),
         # row-wise (per-doc) twin of bloom_probe — no distinct, the
         # streaming probe's exact batch composition
         "streaming_bloom_probe": (

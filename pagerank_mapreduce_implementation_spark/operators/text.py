@@ -444,6 +444,7 @@ def pack_bins(
     doc_col: str = "doc_id",
     bucket_size: int = 4096,
     tokenizer: str = "ws",
+    with_doc_spans: bool = False,
 ) -> DataFrame:
     """MATERIALIZE the packed training bins that ``pack_sequences``
     lays out: one row per ``budget``-token bin — ``(bin_id, n_tokens,
@@ -470,6 +471,17 @@ def pack_bins(
     ``tokenizer`` as in ``pack_sequences`` (``"ws"`` / ``"bpe"``);
     token COUNTS and bin cuts agree with the layout op by construction
     (same split expression, same window arithmetic).
+
+    ``with_doc_spans`` adds ``doc_spans`` — the per-bin document
+    boundary map a trainer needs to build the block-diagonal attention
+    mask and reset position ids over a packed sequence (tokens from
+    different documents must not attend to each other): the canonical
+    string ``"off:doc_id;off:doc_id;..."``, one entry per document
+    segment starting in the bin, ascending offset; a doc straddling in from
+    the previous bin contributes its ``0:`` entry. Encoded as ONE
+    string (not array<struct>) so the cross-engine value hash is
+    stable. Costs a doc_id ridden only on the one-per-(doc,bin) head
+    tokens through the inherent shuffle — everything else unchanged.
     """
     from pyspark.sql.window import Window
 
@@ -513,6 +525,7 @@ def pack_bins(
         )
         .select("doc_id", "global_start", F.posexplode("__toks").alias("pos", "tok"))
         .select(
+            *(["doc_id"] if with_doc_spans else []),
             "global_start",
             "tok",
             (F.col("global_start") + F.col("pos")).alias("__gpos"),
@@ -535,26 +548,67 @@ def pack_bins(
             )
             .cast("long")
             .alias("__doc_head"),
+            # doc_id only on the one-per-(doc,bin) head tokens — the
+            # shuffle payload stays token-sized, not token+id-sized
+            *(
+                [
+                    F.when(
+                        F.col("__gpos")
+                        == F.greatest(
+                            F.col("global_start"),
+                            F.expr(f"__gpos div {int(budget)}") * budget,
+                        ),
+                        F.col("doc_id"),
+                    ).alias("__head_doc")
+                ]
+                if with_doc_spans
+                else []
+            ),
         )
     )
-    return (
-        token_rows.groupBy("bin_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__doc_head").alias("n_docs"),
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__doc_head").alias("n_docs"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__off"), F.col("tok")))
+        ).alias("__cells"),
+    ]
+    if with_doc_spans:
+        # collect_list skips the NULL non-head rows; sort ascending on
+        # the in-bin offset gives the trainer's boundary order
+        aggs.append(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__off"), F.col("tok")))
-            ).alias("__cells"),
+                F.collect_list(
+                    F.when(
+                        F.col("__head_doc").isNotNull(),
+                        F.struct(F.col("__off"), F.col("__head_doc")),
+                    )
+                )
+            ).alias("__spans")
         )
-        .select(
-            "bin_id",
-            "n_tokens",
-            "n_docs",
+    out_cols = [
+        "bin_id",
+        "n_tokens",
+        "n_docs",
+        F.array_join(
+            F.transform(F.col("__cells"), lambda c: c["tok"]), " "
+        ).alias("text"),
+    ]
+    if with_doc_spans:
+        out_cols.append(
             F.array_join(
-                F.transform(F.col("__cells"), lambda c: c["tok"]), " "
-            ).alias("text"),
+                F.transform(
+                    F.col("__spans"),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["__off"].cast("string"),
+                        s["__head_doc"].cast("string"),
+                    ),
+                ),
+                ";",
+            ).alias("doc_spans")
         )
-    )
+    return token_rows.groupBy("bin_id").agg(*aggs).select(*out_cols)
 
 
 def chunk_documents_bpe(

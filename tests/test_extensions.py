@@ -1734,3 +1734,35 @@ def test_novelty_scores_semantics(spark):
 
     with _pt.raises(ValueError, match="n must be"):
         textstats.novelty_scores(docs, n=0)
+
+
+def test_pack_bins_doc_spans_boundary_map(spark):
+    """doc_spans geometry on a hand-built corpus (budget 4): doc
+    boundaries land at their in-bin offsets, a doc straddling in from
+    the previous bin contributes its 0: continuation entry, and
+    with_doc_spans=False output is unchanged."""
+    from pagerank_mapreduce_implementation_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h")],
+        "doc_id long, text string",
+    )
+    # stream: a b c | d e f | g h -> bins of 4:
+    # bin0 = a b c d (doc1@0, doc2@3), bin1 = e f g h (doc2@0 cont.,
+    # doc3@2)
+    out = {
+        r.bin_id: r
+        for r in t.pack_bins(
+            docs, budget=4, bucket_size=64, with_doc_spans=True
+        ).collect()
+    }
+    assert out[0].text == "a b c d" and out[0].doc_spans == "0:1;3:2"
+    assert out[1].text == "e f g h" and out[1].doc_spans == "0:2;2:3"
+    assert out[0].n_docs == 2 and out[1].n_docs == 2
+
+    plain = {
+        r.bin_id: r
+        for r in t.pack_bins(docs, budget=4, bucket_size=64).collect()
+    }
+    assert set(plain[0].asDict()) == {"bin_id", "n_tokens", "n_docs", "text"}
+    assert plain[0].text == out[0].text and plain[1].text == out[1].text
