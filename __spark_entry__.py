@@ -312,6 +312,27 @@ def _q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional per-source curation quota
+    (sampling.top_fraction_per_group): best 30% of EVERY source by
+    quality score — scales with the source where quota_sample's
+    absolute k does not. One shuffle on the group key serving both
+    window functions; deterministic cut via the (score DESC, doc_id)
+    tiebreak."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    scored = textstats.quality_scores(
+        Catalog(spark, sf_dir).documents,
+        keep_cols=("source",),
+        score_only=True,
+    )
+    return top_fraction_per_group(scored, 0.3, "quality", "source").select(
+        "doc_id", "source", "quality"
+    )
+
+
 def _q_packed_bins_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin assembly WITH the document-boundary map
     (text.pack_bins(with_doc_spans=True)): each 512-token bin carries
@@ -2357,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_probe": _q_streaming_bloom_probe,
         "novelty_scores": _q_novelty_scores,
         "packed_bins_spans": _q_packed_bins_spans,
+        "source_top_fraction": _q_source_top_fraction,
         # (a) CHANGED this round: hits rewritten (deferred-norm
         # support-only loop, 62s->9s), gopher_repetition staging
         # spread, gopher_rules stopword semantics (distinct) — all
@@ -2379,8 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 26 of the 50-query r8-green cohort — due by round 11,
-        # taken early to fill the window; the remaining 24 (below the
+        # (c) 25 of the 50-query r8-green cohort — due by round 11,
+        # taken early to fill the window; the remaining 25 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
         "seq_packing": _q_seq_packing,
@@ -2407,13 +2429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "event_props_stats": _q_event_props_stats,
-        "customer_order_counts": _q_customer_order_counts,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 24 (r8-green, budget expires at r11) + 26 of the
+        # the next 25 (r8-green, budget expires at r11) + 25 of the
         # r9/r10-green entries at the back; the rest lead round 12
         # (deadlines check out under the 3-round budget — the rotation
         # test verifies mechanically).
+        "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
         "cross_corpus_matches": _q_cross_corpus_matches,
         "hash_splits": _q_hash_splits,
@@ -3325,6 +3347,27 @@ def oracle_sql() -> dict[str, str]:
             "length(text) > 300", n_iters=10, learning_rate=1.0
         ),
         "novelty_scores": oracles.novelty_scores_sql(5),
+        # quality_scores' formula + a per-source proportional window
+        # cut: rank by (quality DESC, doc_id), keep ceil(0.3 * n)
+        "source_top_fraction": (
+            f"WITH {_TOKS_ARR}, q AS (SELECT t.doc_id AS doc_id, "
+            "documents.source AS source, "
+            "len(toks) AS n_tokens, CAST(length(t.text) AS INT) AS n_chars, "
+            r"length(regexp_replace(t.text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
+            "FROM t JOIN documents ON t.doc_id = documents.doc_id), "
+            "s AS (SELECT doc_id, source, "
+            "round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE)/100) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END)) "
+            "+ 0.3 * (1.0 - (CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END)), 6) AS quality "
+            "FROM q), "
+            "r AS (SELECT doc_id, source, quality, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY quality DESC, doc_id) AS rk, "
+            "count(*) OVER (PARTITION BY source) AS gn FROM s) "
+            "SELECT doc_id, source, quality FROM r "
+            "WHERE rk <= ceil(gn * 0.3)"
+        ),
         # packed_bins plus the head-token doc-boundary map: a head is
         # the token at max(doc global_start, bin start) — same flag
         # arithmetic as the Spark side's __doc_head

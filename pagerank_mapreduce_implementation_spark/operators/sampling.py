@@ -447,3 +447,39 @@ def dsir_select(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    group_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of rows per group by score — the
+    PROPORTIONAL curation quota (``quota_sample`` keeps an absolute
+    top-k; a fixed k over-prunes small sources and under-prunes huge
+    ones, while "best 30% of every source" scales with the source).
+    Keeps ``ceil(frac * group_size)`` rows per group — every non-empty
+    group retains at least one row — ranked by ``(score DESC,
+    key ASC)``; the unique-key tiebreak makes the cut boundary
+    deterministic (the pagerank_top20 convention), so re-runs and
+    engines agree on the exact row SET.
+
+    Scale shape: ONE shuffle on the group key serving both window
+    functions (rank and group size share the partition), then a
+    narrow filter — no join back, no second pass. Group state is the
+    running rank, never the group's rows.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w = Window.partitionBy(group_col)
+    ranked = df.withColumn(
+        "__rk",
+        F.row_number().over(
+            w.orderBy(F.desc(score_col), F.asc(key_col))
+        ),
+    ).withColumn("__gn", F.count(F.lit(1)).over(w))
+    return ranked.filter(
+        F.col("__rk") <= F.ceil(F.col("__gn") * F.lit(float(frac)))
+    ).drop("__rk", "__gn")

@@ -1766,3 +1766,32 @@ def test_pack_bins_doc_spans_boundary_map(spark):
     }
     assert set(plain[0].asDict()) == {"bin_id", "n_tokens", "n_docs", "text"}
     assert plain[0].text == out[0].text and plain[1].text == out[1].text
+
+
+def test_top_fraction_per_group_semantics(spark):
+    """Proportional quota: ceil(frac*n) per group, every non-empty
+    group keeps >= 1 row, ties cut deterministically by the key, and
+    the frac guard fails loud."""
+    import pytest as _pt
+
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    rows = (
+        [(i, "big", float(i)) for i in range(10)]          # 10 rows
+        + [(100 + i, "small", 1.0) for i in range(3)]      # 3 tied rows
+        + [(200, "solo", 0.5)]                             # 1 row
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = top_fraction_per_group(df, 0.3, "score", "source").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert by["big"] == {7, 8, 9}          # ceil(0.3*10)=3, best scores
+    assert by["small"] == {100}            # ceil(0.3*3)=1, tie -> min id
+    assert by["solo"] == {200}             # ceil(0.3*1)=1 — never empty
+    with _pt.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, 0.0, "score", "source")
+    with _pt.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, 1.5, "score", "source")
