@@ -1269,24 +1269,33 @@ def novelty_scores(
     read (how much of this doc exists verbatim elsewhere). Docs with
     fewer than ``n`` tokens are dropped (no gram to judge).
 
-    Scale shape, the tf-idf silhouette: one shingle explode+distinct
-    (shuffle on the gram), the document-frequency groupBy rides the
-    SAME partitioning (no second exchange), the doc join back is
-    co-keyed on the gram, then one doc-bounded gather. Reuses
+    Scale shape: shingle explode+distinct -> a WINDOW count over the
+    gram partition -> doc-bounded gather — exactly three exchanges on
+    ONE lineage. Deliberately NOT the tf-idf groupBy+join-back
+    silhouette: an equi-join diamond over the shingle table gets
+    cloned into differently-pruned subtrees by Catalyst (the corpus
+    would tokenize and distinct TWICE — the documented tf_idf rescan
+    trade, wrong here because both branches need the same width); the
+    window form computes df on the already-shuffled rows. Per-gram
+    window state is the running count, never the gram's rows, and the
+    plan shape is pinned in tests/test_plans.py. Reuses
     ``dedup.shingles`` — one tokenizer, one gram convention across
     the engine.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
     from pagerank_mapreduce_implementation_spark.operators.dedup import (
         shingles,
     )
 
     sh = shingles(docs, n, text_col=text_col, doc_col=doc_col)
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    with_df = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     return (
-        sh.join(df_tbl, "shingle")
-        .groupBy(doc_col)
+        with_df.groupBy(doc_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_grams"),
             F.round(

@@ -556,3 +556,104 @@ def test_semdedup_plan_cluster_bounded(spark):
     p = plan_of(out)
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_dsir_weights_broadcasts_bucket_tables_no_cartesian(spark, sf_dir):
+    """DSIR's per-bucket log-ratio table (B rows, a plan-time
+    constant) must reach the doc-side join as a BROADCAST — never a
+    sort-merge of the corpus against B rows — and the totals must be
+    a broadcast 1-row aggregate (the crossJoin is the scalar-subquery
+    pattern, not a data cartesian)."""
+    qs = entrymod.queries()
+    df = qs["dsir_weights"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # the ONLY tolerated sort-merge is the B-row-vs-B-row full-outer
+    # dist merge (full outer cannot broadcast-hash); the corpus-side
+    # lam attachment must never be one
+    smj = re.findall(r"SortMergeJoin \[[^\]]*\], \[[^\]]*\], (\w+)", final)
+    assert all(t == "FullOuter" for t in smj), smj
+    # the 1-row totals ride BroadcastNestedLoopJoin (scalar pattern)
+    assert "CartesianProduct" not in final
+
+
+def test_bigram_lm_no_positional_self_join(spark, sf_dir):
+    """Bigrams come from a per-row adjacent-pair transform — the plan
+    must contain NO join of the token table against itself on
+    (doc_id, pos±1); the only joins are the vocab-bounded count
+    attachments. Cheap necessary check: no cartesian, and every join
+    is hash-based."""
+    qs = entrymod.queries()
+    df = qs["bigram_lm"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # adjacent pairs are built by per-row explodes of the transform —
+    # the bigram table is consumed by two branches (counts + the
+    # score join back) and Catalyst clones the explode into each
+    # (the documented tf_idf rescan trade), plus one vocab explode:
+    # four corpus-side Generates, every one narrow, ZERO self-joins
+    assert final.count("Generate explode") <= 4
+    assert "SortMergeJoin" not in final or "doc_id" not in "".join(
+        re.findall(r"SortMergeJoin \[[^\]]*doc_id[^\]]*\]", final)
+    )
+
+
+def test_entropy_stats_zero_exchange(spark, sf_dir):
+    """The entropy battery is a pure per-row fold: its UNSTAGED plan
+    (operator applied directly to the scan, no registry repartition)
+    must contain ZERO exchanges — scan-speed at any corpus size."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    p = plan_of(textstats.entropy_stats(Catalog(spark, sf_dir).documents))
+    assert "Exchange" not in p
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """Both bloom probes join the <= n_bits/32-row word table as a
+    BROADCAST against the item side — the filter is the small side by
+    construction; a sort-merge here would shuffle the corpus to meet
+    a few-KB table."""
+    import pyspark.sql.functions as _F
+
+    from pagerank_mapreduce_implementation_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_membership_rowwise,
+    )
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+    qs = entrymod.queries()
+    df = qs["bloom_probe"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    # the row-wise (streaming) probe: every one of the k joins is a
+    # broadcast against the word table (the streaming registry query
+    # itself only exposes the memory sink's LocalTableScan)
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", _F.md5("text").alias("item")
+    )
+    flt = bloom_filter_table(docs, "item", n_bits=1024, n_hashes=3)
+    p = plan_of(
+        bloom_membership_rowwise(docs, flt, "item", n_bits=1024, n_hashes=3)
+    )
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_novelty_scores_df_join_reuses_shingle_partitioning(spark, sf_dir):
+    """novelty's df groupBy and the join back are both keyed on the
+    shingle: the executed plan must not re-exchange the shingle table
+    for the join (ReusedExchange / aligned partitioning), and the
+    whole query carries at most the three inherent hashpartitioning
+    exchanges (shingle distinct, df agg side, doc gather)."""
+    qs = entrymod.queries()
+    df = qs["novelty_scores"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    n_ex = len(re.findall(r"Exchange hashpartitioning", final))
+    assert n_ex <= 3, f"{n_ex} exchanges — shingle partitioning not reused"
