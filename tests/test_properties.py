@@ -586,3 +586,118 @@ def test_substring_runs_and_strip_match_bruteforce(spark, docs, k, extra):
         for r in dedup.strip_substring_runs(df, k=k, min_len=min_len).collect()
     }
     assert got_strip == _py_strip(docs, want_runs)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_entropy_stats_matches_bruteforce(spark, texts):
+    """entropy_stats' incremental run-boundary fold equals the
+    textbook -Σ p log2 p computed in Python over arbitrary (including
+    whitespace-only and empty) strings."""
+    import math
+    from collections import Counter
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textstats.entropy_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = sum(c.values())
+        ent = (
+            round(-sum((k / n) * math.log2(k / n) for k in c.values()), 6)
+            if n
+            else 0.0
+        )
+        assert got[i].n_chars == n
+        assert got[i].n_distinct_chars == len(c)
+        assert got[i].char_entropy == ent
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs_toks=st.lists(
+        st.lists(SAFE, min_size=0, max_size=8), min_size=1, max_size=8
+    ),
+    k=st.floats(min_value=0.25, max_value=2.0),
+)
+def test_bigram_lm_matches_bruteforce(spark, docs_toks, k):
+    """bigram_lm_scores equals the directly-computed add-k conditional
+    model on arbitrary token lists; <2-token docs drop."""
+    import math
+    from collections import Counter
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs_toks)]
+    got = {
+        r.doc_id: r
+        for r in textstats.bigram_lm_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"), add_k=k
+        ).collect()
+    }
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    for ts in docs_toks:
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    for i, ts in enumerate(docs_toks):
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            assert i not in got
+            continue
+        nll = round(
+            -sum(
+                math.log10((c2[bg] + k) / (c1[bg[0]] + k * V)) for bg in bgs
+            )
+            / len(bgs),
+            6,
+        )
+        assert got[i].n_bigrams == len(bgs)
+        assert abs(got[i].nll - nll) <= 1e-6
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(SAFE, min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_dsir_weights_partition_and_order_invariant(spark, texts, nparts):
+    """The DSIR weight of every doc is a pure function of (corpus,
+    salts): reversing the row order and forcing an arbitrary
+    partitioning leaves every (doc_id, n_grams, log_weight) row
+    IDENTICAL — the decimal/round-6 determinism contract."""
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    half = max(1, len(rows) // 2)
+    raw_rows, tgt_rows = rows[:half], rows[half:] or rows[:1]
+
+    def run(rws, trws, parts):
+        raw = spark.createDataFrame(rws, "doc_id long, text string")
+        tgt = spark.createDataFrame(trws, "doc_id long, text string")
+        return sorted(
+            tuple(r)
+            for r in sampling.dsir_weights(
+                raw.repartition(parts), tgt, n_buckets=64
+            ).collect()
+        )
+
+    a = run(raw_rows, tgt_rows, 1)
+    b = run(list(reversed(raw_rows)), list(reversed(tgt_rows)), nparts)
+    assert a == b
