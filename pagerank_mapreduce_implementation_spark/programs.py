@@ -290,6 +290,8 @@ def clean_corpus(
     semantic_keep: str = "centroid_far",
     min_char_entropy: float | None = None,
     max_char_entropy: float | None = None,
+    source_top_frac: float | None = None,
+    source_col: str = "source",
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_buckets: int = 1024,
@@ -327,6 +329,11 @@ def clean_corpus(
        ``min_char_entropy`` / ``max_char_entropy`` set — drops the
        compressibility extremes (repeated-char junk at the low end,
        binary-ish noise at the high end) in one zero-shuffle pass
+    3d. PROPORTIONAL per-source quota (sampling.top_fraction_per_group)
+       when ``source_top_frac`` set — keeps the best
+       ceil(frac·group_size) docs of EVERY ``source_col`` group by the
+       quality_scores composite, scaling with the source where an
+       absolute k would not; one group-key shuffle, deterministic cut
     4. benchmark decontamination (contamination.decontaminate) when
        ``bench_docs`` is supplied — drops docs overlapping the eval set
     4b. corpus-wide repeated-LINE removal (dedup.line_dedup, the
@@ -450,6 +457,8 @@ def clean_corpus(
             semantic_keep=semantic_keep,
             min_char_entropy=min_char_entropy,
             max_char_entropy=max_char_entropy,
+            source_top_frac=source_top_frac,
+            source_col=source_col,
             dsir_target=dsir_target,
             dsir_k=dsir_k,
             dsir_buckets=dsir_buckets,
@@ -493,6 +502,8 @@ def _clean_corpus_body(
     semantic_keep,
     min_char_entropy,
     max_char_entropy,
+    source_top_frac,
+    source_col,
     dsir_target,
     dsir_k,
     dsir_buckets,
@@ -571,6 +582,25 @@ def _clean_corpus_body(
         if max_char_entropy is not None:
             ent = ent.filter(F.col("char_entropy") <= max_char_entropy)
         docs = ent.select("doc_id", *passthru)
+    if source_top_frac is not None:
+        # stage 3d: proportional per-source quota on the composite
+        # quality score — one group-key shuffle, no join back
+        from pagerank_mapreduce_implementation_spark.operators.sampling import (
+            top_fraction_per_group,
+        )
+
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"source_top_frac needs a {source_col!r} column in the "
+                f"corpus (have: {docs.columns}) — pass source_col= for "
+                "a differently-named grouping column"
+            )
+        scored = textstats.quality_scores(
+            docs, keep_cols=passthru, score_only=True
+        )
+        docs = top_fraction_per_group(
+            scored, source_top_frac, "quality", source_col
+        ).select("doc_id", *passthru)
     if bench_docs is not None:
         docs = decontaminate(
             docs,
@@ -705,6 +735,7 @@ def pack_corpus(
     tokenizer: str = "whitespace",
     layout: str = "windows",
     budget: int = 512,
+    with_doc_spans: bool = False,
 ) -> DataFrame:
     """Turn a cleaned corpus into model-ready token rows, parquet-in ->
     parquet-out — the pack step that follows ``clean_corpus`` in a
@@ -722,6 +753,10 @@ def pack_corpus(
     rows, no padding waste, docs straddling boundaries. Costs the one
     inherent token-level shuffle (the output is a reordered copy of
     the corpus), with per-bin state bounded by ``budget``.
+    ``with_doc_spans=True`` (bins layout only) additionally emits each
+    bin's document boundary map (``doc_spans`` — "off:doc_id;…") for
+    block-diagonal attention masks / position-id resets; doc ids ride
+    only the one-per-(doc,bin) head tokens through that shuffle.
 
     ``tokenizer``: ``"whitespace"`` counts/windows whitespace words
     (pure codegen, zero Python); ``"bpe"`` uses SUBWORD pieces from the
@@ -740,6 +775,11 @@ def pack_corpus(
 
     if tokenizer not in ("whitespace", "bpe"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if with_doc_spans and layout != "bins":
+        raise ValueError(
+            "with_doc_spans requires layout='bins' — window chunks are "
+            "single-document by construction"
+        )
     if layout == "windows":
         chunker = chunk_documents if tokenizer == "whitespace" else chunk_documents_bpe
         out = chunker(
@@ -756,6 +796,7 @@ def pack_corpus(
             text_col=text_col,
             doc_col=doc_col,
             tokenizer="ws" if tokenizer == "whitespace" else "bpe",
+            with_doc_spans=with_doc_spans,
         )
     else:
         raise ValueError(f"unknown layout {layout!r}")

@@ -1277,3 +1277,71 @@ def test_clean_corpus_dsir_stage(spark, tmp_path):
             spark, src, str(tmp_path / "out2"),
             dsir_target=target,
         )
+
+
+def test_clean_corpus_source_quota_stage(spark, tmp_path):
+    """source_top_frac keeps the proportional best of every source —
+    groups of different sizes each keep ceil(frac*n); a corpus without
+    the grouping column fails loud."""
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    good = "a long enough sentence of ordinary words " * 4
+    rows = [(i, good + f"u{i}", "big") for i in range(10)] + [
+        (100 + i, good + f"u{100+i}", "small") for i in range(4)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    out = clean_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        near_dup_threshold=0.99,
+        ngram=3,
+        source_top_frac=0.5,
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["big"]) == 5 and len(by["small"]) == 2
+
+    nosrc = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(1, good)], "doc_id long, text string"
+    ).write.parquet(nosrc)
+    with pytest.raises(ValueError, match="source_top_frac needs"):
+        clean_corpus(
+            spark, nosrc, str(tmp_path / "out2"), source_top_frac=0.5
+        )
+
+
+def test_pack_corpus_doc_spans_knob(spark, tmp_path):
+    """pack_corpus(with_doc_spans=True) emits the bins' boundary maps;
+    the knob is rejected for the windows layout."""
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.programs import pack_corpus
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = pack_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        layout="bins",
+        budget=4,
+        with_doc_spans=True,
+    )
+    assert "doc_spans" in out.columns
+    spans = {r.bin_id: r.doc_spans for r in out.collect()}
+    assert spans[0] == "0:1"  # bin 0 = doc1's first 4 tokens
+    with pytest.raises(ValueError, match="layout='bins'"):
+        pack_corpus(
+            spark, src, str(tmp_path / "out2"),
+            layout="windows", with_doc_spans=True,
+        )
