@@ -657,3 +657,19 @@ def test_novelty_scores_df_join_reuses_shingle_partitioning(spark, sf_dir):
     assert "CartesianProduct" not in final
     n_ex = len(re.findall(r"Exchange hashpartitioning", final))
     assert n_ex <= 3, f"{n_ex} exchanges — shingle partitioning not reused"
+
+
+def test_hits_loop_shape_no_mid_iteration_barriers(spark, sf_dir):
+    """The round-10 hits rewrite: the returned plan must read the
+    final iteration's state from CHECKPOINTED blocks (localCheckpoint
+    scans — the norm fold happened against materialized data, never a
+    lazy broadcast subplan), join it with the vertex zero-fill, and
+    carry no cartesian; the normalizers must already be literals
+    (no SubqueryExchange / scalar-subquery nodes left in the plan)."""
+    from pagerank_mapreduce_implementation_spark.operators import graph
+
+    df = graph.hits(entrymod._edges(spark, sf_dir), n_iters=3)
+    p = plan_of(df)
+    assert "Scan ExistingRDD" in p          # checkpointed state feeds it
+    assert "CartesianProduct" not in p
+    assert "Subquery" not in p              # norms folded to literals
