@@ -2363,7 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 112
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 122
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
