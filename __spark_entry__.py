@@ -1915,6 +1915,31 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (dedup.cdc_chunks, the LBFS/Rabin
+    split of Muthitacharoen et al. 2001 at token granularity): cut
+    where the 3-token polynomial rolling hash is divisible by 16, doc
+    end always a boundary, chunk = md5 of the span. The
+    boundary-shift-immune split that makes chunk-level dedup of an
+    incremental crawl incremental. Zero shuffles — pure per-doc array
+    expressions + one narrow explode; hash strings are integer-exact
+    cross-engine."""
+    return dedup.cdc_chunks(
+        Catalog(spark, sf_dir).documents, window=3, divisor=16
+    )
+
+
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication profile over the CDC split
+    (dedup.cdc_dup_stats): per-doc dup chunk count and dup token mass
+    against corpus-wide chunk-hash occurrences — "how much of this doc
+    does the corpus already store". Two key-bounded shuffles (chunk
+    hash groupBy with map-side partials, then the doc rollup)."""
+    return dedup.cdc_dup_stats(
+        Catalog(spark, sf_dir).documents, window=3, divisor=16
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: MinHash+LSH pairs -> connected
     components (alternating large-star/small-star, operators/graph.py —
@@ -2363,12 +2388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 122
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 124
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup": _q_cdc_dedup,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "bigram_lm": _q_bigram_lm,
@@ -2401,7 +2428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_daily_uniques": _q_approx_daily_uniques,
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
-        # (c) 25 of the 50-query r8-green cohort — due by round 11,
+        # (c) r8-green cohort — due by round 11; the CDC additions
+        # above push the last two below the boundary, so 23 of the
+        # 50 ride this window and 27 lead round 11,
         # taken early to fill the window; the remaining 25 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
@@ -3284,6 +3313,8 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
+        "cdc_chunks": oracles.cdc_chunks_sql(window=3, divisor=16),
+        "cdc_dedup": oracles.cdc_dup_stats_sql(window=3, divisor=16),
         "dedup_clusters": oracles.connected_components_sql(
             "SELECT doc_a, doc_b FROM ("
             + oracles.minhash_near_dups_sql(0.5, ngram=5)

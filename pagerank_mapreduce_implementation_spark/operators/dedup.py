@@ -1565,3 +1565,150 @@ def semdedup(
     finally:
         side.unpersist()
     return docs.join(F.broadcast(dropped), doc_col, "left_anti")
+
+
+# --- content-defined chunking (CDC) ----------------------------------------
+
+CDC_POLY_BASE = 8191
+CDC_POLY_MOD = 1_000_000_007
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 3,
+    divisor: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking at token granularity — the LBFS/Rabin
+    split (Muthitacharoen et al. 2001) that storage dedup and
+    incremental-crawl pipelines use: ``(doc_id, chunk_idx, chunk_hash,
+    n_tokens)``.
+
+    A position ``p`` (1-based, ``p >= window``) is a cut point iff the
+    polynomial rolling hash of the ``window`` tokens ending at ``p`` —
+    ``(sum_j th[p-j] * BASE^j) mod M``, ``th`` the md5 60-bit word hash
+    mod M — is divisible by ``divisor``; the document end is always a
+    boundary. Chunks are the token runs between consecutive
+    boundaries, hashed by ``md5`` of their space-joined tokens.
+    Because a cut depends only on the ``window`` tokens ending at it
+    (the pure CDC form, no min/max clamp), an insertion or deletion
+    re-chunks only its neighborhood — the boundary-shift immunity
+    fixed-size blocks lack, and the reason chunk-level dedup of an
+    incremental crawl stays incremental. Expected chunk length is
+    ``divisor`` tokens; production CDC adds min/max clamps, which
+    serialize the cut decision (each cut depends on the previous one)
+    — the documented escalation, not the default.
+
+    Scale shape: per-doc array expressions only — tokenize, one
+    ``transform`` for token hashes, one ``filter`` over positions for
+    cut points, one indexed ``transform`` for chunk spans, then a
+    narrow ``explode``. ZERO shuffles in this operator; downstream
+    dup-counting (``cdc_dup_stats``) adds the one chunk-key shuffle
+    that is the point of chunking. The token-hash array is staged in
+    its own projection so the position lambda indexes a materialized
+    array instead of re-evaluating the hash subtree per element (the
+    HOF re-evaluation pitfall measured on gopher_repetition).
+    """
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    if divisor < 1:
+        raise ValueError(f"divisor ({divisor}) must be >= 1")
+    B, M = CDC_POLY_BASE, CDC_POLY_MOD
+
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    t = docs.select(
+        F.col(doc_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    t = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.transform("toks", lambda x: _word_hash60(x) % M).alias("th"),
+    )
+
+    def rolling(p: Column) -> Column:
+        # (sum_{j<window} th[p-j] * B^j) mod M; each term is bounded by
+        # (M-1)*B^(window-1) so the BIGINT sum never overflows for
+        # window <= 3 at these constants
+        acc = F.lit(0).cast("long")
+        for j in range(window):
+            acc = acc + F.element_at(F.col("th"), p - j) * F.lit(B**j)
+        return acc % M
+
+    cuts = F.when(
+        F.col("n") >= window,
+        F.filter(
+            F.sequence(F.lit(window), F.col("n")),
+            lambda p: rolling(p) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # cuts are ascending and n is the maximum, so distinct keeps order
+    bounds = F.array_distinct(F.concat(cuts, F.array(F.col("n"))))
+    t = t.select("doc_id", "toks", bounds.alias("bounds"))
+
+    def span(b: Column, j: Column) -> Column:
+        start = F.when(j == 0, F.lit(1)).otherwise(
+            F.element_at(F.col("bounds"), j) + 1
+        )
+        piece = F.slice(F.col("toks"), start, b - start + 1)
+        return F.struct(
+            (j + 1).alias("chunk_idx"),
+            F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+            (b - start + 1).cast("long").alias("n_tokens"),
+        )
+
+    return t.select(
+        "doc_id", F.explode(F.transform("bounds", span)).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk_hash", "c.n_tokens")
+
+
+def cdc_dup_stats(
+    docs: DataFrame,
+    window: int = 3,
+    divisor: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document chunk-level duplication profile over the CDC
+    split: ``(doc_id, n_chunks, n_tokens, dup_chunks, dup_tokens,
+    dup_token_frac)`` — ``dup_*`` counting chunks whose content hash
+    occurs more than once corpus-wide (either in another document or
+    repeated within this one). The chunk-mass fraction is the
+    incremental-crawl read: how much of this document's content the
+    corpus already stores under CDC.
+
+    Two shuffles, both key-bounded: one groupBy on ``chunk_hash``
+    (map-side partial agg — skew-safe where a window over the hash
+    would serialize a boilerplate mega-chunk into one task), whose
+    occurrence counts join back candidate-bounded under AQE, then the
+    per-doc rollup on ``doc_id``.
+    """
+    ch = cdc_chunks(
+        docs,
+        window=window,
+        divisor=divisor,
+        text_col=text_col,
+        doc_col=doc_col,
+    )
+    occ = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("occ"))
+    dup = F.col("occ") > 1
+    return (
+        ch.join(occ, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("dup_chunks"),
+            F.sum(F.when(dup, F.col("n_tokens")).otherwise(0)).alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -1787,3 +1787,59 @@ def novelty_scores_sql(n: int = 5) -> str:
         "/ count(*), 6) AS novel_frac "
         "FROM sh JOIN dfq USING(shingle) GROUP BY sh.doc_id"
     )
+
+
+def _cdc_chunks_ctes(window: int = 3, divisor: int = 16) -> str:
+    """Shared CTE chain rebuilding dedup.cdc_chunks in SQL: token md5
+    hashes mod M, the polynomial rolling-hash cut test at every
+    position >= window, doc-end boundary, chunk spans from consecutive
+    boundaries. Positions are 1-based on both sides; the rolling hash
+    ending at p is sum_j th[p-j]*BASE^j mod M — the identical integer
+    formula, so chunk_hash strings are cross-engine exact."""
+    B, M = 8191, 1_000_000_007
+    poly = " + ".join(f"th[p - {j}] * {B**j}" for j in range(window))
+    return (
+        "t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), w -> w <> '') AS toks FROM documents), "
+        "h AS (SELECT doc_id, toks, len(toks) AS n, "
+        "list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 15)) "
+        f"AS UBIGINT)::BIGINT % {M}) AS th "
+        "FROM t WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, toks, list_sort(list_distinct("
+        f"[CAST(p AS INT) for p in range({window}, n + 1) "
+        f"if (({poly}) % {M}) % {divisor} = 0] || [CAST(n AS INT)])) "
+        "AS bounds FROM h), "
+        "ch AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx, "
+        "md5(array_to_string(toks[(CASE WHEN j = 1 THEN 1 ELSE "
+        "bounds[CAST(j AS INT) - 1] + 1 END) : bounds[CAST(j AS INT)]], "
+        "' ')) AS chunk_hash, "
+        "CAST(bounds[CAST(j AS INT)] - (CASE WHEN j = 1 THEN 1 ELSE "
+        "bounds[CAST(j AS INT) - 1] + 1 END) + 1 AS BIGINT) AS n_tokens "
+        "FROM c, unnest(range(1, len(bounds) + 1)) AS u(j))"
+    )
+
+
+def cdc_chunks_sql(window: int = 3, divisor: int = 16) -> str:
+    """Mirror of dedup.cdc_chunks over ``documents``."""
+    return (
+        f"WITH {_cdc_chunks_ctes(window, divisor)} "
+        "SELECT doc_id, chunk_idx, chunk_hash, n_tokens FROM ch"
+    )
+
+
+def cdc_dup_stats_sql(window: int = 3, divisor: int = 16) -> str:
+    """Mirror of dedup.cdc_dup_stats: corpus-wide occurrence count per
+    chunk hash, per-doc dup chunk/token mass rounded 6."""
+    return (
+        f"WITH {_cdc_chunks_ctes(window, divisor)}, "
+        "occ AS (SELECT chunk_hash, count(*) AS o FROM ch GROUP BY 1) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN o > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS dup_chunks, "
+        "CAST(sum(CASE WHEN o > 1 THEN n_tokens ELSE 0 END) AS BIGINT) "
+        "AS dup_tokens, "
+        "round(sum(CASE WHEN o > 1 THEN n_tokens ELSE 0 END)::DOUBLE "
+        "/ sum(n_tokens), 6) AS dup_token_frac "
+        "FROM ch JOIN occ USING (chunk_hash) GROUP BY doc_id"
+    )

@@ -673,3 +673,24 @@ def test_hits_loop_shape_no_mid_iteration_barriers(spark, sf_dir):
     assert "Scan ExistingRDD" in p          # checkpointed state feeds it
     assert "CartesianProduct" not in p
     assert "Subquery" not in p              # norms folded to literals
+
+
+def test_cdc_chunks_zero_shuffle(plans):
+    """cdc_chunks is pure per-doc array expressions + a narrow
+    explode: no exchange of any kind, no Python workers."""
+    p = plans("cdc_chunks")
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_cdc_dedup_key_bounded_shuffles(plans):
+    """cdc_dedup: chunk-hash occurrence agg (map-side partials) +
+    join back + doc rollup — hashpartitioning exchanges only on the
+    two keys, no cartesian, no Python. At test scale AQE broadcasts
+    the occurrence side; at scale both join inputs hashpartition on
+    chunk_hash and the agg exchange is reused."""
+    p = plans("cdc_dedup")
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 4
+    assert p.count("HashAggregate") >= 2  # partial+final on the hash key

@@ -701,3 +701,84 @@ def test_dsir_weights_partition_and_order_invariant(spark, texts, nparts):
     a = run(raw_rows, tgt_rows, 1)
     b = run(list(reversed(raw_rows)), list(reversed(tgt_rows)), nparts)
     assert a == b
+
+
+def _cdc_bruteforce(texts, window=3, divisor=16):
+    """Direct Python restatement of dedup.cdc_chunks: md5 60-bit token
+    hash mod M, polynomial rolling hash over the window ending at each
+    position, cut on divisibility, doc end always a boundary."""
+    import hashlib
+
+    B, M = dedup.CDC_POLY_BASE, dedup.CDC_POLY_MOD
+
+    def h60(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % M
+
+    out = []
+    for doc_id, text in texts:
+        toks = [t for t in text.split() if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        th = [h60(t) for t in toks]
+        cuts = [
+            p
+            for p in range(window, n + 1)
+            if sum(th[p - 1 - j] * B**j for j in range(window)) % M % divisor
+            == 0
+        ]
+        bounds = sorted(set(cuts + [n]))
+        start = 1
+        for j, b in enumerate(bounds):
+            piece = " ".join(toks[start - 1 : b])
+            out.append(
+                (
+                    doc_id,
+                    j + 1,
+                    hashlib.md5(piece.encode()).hexdigest(),
+                    b - start + 1,
+                )
+            )
+            start = b + 1
+    return out
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(SAFE, min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(min_value=1, max_value=3),
+    divisor=st.sampled_from([2, 4, 8]),
+)
+def test_cdc_chunks_match_bruteforce(spark, docs, window, divisor):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = sorted(
+        tuple(r)
+        for r in dedup.cdc_chunks(df, window=window, divisor=divisor).collect()
+    )
+    want = sorted(_cdc_bruteforce(rows, window=window, divisor=divisor))
+    assert got == want
+
+
+def test_cdc_boundary_shift_immunity(spark):
+    """The CDC property fixed-size blocks lack: prepending tokens to a
+    document re-chunks only the prefix — every chunk that starts after
+    the first cut point at or beyond the insertion is byte-identical
+    (same hash), so an incremental crawl re-stores only the edited
+    neighborhood."""
+    base = "red green blue cyan plum " * 40
+    edited = "zzz yyy " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id: long, text: string"
+    )
+    ch = dedup.cdc_chunks(df, window=3, divisor=4).collect()
+    h0 = [r["chunk_hash"] for r in sorted(ch, key=lambda r: r["chunk_idx"]) if r["doc_id"] == 0]
+    h1 = [r["chunk_hash"] for r in sorted(ch, key=lambda r: r["chunk_idx"]) if r["doc_id"] == 1]
+    assert len(h0) > 3, "fixture must chunk into several pieces"
+    # all but the first chunk of the base doc reappear in the edited
+    # doc's chunk stream (the suffix re-aligns after one chunk)
+    assert set(h0[1:]) <= set(h1)
