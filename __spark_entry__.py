@@ -1259,6 +1259,29 @@ def _q_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training + encoding (similarity.pq_train/pq_encode,
+    Jegou et al. 2011): 4 subspaces x 8 codewords over the 64-dim
+    embeddings, 2 bit-deterministic Lloyd iterations (id-ordered
+    exact folds), every vector reduced to 4 codeword ids — the
+    m-bytes-per-vector store PQ serving scans instead of raw floats
+    (16x smaller than float32 here, vs int8's 4x). The oracle RETRAINS
+    the codebooks in SQL and must land on identical codes."""
+    emb = Catalog(spark, sf_dir).embeddings
+    books = similarity.pq_train(emb, m=4, k=8, n_iters=2)
+    return similarity.pq_encode(emb, books)
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (similarity.pq_topk): query vector
+    0 served from codes alone through a literal m x k distance table —
+    the IVF-PQ serving scan. Zero shuffle + TakeOrderedAndProject;
+    scoring reads 4 bytes per candidate at 100 TB, never the floats."""
+    emb = Catalog(spark, sf_dir).embeddings
+    books = similarity.pq_train(emb, m=4, k=8, n_iters=2)
+    return similarity.pq_topk(emb, 0, books, k=10)
+
+
 def _q_cross_corpus_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus embedding matches (similarity.cosine_matches_ab):
     the 'train' split (vec_id % 10 != 0) against the 'eval' split
@@ -2388,12 +2411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 124
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 126
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
+        "pq_encode": _q_pq_encode,
+        "pq_topk": _q_pq_topk,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup": _q_cdc_dedup,
         "dsir_weights": _q_dsir_weights,
@@ -2429,8 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
         # (c) r8-green cohort — due by round 11; the CDC additions
-        # above push the last two below the boundary, so 23 of the
-        # 50 ride this window and 27 lead round 11,
+        # above push four below the boundary, so 21 of the
+        # 50 ride this window and 29 lead round 11,
         # taken early to fill the window; the remaining 25 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
@@ -3313,6 +3338,10 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
+        "pq_encode": oracles.pq_encode_sql(m=4, k=8, n_iters=2, dims=64),
+        "pq_topk": oracles.pq_topk_sql(
+            query_vec_id=0, topk=10, m=4, k=8, n_iters=2, dims=64
+        ),
         "cdc_chunks": oracles.cdc_chunks_sql(window=3, divisor=16),
         "cdc_dedup": oracles.cdc_dup_stats_sql(window=3, divisor=16),
         "dedup_clusters": oracles.connected_components_sql(

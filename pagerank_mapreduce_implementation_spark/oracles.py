@@ -1843,3 +1843,104 @@ def cdc_dup_stats_sql(window: int = 3, divisor: int = 16) -> str:
         "/ sum(n_tokens), 6) AS dup_token_frac "
         "FROM ch JOIN occ USING (chunk_hash) GROUP BY doc_id"
     )
+
+
+def _pq_ctes(m: int, k: int, n_iters: int, dims: int) -> str:
+    """Shared CTE chain retraining similarity.pq_train in SQL and
+    encoding every vector: per-subspace first-k seed, ``n_iters``
+    unrolled Lloyd steps under squared-L2 argmin (ties to the lowest
+    code), id-ordered sequential mean folds (the ivf_topk_lloyd_sql
+    convention), final per-(vec, subspace) code assignment in
+    ``enc``."""
+    sd = dims // m
+    d2 = (
+        "list_sum(list_transform(range(1, {sd} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+    def dist(a: str, b: str) -> str:
+        return d2.format(sd=sd, a=a, b=b)
+
+    parts = [
+        "sub AS (SELECT vec_id, CAST(s AS INT) AS s, "
+        f"(CAST(embedding AS DOUBLE[]))[CAST(s AS INT) * {sd} + 1 : "
+        f"(CAST(s AS INT) + 1) * {sd}] AS subvec "
+        f"FROM embeddings, unnest(range(0, {m})) AS u(s)), "
+        "seedv AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM "
+        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})), "
+        "cb0 AS (SELECT CAST(s AS INT) AS s, CAST(code AS INT) AS code, "
+        f"v[CAST(s AS INT) * {sd} + 1 : (CAST(s AS INT) + 1) * {sd}] AS cvec "
+        f"FROM seedv, unnest(range(0, {m})) AS u(s)), ",
+    ]
+    prev = "cb0"
+    for t in range(n_iters):
+        parts.append(
+            f"sc{t} AS (SELECT b.vec_id, b.s, b.subvec, c.code, "
+            f"{dist('b.subvec', 'c.cvec')} AS d2 "
+            f"FROM sub b JOIN {prev} c ON b.s = c.s), "
+            f"as{t} AS (SELECT vec_id, s, subvec, code FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, "
+            f"code ASC) AS rn FROM sc{t}) WHERE rn = 1), "
+            f"mean{t} AS (SELECT s, code, list_transform(range(1, {sd} + 1), "
+            "d -> list_reduce(list_transform(ms, e -> e[d]), (a, b) -> a + b) "
+            "/ len(ms)) AS mvec FROM (SELECT s, code, "
+            f"list(subvec ORDER BY vec_id) AS ms FROM as{t} GROUP BY s, code)), "
+            f"cb{t + 1} AS (SELECT p.s, p.code, coalesce(m.mvec, p.cvec) AS "
+            f"cvec FROM {prev} p LEFT JOIN mean{t} m ON p.s = m.s AND "
+            "p.code = m.code), "
+        )
+        prev = f"cb{t + 1}"
+    parts.append(
+        f"scf AS (SELECT b.vec_id, b.s, b.subvec, c.code, "
+        f"{dist('b.subvec', 'c.cvec')} AS d2 "
+        f"FROM sub b JOIN {prev} c ON b.s = c.s), "
+        "enc AS (SELECT vec_id, s, code FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn FROM scf) "
+        "WHERE rn = 1)"
+    )
+    return "".join(parts), prev
+
+
+def pq_encode_sql(
+    m: int = 4, k: int = 8, n_iters: int = 2, dims: int = 64
+) -> str:
+    """Mirror of similarity.pq_train + pq_encode over ``embeddings``:
+    comma-joined per-subspace codes, subspace order."""
+    ctes, _ = _pq_ctes(m, k, n_iters, dims)
+    return (
+        f"WITH {ctes} "
+        "SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes "
+        "FROM enc GROUP BY vec_id"
+    )
+
+
+def pq_topk_sql(
+    query_vec_id: int = 0,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    dims: int = 64,
+) -> str:
+    """Mirror of similarity.pq_topk: ADC — per-subspace distance table
+    from the query's subvectors to the final codebook, candidate score
+    = subspace-ordered sum of table entries at the encoded codes."""
+    sd = dims // m
+    ctes, prev = _pq_ctes(m, k, n_iters, dims)
+    return (
+        f"WITH {ctes}, "
+        "qs AS (SELECT CAST(s AS INT) AS s, "
+        f"(CAST(embedding AS DOUBLE[]))[CAST(s AS INT) * {sd} + 1 : "
+        f"(CAST(s AS INT) + 1) * {sd}] AS qv "
+        f"FROM embeddings, unnest(range(0, {m})) AS u(s) "
+        f"WHERE vec_id = {query_vec_id}), "
+        f"dt AS (SELECT c.s, c.code, list_sum(list_transform(range(1, {sd} + 1), "
+        "i -> (q.qv[i] - c.cvec[i]) * (q.qv[i] - c.cvec[i]))) AS d "
+        f"FROM {prev} c JOIN qs q ON c.s = q.s) "
+        "SELECT vec_id, round(list_sum(list(d ORDER BY s)), 6) AS adist "
+        "FROM enc JOIN dt USING (s, code) "
+        f"WHERE vec_id <> {query_vec_id} "
+        "GROUP BY vec_id "
+        f"ORDER BY adist ASC, vec_id ASC LIMIT {topk}"
+    )

@@ -694,3 +694,22 @@ def test_cdc_dedup_key_bounded_shuffles(plans):
     assert "Python" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 4
     assert p.count("HashAggregate") >= 2  # partial+final on the hash key
+
+
+def test_pq_encode_zero_shuffle_literal_codebooks(plans):
+    """pq_encode's returned frame scores against LITERAL codebooks:
+    no exchange, no join, no Python — training already folded to
+    plan-time constants (the plane-literal convention)."""
+    p = plans("pq_encode")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_pq_topk_take_ordered_no_global_sort(plans):
+    """pq_topk: ADC scoring is literal folds; the top-k must be a
+    TakeOrderedAndProject, never a global Sort+Exchange."""
+    p = plans("pq_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Python" not in p

@@ -782,3 +782,104 @@ def test_cdc_boundary_shift_immunity(spark):
     # all but the first chunk of the base doc reappear in the edited
     # doc's chunk stream (the suffix re-aligns after one chunk)
     assert set(h0[1:]) <= set(h1)
+
+
+def _pq_bruteforce(vecs, m, k, n_iters):
+    """Direct Python restatement of similarity.pq_train + pq_encode:
+    first-k-by-id seed, squared-L2 argmin with ties to the lowest
+    code, id-ordered sequential mean folds."""
+    ids = sorted(vecs)
+    dims = len(vecs[ids[0]])
+    sd = dims // m
+    books = [
+        [list(vecs[ids[c]][s * sd : (s + 1) * sd]) for c in range(k)]
+        for s in range(m)
+    ]
+
+    def code_of(subv, book):
+        best, bd = 0, float("inf")
+        for c, cw in enumerate(book):
+            d = 0.0
+            for i in range(sd):
+                d += (subv[i] - cw[i]) * (subv[i] - cw[i])
+            if d < bd:
+                best, bd = c, d
+        return best
+
+    for _ in range(n_iters):
+        members = defaultdict(list)
+        for i in ids:
+            for s in range(m):
+                subv = vecs[i][s * sd : (s + 1) * sd]
+                members[(s, code_of(subv, books[s]))].append(subv)
+        for (s, c), ms in members.items():
+            acc = [0.0] * sd
+            for subv in ms:
+                for d in range(sd):
+                    acc[d] += subv[d]
+            books[s][c] = [x / len(ms) for x in acc]
+    return books, {
+        i: [code_of(vecs[i][s * sd : (s + 1) * sd], books[s]) + 1 for s in range(m)]
+        for i in ids
+    }
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=3, max_value=10),
+    m=st.sampled_from([1, 2]),
+    k=st.integers(min_value=2, max_value=3),
+    n_iters=st.integers(min_value=1, max_value=2),
+)
+def test_pq_train_encode_match_bruteforce(spark, data, n, m, k, n_iters):
+    dims = 4
+    vecs = {
+        i: data.draw(
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4, allow_nan=False, width=32
+                ),
+                min_size=dims,
+                max_size=dims,
+            )
+        )
+        for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<double>",
+    )
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+
+    books = similarity.pq_train(df, m=m, k=k, n_iters=n_iters)
+    got = {
+        r["vec_id"]: [int(c) for c in r["codes"].split(",")]
+        for r in similarity.pq_encode(df, books).collect()
+    }
+    want_books, want_codes = _pq_bruteforce(
+        {i: [float(x) for x in v] for i, v in vecs.items()}, m, k, n_iters
+    )
+    assert got == want_codes
+    for s in range(m):
+        for c in range(k):
+            for a, b in zip(books[s][c], want_books[s][c]):
+                assert math.isclose(a, b, rel_tol=0, abs_tol=1e-12)
+
+
+def test_pq_topk_exact_when_vector_is_codeword(spark):
+    """A vector that IS one of the seed codewords quantizes with zero
+    error in every subspace, so its ADC distance to itself-as-query is
+    exactly the table's self-distance: 0."""
+    import pytest as _pt
+
+    vecs = [(i, [float(i + 1)] * 8) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+
+    books = similarity.pq_train(df, m=2, k=6, n_iters=0)
+    top = similarity.pq_topk(df, 2, books, k=5).collect()
+    by_id = {r["vec_id"]: r["adist"] for r in top}
+    # neighbors at +/-1 in every dim: squared L2 = 8 per unit step
+    assert by_id[1] == _pt.approx(8.0)
+    assert by_id[3] == _pt.approx(8.0)
