@@ -1259,6 +1259,36 @@ def _q_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget waterfall (sampling.unimax_mix(return_alloc=True),
+    Chung et al. 2023): sources ascending by size each take
+    min(0.35 epochs, fair share of the remaining 9000-token budget) —
+    at this corpus both branches bind (small sources epoch-capped,
+    large fair-share-bound). Driver-side IEEE doubles; the oracle's
+    recursive CTE replays the identical op sequence to bit-equal
+    budgets."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import unimax_mix
+
+    return unimax_mix(
+        Catalog(spark, sf_dir).documents,
+        total_budget=9000.0,
+        epoch_cap=0.35,
+        return_alloc=True,
+    )
+
+
+def _q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture SELECTION (sampling.unimax_mix): the epoch-capped
+    budgets drive the shared 52-bit md5 coin — doc survives iff
+    u(doc)*T_s < b_s, identical row set in the oracle. Scan +
+    broadcast-join + filter; the corpus never shuffles."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import unimax_mix
+
+    return unimax_mix(
+        Catalog(spark, sf_dir).documents, total_budget=9000.0, epoch_cap=0.35
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook training + encoding (similarity.pq_train/pq_encode,
     Jegou et al. 2011): 4 subspaces x 8 codewords over the 64-dim
@@ -2411,12 +2441,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 126
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 128
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
+        "unimax_alloc": _q_unimax_alloc,
+        "unimax_mix": _q_unimax_mix,
         "pq_encode": _q_pq_encode,
         "pq_topk": _q_pq_topk,
         "cdc_chunks": _q_cdc_chunks,
@@ -2454,8 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
         # (c) r8-green cohort — due by round 11; the CDC additions
-        # above push four below the boundary, so 21 of the
-        # 50 ride this window and 29 lead round 11,
+        # above push six below the boundary, so 19 of the
+        # 50 ride this window and 31 lead round 11,
         # taken early to fill the window; the remaining 25 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
@@ -3338,6 +3370,8 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
+        "unimax_alloc": oracles.unimax_alloc_sql(9000.0, 0.35),
+        "unimax_mix": oracles.unimax_mix_sql(9000.0, 0.35),
         "pq_encode": oracles.pq_encode_sql(m=4, k=8, n_iters=2, dims=64),
         "pq_topk": oracles.pq_topk_sql(
             query_vec_id=0, topk=10, m=4, k=8, n_iters=2, dims=64

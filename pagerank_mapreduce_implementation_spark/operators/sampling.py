@@ -483,3 +483,88 @@ def top_fraction_per_group(
     return ranked.filter(
         F.col("__rk") <= F.ceil(F.col("__gn") * F.lit(float(frac)))
     ).drop("__rk", "__gn")
+
+
+def _unimax_waterfall(
+    totals: "dict[str, int]", total_budget: float, epoch_cap: float
+) -> "list[tuple[str, float, float]]":
+    """The UniMax allocation loop (Chung et al. 2023): sources
+    ascending by (token total, name); each takes min(epoch_cap * T_s,
+    fair share of the remaining budget). Pure IEEE double arithmetic
+    in a fixed order — a SQL recursive CTE replays it to identical
+    floats. Returns (source, T, budget) in allocation order."""
+    ordered = sorted(totals.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    remaining = float(total_budget)
+    out = []
+    for i, (s, t) in enumerate(ordered):
+        fair = remaining / float(n - i)
+        b = min(epoch_cap * float(t), fair)
+        remaining = remaining - b
+        out.append((s, float(t), b))
+    return out
+
+
+def unimax_mix(
+    docs: DataFrame,
+    total_budget: float,
+    epoch_cap: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "unimax:",
+    return_alloc: bool = False,
+) -> DataFrame:
+    """UniMax mixture sampling (Chung et al. 2023): allocate a total
+    token budget across sources by the epoch-capped waterfall —
+    ascending by size, each source takes ``min(epoch_cap * T_s,
+    remaining / sources_left)`` — so small sources are never repeated
+    past ``epoch_cap`` epochs and large sources split the leftover
+    evenly, the fairer alternative to temperature sampling that
+    UniMax's ablations win. This engine SUBSAMPLES to the budget
+    (``b_s < T_s``: doc survives iff ``u(doc) * T_s < b_s``, the
+    IEEE-exact md5 coin shared with ``weighted_sample``); a budget at
+    or above ``T_s`` keeps the source whole — upsampling past 1 epoch
+    is the trainer's repeat loop, not a corpus rewrite (documented
+    deviation).
+
+    ``return_alloc=True`` returns the allocation table instead:
+    ``(source, n_tokens, budget, keep_rate)`` (rounded 6) — the
+    mixture recipe itself, hash-gated separately so the waterfall math
+    has its own oracle row.
+
+    Scale shape (the ``mix_sources`` contract): ONE narrow token-count
+    agg collects the sources-sized dim table; the waterfall runs
+    driver-side over those few rows with the exact IEEE ops the SQL
+    oracle's recursive CTE replays; the action-time plan is scan +
+    broadcast-join + filter — the corpus never shuffles.
+    """
+    spark = docs.sparkSession
+    if total_budget <= 0:
+        raise ValueError(f"total_budget ({total_budget}) must be positive")
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap ({epoch_cap}) must be positive")
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    staged = docs.withColumn("__nt", toks.cast("long"))
+    trows = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
+    totals = {r[0]: int(r["__T"]) for r in trows}
+    alloc = _unimax_waterfall(totals, total_budget, epoch_cap)
+    if return_alloc:
+        return spark.createDataFrame(
+            [
+                (s, int(t), round(b, 6), round(min(b / t, 1.0) if t else 0.0, 6))
+                for s, t, b in alloc
+            ],
+            f"{source_col} string, n_tokens long, budget double, keep_rate double",
+        )
+    rates = spark.createDataFrame(
+        [(s, t, b) for s, t, b in alloc],
+        f"{source_col} string, __T double, __b double",
+    )
+    return (
+        staged.join(F.broadcast(rates), source_col)
+        .filter(
+            _hash_uniform(F.col(doc_col), salt) * F.col("__T") < F.col("__b")
+        )
+        .drop("__nt", "__T", "__b")
+    )

@@ -1944,3 +1944,58 @@ def pq_topk_sql(
         "GROUP BY vec_id "
         f"ORDER BY adist ASC, vec_id ASC LIMIT {topk}"
     )
+
+
+def _unimax_ctes(total_budget: float, epoch_cap: float) -> str:
+    """Shared CTE chain replaying sampling._unimax_waterfall in SQL:
+    per-source token totals, ascending (T, source) allocation order, a
+    recursive CTE stepping the remaining budget through
+    ``min(epoch_cap*T, remaining/sources_left)`` — the identical IEEE
+    double ops in the identical order, so budgets are bit-equal to the
+    driver-side Python floats."""
+    n = repr(float(total_budget))
+    e = repr(float(epoch_cap))
+    return (
+        "t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        "FROM documents), "
+        "tot AS (SELECT source, sum(nt) AS Ti FROM t GROUP BY source), "
+        "ord AS (SELECT source, Ti, CAST(Ti AS DOUBLE) AS T, "
+        "row_number() OVER (ORDER BY Ti, source) AS i, "
+        "count(*) OVER () AS n FROM tot), "
+        "alloc(i, source, Ti, T, b, rem) AS ("
+        "SELECT i, source, Ti, T, "
+        f"least({e} * T, {n} / CAST(n AS DOUBLE)), "
+        f"{n} - least({e} * T, {n} / CAST(n AS DOUBLE)) "
+        "FROM ord WHERE i = 1 "
+        "UNION ALL "
+        "SELECT o.i, o.source, o.Ti, o.T, "
+        f"least({e} * o.T, a.rem / CAST(o.n - o.i + 1 AS DOUBLE)), "
+        f"a.rem - least({e} * o.T, a.rem / CAST(o.n - o.i + 1 AS DOUBLE)) "
+        "FROM ord o JOIN alloc a ON o.i = a.i + 1)"
+    )
+
+
+def unimax_alloc_sql(total_budget: float, epoch_cap: float) -> str:
+    """Mirror of sampling.unimax_mix(return_alloc=True): the recipe
+    table (source, n_tokens, budget, keep_rate) rounded 6."""
+    return (
+        f"WITH RECURSIVE {_unimax_ctes(total_budget, epoch_cap)} "
+        "SELECT source, CAST(Ti AS BIGINT) AS n_tokens, "
+        "round(b, 6) AS budget, "
+        "round(CASE WHEN Ti = 0 THEN 0.0 ELSE least(b / T, 1.0) END, 6) "
+        "AS keep_rate FROM alloc"
+    )
+
+
+def unimax_mix_sql(total_budget: float, epoch_cap: float) -> str:
+    """Mirror of sampling.unimax_mix: the 52-bit md5 coin against the
+    unrounded per-source budget (u(doc) * T < b)."""
+    return (
+        f"WITH RECURSIVE {_unimax_ctes(total_budget, epoch_cap)} "
+        "SELECT t.doc_id, t.source, t.n_chars "
+        "FROM t JOIN alloc a ON t.source = a.source "
+        "WHERE ('0x' || substr(md5('unimax:' || CAST(t.doc_id AS VARCHAR)), "
+        "1, 13))::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 "
+        "* a.T < a.b"
+    )

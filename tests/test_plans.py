@@ -713,3 +713,13 @@ def test_pq_topk_take_ordered_no_global_sort(plans):
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p
     assert "Python" not in p
+
+
+def test_unimax_mix_broadcast_join_no_corpus_shuffle(plans):
+    """unimax_mix's action-time plan: scan + broadcast-join the tiny
+    rates dim + filter — the corpus itself never hash-partitions
+    (the mix_sources / weighted_sample contract)."""
+    p = plans("unimax_mix")
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p

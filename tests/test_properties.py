@@ -883,3 +883,65 @@ def test_pq_topk_exact_when_vector_is_codeword(spark):
     # neighbors at +/-1 in every dim: squared L2 = 8 per unit step
     assert by_id[1] == _pt.approx(8.0)
     assert by_id[3] == _pt.approx(8.0)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    totals=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=5,
+    ),
+    budget=st.floats(min_value=1, max_value=20_000, allow_nan=False),
+    cap=st.floats(min_value=0.05, max_value=3.0, allow_nan=False),
+)
+def test_unimax_waterfall_invariants(totals, budget, cap):
+    """The allocation (a) never exceeds epoch_cap epochs of any
+    source, (b) never exceeds the total budget, (c) spends the whole
+    budget whenever the epoch caps don't bind it lower, and (d) gives
+    every source at least its fair share of what remains unless its
+    cap binds first (the UniMax fairness property)."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        _unimax_waterfall,
+    )
+
+    alloc = _unimax_waterfall(totals, budget, cap)
+    assert [s for s, _, _ in alloc] == sorted(
+        totals, key=lambda s: (totals[s], s)
+    )
+    spent = 0.0
+    for s, t, b in alloc:
+        assert b <= cap * t + 1e-9
+        assert b >= 0.0
+        spent += b
+    assert spent <= budget + 1e-6
+    cap_total = sum(cap * t for t in totals.values())
+    if cap_total >= budget:
+        assert math.isclose(spent, budget, rel_tol=1e-9)
+    else:
+        assert math.isclose(spent, cap_total, rel_tol=1e-9)
+
+
+def test_unimax_mix_keeps_whole_sources_above_one_epoch(spark):
+    """A budget big enough for >= 1 epoch of every source keeps the
+    corpus byte-identical (subsampling engine: upsampling past one
+    epoch is the trainer's repeat loop)."""
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+
+    rows = [(i, f"w{i} " * 5, f"s{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = sampling.unimax_mix(df, total_budget=1e9, epoch_cap=2.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(10))
+
+
+def test_unimax_mix_parameter_guards(spark):
+    import pytest as _pt
+
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id: long, text: string, source: string")
+    with _pt.raises(ValueError, match="total_budget"):
+        sampling.unimax_mix(df, total_budget=0.0)
+    with _pt.raises(ValueError, match="epoch_cap"):
+        sampling.unimax_mix(df, total_budget=10.0, epoch_cap=0.0)
