@@ -295,6 +295,8 @@ def clean_corpus(
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_buckets: int = 1024,
+    unimax_budget: float | None = None,
+    unimax_epoch_cap: float = 1.0,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -397,6 +399,13 @@ def clean_corpus(
        importance weight toward the target; runs LAST so the budget
        applies to already-clean data. Deterministic like stage 7 (the
        md5-uniform coin drives the Gumbel noise)
+    7c. UniMax mixture shaping (sampling.unimax_mix, Chung et al.
+       2023) when ``unimax_budget`` set — the epoch-capped waterfall
+       allocates the token budget across sources (ascending by size,
+       each takes min(``unimax_epoch_cap`` epochs, fair share of the
+       remainder)) and subsamples each source to its budget with the
+       shared md5 coin; runs after DSIR so the recipe applies to the
+       final clean pool
     8. survivors written to ``output_path`` (parquet, overwrite)
 
     Returns the surviving docs read back from ``output_path``.
@@ -462,6 +471,8 @@ def clean_corpus(
             dsir_target=dsir_target,
             dsir_k=dsir_k,
             dsir_buckets=dsir_buckets,
+            unimax_budget=unimax_budget,
+            unimax_epoch_cap=unimax_epoch_cap,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -507,6 +518,8 @@ def _clean_corpus_body(
     dsir_target,
     dsir_k,
     dsir_buckets,
+    unimax_budget,
+    unimax_epoch_cap,
     dedup,
     textstats,
     decontaminate,
@@ -699,6 +712,20 @@ def _clean_corpus_body(
             survivors, dsir_target, k=dsir_k, n_buckets=dsir_buckets
         ).select("doc_id")
         survivors = survivors.join(chosen, "doc_id", "left_semi")
+    if unimax_budget is not None:
+        # stage 7c: UniMax mixture shaping — runs on the final clean
+        # pool; one sources-sized agg collect + broadcast-join filter
+        # (the mix_sources shape), corpus never shuffles
+        from pagerank_mapreduce_implementation_spark.operators.sampling import (
+            unimax_mix,
+        )
+
+        survivors = unimax_mix(
+            survivors,
+            total_budget=unimax_budget,
+            epoch_cap=unimax_epoch_cap,
+            source_col=source_col,
+        )
     survivors.write.mode("overwrite").parquet(output_path)
     # hand back the WRITTEN table, not the lazy plan: a consumer action
     # on the plan would re-run lang-id + quality + both dedup passes —

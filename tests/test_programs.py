@@ -1345,3 +1345,58 @@ def test_pack_corpus_doc_spans_knob(spark, tmp_path):
             spark, src, str(tmp_path / "out2"),
             layout="windows", with_doc_spans=True,
         )
+
+
+def test_clean_corpus_unimax_stage(spark, tmp_path):
+    """unimax_budget shapes the surviving mixture: with a budget far
+    under one source's mass but multiple epochs of the other's, the
+    small source survives whole (epoch cap not binding at >= 1) while
+    the big source subsamples toward its fair share; output equals
+    applying unimax_mix to the unshaped run's survivors (stage
+    composition, not a different sampler)."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        unimax_mix,
+    )
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (i, f"big source filler words everywhere uniq{i} " * 4, "big")
+        for i in range(30)
+    ] + [
+        (100 + i, f"small source rare words uniq{100 + i}", "small")
+        for i in range(3)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+
+    plain = clean_corpus(
+        spark,
+        src,
+        str(tmp_path / "plain"),
+        near_dup_threshold=0.99,
+        ngram=3,
+    )
+    shaped = clean_corpus(
+        spark,
+        src,
+        str(tmp_path / "shaped"),
+        near_dup_threshold=0.99,
+        ngram=3,
+        unimax_budget=200.0,
+        unimax_epoch_cap=2.0,
+    )
+    got = sorted(r["doc_id"] for r in shaped.collect())
+    want = sorted(
+        r["doc_id"]
+        for r in unimax_mix(
+            plain, total_budget=200.0, epoch_cap=2.0
+        ).collect()
+    )
+    assert got == want
+    # the small source (18 tokens total, cap 36 >= fair share) rides
+    # through whole; the big source subsamples
+    assert {100, 101, 102} <= set(got)
+    big_kept = sum(1 for d in got if d < 100)
+    assert 0 < big_kept < 30
