@@ -1259,6 +1259,20 @@ def _q_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC end-to-end (similarity.ivf_pq_topk, the FAISS IVFx,PQy
+    serving shape): first-8 IVF cells prune the scan to 3 probed
+    cells, PQ codes + a literal distance table score the survivors —
+    at 100 TB the scan touches 3/8 of a cell-partitioned corpus and
+    reads 4 BYTES per candidate. Oracle composes the IVF assignment
+    SQL with the PQ retrain chain."""
+    emb = Catalog(spark, sf_dir).embeddings
+    books = similarity.pq_train(emb, m=4, k=8, n_iters=2)
+    return similarity.ivf_pq_topk(
+        emb, 0, books, k=10, n_cells=8, n_probe=3
+    )
+
+
 def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax budget waterfall (sampling.unimax_mix(return_alloc=True),
     Chung et al. 2023): sources ascending by size each take
@@ -2441,12 +2455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 128
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 129
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
+        "ivf_pq_topk": _q_ivf_pq_topk,
         "unimax_alloc": _q_unimax_alloc,
         "unimax_mix": _q_unimax_mix,
         "pq_encode": _q_pq_encode,
@@ -2486,8 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
         # (c) r8-green cohort — due by round 11; the CDC additions
-        # above push six below the boundary, so 19 of the
-        # 50 ride this window and 31 lead round 11,
+        # above push seven below the boundary, so 18 of the
+        # 50 ride this window and 32 lead round 11,
         # taken early to fill the window; the remaining 25 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
@@ -3370,6 +3385,10 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
+        "ivf_pq_topk": oracles.ivf_pq_topk_sql(
+            query_vec_id=0, topk=10, m=4, k=8, n_iters=2, dims=64,
+            n_cells=8, n_probe=3,
+        ),
         "unimax_alloc": oracles.unimax_alloc_sql(9000.0, 0.35),
         "unimax_mix": oracles.unimax_mix_sql(9000.0, 0.35),
         "pq_encode": oracles.pq_encode_sql(m=4, k=8, n_iters=2, dims=64),

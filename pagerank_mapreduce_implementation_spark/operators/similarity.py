@@ -1091,3 +1091,78 @@ def pq_topk(
         .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011, the FAISS `IVFx,PQy` serving path):
+    the IVF coarse quantizer prunes the scan to ``n_probe`` cells,
+    then candidates are scored by PQ asymmetric distance — codes and
+    a literal ``m x k`` table, never their floats. ``(vec_id, adist)``
+    ascending, ties to the lower id.
+
+    Scale shape: both prunings compose — the scan touches
+    ``n_probe/n_cells`` of the corpus (cell-partitioned at scale) and
+    reads ``m`` bytes per surviving candidate; plan = the ivf_topk
+    probe (two broadcast dims, no corpus shuffle) + pq_topk's literal
+    fold scoring + TakeOrderedAndProject."""
+    cents, assign = ivf_assign(
+        emb, n_cells, id_col, vec_col, centroids=centroids
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm"))
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    qrow = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    qv = [float(x) for x in qrow["v"]]
+    sd = len(codebooks[0][0])
+    dt = [
+        [
+            sum(
+                (qv[s * sd + i] - cw[i]) * (qv[s * sd + i] - cw[i])
+                for i in range(sd)
+            )
+            for cw in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    codes = _pq_codes_col(F.col("vec").cast("array<double>"), codebooks)
+    score: Column = F.lit(0.0)
+    for s, table in enumerate(dt):
+        score = score + F.element_at(
+            F.array(*[F.lit(float(d)) for d in table]), codes[s]
+        )
+    return (
+        assign.join(F.broadcast(probe), "cell_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(score, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -1999,3 +1999,51 @@ def unimax_mix_sql(total_budget: float, epoch_cap: float) -> str:
         "1, 13))::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 "
         "* a.T < a.b"
     )
+
+
+def ivf_pq_topk_sql(
+    query_vec_id: int = 0,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    dims: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 3,
+) -> str:
+    """Mirror of similarity.ivf_pq_topk: the first-n IVF coarse
+    quantizer (ivf_topk_sql's assignment/probe) composed with the PQ
+    retrain + ADC chain (_pq_ctes)."""
+    sd = dims // m
+    ctes, prev = _pq_ctes(m, k, n_iters, dims)
+    return (
+        f"WITH {ctes}, "
+        "cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        "embedding AS cvec FROM "
+        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        "iscored AS (SELECT e.vec_id, c.cell_id, "
+        f"{_dot_sql('e.embedding', 'c.cvec')} / ({_norm_sql('e.embedding')} * "
+        f"{_norm_sql('c.cvec')}) AS ccos FROM embeddings e CROSS JOIN cents c), "
+        "iassign AS (SELECT vec_id, cell_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn "
+        "FROM iscored) WHERE rn = 1), "
+        "q AS (SELECT embedding AS qvec FROM embeddings "
+        f"WHERE vec_id = {query_vec_id}), "
+        "probe AS (SELECT cell_id FROM cents c, q ORDER BY "
+        f"{_dot_sql('c.cvec', 'q.qvec')} / ({_norm_sql('c.cvec')} * "
+        f"{_norm_sql('q.qvec')}) DESC, c.cell_id ASC LIMIT {n_probe}), "
+        "qs AS (SELECT CAST(s AS INT) AS s, "
+        f"(CAST(embedding AS DOUBLE[]))[CAST(s AS INT) * {sd} + 1 : "
+        f"(CAST(s AS INT) + 1) * {sd}] AS qv "
+        f"FROM embeddings, unnest(range(0, {m})) AS u(s) "
+        f"WHERE vec_id = {query_vec_id}), "
+        f"dt AS (SELECT c.s, c.code, list_sum(list_transform(range(1, {sd} + 1), "
+        "i -> (qq.qv[i] - c.cvec[i]) * (qq.qv[i] - c.cvec[i]))) AS d "
+        f"FROM {prev} c JOIN qs qq ON c.s = qq.s), "
+        "cand AS (SELECT a.vec_id FROM iassign a JOIN probe p "
+        f"USING (cell_id) WHERE a.vec_id <> {query_vec_id}) "
+        "SELECT vec_id, round(list_sum(list(d ORDER BY s)), 6) AS adist "
+        "FROM enc JOIN dt USING (s, code) JOIN cand USING (vec_id) "
+        "GROUP BY vec_id "
+        f"ORDER BY adist ASC, vec_id ASC LIMIT {topk}"
+    )

@@ -723,3 +723,14 @@ def test_unimax_mix_broadcast_join_no_corpus_shuffle(plans):
     assert "BroadcastHashJoin" in p
     assert "Exchange hashpartitioning" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_ivf_pq_topk_broadcast_probe_take_ordered(plans):
+    """ivf_pq_topk: probe cells and the query arrive as broadcasts
+    (never a corpus shuffle), ADC scoring is literal folds, top-k is
+    TakeOrderedAndProject."""
+    p = plans("ivf_pq_topk")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Python" not in p
