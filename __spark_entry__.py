@@ -1259,6 +1259,38 @@ def _q_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling budgets (sampling.temperature_mix(
+    return_alloc=True), tau=2 — the mT5/XLM-R mixing baseline UniMax
+    is measured against): B_s = N * sqrt(T_s) / sum sqrt(T_t). tau=2
+    is pinned because sqrt is correctly rounded in every IEEE engine
+    where libm pow is not — the oracle replays the identical weight
+    fold in ascending source order."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    return temperature_mix(
+        Catalog(spark, sf_dir).documents,
+        total_budget=9000.0,
+        tau=2.0,
+        return_alloc=True,
+    )
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture SELECTION (sampling.temperature_mix,
+    tau=2): the sqrt-flattened budgets drive the shared 52-bit md5
+    coin. Scan + broadcast-join + filter, corpus never shuffles."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    return temperature_mix(
+        Catalog(spark, sf_dir).documents, total_budget=9000.0, tau=2.0
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC end-to-end (similarity.ivf_pq_topk, the FAISS IVFx,PQy
     serving shape): first-8 IVF cells prune the scan to 3 probed
@@ -2455,12 +2487,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 129
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 131
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
+        "temperature_alloc": _q_temperature_alloc,
+        "temperature_mix": _q_temperature_mix,
         "ivf_pq_topk": _q_ivf_pq_topk,
         "unimax_alloc": _q_unimax_alloc,
         "unimax_mix": _q_unimax_mix,
@@ -2501,8 +2535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "daily_uniques": _q_daily_uniques,
         # (c) r8-green cohort — due by round 11; the CDC additions
-        # above push seven below the boundary, so 18 of the
-        # 50 ride this window and 32 lead round 11,
+        # above push nine below the boundary, so 16 of the
+        # 50 ride this window and 34 lead round 11,
         # taken early to fill the window; the remaining 25 (below the
         # boundary) lead round 11
         "bm25_search": _q_bm25_search,
@@ -3385,6 +3419,8 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
+        "temperature_alloc": oracles.temperature_alloc_sql(9000.0, tau=2.0),
+        "temperature_mix": oracles.temperature_mix_sql(9000.0, tau=2.0),
         "ivf_pq_topk": oracles.ivf_pq_topk_sql(
             query_vec_id=0, topk=10, m=4, k=8, n_iters=2, dims=64,
             n_cells=8, n_probe=3,

@@ -568,3 +568,82 @@ def unimax_mix(
         )
         .drop("__nt", "__T", "__b")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total_budget: float,
+    tau: float = 2.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "temp:",
+    return_alloc: bool = False,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual-sampling
+    baseline UniMax is measured against (and mT5/XLM-R's actual
+    recipe): source ``s`` gets budget ``B_s = N * T_s^(1/tau) /
+    sum_t T_t^(1/tau)``, flattening the source distribution as ``tau``
+    grows; docs survive the shared md5 coin against ``B_s`` (the
+    subsample-only contract of ``unimax_mix``; budgets above ``T_s``
+    keep the source whole).
+
+    Cross-engine exactness holds for the ``tau`` values whose power is
+    an exactly-specified IEEE op — ``tau=2`` (sqrt, correctly rounded
+    everywhere) and ``tau=1`` (identity; proportional mixing) — which
+    is why the oracle-gated registry query pins ``tau=2``. Other
+    ``tau`` go through libm ``pow``, whose final-bit rounding varies
+    across engines (the `_hash_uniform` hazard note); they work, but
+    land outside the hash gate. The weight sum folds over sources in
+    ascending name order so the SQL oracle's ``list_sum(list(w ORDER
+    BY source))`` replays the identical addition sequence.
+
+    Scale shape: identical to ``mix_sources``/``unimax_mix`` — one
+    sources-sized agg collect, driver-side budget math, broadcast-join
+    + filter; the corpus never shuffles.
+    """
+    spark = docs.sparkSession
+    if total_budget <= 0:
+        raise ValueError(f"total_budget ({total_budget}) must be positive")
+    if tau <= 0:
+        raise ValueError(f"tau ({tau}) must be positive")
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    staged = docs.withColumn("__nt", toks.cast("long"))
+    trows = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
+    totals = {r[0]: int(r["__T"]) for r in trows}
+
+    import math as _math
+
+    def weight(t: int) -> float:
+        if tau == 2.0:
+            return _math.sqrt(float(t))
+        if tau == 1.0:
+            return float(t)
+        return float(t) ** (1.0 / tau)
+
+    ordered = sorted(totals.items())
+    sw = 0.0
+    for _, t in ordered:
+        sw += weight(t)
+    alloc = [
+        (s, float(t), total_budget * weight(t) / sw if sw else 0.0)
+        for s, t in ordered
+    ]
+    if return_alloc:
+        return spark.createDataFrame(
+            [
+                (s, int(t), round(b, 6), round(min(b / t, 1.0) if t else 0.0, 6))
+                for s, t, b in alloc
+            ],
+            f"{source_col} string, n_tokens long, budget double, keep_rate double",
+        )
+    rates = spark.createDataFrame(
+        alloc, f"{source_col} string, __T double, __b double"
+    )
+    return (
+        staged.join(F.broadcast(rates), source_col)
+        .filter(
+            _hash_uniform(F.col(doc_col), salt) * F.col("__T") < F.col("__b")
+        )
+        .drop("__nt", "__T", "__b")
+    )

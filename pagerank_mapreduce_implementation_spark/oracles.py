@@ -2047,3 +2047,50 @@ def ivf_pq_topk_sql(
         "GROUP BY vec_id "
         f"ORDER BY adist ASC, vec_id ASC LIMIT {topk}"
     )
+
+
+def _temperature_ctes(total_budget: float, tau: float) -> str:
+    """Shared CTEs replaying sampling.temperature_mix at tau=2/tau=1
+    (the exactly-specified powers): weights sqrt(T) or T, the weight
+    sum a list_sum over sources in ascending name order — the same
+    IEEE addition sequence as the driver loop."""
+    if tau == 2.0:
+        w = "sqrt(CAST(Ti AS DOUBLE))"
+    elif tau == 1.0:
+        w = "CAST(Ti AS DOUBLE)"
+    else:  # pragma: no cover — oracle-gated queries pin exact taus
+        raise ValueError(f"oracle only mirrors tau in (1, 2), got {tau}")
+    n = repr(float(total_budget))
+    return (
+        "t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        "FROM documents), "
+        "tot AS (SELECT source, sum(nt) AS Ti FROM t GROUP BY source), "
+        f"ws AS (SELECT source, Ti, CAST(Ti AS DOUBLE) AS T, {w} AS w FROM tot), "
+        "sw AS (SELECT list_sum(list(w ORDER BY source)) AS s FROM ws), "
+        f"alloc AS (SELECT source, Ti, T, {n} * w / sw.s AS b FROM ws, sw)"
+    )
+
+
+def temperature_alloc_sql(total_budget: float, tau: float = 2.0) -> str:
+    """Mirror of sampling.temperature_mix(return_alloc=True)."""
+    return (
+        f"WITH {_temperature_ctes(total_budget, tau)} "
+        "SELECT source, CAST(Ti AS BIGINT) AS n_tokens, "
+        "round(b, 6) AS budget, "
+        "round(CASE WHEN Ti = 0 THEN 0.0 ELSE least(b / T, 1.0) END, 6) "
+        "AS keep_rate FROM alloc"
+    )
+
+
+def temperature_mix_sql(total_budget: float, tau: float = 2.0) -> str:
+    """Mirror of sampling.temperature_mix: the shared md5 coin against
+    the unrounded per-source budget."""
+    return (
+        f"WITH {_temperature_ctes(total_budget, tau)} "
+        "SELECT t.doc_id, t.source, t.n_chars "
+        "FROM t JOIN alloc a ON t.source = a.source "
+        "WHERE ('0x' || substr(md5('temp:' || CAST(t.doc_id AS VARCHAR)), "
+        "1, 13))::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 "
+        "* a.T < a.b"
+    )

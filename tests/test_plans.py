@@ -734,3 +734,11 @@ def test_ivf_pq_topk_broadcast_probe_take_ordered(plans):
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p
     assert "Python" not in p
+
+
+def test_temperature_mix_broadcast_join_no_corpus_shuffle(plans):
+    """temperature_mix shares unimax_mix's action-time plan: scan +
+    broadcast rates dim + filter, never a corpus shuffle."""
+    p = plans("temperature_mix")
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p

@@ -945,3 +945,38 @@ def test_unimax_mix_parameter_guards(spark):
         sampling.unimax_mix(df, total_budget=0.0)
     with _pt.raises(ValueError, match="epoch_cap"):
         sampling.unimax_mix(df, total_budget=10.0, epoch_cap=0.0)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    totals=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=2,
+        max_size=4,
+    ),
+    budget=st.floats(min_value=10, max_value=20_000, allow_nan=False),
+)
+def test_temperature_budgets_flatten_toward_uniform(totals, budget):
+    """tau=2 budgets sit between proportional (tau=1) and uniform:
+    the budget RATIO between any two sources is the sqrt of their
+    size ratio, and budgets sum to the total budget."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        temperature_mix,  # noqa: F401 — import check
+    )
+    import math as m
+
+    ordered = sorted(totals.items())
+    sw = 0.0
+    for _, t in ordered:
+        sw += m.sqrt(float(t))
+    alloc = {s: budget * m.sqrt(float(t)) / sw for s, t in ordered}
+    assert math.isclose(sum(alloc.values()), budget, rel_tol=1e-9)
+    ks = list(alloc)
+    for i in range(len(ks) - 1):
+        a, b = ks[i], ks[i + 1]
+        assert math.isclose(
+            alloc[a] / alloc[b],
+            m.sqrt(totals[a] / totals[b]),
+            rel_tol=1e-9,
+        )
