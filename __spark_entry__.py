@@ -2434,6 +2434,19 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge training (text.bpe_train, 16 merges):
+    the tokenizer-TRAINING counterpart of the vendored BPE encoder.
+    Corpus touched once (word-count shuffle); each merge iterates on
+    the Heaps-law-bounded vocab table with a pure-Catalyst aggregate
+    fold (struct (out, pend) accumulator = exact left-to-right
+    resume-after-merge semantics) and a bounded 1-row argmax collect —
+    the argmax IS the model parameter. Oracle: 16 unrolled
+    (pairs -> argmax -> list_reduce apply) CTE triples; tie-break
+    (count DESC, lhs ASC, rhs ASC) on exact BIGINT counts both sides."""
+    return text.bpe_train(Catalog(spark, sf_dir).documents, num_merges=16)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (textstats.quality_classifier_scores):
     logistic regression over handcrafted feature ratios, z-score
@@ -2487,12 +2500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 131
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 132
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
+        # (bpe_train's insertion pushed nation_order_stats, r8-green,
+        # to #51 — legal: its r8 row stays inside the 3-file budget
+        # through round 11, when the r8 cohort rotates forward anyway)
+        "bpe_train": _q_bpe_train,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
         "ivf_pq_topk": _q_ivf_pq_topk,
@@ -3419,6 +3436,7 @@ def oracle_sql() -> dict[str, str]:
         "signup_followups": oracles.signup_followups_sql(window_hours=1),
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
+        "bpe_train": oracles.bpe_train_sql(16),
         "temperature_alloc": oracles.temperature_alloc_sql(9000.0, tau=2.0),
         "temperature_mix": oracles.temperature_mix_sql(9000.0, tau=2.0),
         "ivf_pq_topk": oracles.ivf_pq_topk_sql(

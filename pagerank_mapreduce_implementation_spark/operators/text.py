@@ -644,3 +644,150 @@ def chunk_documents_bpe(
         bpe_pieces_udf()(F.col(text_col)).alias("__toks"),
     )
     return _window_token_arrays(staged, window, stride)
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 16,
+    text_col: str = "text",
+    pattern: str = TOKEN_WS_RE,
+    lowercase: bool = False,
+    materialize_every: int = 4,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016)
+    → ``(rank, lhs, rhs, merged)``, one row per learned merge in
+    order.
+
+    The training counterpart of the vendored BPE *encoder*
+    (``functions/bpe.py``): where the encoder applies a fixed merge
+    table, this learns one. Classic algorithm: build the word
+    vocabulary with counts, represent each word as a symbol sequence
+    (characters + a trailing ``</w>`` end-of-word marker), then
+    ``num_merges`` times (a) count adjacent symbol pairs weighted by
+    word count — overlapping occurrences each count, per the reference
+    algorithm's ``get_stats`` — (b) take the argmax pair with the
+    deterministic tie-break ``(count DESC, lhs ASC, rhs ASC)``, and
+    (c) merge that pair left-to-right in every word (after a merge the
+    scan resumes AFTER the merged token, so it is never the left
+    element of another merge in the same pass).
+
+    Scale shape: the corpus is touched ONCE (the word-count shuffle);
+    every iteration then runs on the word-vocabulary table, which is
+    Heaps-law bounded (tens of millions of rows for a 100 TB corpus,
+    not TB). Per merge: one tiny groupBy over the vocab, a bounded
+    1-row ``collect()`` (the argmax IS the model parameter — same
+    driver-scalar pattern as the PageRank dangling-mass fold), and a
+    pure-Catalyst ``aggregate`` fold that rewrites the symbol arrays
+    JVM-side (struct accumulator ``(out, pend)``; the pending slot
+    reproduces the resume-after-merge scan exactly — no Python in the
+    loop). States persist LAZILY and materialize as a side effect of
+    the next argmax job (an eager per-iteration checkpoint measured
+    2x the loop's wall clock); a lazy ``localCheckpoint`` every
+    ``materialize_every`` merges keeps the plan depth flat and the
+    predecessor unpersists once its successor is live.
+
+    The returned merge table is built driver-side from the collected
+    argmax rows — legitimate: ``num_merges`` rows IS the learned
+    model, not data.
+    """
+    if num_merges <= 0:
+        raise ValueError(f"num_merges ({num_merges}) must be positive")
+    spark = docs.sparkSession
+    word = F.explode(F.split(F.col(text_col), pattern)).alias("word")
+    words = docs.select(word).filter(F.col("word") != "")
+    if lowercase:
+        words = words.select(F.lower("word").alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                F.array(F.lit("</w>")),
+            ).alias("symbols"),
+        )
+    )
+
+    merges: list[tuple[int, str, str, str]] = []
+    pair_struct = F.expr(
+        "transform(slice(symbols, 1, size(symbols) - 1),"
+        " (s, i) -> struct(s AS l, symbols[i + 1] AS r))"
+    )
+
+    def _apply_merge(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        merged_lit = F.lit(lhs + rhs)
+        nul = F.lit(None).cast("string")
+
+        def step(acc, x):
+            out, pend = acc["out"], acc["pend"]
+            return (
+                F.when(
+                    pend.eqNullSafe(F.lit(lhs)) & (x == F.lit(rhs)),
+                    F.struct(
+                        F.concat(out, F.array(merged_lit)).alias("out"),
+                        nul.alias("pend"),
+                    ),
+                )
+                .when(pend.isNull(), F.struct(out.alias("out"), x.alias("pend")))
+                .otherwise(
+                    F.struct(
+                        F.concat(out, F.array(pend)).alias("out"), x.alias("pend")
+                    )
+                )
+            )
+
+        folded = F.aggregate(
+            "symbols",
+            F.struct(
+                F.array().cast("array<string>").alias("out"), nul.alias("pend")
+            ),
+            step,
+            lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
+            ),
+        )
+        return df.select("word", "cnt", folded.alias("symbols"))
+
+    # GraphX-style iteration bookkeeping: every state is persisted
+    # LAZILY and materialized as a side effect of the next argmax job
+    # (zero extra jobs — an eager per-iteration localCheckpoint was
+    # measured at 2x the whole loop's wall clock at sf0.1); the
+    # predecessor is unpersisted once its successor is materialized,
+    # and a LAZY localCheckpoint every ``materialize_every`` merges
+    # truncates the logical plan so analysis cost stays flat.
+    state = vocab.persist()
+    prev: DataFrame | None = None
+    every = max(1, materialize_every)
+    for rank in range(1, num_merges + 1):
+        best = (
+            state.select(F.col("cnt"), F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        if not best:
+            prev = state
+            break
+        lhs, rhs = best[0]["l"], best[0]["r"]
+        merges.append((rank, lhs, rhs, lhs + rhs))
+        prev = state
+        state = _apply_merge(state, lhs, rhs)
+        if rank % every == 0:
+            # lazy checkpoint doubles as the cache — persisting the
+            # checkpointed frame again would double-store it
+            state = state.localCheckpoint(eager=False)
+        else:
+            state = state.persist()
+    state.unpersist()
+    if prev is not None and prev is not state:
+        prev.unpersist()
+
+    return spark.createDataFrame(
+        merges, schema="rank INT, lhs STRING, rhs STRING, merged STRING"
+    )

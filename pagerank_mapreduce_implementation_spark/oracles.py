@@ -2094,3 +2094,55 @@ def temperature_mix_sql(total_budget: float, tau: float = 2.0) -> str:
         "1, 13))::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 "
         "* a.T < a.b"
     )
+
+
+def bpe_train_sql(num_merges: int = 16) -> str:
+    """Unrolled BPE-merge training as one DuckDB query (mirrors
+    ``operators.text.bpe_train``): word-count vocab, char+``</w>``
+    symbol arrays, then ``num_merges`` unrolled (pairs → argmax →
+    apply) CTE triples. The left-to-right merge pass is a
+    ``list_reduce`` fold over a chr(31)-joined accumulator string —
+    the pending-slot semantics of the Spark struct fold, encoded in
+    the suffix of the accumulator (a merged token never equals the
+    lhs again, so resume-after-merge falls out, exactly as in the
+    engine). chr(31) cannot occur inside whitespace-split tokens.
+    Tie-break matches the engine: (count DESC, lhs ASC, rhs ASC) on
+    exact BIGINT counts.
+    """
+    sep = "chr(31)"
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM "
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w),",
+        "s0 AS MATERIALIZED (SELECT word, cnt, list_append(list_transform("
+        "range(1, length(word) + 1), i -> substr(word, i, 1)), '</w>') AS symbols "
+        "FROM v),",
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT symbols[pi] AS l, symbols[pi + 1] AS r, sum(cnt) AS c "
+            f"FROM (SELECT cnt, symbols, unnest(range(1, len(symbols))) AS pi "
+            f"FROM {prev}) GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT word, cnt, string_split(list_reduce(symbols, "
+            f"(acc, x) -> CASE WHEN x = b.r AND (acc = b.l OR ("
+            f"length(acc) > length(b.l) "
+            f"AND substr(acc, length(acc) - length(b.l) + 1) = b.l "
+            f"AND substr(acc, length(acc) - length(b.l), 1) = {sep})) "
+            f"THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r "
+            f"ELSE acc || {sep} || x END), {sep}) AS symbols "
+            f"FROM {prev}, b{i} b),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l, r FROM b{i}" for i in range(1, num_merges + 1)
+    )
+    parts.append(f"merges AS ({union})")
+    return (
+        "\n".join(parts)
+        + "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM merges"
+    )

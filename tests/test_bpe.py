@@ -80,3 +80,96 @@ def test_chunk_documents_bpe_matches_python_reference(spark):
             sl = toks[i * stride : i * stride + window]
             want[(doc_id, i)] = (" ".join(sl), len(sl))
     assert got == want
+
+
+class TestBpeTrain:
+    """text.bpe_train — distributed BPE-merge LEARNING (the trainer
+    counterpart of the vendored encoder above)."""
+
+    @staticmethod
+    def _reference(weighted_words, num_merges):
+        """Brute-force Sennrich-style trainer (driver-side python):
+        pair stats count every adjacent (overlapping) occurrence
+        weighted by word count; argmax tie-break (count DESC, lhs ASC,
+        rhs ASC); merge applied left-to-right, scan resuming AFTER a
+        merged token."""
+        vocab = {}
+        for w, c in weighted_words.items():
+            key = tuple(list(w) + ["</w>"])
+            vocab[key] = vocab.get(key, 0) + c
+        out = []
+        for rank in range(1, num_merges + 1):
+            stats = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] = stats.get(p, 0) + c
+            if not stats:
+                break
+            m = max(stats.values())
+            lhs, rhs = sorted(p for p, c in stats.items() if c == m)[0]
+            out.append((rank, lhs, rhs, lhs + rhs))
+            nxt = {}
+            for syms, c in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                        merged.append(lhs + rhs)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                nxt[key] = nxt.get(key, 0) + c
+            vocab = nxt
+        return out
+
+    def test_matches_reference_on_corpus(self, spark, sf_dir):
+        """Learned merge table == brute-force trainer on the same word
+        counts (exercises argmax tie-breaks and the Catalyst fold on
+        real data)."""
+        import collections
+        import re
+
+        from pagerank_mapreduce_implementation_spark.operators import text
+        from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+        docs = Catalog(spark, sf_dir).documents
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["merged"])
+            for r in text.bpe_train(docs, num_merges=12).collect()
+        ]
+        words = collections.Counter()
+        for (t,) in docs.select("text").collect():
+            for w in re.split(r"\s+", t):
+                if w:
+                    words[w] += 1
+        assert sorted(got) == sorted(self._reference(dict(words), 12))
+
+    def test_overlapping_pair_merge_is_left_to_right(self, spark):
+        """'aaaa' with merge (a,a): the left-to-right non-overlapping
+        pass gives [aa, aa, </w>] — the struct-fold's pending slot must
+        not let a merged token act as lhs again in the same pass."""
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa b")], "doc_id INT, text STRING"
+        )
+        merges = text.bpe_train(docs, num_merges=2).collect()
+        by_rank = {r["rank"]: (r["lhs"], r["rhs"]) for r in merges}
+        # (a,a) counts 3 overlapping occurrences x2 words = 6
+        assert by_rank[1] == ("a", "a")
+        # each 'aaaa' is now [aa, aa, </w>]: (aa,aa)=2 ties (aa,</w>)=2;
+        # '</w>' < 'aa' byte-wise so rhs='</w>' wins the tie-break
+        assert by_rank[2] == ("aa", "</w>")
+
+    def test_stops_when_pairs_exhausted(self, spark):
+        """num_merges past exhaustion stops emitting (every word fused
+        to one symbol) — mirrors the oracle's empty-argmax CTEs."""
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        docs = spark.createDataFrame([(1, "ab ab")], "doc_id INT, text STRING")
+        merges = text.bpe_train(docs, num_merges=10).collect()
+        # (a,b,</w>) fuses to one symbol in exactly 2 merges
+        assert len(merges) == 2
+        assert [r["merged"] for r in merges] == ["ab", "ab</w>"]
