@@ -2434,6 +2434,79 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout sink round-trip (sources.write_zorder_parquet):
+    events written on the (user_id, value) z-curve, read back through
+    the parquet scan, and filtered with the conjunctive 2-D box the
+    layout exists to serve. The curve shapes LAYOUT only — values are
+    untouched — so the oracle is the plain filter; the footer-stat
+    pruning claim is audited separately in tests/test_sources.py.
+    Eagerly checkpointed so the temp dir can be deleted before the
+    driver collects."""
+    import shutil
+    import tempfile
+
+    from pagerank_mapreduce_implementation_spark.sources import write_zorder_parquet
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    try:
+        write_zorder_parquet(ev, d, ["user_id", "value"], num_files=16)
+        back = spark.read.parquet(d)
+        return (
+            back.filter(
+                (F.col("user_id").between(10, 30))
+                & (F.col("value").between(50.0, 120.0))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (changelog.compact_changelog): latest-wins
+    state per user over the events stream, 'error' winners treated as
+    delete tombstones. ONE key shuffle via max_by over the unique
+    (ts, event_id) sequence struct — partial agg, no window sort (a
+    row_number window materializes every hot key's history in one
+    task). Oracle: the window formulation — independent plan, same
+    rows."""
+    from pagerank_mapreduce_implementation_spark.operators import changelog
+
+    ev = Catalog(spark, sf_dir).events
+    return changelog.compact_changelog(
+        ev, ["user_id"], ["ts", "event_id"], delete_expr="event_type = 'error'"
+    )
+
+
+def _q_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot maintenance (changelog.apply_changelog):
+    base snapshot = compacted events before 2024-01-16, change batch =
+    events after; apply merges batch winners over the snapshot
+    (anti-join on the snapshot's own key + union, tombstones drop
+    keys). The oracle is the BATCH RECOMPUTE over all events — the
+    gate proves apply(compact(pre), post) == compact(pre ∪ post),
+    i.e. the incremental path reproduces the full rebuild exactly."""
+    from pagerank_mapreduce_implementation_spark.operators import changelog
+
+    ev = Catalog(spark, sf_dir).events
+    cut = "2024-01-16 00:00:00"
+    base = changelog.compact_changelog(
+        ev.filter(F.col("ts") < cut),
+        ["user_id"],
+        ["ts", "event_id"],
+        delete_expr="event_type = 'error'",
+    )
+    batch = ev.filter(F.col("ts") >= cut)
+    return changelog.apply_changelog(
+        base, batch, ["user_id"], ["ts", "event_id"],
+        delete_expr="event_type = 'error'",
+    )
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE-merge training (text.bpe_train, 16 merges):
     the tokenizer-TRAINING counterpart of the vendored BPE encoder.
@@ -2500,16 +2573,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 132
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 135
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
         # (a0) NEW round-10 registrations — first driver certification
-        # (bpe_train's insertion pushed nation_order_stats, r8-green,
-        # to #51 — legal: its r8 row stays inside the 3-file budget
-        # through round 11, when the r8 cohort rotates forward anyway)
+        # (the 4 late insertions pushed search_top10 / pricing_summary
+        # / top_customers / nation_order_stats — all r8-green — below
+        # the window: legal, their r8 rows stay inside the 3-file
+        # budget through round 11, when the r8 cohort rotates forward
+        # anyway)
         "bpe_train": _q_bpe_train,
+        "changelog_compact": _q_changelog_compact,
+        "zorder_roundtrip": _q_zorder_roundtrip,
+        "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
         "ivf_pq_topk": _q_ivf_pq_topk,
@@ -3437,6 +3515,15 @@ def oracle_sql() -> dict[str, str]:
         "daily_uniques": oracles.daily_uniques_sql(),
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
         "bpe_train": oracles.bpe_train_sql(16),
+        "changelog_compact": oracles.changelog_compact_sql(),
+        # layout-only sink: the z-curve shapes file placement, never
+        # values, so the round-trip oracle is the plain filter
+        "zorder_roundtrip": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events "
+            "WHERE user_id BETWEEN 10 AND 30 AND value BETWEEN 50.0 AND 120.0"
+        ),
+        # the apply gate IS the batch recompute: incremental == rebuild
+        "changelog_apply": oracles.changelog_compact_sql(),
         "temperature_alloc": oracles.temperature_alloc_sql(9000.0, tau=2.0),
         "temperature_mix": oracles.temperature_mix_sql(9000.0, tau=2.0),
         "ivf_pq_topk": oracles.ivf_pq_topk_sql(

@@ -757,8 +757,17 @@ def bpe_train(
     # predecessor is unpersisted once its successor is materialized,
     # and a LAZY localCheckpoint every ``materialize_every`` merges
     # truncates the logical plan so analysis cost stays flat.
-    state = vocab.persist()
+    # Release discipline: a plain CACHE is an optimization — if its
+    # blocks evict, lineage recomputes from the newest checkpoint
+    # below it — so a cached predecessor releases as soon as its
+    # successor is live. A local CHECKPOINT is a recovery ROOT: its
+    # blocks cannot be rebuilt, so it must stay until a NEWER
+    # checkpoint is materialized (after which no live lineage can
+    # reach it).
+    state, state_is_ckpt = vocab.persist(), False
     prev: DataFrame | None = None
+    prev_is_ckpt = False
+    old_ckpt: DataFrame | None = None
     every = max(1, materialize_every)
     for rank in range(1, num_merges + 1):
         best = (
@@ -769,24 +778,36 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # `state` is materialized now; its cached predecessor is
+        # redundant, and if `state` itself is a checkpoint the one
+        # before it has just become unreachable
         if prev is not None:
-            prev.unpersist()
+            if prev_is_ckpt:
+                old_ckpt = prev
+            else:
+                prev.unpersist()
+        if state_is_ckpt and old_ckpt is not None and old_ckpt is not state:
+            old_ckpt.unpersist()
+            old_ckpt = None
         if not best:
-            prev = state
             break
         lhs, rhs = best[0]["l"], best[0]["r"]
         merges.append((rank, lhs, rhs, lhs + rhs))
-        prev = state
+        prev, prev_is_ckpt = state, state_is_ckpt
         state = _apply_merge(state, lhs, rhs)
         if rank % every == 0:
             # lazy checkpoint doubles as the cache — persisting the
             # checkpointed frame again would double-store it
             state = state.localCheckpoint(eager=False)
+            state_is_ckpt = True
         else:
             state = state.persist()
-    state.unpersist()
-    if prev is not None and prev is not state:
-        prev.unpersist()
+            state_is_ckpt = False
+    # nothing downstream survives the loop (the merge table was
+    # collected driver-side), so every remaining block can go
+    for df in (state, prev, old_ckpt):
+        if df is not None:
+            df.unpersist()
 
     return spark.createDataFrame(
         merges, schema="rank INT, lhs STRING, rhs STRING, merged STRING"

@@ -2146,3 +2146,19 @@ def bpe_train_sql(num_merges: int = 16) -> str:
         "\n".join(parts)
         + "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM merges"
     )
+
+
+def changelog_compact_sql(where: str | None = None, delete_type: str = "error") -> str:
+    """Latest-wins changelog compaction over events as one window query
+    (mirrors ``operators.changelog.compact_changelog``; also the
+    oracle for ``apply_changelog`` — the BATCH RECOMPUTE the
+    incremental path must reproduce). Independent formulation: DuckDB
+    ranks with row_number over (ts DESC, event_id DESC) where the
+    engine uses a max_by struct agg."""
+    pred = f"WHERE {where} " if where else ""
+    return (
+        "WITH w AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        f"ORDER BY ts DESC, event_id DESC) AS rn FROM events {pred}) "
+        "SELECT user_id, event_id, ts, event_type, value, props FROM w "
+        f"WHERE rn = 1 AND event_type <> '{delete_type}'"
+    )

@@ -211,6 +211,77 @@ def write_clustered_parquet(
     writer.parquet(path)
 
 
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Z-ORDER layout sink: the multi-column generalization of
+    ``write_clustered_parquet``. Range clustering gives perfect
+    pruning on ONE key and none on the others; interleaving the bits
+    of several keys' rank buckets onto a space-filling curve gives
+    each of them PARTIAL locality, so a conjunctive 2-D predicate
+    (user range AND value range) prunes files/row groups on BOTH
+    columns — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` story, paid
+    once at ingest.
+
+    Mechanics, all pure column expressions: each key is min/max
+    scaled into a ``bits``-bit bucket (ONE bounded 1-row aggregate
+    collect supplies the bounds — layout metadata, not data; NULLs
+    land in bucket 0), the buckets' bits are interleaved
+    little-endian into the z-key, and the frame is range-partitioned
+    + sorted on that key, then the key is dropped. The curve only
+    shapes LAYOUT — values are written untouched, so readers are
+    oblivious (and the round-trip oracle is the plain filter).
+    """
+    if not zorder_by or len(zorder_by) < 2:
+        raise ValueError("zorder_by needs at least two columns")
+    if bits <= 0 or bits * len(zorder_by) > 63:
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(zorder_by)}) must fit a signed long"
+        )
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(zorder_by)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(zorder_by)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    buckets = []
+    for i, c in enumerate(zorder_by):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn) * F.lit(float(top))
+        buckets.append(
+            F.coalesce(
+                F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), F.floor(scaled))),
+                F.lit(0).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bucket in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long")),
+                    b * len(buckets) + i,
+                )
+            )
+    keyed = df.withColumn("__z", z)
+    clustered = (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        if num_files is not None
+        else keyed.repartitionByRange(F.col("__z"))
+    ).sortWithinPartitions("__z").drop("__z")
+    writer = clustered.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

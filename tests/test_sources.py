@@ -206,3 +206,90 @@ def test_write_clustered_parquet_layout_enables_pruning(spark, tmp_path, sf_dir)
         .toString()
     )
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_write_zorder_parquet_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
+    """write_zorder_parquet interleaves the rank-bucket bits of BOTH
+    z-columns, so a conjunctive 2-D box predicate overlaps only a
+    small fraction of the written files' footer (min,max) boxes —
+    where a single-key range layout is blind on the second column.
+    Audited in the footers via pyarrow; data itself round-trips
+    untouched."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.sources import (
+        write_zorder_parquet,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zordered")
+    write_zorder_parquet(ev, path, ["user_id", "value"], num_files=16)
+    back = spark.read.parquet(path)
+
+    # round-trip fidelity: layout only, values untouched
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+
+    # footer audit: count files whose (user_id, value) bounding box
+    # intersects a small query box; the z-curve must prune most files
+    lo_u, hi_u = 10, 30
+    lo_v, hi_v = 50.0, 120.0
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 4
+    hits = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for i in range(md.num_columns):
+            name = md.schema.column(i).name
+            if name not in ("user_id", "value"):
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                assert st is not None and st.has_min_max
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            stats[name] = (mn, mx)
+        if (
+            stats["user_id"][0] <= hi_u
+            and stats["user_id"][1] >= lo_u
+            and stats["value"][0] <= hi_v
+            and stats["value"][1] >= lo_v
+        ):
+            hits += 1
+    assert hits <= len(files) // 2, (
+        f"z-order pruning ineffective: {hits}/{len(files)} files "
+        "intersect a small 2-D box"
+    )
+
+    # correctness of a pruned read: same rows as the unclustered scan
+    pred = (
+        (F.col("user_id") >= lo_u)
+        & (F.col("user_id") <= hi_u)
+        & (F.col("value") >= lo_v)
+        & (F.col("value") <= hi_v)
+    )
+    assert sorted(r["event_id"] for r in back.filter(pred).collect()) == sorted(
+        r["event_id"] for r in ev.filter(pred).collect()
+    )
+
+
+def test_write_zorder_parquet_parameter_guards(spark):
+    import pytest
+
+    from pagerank_mapreduce_implementation_spark.sources import (
+        write_zorder_parquet,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a INT, b INT")
+    with pytest.raises(ValueError, match="at least two"):
+        write_zorder_parquet(df, "/tmp/x", ["a"])
+    with pytest.raises(ValueError, match="signed long"):
+        write_zorder_parquet(df, "/tmp/x", ["a", "b"], bits=40)
