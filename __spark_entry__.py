@@ -2434,6 +2434,18 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graph.label_propagation, 5 rounds) over the lineitem-derived
+    supplier graph: per-vertex community labels — in-neighbor majority
+    vote per round, ties to the smallest label, no-inbound vertices
+    keep their own. Edges shuffled ONCE onto src; per round one
+    vertex-sized join + a (dst,label) vote count + a min_by argmax
+    (no window sort). Oracle: 5 unrolled MATERIALIZED CTE rounds with
+    the row_number formulation of the same tie-break."""
+    return graph.label_propagation(_edges(spark, sf_dir), n_rounds=5)
+
+
 def _q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout sink round-trip (sources.write_zorder_parquet):
     events written on the (user_id, value) z-curve, read back through
@@ -2573,7 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 135
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 136
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
@@ -2587,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "changelog_compact": _q_changelog_compact,
         "zorder_roundtrip": _q_zorder_roundtrip,
+        "lpa_communities": _q_lpa_communities,
         "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
@@ -3516,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": oracles.embedding_dedup_sql(0.25, num_planes=16, bands=2),
         "bpe_train": oracles.bpe_train_sql(16),
         "changelog_compact": oracles.changelog_compact_sql(),
+        "lpa_communities": oracles.label_propagation_sql(n_rounds=5),
         # layout-only sink: the z-curve shapes file placement, never
         # values, so the round-trip oracle is the plain filter
         "zorder_roundtrip": (

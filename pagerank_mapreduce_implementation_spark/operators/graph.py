@@ -771,3 +771,71 @@ def hits(
     links_src.unpersist()
     links_dst.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 5,
+    materialize_every: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made fully
+    deterministic → ``(url, label)`` community assignments after
+    ``n_rounds`` rounds.
+
+    Semantics: every vertex starts labeled with its own id; each round
+    every vertex adopts the most frequent label among its IN-neighbors
+    — each edge OCCURRENCE votes once, the ``pagerank`` duplicate-edge
+    scatter convention — with ties broken toward the SMALLEST label
+    (the classical random tie-break replaced by a total order so the
+    result is reproducible and cross-engine exact); a vertex with no
+    in-edges keeps its current label. Fixed round count, synchronous
+    updates (the asynchronous variant is order-dependent by
+    construction and ungateable).
+
+    Scale shape (the ``pagerank``/``hits`` contract): the edge table
+    is shuffled ONCE onto its src key and persisted; each round then
+    costs (1) a vertex-sized labels shuffle into that co-partitioned
+    join, (2) a (dst, label)-keyed vote count with map-side partial
+    aggregation, (3) a dst-keyed argmax via ``min_by`` over the
+    ``(-votes, label)`` struct — no row_number window, so a hot
+    vertex's votes never serialize through one task — and (4) a
+    vertex-sized coalesce join back onto the full label vector.
+    Lineage truncates on the shared ``IterationDriver`` cadence.
+    """
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
+    spark = edges.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = edges.select("src", "dst").repartition(nparts, "src").persist()
+    vertices = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select("url", F.col("url").alias("label"))
+
+    def step(lbl: DataFrame, _i: int) -> DataFrame:
+        votes = (
+            e.join(lbl.withColumnRenamed("url", "src"), "src")
+            .groupBy(F.col("dst").alias("url"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = votes.groupBy("url").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("nc"), "label")).alias(
+                "new_label"
+            )
+        )
+        return (
+            lbl.join(winners, "url", "left")
+            .select("url", F.coalesce("new_label", "label").alias("label"))
+        )
+
+    driver = IterationDriver(materialize_every=materialize_every)
+    out = driver.run(labels, step, n_rounds)
+    e.unpersist()
+    vertices.unpersist()
+    return out

@@ -2162,3 +2162,37 @@ def changelog_compact_sql(where: str | None = None, delete_type: str = "error") 
         "SELECT user_id, event_id, ts, event_type, value, props FROM w "
         f"WHERE rn = 1 AND event_type <> '{delete_type}'"
     )
+
+
+def label_propagation_sql(
+    edges_sql: str = EDGES_SQL, n_rounds: int = 5
+) -> str:
+    """Unrolled deterministic synchronous LPA (mirrors
+    ``operators.graph.label_propagation``): per round, in-neighbor
+    vote counts → per-vertex argmax (votes DESC, label ASC — DuckDB
+    ranks with row_number where the engine uses a min_by struct) →
+    coalesce onto the full vertex set. Every l{i} is referenced twice
+    (votes + carry-forward), so the CTEs are MATERIALIZED — inlining
+    would double the plan per round (the bpe_train_sql lesson)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        "v AS MATERIALIZED (SELECT DISTINCT url FROM "
+        "(SELECT src AS url FROM e UNION ALL SELECT dst FROM e)),",
+        "l0 AS MATERIALIZED (SELECT url, url AS label FROM v),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS url, l.label, count(*) AS c "
+            f"FROM e JOIN l{i - 1} l ON e.src = l.url GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT url, label FROM ("
+            f"SELECT url, label, row_number() OVER (PARTITION BY url "
+            f"ORDER BY c DESC, label ASC) AS rn FROM m{i}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT p.url, coalesce(w.label, p.label) AS label "
+            f"FROM l{i - 1} p LEFT JOIN w{i} w ON p.url = w.url),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT url, label FROM l{n_rounds}"

@@ -577,3 +577,57 @@ def test_hits_matches_duckdb_oracle(spark, sf_dir):
         )
     want = sorted(tuple(r) for r in con.execute(oracles.hits_sql()).fetchall())
     assert got == want
+
+
+class TestLabelPropagation:
+    """graph.label_propagation — deterministic synchronous LPA."""
+
+    def test_tiny_graph_semantics(self, spark):
+        """Majority vote, smallest-label tie-break, duplicate-edge
+        double vote, and keep-own for no-inbound vertices, all on one
+        hand-checkable graph."""
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        # a,b -> c (c ties between 'a','b' -> 'a'); d->e twice beats
+        # f->e once; a has no in-edges (keeps 'a')
+        edges = spark.createDataFrame(
+            [("a", "c"), ("b", "c"), ("d", "e"), ("d", "e"), ("f", "e")],
+            "src STRING, dst STRING",
+        )
+        out = {
+            r["url"]: r["label"]
+            for r in graph.label_propagation(edges, n_rounds=1).collect()
+        }
+        assert out["c"] == "a"      # tie 1-1 -> smallest label
+        assert out["e"] == "d"      # 2 votes beat 1
+        assert out["a"] == "a"      # no inbound: keep own
+        assert out["d"] == "d" and out["f"] == "f" and out["b"] == "b"
+
+    def test_synchronous_rounds_propagate(self, spark):
+        """Labels travel one hop per round (synchronous): a chain
+        x->y->z needs 2 rounds for x's label to reach z."""
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("x", "y"), ("y", "z")], "src STRING, dst STRING"
+        )
+        r1 = {
+            r["url"]: r["label"]
+            for r in graph.label_propagation(edges, n_rounds=1).collect()
+        }
+        assert r1 == {"x": "x", "y": "x", "z": "y"}
+        r2 = {
+            r["url"]: r["label"]
+            for r in graph.label_propagation(edges, n_rounds=2).collect()
+        }
+        assert r2 == {"x": "x", "y": "x", "z": "x"}
+
+    def test_zero_rounds_is_identity(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        edges = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+        out = {
+            r["url"]: r["label"]
+            for r in graph.label_propagation(edges, n_rounds=0).collect()
+        }
+        assert out == {"a": "a", "b": "b"}
