@@ -742,3 +742,85 @@ def test_temperature_mix_broadcast_join_no_corpus_shuffle(plans):
     p = plans("temperature_mix")
     assert "BroadcastHashJoin" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_changelog_compact_single_agg_no_window(plans):
+    """changelog_compact is ONE key shuffle with partial+final max_by
+    aggregation — no Window operator (a row_number window would
+    serialize a hot key's entire history through one task) and no
+    Python."""
+    p = plans("changelog_compact")
+    assert "Window" not in p
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+    # max_by over a struct plans as Sort/ObjectHash aggregate — any
+    # flavor is fine as long as it appears as partial+final pairs
+    assert len(re.findall(r"(?:Sort|Hash|ObjectHash)Aggregate", p)) >= 2
+
+
+def test_changelog_apply_anti_join_no_window(plans):
+    """changelog_apply = batch compaction + LEFT ANTI join + union:
+    still no Window, no cartesian, no Python; the snapshot side is
+    touched by the anti join only."""
+    p = plans("changelog_apply")
+    assert "Window" not in p
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+
+
+def test_lpa_returns_checkpointed_state_no_window(spark, sf_dir):
+    """label_propagation's returned frame reads the final round's
+    state from checkpointed blocks; the per-round argmax is a min_by
+    aggregate, so no Window operator ever appears."""
+    from pagerank_mapreduce_implementation_spark.operators import graph
+
+    df = graph.label_propagation(entrymod._edges(spark, sf_dir), n_rounds=2)
+    p = plan_of(df)
+    assert "Scan ExistingRDD" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_train_vocab_fold_stays_jvm_side(spark, sf_dir):
+    """bpe_train's merge table is driver-built (the model), but the
+    work happens in the per-merge argmax jobs: verify the PAIR-COUNT
+    plan over the vocab is pure JVM (explode + hash agg, no Python)
+    and the argmax is TakeOrdered, not a global sort."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import text
+    from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = (
+        text.tokenize(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+                ),
+                F.array(F.lit("</w>")),
+            ).alias("symbols"),
+        )
+    )
+    pair_struct = F.expr(
+        "transform(slice(symbols, 1, size(symbols) - 1),"
+        " (s, i) -> struct(s AS l, symbols[i + 1] AS r))"
+    )
+    argmax = (
+        vocab.select(F.col("cnt"), F.explode(pair_struct).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+    p = plan_of(argmax)
+    assert "Python" not in p
+    assert "TakeOrderedAndProject" in p  # limit(1), never a global sort
+    assert "Generate explode" in p
