@@ -2434,6 +2434,18 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (graph.triangle_counts) over the
+    lineitem-derived supplier graph: degree-ordered compact-forward
+    enumeration (Suri & Vassilvitskii WWW'11) — orientation bounds
+    every out-degree by O(sqrt m), so the wedge intermediate never
+    hits the curse-of-the-last-reducer fan-out an id orientation
+    leaves on a celebrity vertex. Oracle: the id-oriented formulation
+    — different orientation, provably the same once-per-triangle
+    counts."""
+    return graph.triangle_counts(_edges(spark, sf_dir))
+
+
 def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation
     (graph.label_propagation, 5 rounds) over the lineitem-derived
@@ -2585,7 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 136
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 137
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
@@ -2600,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_compact": _q_changelog_compact,
         "zorder_roundtrip": _q_zorder_roundtrip,
         "lpa_communities": _q_lpa_communities,
+        "triangle_counts": _q_triangle_counts,
         "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
@@ -3530,6 +3543,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": oracles.bpe_train_sql(16),
         "changelog_compact": oracles.changelog_compact_sql(),
         "lpa_communities": oracles.label_propagation_sql(n_rounds=5),
+        "triangle_counts": oracles.triangle_counts_sql(),
         # layout-only sink: the z-curve shapes file placement, never
         # values, so the round-trip oracle is the plain filter
         "zorder_roundtrip": (

@@ -2196,3 +2196,29 @@ def label_propagation_sql(
         )
     parts[-1] = parts[-1].rstrip(",")
     return "\n".join(parts) + f"\nSELECT url, label FROM l{n_rounds}"
+
+
+def triangle_counts_sql(edges_sql: str = EDGES_SQL) -> str:
+    """Per-vertex triangle counts (mirrors
+    ``operators.graph.triangle_counts``) — independent formulation:
+    the oracle orients canonical edges by ID (u < v) where the engine
+    orients by (degree, id); both generate every triangle exactly
+    once at its smallest-order apex, so the counts agree. Multiply
+    -referenced CTEs are MATERIALIZED (the bpe_train_sql lesson)."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}),\n"
+        "c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e WHERE src <> dst),\n"
+        "o AS MATERIALIZED (SELECT u AS a, v AS b FROM c),\n"
+        "w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "FROM o e1 JOIN o e2 ON e1.b = e2.a),\n"
+        "t AS MATERIALIZED (SELECT w.a, w.b, w.c FROM w "
+        "SEMI JOIN o ON w.a = o.a AND w.c = o.b),\n"
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS url FROM "
+        "(SELECT u FROM c UNION ALL SELECT v FROM c)),\n"
+        "pv AS MATERIALIZED (SELECT x AS url, count(*) AS n FROM "
+        "(SELECT a AS x FROM t UNION ALL SELECT b FROM t "
+        "UNION ALL SELECT c FROM t) GROUP BY x)\n"
+        "SELECT verts.url, coalesce(pv.n, 0) AS triangles "
+        "FROM verts LEFT JOIN pv ON verts.url = pv.url"
+    )
