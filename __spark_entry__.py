@@ -2434,6 +2434,17 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (text.build_inverted_index, one shard
+    per word): the materialized IR artifact behind search/bm25 —
+    postings as deterministic doc:pos,pos;doc:pos strings so the hash
+    gate sees byte-identical values. One narrow posexplode + two
+    key-bounded shuffles; the stopword one-row problem is handled by
+    the shard_size path (union-of-shards associativity pytest-gated,
+    sharding is md5-deterministic)."""
+    return text.build_inverted_index(Catalog(spark, sf_dir).documents)
+
+
 def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts (graph.triangle_counts) over the
     lineitem-derived supplier graph: degree-ordered compact-forward
@@ -2597,7 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 137
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 138
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
@@ -2613,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_roundtrip": _q_zorder_roundtrip,
         "lpa_communities": _q_lpa_communities,
         "triangle_counts": _q_triangle_counts,
+        "inverted_index": _q_inverted_index,
         "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
@@ -3544,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         "changelog_compact": oracles.changelog_compact_sql(),
         "lpa_communities": oracles.label_propagation_sql(n_rounds=5),
         "triangle_counts": oracles.triangle_counts_sql(),
+        "inverted_index": oracles.inverted_index_sql(),
         # layout-only sink: the z-curve shapes file placement, never
         # values, so the round-trip oracle is the plain filter
         "zorder_roundtrip": (

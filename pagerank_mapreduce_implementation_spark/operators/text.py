@@ -812,3 +812,76 @@ def bpe_train(
     return spark.createDataFrame(
         merges, schema="rank INT, lhs STRING, rhs STRING, merged STRING"
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    pattern: str = TOKEN_WS_RE,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """Positional inverted index → ``(word, df, shard, postings)`` —
+    the materialized artifact behind O29's search and bm25 (the
+    reference greps a tf-idf text dump per query; a real IR stack
+    serves from this).
+
+    ``postings`` is a deterministic STRING encoding
+    ``doc:pos,pos;doc:pos`` — documents ascending, positions
+    ascending, positions 0-based over the raw token split (empty
+    tokens dropped but their slots counted, so offsets are stable
+    under re-tokenization). A string, not a nested array, so the
+    cross-engine hash gate sees byte-identical values.
+
+    Scale shape: one narrow ``posexplode`` (no shuffle), ONE
+    (doc, word) shuffle to fold per-doc position runs, ONE word
+    shuffle to assemble posting lists (both with map-side partial
+    aggregation). The stopword problem — a hot word's posting list
+    is the whole corpus in one row/task — is handled by
+    ``shard_size``: per-doc entries hash into
+    ``ceil(df/shard_size)`` deterministic shards (md5-uniform on
+    doc_id, shard-local ordering preserved), so no single task ever
+    assembles more than ~``shard_size`` entries; readers union
+    shards (set membership and scoring are shard-associative).
+    ``shard_size=None`` keeps one shard per word (shard column 0)."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    per_doc = toks.groupBy("word", "doc_id").agg(
+        F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("pl")
+    )
+    if shard_size is not None:
+        if shard_size <= 0:
+            raise ValueError(f"shard_size ({shard_size}) must be positive")
+        df_counts = per_doc.groupBy("word").agg(
+            F.count(F.lit(1)).alias("word_df")
+        )
+        per_doc = per_doc.join(df_counts, "word").select(
+            "word",
+            "doc_id",
+            "pl",
+            "word_df",
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % F.ceil(F.col("word_df") / F.lit(shard_size)).cast("long")
+            ).alias("shard"),
+        )
+        grouped = per_doc.groupBy("word", "shard")
+        df_col = F.max("word_df").alias("df")
+    else:
+        grouped = per_doc.withColumn("shard", F.lit(0)).groupBy("word", "shard")
+        df_col = F.count(F.lit(1)).alias("df")
+    return grouped.agg(
+        df_col,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "pl"))),
+                lambda e: F.concat_ws(
+                    ":", e["doc_id"].cast("string"), e["pl"]
+                ),
+            ),
+            ";",
+        ).alias("postings"),
+    ).select("word", "df", "shard", "postings")

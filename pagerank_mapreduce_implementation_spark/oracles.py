@@ -2222,3 +2222,24 @@ def triangle_counts_sql(edges_sql: str = EDGES_SQL) -> str:
         "SELECT verts.url, coalesce(pv.n, 0) AS triangles "
         "FROM verts LEFT JOIN pv ON verts.url = pv.url"
     )
+
+
+def inverted_index_sql() -> str:
+    """Positional inverted index over documents (mirrors
+    ``operators.text.build_inverted_index`` with one shard per word):
+    DuckDB assembles the same ``doc:pos,pos;doc:pos`` strings with
+    ORDER BY string_agg where the engine sorts collected arrays.
+    Positions are 0-based RAW split-slot indices (empties dropped,
+    slots counted) on both sides."""
+    return (
+        "WITH raw AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i "
+        "FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr "
+        "FROM documents)),\n"
+        "tok AS (SELECT doc_id, arr[i + 1] AS w, i AS pos FROM raw "
+        "WHERE arr[i + 1] <> ''),\n"
+        "pd AS (SELECT w, doc_id, string_agg(CAST(pos AS VARCHAR), ',' "
+        "ORDER BY pos) AS pl FROM tok GROUP BY w, doc_id)\n"
+        "SELECT w AS word, count(*) AS df, 0 AS shard, "
+        "string_agg(CAST(doc_id AS VARCHAR) || ':' || pl, ';' ORDER BY doc_id) "
+        "AS postings FROM pd GROUP BY w"
+    )

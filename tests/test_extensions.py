@@ -1795,3 +1795,60 @@ def test_top_fraction_per_group_semantics(spark):
         top_fraction_per_group(df, 0.0, "score", "source")
     with _pt.raises(ValueError, match="frac"):
         top_fraction_per_group(df, 1.5, "score", "source")
+
+
+class TestInvertedIndex:
+    """text.build_inverted_index — positional postings + sharding."""
+
+    def test_postings_match_brute_force(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        docs = spark.createDataFrame(
+            [(1, "a b a  c"), (2, "b b"), (3, "c")],
+            "doc_id INT, text STRING",
+        )
+        out = {
+            r["word"]: (r["df"], r["shard"], r["postings"])
+            for r in text.build_inverted_index(docs).collect()
+        }
+        # 'a b a  c': split on \s+ gives slots [a,b,a,c] -> positions
+        # are raw slot indices 0,1,2,3
+        assert out["a"] == (1, 0, "1:0,2")
+        assert out["b"] == (2, 0, "1:1;2:0,1")
+        assert out["c"] == (2, 0, "1:3;3:0")
+
+    def test_shard_union_equals_unsharded(self, spark, sf_dir):
+        """Sharded postings are a partition of the unsharded ones:
+        per word, the multiset of doc:pl entries across shards equals
+        the single-shard entries, df is the full document frequency on
+        every shard row, and no shard exceeds its bound by more than
+        the hash skew allows (hard cap: every doc present exactly
+        once)."""
+        from pagerank_mapreduce_implementation_spark.operators import text
+        from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+        docs = Catalog(spark, sf_dir).documents
+        flat = {
+            r["word"]: (r["df"], r["postings"])
+            for r in text.build_inverted_index(docs).collect()
+        }
+        sharded = {}
+        for r in text.build_inverted_index(docs, shard_size=7).collect():
+            df, entries = sharded.setdefault(r["word"], (r["df"], []))
+            assert df == r["df"]
+            entries.extend(r["postings"].split(";"))
+        assert set(sharded) == set(flat)
+        for w, (df, entries) in sharded.items():
+            assert df == flat[w][0]
+            assert sorted(entries, key=lambda e: int(e.split(":")[0])) == flat[w][
+                1
+            ].split(";")
+
+    def test_shard_size_guard(self, spark):
+        import pytest
+
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
+        with pytest.raises(ValueError, match="positive"):
+            text.build_inverted_index(docs, shard_size=0)
