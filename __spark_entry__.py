@@ -2681,6 +2681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_word_count": _q_salted_word_count,
         "word_count_boundary": _q_word_count_boundary,
         "doc_word_count": _q_doc_word_count,
+        # --- window boundary (50) — below here: green within the
+        # 3-round freshness budget (the 6 round-10 late registrations
+        # pushed term_frequency..nation_order_stats and the (b)-tail
+        # below the line; all r8-green, budget expires at r11).
+        # ROUND-11 ROTATION PLAN: window = the ~31 r8-green entries
+        # whose budget expires (term_frequency..cms_word_counts
+        # cohort) + the remainder from the r9/r10-green back; the
+        # rest lead round 12 (the rotation test verifies the
+        # deadlines mechanically).
         "term_frequency": _q_term_frequency,
         "tfidf": _q_tfidf,
         "search": _q_search,
@@ -2697,12 +2706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "event_props_stats": _q_event_props_stats,
-        # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget. ROUND-11 ROTATION PLAN: window =
-        # the next 25 (r8-green, budget expires at r11) + 25 of the
-        # r9/r10-green entries at the back; the rest lead round 12
-        # (deadlines check out under the 3-round budget — the rotation
-        # test verifies mechanically).
         "customer_order_counts": _q_customer_order_counts,
         "repeat_error_users": _q_repeat_error_users,
         "cross_corpus_matches": _q_cross_corpus_matches,
