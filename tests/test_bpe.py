@@ -173,3 +173,66 @@ class TestBpeTrain:
         # (a,b,</w>) fuses to one symbol in exactly 2 merges
         assert len(merges) == 2
         assert [r["merged"] for r in merges] == ["ab", "ab</w>"]
+
+
+def test_trained_merges_drive_one_at_a_time_encoding(spark, sf_dir):
+    """Coherence of trainer and encoder: applying bpe_train's learned
+    merge table with the encoder's one-at-a-time leftmost-lowest-rank
+    loop reproduces the trainer's own final word segmentations —
+    the training-order invariant (every merge's inputs are chars or
+    earlier outputs) holds for LEARNED tables too, so the two
+    application orders agree (see functions/bpe.py docstring)."""
+    import collections
+    import re
+
+    from pagerank_mapreduce_implementation_spark.operators import text
+    from pagerank_mapreduce_implementation_spark.sources import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = text.bpe_train(docs, num_merges=16).collect()
+    ranks = {(r["lhs"], r["rhs"]): r["rank"] for r in merges}
+    # the invariant itself
+    produced_at = {lhs + rhs: rank for (lhs, rhs), rank in ranks.items()}
+    for (lhs, rhs), rank in ranks.items():
+        for part in (lhs, rhs):
+            assert len(part) == 1 or part == "</w>" or produced_at[part] < rank
+
+    words = collections.Counter()
+    for (t,) in docs.select("text").collect():
+        for w in re.split(r"\s+", t):
+            if w:
+                words[w] += 1
+    # reference: replay the trainer (all-occurrences per round)
+    vocab = {tuple(list(w) + ["</w>"]): w for w in words}
+    for r in sorted(merges, key=lambda m: m["rank"]):
+        lhs, rhs = r["lhs"], r["rhs"]
+        nxt = {}
+        for syms, w in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = w
+        vocab = nxt
+    expected = {w: syms for syms, w in vocab.items()}
+
+    # encoder order: one-at-a-time leftmost-lowest-rank to fixpoint
+    def encode(w):
+        pieces = list(w) + ["</w>"]
+        while len(pieces) > 1:
+            best, bi = None, None
+            for i in range(len(pieces) - 1):
+                rk = ranks.get((pieces[i], pieces[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, bi = rk, i
+            if bi is None:
+                break
+            pieces[bi : bi + 2] = [pieces[bi] + pieces[bi + 1]]
+        return tuple(pieces)
+
+    for w in words:
+        assert encode(w) == expected[w], w
