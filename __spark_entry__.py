@@ -2434,6 +2434,22 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_streaming_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins changelog compaction
+    (streaming.streaming_changelog_compact): the live per-user
+    snapshot over the events stream — ONE max_by struct per key of
+    state, tombstone winners hidden post-agg, complete mode. The
+    drained memory table IS the batch compaction, so it shares the
+    batch twin's oracle: the strongest stream/batch parity gate."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    snap = strm.streaming_changelog_compact(ev)
+    name = f"_stream_chlog_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(snap, name, output_mode="complete", state_partitions=8)
+    return spark.table(name)
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index (text.build_inverted_index, one shard
     per word): the materialized IR artifact behind search/bm25 —
@@ -2608,7 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 138
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 139
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
@@ -2625,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "triangle_counts": _q_triangle_counts,
         "inverted_index": _q_inverted_index,
+        "streaming_changelog_compact": _q_streaming_changelog_compact,
         "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
@@ -2680,16 +2697,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count": _q_word_count,
         "salted_word_count": _q_salted_word_count,
         "word_count_boundary": _q_word_count_boundary,
-        "doc_word_count": _q_doc_word_count,
         # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget (the 6 round-10 late registrations
-        # pushed term_frequency..nation_order_stats and the (b)-tail
+        # 3-round freshness budget (the 7 round-10 late registrations
+        # pushed doc_word_count..nation_order_stats and the (b)-tail
         # below the line; all r8-green, budget expires at r11).
-        # ROUND-11 ROTATION PLAN: window = the ~31 r8-green entries
-        # whose budget expires (term_frequency..cms_word_counts
+        # ROUND-11 ROTATION PLAN: window = the ~32 r8-green entries
+        # whose budget expires (doc_word_count..cms_word_counts
         # cohort) + the remainder from the r9/r10-green back; the
         # rest lead round 12 (the rotation test verifies the
         # deadlines mechanically).
+        "doc_word_count": _q_doc_word_count,
         "term_frequency": _q_term_frequency,
         "tfidf": _q_tfidf,
         "search": _q_search,
@@ -3560,6 +3577,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": oracles.label_propagation_sql(n_rounds=5),
         "triangle_counts": oracles.triangle_counts_sql(),
         "inverted_index": oracles.inverted_index_sql(),
+        # stream/batch parity: the drained complete-mode table equals
+        # the batch compaction, so the twins share one oracle
+        "streaming_changelog_compact": oracles.changelog_compact_sql(),
         # layout-only sink: the z-curve shapes file placement, never
         # values, so the round-trip oracle is the plain filter
         "zorder_roundtrip": (

@@ -603,3 +603,40 @@ def streaming_bloom_probe(
     return bloom_membership_rowwise(
         items, filter_df, item_col, n_bits, n_hashes, salt
     )
+
+
+def streaming_changelog_compact(
+    events: DataFrame,
+    key_col: str = "user_id",
+    seq_cols: tuple[str, str] = ("ts", "event_id"),
+    delete_type: str = "error",
+) -> DataFrame:
+    """Streaming latest-wins changelog compaction: the live snapshot
+    of per-key state over an unbounded change stream — the streaming
+    twin of ``operators.changelog.compact_changelog``, same winner
+    rule (max lexicographic ``seq_cols`` struct) and same tombstone
+    semantics (a key whose CURRENT winner is a ``delete_type`` row is
+    absent from the emitted snapshot, and REAPPEARS if a later upsert
+    overtakes the tombstone — state keeps the tombstone winner, the
+    post-aggregation filter hides it).
+
+    State is ONE struct per key (the ``max_by`` accumulator), the
+    minimal possible for latest-wins — no event history, no window
+    buffers. Complete/update output modes; with the memory sink and a
+    drained stream the table IS the batch compaction, which is
+    exactly how the driver oracle gates it (stream/batch parity: one
+    shared SQL oracle with the batch twin).
+    """
+    payload = [c for c in events.columns if c != key_col]
+    win = events.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in seq_cols]),
+        ).alias("__w")
+    )
+    return win.select(
+        *[
+            F.col(c) if c == key_col else F.col(f"__w.{c}").alias(c)
+            for c in events.columns
+        ]
+    ).filter(F.col("event_type") != delete_type)

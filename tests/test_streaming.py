@@ -347,3 +347,30 @@ def test_streaming_bloom_probe_end_to_end(spark, tmp_path):
         for r in spark.table("_t_bloom_stream").collect()
     }
     assert got == batch
+
+
+def test_streaming_changelog_compact_tombstone_and_resurrect(spark, tmp_path):
+    """Latest-wins over micro-batches: a key whose CURRENT winner is a
+    tombstone is absent; a later upsert overtakes the tombstone and
+    the key reappears. Winner rule identical to the batch twin."""
+    import datetime as dt
+
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(1), 10, "view", 1.0, "{}"),
+        (2, t(2), 10, "error", 0.0, "{}"),   # tombstone wins for u10
+        (3, t(1), 11, "error", 0.0, "{}"),
+        (4, t(2), 11, "purchase", 9.0, "{}"),  # resurrects u11
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf_dir = str(tmp_path)
+    src.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    ev = strm.read_events_stream(spark, sf_dir)
+    snap = strm.streaming_changelog_compact(ev)
+    strm.run_to_memory(snap, "chlog_tomb", output_mode="complete", state_partitions=4)
+    got = {r["user_id"]: (r["event_id"], r["event_type"]) for r in spark.table("chlog_tomb").collect()}
+    assert got == {11: (4, "purchase")}
