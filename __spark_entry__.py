@@ -2434,6 +2434,34 @@ def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.novelty_scores(Catalog(spark, sf_dir).documents, n=5)
 
 
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (relational.retention_cohorts): users
+    bucketed by first-event day, counted once per 7-day offset they
+    return in. First-touch agg + co-partitioned join back + distinct
+    count; no windows. Oracle: the same buckets via SQL min/datediff."""
+    out = relational.retention_cohorts(Catalog(spark, sf_dir).events)
+    # native DATE through the aggs; format the handful of output rows
+    # only at the boundary (the daily_uniques convention)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "week_offset",
+        "n_users",
+    )
+
+
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives per day
+    (relational.rolling_active_users): distinct user-days explode to
+    their 7 report days (plan-constant fan-out) — never a per-day
+    self-join over the log; horizon tail joined away on the observed
+    days dim. Oracle: DuckDB rebuilds the same contribution table
+    with unnest(range(7))."""
+    out = relational.rolling_active_users(Catalog(spark, sf_dir).events)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "rolling_users"
+    )
+
+
 def _q_streaming_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming latest-wins changelog compaction
     (streaming.streaming_changelog_compact): the live per-user
@@ -2624,7 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
     # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 139
+    # ceil(len(registry)/50) rounds — 3 rounds at the current 141
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
@@ -2642,6 +2670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "inverted_index": _q_inverted_index,
         "streaming_changelog_compact": _q_streaming_changelog_compact,
+        "retention_cohorts": _q_retention_cohorts,
+        "rolling_active_users": _q_rolling_active_users,
         "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
@@ -2695,17 +2725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks_bpe": _q_doc_chunks_bpe,
         "source_mix": _q_source_mix,
         "word_count": _q_word_count,
+        # --- window boundary (50) — below here: green within the
+        # 3-round freshness budget (the 10 round-10 late
+        # registrations pushed salted_word_count..nation_order_stats
+        # and the (b)-tail below the line; all r8-green, budget
+        # expires at r11). ROUND-11 ROTATION PLAN: window = the ~35
+        # r8-green entries whose budget expires
+        # (salted_word_count..cms_word_counts cohort) + the remainder
+        # from the r9/r10-green back; the rest lead round 12 (the
+        # rotation test verifies the deadlines mechanically).
         "salted_word_count": _q_salted_word_count,
         "word_count_boundary": _q_word_count_boundary,
-        # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget (the 7 round-10 late registrations
-        # pushed doc_word_count..nation_order_stats and the (b)-tail
-        # below the line; all r8-green, budget expires at r11).
-        # ROUND-11 ROTATION PLAN: window = the ~32 r8-green entries
-        # whose budget expires (doc_word_count..cms_word_counts
-        # cohort) + the remainder from the r9/r10-green back; the
-        # rest lead round 12 (the rotation test verifies the
-        # deadlines mechanically).
         "doc_word_count": _q_doc_word_count,
         "term_frequency": _q_term_frequency,
         "tfidf": _q_tfidf,
@@ -3580,6 +3610,26 @@ def oracle_sql() -> dict[str, str]:
         # stream/batch parity: the drained complete-mode table equals
         # the batch compaction, so the twins share one oracle
         "streaming_changelog_compact": oracles.changelog_compact_sql(),
+        "retention_cohorts": (
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day "
+            "FROM events GROUP BY user_id), "
+            "t AS (SELECT DISTINCT e.user_id, f.cohort_day, "
+            "CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7) AS INT) "
+            "AS week_offset FROM events e JOIN f ON e.user_id = f.user_id) "
+            "SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, "
+            "week_offset, count(*) AS n_users FROM t "
+            "GROUP BY cohort_day, week_offset"
+        ),
+        "rolling_active_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "days AS (SELECT DISTINCT day FROM ud), "
+            "c AS (SELECT user_id, day + CAST(i AS INT) AS report_day FROM "
+            "(SELECT user_id, day, unnest(range(0, 7)) AS i FROM ud)) "
+            "SELECT strftime(c.report_day, '%Y-%m-%d') AS day, "
+            "count(DISTINCT c.user_id) AS rolling_users "
+            "FROM c JOIN days d ON c.report_day = d.day GROUP BY c.report_day"
+        ),
         # layout-only sink: the z-curve shapes file placement, never
         # values, so the round-trip oracle is the plain filter
         "zorder_roundtrip": (

@@ -271,3 +271,72 @@ def window_shoppers(events: DataFrame) -> DataFrame:
         )
 
     return pairs("view").subtract(pairs("purchase"))
+
+
+def retention_cohorts(events: DataFrame, week_days: int = 7) -> DataFrame:
+    """Cohort retention matrix → ``(cohort_day, week_offset,
+    n_users)``: users bucketed by the day of their FIRST event,
+    counted once per ``week_days``-wide offset bucket they return in
+    — the standard activation/retention read over an event log.
+
+    Plan: one user-keyed aggregate for first-touch (map-side
+    partials), a user-keyed join back (co-partitioned — the join key
+    is the aggregate's own grouping key, so the exchange is reused),
+    then a distinct + count on the (cohort, offset, user) triple.
+    Nothing wider than (users x active offset buckets) ever
+    materializes; no window functions."""
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff("day", "cohort_day") / week_days)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-``window_days`` distinct active users per calendar day
+    → ``(day, rolling_users)`` — the classic sliding-window distinct
+    (7-day actives), which naive SQL writes as a per-day self-join
+    over the whole log.
+
+    Plan: collapse to distinct (user, day) FIRST (one shuffle —
+    events per user-day collapse before any widening), then each
+    user-day contributes to its ``window_days`` report days via a
+    bounded ``sequence`` explode (fan-out = window width, a plan
+    constant, not data), count-distinct per report day, and keep only
+    days that actually occur in the log (the explode's horizon tail
+    is joined away against the distinct-days dim). No self-join over
+    the log, no per-day rescan."""
+    if window_days <= 0:
+        raise ValueError(f"window_days ({window_days}) must be positive")
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    contributions = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add("day", window_days - 1)
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contributions.join(
+            days.withColumnRenamed("day", "report_day"), "report_day"
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("rolling_users"))
+        .withColumnRenamed("report_day", "day")
+    )

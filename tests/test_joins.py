@@ -150,3 +150,60 @@ def test_asof_null_right_ts_never_matches(spark):
     out = asof_join(left, right, on="k", suffix="_r").collect()
     # the NULL-ts row must not become a phantom match; ts(10) is after
     assert out[0].px_r is None and out[0].ts_r is None
+
+
+class TestRetentionAndRollingActives:
+    """relational.retention_cohorts / rolling_active_users."""
+
+    def test_retention_cohorts_tiny(self, spark):
+        import datetime as dt
+
+        from pagerank_mapreduce_implementation_spark.operators import relational
+
+        t = lambda d, u: (u * 100 + d, dt.datetime(2024, 1, d), u, "view", 1.0, "{}")
+        # u1 first on d1, returns d3 (offset 0) and d9 (offset 1);
+        # u2 first on d2, never returns
+        rows = [t(1, 1), t(3, 1), t(9, 1), t(3, 1), t(2, 2)]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+        )
+        got = {
+            (str(r["cohort_day"]), r["week_offset"]): r["n_users"]
+            for r in relational.retention_cohorts(ev).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 1): 1,
+            ("2024-01-02", 0): 1,
+        }
+
+    def test_rolling_active_users_tiny(self, spark):
+        import datetime as dt
+
+        from pagerank_mapreduce_implementation_spark.operators import relational
+
+        t = lambda d, u: (u * 100 + d, dt.datetime(2024, 1, d), u, "view", 1.0, "{}")
+        # u1 active d1; u2 active d1 and d8; observed days: d1, d8.
+        # d1 trailing-7 = {u1, u2}; d8 trailing-7 = {u2} (d1 is 7 days
+        # before d8 — outside the [d-6, d] window... d8-6 = d2, so d1
+        # excluded).
+        rows = [t(1, 1), t(1, 2), t(8, 2)]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+        )
+        got = {
+            str(r["day"]): r["rolling_users"]
+            for r in relational.rolling_active_users(ev).collect()
+        }
+        assert got == {"2024-01-01": 2, "2024-01-08": 1}
+
+    def test_rolling_window_guard(self, spark):
+        import pytest
+
+        from pagerank_mapreduce_implementation_spark.operators import relational
+
+        ev = spark.createDataFrame([], "ts TIMESTAMP, user_id LONG")
+        with pytest.raises(ValueError, match="positive"):
+            relational.rolling_active_users(ev, window_days=0)
