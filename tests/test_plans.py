@@ -824,3 +824,23 @@ def test_bpe_train_vocab_fold_stays_jvm_side(spark, sf_dir):
     assert "Python" not in p
     assert "TakeOrderedAndProject" in p  # limit(1), never a global sort
     assert "Generate explode" in p
+
+
+def test_retention_cohorts_no_window_no_cartesian(plans):
+    """retention_cohorts: first-touch agg + user-keyed join back +
+    distinct count — no Window, no cartesian, no Python."""
+    p = plans("retention_cohorts")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_rolling_active_users_bounded_explode_no_self_join(plans):
+    """rolling_active_users: ONE Generate explode (the plan-constant
+    window fan-out) and no join of the log against itself — the
+    days-dim join is the only join and its build side is day-count
+    sized (AQE broadcasts it)."""
+    p = plans("rolling_active_users")
+    assert p.count("Generate explode") == 1
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
