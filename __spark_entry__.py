@@ -2657,83 +2657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
-        # (a0) NEW round-10 registrations — first driver certification
-        # (the 4 late insertions pushed search_top10 / pricing_summary
-        # / top_customers / nation_order_stats — all r8-green — below
-        # the window: legal, their r8 rows stay inside the 3-file
-        # budget through round 11, when the r8 cohort rotates forward
-        # anyway)
-        "bpe_train": _q_bpe_train,
-        "changelog_compact": _q_changelog_compact,
-        "zorder_roundtrip": _q_zorder_roundtrip,
-        "lpa_communities": _q_lpa_communities,
-        "triangle_counts": _q_triangle_counts,
-        "inverted_index": _q_inverted_index,
-        "streaming_changelog_compact": _q_streaming_changelog_compact,
-        "retention_cohorts": _q_retention_cohorts,
-        "rolling_active_users": _q_rolling_active_users,
-        "changelog_apply": _q_changelog_apply,
-        "temperature_alloc": _q_temperature_alloc,
-        "temperature_mix": _q_temperature_mix,
-        "ivf_pq_topk": _q_ivf_pq_topk,
-        "unimax_alloc": _q_unimax_alloc,
-        "unimax_mix": _q_unimax_mix,
-        "pq_encode": _q_pq_encode,
-        "pq_topk": _q_pq_topk,
-        "cdc_chunks": _q_cdc_chunks,
-        "cdc_dedup": _q_cdc_dedup,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "bigram_lm": _q_bigram_lm,
-        "entropy_stats": _q_entropy_stats,
-        "bloom_probe": _q_bloom_probe,
-        "quality_classifier": _q_quality_classifier,
-        "streaming_bloom_probe": _q_streaming_bloom_probe,
-        "novelty_scores": _q_novelty_scores,
-        "packed_bins_spans": _q_packed_bins_spans,
-        "source_top_fraction": _q_source_top_fraction,
-        # (a) CHANGED this round: hits rewritten (deferred-norm
-        # support-only loop, 62s->9s), gopher_repetition staging
-        # spread, gopher_rules stopword semantics (distinct) — all
-        # need fresh driver certification
-        "gopher_repetition": _q_gopher_repetition,
-        "hits_top20": _q_hits_top20,
-        "gopher_rules": _q_gopher_rules,
-        # (b) the 12-query cohort last green in round 7 — their r7
-        # rows age out of the 3-file budget when round 10 lands, so
-        # they MUST be certified this round
-        "streaming_cms_counts": _q_streaming_cms_counts,
-        "signup_funnel": _q_signup_funnel,
-        "returnflag_cube": _q_returnflag_cube,
-        "salted_brand_revenue": _q_salted_brand_revenue,
-        "user_purchase_trend": _q_user_purchase_trend,
-        "signup_followups": _q_signup_followups,
-        "customer_order_gaps": _q_customer_order_gaps,
-        "daily_type_pivot": _q_daily_type_pivot,
-        "value_percentiles": _q_value_percentiles,
-        "approx_daily_uniques": _q_approx_daily_uniques,
-        "asof_clicks": _q_asof_clicks,
-        "daily_uniques": _q_daily_uniques,
-        # (c) r8-green cohort — due by round 11; the CDC additions
-        # above push nine below the boundary, so 16 of the
-        # 50 ride this window and 34 lead round 11,
-        # taken early to fill the window; the remaining 25 (below the
-        # boundary) lead round 11
-        "bm25_search": _q_bm25_search,
-        "seq_packing": _q_seq_packing,
-        "seq_packing_bpe": _q_seq_packing_bpe,
-        "doc_chunks_bpe": _q_doc_chunks_bpe,
-        "source_mix": _q_source_mix,
-        "word_count": _q_word_count,
-        # --- window boundary (50) — below here: green within the
-        # 3-round freshness budget (the 10 round-10 late
-        # registrations pushed salted_word_count..nation_order_stats
-        # and the (b)-tail below the line; all r8-green, budget
-        # expires at r11). ROUND-11 ROTATION PLAN: window = the ~35
-        # r8-green entries whose budget expires
-        # (salted_word_count..cms_word_counts cohort) + the remainder
-        # from the r9/r10-green back; the rest lead round 12 (the
-        # rotation test verifies the deadlines mechanically).
+        # (b) ROUND-11 WINDOW: the 44-query cohort last driver-green
+        # in round 8 — their r8 rows age out of the 3-file budget when
+        # round 11 lands, so they MUST be certified this round —
         "salted_word_count": _q_salted_word_count,
         "word_count_boundary": _q_word_count_boundary,
         "doc_word_count": _q_doc_word_count,
@@ -2778,13 +2704,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "streaming_events_sliding": _q_streaming_events_sliding,
         "graph_degree_histogram": _q_graph_degree_histogram,
-        # r9-green cohort (due by round 12)
+        # plus the front of the r9-green cohort to fill the window
+        # (new round-11 registrations displace these six toward the
+        # boundary; they stay legal below it via their r9 rows)
         "image_dct_dups": _q_image_dct_dups,
         "audio_near_dups": _q_audio_near_dups,
         "video_near_dups": _q_video_near_dups,
         "video_shared_runs": _q_video_shared_runs,
         "substring_strip": _q_substring_strip,
         "streaming_phash_probe": _q_streaming_phash_probe,
+        # --- window boundary (50) — below here: green within the
+        # 3-round freshness budget. ROUND-12 ROTATION PLAN: window =
+        # the 41 remaining r9-green entries (orc_pricing_roundtrip..
+        # cms_word_counts) + up to 9 from the r10-green back; the
+        # 50-entry r10 cohort (bpe_train..word_count) then leads
+        # round 13 exactly filling that window (the rotation test
+        # verifies the deadlines mechanically).
+        # r9-green remainder (due by round 12):
         "orc_pricing_roundtrip": _q_orc_pricing_roundtrip,
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
@@ -2826,6 +2762,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
         "cms_word_counts": _q_cms_word_counts,
+        # r10-green cohort (due by round 13):
+        "bpe_train": _q_bpe_train,
+        "changelog_compact": _q_changelog_compact,
+        "zorder_roundtrip": _q_zorder_roundtrip,
+        "lpa_communities": _q_lpa_communities,
+        "triangle_counts": _q_triangle_counts,
+        "inverted_index": _q_inverted_index,
+        "streaming_changelog_compact": _q_streaming_changelog_compact,
+        "retention_cohorts": _q_retention_cohorts,
+        "rolling_active_users": _q_rolling_active_users,
+        "changelog_apply": _q_changelog_apply,
+        "temperature_alloc": _q_temperature_alloc,
+        "temperature_mix": _q_temperature_mix,
+        "ivf_pq_topk": _q_ivf_pq_topk,
+        "unimax_alloc": _q_unimax_alloc,
+        "unimax_mix": _q_unimax_mix,
+        "pq_encode": _q_pq_encode,
+        "pq_topk": _q_pq_topk,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup": _q_cdc_dedup,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "bigram_lm": _q_bigram_lm,
+        "entropy_stats": _q_entropy_stats,
+        "bloom_probe": _q_bloom_probe,
+        "quality_classifier": _q_quality_classifier,
+        "streaming_bloom_probe": _q_streaming_bloom_probe,
+        "novelty_scores": _q_novelty_scores,
+        "packed_bins_spans": _q_packed_bins_spans,
+        "source_top_fraction": _q_source_top_fraction,
+        "gopher_repetition": _q_gopher_repetition,
+        "hits_top20": _q_hits_top20,
+        "gopher_rules": _q_gopher_rules,
+        "streaming_cms_counts": _q_streaming_cms_counts,
+        "signup_funnel": _q_signup_funnel,
+        "returnflag_cube": _q_returnflag_cube,
+        "salted_brand_revenue": _q_salted_brand_revenue,
+        "user_purchase_trend": _q_user_purchase_trend,
+        "signup_followups": _q_signup_followups,
+        "customer_order_gaps": _q_customer_order_gaps,
+        "daily_type_pivot": _q_daily_type_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "approx_daily_uniques": _q_approx_daily_uniques,
+        "asof_clicks": _q_asof_clicks,
+        "daily_uniques": _q_daily_uniques,
+        "bm25_search": _q_bm25_search,
+        "seq_packing": _q_seq_packing,
+        "seq_packing_bpe": _q_seq_packing_bpe,
+        "doc_chunks_bpe": _q_doc_chunks_bpe,
+        "source_mix": _q_source_mix,
+        "word_count": _q_word_count,
     }
 
 
