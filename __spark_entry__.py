@@ -2644,6 +2644,92 @@ def _q_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-11 additions -----------------------------------------------------
+
+# Bipartite order-part graph from lineitem: vertex/edge counts scale
+# WITH the data but per-vertex degree stays flat (median ~4, max ~50
+# at every sf) — the right testbed for degree-conditioned algorithms,
+# where the dense supplier graph's degrees grow with sf and would
+# make any fixed k degenerate.
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+
+
+_BIPARTITE_EDGES_SQL = (
+    "SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src, "
+    "'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
+)
+_BIPARTITE_BIDIR_SQL = (
+    f"SELECT src, dst FROM ({_BIPARTITE_EDGES_SQL}) "
+    f"UNION ALL SELECT dst AS src, src AS dst FROM ({_BIPARTITE_EDGES_SQL})"
+)
+_BFS_SOURCES = ["o1"]
+
+
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (graph.bfs_distances) over the
+    bidirectional bipartite order-part graph: 6 synchronous frontier
+    rounds from order o1 — orders at even distances, parts at odd.
+    Frontier-only relaxation: each round joins ONLY last round's
+    newly-reached vertices against the once-shuffled edge table.
+    Oracle: unrolled MATERIALIZED frontier CTEs."""
+    e = _bipartite_edges(spark, sf_dir)
+    bidir = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return graph.bfs_distances(bidir, _BFS_SOURCES, n_rounds=6)
+
+
+def _q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (graph.kcore, k=3, 5 synchronous rounds) over
+    the undirected simple order-part graph — each round deletes
+    vertices of degree < 3 with their edges; survivors report their
+    final in-subgraph degree. Peels ~20% of vertices at every sf
+    (the flat degree distribution is why the bipartite graph is the
+    testbed). Oracle: unrolled peel rounds."""
+    return graph.kcore(_bipartite_edges(spark, sf_dir), k=3, n_rounds=5)
+
+
+def _q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (relational.pricing_grouping_sets):
+    two unrelated pivots + grand total in ONE Expand + hash-agg pass
+    — the multi-level-agg family member CUBE/ROLLUP cannot express.
+    Decimal-cast sums per the relational module's determinism note."""
+    return relational.pricing_grouping_sets(Catalog(spark, sf_dir).lineitem)
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source head/middle/tail perplexity bucketing
+    (textstats.perplexity_buckets): bigram-LM nll scored corpus-wide,
+    ntile(3) WITHIN each source ordered (nll, doc_id) — the rounded
+    nll makes the sort key cross-engine exact."""
+    return textstats.perplexity_buckets(Catalog(spark, sf_dir).documents)
+
+
+def _q_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine pairs (text.tfidf_doc_pairs): inverted-
+    index self-join in the df<=64-capped term subspace, decimal-cast
+    order-independent dot/norm sums, cosine >= 0.3 on the rounded
+    value. The lexical sibling of the embedding cosine_pairs."""
+    return text.tfidf_doc_pairs(
+        Catalog(spark, sf_dir).documents, max_df=64, threshold=0.3
+    )
+
+
+def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup DECISION table (dedup.cluster_survivors): MinHash+LSH
+    pairs -> star-contraction clusters -> quality-argmax survivor per
+    cluster (ties to smallest doc_id), singletons survive. The full
+    keep/drop verdict a production dedup pass applies."""
+    return dedup.cluster_survivors(
+        Catalog(spark, sf_dir).documents, threshold=0.5, ngram=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS A ROTATION POLICY, not an accident: the grading
     # driver's correctness window checks the FIRST 50 entries, so each
@@ -2657,6 +2743,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests (boundary-tolerant per r8 verdict item 3: a below-window
     # query is fresh if green in one of the last-budget driver files).
     return {
+        # (a) NEW round-11 registrations — first driver certification
+        "bfs_distances": _q_bfs_distances,
+        "kcore_peel": _q_kcore_peel,
+        "grouping_sets_pricing": _q_grouping_sets_pricing,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "tfidf_doc_pairs": _q_tfidf_doc_pairs,
+        "cluster_survivors": _q_cluster_survivors,
         # (b) ROUND-11 WINDOW: the 44-query cohort last driver-green
         # in round 8 — their r8 rows age out of the 3-file budget when
         # round 11 lands, so they MUST be certified this round —
@@ -2704,15 +2797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "streaming_events_sliding": _q_streaming_events_sliding,
         "graph_degree_histogram": _q_graph_degree_histogram,
-        # plus the front of the r9-green cohort to fill the window
-        # (new round-11 registrations displace these six toward the
-        # boundary; they stay legal below it via their r9 rows)
-        "image_dct_dups": _q_image_dct_dups,
-        "audio_near_dups": _q_audio_near_dups,
-        "video_near_dups": _q_video_near_dups,
-        "video_shared_runs": _q_video_shared_runs,
-        "substring_strip": _q_substring_strip,
-        "streaming_phash_probe": _q_streaming_phash_probe,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-12 ROTATION PLAN: window =
         # the 41 remaining r9-green entries (orc_pricing_roundtrip..
@@ -2721,6 +2805,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 13 exactly filling that window (the rotation test
         # verifies the deadlines mechanically).
         # r9-green remainder (due by round 12):
+        "image_dct_dups": _q_image_dct_dups,
+        "audio_near_dups": _q_audio_near_dups,
+        "video_near_dups": _q_video_near_dups,
+        "video_shared_runs": _q_video_shared_runs,
+        "substring_strip": _q_substring_strip,
+        "streaming_phash_probe": _q_streaming_phash_probe,
         "orc_pricing_roundtrip": _q_orc_pricing_roundtrip,
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
@@ -3837,4 +3927,62 @@ def oracle_sql() -> dict[str, str]:
     # fidelity loss (types, partition-column round-trip) breaks the
     # hash gate
     out["orc_pricing_roundtrip"] = out["pricing_summary"]
+    # --- round-11 additions ---
+    out["bfs_distances"] = oracles.bfs_distances_sql(
+        _BFS_SOURCES, edges_sql=_BIPARTITE_BIDIR_SQL, n_rounds=6
+    )
+    out["kcore_peel"] = oracles.kcore_sql(
+        k=3, edges_sql=_BIPARTITE_EDGES_SQL, n_rounds=5
+    )
+    out["grouping_sets_pricing"] = (
+        "SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year, "
+        "count(*) AS n_items, "
+        "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) "
+        "AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_returnflag, ship_year), ())"
+    )
+    out["perplexity_buckets"] = (
+        f"WITH s AS (SELECT * FROM ({oracles.bigram_lm_sql()}) z), "
+        "j AS (SELECT d.doc_id, d.source, s.nll FROM documents d "
+        "JOIN s ON d.doc_id = s.doc_id), "
+        "b AS (SELECT doc_id, source, nll, ntile(3) OVER "
+        "(PARTITION BY source ORDER BY nll ASC, doc_id ASC) AS bucket FROM j) "
+        "SELECT doc_id, source, nll, bucket, "
+        "CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle' "
+        "ELSE 'tail' END AS bucket_name FROM b"
+    )
+    out["tfidf_doc_pairs"] = (
+        f"WITH {_TOK_LOWER}, {_TF}, {_TFIDF}, "
+        "kept AS (SELECT t.doc_id, t.word, t.tfidf FROM tfidf t "
+        "JOIN dfreq USING (word) WHERE dfreq.df <= 64), "
+        "norms AS (SELECT doc_id, sqrt(CAST(sum(CAST(tfidf*tfidf "
+        "AS DECIMAL(18,6))) AS DOUBLE)) AS norm FROM kept GROUP BY doc_id), "
+        "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(sum(CAST(a.tfidf*b.tfidf AS DECIMAL(18,6))) AS DOUBLE) AS dot "
+        "FROM kept a JOIN kept b ON a.word = b.word AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(dot/(na.norm*nb.norm), 6) AS cosine "
+        "FROM dots JOIN norms na ON doc_a = na.doc_id "
+        "JOIN norms nb ON doc_b = nb.doc_id "
+        "WHERE round(dot/(na.norm*nb.norm), 6) >= 0.3"
+    )
+    cc = oracles.connected_components_sql(
+        "SELECT doc_a, doc_b FROM ("
+        + oracles.minhash_near_dups_sql(0.5, ngram=5)
+        + ")"
+    )
+    out["cluster_survivors"] = (
+        f"WITH comp AS (SELECT * FROM ({cc}) c), "
+        f"q AS (SELECT doc_id, quality FROM ({out['quality_scores']}) z), "
+        "m AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster_id, "
+        "q.quality FROM documents d LEFT JOIN comp ON d.doc_id = comp.vertex "
+        "JOIN q ON q.doc_id = d.doc_id), "
+        "w AS (SELECT cluster_id, doc_id AS survivor_id FROM "
+        "(SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality DESC, doc_id ASC) AS rn FROM m) WHERE rn = 1) "
+        "SELECT m.doc_id, m.cluster_id, w.survivor_id, "
+        "m.doc_id = w.survivor_id AS keep "
+        "FROM m JOIN w ON m.cluster_id = w.cluster_id"
+    )
     return out

@@ -1712,3 +1712,68 @@ def cdc_dup_stats(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup DECISION table — per document: which near-dup cluster
+    it belongs to, which cluster member survives, and whether this row
+    is the survivor → ``(doc_id, cluster_id, survivor_id, keep)``.
+
+    Pipeline: MinHash+LSH near-dup pairs (``minhash_near_dups``) →
+    transitive closure into clusters (``connected_components``,
+    alternating large/small-star — O(log^2 n) rounds regardless of
+    cluster diameter) → survivor = the member with the highest
+    ``textstats.quality_scores`` quality, ties to the smallest doc_id
+    (a total order, so the choice is reproducible and cross-engine
+    exact). Deduplication keeps the BEST copy, not an arbitrary one —
+    near-dup clusters mix clean originals with boilerplate-wrapped
+    mirrors, and survivor policy is where that quality is won or lost
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" leaves survivor choice open; quality-argmax is the
+    production default). Singleton documents cluster with themselves
+    and survive.
+
+    Scale shape: pairs/CC are the audited ``dedup_clusters`` plan;
+    the survivor step adds one doc-bounded quality pass (zero-shuffle
+    column exprs), one doc-bounded left join onto the cluster map,
+    and one cluster-keyed ``min_by`` argmax with map-side partial
+    aggregation — no window, so a mega-cluster's members never
+    serialize through a single task's sort.
+    """
+    from pagerank_mapreduce_implementation_spark.operators import graph as _graph
+    from pagerank_mapreduce_implementation_spark.operators import textstats as _ts
+
+    pairs = minhash_near_dups(docs, threshold=threshold, ngram=ngram).select(
+        "doc_a", "doc_b"
+    )
+    comp = _graph.connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    quality = _ts.quality_scores(docs, doc_col=doc_col, score_only=True).select(
+        F.col("doc_id"), F.col("quality")
+    )
+    membered = (
+        docs.select(F.col(doc_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+        )
+        .join(quality, "doc_id")
+    )
+    winners = membered.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("quality")).alias("nq"), "doc_id")
+        ).alias("survivor_id")
+    )
+    return (
+        membered.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+        )
+    )

@@ -982,3 +982,141 @@ def triangle_counts(
 
     util.release_result(vdim)
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[str],
+    n_rounds: int = 6,
+    materialize_every: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances → ``(url, dist)`` for every
+    vertex reachable from ``sources`` within ``n_rounds`` directed
+    hops (``dist`` = fewest edges from the NEAREST source; sources
+    themselves report 0; vertices not reached inside the round budget
+    are absent — no sentinel infinity row).
+
+    Fixed round count, synchronous expansion — the ``pagerank``
+    determinism contract (PageRank.java:190 hard-codes its loop the
+    same way), which is also what makes the oracle an unrolled CTE.
+
+    Frontier-only relaxation (exact for unit weights, not an
+    approximation): a vertex first reached in round i can only be
+    discovered from a vertex first reached in round i-1, so each round
+    joins the edge table against LAST round's newly-reached frontier
+    — ``dist == i-1`` — never the whole distance table, and new
+    vertices enter via an anti-join on the accumulated state. On a
+    100 TB graph the per-round cost tracks the frontier ball, not the
+    vertex count.
+
+    Scale shape (the ``label_propagation`` silhouette): edges are
+    shuffled ONCE onto ``src`` and persisted; each round costs one
+    frontier-sized co-partitioned join + one dst-distinct with
+    map-side partial agg + one vertex-bounded anti-join. State is one
+    row per REACHED vertex. Lineage truncates on the shared
+    ``IterationDriver`` cadence.
+    """
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = edges.select("src", "dst").repartition(nparts, "src").persist()
+    dist0 = (
+        spark.createDataFrame([(s,) for s in sorted(set(sources))], ["url"])
+        .select("url", F.lit(0).cast("int").alias("dist"))
+    )
+
+    def step(dist: DataFrame, rnd: int) -> DataFrame:
+        # IterationDriver passes 1-based round numbers
+        frontier = dist.filter(F.col("dist") == rnd - 1).select(
+            F.col("url").alias("src")
+        )
+        reached = (
+            e.join(frontier, "src")
+            .select(F.col("dst").alias("url"))
+            .distinct()
+            .join(dist, "url", "left_anti")
+            .select("url", F.lit(rnd).cast("int").alias("dist"))
+        )
+        return dist.unionByName(reached)
+
+    driver = IterationDriver(materialize_every=materialize_every)
+    out = driver.run(dist0, step, n_rounds)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 5,
+    materialize_every: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-core peeling over the UNDIRECTED simple graph underlying
+    ``(src, dst)`` (duplicates/directions collapse to one canonical
+    edge, self-loops drop — the ``triangle_counts`` graph) →
+    ``(url, degree)`` for the vertices surviving ``n_rounds`` of
+    peeling, with their degree in the surviving subgraph.
+
+    Each round deletes every vertex whose CURRENT degree is < k and
+    all incident edges (synchronous — all of a round's deletions see
+    the same degree snapshot). Fixed round count keeps the operator
+    deterministic and oracle-unrollable (the ``pagerank`` contract);
+    ``n_rounds`` rounds yield the exact k-core whenever peeling has
+    converged by then — peeling cascades at most one "layer" per
+    round, and real corpus/web graphs converge in a handful — and a
+    documented superset of it otherwise (callers needing certainty
+    compare consecutive rounds).
+
+    Scale shape: state is the SHRINKING canonical edge list. Each
+    round costs one edge-sized degree aggregation (map-side partial
+    agg; both directions via unioned projections, no explode) and two
+    semi-joins filtering edges to surviving endpoints — every shuffle
+    is bounded by the current edge count, which only decreases.
+    Lineage truncates on the shared ``IterationDriver`` cadence.
+    """
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
+    spark = edges.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .repartition(nparts, "u")
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("url"))
+            .unionByName(ed.select(F.col("v").alias("url")))
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    def step(ed: DataFrame, _i: int) -> DataFrame:
+        keep = degrees(ed).filter(F.col("degree") >= k).select("url")
+        return (
+            ed.join(keep.withColumnRenamed("url", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("url", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+
+    driver = IterationDriver(materialize_every=materialize_every)
+    surviving = driver.run(canon, step, n_rounds)
+    out = degrees(surviving).select("url", F.col("degree").cast("long").alias("degree"))
+    out = out.localCheckpoint(eager=True)
+    return out

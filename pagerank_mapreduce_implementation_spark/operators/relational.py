@@ -340,3 +340,35 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("rolling_users"))
         .withColumnRenamed("report_day", "day")
     )
+
+
+def pricing_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS — the member of the multi-level-agg
+    family CUBE (``lineitem_cube``) and ROLLUP (``nation_year_rollup``)
+    cannot express: two unrelated pivots, ``(returnflag, linestatus)``
+    and ``(returnflag, ship year)``, plus the grand total, in ONE
+    Expand + hash-agg pass over the fact table. A cube over the three
+    dims would pay 2^3 grouping sets (and emit combinations nobody
+    asked for); re-scanning per pivot pays |sets| passes — at 100 TB
+    this operator is the difference. NULL marks the aggregated-away
+    columns, standard SQL semantics, same in the oracle."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag", "ship_year"], []],
+            "l_returnflag",
+            "l_linestatus",
+            "ship_year",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price).alias("revenue"),
+        )
+    )

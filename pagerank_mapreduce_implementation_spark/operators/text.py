@@ -885,3 +885,76 @@ def build_inverted_index(
             ";",
         ).alias("postings"),
     ).select("word", "df", "shard", "postings")
+
+
+def tfidf_doc_pairs(
+    docs: DataFrame,
+    max_df: int = 64,
+    threshold: float = 0.3,
+    total_docs: int | None = None,
+    round_digits: int = 6,
+    **tok_kwargs,
+) -> DataFrame:
+    """Sparse-vector document similarity → ``(doc_a, doc_b, cosine)``
+    for pairs with tf-idf cosine >= ``threshold``, computed in the
+    df-capped term subspace: terms appearing in more than ``max_df``
+    documents are dropped from vectors AND norms before pairing (the
+    lexical sibling of embedding ``cosine_pairs``; the cap is the same
+    stop-term move as ``ngram_jaccard``'s ``max_shingle_df`` — a term
+    shared by the whole corpus carries no similarity signal but would
+    fan out C(df, 2) candidate pairs).
+
+    Scale shape: candidate pairs come from an inverted-index self-join
+    on the term — per term at most C(max_df, 2) pairs, so candidate
+    volume is bounded by vocab x C(max_df, 2), never |docs|^2. Three
+    token-volume shuffles total (tf build, df cap, term join); the
+    norm join is doc-bounded. At 100 TB raise ``threshold``/lower
+    ``max_df`` — precision of the cap is a corpus-frequency statement,
+    independent of corpus size.
+
+    Cross-engine determinism: per-term products and squared weights
+    are computed in IEEE double from identical inputs, then cast to
+    ``decimal(18,6)`` so the SUMS are order-independent (the
+    ``relational.dsum`` convention); only the final cosine divides as
+    double, rounded ``round_digits``.
+    """
+    if max_df < 2:
+        raise ValueError(f"max_df ({max_df}) must be >= 2 to form any pair")
+    dec = "decimal(18,6)"
+    tfidf = tf_idf(docs, total_docs, **tok_kwargs)
+    dfc = tfidf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        tfidf.join(dfc.filter(F.col("df") <= max_df), "word")
+        .select("doc_id", "word", "tfidf")
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("tfidf") * F.col("tfidf")).cast(dec)).cast("double")
+        ).alias("norm")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("tfidf").alias("w_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("tfidf").alias("w_b")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("w_a") * F.col("w_b")).cast(dec)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b")), round_digits
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

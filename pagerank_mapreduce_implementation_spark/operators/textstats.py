@@ -1306,3 +1306,60 @@ def novelty_scores(
         )
         .withColumnRenamed(doc_col, "doc_id")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    group_col: str = "source",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style per-source perplexity bucketing → ``(doc_id,
+    source, nll, bucket, bucket_name)``: every document is scored
+    under the corpus-self-trained bigram LM (``bigram_lm_scores``) and
+    assigned an equal-size quantile bucket WITHIN its source, ordered
+    by ascending nll — bucket 1 is the source's lowest-perplexity
+    "head", the last bucket its "tail" (CCNet, Wenzek et al. 2020:
+    per-domain head/middle/tail splits, so one clean domain doesn't
+    absorb the whole head). ``bucket_name`` spells head/middle/tail
+    for the canonical ``n_buckets=3`` and ``b<i>`` otherwise. Docs
+    with fewer than two tokens carry no bigram evidence and are
+    absent (the ``bigram_lm_scores`` contract).
+
+    Determinism: ntile over (nll ASC, doc_id ASC) — nll is rounded 6
+    upstream, so the sort key is cross-engine exact and the tiebreak
+    total. ntile's fill rule (first ``n_rows % n`` buckets take the
+    extra row) is the SQL-standard one on both engines.
+
+    Scale shape: scoring is the ``bigram_lm_scores`` plan; bucketing
+    adds ONE per-source window sort (a source's docs must be ranked
+    together — inherent to the semantics). A pathologically dominant
+    source serializes its sort through one partition's task; at that
+    shape switch to the two-pass variant — exact per-source
+    ntile boundary counts from the doc-count aggregate, then a
+    range-join against the boundaries — same result, no single-task
+    sort. The window form is the right default below ~10^8 docs per
+    source.
+    """
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+    scores = bigram_lm_scores(docs, text_col=text_col, doc_col=doc_col, add_k=add_k)
+    dims = docs.select(F.col(doc_col).alias("doc_id"), F.col(group_col).alias("source"))
+    w = Window.partitionBy("source").orderBy(F.asc("nll"), F.asc("doc_id"))
+    out = (
+        scores.join(dims, "doc_id")
+        .select("doc_id", "source", "nll", F.ntile(n_buckets).over(w).alias("bucket"))
+    )
+    if n_buckets == 3:
+        name = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        name = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return out.withColumn("bucket_name", name)

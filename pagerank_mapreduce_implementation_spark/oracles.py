@@ -2243,3 +2243,69 @@ def inverted_index_sql() -> str:
         "string_agg(CAST(doc_id AS VARCHAR) || ':' || pl, ';' ORDER BY doc_id) "
         "AS postings FROM pd GROUP BY w"
     )
+
+
+def bfs_distances_sql(
+    sources: list, edges_sql: str = EDGES_SQL, n_rounds: int = 6
+) -> str:
+    """Unrolled multi-source BFS (mirrors ``operators.graph.
+    bfs_distances``): per round, last round's frontier expands one
+    directed hop, anti-joined against everything already reached.
+    Frontier CTEs are referenced twice (expansion + union), so they
+    are MATERIALIZED (the bpe_train_sql lesson)."""
+    src_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS url" for s in sorted(set(sources))
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        f"d0 AS MATERIALIZED (SELECT url, 0 AS dist FROM ({src_rows})),",
+        "f0 AS MATERIALIZED (SELECT url FROM d0),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS url "
+            f"FROM e JOIN f{i - 1} f ON e.src = f.url "
+            f"WHERE e.dst NOT IN (SELECT url FROM d{i - 1})),"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT url, dist FROM d{i - 1} "
+            f"UNION ALL SELECT url, {i} AS dist FROM f{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT url, CAST(dist AS INT) AS dist FROM d{n_rounds}"
+    )
+
+
+def kcore_sql(k: int = 3, edges_sql: str = EDGES_SQL, n_rounds: int = 5) -> str:
+    """Unrolled k-core peeling (mirrors ``operators.graph.kcore``):
+    canonical undirected simple edges; each round keeps vertices of
+    degree >= k and the edges between them; final degrees over the
+    surviving subgraph."""
+    parts = [
+        f"WITH raw AS ({edges_sql}),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM raw WHERE src <> dst),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT url, count(*) AS degree FROM "
+            f"(SELECT u AS url FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}) "
+            f"GROUP BY url),"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT url FROM g{i} WHERE degree >= {k}),"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{i - 1} "
+            f"WHERE u IN (SELECT url FROM s{i}) "
+            f"AND v IN (SELECT url FROM s{i})),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT url, count(*) AS degree FROM "
+        f"(SELECT u AS url FROM e{n_rounds} UNION ALL SELECT v FROM e{n_rounds}) "
+        "GROUP BY url"
+    )
