@@ -930,3 +930,61 @@ def test_semdedup_matches_duckdb_oracle(spark):
         )
         assert got == want, f"{rule}: survivor mismatch"
         assert len(got) < docs.count()  # something actually dropped
+
+
+class TestClusterSurvivors:
+    """dedup.cluster_survivors — quality-argmax survivor per cluster."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field until the evening light fades"
+        )
+        rows = [
+            (1, base),
+            (2, base + " away"),          # near-dup of 1, one extra token
+            (3, "an entirely different short note"),
+            (4, base.replace("quick", "swift")),  # near-dup of 1
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_every_doc_decided_exactly_once(self, spark, corpus):
+        out = dedup.cluster_survivors(corpus, threshold=0.4, ngram=3).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4]
+
+    def test_one_survivor_per_cluster_and_quality_argmax(self, spark, corpus):
+        from pagerank_mapreduce_implementation_spark.operators import textstats
+
+        out = {
+            r["doc_id"]: r
+            for r in dedup.cluster_survivors(corpus, threshold=0.4, ngram=3).collect()
+        }
+        # docs 1/2/4 cluster together; 3 is a singleton surviving itself
+        clusters = {r["cluster_id"] for r in out.values()}
+        assert out[3]["cluster_id"] == 3 and out[3]["keep"]
+        assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[4]["cluster_id"]
+        assert len(clusters) == 2
+        # survivor is the quality argmax of the cluster (doc 2 has one
+        # more token -> strictly higher length-term quality)
+        q = {
+            r["doc_id"]: r["quality"]
+            for r in textstats.quality_scores(corpus, score_only=True).collect()
+        }
+        big = [out[1], out[2], out[4]]
+        best = max(big, key=lambda r: (q[r["doc_id"]], -r["doc_id"]))
+        assert all(r["survivor_id"] == best["doc_id"] for r in big)
+        assert sum(1 for r in big if r["keep"]) == 1
+        assert out[best["doc_id"]]["keep"]
+
+    def test_tie_breaks_to_smallest_doc_id(self, spark):
+        text = "identical words repeated here for the pair of docs"
+        docs = spark.createDataFrame(
+            [(7, text), (9, text)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.cluster_survivors(docs, threshold=0.4, ngram=3).collect()
+        }
+        assert out[7]["keep"] and not out[9]["keep"]
+        assert out[9]["survivor_id"] == 7

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from pagerank_mapreduce_implementation_spark.operators import multimodal, similarity, textstats
 
@@ -1852,3 +1853,135 @@ class TestInvertedIndex:
         docs = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
         with pytest.raises(ValueError, match="positive"):
             text.build_inverted_index(docs, shard_size=0)
+
+
+class TestPerplexityBuckets:
+    """textstats.perplexity_buckets — per-source ntile over bigram nll."""
+
+    def test_bucket_order_and_names(self, spark):
+        # one source, 6 scoreable docs; repetitive docs score lower nll
+        # under the self-trained bigram LM than one-off word salads
+        rows = [
+            (1, "a b a b a b a b", "s1"),
+            (2, "a b a b a b", "s1"),
+            (3, "a b a b", "s1"),
+            (4, "c d e f g", "s1"),
+            (5, "h i j k l", "s1"),
+            (6, "m n o p q", "s1"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["doc_id"]: r for r in textstats.perplexity_buckets(docs).collect()}
+        assert len(out) == 6
+        # ntile(3) over 6 rows: two per bucket, ordered by (nll, doc_id)
+        by_bucket = sorted(out.values(), key=lambda r: (r["nll"], r["doc_id"]))
+        assert [r["bucket"] for r in by_bucket] == [1, 1, 2, 2, 3, 3]
+        names = {r["bucket"]: r["bucket_name"] for r in out.values()}
+        assert names == {1: "head", 2: "middle", 3: "tail"}
+        # hand-computed nll order: the a/b docs (shared, frequent
+        # bigrams) rank 3 < 2 < 1 — the mean nll improves with the
+        # doc's a-b (9 occurrences) vs b-a (6) mix — then the three
+        # one-off word salads (each bigram seen once) trail far behind
+        assert out[3]["bucket"] == 1 and out[2]["bucket"] == 1
+        assert out[5]["bucket"] == 3 and out[6]["bucket"] == 3
+
+    def test_buckets_are_per_source(self, spark):
+        rows = [
+            (1, "a b a b", "s1"),
+            (2, "c d e f", "s1"),
+            (3, "a b a b", "s2"),
+            (4, "c d e f", "s2"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in textstats.perplexity_buckets(docs, n_buckets=2).collect()
+        }
+        # each source gets its own full 1..2 range
+        assert out == {1: 1, 2: 2, 3: 1, 4: 2}
+
+    def test_short_docs_absent_and_guards(self, spark):
+        rows = [(1, "one", "s1"), (2, "", "s1"), (3, "a b", "s1")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textstats.perplexity_buckets(docs).collect()
+        assert [r["doc_id"] for r in out] == [3]
+        assert out[0]["bucket_name"] == "head"
+        with pytest.raises(ValueError):
+            textstats.perplexity_buckets(docs, n_buckets=0)
+
+    def test_non_three_bucket_names(self, spark):
+        rows = [(1, "a b", "s1"), (2, "c d", "s1")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textstats.perplexity_buckets(docs, n_buckets=2).collect()
+        assert sorted(r["bucket_name"] for r in out) == ["b1", "b2"]
+
+
+class TestTfidfDocPairs:
+    """text.tfidf_doc_pairs — df-capped sparse cosine pairs."""
+
+    def test_identical_docs_cosine_one(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in text.tfidf_doc_pairs(docs, threshold=0.1).collect()
+        }
+        assert out == {(1, 2): pytest.approx(1.0)}
+
+    def test_df_cap_drops_ubiquitous_terms(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        # 'the' appears in all 3 docs; with max_df=2 it cannot pair
+        # anything, so the only shared signal is doc 1/2's 'alpha'
+        rows = [(1, "the alpha"), (2, "the alpha"), (3, "the omega")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in text.tfidf_doc_pairs(docs, max_df=2, threshold=0.0).collect()
+        }
+        assert pairs == {(1, 2)}
+
+    def test_threshold_and_guard(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import text
+
+        rows = [(1, "alpha beta"), (2, "alpha zz")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # shared 'alpha' but each vector dominated by its unique term
+        low = text.tfidf_doc_pairs(docs, threshold=0.99).collect()
+        assert low == []
+        with pytest.raises(ValueError):
+            text.tfidf_doc_pairs(docs, max_df=1)
+
+
+class TestPricingGroupingSets:
+    """relational.pricing_grouping_sets — one Expand pass, three sets."""
+
+    def test_grouping_levels(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import relational
+
+        rows = [
+            ("A", "F", "1995-03-15", 100.0, 0.1),
+            ("A", "O", "1995-07-01", 200.0, 0.0),
+            ("R", "F", "1996-01-01", 50.0, 0.2),
+        ]
+        li = spark.createDataFrame(
+            rows,
+            "l_returnflag string, l_linestatus string, l_shipdate string, "
+            "l_extendedprice double, l_discount double",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        out = relational.pricing_grouping_sets(li).collect()
+        # 3 (flag, status) + 2 (flag, year) + 1 grand total
+        assert len(out) == 6
+        fs = [r for r in out if r["l_linestatus"] is not None]
+        assert len(fs) == 3 and all(r["ship_year"] is None for r in fs)
+        grand = [r for r in out if r["l_returnflag"] is None]
+        assert len(grand) == 1 and grand[0]["n_items"] == 3
+        assert grand[0]["revenue"] == pytest.approx(100 * 0.9 + 200 + 50 * 0.8)
+        # the (flag, year) set rolls both statuses of flag A together
+        ay = [
+            r
+            for r in out
+            if r["l_returnflag"] == "A" and r["ship_year"] == 1995
+        ]
+        assert len(ay) == 1 and ay[0]["n_items"] == 2

@@ -684,3 +684,94 @@ class TestTriangleCounts:
                     ref[v] += 1
         ref = {v: c // 1 for v, c in ref.items()}
         assert got == ref
+
+
+class TestBfsDistances:
+    """graph.bfs_distances — fixed-round multi-source frontier BFS."""
+
+    def _run(self, spark, edges, sources, n_rounds):
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        df = spark.createDataFrame(edges, "src STRING, dst STRING")
+        return {
+            r["url"]: r["dist"]
+            for r in graph.bfs_distances(df, sources, n_rounds=n_rounds).collect()
+        }
+
+    def test_chain_one_hop_per_round(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        assert self._run(spark, edges, ["a"], 2) == {"a": 0, "b": 1, "c": 2}
+        assert self._run(spark, edges, ["a"], 3) == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_source_takes_nearest(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "d")]
+        out = self._run(spark, edges, ["a", "e"], 6)
+        assert out == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+    def test_directionality(self, spark):
+        out = self._run(spark, [("a", "b")], ["b"], 3)
+        assert out == {"b": 0}
+
+    def test_cycle_terminates_without_duplicates(self, spark):
+        out = self._run(spark, [("a", "b"), ("b", "a")], ["a"], 4)
+        assert out == {"a": 0, "b": 1}
+
+    def test_zero_rounds_only_sources(self, spark):
+        assert self._run(spark, [("a", "b")], ["a"], 0) == {"a": 0}
+
+    def test_absent_source_still_reports_zero(self, spark):
+        """A source vertex not present in the edge list is still a
+        search origin (dist 0) — the oracle's d0 is unconditional on
+        both sides, so this is the documented contract."""
+        out = self._run(spark, [("a", "b")], ["zz"], 2)
+        assert out == {"zz": 0}
+
+    def test_parameter_guards(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        df = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+        with pytest.raises(ValueError):
+            graph.bfs_distances(df, [], n_rounds=2)
+        with pytest.raises(ValueError):
+            graph.bfs_distances(df, ["a"], n_rounds=-1)
+
+
+class TestKcore:
+    """graph.kcore — synchronous fixed-round k-core peeling."""
+
+    def _run(self, spark, edges, k, n_rounds):
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        df = spark.createDataFrame(edges, "src STRING, dst STRING")
+        return {
+            r["url"]: r["degree"]
+            for r in graph.kcore(df, k=k, n_rounds=n_rounds).collect()
+        }
+
+    def test_pendant_peeled_triangle_survives(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+        assert self._run(spark, edges, 2, 3) == {"a": 2, "b": 2, "c": 2}
+
+    def test_cascade_one_layer_per_round(self, spark):
+        """A tail hanging off a triangle peels one vertex per round
+        (synchronous deletions see the same degree snapshot)."""
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "t1"), ("t1", "t2")]
+        r1 = self._run(spark, edges, 2, 1)  # t2 (deg 1) gone; t1 now deg 1
+        assert set(r1) == {"a", "b", "c", "t1"} and r1["t1"] == 1
+        r2 = self._run(spark, edges, 2, 2)
+        assert set(r2) == {"a", "b", "c"}
+        assert self._run(spark, edges, 2, 2) == self._run(spark, edges, 2, 5)
+
+    def test_duplicates_directions_self_loops_collapse(self, spark):
+        edges = [("a", "b"), ("b", "a"), ("a", "b"), ("c", "c")]
+        assert self._run(spark, edges, 1, 2) == {"a": 1, "b": 1}
+        assert self._run(spark, edges, 2, 2) == {}
+
+    def test_parameter_guards(self, spark):
+        from pagerank_mapreduce_implementation_spark.operators import graph
+
+        df = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+        with pytest.raises(ValueError):
+            graph.kcore(df, k=0)
+        with pytest.raises(ValueError):
+            graph.kcore(df, k=2, n_rounds=-1)

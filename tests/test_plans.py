@@ -844,3 +844,46 @@ def test_rolling_active_users_bounded_explode_no_self_join(plans):
     assert p.count("Generate explode") == 1
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
+    """pricing_grouping_sets computes all three sets in ONE Expand +
+    hash-agg pass: exactly one Expand node, one lineitem scan, no
+    union of per-set aggregations."""
+    df = entrymod.queries()["grouping_sets_pricing"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert final.count("Expand") == 1
+    assert final.count("Scan parquet") == 1
+    assert "Union" not in final
+
+
+def test_tfidf_doc_pairs_no_cartesian_capped_join(spark, sf_dir):
+    """tfidf_doc_pairs candidates come from the word equi-join over
+    the df-capped postings — never a cartesian/nested-loop product —
+    and the decimal casts keep the dot/norm sums in the plan (the
+    order-independence contract)."""
+    df = entrymod.queries()["tfidf_doc_pairs"](spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "decimal(18,6)" in p
+
+
+def test_bfs_frontier_join_no_window_no_cartesian(spark, sf_dir):
+    """bfs_distances rounds are frontier joins + anti-joins: the
+    returned state is an eager checkpoint (LogicalRDD scan — lineage
+    truncated across rounds, the IterationDriver contract), so the
+    final plan must not drag the whole round stack."""
+    df = entrymod.queries()["bfs_distances"](spark, sf_dir)
+    p = plan_of(df)
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p and "Window" not in p
+
+
+def test_kcore_state_checkpointed(spark, sf_dir):
+    """kcore's returned degrees read the final surviving-edge state
+    through an eager checkpoint, not 5 rounds of stacked semi-joins."""
+    df = entrymod.queries()["kcore_peel"](spark, sf_dir)
+    p = plan_of(df)
+    assert "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
