@@ -1036,6 +1036,9 @@ def bfs_distances(
         frontier = dist.filter(F.col("dist") == rnd - 1).select(
             F.col("url").alias("src")
         )
+        # distinct BEFORE the anti-join: the expansion is frontier x
+        # degree rows, the distinct'd candidate set is vertex-bounded
+        # — measured 6.5 s vs 11 s at sf0.1 for the swapped order
         reached = (
             e.join(frontier, "src")
             .select(F.col("dst").alias("url"))
@@ -1057,7 +1060,6 @@ def kcore(
     k: int = 3,
     n_rounds: int = 5,
     materialize_every: int = 2,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """k-core peeling over the UNDIRECTED simple graph underlying
     ``(src, dst)`` (duplicates/directions collapse to one canonical
@@ -1072,8 +1074,13 @@ def kcore(
     ``n_rounds`` rounds yield the exact k-core whenever peeling has
     converged by then — peeling cascades at most one "layer" per
     round, and real corpus/web graphs converge in a handful — and a
-    documented superset of it otherwise (callers needing certainty
-    compare consecutive rounds).
+    documented superset of it otherwise. A round that removes NOTHING
+    proves the fixpoint (peeling is monotone: the next round sees the
+    identical degree snapshot), so the loop exits early on an
+    unchanged edge count — output-identical to running the remaining
+    rounds, and the common case in practice (the sf0.1 bipartite
+    graph converges after ONE round; without the exit rounds 2-5 are
+    pure job overhead, measured 12.4 s -> ~6 s).
 
     Scale shape: state is the SHRINKING canonical edge list. Each
     round costs one edge-sized degree aggregation (map-side partial
@@ -1086,17 +1093,12 @@ def kcore(
         raise ValueError(f"k ({k}) must be >= 1")
     if n_rounds < 0:
         raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
-    spark = edges.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     canon = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .repartition(nparts, "u")
     )
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -1115,8 +1117,20 @@ def kcore(
             .select("u", "v")
         )
 
+    # memoized counts: converged(prev, cur) sees each state twice
+    # (as cur, then as prev next round) — count each exactly once.
+    # Keying by id() is safe because the dict also pins the frame.
+    counts: dict[int, tuple[DataFrame, int]] = {}
+
+    def _cnt(df: DataFrame) -> int:
+        if id(df) not in counts:
+            counts[id(df)] = (df, df.count())
+        return counts[id(df)][1]
+
     driver = IterationDriver(materialize_every=materialize_every)
-    surviving = driver.run(canon, step, n_rounds)
+    surviving = driver.run(
+        canon, step, n_rounds, converged=lambda prev, cur: _cnt(cur) == _cnt(prev)
+    )
     out = degrees(surviving).select("url", F.col("degree").cast("long").alias("degree"))
     out = out.localCheckpoint(eager=True)
     return out
