@@ -1777,3 +1777,62 @@ def cluster_survivors(
             (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
         )
     )
+
+
+def edit_verified_dups(
+    docs: DataFrame,
+    max_dist: int = 20,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance-VERIFIED near-duplicates → ``(doc_a, doc_b,
+    edit_dist)``: MinHash+LSH candidate pairs re-checked with the
+    exact Levenshtein distance, keeping pairs within ``max_dist``
+    edits. The candidate/verify split of a production fuzzy-dedup
+    pass: the sketch (Jaccard over shingles) is cheap but
+    order-insensitive — two docs built from the same sentences in a
+    different order pass it — while edit distance certifies
+    character-level SEQUENCE similarity; running it only on the
+    LSH-bounded candidate list is what makes the O(len_a·len_b)
+    kernel affordable.
+
+    Scale shape: candidates are the audited ``minhash_near_dups``
+    banded plan (never all-pairs); the verify step is two doc-bounded
+    joins to fetch texts plus a per-pair compute with NO further
+    shuffle. The ``max_dist`` bound is pushed INTO the kernel
+    (``levenshtein(a, b, threshold)`` — Ukkonen banding, O(max_dist ·
+    len) instead of O(len^2), returning -1 past the bound), so a
+    mismatched candidate pair costs the band, not the full matrix.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist ({max_dist}) must be non-negative")
+    pairs = minhash_near_dups(
+        docs, threshold=threshold, ngram=ngram, text_col=text_col, doc_col=doc_col
+    ).select("doc_a", "doc_b")
+    texts = docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    return (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__ta", "__tb", threshold=int(max_dist)).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

@@ -1134,3 +1134,171 @@ def kcore(
     out = degrees(surviving).select("url", F.col("degree").cast("long").alias("degree"))
     out = out.localCheckpoint(eager=True)
     return out
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: list[str],
+    n_rounds: int = 4,
+    weight_col: str = "w",
+    materialize_every: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source weighted shortest paths → ``(url, dist)`` =
+    minimum total edge weight from the nearest source over paths of
+    at most ``n_rounds`` edges (directed; non-negative weights;
+    vertices unreached within the hop budget are absent).
+
+    Synchronous Bellman-Ford relaxation: ``dist_i(v) = min(
+    dist_{i-1}(v), min over in-edges (u,v) of dist_{i-1}(u) + w)``.
+    Unlike unit-weight BFS, a SETTLED vertex can still improve (a
+    longer-hop lighter path), so every round relaxes from the FULL
+    distance table — the frontier-only rewrite is exact only for unit
+    weights. Fixed round count = the ``pagerank`` determinism
+    contract; the oracle unrolls the same rounds, and every dist value
+    is the same left-to-right sum of identical doubles on both
+    engines (min is order-independent; IEEE addition along a path
+    prefix is deterministic), rounded 6 only at the output.
+
+    Scale shape: edges shuffled ONCE onto src and persisted; each
+    round costs one state-sized co-partitioned join + one dst-keyed
+    ``min`` with map-side partial aggregation + one vertex-bounded
+    full-outer merge expressed as ``least`` over a left-right
+    coalesce. State is one row per reached vertex.
+    """
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = (
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("__w"))
+        .repartition(nparts, "src")
+        .persist()
+    )
+    dist0 = (
+        spark.createDataFrame([(s,) for s in sorted(set(sources))], ["url"])
+        .select("url", F.lit(0.0).alias("dist"))
+    )
+
+    def step(dist: DataFrame, _rnd: int) -> DataFrame:
+        relaxed = (
+            e.join(dist.withColumnRenamed("url", "src"), "src")
+            .groupBy(F.col("dst").alias("url"))
+            .agg(F.min(F.col("dist") + F.col("__w")).alias("__nd"))
+        )
+        return (
+            dist.join(relaxed, "url", "full_outer")
+            .select(
+                "url",
+                F.least(
+                    F.coalesce("dist", F.col("__nd")),
+                    F.coalesce("__nd", F.col("dist")),
+                ).alias("dist"),
+            )
+        )
+
+    driver = IterationDriver(materialize_every=materialize_every)
+    out = driver.run(dist0, step, n_rounds)
+    out = out.select("url", F.round("dist", 6).alias("dist"))
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def clustering_coefficients(edges: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Local clustering coefficient per vertex → ``(url, degree,
+    triangles, clustering)`` over the undirected simple graph:
+    ``clustering = 2·T(v) / (deg(v)·(deg(v)-1))``, the fraction of a
+    vertex's neighbor pairs that are themselves connected (Watts &
+    Strogatz 1998) — the standard local-density read distinguishing
+    clustered community structure from degree-matched random graphs.
+    Vertices with degree <= 1 report 0.0 (no neighbor pair exists).
+
+    Pure composition: triangle counts from the audited degree-oriented
+    ``triangle_counts`` plan (one apex per triangle, O(sqrt m)
+    oriented out-degrees), canonical-edge degrees from one unioned
+    aggregation, joined on the vertex — one extra vertex-bounded
+    shuffle over the triangle plan. The division is IEEE double of
+    exact integers, rounded ``round_digits`` — cross-engine exact.
+    """
+    tri = triangle_counts(edges)
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("url"))
+        .unionByName(canon.select(F.col("v").alias("url")))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        tri.join(deg, "url", "left")
+        .select(
+            "url",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            "triangles",
+            F.round(
+                F.when(
+                    F.coalesce("degree", F.lit(0)) >= 2,
+                    2.0
+                    * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            ).alias("clustering"),
+        )
+    )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    min_shared: int = 2,
+    max_right_degree: int | None = 64,
+) -> DataFrame:
+    """Project a bipartite ``(src, dst)`` graph onto its LEFT vertex
+    set → ``(a, b, shared)``: pairs of left vertices connected to at
+    least ``min_shared`` common right vertices (``a < b``) — the
+    co-purchase / co-occurrence graph construction (orders sharing
+    parts, docs sharing shingles, users sharing items).
+
+    Scale shape — the ``ngram_jaccard`` df-cap move on a graph:
+    candidate pairs come from a self-join keyed on the RIGHT vertex,
+    so a right vertex of degree d fans out C(d, 2) pairs;
+    ``max_right_degree`` drops right vertices above the cap BEFORE
+    pairing (a part in every order connects everything to everything
+    and carries no signal — the stop-shingle argument verbatim), so
+    candidate volume is bounded by |right| x C(cap, 2), never
+    |left|^2. Dropped-hub pairs lose only that hub's +1 on ``shared``
+    — the documented semantics of the cap (count over the KEPT right
+    subspace), mirrored in the oracle. One deduped-edge shuffle + one
+    pair-keyed count with map-side partials.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared ({min_shared}) must be >= 1")
+    ded = edges.select("src", "dst").distinct()
+    if max_right_degree is not None:
+        if max_right_degree < 2:
+            raise ValueError(
+                f"max_right_degree ({max_right_degree}) must be >= 2 to pair"
+            )
+        rdeg = ded.groupBy("dst").agg(F.count(F.lit(1)).alias("__d"))
+        ded = ded.join(
+            rdeg.filter(F.col("__d") <= max_right_degree).select("dst"), "dst"
+        )
+    a = ded.select(F.col("dst").alias("__r"), F.col("src").alias("a"))
+    b = ded.select(F.col("dst").alias("__r"), F.col("src").alias("b"))
+    return (
+        a.join(b, "__r")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

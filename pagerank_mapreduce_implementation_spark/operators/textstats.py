@@ -1315,6 +1315,8 @@ def perplexity_buckets(
     doc_col: str = "doc_id",
     group_col: str = "source",
     add_k: float = 1.0,
+    method: str = "window",
+    nll_bucket_width: float = 0.25,
 ) -> DataFrame:
     """CCNet-style per-source perplexity bucketing → ``(doc_id,
     source, nll, bucket, bucket_name)``: every document is scored
@@ -1333,27 +1335,79 @@ def perplexity_buckets(
     total. ntile's fill rule (first ``n_rows % n`` buckets take the
     extra row) is the SQL-standard one on both engines.
 
-    Scale shape: scoring is the ``bigram_lm_scores`` plan; bucketing
-    adds ONE per-source window sort (a source's docs must be ranked
-    together — inherent to the semantics). A pathologically dominant
-    source serializes its sort through one partition's task; at that
-    shape switch to the two-pass variant — exact per-source
-    ntile boundary counts from the doc-count aggregate, then a
-    range-join against the boundaries — same result, no single-task
-    sort. The window form is the right default below ~10^8 docs per
-    source.
+    Scale shape: scoring is the ``bigram_lm_scores`` plan. Bucketing
+    has two EXACT physical forms selected by ``method``:
+
+    - ``"window"`` (default): ONE per-source window sort —
+      ``ntile(n)`` directly. A source's docs rank in one task; right
+      below ~10^8 docs per source, wrong for a pathologically
+      dominant source.
+    - ``"twopass"``: the distributed-prefix-rank rewrite (the
+      ``pack_sequences`` two-phase idiom, applied to a VALUE-ordered
+      rank): rows land in deterministic contiguous nll-value buckets
+      (``floor(nll / nll_bucket_width)`` — bucket order IS sort
+      order), local ranks are per-(source, bucket) windows (parallel
+      across buckets), bucket counts get a tiny per-source running
+      sum broadcast back as offsets, and the global rank feeds the
+      closed-form ntile fill rule (first ``s mod n`` buckets take
+      ``ceil(s/n)`` rows). Output-identical to ``"window"`` — the
+      registry gates both against ONE oracle, a pure physical
+      rewrite — with parallelism ~ sources x value-buckets instead
+      of sources. ``nll_bucket_width`` only shapes the parallelism
+      (skewed nll mass -> fuller buckets), never the result.
     """
     from pyspark.sql.window import Window
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+    if method not in ("window", "twopass"):
+        raise ValueError(f"method must be 'window' or 'twopass', got {method!r}")
+    if nll_bucket_width <= 0:
+        raise ValueError(f"nll_bucket_width ({nll_bucket_width}) must be > 0")
     scores = bigram_lm_scores(docs, text_col=text_col, doc_col=doc_col, add_k=add_k)
     dims = docs.select(F.col(doc_col).alias("doc_id"), F.col(group_col).alias("source"))
-    w = Window.partitionBy("source").orderBy(F.asc("nll"), F.asc("doc_id"))
-    out = (
-        scores.join(dims, "doc_id")
-        .select("doc_id", "source", "nll", F.ntile(n_buckets).over(w).alias("bucket"))
-    )
+    scored = scores.join(dims, "doc_id").select("doc_id", "source", "nll")
+    if method == "window":
+        w = Window.partitionBy("source").orderBy(F.asc("nll"), F.asc("doc_id"))
+        out = scored.select(
+            "doc_id", "source", "nll", F.ntile(n_buckets).over(w).alias("bucket")
+        )
+    else:
+        st = scored.withColumn(
+            "__b", F.floor(F.col("nll") / F.lit(float(nll_bucket_width))).cast("long")
+        )
+        w_local = Window.partitionBy("source", "__b").orderBy("nll", "doc_id")
+        st = st.withColumn("__lr", F.row_number().over(w_local))
+        counts = st.groupBy("source", "__b").agg(F.max("__lr").alias("__cnt"))
+        w_src = (
+            Window.partitionBy("source")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = counts.withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_src), F.lit(0))
+        ).select("source", "__b", "__off")
+        totals = counts.groupBy("source").agg(F.sum("__cnt").alias("__s"))
+        n = int(n_buckets)
+        st = (
+            st.join(F.broadcast(offs), ["source", "__b"])
+            .join(F.broadcast(totals), "source")
+            .withColumn("__r", F.col("__off") + F.col("__lr"))
+        )
+        q = F.expr(f"__s div {n}")
+        rem = F.col("__s") % n
+        head = (q + 1) * rem  # rows living in the ceil-sized buckets
+        bucket = (
+            F.when(
+                F.col("__r") <= head,
+                F.expr(f"(__r - 1) div ((__s div {n}) + 1)") + 1,
+            )
+            .otherwise(
+                rem + F.expr(f"(__r - ((__s div {n}) + 1) * (__s % {n}) - 1) div (__s div {n})") + 1
+            )
+            .cast("int")
+        )
+        out = st.select("doc_id", "source", "nll", bucket.alias("bucket"))
     if n_buckets == 3:
         name = (
             F.when(F.col("bucket") == 1, F.lit("head"))
@@ -1363,3 +1417,132 @@ def perplexity_buckets(
     else:
         name = F.concat(F.lit("b"), F.col("bucket").cast("string"))
     return out.withColumn("bucket_name", name)
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Trigram-LM (add-k smoothed) perplexity per document —
+    ``(doc_id, n_trigrams, nll3)`` with ``nll3`` = mean over the doc's
+    adjacent token triples of ``-log10 P(w3|w1,w2)``, rounded 6, where
+    ``P(w3|w1,w2) = (c(w1,w2,w3) + k) / (c(w1,w2) + k·V)`` — counts
+    from the SAME corpus being scored (the ``lm_scores`` /
+    ``bigram_lm_scores`` self-scoring convention), ``V`` the corpus
+    unigram vocabulary. One order above the bigram filter: it sees
+    two-token CONTEXT, so templated spam whose bigrams are locally
+    plausible but whose three-token windows never repeat scores badly.
+    (Stupid-backoff is the published trigram serving scheme, but under
+    self-scoring every observed trigram has c3 >= 1 and the backoff
+    never fires — add-k is the honest formulation here.) Docs with
+    fewer than three tokens are dropped.
+
+    Scale shape — the ``bigram_lm_scores`` silhouette with one wider
+    hop: per-row adjacent-triple build (narrow, NO positional
+    self-join) -> trigram explode -> c3/c2 counts (token-volume
+    shuffles with map-side partials; c2 sums c3's rows) -> each
+    DISTINCT trigram scored once on the count table -> occurrences
+    join the scored table -> per-doc mean (doc-bounded shuffle).
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    toks = _tokens(text_col)
+    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__t"))
+    tri = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 3,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.get("__t", i - 2).alias("w1"),
+                        F.get("__t", i - 1).alias("w2"),
+                        F.get("__t", i).alias("w3"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+            )
+        ).alias("tg"),
+    ).select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    vocab = staged.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").alias("__v")
+    )
+    scored = (
+        c3.join(c2, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            (
+                -F.log10(
+                    (F.col("c3") + F.lit(float(add_k)))
+                    / (F.col("c2") + F.lit(float(add_k)) * F.col("__v"))
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return tri.join(scored, ["w1", "w2", "w3"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("nll3"),
+    )
+
+
+def mad_outliers(
+    docs: DataFrame,
+    score_col: str = "quality",
+    group_col: str = "source",
+    doc_col: str = "doc_id",
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """Robust per-source outlier flags over a score column →
+    ``(doc_id, source, score, dev, is_outlier)``: ``dev`` =
+    ``|score - median(source scores)|`` rounded 6, ``is_outlier`` =
+    ``dev > cutoff * MAD`` where MAD is the median absolute deviation
+    (the Hampel filter — median/MAD stay put when the contamination
+    itself is what's being measured, exactly where mean/stddev
+    z-scores break). The classic cut ``cutoff=3`` ~ 4.45 sigma under
+    normality.
+
+    Determinism: both medians are EXACT interpolated percentiles
+    (``percentile(0.5)``, the ``value_percentiles`` convention shared
+    with the DuckDB oracle's ``median``); the comparison reads rounded
+    ``dev`` against ``cutoff * round(MAD, 6)`` — all inputs identical
+    across engines, so the boolean is exact.
+
+    Scale shape: two source-keyed aggregation passes (median, then MAD
+    over the deviations) + one broadcast-joined flag projection. Exact
+    medians need their group sorted in one place — per-SOURCE, not
+    global, so parallelism is the source count; at 100 TB with few
+    huge sources swap ``percentile`` for ``percentile_approx`` (the
+    ``approx_value_percentiles`` precedent) and keep the same shape.
+    """
+    scores = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.col(score_col).alias("score"),
+    )
+    med = scores.groupBy("source").agg(
+        F.percentile("score", F.lit(0.5)).alias("__med")
+    )
+    dev = scores.join(F.broadcast(med), "source").select(
+        "doc_id", "source", "score", F.abs(F.col("score") - F.col("__med")).alias("__dev")
+    )
+    mad = dev.groupBy("source").agg(
+        F.round(F.percentile("__dev", F.lit(0.5)), 6).alias("__mad")
+    )
+    return dev.join(F.broadcast(mad), "source").select(
+        "doc_id",
+        "source",
+        "score",
+        F.round("__dev", 6).alias("dev"),
+        (F.round("__dev", 6) > F.lit(float(cutoff)) * F.col("__mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -2309,3 +2309,164 @@ def kcore_sql(k: int = 3, edges_sql: str = EDGES_SQL, n_rounds: int = 5) -> str:
         f"(SELECT u AS url FROM e{n_rounds} UNION ALL SELECT v FROM e{n_rounds}) "
         "GROUP BY url"
     )
+
+
+def trigram_lm_sql(add_k: float = 1.0) -> str:
+    """Mirror of textstats.trigram_lm_scores over ``documents``: same
+    whitespace tokens, adjacent triples, add-k smoothed conditional
+    -log10, per-doc mean rounded 6."""
+    k = float(add_k)
+    return (
+        "WITH t AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        "FROM documents), "
+        "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 "
+        "FROM t, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3), "
+        "c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM b GROUP BY 1, 2, 3), "
+        "c2 AS (SELECT w1, w2, sum(c3) AS c2 FROM c3 GROUP BY 1, 2), "
+        "v AS (SELECT count(DISTINCT w) AS v FROM "
+        "(SELECT unnest(toks) AS w FROM t)), "
+        f"s AS (SELECT w1, w2, w3, -log10((c3 + {k}) / (c2 + {k} * v)) "
+        "AS sp FROM c3 JOIN c2 USING(w1, w2), v) "
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_trigrams, "
+        "round(sum(sp) / count(*), 6) AS nll3 "
+        "FROM b JOIN s USING(w1, w2, w3) GROUP BY 1"
+    )
+
+
+def mad_outliers_sql(quality_sql: str, cutoff: float = 3.0) -> str:
+    """Mirror of textstats.mad_outliers over quality_scores output:
+    per-source exact median + MAD (DuckDB ``median`` = the
+    interpolated exact percentile Spark's ``percentile(0.5)``
+    computes), flag on rounded deviations. ``quality_sql`` must yield
+    ``(doc_id, quality)``."""
+    c = float(cutoff)
+    return (
+        f"WITH q AS (SELECT doc_id, quality FROM ({quality_sql}) z), "
+        "s AS (SELECT q.doc_id, d.source, q.quality AS score FROM q "
+        "JOIN documents d ON q.doc_id = d.doc_id), "
+        "m AS (SELECT source, median(score) AS med FROM s GROUP BY source), "
+        "dv AS (SELECT s.doc_id, s.source, s.score, abs(s.score - m.med) AS dev "
+        "FROM s JOIN m ON s.source = m.source), "
+        "mad AS (SELECT source, round(median(dev), 6) AS mad FROM dv "
+        "GROUP BY source) "
+        "SELECT dv.doc_id, dv.source, dv.score, round(dv.dev, 6) AS dev, "
+        f"round(dv.dev, 6) > {c} * mad.mad AS is_outlier "
+        "FROM dv JOIN mad ON dv.source = mad.source"
+    )
+
+
+def sssp_weighted_sql(
+    sources: list, edges_sql: str, n_rounds: int = 4
+) -> str:
+    """Unrolled multi-source Bellman-Ford (mirrors ``operators.graph.
+    sssp_weighted``): per round the full distance table relaxes across
+    every edge; min per vertex. ``edges_sql`` must yield
+    ``(src, dst, w)``."""
+    src_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS url" for s in sorted(set(sources))
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        f"d0 AS MATERIALIZED (SELECT url, 0.0 AS dist FROM ({src_rows})),",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT url, min(dist) AS dist FROM ("
+            f"SELECT url, dist FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS url, d.dist + e.w AS dist "
+            f"FROM e JOIN d{i - 1} d ON e.src = d.url) GROUP BY url),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT url, round(dist, 6) AS dist FROM d{n_rounds}"
+    )
+
+
+def clustering_coefficients_sql(edges_sql: str = EDGES_SQL) -> str:
+    """Mirror of ``operators.graph.clustering_coefficients``: triangle
+    counts (the independent id-oriented formulation of
+    ``triangle_counts_sql``) joined with canonical simple degrees;
+    2T/(d(d-1)) rounded 6, degree <= 1 reports 0.0."""
+    return (
+        f"WITH tri AS (SELECT * FROM ({triangle_counts_sql(edges_sql)}) t), "
+        f"raw AS ({edges_sql}), "
+        "c AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM raw WHERE src <> dst), "
+        "deg AS (SELECT url, count(*) AS degree FROM "
+        "(SELECT u AS url FROM c UNION ALL SELECT v FROM c) GROUP BY url) "
+        "SELECT tri.url, coalesce(deg.degree, 0) AS degree, tri.triangles, "
+        "round(CASE WHEN coalesce(deg.degree, 0) >= 2 THEN "
+        "2.0 * tri.triangles / (deg.degree * (deg.degree - 1)) "
+        "ELSE 0.0 END, 6) AS clustering "
+        "FROM tri LEFT JOIN deg ON tri.url = deg.url"
+    )
+
+
+def bipartite_projection_sql(
+    edges_sql: str, min_shared: int = 2, max_right_degree: int = 64
+) -> str:
+    """Mirror of ``operators.graph.bipartite_projection``: dedup
+    edges, drop right vertices above the degree cap, pair left
+    vertices through shared right vertices, count."""
+    return (
+        f"WITH raw AS ({edges_sql}), "
+        "ded AS (SELECT DISTINCT src, dst FROM raw), "
+        "rdeg AS (SELECT dst, count(*) AS d FROM ded GROUP BY dst), "
+        f"kept AS (SELECT ded.src, ded.dst FROM ded JOIN rdeg "
+        f"ON ded.dst = rdeg.dst WHERE rdeg.d <= {int(max_right_degree)}) "
+        "SELECT x.src AS a, y.src AS b, count(*) AS shared "
+        "FROM kept x JOIN kept y ON x.dst = y.dst AND x.src < y.src "
+        f"GROUP BY 1, 2 HAVING count(*) >= {int(min_shared)}"
+    )
+
+
+def edit_verified_dups_sql(
+    max_dist: int = 20,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+) -> str:
+    """Mirror of ``operators.dedup.edit_verified_dups``: the minhash
+    candidate pairs re-checked with DuckDB's full ``levenshtein``
+    (the engine's banded kernel returns the same distance for every
+    pair within the bound, -1 past it — filtering keeps the same
+    set)."""
+    pairs = minhash_near_dups_sql(
+        threshold, num_hashes=num_hashes, bands=bands, ngram=ngram
+    )
+    return (
+        f"WITH pr AS (SELECT doc_a, doc_b FROM ({pairs}) p) "
+        "SELECT pr.doc_a, pr.doc_b, "
+        "levenshtein(a.text, b.text) AS edit_dist "
+        "FROM pr JOIN documents a ON pr.doc_a = a.doc_id "
+        "JOIN documents b ON pr.doc_b = b.doc_id "
+        f"WHERE levenshtein(a.text, b.text) <= {int(max_dist)}"
+    )
+
+
+def bpe_fertility_sql() -> str:
+    """Mirror of ``operators.text.bpe_fertility`` over ``documents``:
+    per-source doc/word/piece/char sums (BIGINT-cast — the HUGEINT
+    hash-mismatch lesson) and the fertility / chars-per-piece ratios
+    of those exact integers, rounded 6."""
+    return (
+        f"{_bpe_docpieces_ctes()}, "
+        "w AS (SELECT doc_id, len(toks) AS nw FROM t), "
+        "p AS (SELECT doc_id, len(toks) AS np FROM docpieces), "
+        "d AS (SELECT doc_id, source, length(text) AS nc FROM documents), "
+        "g AS (SELECT d.source, count(*) AS n_docs, "
+        "CAST(sum(w.nw) AS BIGINT) AS n_words, "
+        "CAST(sum(p.np) AS BIGINT) AS n_pieces, "
+        "CAST(sum(d.nc) AS BIGINT) AS n_chars "
+        "FROM d JOIN w ON d.doc_id = w.doc_id JOIN p ON d.doc_id = p.doc_id "
+        "GROUP BY d.source) "
+        "SELECT source, n_docs, n_words, n_pieces, n_chars, "
+        "round(CASE WHEN n_words > 0 THEN CAST(n_pieces AS DOUBLE) / n_words "
+        "ELSE 0.0 END, 6) AS fertility, "
+        "round(CASE WHEN n_pieces > 0 THEN CAST(n_chars AS DOUBLE) / n_pieces "
+        "ELSE 0.0 END, 6) AS chars_per_piece FROM g"
+    )
