@@ -980,3 +980,132 @@ def test_temperature_budgets_flatten_toward_uniform(totals, budget):
             m.sqrt(totals[a] / totals[b]),
             rel_tol=1e-9,
         )
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    edges=st.lists(st.tuples(SAFE, SAFE), max_size=14),
+    n_rounds=st.integers(min_value=0, max_value=4),
+)
+def test_bfs_matches_python_bfs(spark, edges, n_rounds):
+    """graph.bfs_distances == a direct Python level-BFS truncated at
+    n_rounds, on arbitrary small directed graphs (duplicates, cycles,
+    self-loops included)."""
+    if not edges:
+        edges = [("a", "b")]
+    src0 = edges[0][0]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["url"]: r["dist"]
+        for r in graph.bfs_distances(df, [src0], n_rounds=n_rounds).collect()
+    }
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    want, frontier = {src0: 0}, {src0}
+    for i in range(1, n_rounds + 1):
+        nxt = {v for u in frontier for v in adj[u] if v not in want}
+        for v in nxt:
+            want[v] = i
+        frontier = nxt
+    assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    edges=st.lists(st.tuples(SAFE, SAFE), max_size=14),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_kcore_matches_python_peel(spark, edges, k):
+    """graph.kcore (5 rounds, early-exit) == a Python synchronous peel
+    run to the fixpoint whenever peeling converges within 5 rounds —
+    on graphs this size it always does (checked in the model)."""
+    if not edges:
+        edges = [("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["url"]: r["degree"] for r in graph.kcore(df, k=k, n_rounds=5).collect()
+    }
+    es = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    for rounds in range(5):
+        deg = Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {x for x, c in deg.items() if c >= k}
+        nes = {(u, v) for u, v in es if u in keep and v in keep}
+        if nes == es:
+            break
+        es = nes
+    deg = Counter()
+    for u, v in es:
+        deg[u] += 1
+        deg[v] += 1
+    assert got == dict(deg)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(SAFE, SAFE, st.integers(min_value=1, max_value=9)), max_size=12
+    ),
+    n_rounds=st.integers(min_value=0, max_value=4),
+)
+def test_sssp_matches_python_bellman_ford(spark, edges, n_rounds):
+    """graph.sssp_weighted == a direct Python Bellman-Ford truncated
+    at n_rounds (integer weights keep the float comparison exact)."""
+    if not edges:
+        edges = [("a", "b", 1)]
+    src0 = edges[0][0]
+    df = spark.createDataFrame(
+        [(s, d, float(w)) for s, d, w in edges], "src string, dst string, w double"
+    )
+    got = {
+        r["url"]: r["dist"]
+        for r in graph.sssp_weighted(df, [src0], n_rounds=n_rounds).collect()
+    }
+    want = {src0: 0.0}
+    for _ in range(n_rounds):
+        cur = dict(want)
+        for s, d, w in edges:
+            if s in want and want[s] + w < cur.get(d, math.inf):
+                cur[d] = min(cur.get(d, math.inf), want[s] + w)
+        want = cur
+    assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), SAFE, st.floats(0.0, 9.0, allow_nan=False, width=64)),
+        max_size=16,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_twopass_buckets_equal_window_ntile(spark, rows, n):
+    """The twopass rank formula == ntile for every group size /
+    bucket count / tie pattern — directly on a synthetic scored
+    table via the underlying rank arithmetic: we run BOTH methods of
+    perplexity_buckets over docs built so bigram nll is constant,
+    making doc_id the effective sort key (ties in the score column is
+    exactly the hard case for the fill rule)."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    if not rows:
+        rows = [(1, "s", 0.0)]
+    docs = spark.createDataFrame(
+        [(i, "x y", src) for i, src, _ in rows],
+        "doc_id long, text string, source string",
+    )
+    a = {
+        (r["doc_id"]): (r["source"], r["bucket"])
+        for r in textstats.perplexity_buckets(docs, n_buckets=n).collect()
+    }
+    b = {
+        (r["doc_id"]): (r["source"], r["bucket"])
+        for r in textstats.perplexity_buckets(
+            docs, n_buckets=n, method="twopass", nll_bucket_width=0.5
+        ).collect()
+    }
+    assert a == b and a
