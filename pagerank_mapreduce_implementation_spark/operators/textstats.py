@@ -1500,6 +1500,7 @@ def mad_outliers(
     group_col: str = "source",
     doc_col: str = "doc_id",
     cutoff: float = 3.0,
+    side: str = "both",
 ) -> DataFrame:
     """Robust per-source outlier flags over a score column →
     ``(doc_id, source, score, dev, is_outlier)``: ``dev`` =
@@ -1508,7 +1509,10 @@ def mad_outliers(
     (the Hampel filter — median/MAD stay put when the contamination
     itself is what's being measured, exactly where mean/stddev
     z-scores break). The classic cut ``cutoff=3`` ~ 4.45 sigma under
-    normality.
+    normality. ``side`` restricts which tail flags: ``"both"``
+    (default), ``"low"`` (only scores BELOW the median — the cleaning
+    posture: drop suspiciously bad docs, never suspiciously good
+    ones), or ``"high"``.
 
     Determinism: both medians are EXACT interpolated percentiles
     (``percentile(0.5)``, the ``value_percentiles`` convention shared
@@ -1523,6 +1527,8 @@ def mad_outliers(
     huge sources swap ``percentile`` for ``percentile_approx`` (the
     ``approx_value_percentiles`` precedent) and keep the same shape.
     """
+    if side not in ("both", "low", "high"):
+        raise ValueError(f"side must be 'both', 'low' or 'high', got {side!r}")
     scores = docs.select(
         F.col(doc_col).alias("doc_id"),
         F.col(group_col).alias("source"),
@@ -1532,17 +1538,24 @@ def mad_outliers(
         F.percentile("score", F.lit(0.5)).alias("__med")
     )
     dev = scores.join(F.broadcast(med), "source").select(
-        "doc_id", "source", "score", F.abs(F.col("score") - F.col("__med")).alias("__dev")
+        "doc_id",
+        "source",
+        "score",
+        F.abs(F.col("score") - F.col("__med")).alias("__dev"),
+        (F.col("score") < F.col("__med")).alias("__below"),
     )
     mad = dev.groupBy("source").agg(
         F.round(F.percentile("__dev", F.lit(0.5)), 6).alias("__mad")
     )
+    flag = F.round("__dev", 6) > F.lit(float(cutoff)) * F.col("__mad")
+    if side == "low":
+        flag = flag & F.col("__below")
+    elif side == "high":
+        flag = flag & ~F.col("__below")
     return dev.join(F.broadcast(mad), "source").select(
         "doc_id",
         "source",
         "score",
         F.round("__dev", 6).alias("dev"),
-        (F.round("__dev", 6) > F.lit(float(cutoff)) * F.col("__mad")).alias(
-            "is_outlier"
-        ),
+        flag.alias("is_outlier"),
     )

@@ -297,6 +297,8 @@ def clean_corpus(
     dsir_buckets: int = 1024,
     unimax_budget: float | None = None,
     unimax_epoch_cap: float = 1.0,
+    mad_cutoff: float | None = None,
+    survivor_policy: str = "min_id",
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
@@ -331,6 +333,13 @@ def clean_corpus(
        ``min_char_entropy`` / ``max_char_entropy`` set — drops the
        compressibility extremes (repeated-char junk at the low end,
        binary-ish noise at the high end) in one zero-shuffle pass
+    3c2. per-source MAD outlier drop (textstats.mad_outliers,
+       ``side="low"``) when ``mad_cutoff`` set — the Hampel filter on
+       the quality composite: docs whose quality sits more than
+       ``mad_cutoff``·MAD BELOW their source's median drop; robust
+       where a global floor (``min_quality``) cannot adapt to
+       per-source score distributions, and median/MAD hold still
+       under the very contamination being removed
     3d. PROPORTIONAL per-source quota (sampling.top_fraction_per_group)
        when ``source_top_frac`` set — keeps the best
        ceil(frac·group_size) docs of EVERY ``source_col`` group by the
@@ -380,7 +389,12 @@ def clean_corpus(
        (``dedup.incremental_exact_dedup`` remains available for
        pipelines that want fingerprint-only semantics).
     6. near-dup CLUSTER dedup — MinHash+LSH pairs -> connected
-       components -> keep each cluster's min doc_id
+       components -> one survivor per cluster. ``survivor_policy``:
+       ``"min_id"`` (default, keep-first) or ``"quality"`` — keep the
+       member with the highest quality_scores composite, ties to the
+       smallest doc_id (the ``dedup.cluster_survivors`` policy: a
+       near-dup cluster mixes clean originals with boilerplate-wrapped
+       mirrors, and survivor choice is where that quality is won)
     6b. SEMANTIC dedup (dedup.semdedup, Abbas et al. 2023) when an
        ``embeddings`` frame is supplied (ids in ``vec_id`` naming
        ``doc_id``) — k-means-cluster-bounded cosine pairs over the
@@ -473,6 +487,8 @@ def clean_corpus(
             dsir_buckets=dsir_buckets,
             unimax_budget=unimax_budget,
             unimax_epoch_cap=unimax_epoch_cap,
+            mad_cutoff=mad_cutoff,
+            survivor_policy=survivor_policy,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -520,11 +536,18 @@ def _clean_corpus_body(
     dsir_buckets,
     unimax_budget,
     unimax_epoch_cap,
+    mad_cutoff,
+    survivor_policy,
     dedup,
     textstats,
     decontaminate,
     connected_components,
 ) -> DataFrame:
+    if survivor_policy not in ("min_id", "quality"):
+        raise ValueError(
+            f"survivor_policy must be 'min_id' or 'quality', got "
+            f"{survivor_policy!r}"
+        )
     if (dsir_target is None) != (dsir_k is None):
         raise ValueError(
             "dsir_target and dsir_k must be set together — a target "
@@ -595,6 +618,29 @@ def _clean_corpus_body(
         if max_char_entropy is not None:
             ent = ent.filter(F.col("char_entropy") <= max_char_entropy)
         docs = ent.select("doc_id", *passthru)
+    if mad_cutoff is not None:
+        # stage 3c2: per-source low-side MAD outlier drop on the
+        # quality composite — two source-keyed median aggs + broadcast
+        # flag joins (exact medians; at few-huge-sources scale the
+        # operator docstring's percentile_approx swap keeps the shape)
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"mad_cutoff needs a {source_col!r} column in the "
+                f"corpus (have: {docs.columns}) — pass source_col= for "
+                "a differently-named grouping column"
+            )
+        scored = textstats.quality_scores(
+            docs, keep_cols=passthru, score_only=True
+        )
+        flagged = textstats.mad_outliers(
+            scored,
+            score_col="quality",
+            group_col=source_col,
+            cutoff=mad_cutoff,
+            side="low",
+        )
+        keep_ids = flagged.filter(~F.col("is_outlier")).select("doc_id")
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
     if source_top_frac is not None:
         # stage 3d: proportional per-source quota on the composite
         # quality score — one group-key shuffle, no join back
@@ -667,9 +713,29 @@ def _clean_corpus_body(
     comps = connected_components(pairs, "doc_a", "doc_b", max_iters=cc_max_iters)
     # every clustered doc except its component's keeper is dropped;
     # docs in no cluster survive untouched
-    drop = comps.filter(F.col("vertex") != F.col("component")).select(
-        F.col("vertex").alias("doc_id")
-    )
+    if survivor_policy == "quality":
+        # the cluster_survivors policy: quality-argmax per component
+        # via min_by — no window, a mega-cluster never serializes
+        # through one task's sort; ties to the smallest doc_id
+        member_q = comps.join(
+            textstats.quality_scores(docs, score_only=True)
+            .select(F.col("doc_id").alias("vertex"), "quality"),
+            "vertex",
+        )
+        winners = member_q.groupBy("component").agg(
+            F.min_by(
+                "vertex", F.struct((-F.col("quality")).alias("nq"), "vertex")
+            ).alias("__keeper")
+        )
+        drop = (
+            comps.join(winners, "component")
+            .filter(F.col("vertex") != F.col("__keeper"))
+            .select(F.col("vertex").alias("doc_id"))
+        )
+    else:
+        drop = comps.filter(F.col("vertex") != F.col("component")).select(
+            F.col("vertex").alias("doc_id")
+        )
     survivors = docs.join(drop, "doc_id", "left_anti")
     if embeddings is not None:
         emb_live = embeddings.join(

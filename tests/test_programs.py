@@ -1400,3 +1400,86 @@ def test_clean_corpus_unimax_stage(spark, tmp_path):
     assert {100, 101, 102} <= set(got)
     big_kept = sum(1 for d in got if d < 100)
     assert 0 < big_kept < 30
+
+
+def test_clean_corpus_quality_survivor_policy(spark, tmp_path):
+    """survivor_policy='quality' keeps the cluster member with the
+    highest quality composite even when it has the LARGER doc_id —
+    where the default keep-first would keep doc 1; singletons and the
+    rest of the pipeline are unaffected."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    base = "quick brown fox jumps over lazy dog keeps running through quiet fields"
+    richer = base + " until evening light fades beyond distant hills"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, richer, "en", "web", len(richer)),   # near dup, more tokens
+        (4, "completely different unrelated content entirely", "en", "web", 46),
+    ]
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    docs = spark.read.parquet(src)
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in textstats.quality_scores(docs, score_only=True).collect()
+    }
+    assert q[2] > q[1]  # the fixture premise: doc 2 is the better copy
+
+    out_min = str(tmp_path / "out_min.parquet")
+    ids_min = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            spark, src, out_min, near_dup_threshold=0.3, ngram=3
+        ).select("doc_id").collect()
+    )
+    assert ids_min == [1, 4]
+
+    out_q = str(tmp_path / "out_q.parquet")
+    ids_q = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            spark,
+            src,
+            out_q,
+            near_dup_threshold=0.3,
+            ngram=3,
+            survivor_policy="quality",
+        ).select("doc_id").collect()
+    )
+    assert ids_q == [2, 4]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="survivor_policy"):
+        clean_corpus(spark, src, out_q, survivor_policy="best")
+
+
+def test_clean_corpus_mad_cutoff_drops_low_outlier(spark, tmp_path):
+    """mad_cutoff drops the planted low-quality outlier of its source
+    while every normal doc (including an equally-extreme HIGH-quality
+    one) survives — side='low' is the cleaning posture."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    normal = "plain readable sentence with several ordinary words present"
+    rows = [
+        (i, normal + f" variant {i}", "en", "web", 60) for i in range(1, 8)
+    ] + [
+        (99, "!!!! ???? ;;;; ::::", "en", "web", 19),  # punct junk: low quality
+    ]
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    ids = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            spark, src, out, near_dup_threshold=0.99, ngram=5, mad_cutoff=3.0
+        ).select("doc_id").collect()
+    )
+    assert 99 not in ids and set(range(1, 8)) <= set(ids)
