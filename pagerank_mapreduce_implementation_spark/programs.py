@@ -1097,3 +1097,83 @@ def dedup_media(
         return written
     finally:
         release_persistent_rdds_since(spark, rdds_before)
+
+
+def build_training_shards(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    budget: int = 512,
+    bins_per_shard: int = 64,
+    tokenizer: str = "ws",
+    with_doc_spans: bool = True,
+    clean: dict | None = None,
+) -> DataFrame:
+    """The full corpus-to-trainer recipe as ONE program: (optionally)
+    clean -> pack into ``budget``-token bins -> lay the bins out as
+    contiguous SHARDS a data loader streams — parquet-in, a sharded
+    parquet layout + manifest out. This is what the engine is FOR at
+    100 TB: everything upstream (dedup, filters, mixing) exists to
+    feed this write.
+
+    Stages:
+
+    1. ``clean`` (optional): the full ``clean_corpus`` battery,
+       forwarded as kwargs; survivors land at ``<out>/clean.parquet``
+       and feed packing, so the shard layout only ever sees the final
+       pool.
+    2. ``text.pack_bins``: GPT-style packed ``budget``-token bins
+       (docs straddle boundaries, no padding waste), ``doc_spans``
+       boundary maps on by default — a trainer without them cannot
+       build block-diagonal attention over packed sequences.
+    3. Shard assignment ``shard = bin_id div bins_per_shard`` —
+       CONTIGUOUS bin ranges, not a hash: a loader reading shard k
+       streams the bins in stream order, and skipping shards skips
+       contiguous token ranges (resume/partition semantics fall out
+       for free). One repartition on the shard key makes each shard
+       exactly one parquet file under ``<out>/shards.parquet/shard=k/``
+       (hive-partitioned, so a loader's shard filter prunes at the
+       directory level before any footer is read). At 100 TB raise
+       ``bins_per_shard`` so a shard is a sane object size (~1 GB)
+       and swap the repartition for repartitionByRange on bin_id —
+       the layout contract is unchanged.
+    4. Manifest: ``(shard, n_bins, n_tokens, doc_segments)`` written
+       beside the shards — the loader's index (epoch size, per-shard
+       token budgets) without touching shard data. ``doc_segments``
+       sums per-bin document segments; a straddling doc counts once
+       per bin it touches (the attention-mask view of "document").
+
+    Returns the manifest read back from ``<out>/manifest.parquet``.
+    """
+    if bins_per_shard < 1:
+        raise ValueError(f"bins_per_shard ({bins_per_shard}) must be >= 1")
+    src = input_path
+    if clean is not None:
+        clean_corpus(spark, input_path, f"{output_path}/clean.parquet", **clean)
+        src = f"{output_path}/clean.parquet"
+    docs = spark.read.parquet(src)
+    bins = text.pack_bins(
+        docs, budget=budget, tokenizer=tokenizer, with_doc_spans=with_doc_spans
+    )
+    sharded = bins.withColumn(
+        "shard", F.expr(f"bin_id div {int(bins_per_shard)}").cast("int")
+    )
+    shards_path = f"{output_path}/shards.parquet"
+    (
+        sharded.repartition("shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(shards_path)
+    )
+    manifest = (
+        spark.read.parquet(shards_path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_docs").cast("long").alias("doc_segments"),
+        )
+    )
+    manifest_path = f"{output_path}/manifest.parquet"
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path)

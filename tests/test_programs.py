@@ -1483,3 +1483,58 @@ def test_clean_corpus_mad_cutoff_drops_low_outlier(spark, tmp_path):
         ).select("doc_id").collect()
     )
     assert 99 not in ids and set(range(1, 8)) <= set(ids)
+
+
+def test_build_training_shards_end_to_end(spark, tmp_path):
+    """clean -> pack -> shard: token conservation (manifest sums ==
+    whitespace token total of the CLEANED pool), contiguous shard
+    numbering, hive-partitioned one-file-per-shard layout, doc_spans
+    present, and the clean stage actually dropping the planted dup."""
+    import glob
+
+    from pagerank_mapreduce_implementation_spark.programs import build_training_shards
+
+    base = "the quick brown fox jumps over the lazy dog keeps running onward"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),  # exact dup -> cleaned away
+        (3, "different words for another training document here", "en", "web", 49),
+        (4, "yet another short document with some tokens", "en", "web", 43),
+    ]
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    manifest = build_training_shards(
+        spark,
+        src,
+        out,
+        budget=8,
+        bins_per_shard=2,
+        clean=dict(near_dup_threshold=0.3, ngram=3),
+    )
+    rows_m = sorted((r.shard, r.n_bins, r.n_tokens) for r in manifest.collect())
+    # cleaned pool = docs 1,3,4 -> 12+7+7 = 26 ws tokens -> 4 bins of
+    # 8,8,8,2 -> shards (0: bins 0,1) (1: bins 2,3)
+    assert [r[0] for r in rows_m] == [0, 1]
+    assert sum(r[1] for r in rows_m) == 4
+    assert sum(r[2] for r in rows_m) == 26
+    # hive layout: one file per shard directory
+    for shard in (0, 1):
+        files = glob.glob(f"{out}/shards.parquet/shard={shard}/*.parquet")
+        assert len(files) == 1, files
+    bins = spark.read.parquet(f"{out}/shards.parquet")
+    assert "doc_spans" in bins.columns
+    got_tokens = " ".join(
+        r.text for r in bins.orderBy("bin_id").collect()
+    ).split()
+    assert len(got_tokens) == 26
+    # stream order: bin 0 starts with doc 1's opening tokens
+    assert got_tokens[:4] == ["the", "quick", "brown", "fox"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bins_per_shard"):
+        build_training_shards(spark, src, out, bins_per_shard=0)
