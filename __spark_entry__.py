@@ -2799,18 +2799,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_histogram": _q_graph_degree_histogram,
         # --- window boundary (50) — below here: green within the
         # 3-round freshness budget. ROUND-12 ROTATION PLAN: window =
-        # the 8 STAGED round-11 operators awaiting registration
+        # the 9 STAGED round-11 operators awaiting registration
         # (trigram_lm, mad_outliers, perplexity_buckets_scalable,
         # sssp_weighted, clustering_coeff, copurchase_graph,
-        # edit_verified_dups, bpe_fertility — operators + oracles
-        # shipped in round 11, gated by tests/test_staged_ops.py
-        # until registered) + the 41 remaining r9-green entries
-        # (orc_pricing_roundtrip..cms_word_counts) = 49; the 50-entry
-        # r10 cohort (bpe_train..word_count) then leads round 13
-        # exactly filling that window (registry grows to 155 -> the
-        # budget becomes ceil(155/50) = 4 rounds, so the r11-green
-        # window cohort is due r15, not r14 — the rotation test
-        # recomputes the budget mechanically).
+        # edit_verified_dups, bpe_fertility, streaming_lm_probe —
+        # operators + oracles shipped in round 11, gated by
+        # tests/test_staged_ops.py until registered) + the 41
+        # remaining r9-green entries (orc_pricing_roundtrip..
+        # cms_word_counts) = exactly 50; the 50-entry r10 cohort
+        # (bpe_train..word_count) then leads round 13 exactly filling
+        # that window (registry grows to 156 -> the budget becomes
+        # ceil(156/50) = 4 rounds, so the r11-green window cohort is
+        # due r15, not r14 — the rotation test recomputes the budget
+        # mechanically).
         # r9-green remainder (due by round 12):
         "image_dct_dups": _q_image_dct_dups,
         "audio_near_dups": _q_audio_near_dups,

@@ -427,9 +427,21 @@ def bigram_lm_scores(
     """
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
+    bi = doc_bigrams(docs, text_col=text_col, doc_col=doc_col)
+    scored = bigram_surprisal_table(docs, text_col=text_col, add_k=add_k, bigrams=bi)
+    return _score_bigram_docs(bi, scored)
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row adjacent token pairs → ``(doc_id, w1, w2)`` — a NARROW
+    transform (tokenize + array build + explode, no shuffle), so it
+    works unchanged on a STREAMING frame (the streaming_lm_probe
+    path)."""
     toks = _tokens(text_col)
     staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__t"))
-    bi = staged.select(
+    return staged.select(
         "doc_id",
         F.explode(
             F.when(
@@ -444,12 +456,34 @@ def bigram_lm_scores(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+
+def bigram_surprisal_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    add_k: float = 1.0,
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """The trained bigram LM as a TABLE → ``(w1, w2, surprisal)`` with
+    ``surprisal = -log10 (c2+k)/(c1+k·V)`` over ``docs``' own counts —
+    the model artifact ``bigram_lm_scores`` joins against, exposed so
+    serving paths (the streaming probe) can train once on a batch
+    corpus and score streams statelessly against the vocab-bounded
+    result. ``bigrams`` (optional) reuses an already-built
+    ``doc_bigrams`` frame so the batch scorer keeps its single
+    bigram-build plan."""
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    toks = _tokens(text_col)
+    staged = docs.select(toks.alias("__t"))
+    if bigrams is None:
+        bigrams = doc_bigrams(docs, text_col=text_col, doc_col="doc_id")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = staged.select(F.explode("__t").alias("w")).agg(
         F.count_distinct("w").alias("__v")
     )
-    scored = (
+    return (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -463,6 +497,13 @@ def bigram_lm_scores(
             ).alias("surprisal"),
         )
     )
+
+
+def _score_bigram_docs(bi: DataFrame, scored: DataFrame) -> DataFrame:
+    """Join per-doc bigram occurrences to a scored-bigram table and
+    reduce to ``(doc_id, n_bigrams, nll)`` — shared by the batch
+    scorer and the streaming probe (identical rounding, so they share
+    one oracle)."""
     return bi.join(scored, ["w1", "w2"]).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("nll"),

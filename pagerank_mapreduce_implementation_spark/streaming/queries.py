@@ -640,3 +640,36 @@ def streaming_changelog_compact(
             for c in events.columns
         ]
     ).filter(F.col("event_type") != delete_type)
+
+
+def streaming_lm_probe(
+    doc_stream: DataFrame,
+    scored_bigrams: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming LM-perplexity scoring → ``(doc_id, n_bigrams, nll)``:
+    documents arriving on a stream scored under a bigram LM TRAINED ON
+    A BATCH CORPUS (``textstats.bigram_surprisal_table``) — the
+    train-once / serve-continuously split of a production quality
+    filter (CCNet's LM stage as a stream job: the model is a static
+    vocab-bounded table, the stream never retrains it).
+
+    Shape: the per-row bigram build is a NARROW stateless transform
+    (``textstats.doc_bigrams`` — tokenize + array + explode, no
+    state); the score lookup is a STREAM-STATIC join against the
+    scored-bigram table (broadcast when it fits — it is vocab-bounded,
+    not corpus-bounded); the only streaming state is the per-doc
+    (count, sum) aggregate, one row per doc in flight. Rounding is
+    ``_score_bigram_docs`` — shared with the batch scorer, so when the
+    stream replays the training corpus the result equals batch
+    ``bigram_lm_scores`` row-for-row and the two share ONE oracle
+    (the ``streaming_search`` gate pattern).
+    """
+    from pagerank_mapreduce_implementation_spark.operators.textstats import (
+        _score_bigram_docs,
+        doc_bigrams,
+    )
+
+    bi = doc_bigrams(doc_stream, text_col=text_col, doc_col=doc_col)
+    return _score_bigram_docs(bi, scored_bigrams)

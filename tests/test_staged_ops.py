@@ -270,3 +270,22 @@ def test_perplexity_twopass_guards(spark):
         textstats.perplexity_buckets(docs, method="nope")
     with pytest.raises(ValueError):
         textstats.perplexity_buckets(docs, method="twopass", nll_bucket_width=0.0)
+
+
+_SEQ = iter(range(1_000_000))
+
+
+def test_streaming_lm_probe_equals_batch_scorer(spark, sf_dir, duck):
+    """Stream the documents table through the probe against the
+    batch-trained bigram table: result == batch bigram_lm_scores ==
+    the registered bigram_lm oracle (the streaming_search shared-
+    oracle gate pattern)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    scored = textstats.bigram_surprisal_table(Catalog(spark, sf_dir).documents)
+    stream = strm.queries.read_table_stream(spark, sf_dir, "documents")
+    probe = strm.queries.streaming_lm_probe(stream, scored)
+    name = f"lm_probe_{next(_SEQ)}"
+    strm.queries.run_to_memory(probe, name, output_mode="complete", state_partitions=8)
+    got = spark.table(name)
+    check(got, duck, oracles.bigram_lm_sql())
