@@ -2804,14 +2804,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sssp_weighted, clustering_coeff, copurchase_graph,
         # edit_verified_dups, bpe_fertility, streaming_lm_probe —
         # operators + oracles shipped in round 11, gated by
-        # tests/test_staged_ops.py until registered) + the 41
-        # remaining r9-green entries (orc_pricing_roundtrip..
-        # cms_word_counts) = exactly 50; the 50-entry r10 cohort
-        # (bpe_train..word_count) then leads round 13 exactly filling
-        # that window (registry grows to 156 -> the budget becomes
-        # ceil(156/50) = 4 rounds, so the r11-green window cohort is
-        # due r15, not r14 — the rotation test recomputes the budget
-        # mechanically).
+        # tests/test_staged_ops.py until registered) + bigram_lm —
+        # its operator was REFACTORED in round 11 (doc_bigrams /
+        # bigram_surprisal_table extraction, parity re-verified
+        # locally and transitively driver-exercised through this
+        # round's windowed perplexity_buckets, which composes it) so
+        # it re-certifies first — + 40 of the 41 remaining r9-green
+        # entries (orc_pricing_roundtrip..) = 50. Registration grows
+        # the registry to 156, flipping the freshness budget to
+        # ceil(156/50) = 4 rounds, which is what makes the spillover
+        # legal: at round 12 the r9-green rows are still inside the
+        # last-4 file window, so the one deferred r9 entry and the
+        # 50-entry r10 cohort lead round 13 (the rotation test
+        # recomputes the budget mechanically).
         # r9-green remainder (due by round 12):
         "image_dct_dups": _q_image_dct_dups,
         "audio_near_dups": _q_audio_near_dups,
