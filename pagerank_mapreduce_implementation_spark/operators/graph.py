@@ -778,6 +778,7 @@ def label_propagation(
     n_rounds: int = 5,
     materialize_every: int = 2,
     num_partitions: int | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) made fully
     deterministic → ``(url, label)`` community assignments after
@@ -834,7 +835,9 @@ def label_propagation(
             .select("url", F.coalesce("new_label", "label").alias("label"))
         )
 
-    driver = IterationDriver(materialize_every=materialize_every)
+    driver = IterationDriver(
+        materialize_every=materialize_every, reliable_dir=reliable_dir
+    )
     out = driver.run(labels, step, n_rounds)
     e.unpersist()
     vertices.unpersist()
@@ -990,6 +993,7 @@ def bfs_distances(
     n_rounds: int = 6,
     materialize_every: int = 2,
     num_partitions: int | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distances → ``(url, dist)`` for every
     vertex reachable from ``sources`` within ``n_rounds`` directed
@@ -1048,7 +1052,9 @@ def bfs_distances(
         )
         return dist.unionByName(reached)
 
-    driver = IterationDriver(materialize_every=materialize_every)
+    driver = IterationDriver(
+        materialize_every=materialize_every, reliable_dir=reliable_dir
+    )
     out = driver.run(dist0, step, n_rounds)
     out = out.localCheckpoint(eager=True)
     e.unpersist()
@@ -1060,6 +1066,7 @@ def kcore(
     k: int = 3,
     n_rounds: int = 5,
     materialize_every: int = 2,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """k-core peeling over the UNDIRECTED simple graph underlying
     ``(src, dst)`` (duplicates/directions collapse to one canonical
@@ -1127,7 +1134,9 @@ def kcore(
             counts[id(df)] = (df, df.count())
         return counts[id(df)][1]
 
-    driver = IterationDriver(materialize_every=materialize_every)
+    driver = IterationDriver(
+        materialize_every=materialize_every, reliable_dir=reliable_dir
+    )
     surviving = driver.run(
         canon, step, n_rounds, converged=lambda prev, cur: _cnt(cur) == _cnt(prev)
     )
@@ -1143,6 +1152,7 @@ def sssp_weighted(
     weight_col: str = "w",
     materialize_every: int = 2,
     num_partitions: int | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source weighted shortest paths → ``(url, dist)`` =
     minimum total edge weight from the nearest source over paths of
@@ -1201,7 +1211,9 @@ def sssp_weighted(
             )
         )
 
-    driver = IterationDriver(materialize_every=materialize_every)
+    driver = IterationDriver(
+        materialize_every=materialize_every, reliable_dir=reliable_dir
+    )
     out = driver.run(dist0, step, n_rounds)
     out = out.select("url", F.round("dist", 6).alias("dist"))
     out = out.localCheckpoint(eager=True)
