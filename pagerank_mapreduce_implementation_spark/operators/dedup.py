@@ -1714,6 +1714,21 @@ def cdc_dup_stats(
     )
 
 
+def cluster_winners(members: DataFrame) -> DataFrame:
+    """Quality-argmax per cluster → ``(cluster_id, __keeper)`` from a
+    ``(doc_id, cluster_id, quality)`` membership frame — the ONE
+    definition of the survivor rule (highest quality, ties to the
+    smallest doc_id) shared by ``cluster_survivors`` and
+    ``programs.clean_corpus(survivor_policy="quality")``. ``min_by``
+    over the ``(-quality, doc_id)`` struct: no window, so a
+    mega-cluster's members never serialize through one task's sort."""
+    return members.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("quality")).alias("nq"), "doc_id")
+        ).alias("__keeper")
+    )
+
+
 def cluster_survivors(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -1748,9 +1763,9 @@ def cluster_survivors(
     from pagerank_mapreduce_implementation_spark.operators import graph as _graph
     from pagerank_mapreduce_implementation_spark.operators import textstats as _ts
 
-    pairs = minhash_near_dups(docs, threshold=threshold, ngram=ngram).select(
-        "doc_a", "doc_b"
-    )
+    pairs = minhash_near_dups(
+        docs, threshold=threshold, ngram=ngram, doc_col=doc_col
+    ).select("doc_a", "doc_b")
     comp = _graph.connected_components(pairs, "doc_a", "doc_b", algorithm="star")
     quality = _ts.quality_scores(docs, doc_col=doc_col, score_only=True).select(
         F.col("doc_id"), F.col("quality")
@@ -1763,10 +1778,8 @@ def cluster_survivors(
         )
         .join(quality, "doc_id")
     )
-    winners = membered.groupBy("cluster_id").agg(
-        F.min_by(
-            "doc_id", F.struct((-F.col("quality")).alias("nq"), "doc_id")
-        ).alias("survivor_id")
+    winners = cluster_winners(membered).withColumnRenamed(
+        "__keeper", "survivor_id"
     )
     return (
         membered.join(winners, "cluster_id")

@@ -463,6 +463,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 20,
     algorithm: str = "label",
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Connected components: ``(vertex, component)`` where component =
     the smallest vertex id reachable from ``vertex`` (undirected).
@@ -527,7 +528,7 @@ def connected_components(
         fixed["converged"] = ok
         return ok
 
-    driver = IterationDriver(materialize_every=1)
+    driver = IterationDriver(materialize_every=1, reliable_dir=reliable_dir)
     out = driver.run(labels, step, max_iters, converged=converged)
     bidir.unpersist()
     if not fixed["converged"]:

@@ -122,6 +122,17 @@ def tf_idf(docs: DataFrame, total_docs: int | None = None, **tok_kwargs) -> Data
     table once — ``search`` over a parquet-backed tf-idf pushes the
     IN-list to the scan.
     """
+    return _tf_idf_with_df(docs, total_docs, **tok_kwargs).drop("df")
+
+
+def _tf_idf_with_df(
+    docs: DataFrame, total_docs: int | None = None, **tok_kwargs
+) -> DataFrame:
+    """tf_idf keeping the document-frequency column → ``(doc_id, word,
+    tfidf, df)`` — consumers that cap or weight by df (tfidf_doc_pairs)
+    read it off the join tf_idf already performs instead of paying a
+    second token-volume groupBy to rebuild it. ``tf_idf`` is this with
+    ``df`` dropped (column-pruned to the identical plan)."""
     if total_docs is None:
         total_docs = docs.count()
     tf = term_frequency(docs, **tok_kwargs)
@@ -132,6 +143,7 @@ def tf_idf(docs: DataFrame, total_docs: int | None = None, **tok_kwargs) -> Data
         (F.col("tf") * F.log10(F.lit(1.0) + F.lit(float(total_docs)) / F.col("df"))).alias(
             "tfidf"
         ),
+        "df",
     )
 
 
@@ -906,9 +918,10 @@ def tfidf_doc_pairs(
 
     Scale shape: candidate pairs come from an inverted-index self-join
     on the term — per term at most C(max_df, 2) pairs, so candidate
-    volume is bounded by vocab x C(max_df, 2), never |docs|^2. Three
-    token-volume shuffles total (tf build, df cap, term join); the
-    norm join is doc-bounded. At 100 TB raise ``threshold``/lower
+    volume is bounded by vocab x C(max_df, 2), never |docs|^2. Two
+    token-volume shuffles total (the tf build whose df join already
+    carries the cap column, and the term self-join); the norm join is
+    doc-bounded. At 100 TB raise ``threshold``/lower
     ``max_df`` — precision of the cap is a corpus-frequency statement,
     independent of corpus size.
 
@@ -921,10 +934,9 @@ def tfidf_doc_pairs(
     if max_df < 2:
         raise ValueError(f"max_df ({max_df}) must be >= 2 to form any pair")
     dec = "decimal(18,6)"
-    tfidf = tf_idf(docs, total_docs, **tok_kwargs)
-    dfc = tfidf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     kept = (
-        tfidf.join(dfc.filter(F.col("df") <= max_df), "word")
+        _tf_idf_with_df(docs, total_docs, **tok_kwargs)
+        .filter(F.col("df") <= max_df)
         .select("doc_id", "word", "tfidf")
     )
     norms = kept.groupBy("doc_id").agg(

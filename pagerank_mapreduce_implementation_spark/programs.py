@@ -714,23 +714,17 @@ def _clean_corpus_body(
     # every clustered doc except its component's keeper is dropped;
     # docs in no cluster survive untouched
     if survivor_policy == "quality":
-        # the cluster_survivors policy: quality-argmax per component
-        # via min_by — no window, a mega-cluster never serializes
-        # through one task's sort; ties to the smallest doc_id
-        member_q = comps.join(
-            textstats.quality_scores(docs, score_only=True)
-            .select(F.col("doc_id").alias("vertex"), "quality"),
-            "vertex",
-        )
-        winners = member_q.groupBy("component").agg(
-            F.min_by(
-                "vertex", F.struct((-F.col("quality")).alias("nq"), "vertex")
-            ).alias("__keeper")
-        )
+        # the cluster_survivors policy, via the ONE shared argmax
+        # definition (dedup.cluster_winners)
+        member_q = comps.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ).join(textstats.quality_scores(docs, score_only=True), "doc_id")
+        winners = dedup.cluster_winners(member_q)
         drop = (
-            comps.join(winners, "component")
-            .filter(F.col("vertex") != F.col("__keeper"))
-            .select(F.col("vertex").alias("doc_id"))
+            member_q.join(winners, "cluster_id")
+            .filter(F.col("doc_id") != F.col("__keeper"))
+            .select("doc_id")
         )
     else:
         drop = comps.filter(F.col("vertex") != F.col("component")).select(
