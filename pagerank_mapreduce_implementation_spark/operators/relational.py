@@ -372,3 +372,65 @@ def pricing_grouping_sets(lineitem: DataFrame) -> DataFrame:
             dsum(disc_price).alias("revenue"),
         )
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Generic column profile — one row per profiled column:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    with min/max rendered as strings — the data-quality sweep a
+    pipeline runs on every new table drop (nulls creeping in, key
+    cardinality drift, out-of-range values).
+
+    ONE aggregation pass over the scan regardless of how many columns
+    are profiled: all per-column statistics are expressions of a single
+    ``agg``, and the wide 1-row result is reshaped to long form by an
+    ``explode`` of plan-time structs (no second scan, no union of
+    per-column jobs). min/max are computed in the column's native type
+    and cast to string AFTER aggregating, so ordering is typed, not
+    lexicographic.
+
+    ``exact`` controls distinct counting: ``True`` uses
+    ``count(DISTINCT col)`` — Spark plans one EXPAND over the scan
+    (rows x profiled-columns intermediates), the audit/oracle
+    configuration — while ``False`` uses ``approx_count_distinct``
+    (HLL++, one pass, no expand), the 100 TB default where a +-2%
+    cardinality estimate is what profiling needs.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn{i}"),
+            distinct(c).alias(f"__d{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn{i}")).alias("n_nulls"),
+                F.col(f"__d{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_value"),
+                F.col(f"__mx{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -647,3 +647,61 @@ def temperature_mix(
         )
         .drop("__nt", "__T", "__b")
     )
+
+
+def training_order(
+    docs: DataFrame,
+    seed: str = "torder",
+    doc_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training order: ``(doc_id, position)`` with
+    ``position`` = the 1-based rank of the doc under a seeded md5
+    shuffle — the "shuffle the corpus once, reproducibly" step every
+    training run needs. The order is a pure function of (seed, key):
+    stable across re-partitioning, re-runs, and engines (the SQL oracle
+    is ``row_number() OVER (ORDER BY u, doc_id)`` over the identical
+    52-bit coin), and changing ``seed`` is a fresh independent shuffle.
+
+    Scale shape — a DISTRIBUTED RANK, not one global window: a single
+    ``Window.orderBy(u)`` would drag the corpus into one task. The coin
+    is uniform in [0, 1), so ``floor(u * n_buckets)`` partitions rows
+    into ``n_buckets`` BALANCED, order-contiguous slices; within each
+    bucket a per-bucket window ranks locally (parallel across buckets)
+    and the tiny bucket-counts table's running sum broadcasts back as
+    each bucket's global offset — the same two-phase prefix pattern as
+    ``text.pack_sequences``. Ties in ``u`` break by ``doc_col``;
+    identical keys get identical coins, so ``doc_col`` must be unique
+    (the corpus contract).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+    salt = f"{seed}:"
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        _hash_uniform(F.col(doc_col), salt).alias("__u"),
+    ).withColumn(
+        # u in [0,1) exactly, so the bucket index is in [0, n_buckets)
+        "__bucket",
+        F.floor(F.col("__u") * n_buckets).cast("int"),
+    )
+    in_bucket = Window.partitionBy("__bucket").orderBy("__u", "doc_id")
+    ranked = staged.withColumn("__rn", F.row_number().over(in_bucket))
+    btot = staged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    bprefix = btot.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__prefix")
+    return (
+        ranked.join(F.broadcast(bprefix), "__bucket")
+        .select(
+            "doc_id", (F.col("__prefix") + F.col("__rn")).alias("position")
+        )
+    )

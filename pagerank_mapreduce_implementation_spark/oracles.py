@@ -2470,3 +2470,105 @@ def bpe_fertility_sql() -> str:
         "round(CASE WHEN n_pieces > 0 THEN CAST(n_chars AS DOUBLE) / n_pieces "
         "ELSE 0.0 END, 6) AS chars_per_piece FROM g"
     )
+
+
+def _dec_str_sql(x: str, scale: int = 6) -> str:
+    """Fixed-scale decimal string of a double — the array-element hash
+    form (both engines render DECIMAL(18,s) as plain fixed-scale text,
+    unlike raw doubles whose shortest-round-trip formatting diverges
+    at >= 1e7)."""
+    return f"CAST(CAST({x} AS DECIMAL(18,{scale})) AS VARCHAR)"
+
+
+def truncate_embeddings_sql(dims: int = 16, renorm: bool = True) -> str:
+    """Mirror of ``operators.embeddings.truncate_embeddings`` over
+    ``embeddings``, in the hash-gate string form: the first ``dims``
+    coordinates (1-based inclusive slice — same semantics as Spark's
+    ``F.slice``), optionally re-L2-normalized, each element rendered as
+    a fixed-scale DECIMAL(18,6) string and comma-joined."""
+    sl = (
+        f"list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, {dims}), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+    if renorm:
+        body = (
+            f"WITH s AS (SELECT vec_id, {sl} AS v FROM embeddings), "
+            "n AS (SELECT vec_id, v, "
+            "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM s) "
+            "SELECT vec_id, array_to_string(list_transform("
+            "CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END, "
+            f"x -> {_dec_str_sql('x')}), ',') AS emb FROM n"
+        )
+    else:
+        body = (
+            "SELECT vec_id, array_to_string(list_transform("
+            f"{sl}, x -> {_dec_str_sql('x')}), ',') AS emb FROM embeddings"
+        )
+    return body
+
+
+def mean_pool_sql(dims: int = 64, group_col: str = "label") -> str:
+    """Mirror of ``operators.embeddings.mean_pool_embeddings(exact=
+    True)`` over ``embeddings``: per group, the bit-deterministic
+    sequential-fold mean over vec_id-sorted members (the
+    ``ivf_topk_lloyd`` exact-mean fold), rendered as the comma-joined
+    DECIMAL(18,6) hash form."""
+    return (
+        f"WITH g AS (SELECT {group_col}, count(*) AS n, "
+        "list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms "
+        f"FROM embeddings GROUP BY {group_col}) "
+        f"SELECT {group_col}, n, array_to_string(list_transform("
+        f"list_transform(range(1, {dims + 1}), d -> "
+        "list_reduce(list_transform(ms, m -> m[d]), (a, b) -> a + b) / len(ms)), "
+        f"x -> {_dec_str_sql('x')}), ',') AS centroid FROM g"
+    )
+
+
+def embedding_gram_sql(dims: int = 64) -> str:
+    """Mirror of ``operators.embeddings.embedding_gram(exact=True)``
+    over ``embeddings``: upper-triangle (0-based i <= j) cells of
+    X^T X, each cell the sequential fold over vec_id-ordered per-row
+    products (exact in double: float32 x float32 is lossless in
+    float64), rounded 6."""
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "p AS (SELECT b.vec_id, i.range AS i, j.range AS j, "
+        "b.v[CAST(i.range AS INT) + 1] * b.v[CAST(j.range AS INT) + 1] AS p "
+        f"FROM base b, range(0, {dims}) i, range(0, {dims}) j "
+        "WHERE j.range >= i.range) "
+        "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+        "round(list_reduce(list_prepend(0.0, list(p ORDER BY vec_id)), "
+        "(a, b) -> a + b), 6) AS g "
+        "FROM p GROUP BY i, j"
+    )
+
+
+def training_order_sql(seed: str = "torder") -> str:
+    """Mirror of ``operators.sampling.training_order`` over
+    ``documents``: the 1-based rank under the seeded 52-bit md5 coin
+    (identical IEEE arithmetic to the samplers), ties by doc_id."""
+    return (
+        "SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) AS position "
+        "FROM (SELECT doc_id, "
+        f"('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+        "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 AS u FROM documents)"
+    )
+
+
+def profile_table_sql(table: str, columns: list[str]) -> str:
+    """Mirror of ``operators.relational.profile_table(exact=True)``: a
+    UNION ALL of per-column profile rows. min/max are typed, then cast
+    to VARCHAR — callers pick columns whose string rendering agrees
+    across engines (BIGINT/VARCHAR/TIMESTAMP/DATE, doubles < 1e7; a
+    raw double >= 1e7 renders as 1.0E7 in Spark vs 10000000.0 in
+    DuckDB)."""
+    parts = [
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_value, "
+        f"CAST(max({c}) AS VARCHAR) AS max_value FROM {table}"
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)

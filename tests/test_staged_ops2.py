@@ -1,0 +1,267 @@
+"""Second STAGED cohort (built mid-round-11, registered when the
+driver window frees slots — the round-8 capacity policy): embedding
+utilities (matryoshka truncation, exact mean pooling, the distributed
+gram pass, PCA on top), the seeded deterministic training order, and
+the generic table profiler. Until registered this file is their
+correctness gate: DuckDB-oracle parity at sf0.001 through the same
+normalize/compare the registry harness uses, plus numpy parity for the
+non-SQL-expressible PCA and semantic unit tests on hand-checkable
+fixtures."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark import oracles
+from pagerank_mapreduce_implementation_spark.operators import (
+    embeddings as emb_ops,
+    relational,
+    sampling,
+)
+from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+TABLES = ["lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def check(spark_df, duck_con, oracle_sql):
+    got = normalize(spark_df.toPandas())
+    want = normalize(duck_con.sql(oracle_sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def _dec_join(col: str) -> F.Column:
+    return F.array_join(
+        F.transform(
+            F.col(col), lambda x: x.cast("decimal(18,6)").cast("string")
+        ),
+        ",",
+    )
+
+
+# ---------------------------------------------------------------- oracle parity
+
+
+def test_truncate_embeddings_parity(spark, sf_dir, duck):
+    out = emb_ops.truncate_embeddings(
+        Catalog(spark, sf_dir).embeddings, dims=16
+    ).select("vec_id", _dec_join("embedding").alias("emb"))
+    check(out, duck, oracles.truncate_embeddings_sql(dims=16))
+
+
+def test_truncate_embeddings_no_renorm_parity(spark, sf_dir, duck):
+    out = emb_ops.truncate_embeddings(
+        Catalog(spark, sf_dir).embeddings, dims=8, renorm=False
+    ).select("vec_id", _dec_join("embedding").alias("emb"))
+    check(out, duck, oracles.truncate_embeddings_sql(dims=8, renorm=False))
+
+
+def test_mean_pool_exact_parity(spark, sf_dir, duck):
+    out = emb_ops.mean_pool_embeddings(
+        Catalog(spark, sf_dir).embeddings, exact=True
+    ).select("label", "n", _dec_join("centroid").alias("centroid"))
+    check(out, duck, oracles.mean_pool_sql(dims=64))
+
+
+def test_embedding_gram_exact_parity(spark, sf_dir, duck):
+    out = emb_ops.embedding_gram(
+        Catalog(spark, sf_dir).embeddings, exact=True
+    ).select("i", "j", F.round("g", 6).alias("g"))
+    check(out, duck, oracles.embedding_gram_sql(dims=64))
+
+
+def test_training_order_parity(spark, sf_dir, duck):
+    out = sampling.training_order(Catalog(spark, sf_dir).documents)
+    check(out, duck, oracles.training_order_sql())
+
+
+def test_profile_table_parity(spark, sf_dir, duck):
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+    ]
+    out = relational.profile_table(Catalog(spark, sf_dir).lineitem, cols)
+    check(out, duck, oracles.profile_table_sql("lineitem", cols))
+
+
+def test_profile_table_documents_parity(spark, sf_dir, duck):
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    out = relational.profile_table(Catalog(spark, sf_dir).documents, cols)
+    check(out, duck, oracles.profile_table_sql("documents", cols))
+
+
+# ---------------------------------------------------------------- semantics
+
+
+def test_truncate_renorm_unit_norm_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0]), (2, [0.0, 0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb_ops.truncate_embeddings(df, dims=2).collect()
+    }
+    assert rows[1] == pytest.approx([0.6, 0.8])  # renormed 3-4-5
+    assert rows[2] == [0.0, 0.0]  # zero prefix untouched, no div-by-0
+    with pytest.raises(ValueError):
+        emb_ops.truncate_embeddings(df, dims=0)
+
+
+def test_truncate_short_vectors_kept_whole(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    (r,) = emb_ops.truncate_embeddings(df, dims=5, renorm=False).collect()
+    assert r["embedding"] == [1.0, 1.0]
+
+
+def test_mean_pool_default_matches_exact(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    fast = {
+        r["label"]: (r["n"], r["centroid"])
+        for r in emb_ops.mean_pool_embeddings(emb).collect()
+    }
+    slow = {
+        r["label"]: (r["n"], r["centroid"])
+        for r in emb_ops.mean_pool_embeddings(emb, exact=True).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        assert fast[k][0] == slow[k][0]
+        assert np.allclose(fast[k][1], slow[k][1], atol=1e-9)
+
+
+def test_mean_pool_empty_input(spark):
+    df = spark.createDataFrame([], "label int, vec_id long, embedding array<float>")
+    assert emb_ops.mean_pool_embeddings(df).collect() == []
+
+
+def test_embedding_gram_default_matches_exact_and_numpy(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    fast = {(r["i"], r["j"]): r["g"] for r in emb_ops.embedding_gram(emb).collect()}
+    slow = {
+        (r["i"], r["j"]): r["g"]
+        for r in emb_ops.embedding_gram(emb, exact=True).collect()
+    }
+    assert fast.keys() == slow.keys()
+    x = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    g = x.T @ x
+    for (i, j), v in fast.items():
+        assert abs(v - slow[(i, j)]) <= 1e-7 * max(1.0, abs(v))
+        assert abs(v - g[i, j]) <= 1e-7 * max(1.0, abs(g[i, j]))
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    vals, comps, n = emb_ops.pca_components(emb, k=4)
+    x = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    assert n == len(x)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(vals, evals, rtol=1e-8, atol=1e-10)
+    assert sorted(vals, reverse=True) == vals
+    for c, lam in zip(comps, vals):
+        assert np.isclose(np.linalg.norm(c), 1.0)
+        # eigenvector check: cov @ c == lambda * c
+        assert np.allclose(cov @ np.array(c), lam * np.array(c), atol=1e-8)
+        # sign canon: the largest-|.| coordinate is positive
+        c = np.array(c)
+        assert c[int(np.argmax(np.abs(c)))] > 0
+    proj = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in emb_ops.pca_project(emb, k=4).collect()
+    }
+    mu = x.mean(axis=0)
+    want = (x - mu) @ np.array(comps).T
+    ids = sorted(proj)
+    got = np.array([proj[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_pca_project_reuses_fit(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    comps = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = {
+        r["vec_id"]: r["proj"]
+        for r in emb_ops.pca_project(
+            df, components=comps, means=[0.0, 0.0, 0.0]
+        ).collect()
+    }
+    assert rows[3] == pytest.approx([3.0, 6.0])
+    with pytest.raises(ValueError):
+        emb_ops.pca_project(df, components=comps, means=None)
+    with pytest.raises(ValueError):
+        emb_ops.pca_components(df, k=9)
+
+
+def test_training_order_is_permutation_and_seeded(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    n = docs.count()
+    out = sampling.training_order(docs)
+    pos = [r["position"] for r in out.collect()]
+    assert sorted(pos) == list(range(1, n + 1))
+    a = {r["doc_id"]: r["position"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["position"]
+        for r in sampling.training_order(docs, seed="other").collect()
+    }
+    assert a != b  # a different seed is a different shuffle
+    # partitioning-independent: same order after a repartition
+    c = {
+        r["doc_id"]: r["position"]
+        for r in sampling.training_order(docs.repartition(7)).collect()
+    }
+    assert a == c
+    with pytest.raises(ValueError):
+        sampling.training_order(docs, n_buckets=0)
+
+
+def test_profile_table_counts_nulls_and_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k int, s string"
+    )
+    rows = {r["col_name"]: r for r in relational.profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "3"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in relational.profile_table(df, exact=False).collect()
+    }
+    assert approx["k"] == 3  # HLL exact at tiny cardinalities
+    with pytest.raises(ValueError):
+        relational.profile_table(df, ["nope"])
+    with pytest.raises(ValueError):
+        relational.profile_table(df, [])
