@@ -265,3 +265,84 @@ def test_profile_table_counts_nulls_and_guards(spark):
         relational.profile_table(df, ["nope"])
     with pytest.raises(ValueError):
         relational.profile_table(df, [])
+
+
+# ---------------------------------------------------------------- plan shapes
+
+
+def _final_plan(df) -> str:
+    df.collect()  # AQE: read the final plan, not the initial one
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+
+
+def test_truncate_embeddings_zero_shuffle(spark, sf_dir):
+    plan = _final_plan(
+        emb_ops.truncate_embeddings(Catalog(spark, sf_dir).embeddings, dims=16)
+    )
+    assert "Exchange" not in plan  # pure per-row projection
+
+
+def test_training_order_no_global_sort(spark, sf_dir):
+    plan = _final_plan(sampling.training_order(Catalog(spark, sf_dir).documents))
+    # the corpus is ranked inside hash-partitioned coin buckets...
+    assert "hashpartitioning(__bucket" in plan
+    # ...never range-sorted globally (the single-task shape we avoid)
+    assert "rangepartitioning" not in plan
+    # bucket offsets come back as a broadcast, not a corpus shuffle
+    assert "BroadcastHashJoin" in plan
+    # the only single-partition funnel is the tiny bucket-counts window
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_profile_table_one_scan_and_expand_contract(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    cols = ["l_orderkey", "l_returnflag"]
+    exact = _final_plan(relational.profile_table(li, cols))
+    assert "Expand" in exact  # documented cost of count(DISTINCT ...)
+    approx = _final_plan(relational.profile_table(li, cols, exact=False))
+    assert "Expand" not in approx  # HLL mode: one pass, no expand
+    assert approx.count("FileScan") == 1
+
+
+def test_embedding_gram_one_shuffle(spark, sf_dir):
+    plan = _final_plan(emb_ops.embedding_gram(Catalog(spark, sf_dir).embeddings))
+    assert "MapInPandas" in plan
+    # one d^2-keyed shuffle over partition-sized partials, nothing else
+    assert plan.count("hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- jsonl roundtrip
+
+
+def test_jsonl_roundtrip_parity(spark, sf_dir, duck, tmp_path):
+    """documents -> JSONL shards -> read back with an explicit schema ->
+    per-source rollup, vs DuckDB over the original parquet: the
+    training-data interchange format (JSON lines) preserves content
+    through a write/read cycle."""
+    from pagerank_mapreduce_implementation_spark.sources.catalog import read_json, write_json
+
+    docs = Catalog(spark, sf_dir).documents
+    path = str(tmp_path / "docs_jsonl")
+    write_json(docs, path)
+    back = read_json(
+        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+    check(
+        out,
+        duck,
+        "SELECT source, count(*) AS n_docs, sum(n_chars) AS chars, "
+        "sum(length(text)) AS text_chars, min(doc_id) AS min_id, "
+        "max(doc_id) AS max_id FROM documents GROUP BY source",
+    )
