@@ -1102,6 +1102,7 @@ def build_training_shards(
     tokenizer: str = "ws",
     with_doc_spans: bool = True,
     clean: dict | None = None,
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """The full corpus-to-trainer recipe as ONE program: (optionally)
     clean -> pack into ``budget``-token bins -> lay the bins out as
@@ -1137,6 +1138,17 @@ def build_training_shards(
        sums per-bin document segments; a straddling doc counts once
        per bin it touches (the attention-mask view of "document").
 
+    ``shuffle_seed`` inserts the corpus SHUFFLE between clean and pack
+    (``sampling.training_order``): docs are renumbered by their seeded
+    position — the position becomes the packing key, so the token
+    stream (and hence every bin and shard) is laid out in reproducible
+    shuffled order instead of doc_id order — and the
+    (doc_id=position, source_doc_id) provenance map lands at
+    ``<out>/doc_map.parquet``; ``doc_spans`` then reference positions,
+    the map restores original ids. Cost: the one id-keyed self-join
+    that attaches positions (the actual reorder rides the packing's
+    inherent token shuffle, which this path was paying anyway).
+
     Returns the manifest read back from ``<out>/manifest.parquet``.
     """
     if bins_per_shard < 1:
@@ -1146,6 +1158,17 @@ def build_training_shards(
         clean_corpus(spark, input_path, f"{output_path}/clean.parquet", **clean)
         src = f"{output_path}/clean.parquet"
     docs = spark.read.parquet(src)
+    if shuffle_seed is not None:
+        from pagerank_mapreduce_implementation_spark.operators import sampling
+
+        pos = sampling.training_order(docs, seed=shuffle_seed)
+        pos.select(
+            F.col("position").alias("doc_id"),
+            F.col("doc_id").alias("source_doc_id"),
+        ).write.mode("overwrite").parquet(f"{output_path}/doc_map.parquet")
+        docs = docs.join(pos, "doc_id").select(
+            F.col("position").alias("doc_id"), "text"
+        )
     bins = text.pack_bins(
         docs, budget=budget, tokenizer=tokenizer, with_doc_spans=with_doc_spans
     )

@@ -1538,3 +1538,59 @@ def test_build_training_shards_end_to_end(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bins_per_shard"):
         build_training_shards(spark, src, out, bins_per_shard=0)
+
+
+def test_build_training_shards_shuffle_seed(spark, tmp_path):
+    """shuffle_seed: the token stream is laid out in seeded
+    training_order, not doc_id order; doc_map restores provenance;
+    token mass is conserved; spans reference positions."""
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+    from pagerank_mapreduce_implementation_spark.programs import build_training_shards
+
+    rows = [
+        (10, "alpha beta gamma delta"),
+        (20, "one two three"),
+        (30, "red green blue white black"),
+    ]
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(src)
+
+    manifest = build_training_shards(
+        spark, src, out, budget=4, bins_per_shard=2, shuffle_seed="s1"
+    )
+    assert sum(r.n_tokens for r in manifest.collect()) == 12
+    # doc_map is exactly training_order(seed) with position as the key
+    dm = {
+        r.source_doc_id: r.doc_id
+        for r in spark.read.parquet(f"{out}/doc_map.parquet").collect()
+    }
+    want = {
+        r.doc_id: r.position
+        for r in sampling.training_order(docs, seed="s1").collect()
+    }
+    assert dm == want
+    # the stream is the docs concatenated in position order
+    by_pos = sorted(rows, key=lambda r: want[r[0]])
+    want_tokens = " ".join(t for _, t in by_pos).split()
+    bins = spark.read.parquet(f"{out}/shards.parquet")
+    got_tokens = " ".join(r.text for r in bins.orderBy("bin_id").collect()).split()
+    assert got_tokens == want_tokens
+    # spans reference positions (1..n), resolvable through the map
+    span_ids = set()
+    for r in bins.collect():
+        for part in r.doc_spans.split(";"):
+            span_ids.add(int(part.split(":")[1]))
+    assert span_ids <= set(want.values())
+    # a different seed is a different layout
+    build_training_shards(
+        spark, src, str(tmp_path / "out2"), budget=4, bins_per_shard=2,
+        shuffle_seed="s2",
+    )
+    bins2 = spark.read.parquet(f"{tmp_path}/out2/shards.parquet")
+    got2 = " ".join(r.text for r in bins2.orderBy("bin_id").collect()).split()
+    assert got2 != got_tokens or want == {
+        r.doc_id: r.position
+        for r in sampling.training_order(docs, seed="s2").collect()
+    }
