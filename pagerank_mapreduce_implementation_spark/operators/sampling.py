@@ -683,8 +683,20 @@ def training_order(
     ).withColumn(
         # u in [0,1) exactly, so the bucket index is in [0, n_buckets)
         "__bucket",
-        F.floor(F.col("__u") * n_buckets).cast("int"),
+        F.floor(F.col("__u") * n_buckets).cast("long"),
     )
+    return _bucketed_rank(staged)
+
+
+def _bucketed_rank(staged: DataFrame) -> DataFrame:
+    """Two-phase distributed rank over ``(doc_id, __u, __bucket)``:
+    position = the 1-based global rank under (__bucket asc, __u,
+    doc_id) — per-bucket windows in parallel + the tiny bucket-counts
+    prefix broadcast back as offsets. Correct whenever __bucket is
+    MONOTONE in the intended global order (training_order: coin
+    buckets; curriculum_order: stage * n_buckets + coin bucket).
+    Columns of ``staged`` other than the machinery ride through."""
+    keep = [c for c in staged.columns if c not in ("__u", "__bucket")]
     in_bucket = Window.partitionBy("__bucket").orderBy("__u", "doc_id")
     ranked = staged.withColumn("__rn", F.row_number().over(in_bucket))
     btot = staged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
@@ -702,6 +714,62 @@ def training_order(
     return (
         ranked.join(F.broadcast(bprefix), "__bucket")
         .select(
-            "doc_id", (F.col("__prefix") + F.col("__rn")).alias("position")
+            *keep, (F.col("__prefix") + F.col("__rn")).alias("position")
         )
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    boundaries: list[float],
+    seed: str = "curriculum",
+    doc_col: str = "doc_id",
+    n_buckets: int = 1024,
+    descending: bool = True,
+) -> DataFrame:
+    """Curriculum training order: ``(doc_id, stage, position)`` —
+    docs are staged by explicit ``score_col`` thresholds and seeded-
+    shuffled WITHIN each stage, positions global across stages (stage
+    by stage), so a loader reading positions 1..N sees the curriculum:
+    all of stage 0 in random order, then stage 1, ... The staging rule
+    is ``stage = #{b in boundaries : score >= b}`` re-indexed so stage
+    0 trains first — ``descending=True`` (default) puts the HIGHEST
+    scores first (quality-descending curricula); thresholds are plain
+    IEEE comparisons, so the assignment is cross-engine exact with no
+    quantile sort (a global ntile would cost exactly the corpus-wide
+    sort this operator exists to avoid — callers wanting quantile
+    stages read the cuts off ``approx_value_percentiles``-style stats
+    first and pass them here as literals).
+
+    Scale shape: ``training_order``'s two-phase distributed rank with
+    the composite bucket ``stage * n_buckets + coin_bucket`` — monotone
+    in (stage, u), so per-bucket parallel windows + the broadcast
+    bucket-counts prefix give the exact global rank with no global
+    sort. Within-stage order is the same independent md5 shuffle per
+    ``seed``.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+    if not boundaries:
+        raise ValueError("curriculum_order: boundaries must be non-empty")
+    bs = [float(b) for b in boundaries]
+    if bs != sorted(bs):
+        raise ValueError(f"boundaries must be ascending, got {boundaries}")
+    n_stages = len(bs) + 1
+    # raw = #{b : score >= b} in [0, n_stages): 0 = lowest scores
+    raw = sum(
+        (F.col(score_col) >= F.lit(b)).cast("int") for b in bs
+    )
+    stage = (F.lit(n_stages - 1) - raw) if descending else raw
+    salt = f"{seed}:"
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        stage.cast("int").alias("stage"),
+        _hash_uniform(F.col(doc_col), salt).alias("__u"),
+    ).withColumn(
+        "__bucket",
+        F.col("stage").cast("long") * n_buckets
+        + F.floor(F.col("__u") * n_buckets).cast("long"),
+    )
+    return _bucketed_rank(staged)

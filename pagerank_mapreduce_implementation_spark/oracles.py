@@ -2572,3 +2572,24 @@ def profile_table_sql(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(parts)
+
+
+def curriculum_order_sql(
+    boundaries: list[float] | None = None,
+    seed: str = "curriculum",
+    descending: bool = True,
+) -> str:
+    """Mirror of ``operators.sampling.curriculum_order`` over
+    ``documents`` scored by ``n_chars``: stage = threshold-count
+    (re-indexed so stage 0 trains first), position = row_number over
+    (stage, seeded 52-bit coin, doc_id)."""
+    bs = boundaries if boundaries is not None else [200.0, 500.0]
+    raw = " + ".join(f"CAST(n_chars >= {float(b)} AS INT)" for b in bs)
+    stage = f"({len(bs)} - ({raw}))" if descending else f"({raw})"
+    return (
+        "SELECT doc_id, stage, "
+        "row_number() OVER (ORDER BY stage, u, doc_id) AS position "
+        f"FROM (SELECT doc_id, CAST({stage} AS INT) AS stage, "
+        f"('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+        "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 AS u FROM documents)"
+    )

@@ -346,3 +346,41 @@ def test_jsonl_roundtrip_parity(spark, sf_dir, duck, tmp_path):
         "sum(length(text)) AS text_chars, min(doc_id) AS min_id, "
         "max(doc_id) AS max_id FROM documents GROUP BY source",
     )
+
+
+def test_curriculum_order_parity(spark, sf_dir, duck):
+    out = sampling.curriculum_order(
+        Catalog(spark, sf_dir).documents, "n_chars", [200.0, 500.0]
+    )
+    check(out, duck, oracles.curriculum_order_sql())
+
+
+def test_curriculum_order_semantics(spark):
+    rows = [(i, float(s)) for i, s in enumerate([10, 900, 300, 40, 700, 250])]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = sampling.curriculum_order(df, "score", [100.0, 500.0]).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # descending default: >=500 -> stage 0, [100,500) -> 1, <100 -> 2
+    assert {i: by_id[i]["stage"] for i in by_id} == {
+        0: 2, 1: 0, 2: 1, 3: 2, 4: 0, 5: 1,
+    }
+    # positions are a permutation and respect the stage blocks
+    assert sorted(r["position"] for r in out) == list(range(1, 7))
+    for r in out:
+        lower = sum(1 for q in out if q["stage"] < r["stage"])
+        upper = lower + sum(1 for q in out if q["stage"] == r["stage"])
+        assert lower < r["position"] <= upper
+    # ascending flips the stage indexing
+    asc = {
+        r["doc_id"]: r["stage"]
+        for r in sampling.curriculum_order(
+            df, "score", [100.0, 500.0], descending=False
+        ).collect()
+    }
+    assert asc == {0: 0, 1: 2, 2: 1, 3: 0, 4: 2, 5: 1}
+    with pytest.raises(ValueError):
+        sampling.curriculum_order(df, "score", [])
+    with pytest.raises(ValueError):
+        sampling.curriculum_order(df, "score", [5.0, 1.0])
+    with pytest.raises(ValueError):
+        sampling.curriculum_order(df, "score", [1.0], n_buckets=0)
