@@ -2816,7 +2816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # legal: at round 12 the r9-green rows are still inside the
         # last-4 file window, so the one deferred r9 entry and the
         # 50-entry r10 cohort lead round 13 (the rotation test
-        # recomputes the budget mechanically).
+        # recomputes the budget mechanically). A SECOND staged cohort
+        # shipped later in round 11 (tests/test_staged_ops2.py:
+        # truncate_embeddings, mean_pool_embeddings, embedding_gram,
+        # training_order, curriculum_order, profile_table x2 tables,
+        # plus the non-SQL pca_project and the JSONL round-trip) —
+        # oracles already in oracles.py — queues for the round-13
+        # window ahead of the r10-green block, which the then-4-round
+        # budget defers to round 14.
         # r9-green remainder (due by round 12):
         "image_dct_dups": _q_image_dct_dups,
         "audio_near_dups": _q_audio_near_dups,
