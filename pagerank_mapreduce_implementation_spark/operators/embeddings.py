@@ -276,6 +276,9 @@ def pca_project(
     center: bool = True,
     components: list[list[float]] | None = None,
     means: list[float] | None = None,
+    whiten: bool = False,
+    eigenvalues: list[float] | None = None,
+    eps: float = 1e-12,
 ) -> DataFrame:
     """Project every vector onto the top-``k`` principal components —
     ``(vec_id, proj: array<double>[k])`` — the dimensionality-reduction
@@ -287,14 +290,23 @@ def pca_project(
     centering folds into a precomputed scalar per component
     (``(v - mu) . c = v . c - mu . c``), so each row pays k
     sequential-fold dot products in codegen. Pass ``components`` (and
-    ``means`` when centering) to reuse a fit — e.g. project a new
-    corpus snapshot onto last week's basis; otherwise the basis is fit
-    on ``emb`` via ``pca_components``.
+    ``means`` when centering, ``eigenvalues`` when whitening) to reuse
+    a fit — e.g. project a new corpus snapshot onto last week's basis;
+    otherwise the basis is fit on ``emb`` via ``pca_components``.
+
+    ``whiten=True`` rescales each component's projection by
+    ``1/sqrt(eigenvalue)`` (components with eigenvalue <= ``eps`` —
+    numerically dead directions — map to 0 rather than exploding), so
+    the output coordinates have unit variance: the standard
+    preconditioning before cosine/Euclidean clustering when the
+    leading components would otherwise dominate every distance. The
+    scale folds into the SAME plan-time literal vector, so the plan
+    shape is unchanged.
     """
     import numpy as np
 
     if components is None:
-        _, components, _ = pca_components(
+        eigenvalues, components, _ = pca_components(
             emb, k=k, id_col=id_col, vec_col=vec_col, center=center
         )
         if center and means is None:
@@ -312,11 +324,26 @@ def pca_project(
         mu_dot = [float(np.dot(means, c)) for c in components]
     else:
         mu_dot = [0.0] * k
+    if whiten:
+        if eigenvalues is None or len(eigenvalues) < k:
+            raise ValueError(
+                "pca_project: whiten=True needs eigenvalues with components"
+            )
+        scales = [
+            (1.0 / float(np.sqrt(lam)) if lam > eps else 0.0)
+            for lam in eigenvalues[:k]
+        ]
+    else:
+        scales = [1.0] * k
     v = F.col("__v")
     projs = [
-        (_dot(v, F.array(*[F.lit(float(x)) for x in comp])) - F.lit(mu_dot[ci])).alias(
-            f"__p{ci}"
-        )
+        (
+            (
+                _dot(v, F.array(*[F.lit(float(x)) for x in comp]))
+                - F.lit(mu_dot[ci])
+            )
+            * F.lit(scales[ci])
+        ).alias(f"__p{ci}")
         for ci, comp in enumerate(components)
     ]
     return (

@@ -384,3 +384,104 @@ def test_curriculum_order_semantics(spark):
         sampling.curriculum_order(df, "score", [5.0, 1.0])
     with pytest.raises(ValueError):
         sampling.curriculum_order(df, "score", [1.0], n_buckets=0)
+
+
+def test_pca_project_whiten_unit_variance(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    proj = np.array(
+        [
+            r["proj"]
+            for r in emb_ops.pca_project(emb, k=4, whiten=True).collect()
+        ]
+    )
+    var = proj.var(axis=0)  # biased, matching center=True's /n covariance
+    assert np.allclose(var, 1.0, atol=1e-6)
+    with pytest.raises(ValueError):
+        emb_ops.pca_project(
+            emb,
+            components=[[1.0] + [0.0] * 63],
+            means=[0.0] * 64,
+            whiten=True,
+        )
+
+
+# ------------------------------------------------- cross-impl properties
+
+
+def _py_coin(seed: str, key) -> float:
+    """The 52-bit md5 coin, reimplemented from the spec in pure python
+    — an ENGINE-INDEPENDENT reference for the ordering properties."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:13]
+    return int(h, 16) / float(1 << 52)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP = dict(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+@settings(**_PROP)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n_buckets=st.sampled_from([1, 3, 1024]),
+    seed=st.sampled_from(["a", "torder"]),
+)
+def test_training_order_matches_pure_python(spark, ids, n_buckets, seed):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["position"]
+        for r in sampling.training_order(
+            df, seed=seed, n_buckets=n_buckets
+        ).collect()
+    }
+    order = sorted(ids, key=lambda i: (_py_coin(seed, i), i))
+    want = {i: p + 1 for p, i in enumerate(order)}
+    assert got == want
+
+
+@settings(**_PROP)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=64
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    descending=st.booleans(),
+)
+def test_curriculum_order_matches_pure_python(spark, rows, descending):
+    bounds = [-10.0, 0.0, 50.0]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {
+        r["doc_id"]: (r["stage"], r["position"])
+        for r in sampling.curriculum_order(
+            df, "score", bounds, descending=descending
+        ).collect()
+    }
+
+    def stage_of(s):
+        raw = sum(1 for b in bounds if s >= b)
+        return (len(bounds) - raw) if descending else raw
+
+    order = sorted(
+        rows, key=lambda t: (stage_of(t[1]), _py_coin("curriculum", t[0]), t[0])
+    )
+    want = {
+        i: (stage_of(s), p + 1) for p, (i, s) in enumerate(order)
+    }
+    assert got == want
