@@ -757,9 +757,13 @@ def curriculum_order(
     if bs != sorted(bs):
         raise ValueError(f"boundaries must be ascending, got {boundaries}")
     n_stages = len(bs) + 1
-    # raw = #{b : score >= b} in [0, n_stages): 0 = lowest scores
+    # raw = #{b : score >= b} in [0, n_stages): 0 = lowest scores.
+    # NULL-safe on purpose: a NULL score clears every threshold test to
+    # 0 (the lowest-score stage) — leaving the NULL to propagate would
+    # make the rank engine-dependent (Spark sorts NULL stages first,
+    # DuckDB last)
     raw = sum(
-        (F.col(score_col) >= F.lit(b)).cast("int") for b in bs
+        F.when(F.col(score_col) >= F.lit(b), 1).otherwise(0) for b in bs
     )
     stage = (F.lit(n_stages - 1) - raw) if descending else raw
     salt = f"{seed}:"

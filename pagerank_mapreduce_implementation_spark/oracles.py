@@ -2584,7 +2584,11 @@ def curriculum_order_sql(
     (re-indexed so stage 0 trains first), position = row_number over
     (stage, seeded 52-bit coin, doc_id)."""
     bs = boundaries if boundaries is not None else [200.0, 500.0]
-    raw = " + ".join(f"CAST(n_chars >= {float(b)} AS INT)" for b in bs)
+    # CASE (not a raw CAST of the comparison): NULL-safe like the
+    # operator — a NULL score lands in the lowest-score stage
+    raw = " + ".join(
+        f"(CASE WHEN n_chars >= {float(b)} THEN 1 ELSE 0 END)" for b in bs
+    )
     stage = f"({len(bs)} - ({raw}))" if descending else f"({raw})"
     return (
         "SELECT doc_id, stage, "

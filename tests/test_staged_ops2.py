@@ -485,3 +485,15 @@ def test_curriculum_order_matches_pure_python(spark, rows, descending):
         i: (stage_of(s), p + 1) for p, (i, s) in enumerate(order)
     }
     assert got == want
+
+
+def test_curriculum_order_null_scores_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 900.0), (2, None), (3, 10.0)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["stage"]
+        for r in sampling.curriculum_order(df, "score", [100.0]).collect()
+    }
+    # NULL clears no threshold -> lowest-score stage (last, descending)
+    assert out == {1: 0, 2: 1, 3: 1}
