@@ -333,7 +333,8 @@ def pagerank(
         ]
         if use_reset:
             contrib_cols.append(F.lit(None).cast("double").alias("reset"))
-        if _i == 0 and not use_reset and derived_vertices:
+        # IterationDriver indexes iterations 1-based (range(1, n+1))
+        if _i == 1 and not use_reset and derived_vertices:
             # First-iteration fusion: every rank is the SAME 1/N seed —
             # substituting the literal for the join is bit-identical
             # (identical double arithmetic) and saves the loop's first
