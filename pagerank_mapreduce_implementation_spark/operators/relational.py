@@ -434,3 +434,70 @@ def profile_table(
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Snapshot-to-snapshot drift report — one row per profiled column:
+    ``(col_name, n_rows_old, n_rows_new, n_nulls_old, n_nulls_new,
+    n_distinct_old, n_distinct_new, null_rate_delta, range_changed)``
+    — the check a pipeline runs when a new table drop replaces last
+    week's (nulls creeping in, cardinality collapse, value range
+    drift) before any downstream job trusts it.
+
+    Two ``profile_table`` passes (one agg scan each; ``exact`` as
+    there) joined on the column name — a ~column-count-sized join, so
+    the comparison itself is free at any table size.
+    ``null_rate_delta`` is rounded 6 (cross-engine-exact);
+    ``range_changed`` flags any min/max string change.
+    """
+    cols = list(columns) if columns is not None else list(old.columns)
+    missing = [c for c in cols if c not in new.columns]
+    if missing:
+        raise ValueError(f"profile_drift: columns missing from new: {missing}")
+    po = profile_table(old, cols, exact=exact)
+    pn = profile_table(new, cols, exact=exact)
+    o = po.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("n_nulls_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_value").alias("__mno"),
+        F.col("max_value").alias("__mxo"),
+    )
+    nw = pn.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("n_nulls_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_value").alias("__mnn"),
+        F.col("max_value").alias("__mxn"),
+    )
+    rate = lambda nulls, rows: F.when(  # noqa: E731
+        rows > 0, nulls.cast("double") / rows.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        o.join(nw, "col_name")
+        .select(
+            "col_name",
+            "n_rows_old",
+            "n_rows_new",
+            "n_nulls_old",
+            "n_nulls_new",
+            "n_distinct_old",
+            "n_distinct_new",
+            F.round(
+                rate(F.col("n_nulls_new"), F.col("n_rows_new"))
+                - rate(F.col("n_nulls_old"), F.col("n_rows_old")),
+                6,
+            ).alias("null_rate_delta"),
+            (
+                ~(F.col("__mno").eqNullSafe(F.col("__mnn")))
+                | ~(F.col("__mxo").eqNullSafe(F.col("__mxn")))
+            ).alias("range_changed"),
+        )
+    )

@@ -2597,3 +2597,43 @@ def curriculum_order_sql(
         f"('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 13))"
         "::UBIGINT::BIGINT::DOUBLE / 4503599627370496.0 AS u FROM documents)"
     )
+
+
+def profile_drift_sql(
+    table: str,
+    columns: list[str],
+    old_where: str,
+    new_where: str = "1=1",
+) -> str:
+    """Mirror of ``operators.relational.profile_drift(exact=True)``
+    between two predicate-defined snapshots of ``table``."""
+
+    def prof(where: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_value, "
+            f"CAST(max({c}) AS VARCHAR) AS max_value "
+            f"FROM {table} WHERE {where}"
+            for c in columns
+        )
+
+    rate_o = (
+        "CASE WHEN o.n_rows > 0 THEN "
+        "CAST(o.n_nulls AS DOUBLE) / CAST(o.n_rows AS DOUBLE) ELSE 0.0 END"
+    )
+    rate_n = (
+        "CASE WHEN n.n_rows > 0 THEN "
+        "CAST(n.n_nulls AS DOUBLE) / CAST(n.n_rows AS DOUBLE) ELSE 0.0 END"
+    )
+    return (
+        f"WITH po AS ({prof(old_where)}), pn AS ({prof(new_where)}) "
+        "SELECT o.col_name, o.n_rows AS n_rows_old, n.n_rows AS n_rows_new, "
+        "o.n_nulls AS n_nulls_old, n.n_nulls AS n_nulls_new, "
+        "o.n_distinct AS n_distinct_old, n.n_distinct AS n_distinct_new, "
+        f"round({rate_n} - {rate_o}, 6) AS null_rate_delta, "
+        "((o.min_value IS DISTINCT FROM n.min_value) OR "
+        "(o.max_value IS DISTINCT FROM n.max_value)) AS range_changed "
+        "FROM po o JOIN pn n ON o.col_name = n.col_name"
+    )

@@ -497,3 +497,32 @@ def test_curriculum_order_null_scores_deterministic(spark):
     }
     # NULL clears no threshold -> lowest-score stage (last, descending)
     assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_profile_drift_parity(spark, sf_dir, duck):
+    li = Catalog(spark, sf_dir).lineitem
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    old = li.filter(F.col("l_orderkey") % 3 != 0)
+    out = relational.profile_drift(old, li, cols)
+    check(
+        out,
+        duck,
+        oracles.profile_drift_sql("lineitem", cols, "l_orderkey % 3 <> 0"),
+    )
+
+
+def test_profile_drift_flags_planted_drift(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (9, "b")], "k int, s string"
+    )
+    rows = {r["col_name"]: r for r in relational.profile_drift(old, new).collect()}
+    k = rows["k"]
+    assert (k["n_nulls_old"], k["n_nulls_new"]) == (0, 1)
+    assert k["null_rate_delta"] == pytest.approx(1 / 3, abs=1e-6)
+    assert k["range_changed"]  # max 2 -> 9
+    s = rows["s"]
+    assert not s["range_changed"]  # min a / max b both sides
+    assert s["null_rate_delta"] == 0.0
+    with pytest.raises(ValueError):
+        relational.profile_drift(old, new.drop("s"), ["s"])
