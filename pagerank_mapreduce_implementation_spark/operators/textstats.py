@@ -1600,3 +1600,54 @@ def mad_outliers(
         F.round("__dev", 6).alias("dev"),
         flag.alias("is_outlier"),
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information —
+    ``(w1, w2, c2, pmi)`` for each adjacent-token bigram with
+    ``c2 >= min_count``: ``pmi = log10(c2 * N / (cl * cr))`` over the
+    bigram event space (``N`` = total bigram occurrences, ``cl``/``cr``
+    the bigram table's left/right marginals) — the standard
+    collocation-extraction score (Church & Hanks 1990); ``min_count``
+    is the usual stability floor (PMI of hapax pairs saturates).
+
+    Scale shape: ONE corpus-sized shuffle (the bigram count); the
+    marginals and joins run on the vocab-bounded count table (Heaps'
+    law, like ``bigram_lm_scores``), and N is a broadcast 1-row
+    aggregate. The log argument is assembled in double from exact
+    integer counts — identical IEEE inputs cross-engine, rounded 6
+    like every log10 score in this module.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count ({min_count}) must be >= 1")
+    bg = doc_bigrams(docs, text_col=text_col, doc_col=doc_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = c2.agg(F.sum("c2").cast("double").alias("__n"))
+    cl = c2.groupBy("w1").agg(F.sum("c2").alias("__cl"))
+    cr = c2.groupBy("w2").agg(F.sum("c2").alias("__cr"))
+    return (
+        c2.filter(F.col("c2") >= min_count)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                F.log10(
+                    (F.col("c2").cast("double") * F.col("__n"))
+                    / (
+                        F.col("__cl").cast("double")
+                        * F.col("__cr").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

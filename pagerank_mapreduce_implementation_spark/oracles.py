@@ -2637,3 +2637,25 @@ def profile_drift_sql(
         "(o.max_value IS DISTINCT FROM n.max_value)) AS range_changed "
         "FROM po o JOIN pn n ON o.col_name = n.col_name"
     )
+
+
+def bigram_pmi_sql(min_count: int = 2) -> str:
+    """Mirror of ``textstats.bigram_pmi`` over ``documents``: bigram
+    counts, left/right marginals of the bigram table, N = total bigram
+    occurrences, pmi = log10(c2*N/(cl*cr)) rounded 6."""
+    return (
+        "WITH t AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        "FROM documents), "
+        "b AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM t, "
+        "unnest(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2), "
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2), "
+        "n AS (SELECT CAST(sum(c2) AS DOUBLE) AS n FROM c2), "
+        "cl AS (SELECT w1, sum(c2) AS cl FROM c2 GROUP BY 1), "
+        "cr AS (SELECT w2, sum(c2) AS cr FROM c2 GROUP BY 1) "
+        "SELECT c2.w1, c2.w2, c2.c2, "
+        "round(log10((CAST(c2.c2 AS DOUBLE) * n.n) / "
+        "(CAST(cl.cl AS DOUBLE) * CAST(cr.cr AS DOUBLE))), 6) AS pmi "
+        "FROM c2 JOIN cl USING(w1) JOIN cr USING(w2), n "
+        f"WHERE c2.c2 >= {int(min_count)}"
+    )

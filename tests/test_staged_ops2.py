@@ -526,3 +526,40 @@ def test_profile_drift_flags_planted_drift(spark):
     assert s["null_rate_delta"] == 0.0
     with pytest.raises(ValueError):
         relational.profile_drift(old, new.drop("s"), ["s"])
+
+
+def test_bigram_pmi_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    out = textstats.bigram_pmi(Catalog(spark, sf_dir).documents, min_count=2)
+    check(out, duck, oracles.bigram_pmi_sql(min_count=2))
+
+
+def test_bigram_pmi_semantics(spark):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    # "new york" always co-occurs (perfect collocation); "the x"
+    # pairs spread over many right words (low association)
+    docs = spark.createDataFrame(
+        [
+            (1, "new york the a the b"),
+            (2, "new york the c the d"),
+            (3, "new york the e the f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in textstats.bigram_pmi(docs, min_count=1).collect()
+    }
+    ny = rows[("new", "york")]
+    assert ny["c2"] == 3
+    # all mass of both marginals is the pair itself: pmi = log10(N/c2)
+    n = sum(r["c2"] for r in rows.values())
+    assert ny["pmi"] == pytest.approx(np.log10(n / 3), abs=1e-6)
+    # the dispersed left marginal drags "the"-pairs below the collocation
+    assert all(
+        rows[p]["pmi"] < ny["pmi"] for p in rows if p[0] == "the"
+    )
+    with pytest.raises(ValueError):
+        textstats.bigram_pmi(docs, min_count=0)
