@@ -1489,6 +1489,12 @@ def semdedup(
     anti-join. Recall caveat (documented, inherent to the method): a
     pair STRADDLING two cells is never compared; raise ``n_iters`` /
     choose ``n_cells`` by corpus geometry to taste.
+
+    Wide embeddings (1k+ dims): compose with
+    ``embeddings.pca_project`` / ``embeddings.truncate_embeddings``
+    first (rename ``proj`` to the ``vec_col`` name) — every per-cell
+    cosine and the assignment fold shrink by dims/d while SemDeDup's
+    cluster geometry is preserved by construction.
     """
     from pagerank_mapreduce_implementation_spark.operators.similarity import (
         _dot,
