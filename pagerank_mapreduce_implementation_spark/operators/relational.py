@@ -501,3 +501,43 @@ def profile_drift(
             ).alias("range_changed"),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/groupBy skew diagnostic — the ``top_n`` heaviest keys of
+    ``key_cols`` with their row counts and share of the table:
+    ``(*key_cols, n_rows, share)``, share rounded 6, ordered by count
+    desc with the key as the deterministic tiebreak. The number you
+    read BEFORE picking a join strategy at 100 TB: a top key holding
+    >~1/shuffle-partitions of the table will straddle no partition
+    boundary and serialize its task — that's when ``skew.salted_join``
+    / AQE skew splitting / a broadcast of the other side earns its
+    keep.
+
+    One groupBy over the key (map-side partials), a broadcast 1-row
+    total, and a TakeOrderedAndProject top-n — no global sort, no
+    second scan.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_skew_report: key_cols must be non-empty")
+    if top_n < 1:
+        raise ValueError(f"top_n ({top_n}) must be >= 1")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").cast("double").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("__t"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )

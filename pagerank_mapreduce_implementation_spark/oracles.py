@@ -2659,3 +2659,19 @@ def bigram_pmi_sql(min_count: int = 2) -> str:
         "FROM c2 JOIN cl USING(w1) JOIN cr USING(w2), n "
         f"WHERE c2.c2 >= {int(min_count)}"
     )
+
+
+def key_skew_report_sql(
+    table: str, key_cols: list[str], top_n: int = 20
+) -> str:
+    """Mirror of ``operators.relational.key_skew_report``."""
+    keys = ", ".join(key_cols)
+    tie = ", ".join(f"{k} ASC" for k in key_cols)
+    return (
+        f"WITH c AS (SELECT {keys}, count(*) AS n_rows FROM {table} "
+        f"GROUP BY {keys}), t AS (SELECT CAST(sum(n_rows) AS DOUBLE) "
+        "AS t FROM c) "
+        f"SELECT {keys}, n_rows, "
+        "round(CAST(n_rows AS DOUBLE) / t.t, 6) AS share FROM c, t "
+        f"ORDER BY n_rows DESC, {tie} LIMIT {int(top_n)}"
+    )

@@ -563,3 +563,31 @@ def test_bigram_pmi_semantics(spark):
     )
     with pytest.raises(ValueError):
         textstats.bigram_pmi(docs, min_count=0)
+
+
+def test_key_skew_report_parity(spark, sf_dir, duck):
+    out = relational.key_skew_report(
+        Catalog(spark, sf_dir).lineitem, ["l_returnflag", "l_linestatus"], top_n=10
+    )
+    check(
+        out,
+        duck,
+        oracles.key_skew_report_sql(
+            "lineitem", ["l_returnflag", "l_linestatus"], top_n=10
+        ),
+    )
+
+
+def test_key_skew_report_semantics_and_plan(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("a",), ("b",)], "k string"
+    )
+    rows = relational.key_skew_report(df, "k", top_n=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in rows] == [("hot", 8), ("a", 1)]
+    assert rows[0]["share"] == pytest.approx(0.8, abs=1e-9)
+    plan = _final_plan(relational.key_skew_report(df, "k", top_n=2))
+    assert "TakeOrderedAndProject" in plan  # top-n, never a global sort
+    with pytest.raises(ValueError):
+        relational.key_skew_report(df, [], top_n=2)
+    with pytest.raises(ValueError):
+        relational.key_skew_report(df, "k", top_n=0)
