@@ -1316,3 +1316,69 @@ def bipartite_projection(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def source_centrality(
+    edges: DataFrame,
+    sources: list[str],
+    n_rounds: int = 6,
+    materialize_every: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Closeness/harmonic centrality of chosen vertices — one row per
+    source: ``(source, n_reached, harmonic, closeness)`` where over
+    the vertices reached within ``n_rounds`` directed hops (excluding
+    the source itself) ``harmonic = Σ 1/d(s, v)`` and ``closeness =
+    n_reached / Σ d(s, v)`` (0.0 when nothing is reached). This is the
+    pivot/sampling form every web-scale centrality estimate uses
+    (Eppstein-Wang 2001): exact per-vertex centrality is all-pairs
+    BFS, so you score a SAMPLE of vertices instead — each costing one
+    ``bfs_distances`` run whose per-round work tracks its frontier
+    ball.
+
+    Cross-engine exactness: hop distances are integers, so Σ d is an
+    exact integer sum and ``closeness`` a single IEEE division; the
+    harmonic sum's reciprocals are decimal(18,12)-cast before summing
+    (exact commutative addition under any partitioning — the
+    ``tfidf_doc_pairs`` convention), then rounded 6 as a double.
+    """
+    from functools import reduce
+
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    outs = []
+    for s in sorted(set(sources)):
+        d = bfs_distances(
+            edges,
+            [s],
+            n_rounds=n_rounds,
+            materialize_every=materialize_every,
+            num_partitions=num_partitions,
+        ).filter(F.col("dist") > 0)
+        agg = d.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("dist").alias("__sd"),
+            F.sum(
+                (F.lit(1.0) / F.col("dist").cast("double")).cast(
+                    "decimal(18,12)"
+                )
+            ).alias("__h"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(s).alias("source"),
+                F.col("__n").cast("long").alias("n_reached"),
+                F.round(F.coalesce(F.col("__h"), F.lit(0)).cast("double"), 6).alias(
+                    "harmonic"
+                ),
+                F.round(
+                    F.when(
+                        F.col("__n") > 0,
+                        F.col("__n").cast("double")
+                        / F.col("__sd").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("closeness"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -2675,3 +2675,24 @@ def key_skew_report_sql(
         "round(CAST(n_rows AS DOUBLE) / t.t, 6) AS share FROM c, t "
         f"ORDER BY n_rows DESC, {tie} LIMIT {int(top_n)}"
     )
+
+
+def source_centrality_sql(
+    sources: list, edges_sql: str = EDGES_SQL, n_rounds: int = 6
+) -> str:
+    """Mirror of ``operators.graph.source_centrality``: per source, the
+    unrolled-BFS distance table aggregated to reached-count, harmonic
+    (decimal-exact reciprocal sum, rounded 6) and closeness."""
+    parts = []
+    for s in sorted(set(sources)):
+        bfs = bfs_distances_sql([s], edges_sql, n_rounds)
+        parts.append(
+            f"SELECT '{s}' AS source, "
+            "CAST(count(*) AS BIGINT) AS n_reached, "
+            "round(CAST(coalesce(sum(CAST(1.0 / dist AS DECIMAL(18,12))), 0) "
+            "AS DOUBLE), 6) AS harmonic, "
+            "round(CASE WHEN count(*) > 0 THEN CAST(count(*) AS DOUBLE) / "
+            "CAST(sum(dist) AS DOUBLE) ELSE 0.0 END, 6) AS closeness "
+            f"FROM ({bfs}) d WHERE dist > 0"
+        )
+    return " UNION ALL ".join(parts)

@@ -591,3 +591,48 @@ def test_key_skew_report_semantics_and_plan(spark):
         relational.key_skew_report(df, [], top_n=2)
     with pytest.raises(ValueError):
         relational.key_skew_report(df, "k", top_n=0)
+
+
+_BIP = (
+    "SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src, "
+    "'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
+)
+_BIP_BIDIR = (
+    f"SELECT src, dst FROM ({_BIP}) "
+    f"UNION ALL SELECT dst AS src, src AS dst FROM ({_BIP})"
+)
+
+
+def test_source_centrality_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import graph
+
+    li = Catalog(spark, sf_dir).lineitem
+    e = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    srcs = [
+        "o" + str(r["l_orderkey"])
+        for r in li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(2).collect()
+    ]
+    out = graph.source_centrality(bidir, srcs, n_rounds=4)
+    check(out, duck, oracles.source_centrality_sql(srcs, _BIP_BIDIR, n_rounds=4))
+
+
+def test_source_centrality_hand_graph(spark):
+    from pagerank_mapreduce_implementation_spark.operators import graph
+
+    # path a -> b -> c -> d
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    rows = {r["source"]: r for r in graph.source_centrality(e, ["a", "d"]).collect()}
+    a = rows["a"]
+    assert a["n_reached"] == 3
+    assert a["harmonic"] == pytest.approx(1 + 0.5 + 1 / 3, abs=1e-6)
+    assert a["closeness"] == pytest.approx(3 / 6, abs=1e-9)
+    d = rows["d"]  # directed: d reaches nothing
+    assert (d["n_reached"], d["harmonic"], d["closeness"]) == (0, 0.0, 0.0)
+    with pytest.raises(ValueError):
+        graph.source_centrality(e, [])
