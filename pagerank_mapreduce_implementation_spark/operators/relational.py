@@ -541,3 +541,51 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
         .limit(top_n)
     )
+
+
+def validate_table(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Expectation gate — one row per named rule: ``(rule, n_rows,
+    n_violations, violation_rate)`` where a violation is any row for
+    which the rule's boolean SQL expression is NOT true (NULL counts
+    as a violation: an expectation that cannot be evaluated is not
+    met). The "assert before you ingest" pass of a pipeline — e.g.
+    ``{"qty_range": "l_quantity between 1 and 50", "key_present":
+    "l_orderkey is not null"}`` — with rates rounded 6 for
+    cross-engine comparison.
+
+    ONE aggregation pass whatever the rule count (every rule is a
+    conditional sum of the same agg; long form via the plan-time
+    explode, exactly ``profile_table``'s shape), so adding rules is
+    free on the scan. Rules are arbitrary Catalyst boolean
+    expressions: they can cross columns, call functions, and push
+    nothing — this pass reads everything the rules mention, once.
+    """
+    if not rules:
+        raise ValueError("validate_table: rules must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = list(rules)
+    for i, name in enumerate(names):
+        cond = F.expr(rules[name])
+        aggs.append(
+            F.sum(F.when(cond, 0).otherwise(1)).alias(f"__v{i}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+                F.round(
+                    F.when(
+                        F.col("__n") > 0,
+                        F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("double")
+                        / F.col("__n").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("violation_rate"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -2696,3 +2696,20 @@ def source_centrality_sql(
             f"FROM ({bfs}) d WHERE dist > 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def validate_table_sql(table: str, rules: dict[str, str]) -> str:
+    """Mirror of ``operators.relational.validate_table``: per rule one
+    conditional count over the same scan (UNION ALL of aggregates in
+    SQL; the engine folds them into one pass via the explode trick)."""
+    parts = [
+        f"SELECT '{name}' AS rule, count(*) AS n_rows, "
+        f"coalesce(sum(CASE WHEN ({expr}) THEN 0 ELSE 1 END), 0) "
+        "AS n_violations, "
+        "round(CASE WHEN count(*) > 0 THEN "
+        f"CAST(coalesce(sum(CASE WHEN ({expr}) THEN 0 ELSE 1 END), 0) "
+        "AS DOUBLE) / count(*) ELSE 0.0 END, 6) AS violation_rate "
+        f"FROM {table}"
+        for name, expr in rules.items()
+    ]
+    return " UNION ALL ".join(parts)

@@ -636,3 +636,32 @@ def test_source_centrality_hand_graph(spark):
     assert (d["n_reached"], d["harmonic"], d["closeness"]) == (0, 0.0, 0.0)
     with pytest.raises(ValueError):
         graph.source_centrality(e, [])
+
+
+def test_validate_table_parity(spark, sf_dir, duck):
+    rules = {
+        "qty_range": "l_quantity BETWEEN 1 AND 50",
+        "key_present": "l_orderkey IS NOT NULL",
+        "flag_domain": "l_returnflag IN ('A', 'N', 'R')",
+        "price_positive": "l_extendedprice > 0",
+        "impossible": "l_quantity > 1000",
+    }
+    out = relational.validate_table(Catalog(spark, sf_dir).lineitem, rules)
+    check(out, duck, oracles.validate_table_sql("lineitem", rules))
+
+
+def test_validate_table_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (60,)], "q int"
+    )
+    rows = {
+        r["rule"]: r
+        for r in relational.validate_table(
+            df, {"q_range": "q BETWEEN 1 AND 50"}
+        ).collect()
+    }
+    r = rows["q_range"]
+    assert (r["n_rows"], r["n_violations"]) == (3, 2)  # NULL + 60
+    assert r["violation_rate"] == pytest.approx(2 / 3, abs=1e-6)
+    with pytest.raises(ValueError):
+        relational.validate_table(df, {})
