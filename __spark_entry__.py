@@ -2819,9 +2819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recomputes the budget mechanically). A SECOND staged cohort
         # shipped later in round 11 (tests/test_staged_ops2.py:
         # truncate_embeddings, mean_pool_embeddings, embedding_gram,
-        # training_order, curriculum_order, profile_table x2 tables,
-        # plus the non-SQL pca_project and the JSONL round-trip) —
-        # oracles already in oracles.py — queues for the round-13
+        # training_order, curriculum_order, profile_table, profile_drift,
+        # key_skew_report, validate_table, bigram_pmi, source_centrality,
+        # plus the non-SQL pca_project/whiten and the JSONL round-trip)
+        # — oracles already in oracles.py — queues for the round-13
         # window ahead of the r10-green block, which the then-4-round
         # budget defers to round 14.
         # r9-green remainder (due by round 12):
