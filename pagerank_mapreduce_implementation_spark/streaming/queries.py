@@ -673,3 +673,61 @@ def streaming_lm_probe(
 
     bi = doc_bigrams(doc_stream, text_col=text_col, doc_col=doc_col)
     return _score_bigram_docs(bi, scored_bigrams)
+
+
+def streaming_rule_violations(
+    events: DataFrame,
+    rules: dict[str, str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window expectation monitoring — the streaming twin of
+    ``relational.validate_table``: for each tumbling event-time window
+    and each named boolean rule, ``(window_start, window_end, rule,
+    n_rows, n_violations, violation_rate)`` with NULL predicates
+    counted as violations and rates rounded 6. The live data-quality
+    dashboard an ingest pipeline keeps on its firehose: a rule's rate
+    jumping in the newest window pages someone before the corrupted
+    window lands in the corpus.
+
+    State shape: ONE windowed aggregation whatever the rule count
+    (every rule is a conditional sum of the same agg; the long form is
+    a stateless post-aggregation explode), watermark-bounded exactly
+    like ``streaming_windowed_events``.
+    """
+    if not rules:
+        raise ValueError("streaming_rule_violations: rules must be non-empty")
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, name in enumerate(names):
+        aggs.append(
+            F.sum(F.when(F.expr(rules[name]), 0).otherwise(1)).alias(f"__v{i}")
+        )
+    agged = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(*aggs)
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+                F.round(
+                    F.when(
+                        F.col("__n") > 0,
+                        F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("double")
+                        / F.col("__n").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("violation_rate"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return agged.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.explode(rows).alias("r"),
+    ).select("window_start", "window_end", "r.*")

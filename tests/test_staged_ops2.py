@@ -665,3 +665,48 @@ def test_validate_table_null_is_violation(spark):
     assert r["violation_rate"] == pytest.approx(2 / 3, abs=1e-6)
     with pytest.raises(ValueError):
         relational.validate_table(df, {})
+
+
+_EVENT_RULES = {
+    "value_nonneg": "value >= 0",
+    "user_present": "user_id IS NOT NULL",
+    "type_known": "event_type IN ('click', 'view', 'purchase', 'signup', 'error')",
+}
+
+
+def test_streaming_rule_violations_matches_batch_oracle(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.streaming.queries import (
+        read_events_stream,
+        run_to_memory,
+        streaming_rule_violations,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = streaming_rule_violations(ev, _EVENT_RULES)
+    run_to_memory(out, "rule_violations_probe", state_partitions=8)
+    got = spark.table("rule_violations_probe")
+    cases = " UNION ALL ".join(
+        f"SELECT '{nm}' AS rule, date_trunc('hour', ts) AS ws, "
+        f"count(*) AS n_rows, "
+        f"coalesce(sum(CASE WHEN ({ex}) THEN 0 ELSE 1 END), 0) AS n_violations, "
+        "round(CAST(coalesce(sum(CASE WHEN "
+        f"({ex}) THEN 0 ELSE 1 END), 0) AS DOUBLE) / count(*), 6) "
+        "AS violation_rate FROM events GROUP BY 2"
+        for nm, ex in _EVENT_RULES.items()
+    )
+    oracle = (
+        f"SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, "
+        "CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP_NS) AS window_end, "
+        f"rule, n_rows, n_violations, violation_rate FROM ({cases})"
+    )
+    check(got, duck, oracle)
+
+
+def test_streaming_rule_violations_guards(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.streaming.queries import (
+        read_events_stream,
+        streaming_rule_violations,
+    )
+
+    with pytest.raises(ValueError):
+        streaming_rule_violations(read_events_stream(spark, sf_dir), {})
