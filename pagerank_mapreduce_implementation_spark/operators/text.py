@@ -1036,3 +1036,42 @@ def bpe_fertility(
             ).alias("chars_per_piece"),
         )
     )
+
+
+#: sentence boundary: terminal punctuation run + whitespace. The
+#: delimiter is CONSUMED (no lookbehind: DuckDB's RE2 oracle has none),
+#: so interior sentences lose their terminal punctuation and the final
+#: sentence keeps its own — the cross-engine-exact heuristic split.
+SENTENCE_SPLIT_RE = r"[.!?]+\s+"
+
+
+def chunk_sentences(
+    docs: DataFrame,
+    window: int = 5,
+    stride: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping SENTENCE windows per document — retrieval-passage
+    chunking (the RAG twin of ``chunk_documents``' token windows):
+    ``(doc_id, chunk_id, chunk, n_sentences)`` where chunk ``i`` covers
+    sentences ``[i*stride, i*stride+window)`` joined by single spaces.
+    Sentences come from the heuristic ``SENTENCE_SPLIT_RE`` split
+    (punctuation-consuming — see its note; abbreviation-aware
+    segmentation needs a model, not an engine). Window/stride/clamp
+    semantics, including the trailing-chunk rules, are EXACTLY
+    ``chunk_documents``' — both run through the same windowing core.
+
+    Scale shape: identical to ``chunk_documents`` — one narrow pass,
+    plan-time count arithmetic, explode emits chunk rows; no shuffle,
+    no Python.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window ({window}) and stride ({stride}) must be positive")
+    sents = F.filter(
+        F.split(F.col(text_col), SENTENCE_SPLIT_RE), lambda x: x != ""
+    )
+    staged = docs.select(F.col(doc_col).alias("doc_id"), sents.alias("__toks"))
+    return _window_token_arrays(staged, window, stride).withColumnRenamed(
+        "n_tokens", "n_sentences"
+    )

@@ -2713,3 +2713,23 @@ def validate_table_sql(table: str, rules: dict[str, str]) -> str:
         for name, expr in rules.items()
     ]
     return " UNION ALL ".join(parts)
+
+
+def chunk_sentences_sql(window: int = 5, stride: int = 4) -> str:
+    """Mirror of ``operators.text.chunk_sentences`` over ``documents``
+    (the doc_chunks SQL with the punctuation-consuming sentence split
+    and single-space join)."""
+    w, s = int(window), int(stride)
+    return (
+        "WITH t AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(text, '[.!?]+\s+'), x -> x <> '') AS sents "
+        "FROM documents), "
+        "c AS (SELECT doc_id, sents, len(sents) AS n FROM t WHERE len(sents) > 0), "
+        "e AS (SELECT doc_id, sents, CAST(unnest(range(0, "
+        f"CAST(least(1 + floor((greatest(n - {w}, 0) + {s - 1}) / {s}.0), "
+        f"1 + floor((n - 1) / {s}.0)) AS BIGINT))) AS INT) AS chunk_id FROM c) "
+        "SELECT doc_id, chunk_id, "
+        f"array_to_string(sents[chunk_id*{s} + 1 : chunk_id*{s} + {w}], ' ') AS chunk, "
+        f"CAST(len(sents[chunk_id*{s} + 1 : chunk_id*{s} + {w}]) AS INT) "
+        "AS n_sentences FROM e"
+    )

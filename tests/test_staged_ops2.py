@@ -710,3 +710,34 @@ def test_streaming_rule_violations_guards(spark, sf_dir):
 
     with pytest.raises(ValueError):
         streaming_rule_violations(read_events_stream(spark, sf_dir), {})
+
+
+def test_chunk_sentences_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    out = text_ops.chunk_sentences(
+        Catalog(spark, sf_dir).documents, window=3, stride=2
+    )
+    check(out, duck, oracles.chunk_sentences_sql(window=3, stride=2))
+
+
+def test_chunk_sentences_semantics(spark):
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "One two. Three four! Five six? Seven eight. Nine ten.")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["chunk_id"], r["chunk"], r["n_sentences"])
+        for r in text_ops.chunk_sentences(docs, window=2, stride=2).collect()
+    )
+    # punctuation-consuming split: interior sentences lose ./!/?; the
+    # final keeps its own; windows of 2 with stride 2 = disjoint pairs
+    assert rows == [
+        (0, "One two Three four", 2),
+        (1, "Five six Seven eight", 2),
+        (2, "Nine ten.", 1),
+    ]
+    with pytest.raises(ValueError):
+        text_ops.chunk_sentences(docs, window=0)
