@@ -357,3 +357,54 @@ def pca_project(
             F.array(*[F.col(f"__p{ci}") for ci in range(k)]).alias("proj"),
         )
     )
+
+
+def cluster_top_terms(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Label your clusters — the top-``k`` most frequent lowercased
+    whitespace tokens per embedding cell: ``(cell_id, word, cnt, rn)``,
+    ties broken by the word so the list is deterministic. The
+    interpretability read of a clustered corpus (what IS cell 3?)
+    before acting on cluster-level decisions (SemDeDup keeps, mixture
+    shifts, topic pruning). ``emb``'s ``id_col`` names ``docs``'
+    ``doc_col`` (the semdedup contract); pass
+    ``centroids=lloyd_centroids(...)`` for production cells.
+
+    Scale shape: assignment is ``ivf_assign``'s narrow broadcast fold
+    (no shuffle); token counting is ONE (cell, word)-keyed shuffle
+    with map-side partials; the per-cell top-k plans WindowGroupLimit
+    (each partition pre-prunes to k per cell before the window
+    exchange) — the ``quota_sample`` shape on the vocab-bounded count
+    table, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from pagerank_mapreduce_implementation_spark.operators.similarity import ivf_assign
+
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    _, assign = ivf_assign(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    words = (
+        docs.select(F.col(doc_col).alias("vec_id"), toks.alias("__t"))
+        .join(assign.select("vec_id", "cell_id"), "vec_id")
+        .select("cell_id", F.explode("__t").alias("word"))
+    )
+    cnt = words.groupBy("cell_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(
+        Window.partitionBy("cell_id").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    )
+    return cnt.withColumn("rn", rn).filter(F.col("rn") <= k)

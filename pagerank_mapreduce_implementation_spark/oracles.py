@@ -2733,3 +2733,29 @@ def chunk_sentences_sql(window: int = 5, stride: int = 4) -> str:
         f"CAST(len(sents[chunk_id*{s} + 1 : chunk_id*{s} + {w}]) AS INT) "
         "AS n_sentences FROM e"
     )
+
+
+def cluster_top_terms_sql(n_cells: int = 8, k: int = 5) -> str:
+    """Mirror of ``operators.embeddings.cluster_top_terms`` over
+    ``documents`` x ``embeddings`` (first-n seed centroids — the
+    ``ivf_topk_sql`` assignment CTE — then per-cell token counts and a
+    deterministic top-k)."""
+    return (
+        "WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        "embedding AS cvec FROM (SELECT * FROM embeddings ORDER BY vec_id "
+        f"LIMIT {n_cells})), "
+        "scored AS (SELECT e.vec_id, c.cell_id, "
+        f"{_dot_sql('e.embedding', 'c.cvec')} / ({_norm_sql('e.embedding')} * "
+        f"{_norm_sql('c.cvec')}) AS ccos FROM embeddings e CROSS JOIN cents c), "
+        "assign AS (SELECT vec_id, cell_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn FROM scored) "
+        "WHERE rn = 1), "
+        "w AS (SELECT a.cell_id, unnest(list_filter("
+        r"regexp_split_to_array(lower(d.text), '\s+'), x -> x <> '')) AS word "
+        "FROM documents d JOIN assign a ON d.doc_id = a.vec_id), "
+        "c2 AS (SELECT cell_id, word, count(*) AS cnt FROM w GROUP BY 1, 2) "
+        "SELECT cell_id, word, cnt, CAST(rn AS INT) AS rn FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY cell_id "
+        "ORDER BY cnt DESC, word ASC) AS rn FROM c2) "
+        f"WHERE rn <= {int(k)}"
+    )

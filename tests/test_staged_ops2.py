@@ -741,3 +741,22 @@ def test_chunk_sentences_semantics(spark):
     ]
     with pytest.raises(ValueError):
         text_ops.chunk_sentences(docs, window=0)
+
+
+def test_cluster_top_terms_parity(spark, sf_dir, duck):
+    out = emb_ops.cluster_top_terms(
+        Catalog(spark, sf_dir).documents,
+        Catalog(spark, sf_dir).embeddings,
+        n_cells=4,
+        k=3,
+    )
+    check(out, duck, oracles.cluster_top_terms_sql(n_cells=4, k=3))
+
+
+def test_cluster_top_terms_plan_and_guards(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    df = emb_ops.cluster_top_terms(cat.documents, cat.embeddings, n_cells=4, k=3)
+    plan = _final_plan(df)
+    assert "WindowGroupLimit" in plan  # per-cell top-k pre-pruned
+    with pytest.raises(ValueError):
+        emb_ops.cluster_top_terms(cat.documents, cat.embeddings, k=0)
