@@ -1594,3 +1594,31 @@ def test_build_training_shards_shuffle_seed(spark, tmp_path):
         r.doc_id: r.position
         for r in sampling.training_order(docs, seed="s2").collect()
     }
+
+
+def test_build_training_shards_clean_then_shuffle(spark, tmp_path):
+    """clean + shuffle_seed compose: positions are a permutation of the
+    SURVIVOR count (the dup never gets one) and the doc_map covers
+    exactly the cleaned pool."""
+    from pagerank_mapreduce_implementation_spark.programs import build_training_shards
+
+    base = "the quick brown fox jumps over the lazy dog keeps running onward"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),  # exact dup -> cleaned away
+        (3, "different words for another training document here", "en", "web", 49),
+    ]
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    manifest = build_training_shards(
+        spark, src, out, budget=8, bins_per_shard=2,
+        clean=dict(near_dup_threshold=0.3, ngram=3), shuffle_seed="cs",
+    )
+    assert sum(r.n_tokens for r in manifest.collect()) == 19  # 12 + 7
+    dm = spark.read.parquet(f"{out}/doc_map.parquet").collect()
+    assert sorted(r.source_doc_id for r in dm) == [1, 3]
+    assert sorted(r.doc_id for r in dm) == [1, 2]  # positions 1..2
