@@ -1194,3 +1194,63 @@ def build_training_shards(
     manifest_path = f"{output_path}/manifest.parquet"
     manifest.write.mode("overwrite").parquet(manifest_path)
     return spark.read.parquet(manifest_path)
+
+
+def corpus_health(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    profile_columns: list[str] | None = None,
+    rules: dict[str, str] | None = None,
+    exact_profile: bool = False,
+    skew_key: str = "source",
+    skew_top_n: int = 20,
+) -> DataFrame:
+    """The observability pass a pipeline runs on every corpus DROP,
+    before anything downstream trusts it — one program bundling the
+    profiling/expectation/skew tools over a single input:
+
+    - ``<out>/profile.parquet`` — per-column rows/nulls/distinct/
+      min/max (``relational.profile_table``; ``exact_profile=False``
+      by default: HLL distinct counts, the 100 TB posture — flip it
+      for audit runs).
+    - ``<out>/expectations.parquet`` — named rule violations
+      (``relational.validate_table``). Defaults cover the documents
+      contract when those columns exist: doc_id present, text
+      non-empty, ``n_chars`` consistent with the text.
+    - ``<out>/skew.parquet`` — the ``skew_key`` heavy-key table
+      (``relational.key_skew_report``), the pre-join/groupBy read.
+
+    Each output is one scan-bounded pass; nothing here shuffles the
+    corpus (profile/expectations are single aggregations, the skew
+    report groups on its key). Returns the expectations table read
+    back — the piece a caller gates on (``n_violations > 0`` pages
+    someone).
+    """
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    docs = spark.read.parquet(input_path)
+    if rules is None:
+        rules = {}
+        if "doc_id" in docs.columns:
+            rules["doc_id_present"] = "doc_id IS NOT NULL"
+        if "text" in docs.columns:
+            rules["text_nonempty"] = "length(text) > 0"
+        if "n_chars" in docs.columns and "text" in docs.columns:
+            rules["n_chars_consistent"] = "n_chars = length(text)"
+        if not rules:
+            raise ValueError(
+                "corpus_health: no default rules apply to this schema — "
+                "pass rules= explicitly"
+            )
+    relational.profile_table(
+        docs, profile_columns, exact=exact_profile
+    ).write.mode("overwrite").parquet(f"{output_path}/profile.parquet")
+    relational.validate_table(docs, rules).write.mode("overwrite").parquet(
+        f"{output_path}/expectations.parquet"
+    )
+    if skew_key in docs.columns:
+        relational.key_skew_report(docs, skew_key, top_n=skew_top_n).write.mode(
+            "overwrite"
+        ).parquet(f"{output_path}/skew.parquet")
+    return spark.read.parquet(f"{output_path}/expectations.parquet")

@@ -1622,3 +1622,37 @@ def test_build_training_shards_clean_then_shuffle(spark, tmp_path):
     dm = spark.read.parquet(f"{out}/doc_map.parquet").collect()
     assert sorted(r.source_doc_id for r in dm) == [1, 3]
     assert sorted(r.doc_id for r in dm) == [1, 2]  # positions 1..2
+
+
+def test_corpus_health_end_to_end(spark, tmp_path):
+    """profile + expectations + skew written from one input; planted
+    violations surface in the returned expectations table."""
+    from pagerank_mapreduce_implementation_spark.programs import corpus_health
+
+    rows = [
+        (1, "hello world", "web", 11),
+        (2, "", "web", 0),            # text_nonempty violation
+        (3, "abc", "books", 99),      # n_chars_consistent violation
+        (None, "ok text", "web", 7),  # doc_id_present violation
+    ]
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "health")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    exp = {r["rule"]: r for r in corpus_health(spark, src, out).collect()}
+    assert exp["doc_id_present"]["n_violations"] == 1
+    assert exp["text_nonempty"]["n_violations"] == 1
+    assert exp["n_chars_consistent"]["n_violations"] == 1
+    prof = {r["col_name"]: r for r in spark.read.parquet(f"{out}/profile.parquet").collect()}
+    assert prof["doc_id"]["n_nulls"] == 1 and prof["doc_id"]["n_rows"] == 4
+    skew = spark.read.parquet(f"{out}/skew.parquet").collect()
+    assert skew[0]["source"] == "web" and skew[0]["n_rows"] == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no default rules"):
+        df = spark.createDataFrame([(1,)], "x int")
+        p2 = str(tmp_path / "in2.parquet")
+        df.write.mode("overwrite").parquet(p2)
+        corpus_health(spark, p2, str(tmp_path / "h2"))
