@@ -1855,3 +1855,116 @@ def edit_verified_dups(
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS scheme) — ``(doc_id, pos, fp)``: over the lowercased,
+    whitespace-stripped text, hash every character ``k``-gram, slide a
+    window of ``w`` consecutive hashes, keep the RIGHTMOST minimal hash
+    of each window (simple winnowing), and emit the distinct selected
+    (position, hash) pairs. The guarantee that makes it the classic
+    partial-overlap detector: any shared substring of length
+    ``k + w - 1`` or more yields at least one shared fingerprint, while
+    only ~2/(w+1) of all grams are kept. Docs shorter than ``k + w - 1``
+    characters emit nothing (no full window).
+
+    ZERO-shuffle per-row selection: the gram-hash array, the window
+    argmin folds, and the dedup are pure column expressions (the
+    ``gopher_repetition`` posture); cost is O(chars x w) per row. The
+    hash is the shared 60-bit md5 convention, so the DuckDB oracle is
+    bit-exact, and the fold keeps ``<=`` so ties select the rightmost
+    minimum in both engines.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k ({k}) and w ({w}) must be >= 1")
+    big = (1 << 62) - 1
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", "")).alias("__c"),
+    )
+    h_expr = (
+        f"CASE WHEN length(__c) >= {k} THEN "
+        f"transform(sequence(1, length(__c) - {k} + 1), i -> "
+        f"cast(conv(substring(md5(substring(__c, i, {k})), 1, 15), 16, 10) "
+        "as bigint)) "
+        "ELSE cast(array() as array<bigint>) END"
+    )
+    # The gram-hash array is bound as a LAMBDA VARIABLE (transform over
+    # a 1-element wrapper), not a projected column: a column reference
+    # would let CollapseProject inline the md5 transform into EVERY
+    # element_at inside the window folds — measured O(chars^2 * w) md5
+    # calls per row (the two-projection form hung at 500 docs); the
+    # lambda binding evaluates it exactly once per row.
+    sel = staged.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(array({h_expr}), H -> "
+            f"CASE WHEN size(H) >= {w} THEN "
+            f"transform(sequence(1, size(H) - {w} + 1), j -> "
+            f"aggregate(sequence(0, {w - 1}), "
+            f"named_struct('fp', cast({big} as bigint), 'pos', cast(-1 as bigint)), "
+            "(acc, t) -> CASE WHEN element_at(H, cast(j + t as int)) <= acc.fp "
+            "THEN named_struct('fp', element_at(H, cast(j + t as int)), "
+            "'pos', cast(j + t - 1 as bigint)) ELSE acc END)) "
+            "ELSE cast(array() as array<struct<fp:bigint,pos:bigint>>) END)[0])"
+        ).alias("__sel"),
+    )
+    return sel.select("doc_id", F.explode("__sel").alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
+    )
+
+
+def winnow_matches(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints —
+    ``(doc_a, doc_b, shared)`` with ``shared >= min_shared`` distinct
+    common fingerprints: the MOSS partial-overlap report (catches a
+    copied PASSAGE inside otherwise different docs, which whole-doc
+    similarity dilutes away). ``max_fp_df`` drops fingerprints
+    appearing in more than that many docs BEFORE pairing — the
+    stop-gram cap, same contract as ``substring_runs``'s
+    ``max_gram_df``/``video_near_dups``'s ``max_frame_df``.
+
+    Scale shape: the proven shared-hash-set plan (ngram-jaccard /
+    video frame silhouette) — fingerprint inventory is zero-shuffle,
+    the self-join is keyed on ``fp`` with per-fp candidates bounded by
+    C(df_cap, 2), and the pair count is one groupBy with map-side
+    partials.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared ({min_shared}) must be >= 1")
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, doc_col=doc_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if max_fp_df is not None:
+        if max_fp_df < 2:
+            raise ValueError(f"max_fp_df ({max_fp_df}) must be >= 2")
+        dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        fps = fps.join(
+            dfc.filter(F.col("__df") <= max_fp_df).select("fp"), "fp"
+        )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

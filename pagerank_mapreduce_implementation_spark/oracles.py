@@ -2759,3 +2759,55 @@ def cluster_top_terms_sql(n_cells: int = 8, k: int = 5) -> str:
         "ORDER BY cnt DESC, word ASC) AS rn FROM c2) "
         f"WHERE rn <= {int(k)}"
     )
+
+
+def _winnow_sel_ctes(k: int = 5, w: int = 4) -> str:
+    """Shared winnowing CTE prefix: ``sel(doc_id, pos, fp)`` = the
+    distinct simple-winnowing selections over documents (rightmost
+    minimal 60-bit md5 gram hash per w-window; <= keeps ties rightmost
+    in the left fold exactly like the engine's aggregate)."""
+    big = (1 << 62) - 1
+    return (
+        "c AS (SELECT doc_id, "
+        r"lower(regexp_replace(text, '\s+', '', 'g')) AS ch FROM documents), "
+        f"h AS (SELECT doc_id, CASE WHEN length(ch) >= {k} THEN "
+        f"list_transform(range(1, length(ch) - {k} + 2), i -> "
+        f"('0x' || substr(md5(substr(ch, CAST(i AS INT), {k})), 1, 15))"
+        "::UBIGINT::BIGINT) ELSE CAST([] AS BIGINT[]) END AS H FROM c), "
+        f"sel0 AS (SELECT doc_id, unnest(CASE WHEN len(H) >= {w} THEN "
+        f"list_transform(range(1, len(H) - {w} + 2), j -> "
+        f"list_reduce(list_prepend("
+        f"struct_pack(fp := CAST({big} AS BIGINT), pos := CAST(-1 AS BIGINT)), "
+        f"list_transform(range(0, {w}), t -> struct_pack("
+        "fp := H[CAST(j + t AS INT)], pos := CAST(j + t - 1 AS BIGINT)))), "
+        "(a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END)) "
+        "ELSE [] END) AS s FROM h), "
+        "sel AS (SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel0)"
+    )
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    """Mirror of ``operators.dedup.winnow_fingerprints`` over
+    ``documents``."""
+    return f"WITH {_winnow_sel_ctes(k, w)} SELECT doc_id, pos, fp FROM sel"
+
+
+def winnow_matches_sql(
+    k: int = 5, w: int = 4, min_shared: int = 2, max_fp_df: int | None = None
+) -> str:
+    """Mirror of ``operators.dedup.winnow_matches`` over ``documents``."""
+    cap = (
+        "f AS (SELECT doc_id, fp FROM f0 JOIN (SELECT fp FROM f0 GROUP BY fp "
+        f"HAVING count(*) <= {max_fp_df}) g USING (fp)) "
+        if max_fp_df is not None
+        else "f AS (SELECT doc_id, fp FROM f0) "
+    )
+    return (
+        f"WITH {_winnow_sel_ctes(k, w)}, "
+        "f0 AS (SELECT DISTINCT doc_id, fp FROM sel), "
+        + cap
+        + "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS shared FROM f a JOIN f b ON a.fp = b.fp "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2 "
+        f"HAVING count(*) >= {int(min_shared)}"
+    )

@@ -760,3 +760,86 @@ def test_cluster_top_terms_plan_and_guards(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # per-cell top-k pre-pruned
     with pytest.raises(ValueError):
         emb_ops.cluster_top_terms(cat.documents, cat.embeddings, k=0)
+
+
+def test_winnow_fingerprints_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    out = dedup.winnow_fingerprints(Catalog(spark, sf_dir).documents, k=5, w=4)
+    check(out, duck, oracles.winnow_fingerprints_sql(k=5, w=4))
+
+
+def test_winnow_matches_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    out = dedup.winnow_matches(
+        Catalog(spark, sf_dir).documents, k=5, w=4, min_shared=3, max_fp_df=8
+    )
+    check(out, duck, oracles.winnow_matches_sql(k=5, w=4, min_shared=3, max_fp_df=8))
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    """Pure-python simple winnowing — the engine-independent reference."""
+    import hashlib
+    import re
+
+    ch = re.sub(r"\s+", "", text).lower()
+    if len(ch) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(ch[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(ch) - k + 1)
+    ]
+    if len(hs) < w:
+        return set()
+    sel = set()
+    for j in range(len(hs) - w + 1):
+        best_fp, best_pos = (1 << 62) - 1, -1
+        for t in range(w):
+            if hs[j + t] <= best_fp:
+                best_fp, best_pos = hs[j + t], j + t
+        sel.add((best_pos, best_fp))
+    return sel
+
+
+def test_winnow_matches_pure_python_and_guarantee(spark):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"completely different words here {shared} trailing"),
+            (3, "nothing in common with the others at all kumquat"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["pos"], r["fp"])
+        for r in dedup.winnow_fingerprints(docs, k=5, w=4).collect()
+    }  # smoke: rows exist
+    for did, txt in [(1, f"alpha beta {shared} gamma")]:
+        want = _py_winnow(txt, 5, 4)
+        have = {
+            (r["pos"], r["fp"])
+            for r in dedup.winnow_fingerprints(
+                spark.createDataFrame([(did, txt)], "doc_id long, text string"),
+                k=5,
+                w=4,
+            ).collect()
+        }
+        assert have == want
+    # the winnowing guarantee: a shared >= k+w-1 char substring yields
+    # shared fingerprints -> (1,2) match; doc 3 pairs with nobody
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnow_matches(docs, k=5, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    with pytest.raises(ValueError):
+        dedup.winnow_fingerprints(docs, k=0)
+    with pytest.raises(ValueError):
+        dedup.winnow_matches(docs, min_shared=0)
+    with pytest.raises(ValueError):
+        dedup.winnow_matches(docs, max_fp_df=1)
