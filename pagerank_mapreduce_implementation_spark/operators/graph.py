@@ -134,6 +134,7 @@ def pagerank(
     weight_col: str | None = None,
     reset: DataFrame | None = None,
     reliable_dir: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges.
 
@@ -417,7 +418,31 @@ def pagerank(
     driver = IterationDriver(
         materialize_every=materialize_every, reliable_dir=reliable_dir
     )
-    result = driver.run(ranks, step, n_iters)
+    # tol: opt-in L1-convergence early exit — n_iters becomes a CAP.
+    # Reference parity callers leave it None (PageRank.java:190
+    # hard-codes 10 iterations; the registered queries and their
+    # unrolled-CTE oracles depend on the exact count). With it, the
+    # driver materializes every iteration (both states are needed) and
+    # pays one vertex-sized join + a 1-row aggregate per check — worth
+    # it at 100 TB where a converged loop otherwise burns full
+    # scatter/gather rounds doing nothing. The iterated vectors are
+    # support-only but share the SAME key set every round (every
+    # vertex keeps its own=1 row), so the inner join is total.
+    converged = None
+    if tol is not None:
+        if tol <= 0:
+            raise ValueError(f"tol ({tol}) must be positive")
+
+        def converged(prev: DataFrame, cur: DataFrame) -> bool:
+            row = (
+                prev.select("url", F.col("rank").alias("__prev"))
+                .join(cur, "url")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+                .first()
+            )
+            return row["d"] is not None and float(row["d"]) < tol
+
+    result = driver.run(ranks, step, n_iters, converged=converged)
     # Result is materialized (localCheckpoint at the final boundary) —
     # the static tables can be dropped (reference GC'd intermediate
     # dirs the same way, PageRank.java:222-228,308-327).
