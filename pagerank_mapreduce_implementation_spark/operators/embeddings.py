@@ -408,3 +408,48 @@ def cluster_top_terms(
         Window.partitionBy("cell_id").orderBy(F.col("cnt").desc(), F.col("word").asc())
     )
     return cnt.withColumn("rn", rn).filter(F.col("rn") <= k)
+
+
+def group_compactness(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-space coherence per group — ``(group_col, n,
+    mean_cos)``: the mean cosine of members to their own group
+    centroid, the "is this label/cluster/source a tight region or
+    noise?" read before trusting group-level decisions (label quality
+    audits, cluster pruning, per-source embedding drift). ``mean_cos``
+    near 1 = compact; near the random-baseline = the group carries no
+    geometric signal.
+
+    Shape: ``mean_pool_embeddings`` for the centroids (``exact`` as
+    there — id-ordered folds for the oracle/audit config), ONE
+    group-keyed join to ride each centroid (with its norm precomputed,
+    so the per-row cost is a single dot-product fold), and one groupBy
+    whose cosine sum is decimal(18,12)-cast — exact commutative
+    addition under any partitioning — then rounded 6.
+    """
+    cents = mean_pool_embeddings(
+        emb, group_col=group_col, id_col=id_col, vec_col=vec_col, exact=exact
+    ).select(group_col, "centroid")
+    cents = cents.withColumn("__cn", _norm(F.col("centroid")))
+    joined = emb.select(
+        F.col(group_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).join(cents, group_col)
+    cos = _dot(F.col("__v"), F.col("centroid")) / (
+        _norm(F.col("__v")) * F.col("__cn")
+    )
+    return (
+        joined.select(F.col(group_col), cos.cast("decimal(18,12)").alias("__c"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum("__c").cast("double") / F.count(F.lit(1))), 6
+            ).alias("mean_cos"),
+        )
+    )

@@ -2811,3 +2811,26 @@ def winnow_matches_sql(
         "AND a.doc_id < b.doc_id GROUP BY 1, 2 "
         f"HAVING count(*) >= {int(min_shared)}"
     )
+
+
+def group_compactness_sql(dims: int = 64, group_col: str = "label") -> str:
+    """Mirror of ``operators.embeddings.group_compactness(exact=True)``
+    over ``embeddings``: exact-fold centroids, per-member cosine,
+    decimal(18,12)-exact cosine sums, mean rounded 6."""
+    cent = (
+        f"SELECT {group_col}, list_transform(range(1, {dims + 1}), d -> "
+        "list_reduce(list_transform(ms, m -> m[d]), (a, b) -> a + b) / len(ms)) "
+        f"AS centroid FROM (SELECT {group_col}, "
+        "list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms "
+        f"FROM embeddings GROUP BY {group_col})"
+    )
+    return (
+        f"WITH c AS ({cent}), "
+        f"j AS (SELECT e.{group_col}, CAST({_dot_sql('e.embedding', 'c.centroid')} / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql('c.centroid')}) "
+        "AS DECIMAL(18,12)) AS cc "
+        f"FROM embeddings e JOIN c ON e.{group_col} = c.{group_col}) "
+        f"SELECT {group_col}, count(*) AS n, "
+        "round(CAST(sum(cc) AS DOUBLE) / count(*), 6) AS mean_cos "
+        f"FROM j GROUP BY {group_col}"
+    )

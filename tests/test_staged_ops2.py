@@ -843,3 +843,21 @@ def test_winnow_matches_pure_python_and_guarantee(spark):
         dedup.winnow_matches(docs, min_shared=0)
     with pytest.raises(ValueError):
         dedup.winnow_matches(docs, max_fp_df=1)
+
+
+def test_group_compactness_parity(spark, sf_dir, duck):
+    out = emb_ops.group_compactness(Catalog(spark, sf_dir).embeddings, exact=True)
+    check(out, duck, oracles.group_compactness_sql(dims=64))
+
+
+def test_group_compactness_semantics(spark):
+    # tight group (identical vectors) vs spread group (orthogonal)
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+        (3, 1, [1.0, 0.0]), (4, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r for r in emb_ops.group_compactness(df).collect()}
+    assert out[0]["mean_cos"] == pytest.approx(1.0, abs=1e-9)
+    assert out[1]["mean_cos"] < 0.95  # cos to the diagonal centroid
+    assert out[0]["n"] == 2 and out[1]["n"] == 2
