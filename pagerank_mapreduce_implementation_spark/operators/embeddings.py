@@ -221,9 +221,13 @@ def pca_components(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     center: bool = True,
-) -> tuple[list[float], list[list[float]], int]:
+) -> tuple[list[float], list[list[float]], int, list[float]]:
     """Top-``k`` principal components of the embedding table:
-    ``(eigenvalues desc, components[k][d], n_rows)``.
+    ``(eigenvalues desc, components[k][d], n_rows, means[d])`` — the
+    means ride along because the fit already aggregates them and every
+    centered projection needs them (returning three values forced
+    ``pca_project`` into a second full-corpus mean pass; review
+    finding).
 
     Distributed part = ONE gram pass (``embedding_gram``) plus one
     d-sized mean aggregate; the d x d eigendecomposition runs on the
@@ -265,7 +269,12 @@ def pca_components(
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
         comps.append([float(x) for x in v])
-    return [float(vals[i]) for i in order], comps, n
+    return (
+        [float(vals[i]) for i in order],
+        comps,
+        n,
+        [float(x) for x in mu],
+    )
 
 
 def pca_project(
@@ -306,17 +315,11 @@ def pca_project(
     import numpy as np
 
     if components is None:
-        eigenvalues, components, _ = pca_components(
+        eigenvalues, components, _, fit_means = pca_components(
             emb, k=k, id_col=id_col, vec_col=vec_col, center=center
         )
-        if center and means is None:
-            pooled = mean_pool_embeddings(
-                emb.select(F.lit(1).alias("__g"), F.col(id_col), F.col(vec_col)),
-                group_col="__g",
-                id_col=id_col,
-                vec_col=vec_col,
-            ).first()
-            means = list(pooled["centroid"])
+        if means is None:
+            means = fit_means
     k = len(components)
     if center:
         if means is None:
@@ -440,9 +443,16 @@ def group_compactness(
         F.col(group_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).join(cents, group_col)
-    cos = _dot(F.col("__v"), F.col("centroid")) / (
-        _norm(F.col("__v")) * F.col("__cn")
-    )
+    # zero-norm guard (review finding): Spark's non-ANSI divide turns
+    # dot/0 into NULL, which F.sum would silently SKIP while the count
+    # divisor still counts the row — a zero member (or zero centroid)
+    # must contribute an explicit cos of 0.0, not shrink the mean
+    joined = joined.withColumn("__vn", _norm(F.col("__v")))
+    cos = F.when(
+        (F.col("__vn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__v"), F.col("centroid"))
+        / (F.col("__vn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
     return (
         joined.select(F.col(group_col), cos.cast("decimal(18,12)").alias("__c"))
         .groupBy(group_col)

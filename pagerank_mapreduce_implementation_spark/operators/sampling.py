@@ -65,6 +65,10 @@ def hash_split(
         splits = {"train": 90, "val": 5, "test": 5}
     if sum(splits.values()) != 100:
         raise ValueError(f"split percentages must sum to 100, got {splits}")
+    if any(pct <= 0 for pct in splits.values()):
+        # negative/zero entries can still sum to 100 while shadowing a
+        # later range into permanent emptiness (review finding)
+        raise ValueError(f"split percentages must be positive, got {splits}")
     bucket = _hash_bucket(F.col(key_col), salt, 100)
     lo = 0
     cases: list[tuple[int, int, str]] = []
@@ -168,6 +172,29 @@ def stratified_weighted_sample(
     )
 
 
+def _source_token_totals(
+    staged: DataFrame, source_col: str, text_col: str
+) -> "dict[str, int]":
+    """Collect per-source whitespace-token totals for the mixers,
+    FAIL-LOUD on the two inputs that used to crash deep inside the
+    allocation math (review finding): a NULL source key (None cannot
+    sort against str and cannot take a budget) and a source whose
+    every doc has NULL text (its token sum is NULL -> int(None))."""
+    trows = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
+    if any(r[0] is None for r in trows):
+        raise ValueError(
+            f"{source_col} contains NULL — filter or impute source keys "
+            "before mixing (a NULL source cannot take a budget)"
+        )
+    no_text = sorted(r[0] for r in trows if r["__T"] is None)
+    if no_text:
+        raise ValueError(
+            f"sources with no countable {text_col} (every row NULL): "
+            f"{no_text} — their token mass is undefined"
+        )
+    return {r[0]: int(r["__T"]) for r in trows}
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,
@@ -244,18 +271,15 @@ def mix_sources(
         raise ValueError("target proportions must be positive")
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
     staged = docs.withColumn("__nt", toks.cast("long"))
-    trows = (
-        staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
-    )
-    present = {r[0] for r in trows}
-    missing = sorted(set(target_props) - present)
+    totals = _source_token_totals(staged, source_col, text_col)
+    missing = sorted(set(target_props) - set(totals))
     if missing:
         raise ValueError(
             f"target_props sources not present in the corpus: {missing} "
-            f"(corpus sources: {sorted(present)}) — a silent drop would "
+            f"(corpus sources: {sorted(totals)}) — a silent drop would "
             "reshape the whole mixture via k = min(T_s/p_s)"
         )
-    tmap = {r[0]: int(r["__T"]) for r in trows if r[0] in target_props}
+    tmap = {s2: t for s2, t in totals.items() if s2 in target_props}
     k = min(float(t) / float(target_props[s]) for s, t in tmap.items())
     rates = spark.createDataFrame(
         [
@@ -464,7 +488,12 @@ def top_fraction_per_group(
     group retains at least one row — ranked by ``(score DESC,
     key ASC)``; the unique-key tiebreak makes the cut boundary
     deterministic (the pagerank_top20 convention), so re-runs and
-    engines agree on the exact row SET.
+    engines agree on the exact row SET. The cut count is
+    ``ceil(frac * group_size)`` EVALUATED IN IEEE DOUBLE — a ``frac``
+    that is not exactly representable (0.07 * 100 = 7.000...001) can
+    round the boundary up one row vs exact rational math; the SQL
+    oracle replays the identical double arithmetic, so the row set
+    stays cross-engine exact either way.
 
     Scale shape: ONE shuffle on the group key serving both window
     functions (rank and group size share the partition), then a
@@ -546,8 +575,7 @@ def unimax_mix(
         raise ValueError(f"epoch_cap ({epoch_cap}) must be positive")
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
     staged = docs.withColumn("__nt", toks.cast("long"))
-    trows = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
-    totals = {r[0]: int(r["__T"]) for r in trows}
+    totals = _source_token_totals(staged, source_col, text_col)
     alloc = _unimax_waterfall(totals, total_budget, epoch_cap)
     if return_alloc:
         return spark.createDataFrame(
@@ -609,8 +637,7 @@ def temperature_mix(
         raise ValueError(f"tau ({tau}) must be positive")
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
     staged = docs.withColumn("__nt", toks.cast("long"))
-    trows = staged.groupBy(source_col).agg(F.sum("__nt").alias("__T")).collect()
-    totals = {r[0]: int(r["__T"]) for r in trows}
+    totals = _source_token_totals(staged, source_col, text_col)
 
     import math as _math
 

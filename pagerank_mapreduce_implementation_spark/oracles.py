@@ -2826,9 +2826,11 @@ def group_compactness_sql(dims: int = 64, group_col: str = "label") -> str:
     )
     return (
         f"WITH c AS ({cent}), "
-        f"j AS (SELECT e.{group_col}, CAST({_dot_sql('e.embedding', 'c.centroid')} / "
+        f"j AS (SELECT e.{group_col}, CAST(CASE WHEN "
+        f"{_norm_sql('e.embedding')} > 0 AND {_norm_sql('c.centroid')} > 0 "
+        f"THEN {_dot_sql('e.embedding', 'c.centroid')} / "
         f"({_norm_sql('e.embedding')} * {_norm_sql('c.centroid')}) "
-        "AS DECIMAL(18,12)) AS cc "
+        "ELSE 0.0 END AS DECIMAL(18,12)) AS cc "
         f"FROM embeddings e JOIN c ON e.{group_col} = c.{group_col}) "
         f"SELECT {group_col}, count(*) AS n, "
         "round(CAST(sum(cc) AS DOUBLE) / count(*), 6) AS mean_cos "

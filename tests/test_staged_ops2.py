@@ -179,7 +179,7 @@ def test_embedding_gram_default_matches_exact_and_numpy(spark, sf_dir):
 
 def test_pca_matches_numpy(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
-    vals, comps, n = emb_ops.pca_components(emb, k=4)
+    vals, comps, n, mu_fit = emb_ops.pca_components(emb, k=4)
     x = np.array(
         [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
     )
@@ -200,6 +200,7 @@ def test_pca_matches_numpy(spark, sf_dir):
         for r in emb_ops.pca_project(emb, k=4).collect()
     }
     mu = x.mean(axis=0)
+    assert np.allclose(mu_fit, mu, atol=1e-9)
     want = (x - mu) @ np.array(comps).T
     ids = sorted(proj)
     got = np.array([proj[i] for i in ids])
@@ -861,3 +862,42 @@ def test_group_compactness_semantics(spark):
     assert out[0]["mean_cos"] == pytest.approx(1.0, abs=1e-9)
     assert out[1]["mean_cos"] < 0.95  # cos to the diagonal centroid
     assert out[0]["n"] == 2 and out[1]["n"] == 2
+
+
+def test_group_compactness_zero_vector_contributes_zero(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 0, [0.0, 0.0]),  # zero member: explicit cos 0, not a NULL skip
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    (r,) = emb_ops.group_compactness(df).collect()
+    assert r["n"] == 3
+    # two members at cos 1 to the centroid direction, one forced 0
+    assert r["mean_cos"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_mixers_fail_loud_on_null_source_and_null_text(spark):
+    bad_src = spark.createDataFrame(
+        [(1, "some text", "web"), (2, "more text", None)],
+        "doc_id long, text string, source string",
+    )
+    bad_txt = spark.createDataFrame(
+        [(1, "some text", "web"), (2, None, "empty"), (3, None, "empty")],
+        "doc_id long, text string, source string",
+    )
+    for fn in (
+        lambda d: sampling.unimax_mix(d, total_budget=10.0),
+        lambda d: sampling.temperature_mix(d, total_budget=10.0),
+        lambda d: sampling.mix_sources(d, {"web": 1.0}),
+    ):
+        with pytest.raises(ValueError, match="NULL"):
+            fn(bad_src)
+        with pytest.raises(ValueError, match="no countable"):
+            fn(bad_txt)
+
+
+def test_hash_split_rejects_nonpositive_percentages(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="positive"):
+        sampling.hash_split(df, "k", {"train": 105, "val": -5})
