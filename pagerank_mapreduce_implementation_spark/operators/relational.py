@@ -589,3 +589,41 @@ def validate_table(df: DataFrame, rules: dict[str, str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """Bucketed value distribution — ``(bucket_start, n)`` with
+    ``bucket_start = floor(value / width) * width`` — the shape read
+    behind every "what does this column look like" question (document
+    lengths, order totals, token counts) that min/max/distinct can't
+    answer. NULLs are reported as their own row (``bucket_start``
+    NULL): a distribution that silently drops nulls hides exactly the
+    rows profiling exists to catch.
+
+    One groupBy on the derived bucket key (map-side partials) — the
+    histogram table is value-range/width-sized, never row-sized.
+    Integer-valued columns with an integer ``bucket_width`` stay in
+    exact integer arithmetic wide enough for any bigint (floor-div on
+    the decimal-cast value), so the SQL oracle is bit-exact; doubles
+    bucket in IEEE double (same both engines).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width ({bucket_width}) must be positive")
+    w = float(bucket_width)
+    if w == int(w):
+        # exact path: decimal floor-div covers the full bigint range
+        bucket = (
+            F.floor(F.col(value_col).cast("decimal(38,6)") / F.lit(int(w)))
+            * F.lit(int(w))
+        ).cast("double")
+    else:
+        bucket = F.floor(F.col(value_col).cast("double") / F.lit(w)) * F.lit(w)
+    return (
+        df.select(bucket.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

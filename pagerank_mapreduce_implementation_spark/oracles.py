@@ -2836,3 +2836,21 @@ def group_compactness_sql(dims: int = 64, group_col: str = "label") -> str:
         "round(CAST(sum(cc) AS DOUBLE) / count(*), 6) AS mean_cos "
         f"FROM j GROUP BY {group_col}"
     )
+
+
+def value_histogram_sql(
+    table: str, value_col: str, bucket_width: float = 100.0
+) -> str:
+    """Mirror of ``operators.relational.value_histogram``."""
+    w = float(bucket_width)
+    if w == int(w):
+        b = (
+            f"CAST(floor(CAST({value_col} AS DECIMAL(38,6)) / {int(w)}) "
+            f"* {int(w)} AS DOUBLE)"
+        )
+    else:
+        b = f"floor(CAST({value_col} AS DOUBLE) / {w}) * {w}"
+    return (
+        f"SELECT {b} AS bucket_start, count(*) AS n "
+        f"FROM {table} GROUP BY 1"
+    )

@@ -1220,6 +1220,9 @@ def corpus_health(
       non-empty, ``n_chars`` consistent with the text.
     - ``<out>/skew.parquet`` — the ``skew_key`` heavy-key table
       (``relational.key_skew_report``), the pre-join/groupBy read.
+    - ``<out>/length_hist.parquet`` — the ``n_chars`` distribution in
+      100-char buckets (``relational.value_histogram``) when the
+      column exists; NULL lengths get their own row.
 
     Each output is one scan-bounded pass; nothing here shuffles the
     corpus (profile/expectations are single aggregations, the skew
@@ -1253,4 +1256,8 @@ def corpus_health(
         relational.key_skew_report(docs, skew_key, top_n=skew_top_n).write.mode(
             "overwrite"
         ).parquet(f"{output_path}/skew.parquet")
+    if "n_chars" in docs.columns:
+        relational.value_histogram(docs, "n_chars", bucket_width=100).write.mode(
+            "overwrite"
+        ).parquet(f"{output_path}/length_hist.parquet")
     return spark.read.parquet(f"{output_path}/expectations.parquet")

@@ -901,3 +901,24 @@ def test_hash_split_rejects_nonpositive_percentages(spark):
     df = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError, match="positive"):
         sampling.hash_split(df, "k", {"train": 105, "val": -5})
+
+
+def test_value_histogram_parity(spark, sf_dir, duck):
+    out = relational.value_histogram(
+        Catalog(spark, sf_dir).documents, "n_chars", bucket_width=100
+    )
+    check(out, duck, oracles.value_histogram_sql("documents", "n_chars", 100))
+    out2 = relational.value_histogram(
+        Catalog(spark, sf_dir).lineitem, "l_quantity", bucket_width=7.5
+    )
+    check(out2, duck, oracles.value_histogram_sql("lineitem", "l_quantity", 7.5))
+
+
+def test_value_histogram_nulls_and_guards(spark):
+    df = spark.createDataFrame([(5,), (None,), (105,), (199,)], "v int")
+    rows = {r["bucket_start"]: r["n"] for r in
+            relational.value_histogram(df, "v", 100).collect()}
+    assert rows[0.0] == 1 and rows[100.0] == 2
+    assert rows[None] == 1  # nulls are their own row, never dropped
+    with pytest.raises(ValueError):
+        relational.value_histogram(df, "v", 0)
