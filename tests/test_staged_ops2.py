@@ -922,3 +922,27 @@ def test_value_histogram_nulls_and_guards(spark):
     assert rows[None] == 1  # nulls are their own row, never dropped
     with pytest.raises(ValueError):
         relational.value_histogram(df, "v", 0)
+
+
+@settings(**_PROP)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd.!x", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 4]),
+    w=st.sampled_from([1, 3]),
+)
+def test_winnow_fingerprints_matches_pure_python(spark, texts, k, w):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in dedup.winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    want = {
+        i: _py_winnow(t, k, w) for i, t in rows if _py_winnow(t, k, w)
+    }
+    assert got == want
