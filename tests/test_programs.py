@@ -1656,3 +1656,56 @@ def test_corpus_health_end_to_end(spark, tmp_path):
         p2 = str(tmp_path / "in2.parquet")
         df.write.mode("overwrite").parquet(p2)
         corpus_health(spark, p2, str(tmp_path / "h2"))
+
+
+def test_full_pipeline_rehearsal(spark, tmp_path):
+    """The production recipe composed end-to-end on one corpus:
+    clean_corpus (dedup) -> corpus_health on the survivors ->
+    build_training_shards(shuffle_seed) on the same pool — every
+    artifact readable, token mass conserved, expectations green."""
+    from pagerank_mapreduce_implementation_spark.programs import (
+        build_training_shards,
+        clean_corpus,
+        corpus_health,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog keeps running onward"
+    texts = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, "different words for another training document here"),
+        (4, "yet another short document with some tokens"),
+    ]
+    # n_chars derived, not hard-coded: the health gate checks exactly
+    # this consistency (a stale literal fails the run — by design)
+    rows = [
+        (i, t, "en", "books" if i == 4 else "web", len(t)) for i, t in texts
+    ]
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+
+    clean = str(tmp_path / "clean.parquet")
+    survivors = clean_corpus(
+        spark, src, clean, near_dup_threshold=0.3, ngram=3
+    )
+    n_surv = survivors.count()
+    assert n_surv == 3  # the dup dropped
+
+    exp = {
+        r["rule"]: r
+        for r in corpus_health(spark, clean, str(tmp_path / "health")).collect()
+    }
+    assert all(r["n_violations"] == 0 for r in exp.values())
+    hist = spark.read.parquet(f"{tmp_path}/health/length_hist.parquet").collect()
+    assert sum(r["n"] for r in hist) == n_surv
+
+    manifest = build_training_shards(
+        spark, clean, str(tmp_path / "shards"), budget=8, bins_per_shard=2,
+        shuffle_seed="rehearsal",
+    )
+    # token conservation through the whole chain: 12 + 7 + 7 ws tokens
+    assert sum(r.n_tokens for r in manifest.collect()) == 26
+    dm = spark.read.parquet(f"{tmp_path}/shards/doc_map.parquet").collect()
+    assert sorted(r.source_doc_id for r in dm) == [1, 3, 4]

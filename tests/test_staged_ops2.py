@@ -946,3 +946,13 @@ def test_winnow_fingerprints_matches_pure_python(spark, texts, k, w):
         i: _py_winnow(t, k, w) for i, t in rows if _py_winnow(t, k, w)
     }
     assert got == want
+
+
+def test_winnow_empty_and_tiny_inputs(spark):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.winnow_fingerprints(empty).collect() == []
+    assert dedup.winnow_matches(empty).collect() == []
+    tiny = spark.createDataFrame([(1, "ab"), (2, None)], "doc_id long, text string")
+    assert dedup.winnow_fingerprints(tiny, k=5, w=4).collect() == []
