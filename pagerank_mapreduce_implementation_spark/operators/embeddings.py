@@ -372,6 +372,7 @@ def cluster_top_terms(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    weighting: str = "count",
 ) -> DataFrame:
     """Label your clusters — the top-``k`` most frequent lowercased
     whitespace tokens per embedding cell: ``(cell_id, word, cnt, rn)``,
@@ -388,6 +389,15 @@ def cluster_top_terms(
     (each partition pre-prunes to k per cell before the window
     exchange) — the ``quota_sample`` shape on the vocab-bounded count
     table, never the corpus.
+
+    ``weighting="ctfidf"`` ranks by class-TF-IDF instead of raw count
+    (Grootendorst 2022, public — the BERTopic labeling move): ``score
+    = cnt * log10(1 + N_cells/df_cells)`` with ``df_cells`` = how many
+    cells contain the word and ``N_cells`` the cells actually present
+    (a broadcast 1-row aggregate) — corpus-wide stopwords get damped
+    toward 0, so the label is what makes the cell DIFFERENT, not what
+    every cell shares. Adds one vocab-bounded groupBy; the log rides
+    the engine's tf-idf convention, rounded 6 behind the hash gate.
     """
     from pyspark.sql.window import Window
 
@@ -406,10 +416,34 @@ def cluster_top_terms(
         .join(assign.select("vec_id", "cell_id"), "vec_id")
         .select("cell_id", F.explode("__t").alias("word"))
     )
+    if weighting not in ("count", "ctfidf"):
+        raise ValueError(
+            f"weighting must be 'count' or 'ctfidf', got {weighting!r}"
+        )
     cnt = words.groupBy("cell_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    rn = F.row_number().over(
-        Window.partitionBy("cell_id").orderBy(F.col("cnt").desc(), F.col("word").asc())
-    )
+    if weighting == "ctfidf":
+        dfc = cnt.groupBy("word").agg(F.count(F.lit(1)).alias("__dfc"))
+        ncells = cnt.agg(
+            F.count_distinct("cell_id").cast("double").alias("__nc")
+        )
+        cnt = (
+            cnt.join(dfc, "word")
+            .crossJoin(F.broadcast(ncells))
+            .select(
+                "cell_id",
+                "word",
+                "cnt",
+                F.round(
+                    F.col("cnt")
+                    * F.log10(F.lit(1.0) + F.col("__nc") / F.col("__dfc")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        order = [F.col("score").desc(), F.col("word").asc()]
+    else:
+        order = [F.col("cnt").desc(), F.col("word").asc()]
+    rn = F.row_number().over(Window.partitionBy("cell_id").orderBy(*order))
     return cnt.withColumn("rn", rn).filter(F.col("rn") <= k)
 
 

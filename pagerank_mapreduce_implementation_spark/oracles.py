@@ -2735,7 +2735,9 @@ def chunk_sentences_sql(window: int = 5, stride: int = 4) -> str:
     )
 
 
-def cluster_top_terms_sql(n_cells: int = 8, k: int = 5) -> str:
+def cluster_top_terms_sql(
+    n_cells: int = 8, k: int = 5, weighting: str = "count"
+) -> str:
     """Mirror of ``operators.embeddings.cluster_top_terms`` over
     ``documents`` x ``embeddings`` (first-n seed centroids — the
     ``ivf_topk_sql`` assignment CTE — then per-cell token counts and a
@@ -2754,10 +2756,24 @@ def cluster_top_terms_sql(n_cells: int = 8, k: int = 5) -> str:
         r"regexp_split_to_array(lower(d.text), '\s+'), x -> x <> '')) AS word "
         "FROM documents d JOIN assign a ON d.doc_id = a.vec_id), "
         "c2 AS (SELECT cell_id, word, count(*) AS cnt FROM w GROUP BY 1, 2) "
-        "SELECT cell_id, word, cnt, CAST(rn AS INT) AS rn FROM "
-        "(SELECT *, row_number() OVER (PARTITION BY cell_id "
-        "ORDER BY cnt DESC, word ASC) AS rn FROM c2) "
-        f"WHERE rn <= {int(k)}"
+        + (
+            "SELECT cell_id, word, cnt, CAST(rn AS INT) AS rn FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY cell_id "
+            "ORDER BY cnt DESC, word ASC) AS rn FROM c2) "
+            f"WHERE rn <= {int(k)}"
+            if weighting == "count"
+            else (
+                ", dfc AS (SELECT word, count(*) AS dfc FROM c2 GROUP BY 1), "
+                "nc AS (SELECT CAST(count(DISTINCT cell_id) AS DOUBLE) AS nc FROM c2), "
+                "sc AS (SELECT c2.cell_id, c2.word, c2.cnt, "
+                "round(c2.cnt * log10(1.0 + nc.nc / dfc.dfc), 6) AS score "
+                "FROM c2 JOIN dfc USING (word), nc) "
+                "SELECT cell_id, word, cnt, score, CAST(rn AS INT) AS rn FROM "
+                "(SELECT *, row_number() OVER (PARTITION BY cell_id "
+                "ORDER BY score DESC, word ASC) AS rn FROM sc) "
+                f"WHERE rn <= {int(k)}"
+            )
+        )
     )
 
 

@@ -956,3 +956,39 @@ def test_winnow_empty_and_tiny_inputs(spark):
     assert dedup.winnow_matches(empty).collect() == []
     tiny = spark.createDataFrame([(1, "ab"), (2, None)], "doc_id long, text string")
     assert dedup.winnow_fingerprints(tiny, k=5, w=4).collect() == []
+
+
+def test_cluster_top_terms_ctfidf_parity(spark, sf_dir, duck):
+    out = emb_ops.cluster_top_terms(
+        Catalog(spark, sf_dir).documents,
+        Catalog(spark, sf_dir).embeddings,
+        n_cells=4,
+        k=3,
+        weighting="ctfidf",
+    )
+    check(out, duck, oracles.cluster_top_terms_sql(n_cells=4, k=3, weighting="ctfidf"))
+
+
+def test_cluster_top_terms_ctfidf_damps_shared_words(spark):
+    # 'common' appears in every doc; each cell has a distinctive word
+    docs = spark.createDataFrame(
+        [
+            (1, "common common alpha alpha alpha"),
+            (2, "common common beta beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    top = {
+        r["cell_id"]: r["word"]
+        for r in emb_ops.cluster_top_terms(
+            docs, emb, n_cells=2, k=1, weighting="ctfidf"
+        ).collect()
+    }
+    # the shared word is damped to score 0 (log10(1 + 2/2) over both
+    # cells equally); the per-cell word wins despite equal counts
+    assert set(top.values()) == {"alpha", "beta"}
+    with pytest.raises(ValueError, match="weighting"):
+        emb_ops.cluster_top_terms(docs, emb, weighting="nope")
