@@ -2823,7 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key_skew_report, validate_table, bigram_pmi, source_centrality,
         # chunk_sentences, cluster_top_terms, streaming_rule_violations,
         # winnow_fingerprints, winnow_matches, group_compactness,
-        # value_histogram,
+        # value_histogram, streaming_value_histogram, ctfidf labels,
         # plus the non-SQL pca_project/whiten and the JSONL round-trip)
         # — oracles already in oracles.py — queues for the round-13
         # window ahead of the r10-green block, which the then-4-round

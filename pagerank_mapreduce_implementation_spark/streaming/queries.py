@@ -731,3 +731,38 @@ def streaming_rule_violations(
         F.col("w.end").alias("window_end"),
         F.explode(rows).alias("r"),
     ).select("window_start", "window_end", "r.*")
+
+
+def streaming_value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """Live value distribution — the streaming twin of
+    ``relational.value_histogram``: running ``(bucket_start, n)``
+    counts of ``value_col`` in fixed-width buckets, NULLs as their own
+    bucket row. The ingest-monitoring shape read (is today's value
+    distribution the same one yesterday's batch profile recorded?)
+    that pairs with ``streaming_rule_violations``' pass/fail view.
+
+    State = one count per OCCUPIED bucket — value-range/width-sized,
+    independent of stream length (complete-mode aggregation, no
+    watermark needed because the state itself is bounded); the bucket
+    arithmetic is the batch operator's exact decimal floor-div, so a
+    batch backfill and the stream agree bit-for-bit.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width ({bucket_width}) must be positive")
+    w = float(bucket_width)
+    if w == int(w):
+        bucket = (
+            F.floor(F.col(value_col).cast("decimal(38,6)") / F.lit(int(w)))
+            * F.lit(int(w))
+        ).cast("double")
+    else:
+        bucket = F.floor(F.col(value_col).cast("double") / F.lit(w)) * F.lit(w)
+    return (
+        events.select(bucket.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -992,3 +992,20 @@ def test_cluster_top_terms_ctfidf_damps_shared_words(spark):
     assert set(top.values()) == {"alpha", "beta"}
     with pytest.raises(ValueError, match="weighting"):
         emb_ops.cluster_top_terms(docs, emb, weighting="nope")
+
+
+def test_streaming_value_histogram_matches_batch(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.streaming.queries import (
+        read_events_stream,
+        run_to_memory,
+        streaming_value_histogram,
+    )
+
+    out = streaming_value_histogram(
+        read_events_stream(spark, sf_dir), "value", 25.0
+    )
+    run_to_memory(out, "value_hist_probe", state_partitions=8)
+    got = spark.table("value_hist_probe")
+    check(got, duck, oracles.value_histogram_sql("events", "value", 25.0))
+    with pytest.raises(ValueError):
+        streaming_value_histogram(read_events_stream(spark, sf_dir), "value", 0)
