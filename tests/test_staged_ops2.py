@@ -1009,3 +1009,36 @@ def test_streaming_value_histogram_matches_batch(spark, sf_dir, duck):
     check(got, duck, oracles.value_histogram_sql("events", "value", 25.0))
     with pytest.raises(ValueError):
         streaming_value_histogram(read_events_stream(spark, sf_dir), "value", 0)
+
+
+def test_cohort2_plan_shapes(spark, sf_dir):
+    """The scale claims as assertions, one action each: no cartesian
+    products anywhere, no global range-sorts in the orderers, scan
+    counts where the docstrings promise one pass."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup, textstats
+
+    docs = Catalog(spark, sf_dir).documents
+    li = Catalog(spark, sf_dir).lineitem
+
+    pmi = _final_plan(textstats.bigram_pmi(docs, min_count=2))
+    assert "CartesianProduct" not in pmi  # vocab-keyed equi-joins only
+
+    cur = _final_plan(
+        sampling.curriculum_order(docs, "n_chars", [200.0, 500.0])
+    )
+    assert "rangepartitioning" not in cur
+    assert "BroadcastHashJoin" in cur  # offsets broadcast back
+
+    val = _final_plan(
+        relational.validate_table(li, {"q": "l_quantity BETWEEN 1 AND 50"})
+    )
+    assert val.count("FileScan") == 1  # all rules share one scan
+
+    wm = _final_plan(dedup.winnow_matches(docs, min_shared=3, max_fp_df=8))
+    assert "CartesianProduct" not in wm  # fp-keyed self-join
+
+    gc = _final_plan(emb_ops.group_compactness(docs.sparkSession.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )))
+    assert "CartesianProduct" not in gc
