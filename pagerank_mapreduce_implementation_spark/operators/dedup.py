@@ -1957,6 +1957,7 @@ def winnow_matches(
     max_fp_df: int | None = None,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """Document pairs sharing winnowing fingerprints —
     ``(doc_a, doc_b, shared)`` with ``shared >= min_shared`` distinct
@@ -1971,7 +1972,10 @@ def winnow_matches(
     video frame silhouette) — fingerprint inventory is zero-shuffle,
     the self-join is keyed on ``fp`` with per-fp candidates bounded by
     C(df_cap, 2), and the pair count is one groupBy with map-side
-    partials.
+    partials. ``normalize=True`` adds the MOSS report's percent
+    overlap per side — ``sim_x = shared / |fingerprints(doc_x)|``
+    (rounded 6) over the same df-capped sets the join used — via two
+    doc-bounded total joins.
     """
     if min_shared < 1:
         raise ValueError(f"min_shared ({min_shared}) must be >= 1")
@@ -1989,10 +1993,28 @@ def winnow_matches(
         )
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
+    pairs = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+    if not normalize:
+        return pairs
+    # MOSS-style percent overlap: shared / |fingerprints(doc)| per
+    # side, over the SAME (possibly df-capped) fingerprint sets the
+    # join used — doc-bounded totals, one broadcastable join per side
+    tot = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        pairs.join(tot.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("__tot", "__ta")
+        .join(tot.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared") / F.col("__ta"), 6).alias("sim_a"),
+            F.round(F.col("shared") / F.col("__tot"), 6).alias("sim_b"),
+        )
     )

@@ -2809,7 +2809,11 @@ def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
 
 
 def winnow_matches_sql(
-    k: int = 5, w: int = 4, min_shared: int = 2, max_fp_df: int | None = None
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    normalize: bool = False,
 ) -> str:
     """Mirror of ``operators.dedup.winnow_matches`` over ``documents``."""
     cap = (
@@ -2822,10 +2826,25 @@ def winnow_matches_sql(
         f"WITH {_winnow_sel_ctes(k, w)}, "
         "f0 AS (SELECT DISTINCT doc_id, fp FROM sel), "
         + cap
-        + "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "count(*) AS shared FROM f a JOIN f b ON a.fp = b.fp "
-        "AND a.doc_id < b.doc_id GROUP BY 1, 2 "
-        f"HAVING count(*) >= {int(min_shared)}"
+        + (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS shared FROM f a JOIN f b ON a.fp = b.fp "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2 "
+            f"HAVING count(*) >= {int(min_shared)}"
+            if not normalize
+            else (
+                ", p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "count(*) AS shared FROM f a JOIN f b ON a.fp = b.fp "
+                "AND a.doc_id < b.doc_id GROUP BY 1, 2 "
+                f"HAVING count(*) >= {int(min_shared)}), "
+                "tot AS (SELECT doc_id, count(*) AS t FROM f GROUP BY 1) "
+                "SELECT p.doc_a, p.doc_b, p.shared, "
+                "round(CAST(p.shared AS DOUBLE) / ta.t, 6) AS sim_a, "
+                "round(CAST(p.shared AS DOUBLE) / tb.t, 6) AS sim_b "
+                "FROM p JOIN tot ta ON p.doc_a = ta.doc_id "
+                "JOIN tot tb ON p.doc_b = tb.doc_id"
+            )
+        )
     )
 
 

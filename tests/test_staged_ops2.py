@@ -1042,3 +1042,32 @@ def test_cohort2_plan_shapes(spark, sf_dir):
         "vec_id long, label int, embedding array<double>",
     )))
     assert "CartesianProduct" not in gc
+
+
+def test_winnow_matches_normalized_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    out = dedup.winnow_matches(
+        Catalog(spark, sf_dir).documents,
+        k=5, w=4, min_shared=3, max_fp_df=8, normalize=True,
+    )
+    check(
+        out,
+        duck,
+        oracles.winnow_matches_sql(
+            k=5, w=4, min_shared=3, max_fp_df=8, normalize=True
+        ),
+    )
+
+
+def test_winnow_matches_normalized_semantics(spark):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    # identical docs: every fingerprint shared -> sim 1.0 both sides
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    (r,) = dedup.winnow_matches(docs, min_shared=1, normalize=True).collect()
+    assert (r["sim_a"], r["sim_b"]) == (1.0, 1.0)
