@@ -1071,3 +1071,53 @@ def test_winnow_matches_normalized_semantics(spark):
     )
     (r,) = dedup.winnow_matches(docs, min_shared=1, normalize=True).collect()
     assert (r["sim_a"], r["sim_b"]) == (1.0, 1.0)
+
+
+@settings(**_PROP)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-(10**6), max_value=10**6)),
+        min_size=1,
+        max_size=50,
+    ),
+    width=st.sampled_from([1, 7, 100]),
+)
+def test_value_histogram_matches_pure_python(spark, vals, width):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["bucket_start"]: r["n"]
+        for r in relational.value_histogram(df, "v", width).collect()
+    }
+    want: dict = {}
+    for v in vals:
+        b = None if v is None else float((v // width) * width)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+@settings(**_PROP)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+            st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_profile_table_matches_pure_python(spark, rows):
+    df = spark.createDataFrame(rows, "k int, s string")
+    got = {r["col_name"]: r for r in relational.profile_table(df).collect()}
+    for name, idx in [("k", 0), ("s", 1)]:
+        col = [r[idx] for r in rows]
+        nn = [v for v in col if v is not None]
+        p = got[name]
+        assert p["n_rows"] == len(col)
+        assert p["n_nulls"] == len(col) - len(nn)
+        assert p["n_distinct"] == len(set(nn))
+        if nn:
+            assert p["min_value"] == str(min(nn))
+            assert p["max_value"] == str(max(nn))
+        else:
+            assert p["min_value"] is None and p["max_value"] is None
