@@ -1890,13 +1890,21 @@ def winnow_fingerprints(
     the optimized plan, turning the pass O(chars x w) hashes). The
     Arrow pass computes the identical md5 ints in hashlib and the
     window argmins vectorized in numpy (~10x the best expression
-    form). Selections are deduped by position adjacency — the selected
-    position is non-decreasing across windows (window j+1 starts one
-    later, so its rightmost minimum never sits left of window j's), so
-    equal selections are always contiguous.
+    form). Round 12 batched the kernel itself (r11 verdict item 5):
+    md5 runs once per DISTINCT gram in the Arrow batch (np.unique over
+    void-viewed byte windows + a cross-batch digest cache — natural
+    text repeats k-grams ~200x at k=5) and the window argmin/dedupe
+    sweep runs ONCE per batch over a sentinel-separated hash stream
+    instead of once per doc — measured 2.1-3.3x on the sf0.1 corpus
+    (2.29 s -> 0.70 s warm kernel; A/B in BASELINE.md), bit-identical
+    output. Selections are deduped by position adjacency — the
+    selected position is non-decreasing across windows (window j+1
+    starts one later, so its rightmost minimum never sits left of
+    window j's), so equal selections are always contiguous.
     """
     if k < 1 or w < 1:
         raise ValueError(f"k ({k}) and w ({w}) must be >= 1")
+    id_type = docs.schema[doc_col].dataType.simpleString()
 
     def _select(batches):
         import hashlib
@@ -1906,47 +1914,131 @@ def winnow_fingerprints(
         import pandas as pd
         from numpy.lib.stride_tricks import sliding_window_view
 
-        ws_re = _re.compile(r"\s+")
+        # ASCII \s, matching the Java-regex/RE2 whitespace convention
+        # the engine's expression ops and the DuckDB oracle use — the
+        # default Unicode-aware \s would strip NBSP/U+2028-style chars
+        # only on this side, silently breaking the bit-exact oracle
+        # contract on non-ASCII corpora (round-11 advice)
+        ws_re = _re.compile(r"\s+", _re.ASCII)
+        # gram-digest cache, shared across the whole Arrow batch
+        # stream: natural text repeats k-grams heavily (~2-10x at k=5),
+        # so hashing each DISTINCT gram once replaces the dominant
+        # per-position md5 with a dict hit (A/B in BASELINE.md)
+        cache: dict = {}
+
+        def _fp(gb: bytes) -> int:
+            v = cache.get(gb)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(gb).digest()[:8], "big") >> 4
+                cache[gb] = v
+            return v
+
+        empty = pd.DataFrame(
+            {"doc_id": [], "pos": [], "fp": []},
+            columns=["doc_id", "pos", "fp"],
+        ).astype({"pos": "int64", "fp": "int64"})
+
         for pdf in batches:
-            out_doc: list = []
-            out_pos: list = []
-            out_fp: list = []
+            # pass 1 (the only per-doc Python): strip/lower/encode and
+            # stage each doc's gram windows as a C-contiguous void view
+            dids: list = []
+            ms: list = []
+            grams: list = []
+            slow_h: dict = {}
             for did, txt in zip(pdf["doc_id"], pdf["__t"]):
                 ch = ws_re.sub("", txt or "").lower()
                 m = len(ch) - k + 1
                 if m < w:
                     continue
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(ch[i : i + k].encode("utf-8")).digest()[:8],
-                            "big",
-                        )
-                        >> 4
-                        for i in range(m)
-                    ),
+                b = ch.encode("utf-8")
+                if len(b) == len(ch):
+                    # ASCII: byte k-grams == char k-grams
+                    win8 = sliding_window_view(
+                        np.frombuffer(b, dtype=np.uint8), k
+                    )
+                    grams.append(
+                        np.ascontiguousarray(win8)
+                        .view(np.dtype((np.void, k)))
+                        .ravel()
+                    )
+                else:
+                    # multi-byte chars: byte windows would split code
+                    # points — char-slice per position; the gram cache
+                    # still collapses repeats
+                    slow_h[len(dids)] = np.fromiter(
+                        (_fp(ch[i : i + k].encode("utf-8")) for i in range(m)),
+                        dtype=np.int64,
+                        count=m,
+                    )
+                    grams.append(None)
+                dids.append(did)
+                ms.append(m)
+            if not dids:
+                yield empty
+                continue
+            # pass 2: ONE np.unique over every ASCII gram in the batch
+            # dedupes before hashing (k-grams of natural text repeat
+            # ~200x at k=5 on the sf0.1 corpus: 1.2M grams, 5.5k
+            # distinct), so md5 runs per DISTINCT gram; inverse indices
+            # restore the per-position hash stream bit-identically
+            fast = [g for g in grams if g is not None]
+            if fast:
+                uniq, inv = np.unique(np.concatenate(fast), return_inverse=True)
+                vals = np.fromiter(
+                    (_fp(u.tobytes()) for u in uniq),
                     dtype=np.int64,
-                    count=m,
+                    count=len(uniq),
                 )
-                win = sliding_window_view(hs, w)
-                mins = win.min(axis=1)
-                # rightmost minimum: first hit in the reversed window
-                right = (w - 1) - np.argmax(win[:, ::-1] == mins[:, None], axis=1)
-                pos = np.arange(m - w + 1) + right
-                keep = np.empty(len(pos), dtype=bool)
+                allh = vals[inv]
+            # pass 3: winnow EVERY doc in one numpy sweep — docs are
+            # concatenated with w-1 sentinel hashes of -1 between them;
+            # -1 always wins the window min (real hashes are 60-bit
+            # non-negative), so a window is intra-doc iff its min >= 0
+            marr = np.asarray(ms, dtype=np.int64)
+            seg = marr + (w - 1)
+            stream = np.full(int(seg.sum()), -1, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+            off = 0
+            for i in range(len(dids)):
+                m = int(marr[i])
+                if grams[i] is None:
+                    stream[starts[i] : starts[i] + m] = slow_h[i]
+                else:
+                    stream[starts[i] : starts[i] + m] = allh[off : off + m]
+                    off += m
+            win = sliding_window_view(stream, w)
+            mins = win.min(axis=1)
+            valid = mins >= 0
+            # rightmost minimum: first hit in the reversed window
+            right = (w - 1) - np.argmax(win[:, ::-1] == mins[:, None], axis=1)
+            gpos = np.arange(len(mins), dtype=np.int64) + right
+            widx = np.flatnonzero(valid)
+            dofw = np.searchsorted(starts, widx, side="right") - 1
+            pos = gpos[valid] - starts[dofw]
+            fpv = mins[valid]
+            # adjacent dedupe: the selected position is non-decreasing
+            # within a doc, so equal selections are contiguous
+            keep = np.empty(len(pos), dtype=bool)
+            if len(pos):
                 keep[0] = True
-                keep[1:] = pos[1:] != pos[:-1]  # adjacent dedupe
-                pos, fps = pos[keep], mins[keep]
-                out_doc.extend([did] * len(pos))
-                out_pos.extend(pos.tolist())
-                out_fp.extend(fps.tolist())
+                keep[1:] = (pos[1:] != pos[:-1]) | (dofw[1:] != dofw[:-1])
+            sel = dofw[keep]
+            # doc_id keeps the caller's id values untouched — its Arrow
+            # type comes from the schema string below, so string/int ids
+            # both work (round-11 advice: the int64 coercion here made
+            # this the one id-type-bound dedup operator)
+            dindex = np.asarray(dids, dtype=object)
             yield pd.DataFrame(
-                {"doc_id": out_doc, "pos": out_pos, "fp": out_fp},
+                {
+                    "doc_id": dindex[sel],
+                    "pos": pos[keep],
+                    "fp": fpv[keep],
+                },
                 columns=["doc_id", "pos", "fp"],
-            ).astype({"doc_id": "int64", "pos": "int64", "fp": "int64"})
+            ).astype({"pos": "int64", "fp": "int64"})
 
     staged = docs.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__t"))
-    return staged.mapInPandas(_select, "doc_id long, pos long, fp long")
+    return staged.mapInPandas(_select, f"doc_id {id_type}, pos long, fp long")
 
 
 def winnow_matches(

@@ -21,6 +21,29 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pagerank_mapreduce_implementation_spark.operators.similarity import _dot, _norm
 
 
+def _uniform_dims(emb: DataFrame, vec_col: str) -> int | None:
+    """Vector length of ``vec_col``, ASSERTING it is uniform across the
+    table — the dims probe every op here shares. Inferring dims from an
+    arbitrary first row (the previous form) silently mis-handles ragged
+    inputs: out-of-range coordinates become NULLs that ``F.avg`` skips,
+    so a pooled mean would average DIFFERENT member counts per
+    coordinate instead of failing loud (round-11 advice). One min/max
+    aggregate — the same single-job cost as the ``first()`` it
+    replaces. Returns ``None`` for an empty table."""
+    row = emb.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        return None
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"{vec_col}: ragged vector lengths (min {row['lo']}, max "
+            f"{row['hi']}) — embedding ops require uniform dims"
+        )
+    return int(row["hi"])
+
+
 def truncate_embeddings(
     emb: DataFrame,
     dims: int,
@@ -88,14 +111,13 @@ def mean_pool_embeddings(
     materialize in one task — fine at audit scale, not the 100 TB
     default; identical trade to ``lloyd_centroids(exact_mean=True)``).
     """
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    dims = _uniform_dims(emb, vec_col)
+    if dims is None:
         return emb.select(
             F.col(group_col),
             F.lit(0).cast("long").alias("n"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         ).limit(0)
-    dims = int(first["d"])
     if exact:
         folded = (
             emb.groupBy(group_col)
@@ -165,10 +187,9 @@ def embedding_gram(
     and mirrored by the DuckDB oracle — at the cost of a row-count x
     d^2/2 explode. Audit scale only.
     """
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    dims = _uniform_dims(emb, vec_col)
+    if dims is None:
         return emb.sparkSession.createDataFrame([], "i int, j int, g double")
-    dims = int(first["d"])
     if exact:
         tri = F.expr(
             f"flatten(transform(sequence(0, {dims - 1}), i -> "
@@ -241,10 +262,9 @@ def pca_components(
 
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    dims = _uniform_dims(emb, vec_col)
+    if dims is None:
         raise ValueError("pca_components: empty embedding table")
-    dims = int(first["d"])
     if k > dims:
         raise ValueError(f"k ({k}) must be <= dims ({dims})")
     cells = embedding_gram(emb, id_col=id_col, vec_col=vec_col).collect()
