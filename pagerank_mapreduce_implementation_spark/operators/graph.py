@@ -1014,6 +1014,14 @@ def triangle_counts(
     return out
 
 
+# broadcast a BFS frontier / accumulated-state side only while its
+# EXACT materialized row count stays under this (~10-20 MB of string
+# vertex ids — inside the default 10 MB-ish executor comfort zone);
+# beyond it the round's joins degrade to shuffles, still bounded by
+# the frontier ball
+_BFS_BROADCAST_ROWS = 500_000
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: list[str],
@@ -1036,54 +1044,78 @@ def bfs_distances(
     approximation): a vertex first reached in round i can only be
     discovered from a vertex first reached in round i-1, so each round
     joins the edge table against LAST round's newly-reached frontier
-    — ``dist == i-1`` — never the whole distance table, and new
-    vertices enter via an anti-join on the accumulated state. On a
-    100 TB graph the per-round cost tracks the frontier ball, not the
-    vertex count.
+    — never the whole distance table — and new vertices enter via an
+    anti-join on the accumulated state. On a 100 TB graph the
+    per-round cost tracks the frontier ball, not the vertex count.
 
-    Scale shape (the ``label_propagation`` silhouette): edges are
-    shuffled ONCE onto ``src`` and persisted; each round costs one
-    frontier-sized co-partitioned join + one dst-distinct with
-    map-side partial agg + one vertex-bounded anti-join. State is one
-    row per REACHED vertex. Lineage truncates on the shared
-    ``IterationDriver`` cadence.
+    Scale shape (r11 verdict item 6 rework): reachability ignores edge
+    multiplicity, so edges are DEDUPED up front (the raw bipartite
+    input carries ~10x duplicate edges at every sf — every frontier
+    join then scans the 10x smaller simple graph) and persisted once.
+    State is kept as per-round LAYERS, each eagerly truncated: the
+    frontier is literally last round's layer (no filter over the
+    growing table), the accumulated distance table is a union of
+    materialized increments (each vertex is materialized once total,
+    vs. re-materializing the whole table every ``materialize_every``
+    rounds), and an EMPTY layer proves the fixpoint — expansion is
+    frontier-only, so all later layers are empty too — and exits
+    early, output-identical.
+
+    Join strategy is driver-adaptive on EXACT layer counts (each layer
+    is already materialized, so its count is a free in-memory job, and
+    checkpointed frames carry no stats the planner could use — without
+    the hint both frontier joins planned SMJ and re-shuffled the whole
+    edge table every round, the measured per-round dominator): while
+    the frontier / accumulated state is under
+    ``_BFS_BROADCAST_ROWS`` rows it is broadcast into the edge join /
+    anti-join (zero edge movement per round); past the threshold the
+    hints drop away and the joins degrade to shuffles, still
+    frontier-ball-bounded. sf0.1 A/B, warm: 6.4 s (SMJ rounds) ->
+    4.3 s. ``materialize_every``/``num_partitions`` are retained for
+    API compatibility; layers are always truncated (they are the
+    increments themselves) and edge partitioning is left to the
+    planner.
     """
     if n_rounds < 0:
         raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
     if not sources:
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    e = edges.select("src", "dst").repartition(nparts, "src").persist()
-    dist0 = (
+    e = edges.select("src", "dst").distinct().persist()
+
+    def _trunc(df: DataFrame) -> DataFrame:
+        if reliable_dir:
+            df.sparkSession.sparkContext.setCheckpointDir(reliable_dir)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    layer = _trunc(
         spark.createDataFrame([(s,) for s in sorted(set(sources))], ["url"])
         .select("url", F.lit(0).cast("int").alias("dist"))
     )
-
-    def step(dist: DataFrame, rnd: int) -> DataFrame:
-        # IterationDriver passes 1-based round numbers
-        frontier = dist.filter(F.col("dist") == rnd - 1).select(
-            F.col("url").alias("src")
-        )
+    dist = layer
+    n_layer = n_dist = len(set(sources))
+    for rnd in range(1, n_rounds + 1):
+        frontier = layer.select(F.col("url").alias("src"))
+        if n_layer <= _BFS_BROADCAST_ROWS:
+            frontier = F.broadcast(frontier)
+        seen = F.broadcast(dist) if n_dist <= _BFS_BROADCAST_ROWS else dist
         # distinct BEFORE the anti-join: the expansion is frontier x
         # degree rows, the distinct'd candidate set is vertex-bounded
         # — measured 6.5 s vs 11 s at sf0.1 for the swapped order
-        reached = (
+        layer = _trunc(
             e.join(frontier, "src")
             .select(F.col("dst").alias("url"))
             .distinct()
-            .join(dist, "url", "left_anti")
+            .join(seen, "url", "left_anti")
             .select("url", F.lit(rnd).cast("int").alias("dist"))
         )
-        return dist.unionByName(reached)
-
-    driver = IterationDriver(
-        materialize_every=materialize_every, reliable_dir=reliable_dir
-    )
-    out = driver.run(dist0, step, n_rounds)
-    out = out.localCheckpoint(eager=True)
+        n_layer = layer.count()
+        if n_layer == 0:
+            break
+        dist = dist.unionByName(layer)
+        n_dist += n_layer
+    out = dist.localCheckpoint(eager=True)
     e.unpersist()
     return out
 
@@ -1108,20 +1140,29 @@ def kcore(
     ``n_rounds`` rounds yield the exact k-core whenever peeling has
     converged by then — peeling cascades at most one "layer" per
     round, and real corpus/web graphs converge in a handful — and a
-    documented superset of it otherwise. A round that removes NOTHING
-    proves the fixpoint (peeling is monotone: the next round sees the
-    identical degree snapshot), so the loop exits early on an
-    unchanged edge count — output-identical to running the remaining
-    rounds, and the common case in practice (the sf0.1 bipartite
-    graph converges after ONE round; without the exit rounds 2-5 are
-    pure job overhead, measured 12.4 s -> ~6 s).
+    documented superset of it otherwise.
 
-    Scale shape: state is the SHRINKING canonical edge list. Each
-    round costs one edge-sized degree aggregation (map-side partial
-    agg; both directions via unioned projections, no explode) and two
-    semi-joins filtering edges to surviving endpoints — every shuffle
-    is bounded by the current edge count, which only decreases.
-    Lineage truncates on the shared ``IterationDriver`` cadence.
+    Scale shape (r11 verdict item 6 rework): the loop's STATE is the
+    shrinking canonical edge list plus the materialized degree
+    snapshot it implies. Each round:
+
+    1. one edge-sized degree aggregation (map-side partial agg; both
+       directions via unioned projections, no explode), eagerly
+       truncated — the snapshot doubles as the OUTPUT when this round
+       proves the fixpoint;
+    2. the DROP set (``degree < k``) — an empty drop set IS the
+       fixpoint proof (a dropped vertex always has >= 1 incident edge,
+       so "no drops" <=> "edge count unchanged", the previous exit
+       test), and the loop returns the already-materialized degrees
+       with no extra edge pass or final aggregation;
+    3. otherwise two ANTI-joins against the drop set remove its
+       incident edges. The drop set is a small filtered dimension
+       (peeling removes a shrinking fringe per round), so AQE
+       broadcasts it and the surviving-edge scan never reshuffles —
+       the previous semi-joins against the large KEEP set forced a
+       full edge shuffle per round. A pathological drop set bigger
+       than the broadcast threshold degrades to a shuffled anti-join,
+       still edge-bounded.
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
@@ -1143,31 +1184,28 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("degree"))
         )
 
-    def step(ed: DataFrame, _i: int) -> DataFrame:
-        keep = degrees(ed).filter(F.col("degree") >= k).select("url")
-        return (
-            ed.join(keep.withColumnRenamed("url", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("url", "v"), "v", "left_semi")
+    def _trunc(df: DataFrame) -> DataFrame:
+        if reliable_dir:
+            df.sparkSession.sparkContext.setCheckpointDir(reliable_dir)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    ed, deg = canon, None
+    for _rnd in range(1, n_rounds + 1):
+        deg = _trunc(degrees(ed))
+        drop = deg.filter(F.col("degree") < k).select("url")
+        if drop.isEmpty():
+            break
+        ed = _trunc(
+            ed.join(drop.withColumnRenamed("url", "u"), "u", "left_anti")
+            .join(drop.withColumnRenamed("url", "v"), "v", "left_anti")
             .select("u", "v")
         )
-
-    # memoized counts: converged(prev, cur) sees each state twice
-    # (as cur, then as prev next round) — count each exactly once.
-    # Keying by id() is safe because the dict also pins the frame.
-    counts: dict[int, tuple[DataFrame, int]] = {}
-
-    def _cnt(df: DataFrame) -> int:
-        if id(df) not in counts:
-            counts[id(df)] = (df, df.count())
-        return counts[id(df)][1]
-
-    driver = IterationDriver(
-        materialize_every=materialize_every, reliable_dir=reliable_dir
-    )
-    surviving = driver.run(
-        canon, step, n_rounds, converged=lambda prev, cur: _cnt(cur) == _cnt(prev)
-    )
-    out = degrees(surviving).select("url", F.col("degree").cast("long").alias("degree"))
+        deg = None  # stale once a peel landed
+    if deg is None:
+        # n_rounds == 0, or the budget ran out mid-cascade
+        deg = degrees(ed)
+    out = deg.select("url", F.col("degree").cast("long").alias("degree"))
     out = out.localCheckpoint(eager=True)
     return out
 
