@@ -1288,6 +1288,7 @@ def semdedup_sql(
     threshold: float = 0.4,
     n_iters: int = 2,
     keep_rule: str = "centroid_far",
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> str:
     """Mirror of dedup.semdedup (Abbas et al. 2023): Lloyd-unrolled
     centroids (the ivf_topk_lloyd construction — identical
@@ -1297,13 +1298,18 @@ def semdedup_sql(
     centroid drops, ties to the higher id; ``min_id``: the higher id
     drops). Survivors of ``documents`` — the embedding_dedup output
     shape. All cosines are double-fold IEEE-exact on both engines, so
-    the threshold and the ccos ordering compare bit-for-bit."""
+    the threshold and the ccos ordering compare bit-for-bit.
+
+    ``emb_sql`` swaps the vector source — e.g. a matryoshka-truncated
+    projection of ``embeddings`` (the wide-embedding SemDeDup path) —
+    and must yield ``(vec_id, embedding)``."""
     parts = [
-        "WITH seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        f"WITH emb AS ({emb_sql}), "
+        "seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
         "CAST(embedding AS DOUBLE[]) AS cvec FROM "
-        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        f"(SELECT * FROM emb ORDER BY vec_id LIMIT {n_cells}) s), "
         "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, "
-        f"{_norm_sql('embedding')} AS vnorm FROM embeddings), ",
+        f"{_norm_sql('embedding')} AS vnorm FROM emb), ",
     ]
     prev = "seed"
     for t in range(n_iters):
@@ -2507,6 +2513,65 @@ def truncate_embeddings_sql(dims: int = 16, renorm: bool = True) -> str:
     return body
 
 
+def truncated_emb_sql(dims: int = 16, renorm: bool = True) -> str:
+    """The matryoshka-truncated ``(vec_id, embedding)`` SOURCE subquery
+    (list form, not the hash-string render of
+    ``truncate_embeddings_sql``) — plugs into ``semdedup_sql`` /
+    ANN oracles as ``emb_sql``. Same arithmetic as
+    ``operators.embeddings.truncate_embeddings``: 1-based inclusive
+    slice, ``sqrt(list_sum(x*x))`` norm (bit-matching the engine's
+    sequential fold on these values — the truncate parity gate), zero
+    norms left unscaled."""
+    sl = (
+        f"list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, {dims}), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+    if not renorm:
+        return f"SELECT vec_id, {sl} AS embedding FROM embeddings"
+    return (
+        "SELECT vec_id, CASE WHEN nrm > 0 THEN "
+        "list_transform(v, x -> x / nrm) ELSE v END AS embedding FROM "
+        "(SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) "
+        f"AS nrm FROM (SELECT vec_id, {sl} AS v FROM embeddings) s0) s1"
+    )
+
+
+def training_shards_sql(
+    budget: int = 512,
+    bins_per_shard: int = 64,
+    seed: str = "torder",
+) -> str:
+    """Mirror of ``programs.build_training_shards`` (no clean stage,
+    ``ws`` tokenizer, ``shuffle_seed=seed``) over ``documents``: the
+    MANIFEST ``(shard, n_bins, n_tokens, doc_segments)``. Recomputes
+    the full composition — seeded training order renumbers docs, the
+    packed_bins prefix-sum layout keyed on position, shard = bin_id
+    div bins_per_shard — so the driver certifies the PROGRAM's write
+    end-to-end, not just its stages."""
+    order = training_order_sql(seed)
+    return (
+        f"WITH ord AS ({order}), "
+        "ren AS (SELECT o.position AS doc_id, d.text FROM documents d "
+        "JOIN ord o ON d.doc_id = o.doc_id), "
+        "t AS (SELECT doc_id, list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        "FROM ren), "
+        "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), "
+        "p AS (SELECT doc_id, toks, CAST(sum(n) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS gs "
+        "FROM c), "
+        "tok AS (SELECT doc_id, gs + i - 1 AS gpos, toks[i] AS tok "
+        "FROM p, unnest(range(1, len(toks) + 1)) AS u(i)), "
+        f"bins AS (SELECT gpos // {int(budget)} AS bin_id, "
+        "count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs "
+        f"FROM tok GROUP BY gpos // {int(budget)}) "
+        f"SELECT CAST(bin_id // {int(bins_per_shard)} AS INT) AS shard, "
+        "count(*) AS n_bins, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(sum(n_docs) AS BIGINT) AS doc_segments "
+        f"FROM bins GROUP BY CAST(bin_id // {int(bins_per_shard)} AS INT)"
+    )
+
+
 def mean_pool_sql(dims: int = 64, group_col: str = "label") -> str:
     """Mirror of ``operators.embeddings.mean_pool_embeddings(exact=
     True)`` over ``embeddings``: per group, the bit-deterministic
@@ -2704,8 +2769,10 @@ def validate_table_sql(table: str, rules: dict[str, str]) -> str:
     SQL; the engine folds them into one pass via the explode trick)."""
     parts = [
         f"SELECT '{name}' AS rule, count(*) AS n_rows, "
-        f"coalesce(sum(CASE WHEN ({expr}) THEN 0 ELSE 1 END), 0) "
-        "AS n_violations, "
+        # BIGINT cast: DuckDB's sum() is HUGEINT, which lands as
+        # float64 in pandas and hash-mismatches Spark's long
+        f"CAST(coalesce(sum(CASE WHEN ({expr}) THEN 0 ELSE 1 END), 0) "
+        "AS BIGINT) AS n_violations, "
         "round(CASE WHEN count(*) > 0 THEN "
         f"CAST(coalesce(sum(CASE WHEN ({expr}) THEN 0 ELSE 1 END), 0) "
         "AS DOUBLE) / count(*) ELSE 0.0 END, 6) AS violation_rate "

@@ -1121,3 +1121,38 @@ def test_profile_table_matches_pure_python(spark, rows):
             assert p["max_value"] == str(max(nn))
         else:
             assert p["min_value"] is None and p["max_value"] is None
+
+
+# ------------------------------------------------- round-12 composition gate
+
+
+def test_semdedup_truncated_projection_adds_no_shuffle(spark, sf_dir):
+    """The registered wide-embedding SemDeDup path (r11 verdict item
+    4): truncating to 16 dims before semdedup must not add a single
+    exchange — the projection is per-row math that fuses into the
+    scan, so the composed plan's shuffle count equals the plain
+    semdedup plan's."""
+    import __spark_entry__ as entry
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    def _full_plan(df) -> str:
+        # the PRE-collect plan: AQE's final plan shows only the last
+        # query stage, which hides the upstream pipeline this test is
+        # about — the initial plan is the whole tree
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select("doc_id", "lang", "source", "n_chars")
+    plain = _full_plan(
+        dedup.semdedup(
+            docs, cat.embeddings, n_cells=8, threshold=0.6,
+            n_iters=2, keep_rule="centroid_far",
+        )
+    )
+    composed = _full_plan(entry.queries()["semdedup_truncated"](spark, sf_dir))
+    assert composed.count("Exchange") == plain.count("Exchange")
+    # and the truncation itself stays shuffle-free standalone
+    trunc = _final_plan(
+        emb_ops.truncate_embeddings(cat.embeddings, dims=16, renorm=True)
+    )
+    assert "Exchange" not in trunc
