@@ -2677,9 +2677,13 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidirectional bipartite order-part graph: 6 synchronous frontier
     rounds from order o1 — orders at even distances, parts at odd.
     Frontier-only relaxation: each round joins ONLY last round's
-    newly-reached vertices against the once-shuffled edge table.
+    newly-reached vertices against the once-deduped edge table.
+    Directed edges are distinct'd BEFORE the bidir union (half the
+    dedup shuffle bytes; the direction sets are disjoint on the
+    bipartite graph, so the union is already simple — the operator's
+    own dedup pass then reshuffles only the 10x-smaller table).
     Oracle: unrolled MATERIALIZED frontier CTEs."""
-    e = _bipartite_edges(spark, sf_dir)
+    e = _bipartite_edges(spark, sf_dir).distinct()
     bidir = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -2736,13 +2740,7 @@ def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # items 1/3/4) — operators + oracles shipped in rounds 10-11 behind
 # tests/test_staged_ops*.py, first driver certification this round ----------
 
-_PROFILE_COLS = [
-    "l_orderkey",
-    "l_linenumber",
-    "l_quantity",
-    "l_returnflag",
-    "l_shipdate",
-]
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
 
 _VALIDATE_RULES = {
     "qty_range": "l_quantity BETWEEN 1 AND 50",
@@ -2766,12 +2764,15 @@ _CENTRALITY_SOURCES = ["o0", "o1"]
 
 def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler (relational.profile_table, exact mode): one row
-    per profiled lineitem column with rows/nulls/distinct/typed
+    per profiled documents column with rows/nulls/distinct/typed
     min-max — ONE aggregation pass for all columns (plan-time struct
     explode reshapes the wide 1-row agg; no per-column jobs). The
-    data-quality sweep a pipeline runs on every table drop."""
+    data-quality sweep a pipeline runs on every corpus drop — the
+    corpus table is the registered target (the BASELINE scaling row);
+    exact distinct counts are the audit/oracle config, approx is the
+    100 TB default."""
     return relational.profile_table(
-        Catalog(spark, sf_dir).lineitem, _PROFILE_COLS
+        Catalog(spark, sf_dir).documents, _PROFILE_COLS
     )
 
 
@@ -3123,7 +3124,7 @@ def oracle_sql() -> dict[str, str]:
     terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
     out = {
         # round-12 registrations (staged tranche 1 + program gates)
-        "profile_table": oracles.profile_table_sql("lineitem", _PROFILE_COLS),
+        "profile_table": oracles.profile_table_sql("documents", _PROFILE_COLS),
         "validate_table": oracles.validate_table_sql(
             "lineitem", _VALIDATE_RULES
         ),

@@ -1029,6 +1029,7 @@ def bfs_distances(
     materialize_every: int = 2,
     num_partitions: int | None = None,
     reliable_dir: str | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Multi-source BFS hop distances → ``(url, dist)`` for every
     vertex reachable from ``sources`` within ``n_rounds`` directed
@@ -1081,7 +1082,14 @@ def bfs_distances(
     if not sources:
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
-    e = edges.select("src", "dst").distinct().persist()
+    # dedupe=False skips the simple-graph shuffle for callers that
+    # already hold distinct edges (source_centrality dedupes ONCE and
+    # shares the persisted copy across its pivots) — output-identical
+    # either way, reachability ignores multiplicity
+    e = edges.select("src", "dst")
+    if dedupe:
+        e = e.distinct()
+    e = e.persist()
 
     def _trunc(df: DataFrame) -> DataFrame:
         if reliable_dir:
@@ -1409,14 +1417,19 @@ def source_centrality(
 
     if not sources:
         raise ValueError("sources must be non-empty")
+    # dedupe to the simple graph ONCE, shared by every pivot's BFS
+    # (each bfs_distances call would otherwise re-shuffle the raw
+    # multi-edge input into its own distinct copy)
+    simple = edges.select("src", "dst").distinct().persist()
     outs = []
     for s in sorted(set(sources)):
         d = bfs_distances(
-            edges,
+            simple,
             [s],
             n_rounds=n_rounds,
             materialize_every=materialize_every,
             num_partitions=num_partitions,
+            dedupe=False,
         ).filter(F.col("dist") > 0)
         agg = d.agg(
             F.count(F.lit(1)).alias("__n"),
@@ -1444,4 +1457,7 @@ def source_centrality(
                 ).alias("closeness"),
             )
         )
+    # each pivot's BFS returned an EAGER checkpoint, so the lazy aggs
+    # above never re-read the edge cache — safe to release here
+    simple.unpersist()
     return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1261,3 +1261,89 @@ def corpus_health(
             "overwrite"
         ).parquet(f"{output_path}/length_hist.parquet")
     return spark.read.parquet(f"{output_path}/expectations.parquet")
+
+
+def cluster_report(
+    spark: SparkSession,
+    docs_path: str,
+    emb_path: str,
+    output_path: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    k_terms: int = 5,
+    weighting: str = "count",
+    exact: bool = False,
+) -> DataFrame:
+    """The labeled-cluster observability read after a semdedup /
+    ivf_topk pass — one row per embedding cell:
+    ``(cell_id, n, mean_cos, label)`` where ``n``/``mean_cos`` is the
+    cell's member count and centroid-cosine compactness
+    (``embeddings.group_compactness``: tight region vs. noise) and
+    ``label`` is the top-``k_terms`` token summary
+    (``embeddings.cluster_top_terms``; ``weighting="ctfidf"`` for the
+    what-makes-this-cell-DIFFERENT ranking) joined as one
+    space-separated string in rank order. This is what a human reads
+    before trusting cluster-level decisions the dedup/mixing passes
+    just made (which clusters did SemDeDup thin? is cell 3 actually a
+    topic or an artifact?).
+
+    Shape: Lloyd centroids are fit ONCE (bit-deterministic
+    ``exact_mean`` folds) and shared by BOTH consumers — assignment is
+    the broadcast-fold ``ivf_assign`` pass (no shuffle), compactness
+    is one cell-keyed join + decimal-exact cosine agg, labeling is one
+    (cell, word) count with a WindowGroupLimit top-k — so the program
+    adds nothing over its stages but the n_cells-bounded report join.
+    Writes ``<out>/cluster_report.parquet`` and returns it read back.
+    """
+    from pagerank_mapreduce_implementation_spark.operators import (
+        embeddings as emb_ops,
+    )
+    from pagerank_mapreduce_implementation_spark.operators.similarity import (
+        ivf_assign,
+        lloyd_centroids,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    cents = lloyd_centroids(emb, n_cells, n_iters, exact_mean=True)
+    _, assign = ivf_assign(emb, n_cells, centroids=cents)
+    compact = emb_ops.group_compactness(
+        assign.select(
+            "cell_id", "vec_id", F.col("vec").alias("embedding")
+        ),
+        group_col="cell_id",
+        exact=exact,
+    )
+    terms = emb_ops.cluster_top_terms(
+        docs,
+        emb,
+        n_cells=n_cells,
+        k=k_terms,
+        centroids=cents,
+        weighting=weighting,
+    )
+    # rank-ordered label string: sort_array over (rn, word) structs
+    # orders by rn first, so the join preserves the top-k ranking
+    label = terms.groupBy("cell_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("label")
+    )
+    report = (
+        compact.join(label, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n",
+            "mean_cos",
+            # a cell whose members hold no tokens still reports
+            F.coalesce("label", F.lit("")).alias("label"),
+        )
+    )
+    report.write.mode("overwrite").parquet(
+        f"{output_path}/cluster_report.parquet"
+    )
+    return spark.read.parquet(f"{output_path}/cluster_report.parquet")

@@ -1709,3 +1709,101 @@ def test_full_pipeline_rehearsal(spark, tmp_path):
     assert sum(r.n_tokens for r in manifest.collect()) == 26
     dm = spark.read.parquet(f"{tmp_path}/shards/doc_map.parquet").collect()
     assert sorted(r.source_doc_id for r in dm) == [1, 3, 4]
+
+
+def test_cluster_report_end_to_end(spark, tmp_path):
+    """cluster_report: Lloyd-fit once, label + compactness per cell over
+    a hand-checkable two-cluster corpus (apple docs hug [1,0], banana
+    docs hug [0,1]; seeds = first two vec_ids, one per region)."""
+    import os
+
+    from pagerank_mapreduce_implementation_spark.programs import cluster_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple pie"),
+            (2, "banana banana split"),
+            (3, "apple tart apple"),
+            (4, "banana bread banana"),
+            (5, "apple cider"),
+            (6, "banana smoothie"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),
+            (4, [0.1, 0.9]),
+            (5, [0.95, 0.05]),
+            (6, [0.05, 0.95]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dp, ep = str(tmp_path / "docs.parquet"), str(tmp_path / "emb.parquet")
+    docs.write.parquet(dp)
+    emb.write.parquet(ep)
+    out = str(tmp_path / "report_out")
+    rep = {
+        r["cell_id"]: r
+        for r in cluster_report(
+            spark, dp, ep, out, n_cells=2, n_iters=2, k_terms=2
+        ).collect()
+    }
+    # cell 1 seeded by vec 1 (the apple region), cell 2 by vec 2
+    assert set(rep) == {1, 2}
+    assert rep[1]["n"] == 3 and rep[2]["n"] == 3
+    assert rep[1]["label"].split()[0] == "apple"
+    assert rep[2]["label"].split()[0] == "banana"
+    # tight regions: every member hugs its centroid
+    assert rep[1]["mean_cos"] > 0.97 and rep[2]["mean_cos"] > 0.97
+    # count-tie labels break by word asc (deterministic second term)
+    assert rep[1]["label"] == "apple cider"
+    assert rep[2]["label"] == "banana bread"
+    # the report parquet is the on-disk artifact, read back verbatim
+    assert os.path.isdir(os.path.join(out, "cluster_report.parquet"))
+
+
+def test_cluster_report_ctfidf_damps_shared_tokens(spark, tmp_path):
+    """weighting='ctfidf': a token EVERY cell shares scores log10(1 +
+    2/2) ~ 0.18x its count and loses the label to cell-specific terms,
+    even when its raw count wins."""
+    from pagerank_mapreduce_implementation_spark.programs import cluster_report
+
+    # per cell: "the" x5 (count winner) vs the specific term x4 —
+    # ctfidf: 5 * log10(1 + 2/2) = 1.505 < 4 * log10(1 + 2/1) = 1.908
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the apple apple"),
+            (2, "the the the banana banana"),
+            (3, "the the apple apple"),
+            (4, "the the banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.97, 0.03]),
+            (4, [0.03, 0.97]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dp, ep = str(tmp_path / "d2.parquet"), str(tmp_path / "e2.parquet")
+    docs.write.parquet(dp)
+    emb.write.parquet(ep)
+    rep = {
+        r["cell_id"]: r["label"]
+        for r in cluster_report(
+            spark,
+            dp,
+            ep,
+            str(tmp_path / "out2"),
+            n_cells=2,
+            k_terms=1,
+            weighting="ctfidf",
+        ).collect()
+    }
+    assert rep == {1: "apple", 2: "banana"}
