@@ -804,3 +804,66 @@ def curriculum_order(
         + F.floor(F.col("__u") * n_buckets).cast("long"),
     )
     return _bucketed_rank(staged)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: "dict[str, int]",
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill per-source TOKEN budgets greedily by score —
+    ``(doc_id, source, n_tokens)``: within each source, docs are taken
+    in ``(score DESC, key ASC)`` order while the running token total
+    of the docs BEFORE them is still under the source's budget, so the
+    straddling doc (the first one to cross the line) is included and
+    every budgeted source lands within one doc of its target. This is
+    the epoch-composition read of a mixing recipe expressed in TOKENS
+    (what trainers actually budget) rather than doc counts
+    (``quota_sample``) or sampling rates (``mix_sources``). Sources
+    without a budget entry are dropped (explicit recipe, not a
+    passthrough); budgets must be positive.
+
+    Determinism: token counts are whitespace-split integers and the
+    running sum is an integer window — no float boundary anywhere; the
+    unique-key tiebreak pins the exact row set cross-engine (the
+    ``top_fraction_per_group`` convention).
+
+    Scale shape: ONE shuffle on the source key; the running sum is a
+    rows-between window whose state is one long per row, and the
+    budget table is a plan-time literal map (sources are a dim-sized
+    vocabulary). A pathologically hot source serializes through its
+    partition — the same documented trade as every per-group window
+    here; pre-aggregate or bucket the scores when a single source is
+    a large fraction of 100 TB.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    bad = {s: b for s, b in budgets.items() if int(b) < 1}
+    if bad:
+        raise ValueError(f"budgets must be >= 1 token: {bad}")
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    bmap = F.create_map(
+        *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(int(b)))]
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(score_col), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = docs.withColumn("__nt", toks).withColumn(
+        "__cb", F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    )
+    return (
+        staged.withColumn("__b", F.element_at(bmap, F.col(group_col)))
+        .filter(F.col("__b").isNotNull() & (F.col("__cb") < F.col("__b")))
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            F.col("__nt").alias("n_tokens"),
+        )
+    )

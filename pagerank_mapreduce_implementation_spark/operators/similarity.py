@@ -1166,3 +1166,84 @@ def ivf_pq_topk(
         .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force ground
+    truth, per query — ``(query_id, n_truth, hits, recall)``: the ANN
+    quality gauge a pipeline reads before trusting an index
+    configuration (raise ``n_probe``/``n_cells`` until recall holds).
+    ``hits`` counts ground-truth neighbors the index returned,
+    ``recall = hits / n_truth`` with ``n_truth = min(k, corpus - 1)``.
+
+    Both sides use the identical rounded-cosine (desc, vec_id asc)
+    strict ranking — the ``ivf_topk_batch`` convention — so the
+    intersection is a set equality, not a fuzzy overlap, and the
+    DuckDB oracle replays it exactly.
+
+    Scale shape: the index side is ``ivf_topk_batch`` (one
+    probe-bounded pass); the TRUTH side is inherently a full scan per
+    query — q × N cosines — which is why this is an EVALUATION
+    operator: run it on a SAMPLED query set (tens to hundreds of
+    pivots, the Eppstein-Wang move ``source_centrality`` makes for
+    graphs), never per serving query. One window top-k per side
+    (WindowGroupLimit prunes before the shuffle), one broadcast-sized
+    join on (query, neighbor), one q-bounded aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    if not query_vec_ids:
+        raise ValueError("query_vec_ids must be non-empty")
+    ann = ivf_topk_batch(
+        emb, query_vec_ids, k, n_cells, n_probe, id_col, vec_col, centroids
+    )
+    qs = emb.filter(F.col(id_col).isin(list(query_vec_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("__v"), F.col("qvec"))
+                / (_norm(F.col("__v")) * F.col("qnorm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    joined = truth.join(
+        ann.select("query_id", "vec_id", F.lit(1).alias("__hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("hits"),
+    ).select(
+        "query_id",
+        "n_truth",
+        "hits",
+        F.round(F.col("hits") / F.col("n_truth"), 6).alias("recall"),
+    )

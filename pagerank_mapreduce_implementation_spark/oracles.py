@@ -658,6 +658,60 @@ def ivf_topk_batch_sql(
     )
 
 
+def ann_recall_sql(
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Mirror of ``similarity.ann_recall_report``: the ivf_topk_batch
+    result set intersected with the brute-force rounded-cosine top-k
+    (identical strict ranking), aggregated to per-query recall. The
+    batch SQL nests as a WITH-in-CTE (DuckDB supports nested WITH)."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    ann = ivf_topk_batch_sql(query_vec_ids, k, n_cells, n_probe)
+    return (
+        f"WITH ann AS ({ann}), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS qvec "
+        f"FROM embeddings WHERE vec_id IN ({ids})), "
+        "sc AS (SELECT q.query_id, e.vec_id, "
+        f"round({_dot_sql('e.embedding', 'q.qvec')} / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}), 6) AS cos "
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+        "truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, vec_id ASC) AS rn FROM sc) "
+        f"WHERE rn <= {int(k)}), "
+        "j AS (SELECT t.query_id, "
+        "CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit "
+        "FROM truth t LEFT JOIN ann a "
+        "ON t.query_id = a.query_id AND t.vec_id = a.vec_id) "
+        "SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth, "
+        "CAST(sum(hit) AS BIGINT) AS hits, "
+        "round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall "
+        "FROM j GROUP BY query_id"
+    )
+
+
+def token_budget_mix_sql(budgets: "dict[str, int]") -> str:
+    """Mirror of ``sampling.token_budget_mix`` over ``documents``
+    scored by ``n_chars``: integer running token sums per source in
+    (n_chars DESC, doc_id ASC) order, keep while the sum BEFORE the
+    row is under the source's budget."""
+    vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
+    return (
+        "WITH t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        "FROM documents), "
+        "c AS (SELECT doc_id, source, nt, coalesce(sum(nt) OVER "
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t), "
+        f"b(source, budget) AS (VALUES {vals}) "
+        "SELECT c.doc_id, c.source, nt AS n_tokens FROM c "
+        "JOIN b ON c.source = b.source WHERE cb < budget"
+    )
+
+
 def ivf_topk_lloyd_sql(
     query_vec_id: int = 0,
     k: int = 10,
