@@ -3005,6 +3005,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window when r14 lands — 50 entries exactly fills that
         # window, so tranche-2 spillover must wait for r15 or ride
         # freshness-budget growth from the r13 registrations).
+        # COHORT 3 (round-12 staged, tests/test_staged_ops3.py:
+        # ann_recall_report — the IVF-vs-brute recall gauge — and
+        # token_budget_mix — per-source token-budget epoch fill)
+        # queues behind tranche 2; oracles ann_recall_sql /
+        # token_budget_mix_sql are already in oracles.py (use src0..
+        # src19 source names for budgets — testdata's real sources).
         # deferred r9-green remainder (MUST lead round 13):
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,

@@ -2110,3 +2110,56 @@ def winnow_matches(
             F.round(F.col("shared") / F.col("__tot"), 6).alias("sim_b"),
         )
     )
+
+
+def dedup_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    group_col: str = "source",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source mass accounting of the dedup DECISION —
+    ``(source, n_docs, n_kept, tokens_total, tokens_kept, drop_rate)``:
+    what ``cluster_survivors``' keep/drop verdict actually costs each
+    source, in documents and in whitespace tokens. This is the report
+    a pipeline reads after a dedup pass and before re-balancing the
+    mixture (a source that lost 40% of its tokens to near-dup clusters
+    no longer matches its mixing weight — Lee et al. 2022's
+    train-side effect surfaced as an explicit number).
+
+    Composition, not new machinery: the verdict is the registered
+    ``cluster_survivors`` plan verbatim; this adds one doc-bounded
+    join (verdict is (doc_id, keep) — two narrow columns) and one
+    group-keyed aggregate with map-side partials. Token counts are
+    integers and ``drop_rate`` a single rounded division, so the
+    oracle composes the survivors SQL with a plain GROUP BY.
+    """
+    verdict = cluster_survivors(docs, threshold, ngram, doc_col).select(
+        F.col("doc_id"), "keep"
+    )
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(group_col), toks.alias("__nt")
+    ).join(verdict, "doc_id")
+    agged = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum("__nt").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("keep"), F.col("__nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return agged.select(
+        group_col,
+        "n_docs",
+        "n_kept",
+        "tokens_total",
+        "tokens_kept",
+        F.round(
+            F.lit(1.0) - F.col("n_kept") / F.col("n_docs"), 6
+        ).alias("drop_rate"),
+    )

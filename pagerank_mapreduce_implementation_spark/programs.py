@@ -1347,3 +1347,48 @@ def cluster_report(
         f"{output_path}/cluster_report.parquet"
     )
     return spark.read.parquet(f"{output_path}/cluster_report.parquet")
+
+
+def shard_audit(spark: SparkSession, shards_root: str) -> DataFrame:
+    """Verify a ``build_training_shards`` output directory: recompute
+    every shard's stats FROM THE SHARD DATA and diff them against the
+    manifest — one row per shard id seen on either side:
+    ``(shard, n_bins, n_bins_actual, n_tokens, n_tokens_actual,
+    doc_segments, doc_segments_actual, ok)``. ``ok`` is true only when
+    all three pairs match null-safely, so a manifest row without
+    shard data, shard data without a manifest row, and any count
+    drift all surface as ``ok = false`` rows — the consistency check
+    a loader (or an on-call human) runs before trusting a shard drop
+    that may have been partially overwritten.
+
+    One scan of the hive-partitioned shard tree (directory-pruned
+    columns only: the group key and two integer sums — bin text is
+    never read) + the manifest read + a shard-count-bounded FULL
+    OUTER join.
+    """
+    actual = (
+        spark.read.parquet(f"{shards_root}/shards.parquet")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins_actual"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_actual"),
+            F.sum("n_docs").cast("long").alias("doc_segments_actual"),
+        )
+    )
+    manifest = spark.read.parquet(f"{shards_root}/manifest.parquet")
+    joined = manifest.join(actual, "shard", "full_outer")
+    ok = (
+        F.col("n_bins").eqNullSafe(F.col("n_bins_actual"))
+        & F.col("n_tokens").eqNullSafe(F.col("n_tokens_actual"))
+        & F.col("doc_segments").eqNullSafe(F.col("doc_segments_actual"))
+    )
+    return joined.select(
+        "shard",
+        "n_bins",
+        "n_bins_actual",
+        "n_tokens",
+        "n_tokens_actual",
+        "doc_segments",
+        "doc_segments_actual",
+        ok.alias("ok"),
+    )

@@ -164,3 +164,98 @@ def test_token_budget_mix_tiebreak_is_key_asc(spark):
     )
     rows = sampling.token_budget_mix(docs, {"s": 2}).collect()
     assert [r["doc_id"] for r in rows] == [10]
+
+
+def test_dedup_report_parity(spark, sf_dir, duck):
+    """dedup_report == the cluster_survivors oracle wrapped in a
+    per-source GROUP BY over integer token counts."""
+    import __spark_entry__ as entry
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    got = dedup.dedup_report(
+        Catalog(spark, sf_dir).documents, threshold=0.5, ngram=5
+    )
+    cs = entry.oracle_sql()["cluster_survivors"]
+    oracle = (
+        f"WITH cs AS ({cs}), "
+        "t AS (SELECT doc_id, source, CAST(len(list_filter("
+        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        "FROM documents), "
+        "j AS (SELECT t.source, t.nt, cs.keep FROM t "
+        "JOIN cs ON t.doc_id = cs.doc_id) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, "
+        "CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, "
+        "round(1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*), 6) AS drop_rate "
+        "FROM j GROUP BY source"
+    )
+    assert got.count() > 0
+    check(got, duck, oracle)
+
+
+def test_dedup_report_mass_conservation(spark):
+    """keep + drop masses reconcile exactly on a planted cluster: two
+    near-identical docs collapse to the better one, singletons keep."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "a", base, len(base)),
+            (2, "a", base + " tail", len(base) + 5),
+            (3, "b", "an unrelated singleton document thing", 37),
+        ],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    rep = {
+        r["source"]: r
+        for r in dedup.dedup_report(docs, threshold=0.5, ngram=5).collect()
+    }
+    a, b = rep["a"], rep["b"]
+    assert a["n_docs"] == 2 and a["n_kept"] == 1 and a["drop_rate"] == 0.5
+    assert a["tokens_total"] == 60 + 61
+    assert a["tokens_kept"] in (60, 61)  # quality argmax picks one
+    assert b["n_docs"] == 1 and b["n_kept"] == 1 and b["drop_rate"] == 0.0
+
+
+def test_shard_audit_green_and_detects_drift(spark, tmp_path, sf_dir):
+    """shard_audit over a fresh build is all-ok; a corrupted manifest
+    row and a manifest row for a missing shard both flag ok=false."""
+    from pagerank_mapreduce_implementation_spark.programs import (
+        build_training_shards,
+        shard_audit,
+    )
+
+    out = str(tmp_path / "shards")
+    build_training_shards(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        out,
+        budget=256,
+        bins_per_shard=4,
+        shuffle_seed="torder",
+    )
+    audit = shard_audit(spark, out).collect()
+    assert len(audit) > 1 and all(r["ok"] for r in audit)
+    # corrupt: +1 token on shard 0, plus a phantom shard 9999
+    man = spark.read.parquet(f"{out}/manifest.parquet")
+    tweaked = man.withColumn(
+        "n_tokens",
+        F.when(F.col("shard") == 0, F.col("n_tokens") + 1).otherwise(
+            F.col("n_tokens")
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [(9999, 1, 10, 1)],
+            "shard int, n_bins long, n_tokens long, doc_segments long",
+        )
+    )
+    tweaked.write.mode("overwrite").parquet(str(tmp_path / "man2.parquet"))
+    spark.read.parquet(str(tmp_path / "man2.parquet")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/manifest.parquet")
+    bad = {r["shard"]: r for r in shard_audit(spark, out).collect() if not r["ok"]}
+    assert set(bad) == {0, 9999}
+    assert bad[9999]["n_bins_actual"] is None  # phantom: no shard data
