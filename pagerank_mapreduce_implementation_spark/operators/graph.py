@@ -731,13 +731,31 @@ def hits(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     e = edges.select("src", "dst").persist()  # ONE source scan
-    links_src = e.repartition(nparts, "src").persist()
-    links_dst = e.repartition(nparts, "dst").persist()
     vertices = (
-        links_src.select(F.col("src").alias("url"))
-        .union(links_dst.select(F.col("dst").alias("url")))
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
         .distinct()
+        .persist()
     )
+    # driver-adaptive join strategy on the EXACT vertex count (the
+    # bfs_distances move): score vectors are vertex-sized, so while
+    # |V| is broadcastable each half-step joins the cached edge copy
+    # against a broadcast vector — no edge repartition copies, no
+    # per-iteration edge sort (the SMJ the stats-less checkpointed
+    # vectors otherwise force). Past the threshold, fall back to the
+    # two partitioned edge copies so iterations re-shuffle only the
+    # vertex-sized vectors. The vertices distinct is needed for the
+    # final zero-fill anyway — counting the persisted frame is free.
+    small = vertices.count() <= _BFS_BROADCAST_ROWS
+    if small:
+        links_src = links_dst = e
+    else:
+        links_src = e.repartition(nparts, "src").persist()
+        links_dst = e.repartition(nparts, "dst").persist()
+
+    def _vec(v: DataFrame) -> DataFrame:
+        return F.broadcast(v) if small else v
+
     if n_iters < 1:
         out = vertices.select(
             "url", F.lit(1.0).alias("hub"), F.lit(0.0).alias("authority")
@@ -764,7 +782,7 @@ def hits(
             contribs = links_src.withColumn("hub", F.lit(1.0))
         else:
             contribs = links_src.join(
-                hub.withColumnRenamed("url", "src"), "src"
+                _vec(hub.withColumnRenamed("url", "src")), "src"
             )
         a = contribs.groupBy(F.col("dst").alias("url")).agg(
             F.sum("hub").alias("authority")
@@ -773,7 +791,7 @@ def hits(
             a = a.localCheckpoint(eager=True)
             auth = a
         hub = (
-            links_dst.join(a.withColumnRenamed("url", "dst"), "dst")
+            links_dst.join(_vec(a.withColumnRenamed("url", "dst")), "dst")
             .groupBy(F.col("src").alias("url"))
             .agg(F.sum("authority").alias("hub"))
         )
@@ -794,9 +812,14 @@ def hits(
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
+    # materialize before releasing the caches the zero-fill join reads
+    # (vertices/e are lazy inputs of `out`; the bfs/kcore contract)
+    out = out.localCheckpoint(eager=True)
     e.unpersist()
-    links_src.unpersist()
-    links_dst.unpersist()
+    vertices.unpersist()
+    if not small:
+        links_src.unpersist()
+        links_dst.unpersist()
     return out
 
 
