@@ -120,3 +120,77 @@ def decontaminate(
     return train.join(
         flagged.withColumnRenamed("doc_id", doc_col), doc_col, "left_anti"
     )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Paraphrase-robust contamination: training docs whose MinHash
+    signature collides with a BENCHMARK doc in >= 1 LSH band, verified
+    by exact cross-corpus shingle Jaccard — ``(doc_id, bench_id,
+    jaccard)`` with ``jaccard >= threshold``. The fuzzy sibling of
+    ``contamination_check``: the exact long-n-gram rule misses a
+    benchmark passage that was lightly reworded or re-wrapped (every
+    edit breaks all the 8-grams that span it), while set-level Jaccard
+    over short shingles degrades gracefully with edit density — the
+    near-dedup decontamination move of the open data recipes that
+    fuzzy-dedup against eval sets rather than substring-match them.
+
+    Physical shape: both corpora go through the ONE-base-hash MinHash
+    (``dedup.minhash_signatures``) and band-bucket explode; the
+    candidate join keys on (band, bucket) with the bench side
+    eval-set-sized, so the runtime broadcasts it from measured stats
+    (the ``contamination_check`` policy — no forced hint); the exact
+    verify touches only candidate pairs. Recall is band-limited, the
+    standard LSH tradeoff — tune (num_hashes, bands) to the target
+    threshold.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    t_sh = shingles(train, ngram, text_col, doc_col)
+    b_sh = shingles(bench, ngram, text_col, doc_col)
+    t_bk = band_buckets(
+        minhash_signatures(t_sh, num_hashes), num_hashes, bands
+    )
+    b_bk = band_buckets(
+        minhash_signatures(b_sh, num_hashes), num_hashes, bands
+    ).select(F.col("doc_id").alias("bench_id"), "band", "bucket")
+    cand = (
+        t_bk.join(b_bk, ["band", "bucket"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    na = t_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    nb = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col("doc_id").alias("bench_id"), "nb"
+    )
+    inter = (
+        cand.join(t_sh, "doc_id")
+        .join(
+            b_sh.select(F.col("doc_id").alias("bench_id"), "shingle"),
+            ["bench_id", "shingle"],
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+        6,
+    )
+    return (
+        inter.join(na, "doc_id")
+        .join(nb, "bench_id")
+        .select("doc_id", "bench_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

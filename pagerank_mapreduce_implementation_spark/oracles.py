@@ -247,6 +247,67 @@ def minhash_near_dups_sql(
     )
 
 
+def fuzzy_contamination_sql(
+    train_where: str,
+    bench_where: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+) -> str:
+    """Mirror of ``contamination.fuzzy_contamination`` over two
+    WHERE-split views of ``documents`` (the ``incremental_minhash_sql``
+    pattern): per-split universal-hash signatures, cross band-bucket
+    candidates, exact cross-corpus shingle Jaccard >= threshold."""
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_coeffs,
+    )
+
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a}::BIGINT * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    sep = " || ',' || "
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"{sep.join(f'CAST(h{b * r + j} AS VARCHAR)' for j in range(r))} "
+            f"AS bucket FROM {src}"
+            for b in range(bands)
+        )
+
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        "hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))"
+        f"::UBIGINT::BIGINT % {MINHASH_P} AS hb FROM sh), "
+        f"mht AS (SELECT doc_id, {mins} FROM hb WHERE {train_where} "
+        "GROUP BY doc_id), "
+        f"mhe AS (SELECT doc_id, {mins} FROM hb WHERE {bench_where} "
+        "GROUP BY doc_id), "
+        f"bkt AS ({band_rows('mht')}), "
+        f"bke AS ({band_rows('mhe')}), "
+        "cand AS (SELECT DISTINCT t.doc_id, e.doc_id AS bench_id FROM bkt t "
+        "JOIN bke e ON t.band = e.band AND t.bucket = e.bucket), "
+        f"szt AS (SELECT doc_id, count(*) AS n FROM sh WHERE {train_where} "
+        "GROUP BY doc_id), "
+        f"sze AS (SELECT doc_id, count(*) AS n FROM sh WHERE {bench_where} "
+        "GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_id, c.bench_id, count(*) AS i FROM cand c "
+        "JOIN sh p ON p.doc_id = c.doc_id "
+        "JOIN sh q ON q.doc_id = c.bench_id AND q.shingle = p.shingle "
+        "GROUP BY c.doc_id, c.bench_id) "
+        "SELECT t.doc_id, t.bench_id, "
+        "round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6) AS jaccard "
+        "FROM inter t JOIN szt sa ON sa.doc_id = t.doc_id "
+        "JOIN sze sb ON sb.doc_id = t.bench_id "
+        "WHERE round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6) "
+        f">= {threshold}"
+    )
+
+
 def _df_cap_cte(max_shingle_df: int | None) -> str:
     """Rewrites ``sh`` to the df-capped shingle table (mirror of
     dedup.df_capped_shingles): drop shingles in more than

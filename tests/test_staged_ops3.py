@@ -259,3 +259,62 @@ def test_shard_audit_green_and_detects_drift(spark, tmp_path, sf_dir):
     bad = {r["shard"]: r for r in shard_audit(spark, out).collect() if not r["ok"]}
     assert set(bad) == {0, 9999}
     assert bad[9999]["n_bins_actual"] is None  # phantom: no shard data
+
+
+def test_fuzzy_contamination_parity(spark, sf_dir, duck):
+    """fuzzy_contamination over a WHERE-split of documents (train =
+    doc_id % 7 != 0, bench = the rest) == the cross-corpus minhash SQL.
+    Low threshold so band-colliding natural near-dups survive verify —
+    a result-free gate would be vacuous, so assert non-empty."""
+    from pagerank_mapreduce_implementation_spark.operators import contamination
+
+    docs = Catalog(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    got = contamination.fuzzy_contamination(
+        train, bench, threshold=0.05, ngram=3
+    )
+    assert got.count() > 0, "vacuous gate: no cross-corpus candidates"
+    check(
+        got,
+        duck,
+        oracles.fuzzy_contamination_sql(
+            "doc_id % 7 <> 0", "doc_id % 7 = 0", threshold=0.05, ngram=3
+        ),
+    )
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """A training doc that rewords ONE token of a benchmark doc breaks
+    every 8-gram (exact contamination_check scores zero) but keeps a
+    high shingle Jaccard — the fuzzy pass flags it; an unrelated doc
+    stays clean."""
+    from pagerank_mapreduce_implementation_spark.operators import contamination
+
+    base = " ".join(f"w{i}" for i in range(40))
+    reworded = " ".join("CHANGED" if i == 20 else f"w{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, reworded), (2, "totally different text about other things entirely here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    # a mid-doc edit still leaves intact 8-grams on both sides, so the
+    # exact check fires on the long doc; shrink the doc so every 8-gram
+    # spans the edit and the exact rule goes blind:
+    short_base = " ".join(f"w{i}" for i in range(9))
+    short_re = " ".join("CHANGED" if i == 4 else f"w{i}" for i in range(9))
+    t2 = spark.createDataFrame([(1, short_re)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(100, short_base)], "doc_id long, text string")
+    exact2 = contamination.contamination_check(t2, b2, ngram=8).collect()[0]
+    assert exact2["n_contaminated"] == 0  # every 8-gram spans the edit
+    fuzzy2 = contamination.fuzzy_contamination(
+        t2, b2, threshold=0.2, ngram=2, num_hashes=16, bands=8
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in fuzzy2] == [(1, 100)]
+    # and the long-doc case: fuzzy flags the paraphrase, not the
+    # unrelated doc
+    fuzzy = contamination.fuzzy_contamination(
+        train, bench, threshold=0.5, ngram=3, num_hashes=16, bands=8
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in fuzzy] == [(1, 100)]
+    assert fuzzy[0]["jaccard"] > 0.7
