@@ -318,3 +318,141 @@ def test_fuzzy_contamination_catches_paraphrase(spark):
     ).collect()
     assert [(r["doc_id"], r["bench_id"]) for r in fuzzy] == [(1, 100)]
     assert fuzzy[0]["jaccard"] > 0.7
+
+
+# --- property tests: pure-python references --------------------------------
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),       # source
+            st.integers(min_value=0, max_value=99),  # score
+            st.integers(min_value=0, max_value=5),   # token count
+        ),
+        max_size=16,
+    ),
+    budgets=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=1, max_value=8),
+        min_size=1,
+    ),
+)
+def test_token_budget_mix_matches_python(spark, rows, budgets):
+    """token_budget_mix == a direct Python greedy fill on arbitrary
+    (source, score, n_tokens) tables — duplicates, zero-token docs,
+    unbudgeted sources included."""
+    data = [
+        (i, src, score, " ".join("w" for _ in range(nt)))
+        for i, (src, score, nt) in enumerate(rows)
+    ]
+    if not data:
+        data = [(0, "a", 1, "w")]
+    df = spark.createDataFrame(
+        data, "doc_id long, source string, n_chars long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"])
+        for r in sampling.token_budget_mix(df, budgets).collect()
+    }
+    by_src = defaultdict(list)
+    for did, src, score, text in data:
+        by_src[src].append((did, score, len(text.split())))
+    want = {}
+    for src, docs_ in by_src.items():
+        if src not in budgets:
+            continue
+        run = 0
+        for did, score, nt in sorted(docs_, key=lambda t: (-t[1], t[0])):
+            if run < budgets[src]:
+                want[did] = (src, nt)
+            run += nt
+    assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    n_vecs=st.integers(min_value=3, max_value=12),
+    k=st.integers(min_value=1, max_value=4),
+    n_probe=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_ann_recall_matches_python(spark, n_vecs, k, n_probe, seed):
+    """ann_recall_report == a direct Python replay of ivf-assign /
+    probe / top-k / intersect on random small vector tables."""
+    import random
+
+    rng = random.Random(seed)
+    vecs = [
+        [round(rng.uniform(-1, 1), 3) or 0.5 for _ in range(4)]
+        for _ in range(n_vecs)
+    ]
+    n_cells = 2
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    qid = 0
+    got = {
+        r["query_id"]: (r["n_truth"], r["hits"])
+        for r in similarity.ann_recall_report(
+            df, [qid], k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def norm(a):
+        return dot(a, a) ** 0.5
+
+    def cos(a, b):
+        return dot(a, b) / (norm(a) * norm(b))
+
+    cents = vecs[:n_cells]  # first n_cells by id, the ivf_assign seed
+    def cell_of(v):
+        scored = [
+            (cos(v, c), -(ci + 1)) for ci, c in enumerate(cents)
+        ]
+        best = max(scored)
+        return -best[1]
+
+    assign = {i: cell_of(v) for i, v in enumerate(vecs)}
+    q = vecs[qid]
+    probe_cells = [
+        c
+        for _, c in sorted(
+            ((cos(q, cents[c - 1]), -c) for c in range(1, n_cells + 1)),
+            reverse=True,
+        )[:n_probe]
+    ]
+    probe_cells = [-c for c in probe_cells]
+    ann = sorted(
+        (
+            (round(cos(q, vecs[i]), 6), -i)
+            for i in range(n_vecs)
+            if i != qid and assign[i] in probe_cells
+        ),
+        reverse=True,
+    )[:k]
+    ann_ids = {-i for _, i in ann}
+    truth = sorted(
+        ((round(cos(q, vecs[i]), 6), -i) for i in range(n_vecs) if i != qid),
+        reverse=True,
+    )[:k]
+    truth_ids = {-i for _, i in truth}
+    assert got == {qid: (len(truth_ids), len(truth_ids & ann_ids))}
