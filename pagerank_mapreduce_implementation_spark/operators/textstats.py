@@ -1651,3 +1651,83 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    form: str = "NFC",
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text normalization — ``(doc_id, clean_text, changed)``
+    — the preprocessing pass that runs BEFORE any hash-based operator:
+    every dedup/fingerprint/contamination op here keys on exact bytes,
+    so two visually-identical docs (composed vs decomposed accents, a
+    stray zero-width space, doubled spaces) hash apart unless the
+    corpus is normalized first.
+
+    1. Unicode normalization to ``form`` (NFC/NFD/NFKC/NFKD) — Spark
+       has no built-in normalizer, so this is ONE Arrow-batched
+       ``mapInPandas`` pass (the justified-Python case); pure-ASCII
+       strings are NFC/NFD-invariant and skip the per-string call.
+    2. ``strip_controls``: drop C0 controls (except tab/newline/CR),
+       DEL, and the zero-width set (ZWSP/ZWNJ/ZWJ/BOM) — a JVM-side
+       ``regexp_replace``.
+    3. ``collapse_ws``: runs of non-newline whitespace fold to one
+       space, spaces around newlines drop, outer whitespace trims —
+       three JVM-side replaces, newline structure preserved (the C4 /
+       line-dedup ops key on lines).
+
+    ``changed`` is an int flag (1 = the text was altered) so a
+    pipeline can measure how dirty a source is before deciding
+    whether normalization belongs in its ingest path. Only step 1
+    leaves codegen; steps 2-3 stay whole-stage. The DuckDB mirror is
+    ``nfc_normalize`` + the same RE2 replaces.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    id_type = docs.schema[doc_col].dataType.simpleString()
+
+    def _normalize(batches):
+        import unicodedata
+
+        for pdf in batches:
+            # the original rides along so `changed` never needs a
+            # join back to the corpus (a full doc-keyed shuffle);
+            # pure-ASCII strings are invariant under ALL four forms
+            # (compatibility forms rewrite ASCII-adjacent chars, not
+            # ASCII itself) and skip the per-string call
+            pdf["__n"] = [
+                t
+                if t is None or t.isascii()
+                else unicodedata.normalize(form, t)
+                for t in pdf["__t"]
+            ]
+            yield pdf
+
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    out = staged.mapInPandas(
+        _normalize, f"doc_id {id_type}, __t string, __n string"
+    )
+    clean = F.col("__n")
+    if strip_controls:
+        clean = F.regexp_replace(
+            clean,
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+            "\\u200B\\u200C\\u200D\\uFEFF]",
+            "",
+        )
+    if collapse_ws:
+        clean = F.regexp_replace(clean, "[^\\S\\n]+", " ")
+        clean = F.regexp_replace(clean, " *\\n *", "\n")
+        clean = F.trim(clean)
+    return out.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != F.col("__t")).cast("int").alias("changed"),
+    )

@@ -247,6 +247,29 @@ def minhash_near_dups_sql(
     )
 
 
+def normalize_text_sql(source: str = "documents") -> str:
+    """Mirror of ``textstats.normalize_text`` (NFC defaults) over
+    ``source``: ``nfc_normalize`` + the same RE2 replaces — strip
+    C0-except-tab/newline/CR + DEL + zero-width set, collapse
+    non-newline whitespace runs, drop spaces around newlines, trim.
+    Both engines use ASCII ``\\s``, so NBSP-style Unicode whitespace
+    is (deliberately) NOT collapsed on either side."""
+    strip = (
+        r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+        r"\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+    )
+    return (
+        f"WITH n AS (SELECT doc_id, text, nfc_normalize(text) AS t "
+        f"FROM {source}), "
+        "c AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace("
+        f"regexp_replace(t, '{strip}', '', 'g'), "
+        r"'[^\S\n]+', ' ', 'g'), ' *\n *', chr(10), 'g')) "
+        "AS clean_text FROM n) "
+        "SELECT doc_id, clean_text, "
+        "CAST(clean_text <> text AS INT) AS changed FROM c"
+    )
+
+
 def fuzzy_contamination_sql(
     train_where: str,
     bench_where: str,

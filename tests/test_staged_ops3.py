@@ -456,3 +456,76 @@ def test_ann_recall_matches_python(spark, n_vecs, k, n_probe, seed):
     )[:k]
     truth_ids = {-i for _, i in truth}
     assert got == {qid: (len(truth_ids), len(truth_ids & ann_ids))}
+
+
+# ------------------------------------------------------ text normalization
+
+
+def test_normalize_text_parity(spark, sf_dir, duck):
+    """normalize_text over the (ASCII) corpus == the DuckDB mirror —
+    exercises the collapse/strip/trim pipeline and the changed flag."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    got = textstats.normalize_text(Catalog(spark, sf_dir).documents)
+    check(got, duck, oracles.normalize_text_sql())
+
+
+def test_normalize_text_unicode_parity(spark, duck):
+    """Planted non-ASCII fixtures through BOTH engines: decomposed
+    accents recompose (NFC), zero-width chars and controls strip,
+    CRLF and space runs collapse, NBSP survives (ASCII \\s on both
+    sides) — byte-identical cross-engine."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    rows = [
+        (1, "café time"),              # decomposed -> café
+        (2, "zero​width﻿ here"),   # ZWSP + BOM strip
+        (3, "ctrl\x07bell and\x1f unit"),    # C0 controls strip
+        (4, "a  b\t\tc\r\nd"),               # runs + CRLF collapse
+        (5, "nbsp stays"),              # NBSP kept (ASCII \s)
+        (6, "  trimmed  \n  lines  "),       # trim + line-edge spaces
+        (7, "already clean"),                # changed = 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in rows
+    )
+    oracle = (
+        f"WITH documents(doc_id, text) AS (VALUES {vals}), "
+        f"res AS ({oracles.normalize_text_sql()}) SELECT * FROM res"
+    )
+    got = textstats.normalize_text(docs)
+    check(got, duck, oracle)
+    out = {r["doc_id"]: r for r in got.collect()}
+    assert out[1]["clean_text"] == "café time"
+    assert out[2]["clean_text"] == "zerowidth here"
+    assert out[3]["clean_text"] == "ctrlbell and unit"
+    assert out[4]["clean_text"] == "a b c\nd"
+    assert out[5]["clean_text"] == "nbsp stays"
+    assert out[6]["clean_text"] == "trimmed\nlines"
+    # NBSP-only doc 5 is DELIBERATELY unchanged (ASCII \\s keeps it)
+    assert {i: out[i]["changed"] for i in range(1, 8)} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 0, 6: 1, 7: 0
+    }
+    with pytest.raises(ValueError):
+        textstats.normalize_text(docs, form="NFX")
+
+
+def test_normalize_text_feeds_exact_dedup(spark):
+    """The motivating composition: two visually-identical docs hash
+    apart raw, together after normalize_text."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [(1, "café  menu"), (2, "café menu")],
+        "doc_id long, text string",
+    )
+    # byte-distinct raw: the audit table flags no dup
+    assert [r["is_dup"] for r in dedup.exact_dedup(docs).collect()] == [0, 0]
+    clean = textstats.normalize_text(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    flags = {
+        r["doc_id"]: r["is_dup"] for r in dedup.exact_dedup(clean).collect()
+    }
+    assert flags == {1: 0, 2: 1}  # normalized: one keeper, one dup
