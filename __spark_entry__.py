@@ -3006,11 +3006,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window, so tranche-2 spillover must wait for r15 or ride
         # freshness-budget growth from the r13 registrations).
         # COHORT 3 (round-12 staged, tests/test_staged_ops3.py:
-        # ann_recall_report — the IVF-vs-brute recall gauge — and
-        # token_budget_mix — per-source token-budget epoch fill)
-        # queues behind tranche 2; oracles ann_recall_sql /
-        # token_budget_mix_sql are already in oracles.py (use src0..
-        # src19 source names for budgets — testdata's real sources).
+        # ann_recall_report — the IVF-vs-brute recall gauge;
+        # token_budget_mix — per-source token-budget epoch fill;
+        # dedup_report — cluster_survivors keep/drop mass per source;
+        # fuzzy_contamination — cross-corpus minhash decontamination;
+        # normalize_text — NFC + control/zero-width strip + ws
+        # collapse, also clean_corpus's opt-in stage 0; shard_audit —
+        # manifest-vs-shards program diff) queues behind tranche 2;
+        # oracles ann_recall_sql / token_budget_mix_sql /
+        # fuzzy_contamination_sql / normalize_text_sql are in
+        # oracles.py (budgets/WHERE splits use src0..src19 / doc_id
+        # mods — testdata's real sources).
         # deferred r9-green remainder (MUST lead round 13):
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,

@@ -1660,6 +1660,7 @@ def normalize_text(
     collapse_ws: bool = True,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Canonical text normalization — ``(doc_id, clean_text, changed)``
     — the preprocessing pass that runs BEFORE any hash-based operator:
@@ -1685,11 +1686,25 @@ def normalize_text(
     whether normalization belongs in its ingest path. Only step 1
     leaves codegen; steps 2-3 stay whole-stage. The DuckDB mirror is
     ``nfc_normalize`` + the same RE2 replaces.
+
+    ``keep_cols`` (column NAMES of ``docs``) ride through the Arrow
+    pass and come back unchanged — the zero-join passthrough contract
+    the scoring ops use (``clean_corpus`` carries the full row so the
+    rewrite never needs a corpus-vs-corpus doc_id join back). Derived
+    columns like ``n_chars`` are NOT recomputed; consumers needing
+    post-normalization lengths recompute from ``clean_text``.
     """
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
+    keep = list(keep_cols)
+    bad = [c for c in keep if c not in docs.columns]
+    if bad:
+        raise ValueError(f"normalize_text: unknown keep_cols {bad}")
 
     id_type = docs.schema[doc_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep
+    )
 
     def _normalize(batches):
         import unicodedata
@@ -1709,10 +1724,13 @@ def normalize_text(
             yield pdf
 
     staged = docs.select(
-        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__t")
+        F.col(doc_col).alias("doc_id"),
+        *keep,
+        F.col(text_col).alias("__t"),
     )
     out = staged.mapInPandas(
-        _normalize, f"doc_id {id_type}, __t string, __n string"
+        _normalize,
+        f"doc_id {id_type}{keep_schema}, __t string, __n string",
     )
     clean = F.col("__n")
     if strip_controls:
@@ -1728,6 +1746,7 @@ def normalize_text(
         clean = F.trim(clean)
     return out.select(
         "doc_id",
+        *keep,
         clean.alias("clean_text"),
         (clean != F.col("__t")).cast("int").alias("changed"),
     )

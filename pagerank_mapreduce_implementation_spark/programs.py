@@ -299,11 +299,19 @@ def clean_corpus(
     unimax_epoch_cap: float = 1.0,
     mad_cutoff: float | None = None,
     survivor_policy: str = "min_id",
+    normalize: "bool | str" = False,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline, parquet-in ->
     parquet-out (the extension-surface analog of ``run_pagerank``; no
     reference twin — the reference has no data-hygiene stage at all):
 
+    0. Unicode normalization (textstats.normalize_text) when
+       ``normalize`` is truthy (pass a form string — "NFKC" — to
+       override the NFC default): the text every later stage sees is
+       canonicalized FIRST, so byte-keyed fingerprints/signatures
+       can't be split by composed-vs-decomposed accents, zero-width
+       chars, or whitespace runs. Full row rides the pass (zero
+       joins); derived columns like ``n_chars`` are not recomputed
     1. language filter (textstats.lang_id heuristic) when ``lang`` set
     1b. Gopher rule battery (textstats.gopher_rules, Rae et al. 2021)
        when ``gopher`` is truthy — drops docs failing the published
@@ -489,6 +497,7 @@ def clean_corpus(
             unimax_epoch_cap=unimax_epoch_cap,
             mad_cutoff=mad_cutoff,
             survivor_policy=survivor_policy,
+            normalize=normalize,
             dedup=dedup,
             textstats=textstats,
             decontaminate=decontaminate,
@@ -538,6 +547,7 @@ def _clean_corpus_body(
     unimax_epoch_cap,
     mad_cutoff,
     survivor_policy,
+    normalize,
     dedup,
     textstats,
     decontaminate,
@@ -555,6 +565,12 @@ def _clean_corpus_body(
             "defined selection"
         )
     docs = spark.read.parquet(input_path)
+    if normalize:
+        form = normalize if isinstance(normalize, str) else "NFC"
+        carry = [c for c in docs.columns if c not in ("doc_id", "text")]
+        docs = textstats.normalize_text(
+            docs, form=form, keep_cols=tuple(carry)
+        ).select("doc_id", F.col("clean_text").alias("text"), *carry)
     # Stages 1-3 score PER-ROW features; keep_cols rides the full row
     # through each scoring pass so the verdict never needs a
     # corpus-vs-corpus doc_id join back (three joins saved — at 100 TB

@@ -529,3 +529,38 @@ def test_normalize_text_feeds_exact_dedup(spark):
         r["doc_id"]: r["is_dup"] for r in dedup.exact_dedup(clean).collect()
     }
     assert flags == {1: 0, 2: 1}  # normalized: one keeper, one dup
+
+
+def test_clean_corpus_normalize_stage(spark, tmp_path):
+    """clean_corpus(normalize=True): the canonicalized text feeds the
+    exact-dedup stage, so a composed/decomposed pair collapses to one
+    survivor; without the stage both survive. keep_cols passthrough
+    preserves the full row (source survives)."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafe\u0301  menu with plenty of words here", "web", 37),
+            (2, "café menu with plenty of words here", "web", 36),
+            (3, "a completely different document body", "wiki", 36),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    src = str(tmp_path / "in.parquet")
+    docs.write.parquet(src)
+    # the near-dup stage dedups the twins in BOTH runs (as it should);
+    # what the normalize stage changes is WHICH BYTES survive — raw
+    # keeps doc 1 verbatim (decomposed accent, doubled space), the
+    # normalized run hands every later stage canonical text
+    raw = {r["doc_id"]: r for r in
+           clean_corpus(spark, src, str(tmp_path / "out_raw")).collect()}
+    assert sorted(raw) == [1, 3]
+    assert raw[1]["text"] == "cafe\u0301  menu with plenty of words here"
+    norm = clean_corpus(
+        spark, src, str(tmp_path / "out_norm"), normalize=True
+    )
+    rows = {r["doc_id"]: r for r in norm.collect()}
+    assert sorted(rows) == [1, 3]
+    assert rows[1]["source"] == "web"  # passthrough intact
+    # the surviving text is the NORMALIZED form (composed, one space)
+    assert rows[1]["text"] == "caf\u00e9 menu with plenty of words here"
