@@ -844,15 +844,21 @@ def label_propagation(
     updates (the asynchronous variant is order-dependent by
     construction and ungateable).
 
-    Scale shape (the ``pagerank``/``hits`` contract): the edge table
-    is shuffled ONCE onto its src key and persisted; each round then
-    costs (1) a vertex-sized labels shuffle into that co-partitioned
-    join, (2) a (dst, label)-keyed vote count with map-side partial
-    aggregation, (3) a dst-keyed argmax via ``min_by`` over the
-    ``(-votes, label)`` struct — no row_number window, so a hot
-    vertex's votes never serialize through one task — and (4) a
-    vertex-sized coalesce join back onto the full label vector.
-    Lineage truncates on the shared ``IterationDriver`` cadence.
+    Scale shape (the ``pagerank``/``hits`` contract): each round costs
+    (1) the label join into the cached edge table, (2) a (dst,
+    label)-keyed vote count with map-side partial aggregation, (3) a
+    dst-keyed argmax via ``min_by`` over the ``(-votes, label)``
+    struct — no row_number window, so a hot vertex's votes never
+    serialize through one task — and (4) a vertex-sized coalesce join
+    back onto the full label vector. Join strategy is driver-adaptive
+    on the EXACT vertex count (the ``hits`` move — checkpointed label
+    vectors carry no stats, so the planner would otherwise SMJ and
+    re-sort the edge table every round): while |V| is under the
+    broadcast threshold the label vector broadcasts into both joins
+    and edges stay un-repartitioned; past it the edge table is
+    shuffled ONCE onto src and iterations re-shuffle only the
+    vertex-sized vector. Lineage truncates on the shared
+    ``IterationDriver`` cadence.
     """
     if n_rounds < 0:
         raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
@@ -860,18 +866,27 @@ def label_propagation(
     nparts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    e = edges.select("src", "dst").repartition(nparts, "src").persist()
+    e = edges.select("src", "dst").persist()
     vertices = (
         e.select(F.col("src").alias("url"))
         .union(e.select(F.col("dst").alias("url")))
         .distinct()
         .persist()
     )
+    small = vertices.count() <= _BFS_BROADCAST_ROWS
+    if not small:
+        e2 = e.repartition(nparts, "src").persist()
+        e.unpersist()
+        e = e2
+
+    def _vec(v: DataFrame) -> DataFrame:
+        return F.broadcast(v) if small else v
+
     labels = vertices.select("url", F.col("url").alias("label"))
 
     def step(lbl: DataFrame, _i: int) -> DataFrame:
         votes = (
-            e.join(lbl.withColumnRenamed("url", "src"), "src")
+            e.join(_vec(lbl.withColumnRenamed("url", "src")), "src")
             .groupBy(F.col("dst").alias("url"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -881,7 +896,7 @@ def label_propagation(
             )
         )
         return (
-            lbl.join(winners, "url", "left")
+            lbl.join(_vec(winners), "url", "left")
             .select("url", F.coalesce("new_label", "label").alias("label"))
         )
 
