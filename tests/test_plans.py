@@ -887,3 +887,39 @@ def test_kcore_state_checkpointed(spark, sf_dir):
     p = plan_of(df)
     assert "Scan ExistingRDD" in p
     assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_bipartite_projection_banded_join_shape(plans):
+    """The co-purchase pairing must stay an equi-join on the shared
+    right vertex (df-capped fan-out), never a cartesian/nested-loop,
+    and the window-free count path must hold (no per-vertex sort)."""
+    p = plans("bipartite_projection")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+
+def test_edit_verified_dups_no_cartesian(plans):
+    """Banded-Levenshtein verify touches ONLY the LSH candidate pairs:
+    a cartesian/nested-loop here would mean the verify degenerated to
+    all-pairs text comparison."""
+    p = plans("edit_verified_dups")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winnow_matches_shape(plans):
+    """Fingerprint pairing keys on fp with map-side-partial counting:
+    one Arrow selection pass, no window, no cartesian."""
+    p = plans("winnow_matches")
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p and "Window" not in p
+
+
+def test_training_shards_manifest_is_parquet_backed(plans):
+    """The registered program query returns the manifest READ BACK
+    from its parquet write — a file scan, not the live pipeline plan
+    (the write already happened when the query constructs)."""
+    p = plans("training_shards")
+    assert "FileScan parquet" in p
+    assert "MapInPandas" not in p  # packing ran at write time, not here
