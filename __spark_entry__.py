@@ -2680,14 +2680,14 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     newly-reached vertices against the once-deduped edge table.
     Directed edges are distinct'd BEFORE the bidir union (half the
     dedup shuffle bytes; the direction sets are disjoint on the
-    bipartite graph, so the union is already simple — the operator's
-    own dedup pass then reshuffles only the 10x-smaller table).
+    bipartite graph, so the union is ALREADY simple — dedupe=False
+    skips the operator's own redundant dedup shuffle entirely).
     Oracle: unrolled MATERIALIZED frontier CTEs."""
     e = _bipartite_edges(spark, sf_dir).distinct()
     bidir = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return graph.bfs_distances(bidir, _BFS_SOURCES, n_rounds=6)
+    return graph.bfs_distances(bidir, _BFS_SOURCES, n_rounds=6, dedupe=False)
 
 
 def _q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1450,26 +1450,52 @@ def source_centrality(
     harmonic sum's reciprocals are decimal(18,12)-cast before summing
     (exact commutative addition under any partitioning — the
     ``tfidf_doc_pairs`` convention), then rounded 6 as a double.
-    """
-    from functools import reduce
 
+    Round-12 batching: all pivots ride ONE multi-source BFS whose
+    state is keyed ``(source, url)`` — the per-source expansions are
+    independent under the composite key, so the layered loop is
+    output-identical to per-pivot runs while the edge table is
+    scanned once per ROUND instead of once per round per pivot
+    (p pivots: p x n_rounds joins -> n_rounds). The simple-graph
+    dedup happens once; layer/state broadcasts gate on exact counts
+    (the ``bfs_distances`` contract); a pivot reaching nothing still
+    reports an explicit zero row via the seeds dim.
+    """
     if not sources:
         raise ValueError("sources must be non-empty")
-    # dedupe to the simple graph ONCE, shared by every pivot's BFS
-    # (each bfs_distances call would otherwise re-shuffle the raw
-    # multi-edge input into its own distinct copy)
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
+    spark = edges.sparkSession
     simple = edges.select("src", "dst").distinct().persist()
-    outs = []
-    for s in sorted(set(sources)):
-        d = bfs_distances(
-            simple,
-            [s],
-            n_rounds=n_rounds,
-            materialize_every=materialize_every,
-            num_partitions=num_partitions,
-            dedupe=False,
-        ).filter(F.col("dist") > 0)
-        agg = d.agg(
+    seeds = sorted(set(sources))
+    layer = spark.createDataFrame(
+        [(s, s) for s in seeds], ["source", "url"]
+    ).select("source", "url", F.lit(0).cast("int").alias("dist"))
+    layer = layer.localCheckpoint(eager=True)
+    dist = layer
+    n_layer = n_dist = len(seeds)
+    for rnd in range(1, n_rounds + 1):
+        frontier = layer.select("source", F.col("url").alias("src"))
+        if n_layer <= _BFS_BROADCAST_ROWS:
+            frontier = F.broadcast(frontier)
+        seen = F.broadcast(dist) if n_dist <= _BFS_BROADCAST_ROWS else dist
+        layer = (
+            simple.join(frontier, "src")
+            .select("source", F.col("dst").alias("url"))
+            .distinct()
+            .join(seen, ["source", "url"], "left_anti")
+            .select("source", "url", F.lit(rnd).cast("int").alias("dist"))
+        ).localCheckpoint(eager=True)
+        n_layer = layer.count()
+        if n_layer == 0:
+            break
+        dist = dist.unionByName(layer)
+        n_dist += n_layer
+    simple.unpersist()
+    agg = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("source")
+        .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum("dist").alias("__sd"),
             F.sum(
@@ -1478,24 +1504,19 @@ def source_centrality(
                 )
             ).alias("__h"),
         )
-        outs.append(
-            agg.select(
-                F.lit(s).alias("source"),
-                F.col("__n").cast("long").alias("n_reached"),
-                F.round(F.coalesce(F.col("__h"), F.lit(0)).cast("double"), 6).alias(
-                    "harmonic"
-                ),
-                F.round(
-                    F.when(
-                        F.col("__n") > 0,
-                        F.col("__n").cast("double")
-                        / F.col("__sd").cast("double"),
-                    ).otherwise(F.lit(0.0)),
-                    6,
-                ).alias("closeness"),
-            )
-        )
-    # each pivot's BFS returned an EAGER checkpoint, so the lazy aggs
-    # above never re-read the edge cache — safe to release here
-    simple.unpersist()
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    )
+    srcs = spark.createDataFrame([(s,) for s in seeds], ["source"])
+    return srcs.join(F.broadcast(agg), "source", "left").select(
+        "source",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_reached"),
+        F.round(
+            F.coalesce(F.col("__h"), F.lit(0)).cast("double"), 6
+        ).alias("harmonic"),
+        F.round(
+            F.when(
+                F.col("__n") > 0,
+                F.col("__n").cast("double") / F.col("__sd").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness"),
+    )
