@@ -39,6 +39,28 @@ from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
 
 SEARCH_TERMS = ["spark", "window", "table"]
 
+_SCRATCH = None
+
+
+def _scratch_dir(sub: str) -> str:
+    """Per-process scratch root, created once and auto-removed at
+    interpreter exit (round-12 advice: per-invocation mkdtemp leaked a
+    directory every bench rep / plan-shape test). One root per PROCESS
+    keeps concurrent bench/driver runs collision-free — the reason a
+    fixed shared path was rejected for the streaming index — while
+    repeat invocations in the same process reuse (mode=overwrite) the
+    same subdirectory instead of accumulating."""
+    global _SCRATCH
+    if _SCRATCH is None:
+        import tempfile
+
+        _SCRATCH = tempfile.TemporaryDirectory(prefix="spark_graft_scratch_")
+    import os
+
+    path = os.path.join(_SCRATCH.name, sub)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 #: queries() keys DELIBERATELY without an oracle_sql entry (the driver
 #: records a weaker rows-only check for these): ops whose semantics are
 #: not ANSI-SQL-expressible. Keep this list tiny and documented per key.
@@ -48,11 +70,11 @@ NO_ORACLE_QUERIES: frozenset[str] = frozenset()
 # (whitespace split, drop empties; doc pipeline lowercases).
 _TOK = (
     "tok AS (SELECT doc_id, w AS word FROM (SELECT doc_id, "
-    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> '')"
+    "unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w FROM documents) WHERE w <> '')"
 )
 _TOK_LOWER = (
     "tok AS (SELECT doc_id, lower(w) AS word FROM (SELECT doc_id, "
-    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> '')"
+    "unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w FROM documents) WHERE w <> '')"
 )
 _TF = (
     "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word), "
@@ -69,7 +91,7 @@ _TFIDF = (
 # textstats._tokens (whitespace split, drop empties, keep order)
 _TOKS_ARR = (
     "t AS (SELECT doc_id, text, "
-    r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+    r"list_filter(regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
     "FROM documents)"
 )
 
@@ -2876,9 +2898,7 @@ def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle->pack->shard composition in SQL, so a drift anywhere in
     the program's pipeline (ordering, packing, shard math, the
     write/read round-trip) breaks the hash."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="spark_graft_shards_")
+    out = _scratch_dir("training_shards")
     return programs.build_training_shards(
         spark,
         f"{sf_dir}/documents.parquet",
@@ -3196,7 +3216,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH punct AS (SELECT doc_id, replace(text, ' ', ', ') AS text "
             "FROM documents), "
             "tok AS (SELECT unnest(regexp_extract_all(text, "
-            r"'\w+|[^\w\s]+')) AS word FROM punct) "
+            r"'\w+|[^\w[:space:]]+')) AS word FROM punct) "
             "SELECT word, count(*) AS cnt FROM tok GROUP BY word"
         ),
         "doc_word_count": (
@@ -3208,7 +3228,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB list slices are 1-based inclusive => [s+1 : s+window]
         "doc_chunks": (
             "WITH t AS (SELECT doc_id, list_filter("
-            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
             "FROM documents), "
             "c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0), "
             "e AS (SELECT doc_id, toks, CAST(unnest(range(0, "
@@ -3235,7 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "seq_packing": (
             "WITH t AS (SELECT doc_id, CAST(len(list_filter("
-            r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) "
+            r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS BIGINT) "
             "AS n_tokens FROM documents), "
             # DuckDB's sum(BIGINT) is HUGEINT, which surfaces as float64
             # (32.0 vs Spark's long 32) and breaks the value hash — cast
@@ -3253,7 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         # concat (Spark); all-integer cuts, so the text is bit-exact
         "packed_bins": (
             "WITH t AS (SELECT doc_id, list_filter("
-            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
             "FROM documents), "
             "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), "
             "p AS (SELECT doc_id, toks, CAST(sum(n) OVER "
@@ -3346,7 +3366,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "incremental_dedup": (
             "WITH fp AS (SELECT doc_id, lang, source, "
-            "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint "
+            "md5(lower(trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')))) AS fingerprint "
             "FROM documents), "
             "seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250), "
             "batch AS (SELECT * FROM fp WHERE doc_id >= 250), "
@@ -3389,7 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         # order (u*T < p*k) mirrored character-for-character
         "source_mix": (
             "WITH t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
-            r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+            r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS BIGINT) AS nt "
             "FROM documents), "
             "tot AS (SELECT source, sum(nt) AS T FROM t GROUP BY source), "
             "pr(source, p) AS (VALUES "
@@ -3581,7 +3601,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": (
             f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
             "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
-            r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            r"length(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g')) AS punct, "
             f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
             "FROM t), "
             "qq AS (SELECT doc_id, n_tokens, "
@@ -3606,7 +3626,7 @@ def oracle_sql() -> dict[str, str]:
         # the winning gram itself hash-comparable
         "top_ngram_stats": (
             "WITH t AS (SELECT doc_id, list_filter("
-            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
             "FROM documents), "
             "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN "
             "list_transform(range(1, len(toks)), "
@@ -3657,7 +3677,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_ARR} SELECT doc_id, "
             "CAST(len(toks) AS INT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, "
-            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_pieces, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS INT) AS n_pieces, "
             "round(CASE WHEN len(toks) > 0 THEN "
             "CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)/len(toks) "
             "ELSE 0.0 END, 6) AS avg_token_len FROM t"
@@ -3665,7 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": (
             f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
             "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
-            r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            r"length(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g')) AS punct, "
             f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
             "FROM t) "
             "SELECT doc_id, n_chars, "
@@ -3693,8 +3713,8 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 5 <> 0 THEN 'https://ex.com/c/' || "
             "CAST(c_custkey AS VARCHAR) || ' ' ELSE '' END || 'end' AS t "
             "FROM customer), "
-            r"u AS (SELECT doc_id, CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) "
-            r"AS n_urls, regexp_replace(t, 'https?://[^\s]+', '[URL]', 'g') AS t FROM cards), "
+            r"u AS (SELECT doc_id, CAST(len(regexp_extract_all(t, 'https?://[^[:space:]]+')) AS INT) "
+            r"AS n_urls, regexp_replace(t, 'https?://[^[:space:]]+', '[URL]', 'g') AS t FROM cards), "
             "e AS (SELECT doc_id, n_urls, CAST(len(regexp_extract_all(t, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, "
             "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
@@ -3735,7 +3755,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quota": (
             f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
             "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
-            r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            r"length(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g')) AS punct, "
             f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
             "FROM t), "
             "qual AS (SELECT doc_id, "
@@ -3753,7 +3773,7 @@ def oracle_sql() -> dict[str, str]:
         # group is arrival-order-dependent in a stream, the fingerprint
         # set is not
         "streaming_exact_dedup": (
-            "SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+            "SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')))) "
             "AS fingerprint FROM documents"
         ),
         # horizon > event-time span => no state expiry => exact DISTINCT
@@ -4054,7 +4074,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_ARR}, q AS (SELECT t.doc_id AS doc_id, "
             "documents.source AS source, "
             "len(toks) AS n_tokens, CAST(length(t.text) AS INT) AS n_chars, "
-            r"length(regexp_replace(t.text, '[A-Za-z0-9\s]', '', 'g')) AS punct, "
+            r"length(regexp_replace(t.text, '[A-Za-z0-9[:space:]]', '', 'g')) AS punct, "
             f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) AS stop "
             "FROM t JOIN documents ON t.doc_id = documents.doc_id), "
             "s AS (SELECT doc_id, source, "
@@ -4074,7 +4094,7 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic as the Spark side's __doc_head
         "packed_bins_spans": (
             "WITH t AS (SELECT doc_id, list_filter("
-            r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+            r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
             "FROM documents), "
             "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), "
             "p AS (SELECT doc_id, toks, CAST(sum(n) OVER "
@@ -4095,7 +4115,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming probe's exact batch composition
         "streaming_bloom_probe": (
             "WITH fp AS (SELECT doc_id, source, md5(lower(trim("
-            r"regexp_replace(text, '\s+', ' ', 'g')))) AS item "
+            r"regexp_replace(text, '[[:space:]]+', ' ', 'g')))) AS item "
             "FROM documents), "
             "cells AS (SELECT ('0x' || substr(md5('bloom:' || h || ':' "
             "|| item), 1, 15))::UBIGINT::BIGINT % 1024 AS p "
@@ -4121,7 +4141,7 @@ def oracle_sql() -> dict[str, str]:
         # all-bits-present verdict; build half = src0..src9
         "bloom_probe": (
             "WITH fp AS (SELECT source, md5(lower(trim("
-            r"regexp_replace(text, '\s+', ' ', 'g')))) AS item "
+            r"regexp_replace(text, '[[:space:]]+', ' ', 'g')))) AS item "
             "FROM documents), "
             "cells AS (SELECT ('0x' || substr(md5('bloom:' || h || ':' "
             "|| item), 1, 15))::UBIGINT::BIGINT % 1024 AS p "

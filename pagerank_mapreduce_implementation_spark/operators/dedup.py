@@ -1923,12 +1923,20 @@ def winnow_fingerprints(
         # gram-digest cache, shared across the whole Arrow batch
         # stream: natural text repeats k-grams heavily (~2-10x at k=5),
         # so hashing each DISTINCT gram once replaces the dominant
-        # per-position md5 with a dict hit (A/B in BASELINE.md)
+        # per-position md5 with a dict hit (A/B in BASELINE.md).
+        # Size-capped (round-12 advice): the ~200x repeat ratio is
+        # corpus-specific — a high-entropy partition (random-ish text)
+        # grows the dict with every distinct gram, so past the cap the
+        # cache resets rather than OOM the Python worker; the per-batch
+        # np.unique dedup below already carries most of the win.
         cache: dict = {}
+        _CACHE_CAP = 2_000_000  # ~(k+~80B)/entry -> low hundreds of MB
 
         def _fp(gb: bytes) -> int:
             v = cache.get(gb)
             if v is None:
+                if len(cache) >= _CACHE_CAP:
+                    cache.clear()
                 v = int.from_bytes(hashlib.md5(gb).digest()[:8], "big") >> 4
                 cache[gb] = v
             return v

@@ -760,6 +760,14 @@ def hits(
         out = vertices.select(
             "url", F.lit(1.0).alias("hub"), F.lit(0.0).alias("authority")
         )
+        # cut the lazy output free of EVERY cache this function pinned
+        # (round-12 advice: vertices and the repartitioned edge copies
+        # leaked here), mirroring the main-path cleanup below
+        out = out.localCheckpoint(eager=True)
+        vertices.unpersist()
+        if not small:
+            links_src.unpersist()
+            links_dst.unpersist()
         e.unpersist()
         return out
 

@@ -173,7 +173,7 @@ def weighted_pagerank_sql(
 #: distinct word-level shingles per doc (n=1), mirror of dedup.shingles
 SHINGLES_1 = (
     "sh AS (SELECT DISTINCT doc_id, w AS shingle FROM (SELECT doc_id, "
-    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> '')"
+    "unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w FROM documents) WHERE w <> '')"
 )
 
 
@@ -182,7 +182,7 @@ def exact_dedup_sql() -> str:
         "SELECT doc_id, fingerprint, "
         "min(doc_id) OVER (PARTITION BY fingerprint) AS keeper, "
         "CAST(doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup "
-        "FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+        "FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')))) "
         "AS fingerprint FROM documents)"
     )
 
@@ -191,7 +191,7 @@ def _shingles_ngram(n: int) -> str:
     if n == 1:
         return SHINGLES_1
     return (
-        "arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+        "arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
         "w -> w <> '') AS a FROM documents), "
         "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
         f"unnest(CASE WHEN len(a) >= {n} THEN list_transform(range(1, len(a) - {n} + 2), "
@@ -252,8 +252,10 @@ def normalize_text_sql(source: str = "documents") -> str:
     ``source``: ``nfc_normalize`` + the same RE2 replaces — strip
     C0-except-tab/newline/CR + DEL + zero-width set, collapse
     non-newline whitespace runs, drop spaces around newlines, trim.
-    Both engines use ASCII ``\\s``, so NBSP-style Unicode whitespace
-    is (deliberately) NOT collapsed on either side."""
+    Both engines use the ASCII whitespace set (oracle side spelled
+    ``[[:space:]]`` — RE2's ``\\s`` drops U+000B, Java's keeps it; the
+    POSIX class matches Java exactly), so NBSP-style Unicode
+    whitespace is (deliberately) NOT collapsed on either side."""
     strip = (
         r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
         r"\x{200B}\x{200C}\x{200D}\x{FEFF}]"
@@ -506,7 +508,7 @@ def ngram_containment_sql(
 
 SIMHASH_SQL = (
     "tok AS (SELECT doc_id, w AS word FROM (SELECT doc_id, "
-    "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> ''), "
+    "unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w FROM documents) WHERE w <> ''), "
     "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word), "
     "hashed AS (SELECT doc_id, c, "
     "CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT)::BIGINT AS h FROM cnt), "
@@ -785,7 +787,7 @@ def token_budget_mix_sql(budgets: "dict[str, int]") -> str:
     vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
     return (
         "WITH t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS BIGINT) AS nt "
         "FROM documents), "
         "c AS (SELECT doc_id, source, nt, coalesce(sum(nt) OVER "
         "(PARTITION BY source ORDER BY n_chars DESC, doc_id ASC "
@@ -906,7 +908,7 @@ def repetition_ratio_sql(ngram: int = 2) -> str:
     arrays; list_distinct == Spark array_distinct on string lists)."""
     return (
         "WITH t AS (SELECT doc_id, "
-        r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        r"list_filter(regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM documents), "
         f"g AS (SELECT doc_id, CASE WHEN len(toks) >= {ngram} THEN "
         f"list_transform(range(1, len(toks) - {ngram} + 2), "
@@ -998,7 +1000,7 @@ def _bpe_docpieces_ctes() -> str:
         "WITH RECURSIVE "
         f"merges(rank, l, r) AS (VALUES {merge_rows}), "
         "t AS (SELECT doc_id, list_filter(list_transform("
-        r"regexp_split_to_array(text, '\s+'), w -> lower(w)), w -> w <> '') AS toks "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> lower(w)), w -> w <> '') AS toks "
         "FROM documents), "
         "words AS (SELECT DISTINCT unnest(toks) AS word FROM t), "
         "init AS (SELECT word, regexp_split_to_array(word, '') AS pieces FROM words), "
@@ -1095,7 +1097,7 @@ def substring_runs_sql(
         g = "gc"
     return (
         "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
-        "'\\s+'), w -> w <> '') AS toks FROM documents), "
+        "'[[:space:]]+'), w -> w <> '') AS toks FROM documents), "
         f"tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {k}), "
         "g AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, "
         f"md5(array_to_string(toks[i : i + {k - 1}], ' ')) AS gh "
@@ -1294,7 +1296,7 @@ def strip_substring_runs_sql(
         "b_start + match_len AS e FROM runs), "
         "victims AS (SELECT DISTINCT doc_id FROM spans), "
         "vt AS (SELECT d.doc_id, "
-        r"list_filter(regexp_split_to_array(d.text, '\s+'), w -> w <> '') AS toks "
+        r"list_filter(regexp_split_to_array(d.text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM documents d JOIN victims USING (doc_id)), "
         "cnt AS (SELECT doc_id, len(toks) AS ntok FROM vt), "
         "tokix AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx, toks[i] AS w "
@@ -1361,7 +1363,7 @@ def gopher_rules_sql(
     stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     return (
         r"WITH t AS (SELECT doc_id, text, "
-        r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks, "
+        r"list_filter(regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks, "
         r"list_filter(regexp_split_to_array(text, '\n'), ln -> trim(ln) <> '') AS lines "
         "FROM documents), "
         "m AS (SELECT doc_id, len(toks) AS n_words, len(lines) AS n_lines, "
@@ -1495,8 +1497,8 @@ def semdedup_sql(
 def _c4_line_survives_sql(ln: str = "ln") -> str:
     """One surviving-line predicate shared by c4_rules oracles."""
     return (
-        f"regexp_matches({ln}, '[.!?][\"’”]?\\s*$') AND "
-        f"len(list_filter(regexp_split_to_array(trim({ln}), '\\s+'), "
+        f"regexp_matches({ln}, '[.!?][\"’”]?[[:space:]]*$') AND "
+        f"len(list_filter(regexp_split_to_array(trim({ln}), '[[:space:]]+'), "
         f"w -> w <> '')) >= 3 AND NOT contains(lower({ln}), 'javascript')"
     )
 
@@ -1544,7 +1546,7 @@ def gopher_repetition_sql(
         "WITH t AS (SELECT doc_id, text, "
         r"list_filter(list_transform(string_split(text, chr(10)), "
         "ln -> trim(ln)), ln -> ln <> '') AS lns, "
-        r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') "
+        r"list_filter(regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') "
         f"AS toks FROM {source}), "
         "lcnt AS (SELECT doc_id, ln, count(*) AS c FROM "
         "(SELECT doc_id, unnest(lns) AS ln FROM t) GROUP BY doc_id, ln), "
@@ -1694,14 +1696,14 @@ def _dsir_gram_sql(pred: str, n_buckets: int, ngram_ns: tuple, salt: str) -> str
         if n == 1:
             parts.append(
                 "SELECT doc_id, unnest(list_filter("
-                r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS g "
+                r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS g "
                 f"FROM documents WHERE {pred}"
             )
         else:
             joined = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
             parts.append(
                 f"SELECT doc_id, {joined} AS g FROM (SELECT doc_id, "
-                r"list_filter(regexp_split_to_array(text, '\s+'), "
+                r"list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
                 "w -> w <> '') AS toks FROM documents WHERE "
                 f"{pred}), unnest(range(1, len(toks) - {n - 2})) AS u(i) "
                 f"WHERE len(toks) >= {n}"
@@ -1777,7 +1779,7 @@ def bigram_lm_sql(add_k: float = 1.0) -> str:
     k = float(add_k)
     return (
         "WITH t AS (SELECT doc_id, list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM documents), "
         "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM t, "
         "unnest(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2), "
@@ -1854,7 +1856,7 @@ def quality_classifier_sql(
         "w -> regexp_matches(w, '[0-9]')))::DOUBLE / len(toks) "
         "ELSE 0.0 END AS x5 "
         "FROM (SELECT doc_id, text, list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM documents)), ",
         "mom AS (SELECT count(*) AS n, "
         + ", ".join(
@@ -1944,7 +1946,7 @@ def _cdc_chunks_ctes(window: int = 3, divisor: int = 16) -> str:
     poly = " + ".join(f"th[p - {j}] * {B**j}" for j in range(window))
     return (
         "t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
-        "'\\s+'), w -> w <> '') AS toks FROM documents), "
+        "'[[:space:]]+'), w -> w <> '') AS toks FROM documents), "
         "h AS (SELECT doc_id, toks, len(toks) AS n, "
         "list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 15)) "
         f"AS UBIGINT)::BIGINT % {M}) AS th "
@@ -2101,7 +2103,7 @@ def _unimax_ctes(total_budget: float, epoch_cap: float) -> str:
     e = repr(float(epoch_cap))
     return (
         "t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS BIGINT) AS nt "
         "FROM documents), "
         "tot AS (SELECT source, sum(nt) AS Ti FROM t GROUP BY source), "
         "ord AS (SELECT source, Ti, CAST(Ti AS DOUBLE) AS T, "
@@ -2207,7 +2209,7 @@ def _temperature_ctes(total_budget: float, tau: float) -> str:
     n = repr(float(total_budget))
     return (
         "t AS (SELECT doc_id, source, n_chars, CAST(len(list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS nt "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS BIGINT) AS nt "
         "FROM documents), "
         "tot AS (SELECT source, sum(nt) AS Ti FROM t GROUP BY source), "
         f"ws AS (SELECT source, Ti, CAST(Ti AS DOUBLE) AS T, {w} AS w FROM tot), "
@@ -2256,7 +2258,7 @@ def bpe_train_sql(num_merges: int = 16) -> str:
     sep = "chr(31)"
     parts = [
         "WITH v AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM "
-        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+        "(SELECT unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w FROM documents) "
         "WHERE w <> '' GROUP BY w),",
         "s0 AS MATERIALIZED (SELECT word, cnt, list_append(list_transform("
         "range(1, length(word) + 1), i -> substr(word, i, 1)), '</w>') AS symbols "
@@ -2377,7 +2379,7 @@ def inverted_index_sql() -> str:
     slots counted) on both sides."""
     return (
         "WITH raw AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i "
-        "FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr "
+        "FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS arr "
         "FROM documents)),\n"
         "tok AS (SELECT doc_id, arr[i + 1] AS w, i AS pos FROM raw "
         "WHERE arr[i + 1] <> ''),\n"
@@ -2462,7 +2464,7 @@ def trigram_lm_sql(add_k: float = 1.0) -> str:
     k = float(add_k)
     return (
         "WITH t AS (SELECT doc_id, list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM documents), "
         "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 "
         "FROM t, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3), "
@@ -2692,7 +2694,7 @@ def training_shards_sql(
         "ren AS (SELECT o.position AS doc_id, d.text FROM documents d "
         "JOIN ord o ON d.doc_id = o.doc_id), "
         "t AS (SELECT doc_id, list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM ren), "
         "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), "
         "p AS (SELECT doc_id, toks, CAST(sum(n) OVER "
@@ -2848,7 +2850,7 @@ def bigram_pmi_sql(min_count: int = 2) -> str:
     occurrences, pmi = log10(c2*N/(cl*cr)) rounded 6."""
     return (
         "WITH t AS (SELECT doc_id, list_filter("
-        r"regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks "
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS toks "
         "FROM documents), "
         "b AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM t, "
         "unnest(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2), "
@@ -2927,7 +2929,7 @@ def chunk_sentences_sql(window: int = 5, stride: int = 4) -> str:
     w, s = int(window), int(stride)
     return (
         "WITH t AS (SELECT doc_id, list_filter("
-        r"regexp_split_to_array(text, '[.!?]+\s+'), x -> x <> '') AS sents "
+        r"regexp_split_to_array(text, '[.!?]+[[:space:]]+'), x -> x <> '') AS sents "
         "FROM documents), "
         "c AS (SELECT doc_id, sents, len(sents) AS n FROM t WHERE len(sents) > 0), "
         "e AS (SELECT doc_id, sents, CAST(unnest(range(0, "
@@ -2958,7 +2960,7 @@ def cluster_top_terms_sql(
         "(PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn FROM scored) "
         "WHERE rn = 1), "
         "w AS (SELECT a.cell_id, unnest(list_filter("
-        r"regexp_split_to_array(lower(d.text), '\s+'), x -> x <> '')) AS word "
+        r"regexp_split_to_array(lower(d.text), '[[:space:]]+'), x -> x <> '')) AS word "
         "FROM documents d JOIN assign a ON d.doc_id = a.vec_id), "
         "c2 AS (SELECT cell_id, word, count(*) AS cnt FROM w GROUP BY 1, 2) "
         + (
@@ -2990,7 +2992,7 @@ def _winnow_sel_ctes(k: int = 5, w: int = 4) -> str:
     big = (1 << 62) - 1
     return (
         "c AS (SELECT doc_id, "
-        r"lower(regexp_replace(text, '\s+', '', 'g')) AS ch FROM documents), "
+        r"lower(regexp_replace(text, '[[:space:]]+', '', 'g')) AS ch FROM documents), "
         f"h AS (SELECT doc_id, CASE WHEN length(ch) >= {k} THEN "
         f"list_transform(range(1, length(ch) - {k} + 2), i -> "
         f"('0x' || substr(md5(substr(ch, CAST(i AS INT), {k})), 1, 15))"
