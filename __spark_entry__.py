@@ -64,7 +64,11 @@ def _scratch_dir(sub: str) -> str:
 #: queries() keys DELIBERATELY without an oracle_sql entry (the driver
 #: records a weaker rows-only check for these): ops whose semantics are
 #: not ANSI-SQL-expressible. Keep this list tiny and documented per key.
-NO_ORACLE_QUERIES: frozenset[str] = frozenset()
+#: - pca_project: the d x d eigendecomposition runs driver-side in
+#:   numpy (no SQL equivalent exists); eigenvalue/eigenvector/
+#:   projection parity vs numpy is pytest-gated
+#:   (tests/test_staged_ops2.py::test_pca_matches_numpy).
+NO_ORACLE_QUERIES: frozenset[str] = frozenset({"pca_project"})
 
 # DuckDB tokenizer CTEs — must mirror operators/text.py:tokenize
 # (whitespace split, drop empties; doc pipeline lowercases).
@@ -2347,6 +2351,366 @@ def _q_streaming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", F.round("score", 6).alias("score"))
 
 
+
+# --- round-13 registrations: staged cohorts 2+3, streaming twins, and
+# --- the program/report gates (r12 verdict items 1/2/4/6)
+
+_EVENT_RULES = {
+    "value_nonneg": "value >= 0",
+    "user_present": "user_id IS NOT NULL",
+    "type_known": "event_type IN ('click', 'view', 'purchase', 'signup', 'error')",
+}
+
+_DRIFT_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+_SKEW_KEYS = ["l_returnflag", "l_linestatus"]
+_ANN_QUERY_IDS = [0, 7, 23]
+_TOKEN_BUDGETS = {"src0": 600, "src1": 1200, "src2": 40}
+_HEALTH_RULES = {
+    "doc_id_present": "doc_id IS NOT NULL",
+    "text_nonempty": "length(text) > 0",
+    "n_chars_consistent": "n_chars = length(text)",
+}
+
+
+def _dec_join(col: str) -> F.Column:
+    """Array-of-double -> canonical decimal(18,6) CSV string: the
+    cross-engine EXACT rendering for vector columns (stringified
+    doubles differ between pandas and DuckDB; fixed-point does not)."""
+    return F.array_join(
+        F.transform(
+            F.col(col), lambda x: x.cast("decimal(18,6)").cast("string")
+        ),
+        ",",
+    )
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization (textstats.normalize_text):
+    NFC + control/zero-width strip + whitespace-run collapse + trim,
+    with a changed flag — clean_corpus's opt-in stage 0."""
+    return textstats.normalize_text(Catalog(spark, sf_dir).documents)
+
+
+def _q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NEAR-duplicate benchmark leakage
+    (contamination.fuzzy_contamination): minhash band buckets across a
+    train/bench WHERE-split, exact cross-corpus shingle Jaccard verify
+    — catches the reworded leakage the exact n-gram audit misses."""
+    docs = Catalog(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    from pagerank_mapreduce_implementation_spark.operators import contamination
+
+    return contamination.fuzzy_contamination(
+        train, bench, threshold=0.05, ngram=3
+    )
+
+
+def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality gauge (similarity.ann_recall_report): per query
+    id, IVF top-k vs brute-force cosine top-k recall — the audit that
+    keeps the n_probe/n_cells knobs honest."""
+    return similarity.ann_recall_report(
+        Catalog(spark, sf_dir).embeddings,
+        _ANN_QUERY_IDS,
+        k=10,
+        n_cells=16,
+        n_probe=4,
+    )
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget epoch fill (sampling.token_budget_mix):
+    greedy doc_id-ordered fill until each source's budget exhausts."""
+    return sampling.token_budget_mix(
+        Catalog(spark, sf_dir).documents, _TOKEN_BUDGETS
+    )
+
+
+def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability (dedup.dedup_report): cluster_survivors
+    keep/drop doc and token mass per source — what a human reads
+    after a dedup pass before trusting the drop."""
+    return dedup.dedup_report(
+        Catalog(spark, sf_dir).documents, threshold=0.5, ngram=5
+    )
+
+
+def _q_trigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 add-k LM surprisal per doc (textstats.trigram_lm_scores)."""
+    return textstats.trigram_lm_scores(Catalog(spark, sf_dir).documents)
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier flags (textstats.mad_outliers) over
+    the quality_scores output: exact median/MAD, cutoff 3."""
+    docs = Catalog(spark, sf_dir).documents
+    q = textstats.quality_scores(docs, score_only=True)
+    staged = q.join(docs.select("doc_id", "source"), "doc_id")
+    return textstats.mad_outliers(staged, score_col="quality")
+
+
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textstats.bigram_pmi, min_count=2)."""
+    return textstats.bigram_pmi(Catalog(spark, sf_dir).documents, min_count=2)
+
+
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (text.bpe_fertility): BPE-ish pieces
+    per whitespace word, per doc."""
+    return text.bpe_fertility(Catalog(spark, sf_dir).documents)
+
+
+def _q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-window chunker (text.chunk_sentences, window=3
+    stride=2): the RAG/context-window chunk shape, sentence-aligned."""
+    return text.chunk_sentences(
+        Catalog(spark, sf_dir).documents, window=3, stride=2
+    )
+
+
+def _q_truncate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (embeddings.truncate_embeddings): prefix
+    dims + renorm, zero-shuffle per-row math; vector rendered as the
+    decimal-exact CSV string for the cross-engine hash."""
+    out = emb_ops.truncate_embeddings(
+        Catalog(spark, sf_dir).embeddings, dims=16
+    )
+    return out.select("vec_id", _dec_join("embedding").alias("emb"))
+
+
+def _q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (embeddings.mean_pool_embeddings,
+    exact=True): bit-deterministic id-ordered mean folds."""
+    out = emb_ops.mean_pool_embeddings(
+        Catalog(spark, sf_dir).embeddings, exact=True
+    )
+    return out.select("label", "n", _dec_join("centroid").alias("centroid"))
+
+
+def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d x d gram matrix (embeddings.embedding_gram, exact=True):
+    one cluster-side pass, d^2 plan-time-bounded output."""
+    out = emb_ops.embedding_gram(Catalog(spark, sf_dir).embeddings, exact=True)
+    return out.select("i", "j", F.round("g", 6).alias("g"))
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (embeddings.pca_components + pca_project, k=4):
+    gram/cov on-cluster, d x d eigh on the DRIVER (numpy — the one
+    linear-algebra step SQL cannot express, hence NO_ORACLE_QUERIES:
+    rows-only driver check; exact eigenvector/eigenvalue parity vs
+    numpy is pytest-gated in tests/test_staged_ops2.py), components
+    re-enter the plan as literals so the projection itself is a
+    zero-shuffle expression. Projections rendered decimal-exact."""
+    out = emb_ops.pca_project(Catalog(spark, sf_dir).embeddings, k=4)
+    return out.select("vec_id", _dec_join("proj").alias("proj"))
+
+
+def _q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF cluster labels (embeddings.cluster_top_terms): top-3
+    tokens per embedding cell, shared-word damped."""
+    return emb_ops.cluster_top_terms(
+        Catalog(spark, sf_dir).documents,
+        Catalog(spark, sf_dir).embeddings,
+        n_cells=4,
+        k=3,
+        weighting="ctfidf",
+    )
+
+
+def _q_group_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cohesion (embeddings.group_compactness, exact=True):
+    mean member-to-centroid cosine — tight region vs noise."""
+    return emb_ops.group_compactness(
+        Catalog(spark, sf_dir).embeddings, exact=True
+    )
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged curriculum ordering (sampling.curriculum_order): docs
+    bucketed by n_chars thresholds, shuffled within stage via the
+    training_order distributed rank."""
+    return sampling.curriculum_order(
+        Catalog(spark, sf_dir).documents, "n_chars", [200.0, 500.0]
+    )
+
+
+def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-over-drop schema drift (relational.profile_drift): per
+    column, old-vs-new profile rows diffed side by side."""
+    li = Catalog(spark, sf_dir).lineitem
+    old = li.filter(F.col("l_orderkey") % 3 != 0)
+    return relational.profile_drift(old, li, _DRIFT_COLS)
+
+
+def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key audit (relational.key_skew_report): per key column,
+    the top-10 values by mass with share — the pre-join salting read."""
+    return relational.key_skew_report(
+        Catalog(spark, sf_dir).lineitem, _SKEW_KEYS, top_n=10
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution buckets (relational.value_histogram)
+    over documents.n_chars, width 100."""
+    return relational.value_histogram(
+        Catalog(spark, sf_dir).documents, "n_chars", bucket_width=100
+    )
+
+
+def _q_streaming_lm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM scorer (streaming.queries.streaming_lm_probe): the
+    bigram table is a BATCH artifact broadcast into the stream; result
+    == batch bigram_lm_scores, so the two share one oracle (the
+    streaming_search gate pattern)."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    scored = textstats.bigram_surprisal_table(
+        Catalog(spark, sf_dir).documents
+    )
+    stream = strm.read_table_stream(spark, sf_dir, "documents")
+    probe = strm.queries.streaming_lm_probe(stream, scored)
+    name = f"_stream_lm_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(probe, name, output_mode="complete", state_partitions=8)
+    return spark.table(name)
+
+
+def _q_streaming_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming expectations (streaming.queries.
+    streaming_rule_violations): named rule violation counts per event
+    hour — validate_table's stream twin."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    out = strm.queries.streaming_rule_violations(ev, _EVENT_RULES)
+    name = f"_stream_rules_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(out, name, state_partitions=8)
+    return spark.table(name)
+
+
+def _q_streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution buckets (streaming.queries.
+    streaming_value_histogram) over events.value, width 25 —
+    value_histogram's stream twin."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev = strm.read_events_stream(spark, sf_dir)
+    out = strm.queries.streaming_value_histogram(ev, "value", 25.0)
+    name = f"_stream_vh_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(out, name, state_partitions=8)
+    return spark.table(name)
+
+
+def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability PROGRAM driver-gated (programs.corpus_health):
+    one pass writing profile/expectations/skew/length-hist parquet
+    reports; returns the expectations table read back — the piece a
+    pipeline gates on. Oracle recomputes the default documents rules
+    in SQL, so the program's rule construction, the validate pass and
+    the write/read round-trip all sit under the hash."""
+    return programs.corpus_health(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        _scratch_dir("corpus_health"),
+    )
+
+
+def _q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled-cluster report PROGRAM driver-gated
+    (programs.cluster_report): Lloyd fit ONCE (exact folds), shared by
+    compactness and c-TF-IDF labeling; written + read back. The oracle
+    recomputes the whole composition off one assignment CTE."""
+    return programs.cluster_report(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        f"{sf_dir}/embeddings.parquet",
+        _scratch_dir("cluster_report"),
+        n_cells=8,
+        n_iters=2,
+        k_terms=5,
+        weighting="ctfidf",
+        exact=True,
+    )
+
+
+def _q_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-vs-shards consistency PROGRAM driver-gated
+    (programs.shard_audit): rebuild shards fresh, then diff recomputed
+    per-shard stats against the manifest. The oracle recomputes the
+    manifest in SQL (training_shards_sql) and asserts the all-ok shape
+    — so shard write, manifest write, re-read AND the audit join all
+    sit under the hash."""
+    out = _scratch_dir("shard_audit")
+    programs.build_training_shards(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        out,
+        budget=256,
+        bins_per_shard=4,
+        tokenizer="ws",
+        shuffle_seed="torder",
+    )
+    return programs.shard_audit(spark, out)
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip (sources.catalog.write_json/
+    read_json): documents -> JSON lines shards -> explicit-schema read
+    -> per-source rollup vs DuckDB over the ORIGINAL parquet — content
+    survives the training-data interchange format."""
+    from pagerank_mapreduce_implementation_spark.sources.catalog import (
+        read_json,
+        write_json,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    path = _scratch_dir("jsonl_docs")
+    write_json(docs, path)
+    back = read_json(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_pagerank_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jar-parity FILE pipeline driver-gated (r12 verdict item 4;
+    programs.run_pagerank == PageRank.java:53-327): wiki-format lines
+    written to a text file, the program runs count -> parse -> 10
+    damped reference iterations -> global sort -> O3 ``url\trank``
+    text sink, and the OUTPUT FILE is read back through the O2
+    tab-split source and re-parsed. Seed here is 1/n_lines ==
+    1/|pages| (every generated line is a page), so the oracle is the
+    wiki_pagerank SQL — any drift in the text round-trip (formatting,
+    tab handling, double stringification) breaks the hash."""
+    base = _scratch_dir("pagerank_files")
+    inp, outp = f"{base}/in", f"{base}/out"
+    _wiki_lines(spark, sf_dir).withColumnRenamed("line", "value").write.mode(
+        "overwrite"
+    ).text(inp)
+    programs.run_pagerank(spark, inp, outp, n_iters=10)
+    from pagerank_mapreduce_implementation_spark.sources.catalog import read_kv_text
+
+    kv = read_kv_text(spark, outp)
+    return (
+        kv.select(
+            F.col("key").alias("url"),
+            F.round(F.col("value").cast("double"), 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-iteration reference-parity PageRank at sf0.001."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -2938,38 +3302,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round the front of this dict holds (a) queries that are NEW or
     # whose code/oracle changed this round, (b) queries whose last
     # green row is oldest; fresh-green unchanged queries rotate to the
-    # back. FRESHNESS BUDGET (round-9 policy decision, r8 verdict item
-    # 2a): every query must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 3 rounds at the current 141
+    # back. FRESHNESS BUDGET (round-9 policy decision): every query
+    # must have a driver-green row within the last
+    # ceil(len(registry)/50) rounds — 4 rounds at the current 186
     # entries — enforced by tests/test_oracle_parity.py's rotation
-    # tests (boundary-tolerant per r8 verdict item 3: a below-window
-    # query is fresh if green in one of the last-budget driver files).
+    # tests (boundary-tolerant per r8 verdict item 3).
     return {
-        # (a) NEW round-12 registrations — staged-cohort tranche 1
-        # (r11 verdict item 1) + the program/composition gates
-        # (items 3/4) — first driver certification
+        # (a) NEW round-13 registrations — staged cohorts 2+3
+        # (r12 verdict items 1/2), the streaming twins, and the
+        # program/report gates (items 4/6): first driver
+        # certification. pca_project is the registry's ONLY
+        # rows-only entry (NO_ORACLE_QUERIES — driver-side eigh is
+        # not SQL-expressible; numpy parity is pytest-gated).
+        "normalize_text": _q_normalize_text,
+        "fuzzy_contamination": _q_fuzzy_contamination,
+        "ann_recall_report": _q_ann_recall_report,
+        "token_budget_mix": _q_token_budget_mix,
+        "dedup_report": _q_dedup_report,
+        "trigram_lm_scores": _q_trigram_lm_scores,
+        "mad_outliers": _q_mad_outliers,
+        "bigram_pmi": _q_bigram_pmi,
+        "bpe_fertility": _q_bpe_fertility,
+        "chunk_sentences": _q_chunk_sentences,
+        "truncate_embeddings": _q_truncate_embeddings,
+        "mean_pool_embeddings": _q_mean_pool_embeddings,
+        "embedding_gram": _q_embedding_gram,
+        "pca_project": _q_pca_project,
+        "cluster_top_terms": _q_cluster_top_terms,
+        "group_compactness": _q_group_compactness,
+        "curriculum_order": _q_curriculum_order,
+        "profile_drift": _q_profile_drift,
+        "key_skew_report": _q_key_skew_report,
+        "value_histogram": _q_value_histogram,
+        "streaming_lm_probe": _q_streaming_lm_probe,
+        "streaming_rule_violations": _q_streaming_rule_violations,
+        "streaming_value_histogram": _q_streaming_value_histogram,
+        "corpus_health": _q_corpus_health,
+        "cluster_report": _q_cluster_report,
+        "shard_audit": _q_shard_audit,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "pagerank_files": _q_pagerank_files,
+        # (b) the 10 deferred r9-green entries — their r9 rows age
+        # out of the last-4 driver-file window when r13 lands
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
+        "simhash_dedup": _q_simhash_dedup,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_topk_batch": _q_ivf_topk_batch,
+        "contamination_audit": _q_contamination,
+        "pii_redaction": _q_pii_redaction,
+        "cms_word_counts": _q_cms_word_counts,
+        # (c) r10-green entries pulled FORWARD (the 50-entry r10
+        # cohort comes due at r14 — re-certifying 11 now leaves r14
+        # a 39-due window with free slots), plus
+        # clustering_coefficients: its CODE changed this round
+        # (canonical-edge sharing with triangle_counts — also
+        # touched, also in this window), so it re-certifies first
+        # despite a fresh r12 row
+        "bpe_train": _q_bpe_train,
+        "changelog_compact": _q_changelog_compact,
+        "zorder_roundtrip": _q_zorder_roundtrip,
+        "lpa_communities": _q_lpa_communities,
+        "triangle_counts": _q_triangle_counts,
+        "inverted_index": _q_inverted_index,
+        "streaming_changelog_compact": _q_streaming_changelog_compact,
+        "retention_cohorts": _q_retention_cohorts,
+        "rolling_active_users": _q_rolling_active_users,
+        "changelog_apply": _q_changelog_apply,
+        "hits_top20": _q_hits_top20,
+        "clustering_coefficients": _q_clustering_coefficients,
+        # --- window boundary (50) — below here: green within the
+        # 4-round freshness budget. ROUND-14 ROTATION PLAN: window =
+        # the 39 remaining r10-green entries (due: their r10 rows
+        # leave the last-4 file window when r14 lands) + up to 11
+        # free slots (r11-green entries come due at r15).
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,
         "winnow_matches": _q_winnow_matches,
         "edit_verified_dups": _q_edit_verified_dups,
         "sssp_weighted": _q_sssp_weighted,
-        "clustering_coefficients": _q_clustering_coefficients,
         "source_centrality": _q_source_centrality,
         "bipartite_projection": _q_bipartite_projection,
         "training_shards": _q_training_shards,
         "semdedup_truncated": _q_semdedup_truncated,
-        # (a') code/oracle CHANGED this round -> re-certify first:
-        # bfs/kcore loop rework (layered frontier + drop-set peel),
-        # semdedup's oracle refactored to take an emb source CTE
         "bfs_distances": _q_bfs_distances,
         "kcore_peel": _q_kcore_peel,
         "semdedup": _q_semdedup,
-        # (b) ROUND-12 WINDOW: 36 of the 46 remaining r9-green entries
-        # (last driver-green in round 9; registering 11 new queries
-        # grows the registry to 158, flipping the freshness budget to
-        # ceil(158/50) = 4 rounds, so the 10 deferred r9 entries stay
-        # legal through round 12 and MUST lead round 13)
         "image_dct_dups": _q_image_dct_dups,
         "audio_near_dups": _q_audio_near_dups,
         "video_near_dups": _q_video_near_dups,
@@ -3006,50 +3427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": _q_streaming_user_stats,
         "window_shoppers": _q_window_shoppers,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        # --- window boundary (50) — below here: green within the
-        # 4-round freshness budget. ROUND-13 ROTATION PLAN: window =
-        # the 10 deferred r9-green entries DIRECTLY below this comment
-        # (their r9 rows age out of the last-4 file window when r13
-        # lands) + staged-cohort tranche 2 (tests/test_staged_ops*.py:
-        # truncate_embeddings, mean_pool_embeddings, embedding_gram,
-        # curriculum_order, profile_drift, key_skew_report,
-        # value_histogram, bigram_pmi, chunk_sentences, trigram_lm,
-        # mad_outliers, bpe_fertility, cluster_top_terms,
-        # group_compactness, streaming_lm_probe,
-        # streaming_rule_violations, streaming_value_histogram, the
-        # JSONL round-trip, pca_project w/ whitening [numpy-gated, may
-        # land oracle-less in NO_ORACLE_QUERIES], perplexity twopass]
-        # — register as many as fit after the due cohort; the rest
-        # queue for r14 alongside the r10-green block (due at r14
-        # under the 4-round budget: its r10 rows leave the last-4
-        # window when r14 lands — 50 entries exactly fills that
-        # window, so tranche-2 spillover must wait for r15 or ride
-        # freshness-budget growth from the r13 registrations).
-        # COHORT 3 (round-12 staged, tests/test_staged_ops3.py:
-        # ann_recall_report — the IVF-vs-brute recall gauge;
-        # token_budget_mix — per-source token-budget epoch fill;
-        # dedup_report — cluster_survivors keep/drop mass per source;
-        # fuzzy_contamination — cross-corpus minhash decontamination;
-        # normalize_text — NFC + control/zero-width strip + ws
-        # collapse, also clean_corpus's opt-in stage 0; shard_audit —
-        # manifest-vs-shards program diff) queues behind tranche 2;
-        # oracles ann_recall_sql / token_budget_mix_sql /
-        # fuzzy_contamination_sql / normalize_text_sql are in
-        # oracles.py (budgets/WHERE splits use src0..src19 / doc_id
-        # mods — testdata's real sources).
-        # deferred r9-green remainder (MUST lead round 13):
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "ngram_containment": _q_ngram_containment,
-        "simhash_dedup": _q_simhash_dedup,
-        "cosine_topk": _q_cosine_topk,
-        "cosine_pairs": _q_cosine_pairs,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_topk_batch": _q_ivf_topk_batch,
-        "contamination_audit": _q_contamination,
-        "pii_redaction": _q_pii_redaction,
-        "cms_word_counts": _q_cms_word_counts,
-        # r11-green cohort (due by round 14; grouping_sets first —
-        # its siblings bfs/kcore re-certify in this round's window):
         "grouping_sets_pricing": _q_grouping_sets_pricing,
         "perplexity_buckets": _q_perplexity_buckets,
         "tfidf_doc_pairs": _q_tfidf_doc_pairs,
@@ -3098,17 +3475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "streaming_events_sliding": _q_streaming_events_sliding,
         "graph_degree_histogram": _q_graph_degree_histogram,
-        # r10-green cohort (due by round 14 under the 4-round budget):
-        "bpe_train": _q_bpe_train,
-        "changelog_compact": _q_changelog_compact,
-        "zorder_roundtrip": _q_zorder_roundtrip,
-        "lpa_communities": _q_lpa_communities,
-        "triangle_counts": _q_triangle_counts,
-        "inverted_index": _q_inverted_index,
-        "streaming_changelog_compact": _q_streaming_changelog_compact,
-        "retention_cohorts": _q_retention_cohorts,
-        "rolling_active_users": _q_rolling_active_users,
-        "changelog_apply": _q_changelog_apply,
         "temperature_alloc": _q_temperature_alloc,
         "temperature_mix": _q_temperature_mix,
         "ivf_pq_topk": _q_ivf_pq_topk,
@@ -3129,7 +3495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_bins_spans": _q_packed_bins_spans,
         "source_top_fraction": _q_source_top_fraction,
         "gopher_repetition": _q_gopher_repetition,
-        "hits_top20": _q_hits_top20,
         "gopher_rules": _q_gopher_rules,
         "streaming_cms_counts": _q_streaming_cms_counts,
         "signup_funnel": _q_signup_funnel,
@@ -4261,4 +4626,118 @@ def oracle_sql() -> dict[str, str]:
         "m.doc_id = w.survivor_id AS keep "
         "FROM m JOIN w ON m.cluster_id = w.cluster_id"
     )
+    # --- round-13 registrations -------------------------------------
+    out["normalize_text"] = oracles.normalize_text_sql()
+    out["fuzzy_contamination"] = oracles.fuzzy_contamination_sql(
+        "doc_id % 7 <> 0", "doc_id % 7 = 0", threshold=0.05, ngram=3
+    )
+    out["ann_recall_report"] = oracles.ann_recall_sql(
+        _ANN_QUERY_IDS, k=10, n_cells=16, n_probe=4
+    )
+    out["token_budget_mix"] = oracles.token_budget_mix_sql(_TOKEN_BUDGETS)
+    # dedup_report == the cluster_survivors oracle wrapped in a
+    # per-source GROUP BY over integer token counts
+    out["dedup_report"] = (
+        f"WITH cs AS ({out['cluster_survivors']}), "
+        "t AS (SELECT doc_id, source, CAST(len(list_filter("
+        "regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) "
+        "AS BIGINT) AS nt FROM documents), "
+        "j AS (SELECT t.source, t.nt, cs.keep FROM t "
+        "JOIN cs ON t.doc_id = cs.doc_id) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, "
+        "CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) "
+        "AS tokens_kept, "
+        "round(1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*), 6) AS drop_rate "
+        "FROM j GROUP BY source"
+    )
+    out["trigram_lm_scores"] = oracles.trigram_lm_sql()
+    # mad_outliers: quality CTE shared with quality_scores (the
+    # corpus_report pattern), wrapped by the per-source median/MAD SQL
+    _quality_sql = (
+        f"WITH {_TOKS_ARR}, q AS (SELECT doc_id, "
+        "CAST(length(text) AS INT) AS n_chars, len(toks) AS n_tokens, "
+        "length(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g')) "
+        "AS punct, "
+        f"len(list_filter(toks, w -> list_contains({_SQL_STOP}, lower(w)))) "
+        "AS stop FROM t) "
+        "SELECT doc_id, "
+        "round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE)/100) "
+        "+ 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN "
+        "CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END)) "
+        "+ 0.3 * (1.0 - (CASE WHEN n_tokens > 0 THEN "
+        "CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END)), 6) AS quality "
+        "FROM q"
+    )
+    out["mad_outliers"] = oracles.mad_outliers_sql(_quality_sql)
+    out["bigram_pmi"] = oracles.bigram_pmi_sql(min_count=2)
+    out["bpe_fertility"] = oracles.bpe_fertility_sql()
+    out["chunk_sentences"] = oracles.chunk_sentences_sql(window=3, stride=2)
+    out["truncate_embeddings"] = oracles.truncate_embeddings_sql(dims=16)
+    out["mean_pool_embeddings"] = oracles.mean_pool_sql(dims=64)
+    out["embedding_gram"] = oracles.embedding_gram_sql(dims=64)
+    out["cluster_top_terms"] = oracles.cluster_top_terms_sql(
+        n_cells=4, k=3, weighting="ctfidf"
+    )
+    out["group_compactness"] = oracles.group_compactness_sql(dims=64)
+    out["curriculum_order"] = oracles.curriculum_order_sql()
+    out["profile_drift"] = oracles.profile_drift_sql(
+        "lineitem", _DRIFT_COLS, "l_orderkey % 3 <> 0"
+    )
+    out["key_skew_report"] = oracles.key_skew_report_sql(
+        "lineitem", _SKEW_KEYS, top_n=10
+    )
+    out["value_histogram"] = oracles.value_histogram_sql(
+        "documents", "n_chars", 100
+    )
+    # the streaming twins share their batch oracles (the
+    # streaming_search gate pattern)
+    out["streaming_lm_probe"] = oracles.bigram_lm_sql()
+    _rule_cases = " UNION ALL ".join(
+        f"SELECT '{nm}' AS rule, date_trunc('hour', ts) AS ws, "
+        "count(*) AS n_rows, "
+        f"CAST(coalesce(sum(CASE WHEN ({ex}) THEN 0 ELSE 1 END), 0) "
+        "AS BIGINT) AS n_violations, "
+        "round(CAST(coalesce(sum(CASE WHEN "
+        f"({ex}) THEN 0 ELSE 1 END), 0) AS DOUBLE) / count(*), 6) "
+        "AS violation_rate FROM events GROUP BY 2"
+        for nm, ex in _EVENT_RULES.items()
+    )
+    out["streaming_rule_violations"] = (
+        "SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, "
+        "CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP_NS) AS window_end, "
+        f"rule, n_rows, n_violations, violation_rate FROM ({_rule_cases})"
+    )
+    out["streaming_value_histogram"] = oracles.value_histogram_sql(
+        "events", "value", 25.0
+    )
+    out["corpus_health"] = oracles.validate_table_sql(
+        "documents", _HEALTH_RULES
+    )
+    out["cluster_report"] = oracles.cluster_report_sql(
+        n_cells=8, n_iters=2, k_terms=5, weighting="ctfidf", dims=64
+    )
+    # shard_audit over a FRESH build: actuals == manifest, all ok —
+    # the manifest itself recomputed end-to-end (training_shards_sql)
+    out["shard_audit"] = (
+        "SELECT shard, n_bins, n_bins AS n_bins_actual, "
+        "n_tokens, n_tokens AS n_tokens_actual, "
+        "doc_segments, doc_segments AS doc_segments_actual, TRUE AS ok "
+        f"FROM ({oracles.training_shards_sql(budget=256, bins_per_shard=4, seed='torder')}) m"
+    )
+    out["jsonl_roundtrip"] = (
+        # BIGINT casts: DuckDB sum(BIGINT) is HUGEINT -> float64 in
+        # pandas, which would hash-mismatch Spark's long
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars, "
+        "CAST(sum(length(text)) AS BIGINT) AS text_chars, "
+        "min(doc_id) AS min_id, "
+        "max(doc_id) AS max_id FROM documents GROUP BY source"
+    )
+    # the file pipeline re-reads the O3 text sink; content == the wiki
+    # pagerank (seed 1/n_lines == 1/|pages| on this corpus), so the
+    # SAME SQL gates the round-trip
+    out["pagerank_files"] = out["wiki_pagerank"]
     return out

@@ -3096,3 +3096,100 @@ def value_histogram_sql(
         f"SELECT {b} AS bucket_start, count(*) AS n "
         f"FROM {table} GROUP BY 1"
     )
+
+
+def cluster_report_sql(
+    n_cells: int = 8,
+    n_iters: int = 2,
+    k_terms: int = 5,
+    weighting: str = "ctfidf",
+    dims: int = 64,
+) -> str:
+    """Mirror of ``programs.cluster_report(exact=True)``: the
+    ``ivf_topk_lloyd_sql`` centroid unroll (first-n seed, argmax-cosine
+    assignment with ties to the lowest cell, bit-deterministic
+    id-ordered mean folds, empty cells keep their centroid) feeding
+    BOTH report branches off ONE ``assign`` CTE — per-cell
+    exact-fold member-centroid compactness (``group_compactness_sql``
+    over the assignment) and the top-``k_terms`` token label
+    (``cluster_top_terms_sql`` ranking), concatenated rank-ordered via
+    ``string_agg(word, ' ' ORDER BY rn)``."""
+    parts = [
+        "WITH seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, "
+        "CAST(embedding AS DOUBLE[]) AS cvec FROM "
+        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})), "
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, "
+        f"{_norm_sql('embedding')} AS vnorm FROM embeddings), "
+    ]
+    prev = "seed"
+    for t in range(n_iters):
+        parts.append(
+            f"sc{t} AS (SELECT b.vec_id, b.vec, b.vnorm, c.cell_id, "
+            f"{_dot_sql('b.vec', 'c.cvec')} / (b.vnorm * {_norm_sql('c.cvec')}) "
+            f"AS ccos FROM base b CROSS JOIN {prev} c), "
+            f"as{t} AS (SELECT vec_id, vec, cell_id FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) AS rn "
+            f"FROM sc{t}) WHERE rn = 1), "
+            f"mean{t} AS (SELECT cell_id, list_transform(range(1, {dims + 1}), "
+            "d -> list_reduce(list_transform(ms, m -> m[d]), (a, b) -> a + b) "
+            "/ len(ms)) AS mvec FROM (SELECT cell_id, "
+            f"list(vec ORDER BY vec_id) AS ms FROM as{t} GROUP BY cell_id)), "
+            f"cents{t + 1} AS (SELECT p.cell_id, coalesce(m.mvec, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN mean{t} m ON p.cell_id = m.cell_id), "
+        )
+        prev = f"cents{t + 1}"
+    rank_expr = (
+        "ORDER BY cnt DESC, word ASC"
+        if weighting == "count"
+        else "ORDER BY score DESC, word ASC"
+    )
+    score_ctes = (
+        ""
+        if weighting == "count"
+        else (
+            "dfc AS (SELECT word, count(*) AS dfc FROM c2 GROUP BY 1), "
+            "nc AS (SELECT CAST(count(DISTINCT cell_id) AS DOUBLE) AS nc FROM c2), "
+            "sc AS (SELECT c2.cell_id, c2.word, c2.cnt, "
+            "round(c2.cnt * log10(1.0 + nc.nc / dfc.dfc), 6) AS score "
+            "FROM c2 JOIN dfc USING (word), nc), "
+        )
+    )
+    ranked_src = "c2" if weighting == "count" else "sc"
+    parts.append(
+        "scored AS (SELECT b.vec_id, b.vec, b.vnorm, c.cell_id, "
+        f"{_dot_sql('b.vec', 'c.cvec')} / (b.vnorm * {_norm_sql('c.cvec')}) "
+        f"AS ccos FROM base b CROSS JOIN {prev} c), "
+        "assign AS (SELECT vec_id, vec, vnorm, cell_id FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, "
+        "cell_id ASC) AS rn FROM scored) WHERE rn = 1), "
+        # compactness: EXACT-FOLD member centroid per cell (id-ordered
+        # sequential sums — group_compactness_sql with the assignment
+        # as the member table), decimal-exact cosine mean rounded 6
+        f"ccent AS (SELECT cell_id, list_transform(range(1, {dims + 1}), "
+        "d -> list_reduce(list_transform(ms, m -> m[d]), (a, b) -> a + b) "
+        "/ len(ms)) AS centroid FROM (SELECT cell_id, "
+        "list(vec ORDER BY vec_id) AS ms FROM assign GROUP BY cell_id)), "
+        "cj AS (SELECT a.cell_id, CAST(CASE WHEN a.vnorm > 0 AND "
+        f"{_norm_sql('c.centroid')} > 0 THEN "
+        f"{_dot_sql('a.vec', 'c.centroid')} / (a.vnorm * "
+        f"{_norm_sql('c.centroid')}) ELSE 0.0 END AS DECIMAL(18,12)) AS cc "
+        "FROM assign a JOIN ccent c USING (cell_id)), "
+        "comp AS (SELECT cell_id, count(*) AS n, "
+        "round(CAST(sum(cc) AS DOUBLE) / count(*), 6) AS mean_cos "
+        "FROM cj GROUP BY cell_id), "
+        "w AS (SELECT a.cell_id, unnest(list_filter("
+        "regexp_split_to_array(lower(d.text), '[[:space:]]+'), "
+        "x -> x <> '')) AS word "
+        "FROM documents d JOIN assign a ON d.doc_id = a.vec_id), "
+        "c2 AS (SELECT cell_id, word, count(*) AS cnt FROM w GROUP BY 1, 2), "
+        + score_ctes
+        + "topk AS (SELECT cell_id, word, rn FROM (SELECT *, row_number() "
+        f"OVER (PARTITION BY cell_id {rank_expr}) AS rn FROM {ranked_src}) "
+        f"WHERE rn <= {int(k_terms)}), "
+        "lbl AS (SELECT cell_id, string_agg(word, ' ' ORDER BY rn) AS label "
+        "FROM topk GROUP BY cell_id) "
+        "SELECT comp.cell_id, comp.n, comp.mean_cos, "
+        "coalesce(lbl.label, '') AS label "
+        "FROM comp LEFT JOIN lbl USING (cell_id)"
+    )
+    return "".join(parts)

@@ -48,6 +48,11 @@ def main() -> None:
     for i, (name, fn) in enumerate(list(entry.queries().items())[:N]):
         try:
             got = fn(spark, SF_DIR).toPandas()
+            if name in entry.NO_ORACLE_QUERIES:
+                # the driver's weaker rows-only check for documented
+                # non-SQL-expressible ops
+                print(f"[{i:2d}] OK {name} rows={len(got)} (rows-only)", flush=True)
+                continue
             want = con.sql(osql[name]).df()
             rows_ok = len(got) == len(want)
             schema_ok = sorted(got.columns) == sorted(want.columns)

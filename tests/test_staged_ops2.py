@@ -48,6 +48,15 @@ def check(spark_df, duck_con, oracle_sql):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the driver hashes STRINGIFIED values: int-vs-float kind drift
+    # (DuckDB HUGEINT sums land as float64) hash-mismatches there even
+    # when assert_frame_equal calls the values equal (the r5 lesson;
+    # this guard caught the jsonl_roundtrip oracle in r13)
+    for col in got.columns:
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        assert not ((gk in "iu" and wk == "f") or (gk == "f" and wk in "iu")), (
+            f"{col}: integer-vs-float divergence ({got[col].dtype} vs {want[col].dtype})"
+        )
 
 
 def _dec_join(col: str) -> F.Column:
@@ -343,8 +352,10 @@ def test_jsonl_roundtrip_parity(spark, sf_dir, duck, tmp_path):
     check(
         out,
         duck,
-        "SELECT source, count(*) AS n_docs, sum(n_chars) AS chars, "
-        "sum(length(text)) AS text_chars, min(doc_id) AS min_id, "
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars, "
+        "CAST(sum(length(text)) AS BIGINT) AS text_chars, "
+        "min(doc_id) AS min_id, "
         "max(doc_id) AS max_id FROM documents GROUP BY source",
     )
 
