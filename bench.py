@@ -42,7 +42,36 @@ def contention_probe() -> dict:
         return {"load1": None, "ncpu": os.cpu_count(), "contended": None}
 
 
+def wait_for_quiet_host(
+    threshold: float = 3.0, max_wait_s: float = 180.0, poll_s: float = 5.0
+) -> float:
+    """Load gate (round-12 verdict item 5): the archived r12 driver
+    bench was captured at load1 6.83 and overstated the suite ~19% vs
+    the same-code quiet-box run. Rather than record a number known to
+    be polluted, hold the start (bounded) until the 1-minute load
+    drops under ``threshold``. Returns seconds waited. Disable with
+    SPARK_GRAFT_BENCH_LOAD_GATE=0; the gate never blocks past
+    ``max_wait_s`` — if the host stays busy, the run proceeds and the
+    contention fields in the JSON line say so."""
+    if os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1") == "0":
+        return 0.0
+    waited = 0.0
+    try:
+        while os.getloadavg()[0] > threshold and waited < max_wait_s:
+            print(
+                f"  load gate: load1={os.getloadavg()[0]:.2f} > {threshold}, "
+                f"waiting ({waited:.0f}/{max_wait_s:.0f}s)",
+                file=sys.stderr,
+            )
+            time.sleep(poll_s)
+            waited += poll_s
+    except OSError:
+        return 0.0
+    return waited
+
+
 def main() -> None:
+    load_gate_waited = wait_for_quiet_host()
     probe_start = contention_probe()
     spark = get_spark(app_name="spark-graft-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -128,6 +157,7 @@ def main() -> None:
             "unbenched": unbenched,
             "contended": probe_start["contended"],
             "load1_at_start": probe_start["load1"],
+            "load_gate_waited_s": load_gate_waited,
             "ncpu": probe_start["ncpu"],
         }
     )

@@ -959,6 +959,45 @@ def test_winnow_fingerprints_matches_pure_python(spark, texts, k, w):
     assert got == want
 
 
+@settings(**_PROP)
+@given(
+    texts=st.lists(
+        st.text(alphabet="\u03b1\u0392\u6c49\u5b57\u00e9\u00dc \t.\x0b\u00a0x", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 4]),
+    w=st.sampled_from([1, 3]),
+)
+def test_winnow_non_ascii_matches_duckdb_oracle(spark, texts, k, w):
+    """r12 verdict item 7: the Arrow kernel's CHAR-SLICE fallback path
+    (multi-byte chars break the byte-window fast path) gated against
+    the REAL DuckDB oracle on a non-ASCII corpus — only ASCII corpora
+    had exercised the oracle since the r11 convention fix. The
+    alphabet deliberately plants the convention edges: U+000B
+    (stripped by BOTH sides now that the oracle says [[:space:]]),
+    NBSP (stripped by NEITHER — part of the grams), caseful Greek and
+    accented Latin (unicode lower on both sides), and CJK (pure
+    multi-byte, no case)."""
+    import duckdb
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in dedup.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        tuple(r)
+        for r in con.sql(oracles.winnow_fingerprints_sql(k=k, w=w)).fetchall()
+    }
+    assert got == want
+
+
 def test_winnow_empty_and_tiny_inputs(spark):
     from pagerank_mapreduce_implementation_spark.operators import dedup
 
