@@ -700,7 +700,8 @@ def test_streaming_rule_violations_matches_batch_oracle(spark, sf_dir, duck):
     cases = " UNION ALL ".join(
         f"SELECT '{nm}' AS rule, date_trunc('hour', ts) AS ws, "
         f"count(*) AS n_rows, "
-        f"coalesce(sum(CASE WHEN ({ex}) THEN 0 ELSE 1 END), 0) AS n_violations, "
+        f"CAST(coalesce(sum(CASE WHEN ({ex}) THEN 0 ELSE 1 END), 0) "
+        "AS BIGINT) AS n_violations, "
         "round(CAST(coalesce(sum(CASE WHEN "
         f"({ex}) THEN 0 ELSE 1 END), 0) AS DOUBLE) / count(*), 6) "
         "AS violation_rate FROM events GROUP BY 2"
