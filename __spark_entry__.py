@@ -2648,7 +2648,11 @@ def _q_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/documents.parquet",
         out,
         budget=256,
-        bins_per_shard=4,
+        # 16 bins/shard: enough shards for a non-vacuous audit at the
+        # correctness SF while bounding the hive partition-dir count
+        # the bench pays 3x per pass (4 bins/shard wrote ~680 dirs at
+        # sf0.1 — measured 6.4 s, dominated by FS ops, not compute)
+        bins_per_shard=16,
         tokenizer="ws",
         shuffle_seed="torder",
     )
@@ -3377,7 +3381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4-round freshness budget. ROUND-14 ROTATION PLAN: window =
         # the 39 remaining r10-green entries (due: their r10 rows
         # leave the last-4 file window when r14 lands) + up to 11
-        # free slots (r11-green entries come due at r15).
+        # free slots. ROUND-13 STAGED, queued for those slots
+        # (tests/test_staged_ops3.py, oracles inline there):
+        # bucketed_revenue (programs.bucketed_revenue — bucket-
+        # materialized co-located fact join, shuffle-free-join plan
+        # gate) and csv_roundtrip (the jsonl_roundtrip twin over the
+        # CSV source/sink). r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,
@@ -4725,7 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT shard, n_bins, n_bins AS n_bins_actual, "
         "n_tokens, n_tokens AS n_tokens_actual, "
         "doc_segments, doc_segments AS doc_segments_actual, TRUE AS ok "
-        f"FROM ({oracles.training_shards_sql(budget=256, bins_per_shard=4, seed='torder')}) m"
+        f"FROM ({oracles.training_shards_sql(budget=256, bins_per_shard=16, seed='torder')}) m"
     )
     out["jsonl_roundtrip"] = (
         # BIGINT casts: DuckDB sum(BIGINT) is HUGEINT -> float64 in

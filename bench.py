@@ -98,6 +98,20 @@ def main() -> None:
                 it.next().unpersist(False)
         except Exception as exc:
             print(f"  drop_persisted unavailable: {exc}", file=sys.stderr)
+        # Memory-sink hygiene: every streaming query registers a fresh
+        # "_stream_<seq>" memory-sink temp view per invocation (names
+        # are sequenced so concurrent runs can't collide), so 3 passes
+        # x 15 streaming queries would otherwise pin ~45 result tables
+        # in the JVM for the whole bench — steadily growing GC
+        # pressure that taxes every LATER query's measurement. The
+        # result df was already consumed by the noop sink, so the view
+        # (the only reference to the sink's rows) can drop now.
+        try:
+            for tbl in spark.catalog.listTables():
+                if tbl.name.startswith("_stream_") and tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
+        except Exception as exc:
+            print(f"  sink cleanup unavailable: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
 
     drop_persisted()

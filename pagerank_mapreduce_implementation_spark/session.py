@@ -78,6 +78,24 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Long-session hygiene (a many-hundred-query session is the
+        # steady state for both the bench and a 100 TB driver): the
+        # SQL status store retains full plan graphs + metrics for the
+        # last 1000 executions EVEN WITH THE UI OFF — unrolled
+        # iterative plans (pagerank, hits, lloyd) are huge, so a long
+        # suite accumulates hundreds of MB of dead metadata and taxes
+        # the listener bus; retain a diagnostic-sized window instead.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        # ContextCleaner only reclaims shuffle files / broadcast blocks
+        # once the JVM GCs their references — with a 24g driver heap,
+        # organic full GCs are rare, so hundreds of executions' shuffle
+        # files pile up on local disk mid-session. The default periodic
+        # System.gc() every 30min never fires inside one bench; every
+        # 2min keeps the cleanup queue draining.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # G1 (the JVM default) measured best here; ZGC was 3-4x slower
         # on this allocation-heavy workload. The reserved code cache is

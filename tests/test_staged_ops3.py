@@ -564,3 +564,102 @@ def test_clean_corpus_normalize_stage(spark, tmp_path):
     assert rows[1]["source"] == "web"  # passthrough intact
     # the surviving text is the NORMALIZED form (composed, one space)
     assert rows[1]["text"] == "caf\u00e9 menu with plenty of words here"
+
+
+# --- round-13 staged: source-layout compositions (queued for the r14
+# --- window's free slots) ---------------------------------------------------
+
+BUCKETED_REVENUE_ORACLE = (
+    "SELECT o_orderpriority, count(*) AS n_items, "
+    "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) "
+    "AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+CSV_ROUNDTRIP_ORACLE = (
+    # BIGINT casts: DuckDB HUGEINT sums land as float64 (the r13
+    # jsonl_roundtrip lesson)
+    "SELECT source, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars, "
+    "CAST(sum(length(text)) AS BIGINT) AS text_chars, "
+    "min(doc_id) AS min_id, max(doc_id) AS max_id "
+    "FROM documents GROUP BY source"
+)
+
+
+def test_bucketed_revenue_parity(spark, sf_dir, duck):
+    """programs.bucketed_revenue == the plain join/rollup SQL — the
+    bucket-materialized round-trip changes the PLAN, never the data."""
+    from pagerank_mapreduce_implementation_spark.programs import bucketed_revenue
+
+    got = bucketed_revenue(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/lineitem.parquet",
+        table_prefix="bkt_stage_test",
+    )
+    try:
+        check(got, duck, BUCKETED_REVENUE_ORACLE)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_stage_test_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_stage_test_lineitem")
+
+
+def test_bucketed_revenue_join_is_shuffle_free(spark, sf_dir):
+    """The 100 TB claim on the executed plan: after bucket
+    materialization the fact-to-fact JOIN itself plans with zero
+    exchanges — the only hashpartitioning in the whole rollup is the
+    5-row priority aggregation, so neither fact table is ever
+    shuffled. (Broadcast is disabled so bucketing, not table size, is
+    what kills the exchange.)"""
+    from pagerank_mapreduce_implementation_spark.programs import bucketed_revenue
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed_revenue(
+            spark,
+            f"{sf_dir}/orders.parquet",
+            f"{sf_dir}/lineitem.parquet",
+            table_prefix="bkt_plan_test",
+        )
+        joined = spark.table("bkt_plan_test_lineitem").join(
+            spark.table("bkt_plan_test_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS bkt_plan_test_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_plan_test_lineitem")
+
+
+def test_csv_roundtrip_parity(spark, sf_dir, duck, tmp_path):
+    """documents -> CSV shards (quoted) -> explicit-schema read ->
+    per-source rollup vs DuckDB over the ORIGINAL parquet: content
+    survives the other interchange format (the jsonl_roundtrip twin —
+    commas and quotes in text exercise the quoting path)."""
+    from pagerank_mapreduce_implementation_spark.sources.catalog import (
+        read_csv,
+        write_csv,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    path = str(tmp_path / "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+    check(out, duck, CSV_ROUNDTRIP_ORACLE)
