@@ -663,3 +663,57 @@ def test_csv_roundtrip_parity(spark, sf_dir, duck, tmp_path):
         F.max("doc_id").alias("max_id"),
     )
     check(out, duck, CSV_ROUNDTRIP_ORACLE)
+
+
+def _final_plan(df) -> str:
+    df.collect()  # AQE: read the final plan, not the initial one
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+
+
+def test_cohort3_plan_shapes(spark, sf_dir):
+    """The round-13 registrations' scale claims as assertions, one
+    action each (the cohort-2 pattern): zero-shuffle where the
+    docstring promises per-row pipelines, top-k without global sorts,
+    single scans, and no cartesian anywhere."""
+    from pagerank_mapreduce_implementation_spark.operators import (
+        contamination,
+        relational as rel,
+        text as text_ops,
+        textstats,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    li = Catalog(spark, sf_dir).lineitem
+
+    nt = _final_plan(textstats.normalize_text(docs))
+    assert "Exchange" not in nt  # NFC/strip/collapse: per-row, zero shuffle
+
+    cs = _final_plan(text_ops.chunk_sentences(docs, window=3, stride=2))
+    assert "Exchange" not in cs  # split+window explode: per-row
+
+    ks = _final_plan(rel.key_skew_report(li, ["l_returnflag"], top_n=5))
+    assert "TakeOrderedAndProject" in ks  # top-n, never a global sort
+    assert ks.count("FileScan") == 1
+
+    vh = _final_plan(rel.value_histogram(docs, "n_chars", 100))
+    assert vh.count("FileScan") == 1
+    assert "rangepartitioning" not in vh
+
+    tb = _final_plan(sampling.token_budget_mix(docs, {"src0": 500}))
+    assert "rangepartitioning" not in tb  # per-source windows, no global sort
+    assert "CartesianProduct" not in tb
+
+    fz = _final_plan(
+        contamination.fuzzy_contamination(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0),
+            threshold=0.05,
+            ngram=3,
+        )
+    )
+    assert "CartesianProduct" not in fz  # band-bucket equi-joins only
