@@ -3385,8 +3385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_staged_ops3.py, oracles inline there):
         # bucketed_revenue (programs.bucketed_revenue — bucket-
         # materialized co-located fact join, shuffle-free-join plan
-        # gate) and csv_roundtrip (the jsonl_roundtrip twin over the
-        # CSV source/sink). r11-green entries come due at r15.
+        # gate), csv_roundtrip (the jsonl_roundtrip twin over the
+        # CSV source/sink), and tfidf_files (the pagerank_files twin:
+        # programs.tfidf_search_rank through the one-doc-per-file
+        # input + O3 text sink + O2 re-read). r11-green entries come
+        # due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

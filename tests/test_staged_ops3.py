@@ -717,3 +717,52 @@ def test_cohort3_plan_shapes(spark, sf_dir):
         )
     )
     assert "CartesianProduct" not in fz  # band-bucket equi-joins only
+
+
+def test_tfidf_files_roundtrip_parity(spark, sf_dir, duck, tmp_path):
+    """The jar's OTHER file pipeline gated end to end (the
+    pagerank_files twin): a deterministic doc subset written one doc
+    per FILE (the jar keys docs by input file name), programs.
+    tfidf_search_rank runs TermFrequency -> TFIDF -> Search -> Rank
+    with the jar-exact boundary tokenizer and writes ``doc \\t score``
+    text, and the OUTPUT FILE is read back through the O2 tab-split
+    source — the oracle recomputes the whole scoring over the same
+    subset, so formatting/round-trip drift breaks the hash. The
+    driver-side writes are the bounded doc subset (one small file per
+    doc is the reference's own contract; Spark cannot name output
+    files per row)."""
+    from pagerank_mapreduce_implementation_spark.programs import tfidf_search_rank
+    from pagerank_mapreduce_implementation_spark.sources.catalog import read_kv_text
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 100 == 0)
+    rows = docs.select("doc_id", "text").collect()  # bounded: |docs|/100
+    assert rows, "vacuous gate: empty doc subset"
+    ind = tmp_path / "docs_in"
+    ind.mkdir()
+    for r in rows:
+        (ind / f"doc{r['doc_id']}").write_text(r["text"])
+    out = str(tmp_path / "scores_out")
+    tfidf_search_rank(
+        spark, str(ind), out, terms=["spark", "window", "table"]
+    )
+    back = read_kv_text(spark, out).select(
+        F.col("key").alias("doc_id"),
+        F.round(F.col("value").cast("double"), 6).alias("score"),
+    )
+    oracle = (
+        "WITH sub AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id, "
+        "text FROM documents WHERE doc_id % 100 = 0), "
+        "tok AS (SELECT doc_id, lower(w) AS word FROM (SELECT doc_id, "
+        r"unnest(regexp_extract_all(text, '\w+|[^\w[:space:]]+')) AS w "
+        "FROM sub) z WHERE w <> ''), "
+        "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok "
+        "GROUP BY doc_id, word), "
+        "tf AS (SELECT doc_id, word, 1.0 + log10(c) AS tf FROM cnt), "
+        "dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "tfidf AS (SELECT t.doc_id, t.word, t.tf * log10(1.0 + "
+        "CAST((SELECT count(*) FROM sub) AS DOUBLE)/dfreq.df) AS tfidf "
+        "FROM tf t JOIN dfreq USING (word)) "
+        "SELECT doc_id, round(sum(tfidf), 6) AS score FROM tfidf "
+        "WHERE word IN ('spark', 'window', 'table') GROUP BY doc_id"
+    )
+    check(back, duck, oracle)
