@@ -3386,9 +3386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucketed_revenue (programs.bucketed_revenue — bucket-
         # materialized co-located fact join, shuffle-free-join plan
         # gate), csv_roundtrip (the jsonl_roundtrip twin over the
-        # CSV source/sink), and tfidf_files (the pagerank_files twin:
+        # CSV source/sink), tfidf_files (the pagerank_files twin:
         # programs.tfidf_search_rank through the one-doc-per-file
-        # input + O3 text sink + O2 re-read). r11-green entries come
+        # input + O3 text sink + O2 re-read), and contamination_spans
+        # (contamination.contamination_spans + oracles.
+        # contamination_spans_sql — merged leaked-token spans, the
+        # actionable decontamination form). r11-green entries come
         # due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,

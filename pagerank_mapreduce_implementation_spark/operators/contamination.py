@@ -194,3 +194,75 @@ def fuzzy_contamination(
         .select("doc_id", "bench_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    ngram: int = 8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """WHERE the leak is, not just how much: merged token spans of
+    benchmark-shared n-grams per training doc → ``(doc_id, start_tok,
+    end_tok, n_grams)`` with 0-based inclusive token indices — the
+    actionable form of ``contamination_check``'s ratio (a surgical
+    pipeline redacts the span; a blunt one drops the doc; both need
+    the positions, which the distinct-shingle audit throws away).
+
+    Overlapping or ADJACENT leaked grams coalesce into one span
+    (gaps-and-islands over the per-doc leaked positions — the
+    ``substring_runs`` trick at token granularity): a verbatim leaked
+    passage of L tokens reports as ONE row spanning it, carrying
+    ``n_grams = L - ngram + 1``.
+
+    Physical shape: positional shingles stay a per-row explode (no
+    distinct — positions must survive); the benchmark side reduces to
+    its distinct shingle set, small by nature, which AQE broadcasts
+    from measured size into the semi-join; the islands window
+    partitions by doc over LEAKED positions only (contamination is
+    sparse — the window input is hit-sized, not corpus-sized).
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram ({ngram}) must be >= 1")
+    from pyspark.sql import Window
+
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = train.select(F.col(doc_col).alias("doc_id"), arr.alias("toks"))
+    pos_sh = F.when(
+        F.size("toks") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - ngram + 1),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.array_join(F.slice("toks", i, ngram), " ").alias("shingle"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,shingle:string>>"))
+    occ = (
+        toks.select("doc_id", F.explode(pos_sh).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+    )
+    b_sh = shingles(bench, ngram, text_col, doc_col).select("shingle").distinct()
+    hits = occ.join(b_sh, "shingle").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # new island when this gram's token range can no longer touch the
+    # previous gram's: pos > prev_pos + ngram (ranges are fixed-length,
+    # so the running span end is prev_pos + ngram - 1)
+    flagged = hits.withColumn(
+        "ni",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + ngram),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("ni").over(w))
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(ngram - 1)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_grams")
+    )

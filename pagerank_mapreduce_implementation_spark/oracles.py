@@ -3193,3 +3193,43 @@ def cluster_report_sql(
         "FROM comp LEFT JOIN lbl USING (cell_id)"
     )
     return "".join(parts)
+
+
+def contamination_spans_sql(
+    train_where: str, bench_where: str, ngram: int = 8
+) -> str:
+    """Mirror of ``contamination.contamination_spans`` over a
+    WHERE-split of ``documents``: positional train shingles, distinct
+    bench shingle set, semi-join, gaps-and-islands merge of leaked
+    positions into inclusive token spans."""
+    n = int(ngram)
+    pos_sh = (
+        f"unnest(CASE WHEN len(a) >= {n} THEN "
+        f"list_transform(range(1, len(a) - {n} + 2), i -> "
+        "struct_pack(pos := CAST(i - 1 AS BIGINT), "
+        f"sh := array_to_string(a[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '))) "
+        "ELSE [] END)"
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '') AS a "
+        "FROM documents), "
+        f"occ AS (SELECT doc_id, s.pos AS pos, s.sh AS shingle FROM "
+        f"(SELECT doc_id, {pos_sh} AS s FROM toks "
+        f"WHERE {train_where}) z), "
+        f"bsh AS (SELECT DISTINCT s.sh AS shingle FROM "
+        f"(SELECT doc_id, {pos_sh} AS s FROM toks "
+        f"WHERE {bench_where}) z), "
+        "hits AS (SELECT o.doc_id, o.pos FROM occ o "
+        "JOIN bsh b ON o.shingle = b.shingle), "
+        "fl AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) "
+        f"OVER (PARTITION BY doc_id ORDER BY pos) + {n} THEN 1 ELSE 0 END "
+        "AS ni FROM hits), "
+        "g AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id "
+        "ORDER BY pos) AS island FROM fl) "
+        "SELECT doc_id, start_tok, end_tok, n_grams FROM "
+        "(SELECT doc_id, island, min(pos) AS start_tok, "
+        f"CAST(max(pos) + {n - 1} AS BIGINT) AS end_tok, "
+        "count(*) AS n_grams FROM g GROUP BY doc_id, island)"
+    )

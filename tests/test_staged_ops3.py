@@ -766,3 +766,54 @@ def test_tfidf_files_roundtrip_parity(spark, sf_dir, duck, tmp_path):
         "WHERE word IN ('spark', 'window', 'table') GROUP BY doc_id"
     )
     check(back, duck, oracle)
+
+
+# --- round-13 staged: span-level decontamination ---------------------------
+
+
+def test_contamination_spans_parity(spark, sf_dir, duck):
+    """contamination_spans over the contamination_audit split (bench =
+    doc_id % 20 == 0) == the positional-shingle islands SQL."""
+    from pagerank_mapreduce_implementation_spark.operators import contamination
+
+    docs = Catalog(spark, sf_dir).documents
+    got = contamination.contamination_spans(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        ngram=8,
+    )
+    assert got.count() > 0, "vacuous gate: no cross-split 8-gram leaks"
+    check(
+        got,
+        duck,
+        oracles.contamination_spans_sql(
+            "doc_id % 20 <> 0", "doc_id % 20 = 0", ngram=8
+        ),
+    )
+
+
+def test_contamination_spans_merges_adjacent_grams(spark):
+    """A verbatim leaked passage of L tokens reports as ONE span with
+    n_grams = L - n + 1; two leaks separated by clean text report as
+    two spans; a doc too short to shingle never appears."""
+    from pagerank_mapreduce_implementation_spark.operators import contamination
+
+    leak = "a b c d e"  # L=5 tokens, n=3 -> one span, 3 grams
+    train = spark.createDataFrame(
+        [
+            (1, f"x0 x1 {leak} y0 y1 y2 y3 {leak} z0"),
+            (2, "clean text with nothing shared at all here"),
+            (3, "a b"),  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    rows = sorted(
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in contamination.contamination_spans(train, bench, ngram=3).collect()
+    )
+    # doc 1 tokens: x0 x1 a b c d e y0 y1 y2 y3 a b c d e z0
+    #               0  1  2 3 4 5 6 7  8  9  10 11 ...   16
+    assert rows == [(1, 2, 6, 3), (1, 11, 15, 3)]
+    with pytest.raises(ValueError):
+        contamination.contamination_spans(train, bench, ngram=0)
