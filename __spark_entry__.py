@@ -3388,11 +3388,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate), csv_roundtrip (the jsonl_roundtrip twin over the
         # CSV source/sink), tfidf_files (the pagerank_files twin:
         # programs.tfidf_search_rank through the one-doc-per-file
-        # input + O3 text sink + O2 re-read), and contamination_spans
+        # input + O3 text sink + O2 re-read), contamination_spans
         # (contamination.contamination_spans + oracles.
         # contamination_spans_sql — merged leaked-token spans, the
-        # actionable decontamination form). r11-green entries come
-        # due at r15.
+        # actionable decontamination form), and pii_luhn
+        # (redaction.luhn_scan + oracles.luhn_scan_sql over the
+        # manufactured card corpus of oracles.luhn_cards_docs_sql —
+        # checksum-validated card detection, the precision upgrade
+        # over the bare digit regex). r11-green entries come due
+        # at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

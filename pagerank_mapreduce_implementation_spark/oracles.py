@@ -3233,3 +3233,54 @@ def contamination_spans_sql(
         f"CAST(max(pos) + {n - 1} AS BIGINT) AS end_tok, "
         "count(*) AS n_grams FROM g GROUP BY doc_id, island)"
     )
+
+
+def luhn_scan_sql(docs_sql: str) -> str:
+    """Mirror of ``redaction.luhn_scan`` over any ``(doc_id, text)``
+    relation: card-shaped candidate extraction (same RE2-subset regex),
+    separator strip, and the integer mod-10 checksum replayed with
+    ``list_sum`` over the identical fixed-order terms."""
+    luhn_term = (
+        "CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN 2 * (ascii(substr(r, CAST(i AS INT), 1)) - 48) > 9 "
+        "THEN 2 * (ascii(substr(r, CAST(i AS INT), 1)) - 48) - 9 "
+        "ELSE 2 * (ascii(substr(r, CAST(i AS INT), 1)) - 48) END "
+        "ELSE ascii(substr(r, CAST(i AS INT), 1)) - 48 END"
+    )
+    return (
+        f"WITH docs AS ({docs_sql}), "
+        "cand AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+        r"'\b\d(?:[ -]?\d){12,18}\b')) AS card FROM docs), "
+        "d AS (SELECT doc_id, regexp_replace(card, '[^0-9]', '', 'g') "
+        "AS card_digits FROM cand), "
+        "s AS (SELECT doc_id, card_digits, "
+        "CAST(length(card_digits) AS INT) AS n_digits, "
+        "reverse(card_digits) AS r FROM d) "
+        "SELECT doc_id, card_digits, n_digits, "
+        f"(list_sum(list_transform(range(1, n_digits + 1), i -> {luhn_term})) "
+        "% 10 = 0) AS luhn_valid FROM s"
+    )
+
+
+def luhn_cards_docs_sql() -> str:
+    """The manufactured card corpus for the luhn gate (the corpus is
+    digit-free, so the query manufactures what it audits — the
+    _q_pii_redaction move): every customer gets a 16-digit card-shaped
+    number (15 md5-free deterministic digits + custkey%10 as the check
+    digit, Luhn-valid ~10% of the time), dash-grouped for custkey%3==0,
+    absent for custkey%7==0; a constant 8-digit run must never match."""
+    body = (
+        "lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR), 5, '0') || "
+        "lpad(CAST(c_custkey * 104729 % 100000 AS VARCHAR), 5, '0') || "
+        "lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') || "
+        "CAST(c_custkey % 10 AS VARCHAR)"
+    )
+    return (
+        f"SELECT c_custkey AS doc_id, 'order ref 12345678 ' || "
+        "CASE WHEN c_custkey % 7 <> 0 THEN 'card ' || "
+        "CASE WHEN c_custkey % 3 = 0 THEN "
+        f"substr(d16, 1, 4) || ' ' || substr(d16, 5, 4) || ' ' || "
+        "substr(d16, 9, 4) || ' ' || substr(d16, 13, 4) "
+        "ELSE d16 END || ' ' ELSE '' END || 'end' AS text "
+        f"FROM (SELECT c_custkey, {body} AS d16 FROM customer)"
+    )

@@ -817,3 +817,98 @@ def test_contamination_spans_merges_adjacent_grams(spark):
     assert rows == [(1, 2, 6, 3), (1, 11, 15, 3)]
     with pytest.raises(ValueError):
         contamination.contamination_spans(train, bench, ngram=0)
+
+
+# --- round-13 staged: checksum-validated card detection ---------------------
+
+
+def _card_corpus(spark, sf_dir):
+    """Spark mirror of oracles.luhn_cards_docs_sql (manufactured
+    card-shaped numbers over customer — the _q_pii_redaction move)."""
+    cust = Catalog(spark, sf_dir).customer
+    key = F.col("c_custkey")
+    d16 = F.concat(
+        F.lpad((key * 7919 % 100000).cast("string"), 5, "0"),
+        F.lpad((key * 104729 % 100000).cast("string"), 5, "0"),
+        F.lpad((key % 100000).cast("string"), 5, "0"),
+        (key % 10).cast("string"),
+    )
+    grouped = F.concat(
+        F.substring(d16, 1, 4), F.lit(" "), F.substring(d16, 5, 4),
+        F.lit(" "), F.substring(d16, 9, 4), F.lit(" "), F.substring(d16, 13, 4),
+    )
+    card = F.when(
+        key % 7 != 0,
+        F.concat(
+            F.lit("card "),
+            F.when(key % 3 == 0, grouped).otherwise(d16),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    return cust.select(
+        key.alias("doc_id"),
+        F.concat(F.lit("order ref 12345678 "), card, F.lit("end")).alias("text"),
+    )
+
+
+def test_luhn_scan_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import redaction
+
+    got = redaction.luhn_scan(_card_corpus(spark, sf_dir))
+    rows = got.collect()
+    assert any(r["luhn_valid"] for r in rows), "vacuous: no Luhn-valid card"
+    assert any(not r["luhn_valid"] for r in rows), "vacuous: all cards valid"
+    check(
+        got, duck,
+        oracles.luhn_scan_sql(oracles.luhn_cards_docs_sql()),
+    )
+
+
+def test_luhn_scan_semantics(spark):
+    """Known checksums and boundary shapes: the classic 4111... test
+    number validates, off-by-one fails, separators normalize, and runs
+    of 12 or 20 digits never become candidates (the \\b discipline)."""
+    import re as _re
+
+    from pagerank_mapreduce_implementation_spark.operators import redaction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 now"),          # 16, valid
+            (2, "pay 4111111111111112 now"),          # 16, invalid
+            (3, "pay 4111-1111-1111-1111 now"),       # dashed, valid
+            (4, "id 123456789012 end"),               # 12 digits: no match
+            (5, "big 12345678901234567890 end"),      # 20 digits: no match
+            (6, "two 4111111111111111 and 5500005555555559 here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = redaction.luhn_scan(docs).collect()
+    got = {(r["doc_id"], r["card_digits"]): r["luhn_valid"] for r in rows}
+    assert got[(1, "4111111111111111")] is True
+    assert got[(2, "4111111111111112")] is False
+    assert got[(3, "4111111111111111")] is True
+    assert not any(d in (4, 5) for d, _ in got)
+    assert len([d for d, _ in got if d == 6]) == 2
+
+    def py_luhn(ds: str) -> bool:
+        s = 0
+        for i, ch in enumerate(reversed(ds), start=1):
+            d = ord(ch) - 48
+            if i % 2 == 0:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return s % 10 == 0
+
+    for (doc, ds), valid in got.items():
+        assert valid == py_luhn(ds), (doc, ds)
+    # the engine regex and Python's agree on candidate extraction
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        want = [
+            _re.sub(r"[^0-9]", "", m)
+            for m in _re.findall(r"\b\d(?:[ -]?\d){12,18}\b", text)
+        ]
+        have = [ds for d, ds in got if d == doc_id]
+        assert sorted(have) == sorted(want), doc_id
