@@ -3395,8 +3395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (redaction.luhn_scan + oracles.luhn_scan_sql over the
         # manufactured card corpus of oracles.luhn_cards_docs_sql —
         # checksum-validated card detection, the precision upgrade
-        # over the bare digit regex). r11-green entries come due
-        # at r15.
+        # over the bare digit regex), and packing_report
+        # (text.packing_report + oracles.packing_report_sql — the
+        # one-row packed-vs-padded audit over pack_sequences'
+        # layout). r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

@@ -1075,3 +1075,100 @@ def chunk_sentences(
     return _window_token_arrays(staged, window, stride).withColumnRenamed(
         "n_tokens", "n_sentences"
     )
+
+
+def packing_report(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    bucket_size: int = 4096,
+    tokenizer: str = "ws",
+) -> DataFrame:
+    """The "should we pack at this sequence length" audit — ONE row
+    comparing the two batching modes a trainer chooses between at a
+    given token ``budget``:
+
+    - packed (GPT-style, ``pack_sequences``): zero padding, but
+      documents straddle bin boundaries — ``n_split_docs`` /
+      ``cross_segments`` count the fragmentation the attention mask
+      must then block, ``tail_waste`` is the final short bin.
+    - padded (SFT-style): every document chunked to ``ceil(n/budget)``
+      sequences, last one padded — ``pad_tokens`` is the compute burnt
+      on padding.
+
+    Output: ``(budget, n_docs, total_tokens, n_bins, n_split_docs,
+    cross_segments, tail_waste, pack_waste_rate, padded_seqs,
+    pad_tokens, pad_waste_rate, split_frac)``; rates round(6), all
+    else exact BIGINT arithmetic over ``pack_sequences``' layout (its
+    two-phase distributed prefix sum — no global window), so the SQL
+    oracle replays every value bit-exactly. The report itself is one
+    map-side-partial aggregate: scan-bound at 100 TB.
+    """
+    b = int(budget)
+    layout = pack_sequences(docs, b, text_col, doc_col, bucket_size, tokenizer)
+    nz = F.col("n_tokens") > 0
+    last_bin = F.expr(f"(global_start + n_tokens - 1) div {b}")
+    segs = F.when(nz, last_bin - F.col("bin_id") + 1).otherwise(F.lit(0))
+    per = layout.select(
+        "n_tokens",
+        segs.alias("__segs"),
+        F.expr(f"(n_tokens + {b - 1}) div {b}").alias("__pseqs"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__segs") > 1, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("n_split_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__segs") > 0, F.col("__segs") - 1).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("cross_segments"),
+        F.coalesce(F.sum("__pseqs"), F.lit(0)).alias("padded_seqs"),
+    )
+    n_bins = F.expr(f"(total_tokens + {b - 1}) div {b}")
+    staged = agg.select(
+        F.lit(b).cast("long").alias("budget"),
+        "n_docs",
+        "total_tokens",
+        n_bins.alias("n_bins"),
+        "n_split_docs",
+        "cross_segments",
+        "padded_seqs",
+    ).select(
+        "budget",
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        "n_split_docs",
+        "cross_segments",
+        (F.col("n_bins") * b - F.col("total_tokens")).alias("tail_waste"),
+        "padded_seqs",
+        (F.col("padded_seqs") * b - F.col("total_tokens")).alias("pad_tokens"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / (den * b), 6)
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "budget",
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        "n_split_docs",
+        "cross_segments",
+        "tail_waste",
+        rate(F.col("tail_waste"), F.col("n_bins")).alias("pack_waste_rate"),
+        "padded_seqs",
+        "pad_tokens",
+        rate(F.col("pad_tokens"), F.col("padded_seqs")).alias("pad_waste_rate"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(F.col("n_split_docs").cast("double") / F.col("n_docs"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("split_frac"),
+    )

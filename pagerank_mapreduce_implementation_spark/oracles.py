@@ -3284,3 +3284,47 @@ def luhn_cards_docs_sql() -> str:
         "ELSE d16 END || ' ' ELSE '' END || 'end' AS text "
         f"FROM (SELECT c_custkey, {body} AS d16 FROM customer)"
     )
+
+
+def packing_report_sql(budget: int, where: str = "TRUE") -> str:
+    """Mirror of ``text.packing_report`` (ws tokenizer) over
+    ``documents``: the seq_packing flat prefix sum, per-doc segment
+    arithmetic, then the one-row packed-vs-padded audit. Every count is
+    BIGINT (HUGEINT sums cast back down); the three rates replay the
+    engine's single double division + round(6)."""
+    b = int(budget)
+    return (
+        "WITH t AS (SELECT doc_id, CAST(len(list_filter("
+        r"regexp_split_to_array(text, '[[:space:]]+'), w -> w <> '')) AS BIGINT) "
+        f"AS n_tokens FROM documents WHERE {where}), "
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens "
+        "AS global_start FROM t), "
+        "per AS (SELECT n_tokens, CASE WHEN n_tokens > 0 THEN "
+        f"(global_start + n_tokens - 1) // {b} - global_start // {b} + 1 "
+        "ELSE 0 END AS segs, "
+        f"(n_tokens + {b - 1}) // {b} AS pseqs FROM c), "
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens, "
+        "CAST(coalesce(sum(CASE WHEN segs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) "
+        "AS n_split_docs, "
+        "CAST(coalesce(sum(CASE WHEN segs > 0 THEN segs - 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS cross_segments, "
+        "CAST(coalesce(sum(pseqs), 0) AS BIGINT) AS padded_seqs FROM per), "
+        "s AS (SELECT *, "
+        f"(total_tokens + {b - 1}) // {b} AS n_bins FROM a) "
+        f"SELECT CAST({b} AS BIGINT) AS budget, n_docs, total_tokens, n_bins, "
+        "n_split_docs, cross_segments, "
+        f"n_bins * {b} - total_tokens AS tail_waste, "
+        "CASE WHEN n_bins > 0 THEN round(CAST("
+        f"n_bins * {b} - total_tokens AS DOUBLE) / (n_bins * {b}), 6) "
+        "ELSE 0.0 END AS pack_waste_rate, "
+        "padded_seqs, "
+        f"padded_seqs * {b} - total_tokens AS pad_tokens, "
+        "CASE WHEN padded_seqs > 0 THEN round(CAST("
+        f"padded_seqs * {b} - total_tokens AS DOUBLE) / (padded_seqs * {b}), 6) "
+        "ELSE 0.0 END AS pad_waste_rate, "
+        "CASE WHEN n_docs > 0 THEN "
+        "round(CAST(n_split_docs AS DOUBLE) / n_docs, 6) ELSE 0.0 END "
+        "AS split_frac FROM s"
+    )

@@ -912,3 +912,43 @@ def test_luhn_scan_semantics(spark):
         ]
         have = [ds for d, ds in got if d == doc_id]
         assert sorted(have) == sorted(want), doc_id
+
+
+# --- round-13 staged: packed-vs-padded efficiency audit ----------------------
+
+
+def test_packing_report_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    docs = Catalog(spark, sf_dir).documents
+    got = text_ops.packing_report(docs, budget=64)
+    row = got.collect()[0]
+    assert row["n_split_docs"] > 0, "vacuous: budget too big to split any doc"
+    assert row["pad_tokens"] > 0, "vacuous: no padding waste to compare"
+    check(got, duck, oracles.packing_report_sql(64))
+
+
+def test_packing_report_arithmetic(spark):
+    """Hand-checkable layout: budget 10 over docs of 4/8/10/0/25 tokens
+    in id order -> stream of 47 tokens, 5 bins, tail 3; doc2 (8 toks at
+    start 4) and doc5 (25 toks at start 22) straddle; padded mode needs
+    ceil sums."""
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, mk(4)), (2, mk(8)), (3, mk(10)), (4, ""), (5, mk(25))],
+        "doc_id long, text string",
+    )
+    r = text_ops.packing_report(docs, budget=10).collect()[0]
+    assert r["budget"] == 10 and r["n_docs"] == 5
+    assert r["total_tokens"] == 47 and r["n_bins"] == 5
+    # doc2: start 4 -> bins 0..1 (2 segs); doc3: start 12 -> bins 1..2
+    # (2 segs); doc5: start 22 -> bins 2..4 (3 segs) => 3 split docs,
+    # 1+1+2 = 4 crossings
+    assert r["n_split_docs"] == 3 and r["cross_segments"] == 4
+    assert r["tail_waste"] == 3 and r["pack_waste_rate"] == round(3 / 50, 6)
+    # padded: ceil(4/10)+ceil(8/10)+ceil(10/10)+0+ceil(25/10) = 1+1+1+0+3 = 6
+    assert r["padded_seqs"] == 6 and r["pad_tokens"] == 60 - 47
+    assert r["pad_waste_rate"] == round(13 / 60, 6)
+    assert r["split_frac"] == round(3 / 5, 6)
