@@ -3395,10 +3395,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (redaction.luhn_scan + oracles.luhn_scan_sql over the
         # manufactured card corpus of oracles.luhn_cards_docs_sql —
         # checksum-validated card detection, the precision upgrade
-        # over the bare digit regex), and packing_report
+        # over the bare digit regex), packing_report
         # (text.packing_report + oracles.packing_report_sql — the
         # one-row packed-vs-padded audit over pack_sequences'
-        # layout). r11-green entries come due at r15.
+        # layout), and calibrate_scores (sampling.calibrate_scores +
+        # oracles.calibrate_scores_sql — cross-source percent-rank
+        # calibration via a tie-aware two-phase distributed rank,
+        # no per-group single-task window). r11-green entries come
+        # due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

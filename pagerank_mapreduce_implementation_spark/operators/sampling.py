@@ -867,3 +867,95 @@ def token_budget_mix(
             F.col("__nt").alias("n_tokens"),
         )
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Cross-group score calibration: ``(key, group, score, calibrated)``
+    with ``calibrated`` = the score's percent-rank WITHIN its group
+    (0 = group minimum, 1 = group maximum, ties share a rank) — the
+    normalization a mixer needs before comparing quality-classifier
+    scores across sources: each source's classifier has its own scale,
+    so "keep the global top 30% by raw score" silently drains whichever
+    source scores harshly; percent-ranks are uniform within every
+    group, making one threshold mean the same thing everywhere.
+
+    percent_rank = (rank - 1) / (n_group - 1), tie-aware (equal scores
+    share the MIN rank), 0.0 for single-row or constant-score groups;
+    rounded 6 from exact integers, so the SQL oracle's window
+    percent_rank replays it bit-for-bit.
+
+    Scale shape — a per-group DISTRIBUTED tie-aware rank, not
+    ``Window.partitionBy(group)`` (which drags an entire source into
+    one task — at 100 TB a source IS the corpus): rows land in
+    (group, score-range bucket) cells — the bucket is a pure IEEE
+    expression of (score, group min/max), so equal scores always share
+    a cell and ties never span cells — ranked locally per cell in
+    parallel, then the tiny (group, bucket) count table's running sum
+    broadcasts back as each cell's offset (the ``training_order``
+    two-phase prefix pattern). Constant-score groups short-circuit to
+    0.0 with a key-hash bucket for balance.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+    s = F.col(score_col).cast("double")
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).alias("__g"),
+        s.alias("__s"),
+    )
+    bounds = staged.groupBy("__g").agg(
+        F.min("__s").alias("__lo"),
+        F.max("__s").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = staged.join(F.broadcast(bounds), "__g")
+    # score-derived bucket: identical IEEE single ops on both engines
+    # -> identical cell for identical score; clamp keeps hi in range
+    norm = (F.col("__s") - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+    b = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(norm * n_buckets).cast("long"), F.lit(int(n_buckets) - 1)
+        ),
+    ).otherwise(F.pmod(F.hash("__k"), F.lit(int(n_buckets))).cast("long"))
+    j = j.withColumn("__b", b)
+    # tie-aware local rank: rank() over score ALONE (a key tiebreak in
+    # the ORDER BY would split ties and break percent_rank semantics)
+    local = F.rank().over(Window.partitionBy("__g", "__b").orderBy("__s"))
+    ranked = j.withColumn("__r", local)
+    ctot = j.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__cn"))
+    cprefix = ctot.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cn").over(
+                Window.partitionBy("__g")
+                .orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__g", "__b", "__off")
+    out = (
+        ranked.join(F.broadcast(cprefix), ["__g", "__b"])
+        .withColumn("__grank", F.col("__off") + F.col("__r"))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__g").alias(group_col),
+            F.round(F.col("__s"), 6).alias(score_col),
+            F.when(
+                (F.col("__n") > 1) & (F.col("__hi") > F.col("__lo")),
+                F.round(
+                    (F.col("__grank") - 1).cast("double") / (F.col("__n") - 1), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("calibrated"),
+        )
+    )
+    return out

@@ -3328,3 +3328,28 @@ def packing_report_sql(budget: int, where: str = "TRUE") -> str:
         "round(CAST(n_split_docs AS DOUBLE) / n_docs, 6) ELSE 0.0 END "
         "AS split_frac FROM s"
     )
+
+
+def calibrate_scores_sql(
+    score_sql: str = "CAST(n_chars AS DOUBLE)",
+    score_name: str = "n_chars",
+    group: str = "source",
+    key: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """Mirror of ``sampling.calibrate_scores``: tie-aware per-group
+    percent_rank, spelled as explicit rank()/count() windows (not the
+    engine-varying percent_rank builtin) with the engine's exact
+    single-row / constant-group zero semantics."""
+    return (
+        f"WITH s AS (SELECT {key} AS k, {group} AS g, {score_sql} AS q "
+        f"FROM {table}), "
+        "w AS (SELECT k, g, q, rank() OVER (PARTITION BY g ORDER BY q) AS rnk, "
+        "count(*) OVER (PARTITION BY g) AS n, "
+        "min(q) OVER (PARTITION BY g) AS lo, "
+        "max(q) OVER (PARTITION BY g) AS hi FROM s) "
+        f"SELECT k AS {key}, g AS {group}, round(q, 6) AS {score_name}, "
+        "CASE WHEN n > 1 AND hi > lo THEN "
+        "round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) ELSE 0.0 END "
+        "AS calibrated FROM w"
+    )

@@ -952,3 +952,39 @@ def test_packing_report_arithmetic(spark):
     assert r["padded_seqs"] == 6 and r["pad_tokens"] == 60 - 47
     assert r["pad_waste_rate"] == round(13 / 60, 6)
     assert r["split_frac"] == round(3 / 5, 6)
+
+
+# --- round-13 staged: cross-source score calibration -------------------------
+
+
+def test_calibrate_scores_parity(spark, sf_dir, duck):
+    docs = Catalog(spark, sf_dir).documents
+    got = sampling.calibrate_scores(docs, score_col="n_chars")
+    # real tie coverage: integer lengths repeat within a source
+    assert (
+        got.groupBy("source", "calibrated").count().filter(F.col("count") > 1).count()
+        > 0
+    ), "vacuous: no tied calibrated values"
+    check(got, duck, oracles.calibrate_scores_sql())
+
+
+def test_calibrate_scores_semantics(spark):
+    """Hand-checked percent_ranks: ties share the min rank, single-row
+    and constant-score groups calibrate to 0, n_buckets=2 forces the
+    two-phase path across cells."""
+    df = spark.createDataFrame(
+        [
+            (1, "A", 1.0), (2, "A", 2.0), (3, "A", 2.0), (4, "A", 5.0),
+            (5, "B", 9.0),
+            (6, "C", 7.0), (7, "C", 7.0),
+        ],
+        "doc_id long, source string, score double",
+    )
+    got = {
+        r["doc_id"]: r["calibrated"]
+        for r in sampling.calibrate_scores(
+            df, score_col="score", n_buckets=2
+        ).collect()
+    }
+    third = round(1 / 3, 6)
+    assert got == {1: 0.0, 2: third, 3: third, 4: 1.0, 5: 0.0, 6: 0.0, 7: 0.0}
