@@ -3398,11 +3398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the bare digit regex), packing_report
         # (text.packing_report + oracles.packing_report_sql — the
         # one-row packed-vs-padded audit over pack_sequences'
-        # layout), and calibrate_scores (sampling.calibrate_scores +
+        # layout), calibrate_scores (sampling.calibrate_scores +
         # oracles.calibrate_scores_sql — cross-source percent-rank
         # calibration via a tie-aware two-phase distributed rank,
-        # no per-group single-task window). r11-green entries come
-        # due at r15.
+        # no per-group single-task window), and ks_drift
+        # (relational.ks_drift + oracles.ks_drift_sql — the exact
+        # two-sample Kolmogorov-Smirnov distance, the distribution-
+        # SHAPE drift detector profile_drift's min/max/null-rate
+        # sweep cannot be). r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

@@ -627,3 +627,115 @@ def value_histogram(
         .groupBy("bucket_start")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between a column's
+    distribution in two snapshots — ONE row ``(n_old, n_new, n_values,
+    d_stat)`` with ``d_stat = sup_v |F_old(v) - F_new(v)|`` rounded 6 —
+    the distribution-shape drift detector ``profile_drift`` cannot be:
+    min/max/null-rate all hold steady while the whole interior of a
+    value distribution silently shifts (a rescaled score, a clipped
+    sensor, a changed default), and KS is the classic sup-norm test
+    for exactly that.
+
+    Exact, not sampled: the supremum over all reals is attained at an
+    observed value, so evaluating both step-CDFs at every DISTINCT
+    value of the union is the true statistic. Each |F1 - F2| is two
+    single IEEE divisions of exact BIGINT cumulative counts and one
+    subtraction — order-independent and engine-identical — and the max
+    over values commutes, so the SQL oracle reproduces the double
+    bit-for-bit before the round.
+
+    Scale shape: group-by value first (cumulative counts only need
+    distinct values, with per-side counts riding along), then the
+    cumulative sums run as a DISTRIBUTED two-phase prefix — value-range
+    cells (a pure IEEE bucket expression of the observed min/max, so
+    cell order is value order) accumulate locally in parallel and the
+    tiny per-cell totals prefix broadcasts back — never one global
+    ORDER BY window over what can be a near-row-count-sized distinct
+    set. Empty sides yield d_stat NULL (no distribution to compare).
+    """
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+    v = lambda df: df.select(F.col(value_col).cast("double").alias("__v"))  # noqa: E731
+    u = v(old).select(
+        "__v", F.lit(1).alias("__o"), F.lit(0).alias("__n")
+    ).unionAll(v(new).select("__v", F.lit(0).alias("__o"), F.lit(1).alias("__n")))
+    g = u.groupBy("__v").agg(
+        F.sum("__o").cast("long").alias("__c1"),
+        F.sum("__n").cast("long").alias("__c2"),
+    )
+    tot = g.agg(
+        F.coalesce(F.sum("__c1"), F.lit(0)).cast("long").alias("__n1"),
+        F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__n2"),
+        F.count(F.lit(1)).alias("__nv"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    norm = (F.col("__v") - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+    cell = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(norm * n_buckets).cast("long"), F.lit(int(n_buckets) - 1)
+        ),
+    ).otherwise(F.lit(0))
+    j = j.withColumn("__b", cell)
+    in_cell = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = j.withColumn("__l1", F.sum("__c1").over(in_cell)).withColumn(
+        "__l2", F.sum("__c2").over(in_cell)
+    )
+    ctot = j.groupBy("__b").agg(
+        F.sum("__c1").alias("__b1"), F.sum("__c2").alias("__b2")
+    )
+    w_prev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cpre = ctot.select(
+        "__b",
+        F.coalesce(F.sum("__b1").over(w_prev), F.lit(0)).alias("__p1"),
+        F.coalesce(F.sum("__b2").over(w_prev), F.lit(0)).alias("__p2"),
+    )
+    d = (
+        loc.join(F.broadcast(cpre), "__b")
+        .select(
+            "__n1",
+            "__n2",
+            "__nv",
+            # try_divide: an empty side (n = 0) yields NULL instead of
+            # an ANSI DIVIDE_BY_ZERO; the non-empty path is the same
+            # single IEEE division
+            F.abs(
+                F.try_divide(
+                    (F.col("__p1") + F.col("__l1")).cast("double"),
+                    F.col("__n1").cast("double"),
+                )
+                - F.try_divide(
+                    (F.col("__p2") + F.col("__l2")).cast("double"),
+                    F.col("__n2").cast("double"),
+                )
+            ).alias("__d"),
+        )
+        .groupBy("__n1", "__n2", "__nv")
+        .agg(F.max("__d").alias("__dm"))
+    )
+    return d.select(
+        F.col("__n1").alias("n_old"),
+        F.col("__n2").alias("n_new"),
+        F.col("__nv").alias("n_values"),
+        F.when(
+            (F.col("__n1") > 0) & (F.col("__n2") > 0), F.round(F.col("__dm"), 6)
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("d_stat"),
+    )

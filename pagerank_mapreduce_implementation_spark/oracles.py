@@ -3353,3 +3353,32 @@ def calibrate_scores_sql(
         "round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) ELSE 0.0 END "
         "AS calibrated FROM w"
     )
+
+
+def ks_drift_sql(
+    old_sql: str,
+    new_sql: str,
+    value: str = "value",
+) -> str:
+    """Mirror of ``relational.ks_drift`` over two SELECTs: per-value
+    side counts, one cumulative window (oracle scale), and the max of
+    |F1 - F2| from the identical single-division doubles. Counts are
+    BIGINT-cast (DuckDB HUGEINT sums land as float64 in pandas)."""
+    return (
+        f"WITH o AS ({old_sql}), nn AS ({new_sql}), "
+        f"u AS (SELECT CAST({value} AS DOUBLE) AS v, 1 AS so, 0 AS sn FROM o "
+        f"UNION ALL SELECT CAST({value} AS DOUBLE), 0, 1 FROM nn), "
+        "g AS (SELECT v, CAST(sum(so) AS BIGINT) AS c1, "
+        "CAST(sum(sn) AS BIGINT) AS c2 FROM u GROUP BY v), "
+        "t AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1, "
+        "CAST(coalesce(sum(c2), 0) AS BIGINT) AS n2, "
+        "CAST(count(*) AS BIGINT) AS nv FROM g), "
+        "c AS (SELECT CAST(sum(c1) OVER w AS BIGINT) AS cum1, "
+        "CAST(sum(c2) OVER w AS BIGINT) AS cum2 FROM g "
+        "WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)) "
+        "SELECT t.n1 AS n_old, t.n2 AS n_new, t.nv AS n_values, "
+        "CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN round(max(abs("
+        "CAST(cum1 AS DOUBLE) / t.n1 - CAST(cum2 AS DOUBLE) / t.n2)), 6) "
+        "ELSE NULL END AS d_stat "
+        "FROM c, t GROUP BY t.n1, t.n2, t.nv"
+    )

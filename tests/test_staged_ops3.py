@@ -988,3 +988,49 @@ def test_calibrate_scores_semantics(spark):
     }
     third = round(1 / 3, 6)
     assert got == {1: 0.0, 2: third, 3: third, 4: 1.0, 5: 0.0, 6: 0.0, 7: 0.0}
+
+
+# --- round-13 staged: exact two-sample KS distribution drift -----------------
+
+
+def test_ks_drift_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    ev = Catalog(spark, sf_dir).events
+    got = relational.ks_drift(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+    row = got.collect()[0]
+    assert row["d_stat"] is not None and row["d_stat"] > 0
+    check(
+        got,
+        duck,
+        oracles.ks_drift_sql(
+            "SELECT value FROM events WHERE event_type = 'error'",
+            "SELECT value FROM events WHERE event_type = 'purchase'",
+        ),
+    )
+
+
+def test_ks_drift_semantics(spark):
+    """Hand-checkable CDFs: identical samples -> D = 0; disjoint ranges
+    -> D = 1; a known half-shift -> the textbook sup; one empty side
+    -> NULL; forced multi-cell path (n_buckets=2) agrees."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(float(x),) for x in vals], "value double"
+    )
+    same = relational.ks_drift(mk([1, 2, 3, 4]), mk([1, 2, 3, 4]), "value").collect()[0]
+    assert same["d_stat"] == 0.0 and same["n_values"] == 4
+    disj = relational.ks_drift(mk([1, 2]), mk([10, 20]), "value").collect()[0]
+    assert disj["d_stat"] == 1.0
+    # old {1,2,3,4}, new {3,4,5,6}: sup at v=2 -> |2/4 - 0/4| = 0.5
+    half = relational.ks_drift(
+        mk([1, 2, 3, 4]), mk([3, 4, 5, 6]), "value", n_buckets=2
+    ).collect()[0]
+    assert half["d_stat"] == 0.5 and half["n_old"] == 4 and half["n_new"] == 4
+    empt = relational.ks_drift(mk([]), mk([1.0, 2.0]), "value").collect()
+    assert len(empt) == 1 and empt[0]["d_stat"] is None
