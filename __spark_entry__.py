@@ -3401,11 +3401,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layout), calibrate_scores (sampling.calibrate_scores +
         # oracles.calibrate_scores_sql — cross-source percent-rank
         # calibration via a tie-aware two-phase distributed rank,
-        # no per-group single-task window), and ks_drift
+        # no per-group single-task window), ks_drift
         # (relational.ks_drift + oracles.ks_drift_sql — the exact
         # two-sample Kolmogorov-Smirnov distance, the distribution-
         # SHAPE drift detector profile_drift's min/max/null-rate
-        # sweep cannot be). r11-green entries come due at r15.
+        # sweep cannot be), and margin_matches (similarity.
+        # margin_matches_ab + oracles.margin_matches_ab_sql — the
+        # Artetxe-Schwenk ratio-margin scorer over the banded-LSH
+        # candidate set, hubness-robust cross-corpus mining).
+        # r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

@@ -1247,3 +1247,117 @@ def ann_recall_report(
         "hits",
         F.round(F.col("hits") / F.col("n_truth"), 6).alias("recall"),
     )
+
+
+def margin_matches_ab(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    num_planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-criterion cross-corpus mining (Artetxe & Schwenk 2019,
+    the CCMatrix/LASER bitext scorer): ``(id_a, id_b, cos, margin)``
+    with ``margin = cos(x,y) / ((avg_kNN_cos(x) + avg_kNN_cos(y)) /
+    2)`` kept when ``>= margin_threshold`` — an absolute cosine cutoff
+    can't separate "genuinely matched pair" from "x is close to
+    EVERYTHING" (hubness), so the score is RELATIVE to each side's own
+    neighborhood density; ratio margin > 1 means the pair stands out
+    above both neighborhoods.
+
+    Candidates and neighborhoods come from the same deterministic
+    banded hyperplane LSH as ``cosine_matches_ab`` (md5 planes, no RNG
+    state, both corpora sketched identically); each side's avg-top-k
+    runs over its CANDIDATE neighborhood — the standard ANN-margin
+    practice (the paper's FAISS retrieval is the same approximation).
+
+    Cross-engine exactness: the round-6 cosine is scaled to an exact
+    BIGINT (``round(cos6 * 1e6)``), so the top-k sums are
+    order-independent integer adds and every double after that is a
+    fixed chain of single IEEE ops (two divisions, one add, one
+    halving, one division, round 6) — the SQL oracle replays the
+    margin bit-for-bit. Non-positive neighborhood averages (possible
+    with negative cosines) are excluded — the ratio is undefined there.
+
+    Scale shape: candidate volume is band-bounded exactly as in
+    ``cosine_matches_ab`` (never |A|x|B|); the two row_number windows
+    partition by one vector's id over its HIT-SIZED candidate list;
+    the denominator tables are id-keyed aggregates joined back on the
+    candidate set. Raise ``bands`` for recall, ``k`` for neighborhood
+    smoothing; both knobs are mirrored in the oracle.
+    """
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    from pyspark.sql.window import Window
+
+    ba = hyperplane_band_buckets(emb_a, num_planes, bands, id_col, vec_col).select(
+        F.col("vec_id").alias("id_a"), "band", "key"
+    )
+    bb = hyperplane_band_buckets(emb_b, num_planes, bands, id_col, vec_col).select(
+        F.col("vec_id").alias("id_b"), "band", "key"
+    )
+    cand = ba.join(bb, ["band", "key"]).select("id_a", "id_b").distinct()
+    base_a = emb_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    base_b = emb_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    co6 = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    sc = (
+        cand.join(base_a, "id_a")
+        .join(base_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            co6.alias("cos"),
+            F.round(co6 * 1000000, 0).cast("long").alias("__ci"),
+        )
+    )
+    ranked = sc.withColumn(
+        "__ra",
+        F.row_number().over(
+            Window.partitionBy("id_a").orderBy(F.desc("__ci"), F.asc("id_b"))
+        ),
+    ).withColumn(
+        "__rb",
+        F.row_number().over(
+            Window.partitionBy("id_b").orderBy(F.desc("__ci"), F.asc("id_a"))
+        ),
+    )
+    da = (
+        ranked.filter(F.col("__ra") <= k)
+        .groupBy("id_a")
+        .agg(F.sum("__ci").alias("__sa"), F.count(F.lit(1)).alias("__ka"))
+    )
+    db = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("id_b")
+        .agg(F.sum("__ci").alias("__sb"), F.count(F.lit(1)).alias("__kb"))
+    )
+    denom = (
+        F.col("__sa") / F.col("__ka") + F.col("__sb") / F.col("__kb")
+    ) / F.lit(2.0)
+    out = (
+        sc.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("__den", denom)
+        .filter(F.col("__den") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            "cos",
+            F.round(F.col("__ci").cast("double") / F.col("__den"), 6).alias(
+                "margin"
+            ),
+        )
+        .filter(F.col("margin") >= margin_threshold)
+    )
+    return out

@@ -3382,3 +3382,57 @@ def ks_drift_sql(
         "ELSE NULL END AS d_stat "
         "FROM c, t GROUP BY t.n1, t.n2, t.nv"
     )
+
+
+def margin_matches_ab_sql(
+    a_where: str,
+    b_where: str,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    num_planes: int = 8,
+    bands: int = 2,
+) -> str:
+    """Mirror of ``similarity.margin_matches_ab`` over two
+    WHERE-filtered views of the embeddings table: identical
+    deterministic hyperplane candidates, round-6 cosines scaled to
+    exact BIGINTs, row_number top-k neighborhood sums per side, then
+    the fixed IEEE chain for the ratio margin."""
+    r = num_planes // bands
+
+    def band_rows(where: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, "
+            + " + ".join(_plane_bit_sql(b * r + j, 1 << j) for j in range(r))
+            + f" AS key FROM embeddings WHERE {where}"
+            for b in range(bands)
+        )
+
+    cos = f"round({_dot_sql('va', 'vb')} / (na * nb), 6)"
+    return (
+        f"WITH bka AS ({band_rows(a_where)}), bkb AS ({band_rows(b_where)}), "
+        "cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b FROM bka x "
+        "JOIN bkb y ON x.band = y.band AND x.key = y.key), "
+        f"basea AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm "
+        f"FROM embeddings WHERE {a_where}), "
+        f"baseb AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm "
+        f"FROM embeddings WHERE {b_where}), "
+        "pairs AS (SELECT c.id_a, c.id_b, a.embedding AS va, b.embedding AS vb, "
+        "a.nrm AS na, b.nrm AS nb FROM cand c "
+        "JOIN basea a ON c.id_a = a.vec_id JOIN baseb b ON c.id_b = b.vec_id), "
+        f"sc AS (SELECT id_a, id_b, {cos} AS cos, "
+        f"CAST(round({cos} * 1000000, 0) AS BIGINT) AS ci FROM pairs), "
+        "rk AS (SELECT *, row_number() OVER "
+        "(PARTITION BY id_a ORDER BY ci DESC, id_b ASC) AS ra, "
+        "row_number() OVER (PARTITION BY id_b ORDER BY ci DESC, id_a ASC) AS rb "
+        "FROM sc), "
+        "da AS (SELECT id_a, CAST(sum(ci) AS BIGINT) AS sa, "
+        f"CAST(count(*) AS BIGINT) AS ka FROM rk WHERE ra <= {k} GROUP BY id_a), "
+        "db AS (SELECT id_b, CAST(sum(ci) AS BIGINT) AS sb, "
+        f"CAST(count(*) AS BIGINT) AS kb FROM rk WHERE rb <= {k} GROUP BY id_b) "
+        "SELECT id_a, id_b, cos, "
+        "round(CAST(ci AS DOUBLE) / ((sa / ka + sb / kb) / 2), 6) AS margin "
+        "FROM sc JOIN da USING (id_a) JOIN db USING (id_b) "
+        "WHERE (sa / ka + sb / kb) / 2 > 0 "
+        "AND round(CAST(ci AS DOUBLE) / ((sa / ka + sb / kb) / 2), 6) "
+        f">= {margin_threshold}"
+    )

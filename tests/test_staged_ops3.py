@@ -1034,3 +1034,74 @@ def test_ks_drift_semantics(spark):
     assert half["d_stat"] == 0.5 and half["n_old"] == 4 and half["n_new"] == 4
     empt = relational.ks_drift(mk([]), mk([1.0, 2.0]), "value").collect()
     assert len(empt) == 1 and empt[0]["d_stat"] is None
+
+
+# --- round-13 staged: margin-criterion cross-corpus mining -------------------
+
+
+def test_margin_matches_ab_parity(spark, sf_dir, duck):
+    emb = Catalog(spark, sf_dir).embeddings
+    got = similarity.margin_matches_ab(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 == 1),
+        k=4,
+        margin_threshold=1.0,
+    )
+    assert got.count() > 0, "vacuous: no pair clears margin 1.0"
+    check(
+        got,
+        duck,
+        oracles.margin_matches_ab_sql(
+            "vec_id % 3 = 0", "vec_id % 3 = 1", k=4, margin_threshold=1.0
+        ),
+    )
+
+
+def test_margin_matches_python_replay(spark, sf_dir):
+    """Independent gate: rebuild the margins in pure pandas from the
+    SAME candidate set (cosine_matches_ab at threshold -2 -> every LSH
+    candidate with its round-6 cosine) and compare the full result."""
+    emb = Catalog(spark, sf_dir).embeddings
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    cand = similarity.cosine_matches_ab(a, b, threshold=-2.0).toPandas()
+    cand["ci"] = (cand["cos"] * 1_000_000).round(0).astype("int64")
+    k = 4
+
+    def topk_stats(df, key, tie):
+        df = df.sort_values(["ci", tie], ascending=[False, True], kind="mergesort")
+        top = df.groupby(key, sort=False).head(k)
+        return top.groupby(key)["ci"].agg(["sum", "count"])
+
+    da = topk_stats(cand, "id_a", "id_b")
+    db = topk_stats(cand, "id_b", "id_a")
+    m = cand.join(da, on="id_a").join(db, on="id_b", lsuffix="_a", rsuffix="_b")
+    den = (m["sum_a"] / m["count_a"] + m["sum_b"] / m["count_b"]) / 2.0
+    m = m[den > 0].assign(margin=(m["ci"] / den[den > 0]).round(6))
+    want = {
+        (r.id_a, r.id_b): r.margin
+        for r in m[m["margin"] >= 1.0].itertuples()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["margin"]
+        for r in similarity.margin_matches_ab(
+            a, b, k=k, margin_threshold=1.0
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for pair, mg in got.items():
+        assert abs(mg - want[pair]) < 1e-9, (pair, mg, want[pair])
+
+
+def test_margin_identical_vectors_is_one(spark):
+    """Identical directions: every candidate cosine is 1, both
+    neighborhood averages are 1, so every margin is exactly 1.0."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.margin_matches_ab(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=2,
+    ).collect()
+    assert len(out) == 9  # all 3x3 pairs collide in every band
+    assert all(r["cos"] == 1.0 and r["margin"] == 1.0 for r in out)
