@@ -2538,7 +2538,12 @@ def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-over-drop schema drift (relational.profile_drift): per
-    column, old-vs-new profile rows diffed side by side."""
+    column, old-vs-new profile rows diffed side by side. Deliberately
+    the TWO-frame form, not the one-scan profile_drift_where fusion:
+    A/B at sf0.1 measured the fusion 2.1x SLOWER warm (10.3 vs 4.7 s)
+    — one 9x-expand serial aggregation loses to two parallel 5x
+    expands when the agg, not the scan, dominates; the fused variant
+    stays available for genuinely scan-bound (cold columnar) use."""
     li = Catalog(spark, sf_dir).lineitem
     old = li.filter(F.col("l_orderkey") % 3 != 0)
     return relational.profile_drift(old, li, _DRIFT_COLS)

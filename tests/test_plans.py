@@ -923,3 +923,104 @@ def test_training_shards_manifest_is_parquet_backed(plans):
     p = plans("training_shards")
     assert "FileScan parquet" in p
     assert "MapInPandas" not in p  # packing ran at write time, not here
+
+
+def test_profile_drift_where_single_scan(spark, sf_dir):
+    """profile_drift_where profiles old and new out of ONE scan
+    (conditional aggregation) — the scan-bound variant's contract;
+    the registered profile_drift query stays on the two-frame form
+    (A/B: fusion 2.1x slower warm, see its docstring)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import relational as rel
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog as Cat
+
+    li = Cat(spark, sf_dir).lineitem
+    df = rel.profile_drift_where(
+        li, F.col("l_orderkey") % 3 != 0, ["l_orderkey", "l_quantity"]
+    )
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Union" not in final
+
+
+def test_luhn_scan_zero_shuffle(spark, sf_dir):
+    """luhn_scan is a narrow scrub pass: regexp extraction + explode +
+    integer fold, no Exchange of any kind."""
+    from pagerank_mapreduce_implementation_spark.operators import redaction
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog as Cat
+
+    docs = Cat(spark, sf_dir).documents.selectExpr("doc_id", "text")
+    p = plan_of(redaction.luhn_scan(docs))
+    assert "Exchange" not in p
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_packing_report_no_corpus_join(spark, sf_dir):
+    """packing_report rides pack_sequences' two-phase prefix sum: the
+    only joins are broadcasts of the tiny bucket-prefix table; no
+    sort-merge join, no cartesian over the corpus."""
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog as Cat
+
+    df = text_ops.packing_report(Cat(spark, sf_dir).documents, budget=512)
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final
+
+
+def test_calibrate_scores_broadcast_dims_no_smj(spark, sf_dir):
+    """calibrate_scores joins only broadcast dim tables (group bounds,
+    cell prefix) back to the corpus — never a corpus-vs-corpus
+    sort-merge join; the per-cell windows are partitioned (no
+    single-task corpus window)."""
+    from pagerank_mapreduce_implementation_spark.operators import sampling as smp
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog as Cat
+
+    df = smp.calibrate_scores(Cat(spark, sf_dir).documents, score_col="n_chars")
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_ks_drift_no_corpus_smj(spark, sf_dir):
+    """ks_drift's only wide ops are the value group-by and the tiny
+    broadcast of totals/cell-prefix; no sort-merge join anywhere."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import relational as rel
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog as Cat
+
+    ev = Cat(spark, sf_dir).events
+    df = rel.ks_drift(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+
+
+def test_margin_matches_no_cartesian(spark, sf_dir):
+    """margin_matches_ab candidates come from the banded LSH bucket
+    join — the |A|x|B| product never materializes."""
+    from pyspark.sql import functions as F
+
+    from pagerank_mapreduce_implementation_spark.operators import similarity as sim
+    from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog as Cat
+
+    emb = Cat(spark, sf_dir).embeddings
+    df = sim.margin_matches_ab(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 == 1),
+        k=4,
+    )
+    df.collect()
+    final = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final

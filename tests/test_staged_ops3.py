@@ -1105,3 +1105,49 @@ def test_margin_identical_vectors_is_one(spark):
     ).collect()
     assert len(out) == 9  # all 3x3 pairs collide in every band
     assert all(r["cos"] == 1.0 and r["margin"] == 1.0 for r in out)
+
+
+# --- round-13: fused one-scan profile_drift_where ----------------------------
+
+
+def test_profile_drift_where_matches_two_frame_form(spark, sf_dir):
+    """The fused conditional-aggregation path returns row-for-row what
+    the generic two-frame profile_drift returns (same registered
+    oracle gates both)."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    li = Catalog(spark, sf_dir).lineitem
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    pred = F.col("l_orderkey") % 3 != 0
+    fused = sorted(
+        map(tuple, relational.profile_drift_where(li, pred, cols).collect())
+    )
+    two = sorted(
+        map(tuple, relational.profile_drift(li.filter(pred), li, cols).collect())
+    )
+    assert fused == two
+
+
+def test_profile_drift_where_null_and_range_semantics(spark):
+    """Nulls only in the new slice move null_rate_delta; a value only
+    in the new slice flips range_changed."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, None, "z"), (4, 30, None)],
+        "id long, v int, s string",
+    )
+    rows = {
+        r["col_name"]: r
+        for r in relational.profile_drift_where(
+            df, F.col("id") <= 2, ["v", "s"]
+        ).collect()
+    }
+    v = rows["v"]
+    assert v["n_rows_old"] == 2 and v["n_rows_new"] == 4
+    assert v["n_nulls_old"] == 0 and v["n_nulls_new"] == 1
+    assert v["n_distinct_old"] == 2 and v["n_distinct_new"] == 3
+    assert v["null_rate_delta"] == 0.25 and v["range_changed"]  # max 20 -> 30
+    s = rows["s"]
+    assert s["range_changed"]  # max 'b' -> 'z'
+    assert s["n_nulls_new"] == 1
