@@ -1109,3 +1109,78 @@ def test_twopass_buckets_equal_window_ntile(spark, rows, n):
         ).collect()
     }
     assert a == b and a
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    old=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=24
+    ),
+    new=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=24
+    ),
+    n_buckets=st.sampled_from([1, 2, 7]),
+)
+def test_ks_drift_matches_python_cdfs(spark, old, new, n_buckets):
+    """ks_drift == the straight-line python sup over step-CDFs at
+    every distinct value, at any cell count (the two-phase prefix is
+    invisible in the result). Integer samples force heavy ties."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(float(v),) for v in vals], "value double"
+    )
+    row = relational.ks_drift(mk(old), mk(new), "value", n_buckets=n_buckets).collect()[0]
+    values = sorted(set(old) | set(new))
+    d = max(
+        abs(
+            sum(1 for x in old if x <= v) / len(old)
+            - sum(1 for x in new if x <= v) / len(new)
+        )
+        for v in values
+    )
+    assert row["n_old"] == len(old) and row["n_new"] == len(new)
+    assert row["n_values"] == len(values)
+    assert abs(row["d_stat"] - round(d, 6)) <= 1e-9
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_buckets=st.sampled_from([1, 3, 16]),
+)
+def test_calibrate_scores_matches_python_percent_rank(spark, scores, n_buckets):
+    """calibrate_scores == the textbook (rank-1)/(n-1) with min-rank
+    ties per group, at any cell count; constant/singleton groups pin
+    to 0. Small integer scores force cross-cell tie pressure."""
+    from pagerank_mapreduce_implementation_spark.operators import sampling
+
+    rows = [(i, g, float(s)) for i, (g, s) in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r["doc_id"]: r["calibrated"]
+        for r in sampling.calibrate_scores(
+            df, score_col="score", n_buckets=n_buckets
+        ).collect()
+    }
+    by_group: dict = defaultdict(list)
+    for i, g, s in rows:
+        by_group[g].append((s, i))
+    want = {}
+    for g, members in by_group.items():
+        vals = sorted(s for s, _ in members)
+        n = len(members)
+        for s, i in members:
+            if n == 1 or vals[0] == vals[-1]:
+                want[i] = 0.0
+            else:
+                rank = 1 + sum(1 for v in vals if v < s)
+                want[i] = round((rank - 1) / (n - 1), 6)
+    assert got == want
