@@ -3410,11 +3410,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (relational.ks_drift + oracles.ks_drift_sql — the exact
         # two-sample Kolmogorov-Smirnov distance, the distribution-
         # SHAPE drift detector profile_drift's min/max/null-rate
-        # sweep cannot be), and margin_matches (similarity.
+        # sweep cannot be), margin_matches (similarity.
         # margin_matches_ab + oracles.margin_matches_ab_sql — the
         # Artetxe-Schwenk ratio-margin scorer over the banded-LSH
-        # candidate set, hubness-robust cross-corpus mining).
-        # r11-green entries come due at r15.
+        # candidate set, hubness-robust cross-corpus mining), and
+        # streaming_ks_drift (streaming_value_histogram live slice →
+        # memory sink → relational.ks_from_histograms vs a batch
+        # reference profile + oracles.ks_binned_sql — the stream/
+        # batch drift pair; composition pinned in
+        # test_streaming_ks_drift_composition_parity). r11-green
+        # entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

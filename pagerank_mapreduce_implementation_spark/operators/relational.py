@@ -823,3 +823,81 @@ def ks_drift(
         .otherwise(F.lit(None).cast("double"))
         .alias("d_stat"),
     )
+
+
+def ks_from_histograms(
+    old_h: DataFrame,
+    new_h: DataFrame,
+    bucket_col: str = "bucket_start",
+    n_col: str = "n",
+) -> DataFrame:
+    """Two-sample KS over two PRE-BINNED histograms sharing a binning
+    (``value_histogram`` / ``streaming_value_histogram`` output):
+    ``(n_old, n_new, n_buckets, d_stat)`` with the sup taken at bucket
+    boundaries — the exact KS of the quantized distributions, the
+    standard monitoring approximation (a lower bound on the raw-value
+    ``ks_drift``, and EQUAL to it whenever values are already bucket
+    multiples). NULL buckets (a histogram's null-count row) are not
+    part of a CDF and are excluded.
+
+    This is the drift half of the stream/batch pair: the stream keeps
+    only occupied-bucket counts as state (bounded, no watermark), and
+    this op compares that materialized view against a batch reference
+    profile. Input tables are occupied-bucket-sized — tiny by
+    construction — so the single cumulative window here is over dozens
+    of rows, not data (the raw-value op ``ks_drift`` is the one that
+    needs the distributed two-phase prefix).
+    """
+    from pyspark.sql.window import Window
+
+    side = lambda df, one_old: df.filter(  # noqa: E731
+        F.col(bucket_col).isNotNull()
+    ).select(
+        F.col(bucket_col).cast("double").alias("__b"),
+        (F.col(n_col).cast("long") * (1 if one_old else 0)).alias("__c1"),
+        (F.col(n_col).cast("long") * (0 if one_old else 1)).alias("__c2"),
+    )
+    g = (
+        side(old_h, True)
+        .unionAll(side(new_h, False))
+        .groupBy("__b")
+        .agg(
+            F.sum("__c1").cast("long").alias("__c1"),
+            F.sum("__c2").cast("long").alias("__c2"),
+        )
+    )
+    tot = g.agg(
+        F.coalesce(F.sum("__c1"), F.lit(0)).cast("long").alias("__n1"),
+        F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__n2"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("__c1").over(w).alias("__cum1"), F.sum("__c2").over(w).alias("__cum2")
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "__n1",
+        "__n2",
+        "__nb",
+        F.abs(
+            F.try_divide(F.col("__cum1").cast("double"), F.col("__n1").cast("double"))
+            - F.try_divide(
+                F.col("__cum2").cast("double"), F.col("__n2").cast("double")
+            )
+        ).alias("__d"),
+    )
+    return (
+        d.groupBy("__n1", "__n2", "__nb")
+        .agg(F.max("__d").alias("__dm"))
+        .select(
+            F.col("__n1").alias("n_old"),
+            F.col("__n2").alias("n_new"),
+            F.col("__nb").alias("n_buckets"),
+            F.when(
+                (F.col("__n1") > 0) & (F.col("__n2") > 0),
+                F.round(F.col("__dm"), 6),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("d_stat"),
+        )
+    )

@@ -3436,3 +3436,30 @@ def margin_matches_ab_sql(
         "AND round(CAST(ci AS DOUBLE) / ((sa / ka + sb / kb) / 2), 6) "
         f">= {margin_threshold}"
     )
+
+
+def ks_binned_sql(old_hist_sql: str, new_hist_sql: str) -> str:
+    """Mirror of ``relational.ks_from_histograms`` over two
+    ``(bucket_start, n)`` histogram SELECTs (NULL buckets excluded,
+    BIGINT counts, the same try-divide double chain)."""
+    return (
+        f"WITH o AS ({old_hist_sql}), nn AS ({new_hist_sql}), "
+        "u AS (SELECT CAST(bucket_start AS DOUBLE) AS b, "
+        "CAST(n AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2 FROM o "
+        "WHERE bucket_start IS NOT NULL "
+        "UNION ALL SELECT CAST(bucket_start AS DOUBLE), 0, CAST(n AS BIGINT) "
+        "FROM nn WHERE bucket_start IS NOT NULL), "
+        "g AS (SELECT b, CAST(sum(c1) AS BIGINT) AS c1, "
+        "CAST(sum(c2) AS BIGINT) AS c2 FROM u GROUP BY b), "
+        "t AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1, "
+        "CAST(coalesce(sum(c2), 0) AS BIGINT) AS n2, "
+        "CAST(count(*) AS BIGINT) AS nb FROM g), "
+        "c AS (SELECT CAST(sum(c1) OVER w AS BIGINT) AS cum1, "
+        "CAST(sum(c2) OVER w AS BIGINT) AS cum2 FROM g "
+        "WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)) "
+        "SELECT t.n1 AS n_old, t.n2 AS n_new, t.nb AS n_buckets, "
+        "CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN round(max(abs("
+        "CAST(cum1 AS DOUBLE) / t.n1 - CAST(cum2 AS DOUBLE) / t.n2)), 6) "
+        "ELSE NULL END AS d_stat "
+        "FROM c, t GROUP BY t.n1, t.n2, t.nb"
+    )

@@ -1151,3 +1151,59 @@ def test_profile_drift_where_null_and_range_semantics(spark):
     s = rows["s"]
     assert s["range_changed"]  # max 'b' -> 'z'
     assert s["n_nulls_new"] == 1
+
+
+# --- round-13 staged: binned KS for stream-vs-reference drift ----------------
+
+
+def test_streaming_ks_drift_composition_parity(spark, sf_dir, duck):
+    """The stream/batch drift pair: the live slice (odd event ids)
+    streams into occupied-bucket counts, the reference slice (even
+    ids) profiles in batch with the same binning, ks_from_histograms
+    compares the materialized views — all replayed by the binned-KS
+    SQL oracle over the identical CASE-free bucket expression."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    ev_stream = strm.read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 1
+    )
+    live = strm.queries.streaming_value_histogram(ev_stream, "value", 25.0)
+    strm.run_to_memory(live, "_test_ks_live", state_partitions=8)
+    ref = relational.value_histogram(
+        Catalog(spark, sf_dir).events.filter(F.col("event_id") % 2 == 0),
+        "value",
+        25.0,
+    )
+    got = relational.ks_from_histograms(ref, spark.table("_test_ks_live"))
+    row = got.collect()[0]
+    assert row["d_stat"] is not None and row["n_buckets"] > 1
+    hist = (
+        "SELECT CAST(floor(CAST(value AS DECIMAL(38,6)) / 25) * 25 AS DOUBLE) "
+        "AS bucket_start, count(*) AS n FROM events WHERE event_id % 2 = {p} "
+        "GROUP BY 1"
+    )
+    check(
+        got,
+        duck,
+        oracles.ks_binned_sql(hist.format(p=0), hist.format(p=1)),
+    )
+    spark.catalog.dropTempView("_test_ks_live")
+
+
+def test_ks_binned_equals_raw_on_bucket_multiples(spark):
+    """When every value is already a bucket multiple the quantization
+    is lossless and the binned D equals raw-value ks_drift's D."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(float(v),) for v in vals], "value double"
+    )
+    old, new = [0, 10, 10, 20, 40], [10, 20, 30, 30]
+    raw = relational.ks_drift(mk(old), mk(new), "value").collect()[0]
+    binned = relational.ks_from_histograms(
+        relational.value_histogram(mk(old), "value", 10.0),
+        relational.value_histogram(mk(new), "value", 10.0),
+    ).collect()[0]
+    assert binned["d_stat"] == raw["d_stat"]
+    assert (binned["n_old"], binned["n_new"]) == (5, 4)
