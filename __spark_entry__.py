@@ -3418,8 +3418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # memory sink → relational.ks_from_histograms vs a batch
         # reference profile + oracles.ks_binned_sql — the stream/
         # batch drift pair; composition pinned in
-        # test_streaming_ks_drift_composition_parity). r11-green
-        # entries come due at r15.
+        # test_streaming_ks_drift_composition_parity). All six hold
+        # parity at sf0.01 (driver SF) and cost, warm at sf0.1:
+        # pii_luhn 0.6 s, packing_report 1.2, calibrate_scores 1.0,
+        # ks_drift 1.1, margin_matches 2.9, streaming_ks_drift 1.4
+        # (~8 s suite growth). r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,
