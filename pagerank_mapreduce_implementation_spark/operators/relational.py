@@ -749,7 +749,13 @@ def ks_drift(
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
-    v = lambda df: df.select(F.col(value_col).cast("double").alias("__v"))  # noqa: E731
+    # NULLs are not part of a CDF — and engines disagree on NULL sort
+    # position (Spark NULLS FIRST vs DuckDB NULLS LAST), so excluding
+    # them here is both the right statistic and the oracle contract;
+    # n_old/n_new count non-null observations.
+    v = lambda df: df.select(  # noqa: E731
+        F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
     u = v(old).select(
         "__v", F.lit(1).alias("__o"), F.lit(0).alias("__n")
     ).unionAll(v(new).select("__v", F.lit(0).alias("__o"), F.lit(1).alias("__n")))

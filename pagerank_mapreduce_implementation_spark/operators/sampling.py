@@ -890,6 +890,11 @@ def calibrate_scores(
     rounded 6 from exact integers, so the SQL oracle's window
     percent_rank replays it bit-for-bit.
 
+    Contract: ``score_col`` must be non-null (engines disagree on NULL
+    sort position — Spark NULLS FIRST vs DuckDB NULLS LAST — so a null
+    score has no portable rank; filter or impute first, as
+    ``quality_scores``-style producers already guarantee).
+
     Scale shape — a per-group DISTRIBUTED tie-aware rank, not
     ``Window.partitionBy(group)`` (which drags an entire source into
     one task — at 100 TB a source IS the corpus): rows land in

@@ -3367,7 +3367,9 @@ def ks_drift_sql(
     return (
         f"WITH o AS ({old_sql}), nn AS ({new_sql}), "
         f"u AS (SELECT CAST({value} AS DOUBLE) AS v, 1 AS so, 0 AS sn FROM o "
-        f"UNION ALL SELECT CAST({value} AS DOUBLE), 0, 1 FROM nn), "
+        f"WHERE {value} IS NOT NULL "
+        f"UNION ALL SELECT CAST({value} AS DOUBLE), 0, 1 FROM nn "
+        f"WHERE {value} IS NOT NULL), "
         "g AS (SELECT v, CAST(sum(so) AS BIGINT) AS c1, "
         "CAST(sum(sn) AS BIGINT) AS c2 FROM u GROUP BY v), "
         "t AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1, "

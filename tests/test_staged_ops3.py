@@ -1207,3 +1207,15 @@ def test_ks_binned_equals_raw_on_bucket_multiples(spark):
     ).collect()[0]
     assert binned["d_stat"] == raw["d_stat"]
     assert (binned["n_old"], binned["n_new"]) == (5, 4)
+
+
+def test_ks_drift_ignores_nulls(spark):
+    """NULL values are excluded from both sides (a CDF over NULLs is
+    meaningless, and engines disagree on NULL sort position); counts
+    reflect non-null observations only."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    old = spark.createDataFrame([(1.0,), (2.0,), (None,)], "value double")
+    new = spark.createDataFrame([(None,), (1.0,), (2.0,)], "value double")
+    row = relational.ks_drift(old, new, "value").collect()[0]
+    assert (row["n_old"], row["n_new"], row["d_stat"]) == (2, 2, 0.0)
