@@ -3422,7 +3422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity at sf0.01 (driver SF) and cost, warm at sf0.1:
         # pii_luhn 0.6 s, packing_report 1.2, calibrate_scores 1.0,
         # ks_drift 1.1, margin_matches 2.9, streaming_ks_drift 1.4
-        # (~8 s suite growth). r11-green entries come due at r15.
+        # (~8 s suite growth). PLUS: bipartite_projection's CODE
+        # changed this round (persisted self-join dedup, 6.2 -> 5.3 s,
+        # sf0.01 driver mimic re-verified hash-identical) — it takes
+        # r14's last window slot (39 due + 10 staged + 1 changed =
+        # 50 exactly; its r12 row stays within budget regardless).
+        # r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,

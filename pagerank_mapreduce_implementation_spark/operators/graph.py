@@ -1434,6 +1434,14 @@ def bipartite_projection(
     — the documented semantics of the cap (count over the KEPT right
     subspace), mirrored in the oracle. One deduped-edge shuffle + one
     pair-keyed count with map-side partials.
+
+    The deduped+capped edge set is PERSISTED across the self-join:
+    Spark clones equi-join diamonds into canonically different
+    subtrees, so without the cache the dedup shuffle and the degree
+    agg run twice — once per join side (A/B at sf0.1: 6.2 -> 5.3 s,
+    identical pairs). The output is materialized via eager
+    localCheckpoint so the cache can be dropped before returning
+    (``util.release_result`` frees the result).
     """
     if min_shared < 1:
         raise ValueError(f"min_shared ({min_shared}) must be >= 1")
@@ -1447,15 +1455,22 @@ def bipartite_projection(
         ded = ded.join(
             rdeg.filter(F.col("__d") <= max_right_degree).select("dst"), "dst"
         )
-    a = ded.select(F.col("dst").alias("__r"), F.col("src").alias("a"))
-    b = ded.select(F.col("dst").alias("__r"), F.col("src").alias("b"))
-    return (
-        a.join(b, "__r")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-    )
+    ded = ded.persist()
+    try:
+        a = ded.select(F.col("dst").alias("__r"), F.col("src").alias("a"))
+        b = ded.select(F.col("dst").alias("__r"), F.col("src").alias("b"))
+        out = (
+            a.join(b, "__r")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+        )
+        # small by construction (pairs clearing min_shared over the
+        # capped right subspace) — cheap to materialize eagerly
+        return out.localCheckpoint(eager=True)
+    finally:
+        ded.unpersist()
 
 
 def source_centrality(
