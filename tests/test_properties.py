@@ -1184,3 +1184,74 @@ def test_calibrate_scores_matches_python_percent_rank(spark, scores, n_buckets):
                 rank = 1 + sum(1 for v in vals if v < s)
                 want[i] = round((rank - 1) / (n - 1), 6)
     assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=16),
+    budget=st.sampled_from([1, 7, 10]),
+)
+def test_packing_report_matches_python_layout(spark, lens, budget):
+    """packing_report == a straight-line python replay of the packed
+    stream (cumulative starts, per-doc segment spans, ceil-chunked
+    padded mode) for any doc-length profile, including zero-token docs
+    and budget=1."""
+    from pagerank_mapreduce_implementation_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    r = text_ops.packing_report(docs, budget=budget).collect()[0]
+    starts, cum = [], 0
+    for n in lens:
+        starts.append(cum)
+        cum += n
+    total = cum
+    n_bins = -(-total // budget) if total else 0
+    segs = [
+        ((s + n - 1) // budget - s // budget + 1) if n > 0 else 0
+        for s, n in zip(starts, lens)
+    ]
+    pseqs = [-(-n // budget) for n in lens]
+    assert r["n_docs"] == len(lens) and r["total_tokens"] == total
+    assert r["n_bins"] == n_bins
+    assert r["n_split_docs"] == sum(1 for x in segs if x > 1)
+    assert r["cross_segments"] == sum(x - 1 for x in segs if x > 0)
+    assert r["tail_waste"] == n_bins * budget - total
+    assert r["padded_seqs"] == sum(pseqs)
+    assert r["pad_tokens"] == sum(pseqs) * budget - total
+    if n_bins:
+        assert r["pack_waste_rate"] == round(
+            (n_bins * budget - total) / (n_bins * budget), 6
+        )
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    old=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=20),
+    new=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=20),
+)
+def test_ks_from_histograms_matches_python(spark, old, new):
+    """Binned KS over width-1 histograms of integer samples == the
+    raw python sup (width-1 quantization of integers is lossless)."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(float(v),) for v in vals], "value double"
+    )
+    got = relational.ks_from_histograms(
+        relational.value_histogram(mk(old), "value", 1.0),
+        relational.value_histogram(mk(new), "value", 1.0),
+    ).collect()[0]
+    values = sorted(set(old) | set(new))
+    d = max(
+        abs(
+            sum(1 for x in old if x <= v) / len(old)
+            - sum(1 for x in new if x <= v) / len(new)
+        )
+        for v in values
+    )
+    assert got["n_old"] == len(old) and got["n_new"] == len(new)
+    assert got["n_buckets"] == len(values)
+    assert abs(got["d_stat"] - round(d, 6)) <= 1e-9
