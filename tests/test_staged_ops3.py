@@ -1219,3 +1219,31 @@ def test_ks_drift_ignores_nulls(spark):
     new = spark.createDataFrame([(None,), (1.0,), (2.0,)], "value double")
     row = relational.ks_drift(old, new, "value").collect()[0]
     assert (row["n_old"], row["n_new"], row["d_stat"]) == (2, 2, 0.0)
+
+
+def test_streaming_ks_drift_equals_batch_twin(spark, sf_dir):
+    """Stream/batch parity for the drift pair: the availableNow stream
+    histogram of the live slice is row-identical to the batch
+    histogram, so the KS against the same reference is the SAME row —
+    a batch backfill and the live monitor can never disagree."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    live_pred = F.col("event_id") % 2 == 1
+    ev_stream = strm.read_events_stream(spark, sf_dir).filter(live_pred)
+    strm.run_to_memory(
+        strm.queries.streaming_value_histogram(ev_stream, "value", 25.0),
+        "_test_ks_twin",
+        state_partitions=8,
+    )
+    ev = Catalog(spark, sf_dir).events
+    ref = relational.value_histogram(
+        ev.filter(F.col("event_id") % 2 == 0), "value", 25.0
+    )
+    batch_live = relational.value_histogram(ev.filter(live_pred), "value", 25.0)
+    via_stream = relational.ks_from_histograms(
+        ref, spark.table("_test_ks_twin")
+    ).collect()
+    via_batch = relational.ks_from_histograms(ref, batch_live).collect()
+    assert [tuple(r) for r in via_stream] == [tuple(r) for r in via_batch]
+    spark.catalog.dropTempView("_test_ks_twin")
