@@ -3422,7 +3422,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity at sf0.01 (driver SF) and cost, warm at sf0.1:
         # pii_luhn 0.6 s, packing_report 1.2, calibrate_scores 1.0,
         # ks_drift 1.1, margin_matches 2.9, streaming_ks_drift 1.4
-        # (~8 s suite growth). PLUS: bipartite_projection's CODE
+        # (~8 s suite growth). QUEUED FOR r15's ~2 free slots:
+        # minhash_recall (dedup.minhash_recall_report + oracles.
+        # minhash_recall_report_sql — the ann_recall_report move for
+        # the LSH banding: planted perturbed twins, recall of the
+        # band-surfaced qualifying pairs; sf0.01 parity green,
+        # 4.1 s warm at sf0.1, reports recall 0.61 at the default
+        # 16x4 banding / 0.3 threshold / 15% drop).
+        # PLUS: bipartite_projection's CODE
         # changed this round (persisted self-join dedup, 6.2 -> 5.3 s,
         # sf0.01 driver mimic re-verified hash-identical) — it takes
         # r14's last window slot (39 due + 10 staged + 1 changed =

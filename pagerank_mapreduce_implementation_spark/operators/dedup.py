@@ -2171,3 +2171,131 @@ def dedup_report(
             F.lit(1.0) - F.col("n_kept") / F.col("n_docs"), 6
         ).alias("drop_rate"),
     )
+
+
+def minhash_recall_report(
+    docs: DataFrame,
+    drop_rate: float = 0.15,
+    sample_mod: int = 10,
+    threshold: float = 0.3,
+    ngram: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "mhrecall:",
+    twin_offset: int = 1 << 40,
+) -> DataFrame:
+    """Recall audit of the MinHash+LSH banding — ONE row ``(n_planted,
+    n_qualifying, hits, recall)`` — the ``ann_recall_report`` move for
+    dedup: LSH recall is band-limited by construction, so a (bands,
+    num_hashes, threshold) configuration is UNAUDITED until something
+    measures how many true near-dups its bands actually surface.
+    This plants the truth: every ``sample_mod``-th doc gets a
+    deterministically perturbed twin (each word dropped on a 52-bit
+    md5 coin at ``drop_rate`` — the ``weighted_sample`` IEEE-exact
+    construction keyed on (salt, doc, position)), the full corpus +
+    twins run through the EXACT registered minhash pipeline, and
+    recall = found qualifying planted pairs / all qualifying planted
+    pairs, where "qualifying" = planted pairs whose exact shingle
+    Jaccard clears ``threshold`` (the verify stage keeps them iff the
+    bands surface them — so misses are purely banding misses).
+
+    Determinism end to end (perturbation coins, universal-hash
+    signatures, band buckets, round-6 Jaccard) means the DuckDB oracle
+    replays the whole audit bit-for-bit. ``doc_col`` values must be
+    unique, non-negative and < ``twin_offset`` (twin ids are
+    ``doc_id + twin_offset``).
+
+    Scale shape: an EVALUATION operator — run on a sampled plant set
+    (``sample_mod``), cost = one extra minhash pass over corpus +
+    twins with the same banded/bucketed bounds as the production
+    dedup; the shingle table is persisted once and shared by the found
+    and qualifying sides, and the 1-row report comes from three tiny
+    broadcast-crossed aggregates.
+    """
+    if not (0.0 <= drop_rate < 1.0):
+        raise ValueError(f"drop_rate ({drop_rate}) must be in [0, 1)")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod ({sample_mod}) must be >= 1")
+    if twin_offset < 1:
+        raise ValueError(f"twin_offset ({twin_offset}) must be positive")
+    key = F.col(doc_col).cast("long")
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    staged = docs.filter(key % sample_mod == 0).select(
+        key.alias("doc_id"), arr.alias("__toks")
+    )
+
+    def coin(i: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 52))
+        )
+
+    kept = F.filter(
+        F.col("__toks"), lambda x, i: coin(i) >= F.lit(float(drop_rate))
+    )
+    # the offset lands in a SECOND select: aliasing doc_id + offset AS
+    # doc_id in the same projection that evaluates the coin makes the
+    # coin key on the SHIFTED id (measured — the same lateral-alias
+    # hazard DuckDB has; both sides therefore shift in an outer step)
+    twins = staged.select(
+        "doc_id", F.array_join(kept, " ").alias("__text")
+    ).select(
+        (F.col("doc_id") + F.lit(int(twin_offset))).alias("doc_id"), "__text"
+    )
+    corpus = docs.select(key.alias("doc_id"), F.col(text_col).alias("__text")).unionAll(
+        twins
+    )
+    sh = shingles(corpus, ngram, "__text", "doc_id").persist()
+    try:
+        sig = minhash_signatures(sh, num_hashes)
+        found = jaccard_verify(
+            lsh_bucket_candidates(sig, num_hashes, bands), sh, threshold
+        ).select("doc_a", "doc_b")
+        planted = staged.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.lit(int(twin_offset))).alias("doc_b"),
+        )
+        qual = jaccard_verify(planted, sh, threshold).select("doc_a", "doc_b")
+        hits = qual.join(found, ["doc_a", "doc_b"])
+        rep = (
+            planted.agg(F.count(F.lit(1)).alias("n_planted"))
+            .crossJoin(
+                F.broadcast(qual.agg(F.count(F.lit(1)).alias("n_qualifying")))
+            )
+            .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("hits"))))
+            .select(
+                "n_planted",
+                "n_qualifying",
+                "hits",
+                F.when(
+                    F.col("n_qualifying") > 0,
+                    F.round(
+                        F.col("hits").cast("double") / F.col("n_qualifying"), 6
+                    ),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("recall"),
+            )
+        )
+        return rep.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()

@@ -3465,3 +3465,106 @@ def ks_binned_sql(old_hist_sql: str, new_hist_sql: str) -> str:
         "ELSE NULL END AS d_stat "
         "FROM c, t GROUP BY t.n1, t.n2, t.nb"
     )
+
+
+def minhash_recall_report_sql(
+    drop_rate: float = 0.15,
+    sample_mod: int = 10,
+    threshold: float = 0.3,
+    ngram: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    salt: str = "mhrecall:",
+    twin_offset: int = 1 << 40,
+) -> str:
+    """Mirror of ``dedup.minhash_recall_report`` over ``documents``:
+    the same 52-bit coin word-drop perturbation, the identical
+    universal-hash minhash pipeline over corpus + twins, exact
+    Jaccard on both the found and the planted side, one-row report."""
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_coeffs,
+    )
+
+    off, mod, p, n = int(twin_offset), int(sample_mod), float(drop_rate), int(ngram)
+    coin = (
+        f"('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 13))::UBIGINT::BIGINT::DOUBLE "
+        "/ 4503599627370496.0"
+    )
+    if n == 1:
+        sh_cte = (
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+            "unnest(a) AS shingle FROM arr))"
+        )
+    else:
+        sh_cte = (
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+            f"unnest(CASE WHEN len(a) >= {n} THEN "
+            f"list_transform(range(1, len(a) - {n} + 2), "
+            f"i -> array_to_string(a[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ')) "
+            "ELSE [] END) AS shingle FROM arr))"
+        )
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a}::BIGINT * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    sep = " || ',' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{sep.join(f'CAST(h{b * r + j} AS VARCHAR)' for j in range(r))} "
+        "AS bucket FROM mh"
+        for b in range(bands)
+    )
+    jac = "round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6)"
+    return (
+        "WITH o AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents), "
+        "sarr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'[[:space:]]+'), w -> w <> '') AS a FROM documents "
+        f"WHERE doc_id % {mod} = 0), "
+        # the offset lands in an OUTER select: DuckDB lateral column
+        # aliases would otherwise shadow doc_id inside the coin lambda
+        # with the already-shifted id (Spark keys the coin on the
+        # ORIGINAL id)
+        f"tw AS (SELECT doc_id + {off} AS doc_id, text FROM "
+        f"(SELECT doc_id, array_to_string("
+        f"list_transform(list_filter(range(1, len(a) + 1), i -> {coin} >= {p}), "
+        "i -> a[CAST(i AS INT)]), ' ') AS text FROM sarr) ztw), "
+        "corpus AS (SELECT * FROM o UNION ALL SELECT * FROM tw), "
+        "arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'[[:space:]]+'), w -> w <> '') AS a FROM corpus), "
+        f"{sh_cte}, "
+        "hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))"
+        f"::UBIGINT::BIGINT % {MINHASH_P} AS hb FROM sh), "
+        f"mh AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
+        f"bk AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x "
+        "JOIN bk y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.doc_id < y.doc_id), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c "
+        "JOIN sh x ON x.doc_id = c.doc_a "
+        "JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle "
+        "GROUP BY c.doc_a, c.doc_b), "
+        "found AS (SELECT t.doc_a, t.doc_b FROM inter t "
+        "JOIN sz sa ON sa.doc_id = t.doc_a JOIN sz sb ON sb.doc_id = t.doc_b "
+        f"WHERE {jac} >= {threshold}), "
+        f"planted AS (SELECT doc_id AS doc_a, doc_id + {off} AS doc_b "
+        f"FROM documents WHERE doc_id % {mod} = 0), "
+        "pinter AS (SELECT pl.doc_a, pl.doc_b, count(*) AS i FROM planted pl "
+        "JOIN sh x ON x.doc_id = pl.doc_a "
+        "JOIN sh y ON y.doc_id = pl.doc_b AND y.shingle = x.shingle "
+        "GROUP BY pl.doc_a, pl.doc_b), "
+        "qual AS (SELECT t.doc_a, t.doc_b FROM pinter t "
+        "JOIN sz sa ON sa.doc_id = t.doc_a JOIN sz sb ON sb.doc_id = t.doc_b "
+        f"WHERE {jac} >= {threshold}), "
+        "h AS (SELECT count(*) AS hits FROM qual q JOIN found f "
+        "ON f.doc_a = q.doc_a AND f.doc_b = q.doc_b), "
+        "np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM planted), "
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_qualifying FROM qual) "
+        "SELECT np.n_planted, nq.n_qualifying, CAST(h.hits AS BIGINT) AS hits, "
+        "CASE WHEN nq.n_qualifying > 0 THEN "
+        "round(CAST(h.hits AS DOUBLE) / nq.n_qualifying, 6) ELSE NULL END "
+        "AS recall FROM np, nq, h"
+    )

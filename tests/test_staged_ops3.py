@@ -1247,3 +1247,55 @@ def test_streaming_ks_drift_equals_batch_twin(spark, sf_dir):
     via_batch = relational.ks_from_histograms(ref, batch_live).collect()
     assert [tuple(r) for r in via_stream] == [tuple(r) for r in via_batch]
     spark.catalog.dropTempView("_test_ks_twin")
+
+
+# --- round-13 staged: MinHash banding recall audit ---------------------------
+
+
+def test_minhash_recall_report_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    got = dedup.minhash_recall_report(
+        Catalog(spark, sf_dir).documents,
+        drop_rate=0.15,
+        sample_mod=10,
+        threshold=0.3,
+        ngram=2,
+    )
+    row = got.collect()[0]
+    assert row["n_planted"] > 0 and row["n_qualifying"] > 0
+    assert row["recall"] is not None and 0.0 <= row["recall"] <= 1.0
+    check(
+        got,
+        duck,
+        oracles.minhash_recall_report_sql(
+            drop_rate=0.15, sample_mod=10, threshold=0.3, ngram=2
+        ),
+    )
+
+
+def test_minhash_recall_extremes(spark):
+    """drop_rate=0 plants verbatim twins (Jaccard 1.0 — identical
+    signatures collide in every band, recall must be 1.0); a plant set
+    whose twins share nothing qualifies nothing (recall NULL)."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}_{j}" for j in range(12)))
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    r = dedup.minhash_recall_report(
+        docs, drop_rate=0.0, sample_mod=2, threshold=0.5, ngram=2
+    ).collect()[0]
+    assert r["n_planted"] == 4 and r["n_qualifying"] == 4
+    assert r["hits"] == 4 and r["recall"] == 1.0
+    # drop everything: twins are empty -> no shingles -> nothing
+    # qualifies -> recall is NULL, not a fake 1.0
+    r2 = dedup.minhash_recall_report(
+        docs, drop_rate=0.999999999, sample_mod=2, threshold=0.5, ngram=2
+    ).collect()[0]
+    assert r2["n_planted"] == 4 and r2["n_qualifying"] == 0
+    assert r2["recall"] is None
