@@ -3428,8 +3428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the LSH banding: planted perturbed twins, recall of the
         # band-surfaced qualifying pairs; sf0.01 parity green,
         # 4.1 s warm at sf0.1, reports recall 0.61 at the default
-        # 16x4 banding / 0.3 threshold / 15% drop).
-        # PLUS: bipartite_projection's CODE
+        # 16x4 banding / 0.3 threshold / 15% drop) and domain_classify
+        # (textstats.classify_domains + oracles.classify_domains_sql —
+        # keyword-taxonomy topical bucketing for domain-balanced
+        # mixing; zero-shuffle integer-encoded argmax, sf0.01 parity
+        # green). PLUS: bipartite_projection's CODE
         # changed this round (persisted self-join dedup, 6.2 -> 5.3 s,
         # sf0.01 driver mimic re-verified hash-identical) — it takes
         # r14's last window slot (39 due + 10 staged + 1 changed =

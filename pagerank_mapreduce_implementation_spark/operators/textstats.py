@@ -1750,3 +1750,107 @@ def normalize_text(
         clean.alias("clean_text"),
         (clean != F.col("__t")).cast("int").alias("changed"),
     )
+
+
+#: default taxonomy for the engine's synthetic corpus vocabulary —
+#: real deployments pass their own {domain: keywords} dict (the
+#: PATTERNS-extension convention from redaction.py)
+DEFAULT_TAXONOMY: dict = {
+    "query": ["join", "filter", "scan", "agg", "sort", "query", "hash"],
+    "stream": ["stream", "window", "batch", "dup"],
+    "storage": ["table", "row", "column", "part", "key", "merge"],
+}
+
+
+def classify_domains(
+    docs: DataFrame,
+    taxonomy: dict | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Rule-based topical classification — one row per doc:
+    ``(doc_id, domain, hits, total_hits, confidence)`` — the
+    keyword-taxonomy bucketing a mixture pipeline uses when sources
+    don't align with topics (curated mixtures re-balance by DOMAIN —
+    code/web/reference/dialog — not by crawl source; a keyword pass is
+    the classic cheap first cut before a trained classifier exists).
+
+    ``hits`` counts token occurrences (repeats included) of the
+    winning domain's keywords; ``domain`` is the argmax with a
+    deterministic tiebreak (lexicographically-largest name on equal
+    hits — the struct-max order, identical in both engines);
+    ``confidence = hits / total_hits`` rounded 6 (exact integer
+    division); docs hitting NO domain report ``(NULL, 0, 0, NULL)``
+    rather than a fake class.
+
+    Scale shape: pure per-row column math — tokenize once, one
+    ``size(filter(...))`` per domain, argmax via ``greatest`` over
+    (hits, name) structs — ZERO shuffles, scan speed at 100 TB,
+    keyword sets are plan-time literals (broadcast-free). Taxonomies
+    big enough to blow plan size belong in a broadcast-joined keyword
+    table instead; at the tens-of-domains scale this form wins.
+    """
+    tax = taxonomy if taxonomy is not None else DEFAULT_TAXONOMY
+    if not tax:
+        raise ValueError("classify_domains: taxonomy must be non-empty")
+    for d, kws in tax.items():
+        if not kws:
+            raise ValueError(f"classify_domains: domain {d!r} has no keywords")
+    toks = F.transform(_tokens(text_col), lambda w: F.lower(w))
+    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("__t"))
+    hit = lambda kws: F.size(  # noqa: E731
+        F.filter(F.col("__t"), lambda w: w.isin([k.lower() for k in kws]))
+    ).cast("long")
+    names = sorted(tax)
+    k = len(names)
+    scored = staged.select(
+        "doc_id",
+        *[hit(tax[d]).alias(f"__h_{i}") for i, d in enumerate(names)],
+    )
+    # integer-encoded argmax (portable — DuckDB greatest rejects
+    # structs): key = hits * n_domains + name_index, so max key ==
+    # max (hits, index); index order is sorted-name order, making the
+    # tiebreak the lexicographically-largest domain on equal hits
+    key = (
+        F.greatest(*[F.col(f"__h_{i}") * k + i for i in range(k)])
+        if k > 1
+        else F.col("__h_0") * k
+    )
+    total = sum(F.col(f"__h_{i}") for i in range(k))
+    out = scored.select(
+        "doc_id",
+        key.alias("__key"),
+        total.alias("total_hits"),
+    ).select(
+        "doc_id",
+        F.expr(f"__key div {k}").alias("__bh"),
+        (F.col("__key") % k).alias("__bi"),
+        "total_hits",
+    )
+    domain_of = None
+    for i, d in enumerate(names):
+        cond = F.col("__bi") == i
+        domain_of = (
+            F.when(cond, F.lit(d))
+            if domain_of is None
+            else domain_of.when(cond, F.lit(d))
+        )
+    return out.select(
+        "doc_id",
+        F.when(F.col("__bh") > 0, domain_of)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("domain"),
+        F.when(F.col("__bh") > 0, F.col("__bh"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hits"),
+        F.col("total_hits").cast("long").alias("total_hits"),
+        F.when(
+            F.col("__bh") > 0,
+            F.round(
+                F.col("__bh").cast("double") / F.col("total_hits"), 6
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("confidence"),
+    )

@@ -3568,3 +3568,50 @@ def minhash_recall_report_sql(
         "round(CAST(h.hits AS DOUBLE) / nq.n_qualifying, 6) ELSE NULL END "
         "AS recall FROM np, nq, h"
     )
+
+
+def classify_domains_sql(taxonomy: dict | None = None) -> str:
+    """Mirror of ``textstats.classify_domains`` over ``documents``:
+    per-domain token-hit counts as plan-time literal keyword lists,
+    struct greatest for the (hits, name) argmax, identical zero-hit
+    NULL semantics."""
+    if taxonomy is None:
+        from pagerank_mapreduce_implementation_spark.operators.textstats import (
+            DEFAULT_TAXONOMY,
+        )
+
+        taxonomy = DEFAULT_TAXONOMY
+    names = sorted(taxonomy)
+
+    def kwlist(d: str) -> str:
+        return "[" + ", ".join(f"'{k.lower()}'" for k in taxonomy[d]) + "]"
+
+    hits = ", ".join(
+        f"CAST(len(list_filter(tk, w -> list_contains({kwlist(d)}, w))) "
+        f"AS BIGINT) AS h{i}"
+        for i, d in enumerate(names)
+    )
+    k = len(names)
+    keys = ", ".join(f"h{i} * {k} + {i}" for i in range(k))
+    best = f"greatest({keys})" if k > 1 else f"h0 * {k}"
+    tot = " + ".join(f"h{i}" for i in range(k))
+    dom = (
+        "CASE "
+        + " ".join(f"WHEN bi = {i} THEN '{d}'" for i, d in enumerate(names))
+        + " END"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, list_transform(list_filter("
+        "regexp_split_to_array(text, '[[:space:]]+'), w -> w <> ''), "
+        "w -> lower(w)) AS tk FROM documents), "
+        f"s AS (SELECT doc_id, {hits} FROM t), "
+        f"b AS (SELECT doc_id, CAST({best} AS BIGINT) AS key, "
+        f"CAST({tot} AS BIGINT) AS tot FROM s), "
+        f"c AS (SELECT doc_id, key // {k} AS bh, key % {k} AS bi, tot FROM b) "
+        "SELECT doc_id, "
+        f"CASE WHEN bh > 0 THEN {dom} ELSE NULL END AS domain, "
+        "CAST(CASE WHEN bh > 0 THEN bh ELSE 0 END AS BIGINT) AS hits, "
+        "tot AS total_hits, "
+        "CASE WHEN bh > 0 THEN round(CAST(bh AS DOUBLE) / tot, 6) "
+        "ELSE NULL END AS confidence FROM c"
+    )

@@ -1299,3 +1299,42 @@ def test_minhash_recall_extremes(spark):
     ).collect()[0]
     assert r2["n_planted"] == 4 and r2["n_qualifying"] == 0
     assert r2["recall"] is None
+
+
+# --- round-13 staged: keyword-taxonomy domain classification -----------------
+
+
+def test_classify_domains_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    got = textstats.classify_domains(Catalog(spark, sf_dir).documents)
+    n_domains = got.filter(F.col("domain").isNotNull()).select("domain").distinct().count()
+    assert n_domains >= 2, "vacuous: taxonomy never discriminates"
+    check(got, duck, oracles.classify_domains_sql())
+
+
+def test_classify_domains_semantics(spark):
+    """Argmax + tiebreak + zero-hit semantics on hand-built docs: a
+    clear winner classifies, an exact tie goes to the
+    lexicographically-largest domain (the struct-max order), repeats
+    count, and a no-hit doc reports NULL/0/NULL."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    tax = {"alpha": ["cat", "dog"], "beta": ["fish"]}
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat bird"),     # alpha 3, beta 0
+            (2, "cat fish"),             # tie 1-1 -> beta (lex-largest)
+            (3, "bird rock tree"),       # no hits
+            (4, "FISH Fish fish dog"),   # case-folds: beta 3, alpha 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["domain"], r["hits"], r["total_hits"], r["confidence"])
+        for r in textstats.classify_domains(docs, tax).collect()
+    }
+    assert rows[1] == ("alpha", 3, 3, 1.0)
+    assert rows[2] == ("beta", 1, 2, 0.5)
+    assert rows[3] == (None, 0, 0, None)
+    assert rows[4] == ("beta", 3, 4, 0.75)
