@@ -1255,3 +1255,83 @@ def test_ks_from_histograms_matches_python(spark, old, new):
     assert got["n_old"] == len(old) and got["n_new"] == len(new)
     assert got["n_buckets"] == len(values)
     assert abs(got["d_stat"] - round(d, 6)) <= 1e-9
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=10**20 - 1).map(str),
+            st.sampled_from(["pay", "ref", "end", "4111-1111-1111-1111",
+                             "12 3456 7890 123", "x9y"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_luhn_scan_matches_python_regex(spark, parts):
+    """Candidate extraction and checksum agree with python's re (Java
+    and RE2 semantics coincide on this pattern — the parity tests pin
+    the RE2 side; this fuzzes the Java side) over random digit runs of
+    every length, separator-grouped numbers, and non-digit noise."""
+    import re as _re
+
+    from pagerank_mapreduce_implementation_spark.operators import redaction
+
+    text = " ".join(parts)
+    rows = redaction.luhn_scan(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()
+    got = sorted((r["card_digits"], r["luhn_valid"]) for r in rows)
+
+    def py_luhn(ds):
+        s = 0
+        for i, ch in enumerate(reversed(ds), start=1):
+            d = ord(ch) - 48
+            if i % 2 == 0:
+                d = 2 * d - 9 if 2 * d > 9 else 2 * d
+            s += d
+        return s % 10 == 0
+
+    want = sorted(
+        (ds, py_luhn(ds))
+        for ds in (
+            _re.sub(r"[^0-9]", "", m)
+            for m in _re.findall(r"\b\d(?:[ -]?\d){12,18}\b", text)
+        )
+    )
+    assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["cat", "dog", "fish", "bird", "CAT", "Fish", "rock"]),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_classify_domains_matches_python_argmax(spark, words):
+    """The integer-encoded argmax == a python reference (max hits,
+    lexicographically-largest domain on ties, NULL on zero hits) over
+    random case-folded keyword streams."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    tax = {"alpha": ["cat", "dog"], "beta": ["fish"], "gamma": ["rock"]}
+    text = " ".join(words)
+    row = textstats.classify_domains(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"), tax
+    ).collect()[0]
+    low = [w.lower() for w in words]
+    hits = {d: sum(1 for w in low if w in kws) for d, kws in
+            {k: [x.lower() for x in v] for k, v in tax.items()}.items()}
+    total = sum(hits.values())
+    best = max(sorted(tax), key=lambda d: (hits[d], d))
+    if hits[best] == 0:
+        assert (row["domain"], row["hits"], row["total_hits"], row["confidence"]) == (
+            None, 0, total, None
+        )
+    else:
+        assert row["domain"] == best and row["hits"] == hits[best]
+        assert row["total_hits"] == total
+        assert row["confidence"] == round(hits[best] / total, 6)
