@@ -2443,10 +2443,16 @@ def _q_trigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source robust outlier flags (textstats.mad_outliers) over
-    the quality_scores output: exact median/MAD, cutoff 3."""
+    the quality_scores output: exact median/MAD, cutoff 3. ``source``
+    rides through quality_scores' keep_cols — the single narrow pass
+    that feature exists for — instead of a corpus-vs-corpus doc_id
+    join back to documents (round-13 verdict: broadcastable at sf0.1,
+    corpus x corpus at 100 TB; plan gated join-free in
+    tests/test_plans.py)."""
     docs = Catalog(spark, sf_dir).documents
-    q = textstats.quality_scores(docs, score_only=True)
-    staged = q.join(docs.select("doc_id", "source"), "doc_id")
+    staged = textstats.quality_scores(
+        docs, score_only=True, keep_cols=("source",)
+    )
     return textstats.mad_outliers(staged, score_col="quality")
 
 
@@ -2489,9 +2495,17 @@ def _q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The d x d gram matrix (embeddings.embedding_gram, exact=True):
-    one cluster-side pass, d^2 plan-time-bounded output."""
-    out = emb_ops.embedding_gram(Catalog(spark, sf_dir).embeddings, exact=True)
+    """The d x d gram matrix — the DEFAULT scale path (one Arrow
+    ``mapInPandas`` pass of per-batch numpy partials, shuffle volume =
+    partitions x d^2, independent of row count). Round-13 verdict: the
+    previously registered ``exact=True`` audit mode explodes rows x
+    d(d+1)/2 cells and folds a row-count-sized ``collect_list`` per
+    cell — unbounded group state at 100x — so the driver now certifies
+    the plan users would actually run; ``round(g, 6)`` absorbs the
+    ~1e-12 cross-partition partial-sum noise against the oracle's
+    bit-exact sequential fold. ``exact=True`` stays the pytest audit
+    twin (tests/test_staged_ops2.py)."""
+    out = emb_ops.embedding_gram(Catalog(spark, sf_dir).embeddings)
     return out.select("i", "j", F.round("g", 6).alias("g"))
 
 

@@ -1416,6 +1416,7 @@ def bipartite_projection(
     edges: DataFrame,
     min_shared: int = 2,
     max_right_degree: int | None = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Project a bipartite ``(src, dst)`` graph onto its LEFT vertex
     set → ``(a, b, shared)``: pairs of left vertices connected to at
@@ -1439,9 +1440,18 @@ def bipartite_projection(
     Spark clones equi-join diamonds into canonically different
     subtrees, so without the cache the dedup shuffle and the degree
     agg run twice — once per join side (A/B at sf0.1: 6.2 -> 5.3 s,
-    identical pairs). The output is materialized via eager
-    localCheckpoint so the cache can be dropped before returning
-    (``util.release_result`` frees the result).
+    identical pairs). With ``materialize=True`` (default) the output
+    is eagerly localCheckpoint'ed so the cache can be dropped before
+    returning — construction becomes a blocking action and the result
+    (small by construction: pairs clearing ``min_shared`` over the
+    capped right subspace) is pinned. Pass ``materialize=False`` to
+    stay fully lazy and composable (streaming inputs, downstream
+    filter pushdown, or an uncapped run whose pair set should stream
+    into the caller's aggregation rather than pin in storage — the
+    round-13 advisory cases); the lazy plan keeps the persist, whose
+    first-use population still deduplicates the diamond, but the
+    caller owns the cache lifetime (``spark.catalog.clearCache()`` or
+    a ``minhash_near_dups``-style wrapper).
     """
     if min_shared < 1:
         raise ValueError(f"min_shared ({min_shared}) must be >= 1")
@@ -1456,18 +1466,18 @@ def bipartite_projection(
             rdeg.filter(F.col("__d") <= max_right_degree).select("dst"), "dst"
         )
     ded = ded.persist()
+    a = ded.select(F.col("dst").alias("__r"), F.col("src").alias("a"))
+    b = ded.select(F.col("dst").alias("__r"), F.col("src").alias("b"))
+    out = (
+        a.join(b, "__r")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    if not materialize:
+        return out
     try:
-        a = ded.select(F.col("dst").alias("__r"), F.col("src").alias("a"))
-        b = ded.select(F.col("dst").alias("__r"), F.col("src").alias("b"))
-        out = (
-            a.join(b, "__r")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .filter(F.col("shared") >= min_shared)
-        )
-        # small by construction (pairs clearing min_shared over the
-        # capped right subspace) — cheap to materialize eagerly
         return out.localCheckpoint(eager=True)
     finally:
         ded.unpersist()

@@ -743,7 +743,14 @@ def ks_drift(
     cell order is value order) accumulate locally in parallel and the
     tiny per-cell totals prefix broadcasts back — never one global
     ORDER BY window over what can be a near-row-count-sized distinct
-    set. Empty sides yield d_stat NULL (no distribution to compare).
+    set. The per-value aggregate feeds THREE subtrees (totals, in-cell
+    prefix, per-cell totals), so it is persisted for the run and
+    released after the one-row result eagerly materializes
+    (localCheckpoint) — without it Spark clones the plan and the full
+    two-corpus scan+shuffle executes ~3x (round-13 advisory; the
+    bipartite_projection pattern). The report is ALWAYS exactly one
+    row: an empty side — or two empty sides — yields d_stat NULL with
+    the zero counts, so ``collect()[0]`` is safe unconditionally.
     """
     from pyspark.sql.window import Window
 
@@ -763,6 +770,7 @@ def ks_drift(
         F.sum("__o").cast("long").alias("__c1"),
         F.sum("__n").cast("long").alias("__c2"),
     )
+    g = g.persist()
     tot = g.agg(
         F.coalesce(F.sum("__c1"), F.lit(0)).cast("long").alias("__n1"),
         F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__n2"),
@@ -796,12 +804,14 @@ def ks_drift(
         F.coalesce(F.sum("__b1").over(w_prev), F.lit(0)).alias("__p1"),
         F.coalesce(F.sum("__b2").over(w_prev), F.lit(0)).alias("__p2"),
     )
-    d = (
+    # the max over |F1 - F2| is a GLOBAL aggregate (always one row,
+    # NULL over an empty candidate set), cross-joined back onto the
+    # always-one-row totals — the shape that keeps the report exactly
+    # one row even when BOTH inputs are empty (the grouped form
+    # returned zero rows there, round-13 advisory)
+    dm = (
         loc.join(F.broadcast(cpre), "__b")
         .select(
-            "__n1",
-            "__n2",
-            "__nv",
             # try_divide: an empty side (n = 0) yields NULL instead of
             # an ANSI DIVIDE_BY_ZERO; the non-empty path is the same
             # single IEEE division
@@ -814,21 +824,27 @@ def ks_drift(
                     (F.col("__p2") + F.col("__l2")).cast("double"),
                     F.col("__n2").cast("double"),
                 )
-            ).alias("__d"),
+            ).alias("__d")
         )
-        .groupBy("__n1", "__n2", "__nv")
         .agg(F.max("__d").alias("__dm"))
     )
-    return d.select(
-        F.col("__n1").alias("n_old"),
-        F.col("__n2").alias("n_new"),
-        F.col("__nv").alias("n_values"),
-        F.when(
-            (F.col("__n1") > 0) & (F.col("__n2") > 0), F.round(F.col("__dm"), 6)
+    out = (
+        tot.crossJoin(F.broadcast(dm))
+        .select(
+            F.col("__n1").alias("n_old"),
+            F.col("__n2").alias("n_new"),
+            F.col("__nv").alias("n_values"),
+            F.when(
+                (F.col("__n1") > 0) & (F.col("__n2") > 0),
+                F.round(F.col("__dm"), 6),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("d_stat"),
         )
-        .otherwise(F.lit(None).cast("double"))
-        .alias("d_stat"),
+        .localCheckpoint(eager=True)
     )
+    g.unpersist()
+    return out
 
 
 def ks_from_histograms(
@@ -892,18 +908,17 @@ def ks_from_histograms(
             )
         ).alias("__d"),
     )
-    return (
-        d.groupBy("__n1", "__n2", "__nb")
-        .agg(F.max("__d").alias("__dm"))
-        .select(
-            F.col("__n1").alias("n_old"),
-            F.col("__n2").alias("n_new"),
-            F.col("__nb").alias("n_buckets"),
-            F.when(
-                (F.col("__n1") > 0) & (F.col("__n2") > 0),
-                F.round(F.col("__dm"), 6),
-            )
-            .otherwise(F.lit(None).cast("double"))
-            .alias("d_stat"),
+    # global max + totals cross join: exactly one report row even for
+    # two empty histograms (the ks_drift one-row contract)
+    dm = d.agg(F.max("__d").alias("__dm"))
+    return tot.crossJoin(F.broadcast(dm)).select(
+        F.col("__n1").alias("n_old"),
+        F.col("__n2").alias("n_new"),
+        F.col("__nb").alias("n_buckets"),
+        F.when(
+            (F.col("__n1") > 0) & (F.col("__n2") > 0),
+            F.round(F.col("__dm"), 6),
         )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("d_stat"),
     )

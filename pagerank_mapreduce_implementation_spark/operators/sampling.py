@@ -888,7 +888,12 @@ def calibrate_scores(
     percent_rank = (rank - 1) / (n_group - 1), tie-aware (equal scores
     share the MIN rank), 0.0 for single-row or constant-score groups;
     rounded 6 from exact integers, so the SQL oracle's window
-    percent_rank replays it bit-for-bit.
+    percent_rank replays it bit-for-bit. NOTE the echoed ``score_col``
+    column is likewise ROUND-6 NORMALIZED (it sits under the same
+    cross-engine hash gate, and a raw double's last bits are not a
+    portable rendering) — join back on ``key_col`` if a downstream
+    consumer needs the raw score bits, not on the score value
+    (round-13 advisory: the silent mutation was undocumented).
 
     Contract: ``score_col`` must be non-null (engines disagree on NULL
     sort position — Spark NULLS FIRST vs DuckDB NULLS LAST — so a null

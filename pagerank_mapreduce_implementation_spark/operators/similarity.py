@@ -1258,6 +1258,7 @@ def margin_matches_ab(
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Margin-criterion cross-corpus mining (Artetxe & Schwenk 2019,
     the CCMatrix/LASER bitext scorer): ``(id_a, id_b, cos, margin)``
@@ -1288,6 +1289,10 @@ def margin_matches_ab(
     the denominator tables are id-keyed aggregates joined back on the
     candidate set. Raise ``bands`` for recall, ``k`` for neighborhood
     smoothing; both knobs are mirrored in the oracle.
+    ``materialize=False`` skips the eager final checkpoint and returns
+    the lazy composable plan (streaming/pushdown callers — the
+    ``bipartite_projection`` escape hatch); the scored-candidate
+    persist stays, cache lifetime owned by the caller.
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
@@ -1370,6 +1375,9 @@ def margin_matches_ab(
             )
             .filter(F.col("margin") >= margin_threshold)
         )
+        if not materialize:
+            return out
         return out.localCheckpoint(eager=True)
     finally:
-        sc.unpersist()
+        if materialize:
+            sc.unpersist()

@@ -3363,7 +3363,10 @@ def ks_drift_sql(
     """Mirror of ``relational.ks_drift`` over two SELECTs: per-value
     side counts, one cumulative window (oracle scale), and the max of
     |F1 - F2| from the identical single-division doubles. Counts are
-    BIGINT-cast (DuckDB HUGEINT sums land as float64 in pandas)."""
+    BIGINT-cast (DuckDB HUGEINT sums land as float64 in pandas). The
+    sup is a GLOBAL aggregate cross-joined onto the always-one-row
+    totals, so the report is exactly one row even when both inputs
+    are empty (the engine's one-row contract)."""
     return (
         f"WITH o AS ({old_sql}), nn AS ({new_sql}), "
         f"u AS (SELECT CAST({value} AS DOUBLE) AS v, 1 AS so, 0 AS sn FROM o "
@@ -3377,12 +3380,13 @@ def ks_drift_sql(
         "CAST(count(*) AS BIGINT) AS nv FROM g), "
         "c AS (SELECT CAST(sum(c1) OVER w AS BIGINT) AS cum1, "
         "CAST(sum(c2) OVER w AS BIGINT) AS cum2 FROM g "
-        "WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)) "
+        "WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), "
+        "m AS (SELECT max(abs(CAST(cum1 AS DOUBLE) / t.n1 - "
+        "CAST(cum2 AS DOUBLE) / t.n2)) AS dm FROM c, t) "
         "SELECT t.n1 AS n_old, t.n2 AS n_new, t.nv AS n_values, "
-        "CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN round(max(abs("
-        "CAST(cum1 AS DOUBLE) / t.n1 - CAST(cum2 AS DOUBLE) / t.n2)), 6) "
+        "CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN round(m.dm, 6) "
         "ELSE NULL END AS d_stat "
-        "FROM c, t GROUP BY t.n1, t.n2, t.nv"
+        "FROM t, m"
     )
 
 
@@ -3458,12 +3462,13 @@ def ks_binned_sql(old_hist_sql: str, new_hist_sql: str) -> str:
         "CAST(count(*) AS BIGINT) AS nb FROM g), "
         "c AS (SELECT CAST(sum(c1) OVER w AS BIGINT) AS cum1, "
         "CAST(sum(c2) OVER w AS BIGINT) AS cum2 FROM g "
-        "WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)) "
+        "WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)), "
+        "m AS (SELECT max(abs(CAST(cum1 AS DOUBLE) / t.n1 - "
+        "CAST(cum2 AS DOUBLE) / t.n2)) AS dm FROM c, t) "
         "SELECT t.n1 AS n_old, t.n2 AS n_new, t.nb AS n_buckets, "
-        "CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN round(max(abs("
-        "CAST(cum1 AS DOUBLE) / t.n1 - CAST(cum2 AS DOUBLE) / t.n2)), 6) "
+        "CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN round(m.dm, 6) "
         "ELSE NULL END AS d_stat "
-        "FROM c, t GROUP BY t.n1, t.n2, t.nb"
+        "FROM t, m"
     )
 
 
@@ -3574,7 +3579,10 @@ def classify_domains_sql(taxonomy: dict | None = None) -> str:
     """Mirror of ``textstats.classify_domains`` over ``documents``:
     per-domain token-hit counts as plan-time literal keyword lists,
     struct greatest for the (hits, name) argmax, identical zero-hit
-    NULL semantics."""
+    NULL semantics. Keyword and domain literals are single-quote
+    escaped (``'' ``) like every other oracle builder — a taxonomy
+    entry containing a quote must not break or inject the SQL
+    (round-13 advisory)."""
     if taxonomy is None:
         from pagerank_mapreduce_implementation_spark.operators.textstats import (
             DEFAULT_TAXONOMY,
@@ -3583,8 +3591,11 @@ def classify_domains_sql(taxonomy: dict | None = None) -> str:
         taxonomy = DEFAULT_TAXONOMY
     names = sorted(taxonomy)
 
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
     def kwlist(d: str) -> str:
-        return "[" + ", ".join(f"'{k.lower()}'" for k in taxonomy[d]) + "]"
+        return "[" + ", ".join(f"'{q(k.lower())}'" for k in taxonomy[d]) + "]"
 
     hits = ", ".join(
         f"CAST(len(list_filter(tk, w -> list_contains({kwlist(d)}, w))) "
@@ -3597,7 +3608,7 @@ def classify_domains_sql(taxonomy: dict | None = None) -> str:
     tot = " + ".join(f"h{i}" for i in range(k))
     dom = (
         "CASE "
-        + " ".join(f"WHEN bi = {i} THEN '{d}'" for i, d in enumerate(names))
+        + " ".join(f"WHEN bi = {i} THEN '{q(d)}'" for i, d in enumerate(names))
         + " END"
     )
     return (

@@ -360,7 +360,19 @@ def test_corpus_report_join_free_single_rollup(plans):
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
 
 
-def test_audio_features_two_arrow_passes_no_shuffle_before_join(plans):
+def test_mad_outliers_no_docid_join_back(plans):
+    """mad_outliers' quality scores ride keep_cols through ONE narrow
+    pass — never a corpus-vs-corpus doc_id join back to documents
+    (round-13 verdict: broadcastable at sf0.1, corpus x corpus at
+    100 TB). The only joins allowed are the per-source median/MAD
+    stats broadcasts; no shuffle join of any kind."""
+    p = plans("mad_outliers")
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    # every remaining join is a tiny per-source stats broadcast, and
+    # none of them keys on doc_id
+    for cond in re.findall(r"BroadcastHashJoin \[([^\]]*)\]", p):
+        assert "doc_id" not in cond, cond
     """The audio chain is mapInPandas plumbing end-to-end: Arrow evals
     for synth+decode+featurize, a single join of two slim metadata
     branches, and NO sort-merge join or corpus shuffle — the blobs

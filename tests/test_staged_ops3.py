@@ -1034,6 +1034,13 @@ def test_ks_drift_semantics(spark):
     assert half["d_stat"] == 0.5 and half["n_old"] == 4 and half["n_new"] == 4
     empt = relational.ks_drift(mk([]), mk([1.0, 2.0]), "value").collect()
     assert len(empt) == 1 and empt[0]["d_stat"] is None
+    # BOTH sides empty is still exactly one report row (zero counts,
+    # NULL d_stat) — collect()[0] is safe unconditionally (r13 advice:
+    # the grouped form returned zero rows here)
+    both = relational.ks_drift(mk([]), mk([]), "value").collect()
+    assert len(both) == 1
+    assert both[0]["n_old"] == 0 and both[0]["n_new"] == 0
+    assert both[0]["n_values"] == 0 and both[0]["d_stat"] is None
 
 
 # --- round-13 staged: margin-criterion cross-corpus mining -------------------
