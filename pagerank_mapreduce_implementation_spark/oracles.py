@@ -3575,6 +3575,46 @@ def minhash_recall_report_sql(
     )
 
 
+def _double_lit_sql(x: float) -> str:
+    """Exact DOUBLE literal: Python's shortest-round-trip repr with an
+    exponent marker so DuckDB parses it as DOUBLE via strtod (a bare
+    high-precision decimal literal would land in DECIMAL(38,x) and pay
+    an int128-division re-rounding on the cast)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def pca_project_sql(
+    components: list[list[float]], means: list[float]
+) -> str:
+    """Mirror of ``operators.embeddings.pca_project`` with a FIXED
+    literal basis over ``embeddings`` — the fitted-basis-reuse
+    deployment shape, which is what makes the distributed projection
+    SQL-expressible: each output coordinate is the sequential-fold dot
+    of the (float32 -> double, exact) vector with a literal component
+    minus the precomputed ``means . component`` scalar (the SAME
+    ``np.dot`` bits the engine folds into its plan literal), rendered
+    as the decimal-exact CSV string. Only the d x d eigh that PRODUCED
+    the basis stays outside SQL (numpy-parity pytest gate)."""
+    import numpy as np
+
+    projs = []
+    for ci, comp in enumerate(components):
+        mu_dot = float(np.dot(means, comp))
+        clit = "[" + ", ".join(_double_lit_sql(c) for c in comp) + "]"
+        projs.append(
+            f"({_dot_sql('v', clit)} - {_double_lit_sql(mu_dot)}) AS p{ci}"
+        )
+    plist = "[" + ", ".join(f"p{ci}" for ci in range(len(components))) + "]"
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"pr AS (SELECT vec_id, {', '.join(projs)} FROM base) "
+        f"SELECT vec_id, array_to_string(list_transform({plist}, "
+        f"x -> {_dec_str_sql('x')}), ',') AS proj FROM pr"
+    )
+
+
 def classify_domains_sql(taxonomy: dict | None = None) -> str:
     """Mirror of ``textstats.classify_domains`` over ``documents``:
     per-domain token-hit counts as plan-time literal keyword lists,

@@ -216,6 +216,24 @@ def test_pca_matches_numpy(spark, sf_dir):
     assert np.allclose(got, want, atol=1e-6)
 
 
+def test_pca_basis_literals_match_sf0001_fit(spark):
+    """Provenance gate for the frozen registry basis: the
+    ``_PCA_COMPONENTS`` / ``_PCA_MEANS`` literals behind the registered
+    ``pca_project`` query must equal a FRESH ``pca_components(k=4)``
+    fit on the sf0.001 snapshot they were frozen from (tolerance
+    covers the default gram path's ~1e-12 cross-partition noise). A
+    testdata regeneration that moves the embeddings fails here loudly
+    — rerun scripts/refit_pca_basis.py and paste the new constants."""
+    import __spark_entry__ as entrymod
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    _, comps, _, mu = emb_ops.pca_components(emb, k=4)
+    assert np.allclose(entrymod._PCA_MEANS, mu, rtol=0, atol=1e-9)
+    assert np.allclose(
+        entrymod._PCA_COMPONENTS, np.array(comps), rtol=0, atol=1e-8
+    )
+
+
 def test_pca_project_reuses_fit(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 2.0 * i, 0.0]) for i in range(6)],
