@@ -17,6 +17,7 @@ Determinism notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2875,6 +2876,168 @@ def _q_pagerank_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jar's OTHER file pipeline driver-gated (the pagerank_files
+    twin; pagerank.jar!org/myorg/{TermFrequency,TFIDF,Search,Rank}): a
+    deterministic doc subset written ONE DOC PER FILE (the jar keys
+    docs by input file name — Spark cannot name output files per row,
+    so the bounded |docs|/100 subset is written driver-side),
+    programs.tfidf_search_rank runs TF -> TF-IDF -> term search ->
+    score ranking with the jar-exact boundary tokenizer and writes
+    ``doc \\t score`` O3 text, and the OUTPUT FILE is read back
+    through the O2 tab-split source — the oracle recomputes the whole
+    scoring over the same subset, so any formatting/round-trip drift
+    breaks the hash."""
+    import shutil
+
+    from pagerank_mapreduce_implementation_spark.sources.catalog import read_kv_text
+
+    base = _scratch_dir("tfidf_files")
+    inp, outp = os.path.join(base, "in"), os.path.join(base, "out")
+    # rebuild the input dir from scratch: the per-process scratch is
+    # REUSED across invocations and a smaller corpus (a different
+    # sf_dir) must not inherit stale per-doc files
+    shutil.rmtree(inp, ignore_errors=True)
+    os.makedirs(inp)
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 100 == 0)
+    for r in docs.select("doc_id", "text").collect():
+        with open(os.path.join(inp, f"doc{r['doc_id']}"), "w") as fh:
+            fh.write(r["text"])
+    programs.tfidf_search_rank(spark, inp, outp, terms=SEARCH_TERMS)
+    return read_kv_text(spark, outp).select(
+        F.col("key").alias("doc_id"),
+        F.round(F.col("value").cast("double"), 6).alias("score"),
+    )
+
+
+def _q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (contamination.contamination_spans):
+    positional 8-gram leaks between the train/bench splits merged into
+    maximal islands — the actionable form (cut THESE spans) of the
+    doc-level contamination_audit."""
+    from pagerank_mapreduce_implementation_spark.operators import contamination
+
+    docs = Catalog(spark, sf_dir).documents
+    return contamination.contamination_spans(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        ngram=8,
+    )
+
+
+def _luhn_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of oracles.luhn_cards_docs_sql (the corpus is
+    digit-free, so the query manufactures what it audits — the
+    _q_pii_redaction move): a 16-digit card-shaped number per
+    customer, dash-grouped for custkey%3==0, absent for custkey%7==0,
+    next to a constant 8-digit run that must never match."""
+    cust = Catalog(spark, sf_dir).customer
+    key = F.col("c_custkey")
+    d16 = F.concat(
+        F.lpad((key * 7919 % 100000).cast("string"), 5, "0"),
+        F.lpad((key * 104729 % 100000).cast("string"), 5, "0"),
+        F.lpad((key % 100000).cast("string"), 5, "0"),
+        (key % 10).cast("string"),
+    )
+    grouped = F.concat(
+        F.substring(d16, 1, 4), F.lit(" "), F.substring(d16, 5, 4),
+        F.lit(" "), F.substring(d16, 9, 4), F.lit(" "), F.substring(d16, 13, 4),
+    )
+    card = F.when(
+        key % 7 != 0,
+        F.concat(
+            F.lit("card "),
+            F.when(key % 3 == 0, grouped).otherwise(d16),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    return cust.select(
+        key.alias("doc_id"),
+        F.concat(F.lit("order ref 12345678 "), card, F.lit("end")).alias("text"),
+    )
+
+
+def _q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card detection (redaction.luhn_scan): every
+    card-shaped 13-19 digit run with its mod-10 Luhn verdict — the
+    precision upgrade over the bare digit regex of pii_redaction.
+    Zero-shuffle column math (F.aggregate over the reversed digits)."""
+    from pagerank_mapreduce_implementation_spark.operators import redaction
+
+    return redaction.luhn_scan(_luhn_card_docs(spark, sf_dir))
+
+
+def _q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-vs-padded batching audit (text.packing_report,
+    budget=64): one row quantifying tail waste, split docs, bin
+    crossings, and the padding the packer avoids."""
+    return text.packing_report(Catalog(spark, sf_dir).documents, budget=64)
+
+
+def _q_calibrate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source percent-rank calibration (sampling.
+    calibrate_scores over n_chars): the tie-aware two-phase
+    distributed rank — never a per-source single-task window."""
+    return sampling.calibrate_scores(
+        Catalog(spark, sf_dir).documents, score_col="n_chars"
+    )
+
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift (relational.ks_drift)
+    between the error and purchase event value distributions — the
+    distribution-SHAPE gate profile_drift's min/max/null sweep cannot
+    be; cumulative CDFs via the distributed two-phase prefix."""
+    ev = Catalog(spark, sf_dir).events
+    return relational.ks_drift(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+def _q_margin_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin cross-corpus mining (similarity.margin_matches_ab,
+    Artetxe & Schwenk 2019) over two deterministic corpus thirds:
+    banded-LSH candidates, neighborhood-relative scoring — the
+    hubness-robust bitext/match miner."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return similarity.margin_matches_ab(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 == 1),
+        k=4,
+        margin_threshold=1.0,
+    )
+
+
+def _q_profile_drift_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-SCAN fusion of profile_drift (relational.
+    profile_drift_where): old = a predicate slice of the same frame,
+    profiled via conditional aggregation in a single pass — kept for
+    genuinely scan-bound (cold columnar) use; the registered
+    profile_drift stays the two-frame form that measured 2.1x faster
+    warm (A/B cited there). Same rows, same oracle."""
+    return relational.profile_drift_where(
+        Catalog(spark, sf_dir).lineitem,
+        F.col("l_orderkey") % 3 != 0,
+        _DRIFT_COLS,
+    )
+
+
+def _q_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-recall audit (dedup.minhash_recall_report): plant
+    mutated twins for a doc sample, run the production MinHash-LSH
+    banding, and report what fraction of genuinely-above-threshold
+    planted pairs the bands actually caught."""
+    return dedup.minhash_recall_report(
+        Catalog(spark, sf_dir).documents,
+        drop_rate=0.15,
+        sample_mod=10,
+        threshold=0.3,
+        ngram=2,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-iteration reference-parity PageRank at sf0.001."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -3468,16 +3631,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is oldest; fresh-green unchanged queries rotate to the
     # back. FRESHNESS BUDGET (round-9 policy decision): every query
     # must have a driver-green row within the last
-    # ceil(len(registry)/50) rounds — 4 rounds at the current 186
+    # ceil(len(registry)/50) rounds — 4 rounds at the current 195
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3).
     return {
-        # (a) NEW round-13 registrations — staged cohorts 2+3
-        # (r12 verdict items 1/2), the streaming twins, and the
-        # program/report gates (items 4/6): first driver
-        # certification. pca_project is the registry's ONLY
-        # rows-only entry (NO_ORACLE_QUERIES — driver-side eigh is
-        # not SQL-expressible; numpy parity is pytest-gated).
+        # (a) NEW round-14 registrations — the r13-staged cohort
+        # (r13 verdict item 1), each with a full DuckDB hash oracle
+        # and a staged parity test in tests/test_staged_ops3.py
+        "tfidf_files": _q_tfidf_files,
+        "contamination_spans": _q_contamination_spans,
+        "pii_luhn": _q_pii_luhn,
+        "packing_report": _q_packing_report,
+        "calibrate_scores": _q_calibrate_scores,
+        "ks_drift": _q_ks_drift,
+        "margin_matches": _q_margin_matches,
+        "profile_drift_where": _q_profile_drift_where,
+        "minhash_recall_report": _q_minhash_recall_report,
+        # (a') changed this round, so they re-certify FIRST even
+        # where fresh-green: pca_project now runs the frozen-basis
+        # projection under a REAL matmul oracle (r13 verdict item 3;
+        # formerly the registry's only rows-only entry) and
+        # embedding_gram certifies its scalable Arrow-partials
+        # DEFAULT path instead of the exact-mode explode (item 2)
+        "pca_project": _q_pca_project,
+        "embedding_gram": _q_embedding_gram,
+        # (b) the 39 remaining r10-green entries — their r10 rows age
+        # out of the last-4 driver-file window when r14 lands
+        "temperature_alloc": _q_temperature_alloc,
+        "temperature_mix": _q_temperature_mix,
+        "ivf_pq_topk": _q_ivf_pq_topk,
+        "unimax_alloc": _q_unimax_alloc,
+        "unimax_mix": _q_unimax_mix,
+        "pq_encode": _q_pq_encode,
+        "pq_topk": _q_pq_topk,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup": _q_cdc_dedup,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "bigram_lm": _q_bigram_lm,
+        "entropy_stats": _q_entropy_stats,
+        "bloom_probe": _q_bloom_probe,
+        "quality_classifier": _q_quality_classifier,
+        "streaming_bloom_probe": _q_streaming_bloom_probe,
+        "novelty_scores": _q_novelty_scores,
+        "packed_bins_spans": _q_packed_bins_spans,
+        "source_top_fraction": _q_source_top_fraction,
+        "gopher_repetition": _q_gopher_repetition,
+        "gopher_rules": _q_gopher_rules,
+        "streaming_cms_counts": _q_streaming_cms_counts,
+        "signup_funnel": _q_signup_funnel,
+        "returnflag_cube": _q_returnflag_cube,
+        "salted_brand_revenue": _q_salted_brand_revenue,
+        "user_purchase_trend": _q_user_purchase_trend,
+        "signup_followups": _q_signup_followups,
+        "customer_order_gaps": _q_customer_order_gaps,
+        "daily_type_pivot": _q_daily_type_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "approx_daily_uniques": _q_approx_daily_uniques,
+        "asof_clicks": _q_asof_clicks,
+        "daily_uniques": _q_daily_uniques,
+        "bm25_search": _q_bm25_search,
+        "seq_packing": _q_seq_packing,
+        "seq_packing_bpe": _q_seq_packing_bpe,
+        "doc_chunks_bpe": _q_doc_chunks_bpe,
+        "source_mix": _q_source_mix,
+        "word_count": _q_word_count,
+        # --- window boundary (50) — below here: green within the
+        # 4-round freshness budget. ROUND-15 ROTATION PLAN: the r11
+        # cohort (~48 entries, due when r15 lands) fills the window
+        # almost exactly — the ~2 free slots take classify_domains
+        # (textstats.classify_domains + oracles.classify_domains_sql,
+        # staged+parity-green since r13) and mad_outliers (its
+        # keep_cols join-back fix landed r14 with a fresh r13 row —
+        # re-certify early). Keep NEW staged work for r16.
         "normalize_text": _q_normalize_text,
         "fuzzy_contamination": _q_fuzzy_contamination,
         "ann_recall_report": _q_ann_recall_report,
@@ -3490,8 +3716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentences": _q_chunk_sentences,
         "truncate_embeddings": _q_truncate_embeddings,
         "mean_pool_embeddings": _q_mean_pool_embeddings,
-        "embedding_gram": _q_embedding_gram,
-        "pca_project": _q_pca_project,
         "cluster_top_terms": _q_cluster_top_terms,
         "group_compactness": _q_group_compactness,
         "curriculum_order": _q_curriculum_order,
@@ -3506,8 +3730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_audit": _q_shard_audit,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pagerank_files": _q_pagerank_files,
-        # (b) the 10 deferred r9-green entries — their r9 rows age
-        # out of the last-4 driver-file window when r13 lands
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "simhash_dedup": _q_simhash_dedup,
@@ -3518,13 +3740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_audit": _q_contamination,
         "pii_redaction": _q_pii_redaction,
         "cms_word_counts": _q_cms_word_counts,
-        # (c) r10-green entries pulled FORWARD (the 50-entry r10
-        # cohort comes due at r14 — re-certifying 11 now leaves r14
-        # a 39-due window with free slots), plus
-        # clustering_coefficients: its CODE changed this round
-        # (canonical-edge sharing with triangle_counts — also
-        # touched, also in this window), so it re-certifies first
-        # despite a fresh r12 row
         "bpe_train": _q_bpe_train,
         "changelog_compact": _q_changelog_compact,
         "zorder_roundtrip": _q_zorder_roundtrip,
@@ -3537,62 +3752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_apply": _q_changelog_apply,
         "hits_top20": _q_hits_top20,
         "clustering_coefficients": _q_clustering_coefficients,
-        # --- window boundary (50) — below here: green within the
-        # 4-round freshness budget. ROUND-14 ROTATION PLAN: window =
-        # the 39 remaining r10-green entries (due: their r10 rows
-        # leave the last-4 file window when r14 lands) + up to 11
-        # free slots. ROUND-13 STAGED, queued for those slots
-        # (tests/test_staged_ops3.py, oracles inline there):
-        # bucketed_revenue (programs.bucketed_revenue — bucket-
-        # materialized co-located fact join, shuffle-free-join plan
-        # gate), csv_roundtrip (the jsonl_roundtrip twin over the
-        # CSV source/sink), tfidf_files (the pagerank_files twin:
-        # programs.tfidf_search_rank through the one-doc-per-file
-        # input + O3 text sink + O2 re-read), contamination_spans
-        # (contamination.contamination_spans + oracles.
-        # contamination_spans_sql — merged leaked-token spans, the
-        # actionable decontamination form), and pii_luhn
-        # (redaction.luhn_scan + oracles.luhn_scan_sql over the
-        # manufactured card corpus of oracles.luhn_cards_docs_sql —
-        # checksum-validated card detection, the precision upgrade
-        # over the bare digit regex), packing_report
-        # (text.packing_report + oracles.packing_report_sql — the
-        # one-row packed-vs-padded audit over pack_sequences'
-        # layout), calibrate_scores (sampling.calibrate_scores +
-        # oracles.calibrate_scores_sql — cross-source percent-rank
-        # calibration via a tie-aware two-phase distributed rank,
-        # no per-group single-task window), ks_drift
-        # (relational.ks_drift + oracles.ks_drift_sql — the exact
-        # two-sample Kolmogorov-Smirnov distance, the distribution-
-        # SHAPE drift detector profile_drift's min/max/null-rate
-        # sweep cannot be), margin_matches (similarity.
-        # margin_matches_ab + oracles.margin_matches_ab_sql — the
-        # Artetxe-Schwenk ratio-margin scorer over the banded-LSH
-        # candidate set, hubness-robust cross-corpus mining), and
-        # streaming_ks_drift (streaming_value_histogram live slice →
-        # memory sink → relational.ks_from_histograms vs a batch
-        # reference profile + oracles.ks_binned_sql — the stream/
-        # batch drift pair; composition pinned in
-        # test_streaming_ks_drift_composition_parity). All six hold
-        # parity at sf0.01 (driver SF) and cost, warm at sf0.1:
-        # pii_luhn 0.6 s, packing_report 1.2, calibrate_scores 1.0,
-        # ks_drift 1.1, margin_matches 2.9, streaming_ks_drift 1.4
-        # (~8 s suite growth). QUEUED FOR r15's ~2 free slots:
-        # minhash_recall (dedup.minhash_recall_report + oracles.
-        # minhash_recall_report_sql — the ann_recall_report move for
-        # the LSH banding: planted perturbed twins, recall of the
-        # band-surfaced qualifying pairs; sf0.01 parity green,
-        # 4.1 s warm at sf0.1, reports recall 0.61 at the default
-        # 16x4 banding / 0.3 threshold / 15% drop) and domain_classify
-        # (textstats.classify_domains + oracles.classify_domains_sql —
-        # keyword-taxonomy topical bucketing for domain-balanced
-        # mixing; zero-shuffle integer-encoded argmax, sf0.01 parity
-        # green). PLUS: bipartite_projection's CODE
-        # changed this round (persisted self-join dedup, 6.2 -> 5.3 s,
-        # sf0.01 driver mimic re-verified hash-identical) — it takes
-        # r14's last window slot (39 due + 10 staged + 1 changed =
-        # 50 exactly; its r12 row stays within budget regardless).
-        # r11-green entries come due at r15.
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,
@@ -3690,45 +3849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "streaming_events_sliding": _q_streaming_events_sliding,
         "graph_degree_histogram": _q_graph_degree_histogram,
-        "temperature_alloc": _q_temperature_alloc,
-        "temperature_mix": _q_temperature_mix,
-        "ivf_pq_topk": _q_ivf_pq_topk,
-        "unimax_alloc": _q_unimax_alloc,
-        "unimax_mix": _q_unimax_mix,
-        "pq_encode": _q_pq_encode,
-        "pq_topk": _q_pq_topk,
-        "cdc_chunks": _q_cdc_chunks,
-        "cdc_dedup": _q_cdc_dedup,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "bigram_lm": _q_bigram_lm,
-        "entropy_stats": _q_entropy_stats,
-        "bloom_probe": _q_bloom_probe,
-        "quality_classifier": _q_quality_classifier,
-        "streaming_bloom_probe": _q_streaming_bloom_probe,
-        "novelty_scores": _q_novelty_scores,
-        "packed_bins_spans": _q_packed_bins_spans,
-        "source_top_fraction": _q_source_top_fraction,
-        "gopher_repetition": _q_gopher_repetition,
-        "gopher_rules": _q_gopher_rules,
-        "streaming_cms_counts": _q_streaming_cms_counts,
-        "signup_funnel": _q_signup_funnel,
-        "returnflag_cube": _q_returnflag_cube,
-        "salted_brand_revenue": _q_salted_brand_revenue,
-        "user_purchase_trend": _q_user_purchase_trend,
-        "signup_followups": _q_signup_followups,
-        "customer_order_gaps": _q_customer_order_gaps,
-        "daily_type_pivot": _q_daily_type_pivot,
-        "value_percentiles": _q_value_percentiles,
-        "approx_daily_uniques": _q_approx_daily_uniques,
-        "asof_clicks": _q_asof_clicks,
-        "daily_uniques": _q_daily_uniques,
-        "bm25_search": _q_bm25_search,
-        "seq_packing": _q_seq_packing,
-        "seq_packing_bpe": _q_seq_packing_bpe,
-        "doc_chunks_bpe": _q_doc_chunks_bpe,
-        "source_mix": _q_source_mix,
-        "word_count": _q_word_count,
     }
 
 
@@ -4956,4 +5076,25 @@ def oracle_sql() -> dict[str, str]:
     # pagerank (seed 1/n_lines == 1/|pages| on this corpus), so the
     # SAME SQL gates the round-trip
     out["pagerank_files"] = out["wiki_pagerank"]
+    # --- round-14 registrations (the r13-staged cohort) ---
+    out["tfidf_files"] = oracles.tfidf_files_sql(SEARCH_TERMS)
+    out["contamination_spans"] = oracles.contamination_spans_sql(
+        "doc_id % 20 <> 0", "doc_id % 20 = 0", ngram=8
+    )
+    out["pii_luhn"] = oracles.luhn_scan_sql(oracles.luhn_cards_docs_sql())
+    out["packing_report"] = oracles.packing_report_sql(64)
+    out["calibrate_scores"] = oracles.calibrate_scores_sql()
+    out["ks_drift"] = oracles.ks_drift_sql(
+        "SELECT value FROM events WHERE event_type = 'error'",
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+    )
+    out["margin_matches"] = oracles.margin_matches_ab_sql(
+        "vec_id % 3 = 0", "vec_id % 3 = 1", k=4, margin_threshold=1.0
+    )
+    # the fused one-scan form returns row-for-row what the two-frame
+    # profile_drift returns — the SAME SQL gates both
+    out["profile_drift_where"] = out["profile_drift"]
+    out["minhash_recall_report"] = oracles.minhash_recall_report_sql(
+        drop_rate=0.15, sample_mod=10, threshold=0.3, ngram=2
+    )
     return out

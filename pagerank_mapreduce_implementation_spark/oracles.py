@@ -3575,6 +3575,37 @@ def minhash_recall_report_sql(
     )
 
 
+def tfidf_files_sql(
+    terms: list[str], subset: str = "doc_id % 100 = 0"
+) -> str:
+    """Oracle for the jar-parity TF-IDF FILE pipeline gate
+    (``programs.tfidf_search_rank`` through the one-doc-per-file input
+    + O3 ``doc\\tscore`` text sink + O2 tab-split re-read): recompute
+    the whole scoring over the same doc subset from the parquet —
+    jar-exact boundary tokenizer (``\\w+`` runs and punctuation runs,
+    lowercased), 1+log10 TF, log10(1 + N/df) IDF over the SUBSET's doc
+    count, summed over the searched terms, round 6. The engine side
+    reads its numbers back through the text round-trip, so any
+    formatting/stringification drift breaks the hash."""
+    tl = ", ".join("'" + t.replace("'", "''").lower() + "'" for t in terms)
+    return (
+        "WITH sub AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"text FROM documents WHERE {subset}), "
+        "tok AS (SELECT doc_id, lower(w) AS word FROM (SELECT doc_id, "
+        r"unnest(regexp_extract_all(text, '\w+|[^\w[:space:]]+')) AS w "
+        "FROM sub) z WHERE w <> ''), "
+        "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok "
+        "GROUP BY doc_id, word), "
+        "tf AS (SELECT doc_id, word, 1.0 + log10(c) AS tf FROM cnt), "
+        "dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "tfidf AS (SELECT t.doc_id, t.word, t.tf * log10(1.0 + "
+        "CAST((SELECT count(*) FROM sub) AS DOUBLE)/dfreq.df) AS tfidf "
+        "FROM tf t JOIN dfreq USING (word)) "
+        "SELECT doc_id, round(sum(tfidf), 6) AS score FROM tfidf "
+        f"WHERE word IN ({tl}) GROUP BY doc_id"
+    )
+
+
 def _double_lit_sql(x: float) -> str:
     """Exact DOUBLE literal: Python's shortest-round-trip repr with an
     exponent marker so DuckDB parses it as DOUBLE via strtod (a bare

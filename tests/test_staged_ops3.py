@@ -749,23 +749,7 @@ def test_tfidf_files_roundtrip_parity(spark, sf_dir, duck, tmp_path):
         F.col("key").alias("doc_id"),
         F.round(F.col("value").cast("double"), 6).alias("score"),
     )
-    oracle = (
-        "WITH sub AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id, "
-        "text FROM documents WHERE doc_id % 100 = 0), "
-        "tok AS (SELECT doc_id, lower(w) AS word FROM (SELECT doc_id, "
-        r"unnest(regexp_extract_all(text, '\w+|[^\w[:space:]]+')) AS w "
-        "FROM sub) z WHERE w <> ''), "
-        "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok "
-        "GROUP BY doc_id, word), "
-        "tf AS (SELECT doc_id, word, 1.0 + log10(c) AS tf FROM cnt), "
-        "dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
-        "tfidf AS (SELECT t.doc_id, t.word, t.tf * log10(1.0 + "
-        "CAST((SELECT count(*) FROM sub) AS DOUBLE)/dfreq.df) AS tfidf "
-        "FROM tf t JOIN dfreq USING (word)) "
-        "SELECT doc_id, round(sum(tfidf), 6) AS score FROM tfidf "
-        "WHERE word IN ('spark', 'window', 'table') GROUP BY doc_id"
-    )
-    check(back, duck, oracle)
+    check(back, duck, oracles.tfidf_files_sql(["spark", "window", "table"]))
 
 
 # --- round-13 staged: span-level decontamination ---------------------------
@@ -823,32 +807,12 @@ def test_contamination_spans_merges_adjacent_grams(spark):
 
 
 def _card_corpus(spark, sf_dir):
-    """Spark mirror of oracles.luhn_cards_docs_sql (manufactured
-    card-shaped numbers over customer — the _q_pii_redaction move)."""
-    cust = Catalog(spark, sf_dir).customer
-    key = F.col("c_custkey")
-    d16 = F.concat(
-        F.lpad((key * 7919 % 100000).cast("string"), 5, "0"),
-        F.lpad((key * 104729 % 100000).cast("string"), 5, "0"),
-        F.lpad((key % 100000).cast("string"), 5, "0"),
-        (key % 10).cast("string"),
-    )
-    grouped = F.concat(
-        F.substring(d16, 1, 4), F.lit(" "), F.substring(d16, 5, 4),
-        F.lit(" "), F.substring(d16, 9, 4), F.lit(" "), F.substring(d16, 13, 4),
-    )
-    card = F.when(
-        key % 7 != 0,
-        F.concat(
-            F.lit("card "),
-            F.when(key % 3 == 0, grouped).otherwise(d16),
-            F.lit(" "),
-        ),
-    ).otherwise(F.lit(""))
-    return cust.select(
-        key.alias("doc_id"),
-        F.concat(F.lit("order ref 12345678 "), card, F.lit("end")).alias("text"),
-    )
+    """The registry's manufactured card corpus (entry._luhn_card_docs,
+    the Spark mirror of oracles.luhn_cards_docs_sql) — shared with the
+    registered pii_luhn query so test and driver gate the same frame."""
+    import __spark_entry__ as entrymod
+
+    return entrymod._luhn_card_docs(spark, sf_dir)
 
 
 def test_luhn_scan_parity(spark, sf_dir, duck):
