@@ -594,6 +594,160 @@ def entropy_stats(
     )
 
 
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per doc (Flesch
+    1948 / Kincaid et al. 1975, public) — the classic complexity axis
+    the length/punct/stopword quality score does not measure (a wall
+    of 40-word sentences and a children's primer can carry identical
+    ``quality_scores``): ``(doc_id, [keep_cols...], n_sentences,
+    n_words, n_syllables, words_per_sentence, syllables_per_word,
+    flesch_reading_ease, fk_grade)``.
+
+    Counting conventions, pinned for the cross-engine hash:
+    words = whitespace tokens (the engine's tokenizer); sentences =
+    maximal runs of ``[.!?]`` (a doc with words but no terminal
+    punctuation is ONE sentence); syllables = the vowel-GROUP
+    heuristic — maximal runs of ``[aeiouy]`` in the lowercased text
+    (vowel runs cannot span whitespace, so the text-level count equals
+    the per-word sum; the silent-e correction is deliberately omitted:
+    it needs per-word suffix logic for ~2% accuracy on a signal used
+    as a relative filter axis). ``flesch_reading_ease`` =
+    ``206.835 - 1.015·(words/sentence) - 84.6·(syllables/word)`` and
+    ``fk_grade`` = ``0.39·(words/sentence) + 11.8·(syllables/word) -
+    15.59``, each a fixed left-associated chain of IEEE ops on two
+    exact-integer divisions, rounded 6 — the SQL oracle replays the
+    doubles bit-for-bit. Empty docs report zero counts and NULL
+    scores (no prose, no grade).
+
+    Scale shape: ZERO shuffle — three regexp counts and two divisions
+    per row, full column pruning, scan-speed.
+    """
+    _check_keep_cols(
+        [c for c in keep_cols if isinstance(c, str)],
+        {
+            "n_sentences",
+            "n_words",
+            "n_syllables",
+            "words_per_sentence",
+            "syllables_per_word",
+            "flesch_reading_ease",
+            "fk_grade",
+        },
+        "readability_scores",
+    )
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        *kept,
+        F.size(_tokens(text_col)).cast("long").alias("n_words"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
+        ).cast("long").alias("__term_runs"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+        ).cast("long").alias("n_syllables"),
+    )
+    n_sent = F.when(
+        F.col("n_words") > 0, F.greatest(F.col("__term_runs"), F.lit(1))
+    ).otherwise(F.lit(0)).cast("long")
+    staged = staged.withColumn("n_sentences", n_sent)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    has = F.col("n_words") > 0
+    return staged.select(
+        "doc_id",
+        *[
+            c
+            for c in staged.columns
+            if c not in {"doc_id", "__term_runs", "n_words", "n_syllables",
+                         "n_sentences"}
+        ],
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(has, F.round(wps, 6)).alias("words_per_sentence"),
+        F.when(has, F.round(spw, 6)).alias("syllables_per_word"),
+        F.when(
+            has,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+        ).alias("flesch_reading_ease"),
+        F.when(
+            has,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ),
+        ).alias("fk_grade"),
+    )
+
+
+def oov_stats(
+    docs: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus' OWN head
+    vocabulary — ``(doc_id, n_tokens, n_oov, oov_ratio)`` where a
+    token is OOV when its lowercased form is outside the ``top_k``
+    most frequent lowercased tokens of the corpus (ties at the
+    boundary broken by the word ascending, so the vocabulary is
+    deterministic). The "unusual token fraction" quality axis of the
+    classic web-corpus filters: gibberish, code-in-prose, boilerplate
+    and wrong-language docs all spike it, while ``quality_scores``'
+    stopword ratio only sees one fixed list.
+
+    Scale shape: the vocabulary is ONE (word)-keyed count (map-side
+    partials, vocab-bounded output) pruned to ``top_k`` via
+    orderBy+limit — TakeOrderedAndProject, every partition pre-prunes
+    its own top-k, never a single-task global window and never a
+    collect; scoring is one explode + BROADCAST vocab join (top_k rows
+    by construction) + doc-keyed count — the ``doc_word_count``
+    shuffle shape. ``explode_outer`` keeps empty docs in the result
+    (zero counts, 0.0 ratio) without any doc_id join-back.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k ({top_k}) must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    tok = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode_outer(toks).alias("__w"),
+    ).select("doc_id", F.lower("__w").alias("__w"))
+    vocab = (
+        tok.filter(F.col("__w").isNotNull())
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__w"))
+        .limit(int(top_k))
+        .select("__w", F.lit(True).alias("__known"))
+    )
+    j = tok.join(F.broadcast(vocab), "__w", "left")
+    out = j.groupBy("doc_id").agg(
+        F.count("__w").alias("n_tokens"),
+        (F.count("__w") - F.count("__known")).alias("n_oov"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_ratio"),
+    )
+
+
 #: the stopword list of the Gopher rule set (Rae et al. 2021,
 #: App. A1.1: "the, be, to, of, and, that, have, with")
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

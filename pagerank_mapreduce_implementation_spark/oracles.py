@@ -3575,6 +3575,66 @@ def minhash_recall_report_sql(
     )
 
 
+def readability_sql() -> str:
+    """Mirror of ``textstats.readability_scores`` over ``documents``:
+    whitespace word count, ``[.!?]+``-run sentence count (>=1 when
+    words exist), ``[aeiouy]+``-run syllable count over the lowercased
+    text, then the Flesch / Flesch-Kincaid fixed IEEE chains with
+    exact-DOUBLE ``e0`` literals, rounded 6; empty docs report zero
+    counts and NULL scores."""
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "CAST(len(list_filter(regexp_split_to_array(text, "
+        r"'[[:space:]]+'), w -> w <> '')) AS BIGINT) AS n_words, "
+        "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) "
+        "AS term_runs, "
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) "
+        "AS n_syllables FROM documents), "
+        "s AS (SELECT doc_id, n_words, n_syllables, "
+        "CASE WHEN n_words > 0 THEN greatest(term_runs, 1) ELSE 0 END "
+        "AS n_sentences FROM c), "
+        "r AS (SELECT *, "
+        "CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps, "
+        "CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw "
+        "FROM s WHERE n_words > 0) "
+        "SELECT doc_id, n_sentences, n_words, n_syllables, "
+        "round(wps, 6) AS words_per_sentence, "
+        "round(spw, 6) AS syllables_per_word, "
+        "round(206.835e0 - 1.015e0 * wps - 84.6e0 * spw, 6) "
+        "AS flesch_reading_ease, "
+        "round(0.39e0 * wps + 11.8e0 * spw - 15.59e0, 6) AS fk_grade "
+        "FROM r "
+        "UNION ALL "
+        "SELECT doc_id, n_sentences, n_words, n_syllables, "
+        "NULL, NULL, NULL, NULL FROM s WHERE n_words = 0"
+    )
+
+
+def oov_stats_sql(top_k: int = 1000) -> str:
+    """Mirror of ``textstats.oov_stats`` over ``documents``: head
+    vocabulary = the ``top_k`` most frequent lowercased whitespace
+    tokens (ties by word ascending), per-doc OOV counts via a left
+    join, empty docs preserved with zero counts. BIGINT casts keep
+    HUGEINT sums out of the hash."""
+    k = int(top_k)
+    return (
+        "WITH tok AS (SELECT doc_id, lower(w) AS w FROM (SELECT doc_id, "
+        "unnest(list_filter(regexp_split_to_array(text, "
+        r"'[[:space:]]+'), x -> x <> '')) AS w FROM documents) z), "
+        "vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok "
+        f"GROUP BY w) q ORDER BY c DESC, w ASC LIMIT {k}), "
+        "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_oov FROM tok t LEFT JOIN vocab v USING (w) "
+        "GROUP BY t.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) "
+        "AS n_tokens, CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov, "
+        "CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN "
+        "round(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 6) ELSE 0.0 END "
+        "AS oov_ratio FROM documents d LEFT JOIN per p USING (doc_id)"
+    )
+
+
 def tfidf_files_sql(
     terms: list[str], subset: str = "doc_id % 100 = 0"
 ) -> str:

@@ -1,0 +1,151 @@
+"""Round-14 STAGED operators — built this round, queued for a later
+driver window (r15's two free slots are spoken for: classify_domains +
+the mad_outliers re-cert; these target r16, whose window opens wide
+once the registry crosses 200 and the freshness budget steps to 5
+rounds). Until registered this file is their correctness gate: DuckDB
+parity through the registry harness's normalize/compare, plus
+semantics on hand-checkable fixtures and plan-shape asserts."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_mapreduce_implementation_spark import oracles
+from pagerank_mapreduce_implementation_spark.operators import textstats
+from pagerank_mapreduce_implementation_spark.sources.catalog import Catalog
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def check(spark_df, duck_con, oracle_sql):
+    got = normalize(spark_df.toPandas())
+    want = normalize(duck_con.sql(oracle_sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    for col in got.columns:
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        assert not ((gk in "iu" and wk == "f") or (gk == "f" and wk in "iu")), (
+            f"{col}: integer-vs-float divergence ({got[col].dtype} vs {want[col].dtype})"
+        )
+
+
+# --- readability (Flesch / Flesch-Kincaid) ---------------------------------
+
+
+def test_readability_parity(spark, sf_dir, duck):
+    got = textstats.readability_scores(Catalog(spark, sf_dir).documents)
+    assert got.count() > 0
+    check(got, duck, oracles.readability_sql())
+
+
+def test_readability_semantics(spark):
+    """Hand-checked counts and the textbook formula values: sentence
+    runs collapse (``?!`` is one boundary), a doc with words but no
+    terminal punctuation is ONE sentence, vowel GROUPS count (not
+    vowels), empty docs report zero counts and NULL scores."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. It was happy?! Yes."),
+            (2, ""),
+            (3, "no terminal punctuation here"),
+            (4, "zzz bcdfg."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.readability_scores(docs).collect()}
+    r1 = rows[1]
+    # "happy?!" -> one [.!?]+ run; 3 sentences, 7 whitespace words
+    assert r1["n_sentences"] == 3 and r1["n_words"] == 7
+    # vowel groups: the(e) cat(a) sat(a) it(i) was(a) happy(a, y)
+    # yes(e) -> 8
+    assert r1["n_syllables"] == 8
+    wps, spw = 7 / 3, 8 / 7
+    assert r1["words_per_sentence"] == round(wps, 6)
+    assert r1["flesch_reading_ease"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert r1["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+    r2 = rows[2]
+    assert r2["n_sentences"] == 0 and r2["n_words"] == 0
+    assert r2["flesch_reading_ease"] is None and r2["fk_grade"] is None
+    r3 = rows[3]
+    assert r3["n_sentences"] == 1  # prose without terminal punctuation
+    r4 = rows[4]
+    assert r4["n_syllables"] == 0 and r4["syllables_per_word"] == 0.0
+
+
+def test_readability_zero_shuffle_plan(spark, sf_dir):
+    """Pure per-row column math: no exchange of any kind, no Python,
+    and the scan prunes to (doc_id, text)."""
+    import re as _re
+
+    df = textstats.readability_scores(Catalog(spark, sf_dir).documents)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Python" not in p
+    scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None
+    assert len(scan_cols.group(1).split(",")) <= 2
+
+
+# --- OOV / rare-token ratio ------------------------------------------------
+
+
+def test_oov_stats_parity(spark, sf_dir, duck):
+    got = textstats.oov_stats(Catalog(spark, sf_dir).documents, top_k=10)
+    rows = got.collect()
+    assert any(r["n_oov"] > 0 for r in rows), (
+        "vacuous: top-10 covers all (corpus vocab is ~31 words)"
+    )
+    check(got, duck, oracles.oov_stats_sql(top_k=10))
+
+
+def test_oov_stats_semantics(spark):
+    """Hand-checked head vocabulary: ties at the top_k boundary break
+    by word ascending; membership is case-folded; empty docs report
+    (0, 0, 0.0)."""
+    docs = spark.createDataFrame(
+        [(1, "a A b c"), (2, "a rare"), (3, "")],
+        "doc_id long, text string",
+    )
+    # counts: a=3 (case-folded), b=1, c=1, rare=1 -> top_2 = {a, b}
+    # (count desc, then word asc: b < c < rare)
+    rows = {r["doc_id"]: r for r in textstats.oov_stats(docs, top_k=2).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 1  # c
+    assert rows[1]["oov_ratio"] == 0.25
+    assert rows[2]["n_oov"] == 1 and rows[2]["oov_ratio"] == 0.5  # rare
+    assert rows[3]["n_tokens"] == 0 and rows[3]["oov_ratio"] == 0.0
+    with pytest.raises(ValueError):
+        textstats.oov_stats(docs, top_k=0)
+
+
+def test_oov_stats_vocab_broadcast_plan(spark, sf_dir):
+    """The vocabulary prunes via TakeOrderedAndProject (distributed
+    partial top-k, never a single-task global window) and joins back
+    as a BROADCAST — no shuffle join anywhere."""
+    df = textstats.oov_stats(Catalog(spark, sf_dir).documents, top_k=10)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
