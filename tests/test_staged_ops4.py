@@ -149,3 +149,90 @@ def test_oov_stats_vocab_broadcast_plan(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "ShuffledHashJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+# --- python-reference fuzz (the luhn/domain-argmax convention) --------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP = dict(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+_WORDS = ["the", "cat", "zzz", "a", "Xy", "bcd", "queue", "rhythm", "io."]
+_PUNCT = [".", "!", "?", "?!", "...", ""]
+
+
+@settings(**_PROP)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(_WORDS), st.sampled_from(_PUNCT)),
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_readability_matches_python(spark, docs):
+    """Engine counts == a direct python re replay of the pinned
+    conventions on randomized word+punctuation streams."""
+    import re as _re
+
+    rows = [
+        (i, " ".join(w + p for w, p in words))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.readability_scores(df).collect()
+    }
+    for i, text in rows:
+        n_words = len([w for w in _re.split(r"\s+", text) if w])
+        runs = len(_re.findall(r"[.!?]+", text))
+        n_syll = len(_re.findall(r"[aeiouy]+", text.lower()))
+        n_sent = max(runs, 1) if n_words else 0
+        r = got[i]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            n_words, n_sent, n_syll,
+        ), text
+        if n_words:
+            wps, spw = n_words / n_sent, n_syll / n_words
+            assert r["flesch_reading_ease"] == round(
+                206.835 - 1.015 * wps - 84.6 * spw, 6
+            )
+        else:
+            assert r["flesch_reading_ease"] is None
+
+
+@settings(**_PROP)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "A", "b", "c", "dd", "ee", "ff"]), max_size=8
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_oov_stats_matches_python(spark, docs, k):
+    """Engine OOV counts == a python replay of the deterministic
+    (count desc, word asc) head-vocabulary cut."""
+    from collections import Counter
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = Counter(w.lower() for _, ws in enumerate(docs) for w in docs[_])
+    vocab = {
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    }
+    got = {r["doc_id"]: r for r in textstats.oov_stats(df, top_k=k).collect()}
+    for i, words in enumerate(docs):
+        low = [w.lower() for w in words]
+        oov = sum(1 for w in low if w not in vocab)
+        r = got[i]
+        assert (r["n_tokens"], r["n_oov"]) == (len(low), oov), (i, words)
+        want_ratio = round(oov / len(low), 6) if low else 0.0
+        assert r["oov_ratio"] == want_ratio
