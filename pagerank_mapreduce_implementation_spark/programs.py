@@ -298,6 +298,10 @@ def clean_corpus(
     unimax_budget: float | None = None,
     unimax_epoch_cap: float = 1.0,
     mad_cutoff: float | None = None,
+    min_flesch: float | None = None,
+    max_fk_grade: float | None = None,
+    max_oov_ratio: float | None = None,
+    oov_top_k: int = 1000,
     survivor_policy: str = "min_id",
     normalize: "bool | str" = False,
 ) -> DataFrame:
@@ -348,6 +352,15 @@ def clean_corpus(
        where a global floor (``min_quality``) cannot adapt to
        per-source score distributions, and median/MAD hold still
        under the very contamination being removed
+    3c3. readability band (textstats.readability_scores, Flesch 1948 /
+       Kincaid et al. 1975) when ``min_flesch`` / ``max_fk_grade``
+       set — drops the complexity extremes the length/punct composite
+       cannot see, zero-shuffle; wordless docs fail any bound
+    3c4. out-of-vocabulary cap (textstats.oov_stats) when
+       ``max_oov_ratio`` set — drops docs whose fraction of tokens
+       outside the surviving corpus' own ``oov_top_k`` head
+       vocabulary exceeds the cap (gibberish / code-in-prose /
+       wrong-language spikes)
     3d. PROPORTIONAL per-source quota (sampling.top_fraction_per_group)
        when ``source_top_frac`` set — keeps the best
        ceil(frac·group_size) docs of EVERY ``source_col`` group by the
@@ -496,6 +509,10 @@ def clean_corpus(
             unimax_budget=unimax_budget,
             unimax_epoch_cap=unimax_epoch_cap,
             mad_cutoff=mad_cutoff,
+            min_flesch=min_flesch,
+            max_fk_grade=max_fk_grade,
+            max_oov_ratio=max_oov_ratio,
+            oov_top_k=oov_top_k,
             survivor_policy=survivor_policy,
             normalize=normalize,
             dedup=dedup,
@@ -546,6 +563,10 @@ def _clean_corpus_body(
     unimax_budget,
     unimax_epoch_cap,
     mad_cutoff,
+    min_flesch,
+    max_fk_grade,
+    max_oov_ratio,
+    oov_top_k,
     survivor_policy,
     normalize,
     dedup,
@@ -656,6 +677,27 @@ def _clean_corpus_body(
             side="low",
         )
         keep_ids = flagged.filter(~F.col("is_outlier")).select("doc_id")
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
+    if min_flesch is not None or max_fk_grade is not None:
+        # stage 3c3: readability band (textstats.readability_scores) —
+        # zero-shuffle per-row regexp counts; docs with no words score
+        # NULL and fail any bound (no prose, no grade)
+        rd = textstats.readability_scores(docs, keep_cols=passthru)
+        if min_flesch is not None:
+            rd = rd.filter(F.col("flesch_reading_ease") >= min_flesch)
+        if max_fk_grade is not None:
+            rd = rd.filter(F.col("fk_grade") <= max_fk_grade)
+        docs = rd.select("doc_id", *passthru)
+    if max_oov_ratio is not None:
+        # stage 3c4: out-of-vocabulary cap (textstats.oov_stats) — the
+        # head vocabulary comes from the CURRENT surviving corpus; one
+        # corpus shuffle + broadcast vocab join, then the id-list
+        # left_semi (the mad_cutoff shape)
+        keep_ids = (
+            textstats.oov_stats(docs, top_k=oov_top_k)
+            .filter(F.col("oov_ratio") <= max_oov_ratio)
+            .select("doc_id")
+        )
         docs = docs.join(keep_ids, "doc_id", "left_semi")
     if source_top_frac is not None:
         # stage 3d: proportional per-source quota on the composite

@@ -236,3 +236,42 @@ def test_oov_stats_matches_python(spark, docs, k):
         assert (r["n_tokens"], r["n_oov"]) == (len(low), oov), (i, words)
         want_ratio = round(oov / len(low), 6) if low else 0.0
         assert r["oov_ratio"] == want_ratio
+
+
+def test_clean_corpus_readability_and_oov_stages(spark, tmp_path):
+    """clean_corpus(min_flesch=..., max_oov_ratio=...): the readability
+    band drops the 40-word-sentence wall and the wordless doc; the OOV
+    cap drops the gibberish doc whose tokens sit outside the surviving
+    corpus' own head vocabulary; passthrough columns survive."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    easy = "The cat sat here. " * 5                     # short sentences
+    wall = " ".join(["word"] * 60) + "."                # one 60-word sentence
+    gib = "qzx vbnk wpl zzk qqj mmv " * 4               # off-vocab tokens
+    docs = spark.createDataFrame(
+        [
+            (1, easy, "web"),
+            (2, wall, "web"),
+            (3, "", "web"),
+            (4, (easy + " ") * 2 + gib, "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "in.parquet")
+    docs.write.parquet(src)
+    # flesch(easy) ~ 97 (wps 4, spw 1.25); flesch(wall) ~ 61 (wps 60,
+    # spw 1.0) -> a 70 floor keeps the prose and drops the wall
+    surv = clean_corpus(
+        spark, src, str(tmp_path / "out_rd"), min_flesch=70.0
+    )
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert 2 not in ids and 3 not in ids and 1 in ids
+    # OOV cap: vocab is dominated by the repeated easy words; doc 4's
+    # gibberish tokens spike its ratio past 0.2
+    surv2 = clean_corpus(
+        spark, src, str(tmp_path / "out_oov"),
+        max_oov_ratio=0.2, oov_top_k=6,
+    )
+    rows = {r["doc_id"]: r for r in surv2.collect()}
+    assert 4 not in rows and 1 in rows
+    assert rows[1]["source"] == "web"  # passthrough intact
