@@ -2173,47 +2173,23 @@ def dedup_report(
     )
 
 
-def minhash_recall_report(
+def _planted_twin_corpus(
     docs: DataFrame,
-    drop_rate: float = 0.15,
-    sample_mod: int = 10,
-    threshold: float = 0.3,
-    ngram: int = 2,
-    num_hashes: int = 16,
-    bands: int = 4,
-    text_col: str = "text",
-    doc_col: str = "doc_id",
-    salt: str = "mhrecall:",
-    twin_offset: int = 1 << 40,
-) -> DataFrame:
-    """Recall audit of the MinHash+LSH banding — ONE row ``(n_planted,
-    n_qualifying, hits, recall)`` — the ``ann_recall_report`` move for
-    dedup: LSH recall is band-limited by construction, so a (bands,
-    num_hashes, threshold) configuration is UNAUDITED until something
-    measures how many true near-dups its bands actually surface.
-    This plants the truth: every ``sample_mod``-th doc gets a
-    deterministically perturbed twin (each word dropped on a 52-bit
-    md5 coin at ``drop_rate`` — the ``weighted_sample`` IEEE-exact
-    construction keyed on (salt, doc, position)), the full corpus +
-    twins run through the EXACT registered minhash pipeline, and
-    recall = found qualifying planted pairs / all qualifying planted
-    pairs, where "qualifying" = planted pairs whose exact shingle
-    Jaccard clears ``threshold`` (the verify stage keeps them iff the
-    bands surface them — so misses are purely banding misses).
-
-    Determinism end to end (perturbation coins, universal-hash
-    signatures, band buckets, round-6 Jaccard) means the DuckDB oracle
-    replays the whole audit bit-for-bit. ``doc_col`` values must be
-    unique, non-negative and < ``twin_offset`` (twin ids are
-    ``doc_id + twin_offset``).
-
-    Scale shape: an EVALUATION operator — run on a sampled plant set
-    (``sample_mod``), cost = one extra minhash pass over corpus +
-    twins with the same banded/bucketed bounds as the production
-    dedup; the shingle table is persisted once and shared by the found
-    and qualifying sides, and the 1-row report comes from three tiny
-    broadcast-crossed aggregates.
-    """
+    drop_rate: float,
+    sample_mod: int,
+    salt: str,
+    twin_offset: int,
+    text_col: str,
+    doc_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared truth-planting stage of the recall audits
+    (``minhash_recall_report`` / ``simhash_recall_report``): every
+    ``sample_mod``-th doc gets a deterministically perturbed twin
+    (each word dropped on a 52-bit md5 coin keyed (salt, doc,
+    position) — the ``weighted_sample`` IEEE-exact construction).
+    Returns ``(planted_ids, corpus)``: the sampled originals'
+    ``doc_id`` frame, and corpus + twins as ``(doc_id, __text)`` with
+    twin ids shifted by ``twin_offset``."""
     if not (0.0 <= drop_rate < 1.0):
         raise ValueError(f"drop_rate ({drop_rate}) must be in [0, 1)")
     if sample_mod < 1:
@@ -2264,13 +2240,60 @@ def minhash_recall_report(
     corpus = docs.select(key.alias("doc_id"), F.col(text_col).alias("__text")).unionAll(
         twins
     )
+    return staged.select("doc_id"), corpus
+
+
+def minhash_recall_report(
+    docs: DataFrame,
+    drop_rate: float = 0.15,
+    sample_mod: int = 10,
+    threshold: float = 0.3,
+    ngram: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "mhrecall:",
+    twin_offset: int = 1 << 40,
+) -> DataFrame:
+    """Recall audit of the MinHash+LSH banding — ONE row ``(n_planted,
+    n_qualifying, hits, recall)`` — the ``ann_recall_report`` move for
+    dedup: LSH recall is band-limited by construction, so a (bands,
+    num_hashes, threshold) configuration is UNAUDITED until something
+    measures how many true near-dups its bands actually surface.
+    This plants the truth: every ``sample_mod``-th doc gets a
+    deterministically perturbed twin (each word dropped on a 52-bit
+    md5 coin at ``drop_rate`` — the ``weighted_sample`` IEEE-exact
+    construction keyed on (salt, doc, position)), the full corpus +
+    twins run through the EXACT registered minhash pipeline, and
+    recall = found qualifying planted pairs / all qualifying planted
+    pairs, where "qualifying" = planted pairs whose exact shingle
+    Jaccard clears ``threshold`` (the verify stage keeps them iff the
+    bands surface them — so misses are purely banding misses).
+
+    Determinism end to end (perturbation coins, universal-hash
+    signatures, band buckets, round-6 Jaccard) means the DuckDB oracle
+    replays the whole audit bit-for-bit. ``doc_col`` values must be
+    unique, non-negative and < ``twin_offset`` (twin ids are
+    ``doc_id + twin_offset``).
+
+    Scale shape: an EVALUATION operator — run on a sampled plant set
+    (``sample_mod``), cost = one extra minhash pass over corpus +
+    twins with the same banded/bucketed bounds as the production
+    dedup; the shingle table is persisted once and shared by the found
+    and qualifying sides, and the 1-row report comes from three tiny
+    broadcast-crossed aggregates.
+    """
+    planted_ids, corpus = _planted_twin_corpus(
+        docs, drop_rate, sample_mod, salt, twin_offset, text_col, doc_col
+    )
     sh = shingles(corpus, ngram, "__text", "doc_id").persist()
     try:
         sig = minhash_signatures(sh, num_hashes)
         found = jaccard_verify(
             lsh_bucket_candidates(sig, num_hashes, bands), sh, threshold
         ).select("doc_a", "doc_b")
-        planted = staged.select(
+        planted = planted_ids.select(
             F.col("doc_id").alias("doc_a"),
             (F.col("doc_id") + F.lit(int(twin_offset))).alias("doc_b"),
         )
@@ -2299,3 +2322,103 @@ def minhash_recall_report(
         return rep.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+def simhash_recall_report(
+    docs: DataFrame,
+    drop_rate: float = 0.3,
+    sample_mod: int = 10,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "shrecall:",
+    twin_offset: int = 1 << 40,
+) -> DataFrame:
+    """Recall audit of the SimHash chunk banding — ONE row
+    ``(n_planted, n_qualifying, hits, recall)`` — the
+    ``minhash_recall_report`` twin for the hamming side of the dedup
+    stack. The pigeonhole guarantee is exact only up to ``chunks - 1``
+    differing bits; every production run at ``max_hamming >= chunks``
+    (the documented "larger max_hamming trades recall" regime of
+    ``simhash_near_dups``) is UNAUDITED until something measures how
+    many true close pairs the equal-chunk candidates actually surface.
+    This plants them: every ``sample_mod``-th doc gets the same
+    deterministic word-drop twin as the minhash audit (shared
+    ``_planted_twin_corpus`` construction, its own salt), corpus +
+    twins run through the EXACT registered fingerprint + banding
+    pipeline, and recall = found qualifying planted pairs / all
+    qualifying planted pairs, where "qualifying" = planted pairs whose
+    exact fingerprint hamming distance is <= ``max_hamming`` — so
+    misses are purely banding misses. A twin perturbed to emptiness
+    has no tokens, hence no fingerprint row, and drops out of the
+    qualifying side (same contract as the minhash audit's empty-twin
+    shingles).
+
+    Determinism end to end (drop coins, md5 token hashes, integer
+    votes, integer hamming) — the DuckDB oracle replays the audit
+    bit-for-bit with no float anywhere. Scale shape: one extra simhash
+    pass over corpus + twins (the fingerprint table is persisted and
+    shared by the found and qualifying sides), banding bounded exactly
+    as production, and the 1-row report from three tiny
+    broadcast-crossed aggregates.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming ({max_hamming}) must be >= 0")
+    planted_ids, corpus = _planted_twin_corpus(
+        docs, drop_rate, sample_mod, salt, twin_offset, text_col, doc_col
+    )
+    fp = simhash(corpus, "__text", "doc_id").persist()
+    try:
+        found = hamming_band_pairs(
+            fp, "simhash", max_hamming, chunks, SIMHASH_BITS
+        ).select("doc_a", "doc_b")
+        planted = planted_ids.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.lit(int(twin_offset))).alias("doc_b"),
+        )
+        qual = (
+            planted.join(
+                fp.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("__sa"),
+                ),
+                "doc_a",
+            )
+            .join(
+                fp.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("__sb"),
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+                <= max_hamming
+            )
+            .select("doc_a", "doc_b")
+        )
+        hits = qual.join(found, ["doc_a", "doc_b"])
+        rep = (
+            planted.agg(F.count(F.lit(1)).alias("n_planted"))
+            .crossJoin(
+                F.broadcast(qual.agg(F.count(F.lit(1)).alias("n_qualifying")))
+            )
+            .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("hits"))))
+            .select(
+                "n_planted",
+                "n_qualifying",
+                "hits",
+                F.when(
+                    F.col("n_qualifying") > 0,
+                    F.round(
+                        F.col("hits").cast("double") / F.col("n_qualifying"), 6
+                    ),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("recall"),
+            )
+        )
+        return rep.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()

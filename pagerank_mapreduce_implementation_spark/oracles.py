@@ -3575,6 +3575,97 @@ def minhash_recall_report_sql(
     )
 
 
+def _planted_corpus_ctes(
+    drop_rate: float, sample_mod: int, salt: str, twin_offset: int
+) -> str:
+    """The recall audits' shared truth-planting CTE chain over
+    ``documents`` -> a ``corpus (doc_id, text)`` CTE of originals +
+    word-drop twins (mirror of ``dedup._planted_twin_corpus``: 52-bit
+    md5 coins keyed (salt, doc, position); the twin-id offset lands in
+    an OUTER select — the lateral-alias hazard)."""
+    off, mod, p = int(twin_offset), int(sample_mod), float(drop_rate)
+    coin = (
+        f"('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 13))::UBIGINT::BIGINT::DOUBLE "
+        "/ 4503599627370496.0"
+    )
+    return (
+        "o AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents), "
+        "sarr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'[[:space:]]+'), w -> w <> '') AS a FROM documents "
+        f"WHERE doc_id % {mod} = 0), "
+        f"tw AS (SELECT doc_id + {off} AS doc_id, text FROM "
+        f"(SELECT doc_id, array_to_string("
+        f"list_transform(list_filter(range(1, len(a) + 1), i -> {coin} >= {p}), "
+        "i -> a[CAST(i AS INT)]), ' ') AS text FROM sarr) ztw), "
+        "corpus AS (SELECT * FROM o UNION ALL SELECT * FROM tw)"
+    )
+
+
+def simhash_recall_report_sql(
+    drop_rate: float = 0.3,
+    sample_mod: int = 10,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    salt: str = "shrecall:",
+    twin_offset: int = 1 << 40,
+) -> str:
+    """Mirror of ``dedup.simhash_recall_report`` over ``documents``:
+    the shared word-drop planting, the identical md5 bit-vote
+    fingerprints over corpus + twins, equal-chunk band candidates,
+    integer hamming on both the found and the planted side — one-row
+    report, no float anywhere before the final recall division."""
+    off, mod = int(twin_offset), int(sample_mod)
+    bits_per = 60 // chunks
+    fp_ctes = (
+        "tok AS (SELECT doc_id, w AS word FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w "
+        "FROM corpus) WHERE w <> ''), "
+        "cnt AS (SELECT doc_id, word, count(*) AS c FROM tok "
+        "GROUP BY doc_id, word), "
+        "hashed AS (SELECT doc_id, c, "
+        "CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT)::BIGINT AS h "
+        "FROM cnt), "
+        "votes AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN c "
+        "ELSE -c END AS vote FROM hashed, unnest(range(0, 60)) AS t(b)), "
+        "bitsum AS (SELECT doc_id, b, sum(vote) AS v FROM votes "
+        "GROUP BY doc_id, b), "
+        "fp AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) "
+        "ELSE 0 END) AS simhash FROM bitsum GROUP BY doc_id)"
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * bits_per}) & {(1 << bits_per) - 1} AS key FROM fp"
+        for c in range(chunks)
+    )
+    return (
+        f"WITH {_planted_corpus_ctes(drop_rate, mod, salt, off)}, "
+        f"{fp_ctes}, "
+        f"bk AS ({chunk_rows}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a, "
+        "y.doc_id AS doc_b, y.simhash AS sim_b FROM bk x "
+        "JOIN bk y ON x.chunk = y.chunk AND x.key = y.key "
+        "AND x.doc_id < y.doc_id), "
+        "found AS (SELECT doc_a, doc_b FROM cand "
+        f"WHERE bit_count(xor(sim_a, sim_b)) <= {int(max_hamming)}), "
+        f"planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_a, "
+        f"CAST(doc_id + {off} AS BIGINT) AS doc_b "
+        f"FROM documents WHERE doc_id % {mod} = 0), "
+        "qual AS (SELECT pl.doc_a, pl.doc_b FROM planted pl "
+        "JOIN fp fa ON fa.doc_id = pl.doc_a "
+        "JOIN fp fb ON fb.doc_id = pl.doc_b "
+        f"WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {int(max_hamming)}), "
+        "h AS (SELECT count(*) AS hits FROM qual q JOIN found f "
+        "ON f.doc_a = q.doc_a AND f.doc_b = q.doc_b), "
+        "np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM planted), "
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_qualifying FROM qual) "
+        "SELECT np.n_planted, nq.n_qualifying, CAST(h.hits AS BIGINT) AS hits, "
+        "CASE WHEN nq.n_qualifying > 0 THEN "
+        "round(CAST(h.hits AS DOUBLE) / nq.n_qualifying, 6) ELSE NULL END "
+        "AS recall FROM np, nq, h"
+    )
+
+
 def readability_sql() -> str:
     """Mirror of ``textstats.readability_scores`` over ``documents``:
     whitespace word count, ``[.!?]+``-run sentence count (>=1 when

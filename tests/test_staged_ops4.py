@@ -275,3 +275,51 @@ def test_clean_corpus_readability_and_oov_stages(spark, tmp_path):
     rows = {r["doc_id"]: r for r in surv2.collect()}
     assert 4 not in rows and 1 in rows
     assert rows[1]["source"] == "web"  # passthrough intact
+
+
+# --- simhash banding recall audit -------------------------------------------
+
+
+def test_simhash_recall_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    got = dedup.simhash_recall_report(Catalog(spark, sf_dir).documents)
+    row = got.collect()[0]
+    assert row["n_planted"] > 0 and row["n_qualifying"] > 0
+    # the default config audits the beyond-pigeonhole regime
+    # (max_hamming 8 > chunks-1 = 3), where banding CAN miss — a
+    # recall pinned at 1.0 would mean the audit tests nothing here
+    assert row["recall"] is not None and 0.0 < row["recall"] <= 1.0
+    check(got, duck, oracles.simhash_recall_report_sql())
+
+
+def test_simhash_recall_extremes(spark):
+    """drop_rate=0 plants verbatim twins (hamming 0 — found by every
+    chunk, recall 1.0); inside the pigeonhole guarantee
+    (max_hamming <= chunks-1) recall is provably 1.0 on whatever
+    qualifies; bad max_hamming fails loud."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}_{j}" for j in range(12)))
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    r = dedup.simhash_recall_report(
+        docs, drop_rate=0.0, sample_mod=2, max_hamming=8
+    ).collect()[0]
+    assert r["n_planted"] == 4 and r["n_qualifying"] == 4
+    assert r["hits"] == 4 and r["recall"] == 1.0
+    r2 = dedup.simhash_recall_report(
+        docs, drop_rate=0.4, sample_mod=2, max_hamming=3, chunks=4
+    ).collect()[0]
+    # pigeonhole: any pair within hamming 3 shares one of 4 chunks
+    assert r2["n_planted"] == 4
+    if r2["n_qualifying"] > 0:
+        assert r2["recall"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_recall_report(docs, max_hamming=-1)
