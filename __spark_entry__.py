@@ -3703,7 +3703,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (textstats.classify_domains + oracles.classify_domains_sql,
         # staged+parity-green since r13) and mad_outliers (its
         # keep_cols join-back fix landed r14 with a fresh r13 row —
-        # re-certify early). Keep NEW staged work for r16.
+        # re-certify early). ROUND-16: registering the six staged ops
+        # (readability_scores, oov_stats, simhash_recall_report,
+        # bucketed_revenue, csv_roundtrip, streaming_ks_drift —
+        # tests/test_staged_ops{3,4}.py) lifts the registry past 200,
+        # stepping the freshness budget to ceil(202/50) = 5 rounds and
+        # EMPTYING r16's due list (the r12 cohort moves back inside
+        # the window) — verify with scripts/rotation_plan.py first.
         "normalize_text": _q_normalize_text,
         "fuzzy_contamination": _q_fuzzy_contamination,
         "ann_recall_report": _q_ann_recall_report,
