@@ -2422,3 +2422,111 @@ def simhash_recall_report(
         return rep.localCheckpoint(eager=True)
     finally:
         fp.unpersist()
+
+
+def lsh_expected_recall(
+    docs: DataFrame,
+    configs: tuple = ((8, 2), (16, 4), (32, 8)),
+    threshold: float = 0.3,
+    drop_rate: float = 0.15,
+    sample_mod: int = 10,
+    ngram: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt: str = "mhrecall:",
+    twin_offset: int = 1 << 40,
+) -> DataFrame:
+    """The LSH S-curve read BEFORE committing to a banding config —
+    one row per ``(num_hashes, bands)`` candidate: ``(num_hashes,
+    bands, rows_per_band, n_qualifying, expected_recall,
+    s50_similarity)``. ``minhash_recall_report`` measures the recall
+    a config REALIZED; this predicts what each candidate config WOULD
+    realize on the same planted truth, analytically — a pair with
+    exact Jaccard ``s`` collides in a band of ``r`` rows with
+    probability ``s^r`` and in at least one of ``b`` bands with
+    ``1 - (1 - s^r)^b`` (the standard LSH amplification identity,
+    Leskovec/Rajaraman/Ullman ch. 3) — so sweeping configs costs ONE
+    shingle pass total, not one banding run per config.
+
+    ``expected_recall`` = mean of that detection probability over the
+    qualifying planted pairs (exact Jaccard >= ``threshold``; the same
+    word-drop planting as the audits, shared ``_planted_twin_corpus``
+    with the minhash salt so predicted and realized numbers describe
+    the SAME truth set). ``s50_similarity`` = ``(1/b)^(1/r)``, the
+    config's S-curve midpoint — where detection crosses 50%.
+
+    Cross-engine exactness: ``s`` is the round-6 Jaccard; powers are
+    UNROLLED left-associated multiplication chains (never libm pow —
+    its last bit is engine-dependent); each per-pair probability is
+    rounded 6 and scaled to an exact BIGINT before the mean (the
+    margin_matches integer-sum trick), and ``s50`` enters both plans
+    as a Python-computed literal. Scale: one shingle pass + one
+    planted-pair Jaccard, then len(configs) tiny aggregates over the
+    persisted sample-sized pair table.
+    """
+    if not configs:
+        raise ValueError("configs must be non-empty")
+    for nh, b in configs:
+        if b < 1 or nh < 1 or nh % b != 0:
+            raise ValueError(
+                f"config ({nh}, {b}): bands must divide num_hashes, both >= 1"
+            )
+        if nh // b > 64:
+            raise ValueError(
+                f"config ({nh}, {b}): rows_per_band {nh // b} > 64 — the "
+                "unrolled power chain is capped"
+            )
+    planted_ids, corpus = _planted_twin_corpus(
+        docs, drop_rate, sample_mod, salt, twin_offset, text_col, doc_col
+    )
+    sh = shingles(corpus, ngram, "__text", "doc_id").persist()
+    try:
+        planted = planted_ids.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.lit(int(twin_offset))).alias("doc_b"),
+        )
+        qual = jaccard_verify(planted, sh, threshold).persist()
+        try:
+            parts = []
+            for nh, b in configs:
+                r = nh // b
+                s = F.col("jaccard")
+                sr = s
+                for _ in range(r - 1):
+                    sr = sr * s
+                miss = F.lit(1.0) - sr
+                missb = miss
+                for _ in range(b - 1):
+                    missb = missb * miss
+                p6 = F.round(F.lit(1.0) - missb, 6)
+                pi = F.round(p6 * 1000000, 0).cast("long")
+                s50 = round((1.0 / b) ** (1.0 / r), 6)
+                parts.append(
+                    qual.select(pi.alias("__pi"))
+                    .agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        F.sum("__pi").alias("__s"),
+                    )
+                    .select(
+                        F.lit(int(nh)).alias("num_hashes"),
+                        F.lit(int(b)).alias("bands"),
+                        F.lit(int(r)).alias("rows_per_band"),
+                        F.col("__n").cast("long").alias("n_qualifying"),
+                        F.round(
+                            F.try_divide(
+                                F.col("__s").cast("double"),
+                                F.col("__n").cast("double") * 1000000,
+                            ),
+                            6,
+                        ).alias("expected_recall"),
+                        F.lit(float(s50)).alias("s50_similarity"),
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out.localCheckpoint(eager=True)
+        finally:
+            qual.unpersist()
+    finally:
+        sh.unpersist()

@@ -3602,6 +3602,72 @@ def _planted_corpus_ctes(
     )
 
 
+def lsh_expected_recall_sql(
+    configs: tuple = ((8, 2), (16, 4), (32, 8)),
+    threshold: float = 0.3,
+    drop_rate: float = 0.15,
+    sample_mod: int = 10,
+    ngram: int = 2,
+    salt: str = "mhrecall:",
+    twin_offset: int = 1 << 40,
+) -> str:
+    """Mirror of ``dedup.lsh_expected_recall`` over ``documents``: the
+    shared planting, exact planted-pair Jaccard, then per config the
+    UNROLLED left-associated ``1 - (1 - s^r)^b`` chain (never libm
+    pow), round-6 -> exact BIGINT -> one mean division; ``s50`` enters
+    as the same Python-computed literal."""
+    off, mod, n = int(twin_offset), int(sample_mod), int(ngram)
+    if n == 1:
+        sh_cte = (
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+            "unnest(a) AS shingle FROM arr))"
+        )
+    else:
+        sh_cte = (
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+            f"unnest(CASE WHEN len(a) >= {n} THEN "
+            f"list_transform(range(1, len(a) - {n} + 2), "
+            f"i -> array_to_string(a[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ')) "
+            "ELSE [] END) AS shingle FROM arr))"
+        )
+    jac = "round(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6)"
+    selects = []
+    for nh, b in configs:
+        r = nh // b
+        sr = " * ".join(["s"] * r)
+        miss = f"(1.0e0 - ({sr}))"
+        missb = " * ".join([miss] * b)
+        p6 = f"round(1.0e0 - ({missb}), 6)"
+        pi = f"CAST(round({p6} * 1000000, 0) AS BIGINT)"
+        s50 = _double_lit_sql(round((1.0 / b) ** (1.0 / r), 6))
+        selects.append(
+            f"SELECT {nh} AS num_hashes, {b} AS bands, {r} AS rows_per_band, "
+            "CAST(count(*) AS BIGINT) AS n_qualifying, "
+            "CASE WHEN count(*) > 0 THEN "
+            f"round(CAST(sum({pi}) AS DOUBLE) / "
+            "(CAST(count(*) AS DOUBLE) * 1000000), 6) ELSE NULL END "
+            f"AS expected_recall, {s50} AS s50_similarity FROM qual"
+        )
+    return (
+        f"WITH {_planted_corpus_ctes(drop_rate, mod, salt, off)}, "
+        "arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'[[:space:]]+'), w -> w <> '') AS a FROM corpus), "
+        f"{sh_cte}, "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        f"planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_a, "
+        f"CAST(doc_id + {off} AS BIGINT) AS doc_b "
+        f"FROM documents WHERE doc_id % {mod} = 0), "
+        "pinter AS (SELECT pl.doc_a, pl.doc_b, count(*) AS i FROM planted pl "
+        "JOIN sh x ON x.doc_id = pl.doc_a "
+        "JOIN sh y ON y.doc_id = pl.doc_b AND y.shingle = x.shingle "
+        "GROUP BY pl.doc_a, pl.doc_b), "
+        f"qual AS (SELECT {jac} AS s FROM pinter t "
+        "JOIN sz sa ON sa.doc_id = t.doc_a JOIN sz sb ON sb.doc_id = t.doc_b "
+        f"WHERE {jac} >= {threshold}) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 def simhash_recall_report_sql(
     drop_rate: float = 0.3,
     sample_mod: int = 10,

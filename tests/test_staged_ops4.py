@@ -323,3 +323,62 @@ def test_simhash_recall_extremes(spark):
 
     with _pytest.raises(ValueError):
         dedup.simhash_recall_report(docs, max_hamming=-1)
+
+
+# --- analytic LSH config sweep ----------------------------------------------
+
+
+def test_lsh_expected_recall_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    got = dedup.lsh_expected_recall(Catalog(spark, sf_dir).documents)
+    rows = {(r["num_hashes"], r["bands"]): r for r in got.collect()}
+    assert all(r["n_qualifying"] > 0 for r in rows.values())
+    check(got, duck, oracles.lsh_expected_recall_sql())
+
+
+def test_lsh_expected_recall_semantics(spark):
+    """Verbatim twins (s = 1) predict recall 1.0 under every config;
+    at fixed rows_per_band more bands can only help; s50 is the
+    textbook (1/b)^(1/r) midpoint; invalid configs fail loud."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["num_hashes"], r["bands"]): r
+        for r in dedup.lsh_expected_recall(
+            docs, drop_rate=0.0, sample_mod=2, threshold=0.5
+        ).collect()
+    }
+    for (nh, b), r in rows.items():
+        assert r["expected_recall"] == 1.0 and r["n_qualifying"] == 4
+        assert r["s50_similarity"] == round((1.0 / b) ** (b / nh), 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.lsh_expected_recall(docs, configs=((16, 3),))  # 3 ∤ 16
+    with _pytest.raises(ValueError):
+        dedup.lsh_expected_recall(docs, configs=())
+
+
+def test_lsh_expected_recall_validates_against_realized_audit(spark, sf_dir):
+    """The analytic prediction must track what the deterministic
+    pipeline actually realizes: at the audits' shared (16, 4) config
+    and planting, |predicted - realized| stays within sampling noise
+    (~sqrt(sum p(1-p))/n of the 50 planted Bernoullis), and more
+    bands predict monotonically more recall at fixed rows_per_band."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    realized = dedup.minhash_recall_report(
+        docs, drop_rate=0.15, sample_mod=10, threshold=0.3, ngram=2
+    ).collect()[0]
+    pred = {
+        (r["num_hashes"], r["bands"]): r["expected_recall"]
+        for r in dedup.lsh_expected_recall(docs).collect()
+    }
+    assert abs(pred[(16, 4)] - realized["recall"]) <= 0.2
+    assert pred[(8, 2)] < pred[(16, 4)] < pred[(32, 8)]
