@@ -3705,9 +3705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep_cols join-back fix landed r14 with a fresh r13 row —
         # re-certify early). ROUND-16: registering the six staged ops
         # (readability_scores, oov_stats, simhash_recall_report,
-        # bucketed_revenue, csv_roundtrip, streaming_ks_drift —
-        # tests/test_staged_ops{3,4}.py) lifts the registry past 200,
-        # stepping the freshness budget to ceil(202/50) = 5 rounds and
+        # lsh_expected_recall, bucketed_revenue, csv_roundtrip,
+        # streaming_ks_drift — tests/test_staged_ops{3,4}.py) lifts
+        # the registry past 200, stepping the freshness budget to
+        # ceil(20x/50) = 5 rounds and
         # EMPTYING r16's due list (the r12 cohort moves back inside
         # the window) — verify with scripts/rotation_plan.py first.
         "normalize_text": _q_normalize_text,
