@@ -2591,6 +2591,16 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.mad_outliers(staged, score_col="quality")
 
 
+def _q_classify_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy topical bucketing (textstats.classify_domains,
+    DEFAULT_TAXONOMY): per-doc argmax over plan-time-literal keyword
+    hit counts with the integer-encoded (hits, name) tiebreak — ZERO
+    shuffles, scan-speed at 100 TB. Registered r15 (staged r13;
+    parity + hand-built semantics tests in tests/test_staged_ops3.py
+    and tests/test_properties.py since)."""
+    return textstats.classify_domains(Catalog(spark, sf_dir).documents)
+
+
 def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (textstats.bigram_pmi, min_count=2)."""
     return textstats.bigram_pmi(Catalog(spark, sf_dir).documents, min_count=2)
@@ -3635,130 +3645,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3).
     return {
-        # (a) NEW round-14 registrations — the r13-staged cohort
-        # (r13 verdict item 1), each with a full DuckDB hash oracle
-        # and a staged parity test in tests/test_staged_ops3.py
-        "tfidf_files": _q_tfidf_files,
-        "contamination_spans": _q_contamination_spans,
-        "pii_luhn": _q_pii_luhn,
-        "packing_report": _q_packing_report,
-        "calibrate_scores": _q_calibrate_scores,
-        "ks_drift": _q_ks_drift,
-        "margin_matches": _q_margin_matches,
-        "profile_drift_where": _q_profile_drift_where,
-        "minhash_recall_report": _q_minhash_recall_report,
-        # (a') changed this round, so they re-certify FIRST even
-        # where fresh-green: pca_project now runs the frozen-basis
-        # projection under a REAL matmul oracle (r13 verdict item 3;
-        # formerly the registry's only rows-only entry) and
-        # embedding_gram certifies its scalable Arrow-partials
-        # DEFAULT path instead of the exact-mode explode (item 2)
-        "pca_project": _q_pca_project,
-        "embedding_gram": _q_embedding_gram,
-        # (b) the 39 remaining r10-green entries — their r10 rows age
-        # out of the last-4 driver-file window when r14 lands
-        "temperature_alloc": _q_temperature_alloc,
-        "temperature_mix": _q_temperature_mix,
-        "ivf_pq_topk": _q_ivf_pq_topk,
-        "unimax_alloc": _q_unimax_alloc,
-        "unimax_mix": _q_unimax_mix,
-        "pq_encode": _q_pq_encode,
-        "pq_topk": _q_pq_topk,
-        "cdc_chunks": _q_cdc_chunks,
-        "cdc_dedup": _q_cdc_dedup,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "bigram_lm": _q_bigram_lm,
-        "entropy_stats": _q_entropy_stats,
-        "bloom_probe": _q_bloom_probe,
-        "quality_classifier": _q_quality_classifier,
-        "streaming_bloom_probe": _q_streaming_bloom_probe,
-        "novelty_scores": _q_novelty_scores,
-        "packed_bins_spans": _q_packed_bins_spans,
-        "source_top_fraction": _q_source_top_fraction,
-        "gopher_repetition": _q_gopher_repetition,
-        "gopher_rules": _q_gopher_rules,
-        "streaming_cms_counts": _q_streaming_cms_counts,
-        "signup_funnel": _q_signup_funnel,
-        "returnflag_cube": _q_returnflag_cube,
-        "salted_brand_revenue": _q_salted_brand_revenue,
-        "user_purchase_trend": _q_user_purchase_trend,
-        "signup_followups": _q_signup_followups,
-        "customer_order_gaps": _q_customer_order_gaps,
-        "daily_type_pivot": _q_daily_type_pivot,
-        "value_percentiles": _q_value_percentiles,
-        "approx_daily_uniques": _q_approx_daily_uniques,
-        "asof_clicks": _q_asof_clicks,
-        "daily_uniques": _q_daily_uniques,
-        "bm25_search": _q_bm25_search,
-        "seq_packing": _q_seq_packing,
-        "seq_packing_bpe": _q_seq_packing_bpe,
-        "doc_chunks_bpe": _q_doc_chunks_bpe,
-        "source_mix": _q_source_mix,
-        "word_count": _q_word_count,
-        # --- window boundary (50) — below here: green within the
-        # 4-round freshness budget. ROUND-15 ROTATION PLAN: the r11
-        # cohort (~48 entries, due when r15 lands) fills the window
-        # almost exactly — the ~2 free slots take classify_domains
-        # (textstats.classify_domains + oracles.classify_domains_sql,
-        # staged+parity-green since r13) and mad_outliers (its
-        # keep_cols join-back fix landed r14 with a fresh r13 row —
-        # re-certify early). ROUND-16: registering the six staged ops
-        # (readability_scores, oov_stats, simhash_recall_report,
-        # lsh_expected_recall, bucketed_revenue, csv_roundtrip,
-        # streaming_ks_drift — tests/test_staged_ops{3,4}.py) lifts
-        # the registry past 200, stepping the freshness budget to
-        # ceil(20x/50) = 5 rounds and
-        # EMPTYING r16's due list (the r12 cohort moves back inside
-        # the window) — verify with scripts/rotation_plan.py first.
-        "normalize_text": _q_normalize_text,
-        "fuzzy_contamination": _q_fuzzy_contamination,
-        "ann_recall_report": _q_ann_recall_report,
-        "token_budget_mix": _q_token_budget_mix,
-        "dedup_report": _q_dedup_report,
-        "trigram_lm_scores": _q_trigram_lm_scores,
+        # ROUND-15 WINDOW (first 50 = what the driver checks):
+        # (a) the 48-entry r11 cohort whose r11 green rows age out of
+        # the last-4 driver-file window when CORRECTNESS_r15 lands —
+        # every one is due THIS round per scripts/rotation_plan.py;
+        # (b) the 2 free slots: classify_domains (NEW registration —
+        # textstats.classify_domains + oracles.classify_domains_sql,
+        # staged r13, parity-green in tests/test_staged_ops3.py since)
+        # and mad_outliers (its keep_cols join-free rewrite landed r14
+        # with only a pre-rewrite r13 green row — re-certify the new
+        # plan early rather than riding the budget to r17).
+        "grouping_sets_pricing": _q_grouping_sets_pricing,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "tfidf_doc_pairs": _q_tfidf_doc_pairs,
+        "cluster_survivors": _q_cluster_survivors,
+        "salted_word_count": _q_salted_word_count,
+        "word_count_boundary": _q_word_count_boundary,
+        "doc_word_count": _q_doc_word_count,
+        "term_frequency": _q_term_frequency,
+        "tfidf": _q_tfidf,
+        "search": _q_search,
+        "search_top10": _q_search_top10,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "nation_order_stats": _q_nation_order_stats,
+        "nation_year_rollup": _q_nation_year_rollup,
+        "order_priority": _q_order_priority,
+        "order_priority_clean": _q_order_priority_clean,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_nation_revenue": _q_supplier_nation_revenue,
+        "top3_per_nation": _q_top3_per_nation,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "event_props_stats": _q_event_props_stats,
+        "customer_order_counts": _q_customer_order_counts,
+        "repeat_error_users": _q_repeat_error_users,
+        "cross_corpus_matches": _q_cross_corpus_matches,
+        "hash_splits": _q_hash_splits,
+        "weighted_doc_sample": _q_weighted_sample,
+        "stratified_doc_sample": _q_stratified_sample,
+        "source_quota": _q_source_quota,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
+        "streaming_approx_uniques": _q_streaming_approx_uniques,
+        "blob_metadata": _q_blob_metadata,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "repetition_scores": _q_repetition,
+        "streaming_minhash_probe": _q_streaming_minhash_probe,
+        "audio_features": _q_audio_features,
+        "packed_bins": _q_packed_bins,
+        "embedding_quantize": _q_embedding_quantize,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "top_ngram_stats": _q_top_ngram_stats,
+        "corpus_report": _q_corpus_report,
+        "streaming_events_sliding": _q_streaming_events_sliding,
+        "graph_degree_histogram": _q_graph_degree_histogram,
+        "classify_domains": _q_classify_domains,
         "mad_outliers": _q_mad_outliers,
-        "bigram_pmi": _q_bigram_pmi,
-        "bpe_fertility": _q_bpe_fertility,
-        "chunk_sentences": _q_chunk_sentences,
-        "truncate_embeddings": _q_truncate_embeddings,
-        "mean_pool_embeddings": _q_mean_pool_embeddings,
-        "cluster_top_terms": _q_cluster_top_terms,
-        "group_compactness": _q_group_compactness,
-        "curriculum_order": _q_curriculum_order,
-        "profile_drift": _q_profile_drift,
-        "key_skew_report": _q_key_skew_report,
-        "value_histogram": _q_value_histogram,
-        "streaming_lm_probe": _q_streaming_lm_probe,
-        "streaming_rule_violations": _q_streaming_rule_violations,
-        "streaming_value_histogram": _q_streaming_value_histogram,
-        "corpus_health": _q_corpus_health,
-        "cluster_report": _q_cluster_report,
-        "shard_audit": _q_shard_audit,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "pagerank_files": _q_pagerank_files,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "ngram_containment": _q_ngram_containment,
-        "simhash_dedup": _q_simhash_dedup,
-        "cosine_topk": _q_cosine_topk,
-        "cosine_pairs": _q_cosine_pairs,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_topk_batch": _q_ivf_topk_batch,
-        "contamination_audit": _q_contamination,
-        "pii_redaction": _q_pii_redaction,
-        "cms_word_counts": _q_cms_word_counts,
-        "bpe_train": _q_bpe_train,
-        "changelog_compact": _q_changelog_compact,
-        "zorder_roundtrip": _q_zorder_roundtrip,
-        "lpa_communities": _q_lpa_communities,
-        "triangle_counts": _q_triangle_counts,
-        "inverted_index": _q_inverted_index,
-        "streaming_changelog_compact": _q_streaming_changelog_compact,
-        "retention_cohorts": _q_retention_cohorts,
-        "rolling_active_users": _q_rolling_active_users,
-        "changelog_apply": _q_changelog_apply,
-        "hits_top20": _q_hits_top20,
-        "clustering_coefficients": _q_clustering_coefficients,
+        # --- window boundary (50) — below here: green within the
+        # 4-round freshness budget. ROUND-16 ROTATION PLAN: register
+        # the staged cohort (readability_scores, oov_stats,
+        # simhash_recall_report, lsh_expected_recall, bucketed_revenue,
+        # csv_roundtrip, streaming_ks_drift — tests/test_staged_ops{3,4}.py)
+        # at the FRONT; the registry steps past 200 entries so the
+        # freshness budget becomes ceil(203/50) = 5 rounds and the r12
+        # cohort below moves BACK inside the window (r12..r16 files) —
+        # its due date slides to r17. Remaining r16 slots take the
+        # OLDEST r12-green entries (front of the r12 section below) so
+        # r17's 47-entry due list shrinks below one window. Verify
+        # with scripts/rotation_plan.py before landing, per the
+        # REGISTRY CAPACITY POLICY in README.md §Registry capacity.
+        # --- r12 cohort (green r12; due r17 once the budget steps to 5)
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,
@@ -3808,54 +3768,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": _q_streaming_user_stats,
         "window_shoppers": _q_window_shoppers,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        "grouping_sets_pricing": _q_grouping_sets_pricing,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "tfidf_doc_pairs": _q_tfidf_doc_pairs,
-        "cluster_survivors": _q_cluster_survivors,
-        "salted_word_count": _q_salted_word_count,
-        "word_count_boundary": _q_word_count_boundary,
-        "doc_word_count": _q_doc_word_count,
-        "term_frequency": _q_term_frequency,
-        "tfidf": _q_tfidf,
-        "search": _q_search,
-        "search_top10": _q_search_top10,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "nation_order_stats": _q_nation_order_stats,
-        "nation_year_rollup": _q_nation_year_rollup,
-        "order_priority": _q_order_priority,
-        "order_priority_clean": _q_order_priority_clean,
-        "brand_revenue": _q_brand_revenue,
-        "supplier_nation_revenue": _q_supplier_nation_revenue,
-        "top3_per_nation": _q_top3_per_nation,
-        "events_hourly": _q_events_hourly,
-        "user_sessions": _q_user_sessions,
-        "event_props_stats": _q_event_props_stats,
-        "customer_order_counts": _q_customer_order_counts,
-        "repeat_error_users": _q_repeat_error_users,
-        "cross_corpus_matches": _q_cross_corpus_matches,
-        "hash_splits": _q_hash_splits,
-        "weighted_doc_sample": _q_weighted_sample,
-        "stratified_doc_sample": _q_stratified_sample,
-        "source_quota": _q_source_quota,
-        "streaming_exact_dedup": _q_streaming_exact_dedup,
-        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
-        "streaming_approx_uniques": _q_streaming_approx_uniques,
-        "blob_metadata": _q_blob_metadata,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
-        "repetition_scores": _q_repetition,
-        "streaming_minhash_probe": _q_streaming_minhash_probe,
-        "audio_features": _q_audio_features,
-        "packed_bins": _q_packed_bins,
-        "embedding_quantize": _q_embedding_quantize,
-        "quantized_cosine_topk": _q_quantized_cosine_topk,
-        "top_ngram_stats": _q_top_ngram_stats,
-        "corpus_report": _q_corpus_report,
-        "streaming_events_sliding": _q_streaming_events_sliding,
-        "graph_degree_histogram": _q_graph_degree_histogram,
+        # --- r13 cohort (green r13; due r17/r18)
+        "normalize_text": _q_normalize_text,
+        "fuzzy_contamination": _q_fuzzy_contamination,
+        "ann_recall_report": _q_ann_recall_report,
+        "token_budget_mix": _q_token_budget_mix,
+        "dedup_report": _q_dedup_report,
+        "trigram_lm_scores": _q_trigram_lm_scores,
+        "bigram_pmi": _q_bigram_pmi,
+        "bpe_fertility": _q_bpe_fertility,
+        "chunk_sentences": _q_chunk_sentences,
+        "truncate_embeddings": _q_truncate_embeddings,
+        "mean_pool_embeddings": _q_mean_pool_embeddings,
+        "cluster_top_terms": _q_cluster_top_terms,
+        "group_compactness": _q_group_compactness,
+        "curriculum_order": _q_curriculum_order,
+        "profile_drift": _q_profile_drift,
+        "key_skew_report": _q_key_skew_report,
+        "value_histogram": _q_value_histogram,
+        "streaming_lm_probe": _q_streaming_lm_probe,
+        "streaming_rule_violations": _q_streaming_rule_violations,
+        "streaming_value_histogram": _q_streaming_value_histogram,
+        "corpus_health": _q_corpus_health,
+        "cluster_report": _q_cluster_report,
+        "shard_audit": _q_shard_audit,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "pagerank_files": _q_pagerank_files,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
+        "simhash_dedup": _q_simhash_dedup,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_topk_batch": _q_ivf_topk_batch,
+        "contamination_audit": _q_contamination,
+        "pii_redaction": _q_pii_redaction,
+        "cms_word_counts": _q_cms_word_counts,
+        "bpe_train": _q_bpe_train,
+        "changelog_compact": _q_changelog_compact,
+        "zorder_roundtrip": _q_zorder_roundtrip,
+        "lpa_communities": _q_lpa_communities,
+        "triangle_counts": _q_triangle_counts,
+        "inverted_index": _q_inverted_index,
+        "streaming_changelog_compact": _q_streaming_changelog_compact,
+        "retention_cohorts": _q_retention_cohorts,
+        "rolling_active_users": _q_rolling_active_users,
+        "changelog_apply": _q_changelog_apply,
+        "hits_top20": _q_hits_top20,
+        "clustering_coefficients": _q_clustering_coefficients,
+        # --- r14 cohort (green r14; freshest — back of the rotation)
+        "tfidf_files": _q_tfidf_files,
+        "contamination_spans": _q_contamination_spans,
+        "pii_luhn": _q_pii_luhn,
+        "packing_report": _q_packing_report,
+        "calibrate_scores": _q_calibrate_scores,
+        "ks_drift": _q_ks_drift,
+        "margin_matches": _q_margin_matches,
+        "profile_drift_where": _q_profile_drift_where,
+        "minhash_recall_report": _q_minhash_recall_report,
+        "pca_project": _q_pca_project,
+        "embedding_gram": _q_embedding_gram,
+        "temperature_alloc": _q_temperature_alloc,
+        "temperature_mix": _q_temperature_mix,
+        "ivf_pq_topk": _q_ivf_pq_topk,
+        "unimax_alloc": _q_unimax_alloc,
+        "unimax_mix": _q_unimax_mix,
+        "pq_encode": _q_pq_encode,
+        "pq_topk": _q_pq_topk,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup": _q_cdc_dedup,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "bigram_lm": _q_bigram_lm,
+        "entropy_stats": _q_entropy_stats,
+        "bloom_probe": _q_bloom_probe,
+        "quality_classifier": _q_quality_classifier,
+        "streaming_bloom_probe": _q_streaming_bloom_probe,
+        "novelty_scores": _q_novelty_scores,
+        "packed_bins_spans": _q_packed_bins_spans,
+        "source_top_fraction": _q_source_top_fraction,
+        "gopher_repetition": _q_gopher_repetition,
+        "gopher_rules": _q_gopher_rules,
+        "streaming_cms_counts": _q_streaming_cms_counts,
+        "signup_funnel": _q_signup_funnel,
+        "returnflag_cube": _q_returnflag_cube,
+        "salted_brand_revenue": _q_salted_brand_revenue,
+        "user_purchase_trend": _q_user_purchase_trend,
+        "signup_followups": _q_signup_followups,
+        "customer_order_gaps": _q_customer_order_gaps,
+        "daily_type_pivot": _q_daily_type_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "approx_daily_uniques": _q_approx_daily_uniques,
+        "asof_clicks": _q_asof_clicks,
+        "daily_uniques": _q_daily_uniques,
+        "bm25_search": _q_bm25_search,
+        "seq_packing": _q_seq_packing,
+        "seq_packing_bpe": _q_seq_packing_bpe,
+        "doc_chunks_bpe": _q_doc_chunks_bpe,
+        "source_mix": _q_source_mix,
+        "word_count": _q_word_count,
     }
 
 
@@ -5014,6 +5025,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM q"
     )
     out["mad_outliers"] = oracles.mad_outliers_sql(_quality_sql)
+    # classify_domains (registered r15): DEFAULT_TAXONOMY keyword
+    # argmax — the oracle builder regenerates the same plan-time
+    # keyword literals and the integer-encoded tiebreak.
+    out["classify_domains"] = oracles.classify_domains_sql()
     out["bigram_pmi"] = oracles.bigram_pmi_sql(min_count=2)
     out["bpe_fertility"] = oracles.bpe_fertility_sql()
     out["chunk_sentences"] = oracles.chunk_sentences_sql(window=3, stride=2)

@@ -1450,8 +1450,11 @@ def bipartite_projection(
     into the caller's aggregation rather than pin in storage — the
     round-13 advisory cases); the lazy plan keeps the persist, whose
     first-use population still deduplicates the diamond, but the
-    caller owns the cache lifetime (``spark.catalog.clearCache()`` or
-    a ``minhash_near_dups``-style wrapper).
+    caller owns the cache lifetime — release it with
+    ``util.release_plan_caches(plan)`` after the consuming action,
+    which uncaches exactly the frames THIS plan pins (round-14
+    advice: ``spark.catalog.clearCache()`` nukes every cache in the
+    session and is the wrong tool in a long-lived session).
     """
     if min_shared < 1:
         raise ValueError(f"min_shared ({min_shared}) must be >= 1")

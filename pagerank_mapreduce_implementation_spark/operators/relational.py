@@ -828,22 +828,27 @@ def ks_drift(
         )
         .agg(F.max("__d").alias("__dm"))
     )
-    out = (
-        tot.crossJoin(F.broadcast(dm))
-        .select(
-            F.col("__n1").alias("n_old"),
-            F.col("__n2").alias("n_new"),
-            F.col("__nv").alias("n_values"),
-            F.when(
-                (F.col("__n1") > 0) & (F.col("__n2") > 0),
-                F.round(F.col("__dm"), 6),
+    # r14 advisory: the eager checkpoint is an action — if it fails,
+    # the persist must still release (the try/finally discipline the
+    # recall-audit operators in dedup.py already follow).
+    try:
+        out = (
+            tot.crossJoin(F.broadcast(dm))
+            .select(
+                F.col("__n1").alias("n_old"),
+                F.col("__n2").alias("n_new"),
+                F.col("__nv").alias("n_values"),
+                F.when(
+                    (F.col("__n1") > 0) & (F.col("__n2") > 0),
+                    F.round(F.col("__dm"), 6),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("d_stat"),
             )
-            .otherwise(F.lit(None).cast("double"))
-            .alias("d_stat"),
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    g.unpersist()
+    finally:
+        g.unpersist()
     return out
 
 

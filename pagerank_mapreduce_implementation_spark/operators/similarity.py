@@ -1292,7 +1292,10 @@ def margin_matches_ab(
     ``materialize=False`` skips the eager final checkpoint and returns
     the lazy composable plan (streaming/pushdown callers — the
     ``bipartite_projection`` escape hatch); the scored-candidate
-    persist stays, cache lifetime owned by the caller.
+    persist stays, cache lifetime owned by the caller — release with
+    ``util.release_plan_caches(plan)`` when done (uncaches exactly
+    what this plan pins; never ``clearCache()``). If plan ASSEMBLY
+    raises before the handoff, the persist is released internally.
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
@@ -1359,6 +1362,12 @@ def margin_matches_ab(
     denom = (
         F.col("__sa") / F.col("__ka") + F.col("__sb") / F.col("__kb")
     ) / F.lit(2.0)
+    # r14 advisory: with materialize=False the caller owns the persist
+    # lifetime ONLY once the lazy plan is successfully returned — an
+    # exception while assembling it must still release the cache, so
+    # track the successful handoff explicitly instead of keying the
+    # finally on `materialize` alone.
+    handed_off = False
     try:
         out = (
             sc.join(da, "id_a")
@@ -1376,8 +1385,9 @@ def margin_matches_ab(
             .filter(F.col("margin") >= margin_threshold)
         )
         if not materialize:
+            handed_off = True
             return out
         return out.localCheckpoint(eager=True)
     finally:
-        if materialize:
+        if not handed_off:
             sc.unpersist()

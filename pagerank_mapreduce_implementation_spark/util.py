@@ -66,3 +66,41 @@ def release_result(df) -> None:
         children = p.children()
         for i in range(children.length()):
             stack.append(children.apply(i))
+
+
+def release_plan_caches(df) -> None:
+    """Release every PERSISTED frame a LAZY operator result references
+    — the counterpart of ``release_result`` for ``materialize=False``
+    outputs (``bipartite_projection``, ``margin_matches_ab``, ...)
+    whose plan embeds an operator-internal ``persist()`` the caller
+    otherwise has no handle to. Walks the plan WITH cache substitution
+    applied (``withCachedData`` — the analyzed plan never shows
+    ``InMemoryRelation``; substitution happens after analysis) and
+    fully uncaches each relation via the session CacheManager
+    (``uncacheQuery(cascade=False, blocking=True)``), so the entry is
+    REMOVED, not just its buffers dropped: ``df`` stays valid and
+    recomputes from source on any later action, and other plans that
+    referenced the same cache likewise fall back to recompute (the
+    same shared-lineage rule as any manual unpersist).
+
+    Why this exists (round-14 advice): the docstrings used to
+    delegate lazy-path cleanup to ``spark.catalog.clearCache()``,
+    which nukes EVERY cache in the session — a blunt instrument for
+    long-lived sessions. This releases exactly the caches the one
+    plan pins. Nested persists (a cached frame built over another
+    cached frame) are reached by also walking each relation's
+    pre-substitution child plan. No-op on plans that pin nothing, so
+    callers can release unconditionally."""
+    spark = df.sparkSession
+    jsess = spark._jsparkSession
+    cm = jsess.sharedState().cacheManager()
+    stack = [df._jdf.queryExecution().withCachedData()]
+    while stack:
+        p = stack.pop()
+        if p.getClass().getSimpleName() == "InMemoryRelation":
+            inner = p.cacheBuilder().logicalPlan()
+            cm.uncacheQuery(jsess, inner, False, True)
+            stack.append(inner)
+        children = p.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))

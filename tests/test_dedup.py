@@ -469,6 +469,75 @@ def test_phash_near_dups_releasable(spark):
     assert not _cached_rdd_ids(spark) - before
 
 
+def test_release_plan_caches_lazy_operator_outputs(spark):
+    """Round-14 advice: materialize=False outputs whose plan embeds an
+    operator-internal persist (bipartite_projection, margin_matches_ab)
+    must have a NARROW release path — util.release_plan_caches frees
+    exactly the caches the one plan pins (never clearCache), and the
+    plan stays valid afterwards (recomputes from source, identical
+    rows)."""
+    import numpy as np
+
+    from pagerank_mapreduce_implementation_spark.operators import (
+        graph,
+        similarity,
+    )
+    from pagerank_mapreduce_implementation_spark.util import (
+        release_plan_caches,
+    )
+
+    e = spark.createDataFrame(
+        [("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o2", "p2"),
+         ("o3", "p1"), ("o1", "p9"), ("o2", "p9"), ("o3", "p9")],
+        "src string, dst string",
+    )
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    builds = [
+        lambda: graph.bipartite_projection(
+            e, min_shared=1, max_right_degree=4, materialize=False
+        ),
+        lambda: similarity.margin_matches_ab(
+            emb.filter("vec_id % 2 = 0"),
+            emb.filter("vec_id % 2 = 1"),
+            k=3,
+            margin_threshold=0.0,
+            materialize=False,
+        ),
+    ]
+    for build in builds:
+        before = _cached_rdd_ids(spark)
+        plan = build()
+        rows = sorted(tuple(r) for r in plan.collect())
+        assert rows, "vacuous: lazy plan produced no rows"
+        assert _cached_rdd_ids(spark) - before  # the internal persist
+        release_plan_caches(plan)
+        assert not _cached_rdd_ids(spark) - before  # ... narrowly freed
+        # the plan is still usable — it recomputes, identically
+        assert sorted(tuple(r) for r in plan.collect()) == rows
+        release_plan_caches(plan)  # idempotent / no-op second release
+
+
+def test_ks_drift_leaves_no_pinned_cache(spark):
+    """ks_drift persists its per-value aggregate for the run and must
+    release it on EVERY exit (round-14 advice: try/finally, matching
+    the dedup recall-audit discipline) — the success path leaves only
+    the returned one-row checkpoint pinned, freed by release_result."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+    from pagerank_mapreduce_implementation_spark.util import release_result
+
+    old = spark.range(100).selectExpr("cast(id as double) as v")
+    new = spark.range(50, 180).selectExpr("cast(id * 1.5 as double) as v")
+    before = _cached_rdd_ids(spark)
+    out = relational.ks_drift(old, new, value_col="v", n_buckets=8)
+    assert out.count() == 1
+    release_result(out)
+    assert not _cached_rdd_ids(spark) - before
+
+
 def test_incremental_minhash_band_validation_divisibility(spark, planted):
     """Round-8 advice: when bands does not divide num_hashes, the
     validate_bands path must raise band_buckets' clear divisibility

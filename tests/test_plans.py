@@ -373,6 +373,9 @@ def test_mad_outliers_no_docid_join_back(plans):
     # none of them keys on doc_id
     for cond in re.findall(r"BroadcastHashJoin \[([^\]]*)\]", p):
         assert "doc_id" not in cond, cond
+
+
+def test_audio_features_two_arrow_passes_no_shuffle_before_join(plans):
     """The audio chain is mapInPandas plumbing end-to-end: Arrow evals
     for synth+decode+featurize, a single join of two slim metadata
     branches, and NO sort-merge join or corpus shuffle — the blobs
