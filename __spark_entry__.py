@@ -2363,6 +2363,11 @@ _EVENT_RULES = {
 }
 
 _DRIFT_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+# the one-scan fusion's registered set (r14 verdict item 6): low-
+# cardinality columns so the Expand's distinct hash agg stays tiny and
+# the certification is genuinely scan-bound; one column whose range
+# CHANGES under the slice, one whose range survives
+_DRIFT_COLS_SLIM = ["l_quantity", "l_returnflag"]
 _SKEW_KEYS = ["l_returnflag", "l_linestatus"]
 _ANN_QUERY_IDS = [0, 7, 23]
 _TOKEN_BUDGETS = {"src0": 600, "src1": 1200, "src2": 40}
@@ -3026,11 +3031,21 @@ def _q_profile_drift_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled via conditional aggregation in a single pass — kept for
     genuinely scan-bound (cold columnar) use; the registered
     profile_drift stays the two-frame form that measured 2.1x faster
-    warm (A/B cited there). Same rows, same oracle."""
+    warm (A/B cited there). SLIMMED r15 (r14 verdict item 6): the
+    registration certifies the one-scan STRATEGY, which does not
+    require the widest possible scan — profiling (l_quantity,
+    l_returnflag) under an l_quantity < 45 slice keeps both
+    range_changed branches live (quantity's old max drops to 44 ->
+    true; returnflag's min/max survive the slice -> false) while
+    dropping the l_orderkey exact-distinct that dominated the 9x
+    Expand's hash agg (A/B at sf0.1, min-of-3 warm: 12.3 s 4-col ->
+    4.5 s 2-col; the 5x Expand is scan-shaped). Oracle rebuilt from
+    the same builder with the slim args — re-certifies at the FRONT
+    of r16's window (r15's is fully subscribed)."""
     return relational.profile_drift_where(
         Catalog(spark, sf_dir).lineitem,
-        F.col("l_orderkey") % 3 != 0,
-        _DRIFT_COLS,
+        F.col("l_quantity") < 45,
+        _DRIFT_COLS_SLIM,
     )
 
 
@@ -3718,6 +3733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r17's 47-entry due list shrinks below one window. Verify
         # with scripts/rotation_plan.py before landing, per the
         # REGISTRY CAPACITY POLICY in README.md §Registry capacity.
+        # CHANGED r15, re-certifies FIRST in r16 (r15's window is
+        # fully subscribed): profile_drift_where's registered args
+        # slimmed per the r14 verdict (query + oracle moved in
+        # lockstep; parity re-gated locally by driver_preflight and
+        # tests/test_staged_ops3.py this round, r14 green row keeps
+        # its freshness budget legal until r18)
+        "profile_drift_where": _q_profile_drift_where,
         # --- r12 cohort (green r12; due r17 once the budget steps to 5)
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
@@ -3824,7 +3846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibrate_scores": _q_calibrate_scores,
         "ks_drift": _q_ks_drift,
         "margin_matches": _q_margin_matches,
-        "profile_drift_where": _q_profile_drift_where,
         "minhash_recall_report": _q_minhash_recall_report,
         "pca_project": _q_pca_project,
         "embedding_gram": _q_embedding_gram,
@@ -5114,8 +5135,11 @@ def oracle_sql() -> dict[str, str]:
         "vec_id % 3 = 0", "vec_id % 3 = 1", k=4, margin_threshold=1.0
     )
     # the fused one-scan form returns row-for-row what the two-frame
-    # profile_drift returns — the SAME SQL gates both
-    out["profile_drift_where"] = out["profile_drift"]
+    # profile_drift(old_slice, table, cols) returns — same builder,
+    # slim args (r15 trim: see _q_profile_drift_where)
+    out["profile_drift_where"] = oracles.profile_drift_sql(
+        "lineitem", _DRIFT_COLS_SLIM, "l_quantity < 45"
+    )
     out["minhash_recall_report"] = oracles.minhash_recall_report_sql(
         drop_rate=0.15, sample_mod=10, threshold=0.3, ngram=2
     )

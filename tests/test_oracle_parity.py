@@ -141,3 +141,65 @@ def test_registry_rotation_invariant():
     )
     uncovered = set(qs) - window - recent_green
     assert not uncovered, f"neither windowed nor recently green: {uncovered}"
+
+
+def test_registry_capacity_policy():
+    """REGISTRY CAPACITY POLICY (round-15 decision, README §Registry
+    capacity): capacity is a cadence constraint, not a hard total —
+    the budget B = ceil(N/50) steps automatically past each 50·k
+    boundary, but every future window must stay feasible. The two hard
+    rules this pins:
+
+    1. COHORT BOUND — no more than 50 entries may share a latest-green
+       round: a cohort certified together comes due together, and a
+       >50 cohort can never re-certify inside one 50-entry window (the
+       budget would be mathematically blown when it ages out).
+    2. WINDOW FEASIBILITY — the NEXT round's due list fits in 50
+       (mirrors scripts/rotation_plan.py: due = newest green row at or
+       below next_round - B, or never green).
+
+    Skips on a fresh clone (no driver artifacts)."""
+    import glob
+    import json
+    import math
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver correctness artifacts")
+    latest: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in files:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnd)
+        with open(path) as fh:
+            for k, v in json.load(fh).items():
+                if (
+                    isinstance(v, dict)
+                    and v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                    and not v.get("err")
+                ):
+                    latest[k] = rnd
+    qs = list(entrymod.queries())
+    budget = math.ceil(len(qs) / 50)
+    cohorts: dict[int | None, int] = {}
+    for q in qs:
+        cohorts[latest.get(q)] = cohorts.get(latest.get(q), 0) + 1
+    oversize = {r: n for r, n in cohorts.items() if r is not None and n > 50}
+    assert not oversize, (
+        f"green-round cohort(s) exceed the 50-entry window and can "
+        f"never re-certify in one round: {oversize} — split the next "
+        "registration/re-cert batch (README §Registry capacity rule 1)"
+    )
+    next_round = rounds[-1] + 1
+    horizon = next_round - budget
+    due = [q for q in qs if latest.get(q, -(10**9)) <= horizon]
+    assert len(due) <= 50, (
+        f"{len(due)} entries come due in round {next_round} but the "
+        f"driver window holds 50 — the rotation is infeasible: {due} "
+        "(README §Registry capacity rule 2)"
+    )

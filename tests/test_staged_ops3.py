@@ -1124,6 +1124,32 @@ def test_profile_drift_where_null_and_range_semantics(spark):
     assert s["n_nulls_new"] == 1
 
 
+def test_profile_drift_where_registered_slim_args_parity(spark, sf_dir, duck):
+    """The r15-slimmed REGISTERED form (r14 verdict item 6: certify
+    the one-scan strategy without the l_orderkey exact-distinct that
+    dominated the suite cost): (l_quantity, l_returnflag) under an
+    l_quantity < 45 slice — oracle rebuilt from the same builder with
+    the slim args, and both range_changed branches stay live
+    (quantity's old max drops to 44 -> True; returnflag's min/max
+    survive the slice -> False)."""
+    from pagerank_mapreduce_implementation_spark.operators import relational
+
+    li = Catalog(spark, sf_dir).lineitem
+    got = relational.profile_drift_where(
+        li, F.col("l_quantity") < 45, ["l_quantity", "l_returnflag"]
+    )
+    rows = {r["col_name"]: r for r in got.collect()}
+    assert rows["l_quantity"]["range_changed"] is True
+    assert rows["l_returnflag"]["range_changed"] is False
+    check(
+        got,
+        duck,
+        oracles.profile_drift_sql(
+            "lineitem", ["l_quantity", "l_returnflag"], "l_quantity < 45"
+        ),
+    )
+
+
 # --- round-13 staged: binned KS for stream-vs-reference drift ----------------
 
 
