@@ -88,8 +88,10 @@ def release_plan_caches(df) -> None:
     which nukes EVERY cache in the session — a blunt instrument for
     long-lived sessions. This releases exactly the caches the one
     plan pins. Nested persists (a cached frame built over another
-    cached frame) are reached by also walking each relation's
-    pre-substitution child plan. No-op on plans that pin nothing, so
+    cached frame) are reached by re-applying cache substitution to
+    each relation's stored child plan (``cacheManager.useCachedData``
+    — the stored plan itself is PRE-substitution, so walking it raw
+    would miss the inner cache). No-op on plans that pin nothing, so
     callers can release unconditionally."""
     spark = df.sparkSession
     jsess = spark._jsparkSession
@@ -100,7 +102,7 @@ def release_plan_caches(df) -> None:
         if p.getClass().getSimpleName() == "InMemoryRelation":
             inner = p.cacheBuilder().logicalPlan()
             cm.uncacheQuery(jsess, inner, False, True)
-            stack.append(inner)
+            stack.append(cm.useCachedData(inner))
         children = p.children()
         for i in range(children.length()):
             stack.append(children.apply(i))

@@ -521,6 +521,27 @@ def test_release_plan_caches_lazy_operator_outputs(spark):
         release_plan_caches(plan)  # idempotent / no-op second release
 
 
+def test_release_plan_caches_reaches_nested_persists(spark):
+    """A cached frame built OVER another cached frame: the walk must
+    recurse through each InMemoryRelation's pre-substitution child
+    plan, releasing both layers — and the plan still recomputes."""
+    from pagerank_mapreduce_implementation_spark.util import (
+        release_plan_caches,
+    )
+
+    before = _cached_rdd_ids(spark)
+    inner = spark.range(1000).selectExpr("id", "id % 7 as g").persist()
+    outer = (
+        inner.groupBy("g").count().persist()
+    )
+    plan = outer.selectExpr("sum(count) as total")
+    rows = plan.collect()
+    assert _cached_rdd_ids(spark) - before
+    release_plan_caches(plan)
+    assert not _cached_rdd_ids(spark) - before
+    assert plan.collect() == rows
+
+
 def test_ks_drift_leaves_no_pinned_cache(spark):
     """ks_drift persists its per-value aggregate for the run and must
     release it on EVERY exit (round-14 advice: try/finally, matching

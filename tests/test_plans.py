@@ -407,6 +407,19 @@ def test_packed_bins_no_expand_no_global_sort(plans):
     assert "Exchange rangepartitioning" not in p
 
 
+def test_classify_domains_zero_shuffle_narrow_scan(plans):
+    """classify_domains (registered r15) is pure per-row column math —
+    tokenize once, one size(filter()) per domain, integer-encoded
+    argmax: NO exchange of any kind, no Python, and the scan reads
+    only (doc_id, text)."""
+    p = plans("classify_domains")
+    assert "Exchange" not in p
+    assert "Python" not in p
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None
+    assert len(scan_cols.group(1).split(",")) <= 2
+
+
 def test_user_purchase_trend_batched_not_per_group_python(plans):
     """The Theil-Sen query rides the BATCHED grouped surface: one
     hash-partitioned collect_list aggregation (JVM shuffle with partial
