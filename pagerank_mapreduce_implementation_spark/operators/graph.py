@@ -39,6 +39,19 @@ Scale design (100 TB posture):
   shuffle volume (no combiner, SURVEY.md §4).
 - the rank vector (2 cols x |V|) is orders of magnitude smaller than
   the edge table; lineage is truncated by the IterationDriver.
+
+Cache-lifecycle discipline (round-15 decision, after the r14 advice on
+ks_drift/margin_matches): SINGLE-SHOT report operators wrap their
+persist in try/finally so an exception on the one consuming action
+cannot leak the cache. The ITERATIVE loops (this module's rank/
+frontier loops; ``text.bpe_train``'s checkpoint ladder) deliberately
+do NOT blanket-wrap: their lifecycle is interleaved with the rounds
+(per-round checkpoint handoffs unpersist the previous round's pin
+mid-loop; broadcast-gate branches pin/release different frames), a
+single finally cannot express it, and an exception mid-loop aborts the
+whole job in every caller (bench/driver/programs use bounded
+sessions). Revisit only if a long-lived-session caller starts invoking
+these loops under exception-recovery semantics.
 """
 
 from __future__ import annotations
