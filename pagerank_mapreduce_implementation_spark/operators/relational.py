@@ -771,67 +771,69 @@ def ks_drift(
         F.sum("__n").cast("long").alias("__c2"),
     )
     g = g.persist()
-    tot = g.agg(
-        F.coalesce(F.sum("__c1"), F.lit(0)).cast("long").alias("__n1"),
-        F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__n2"),
-        F.count(F.lit(1)).alias("__nv"),
-        F.min("__v").alias("__lo"),
-        F.max("__v").alias("__hi"),
-    )
-    j = g.crossJoin(F.broadcast(tot))
-    norm = (F.col("__v") - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
-    cell = F.when(
-        F.col("__hi") > F.col("__lo"),
-        F.least(
-            F.floor(norm * n_buckets).cast("long"), F.lit(int(n_buckets) - 1)
-        ),
-    ).otherwise(F.lit(0))
-    j = j.withColumn("__b", cell)
-    in_cell = (
-        Window.partitionBy("__b")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    loc = j.withColumn("__l1", F.sum("__c1").over(in_cell)).withColumn(
-        "__l2", F.sum("__c2").over(in_cell)
-    )
-    ctot = j.groupBy("__b").agg(
-        F.sum("__c1").alias("__b1"), F.sum("__c2").alias("__b2")
-    )
-    w_prev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    cpre = ctot.select(
-        "__b",
-        F.coalesce(F.sum("__b1").over(w_prev), F.lit(0)).alias("__p1"),
-        F.coalesce(F.sum("__b2").over(w_prev), F.lit(0)).alias("__p2"),
-    )
-    # the max over |F1 - F2| is a GLOBAL aggregate (always one row,
-    # NULL over an empty candidate set), cross-joined back onto the
-    # always-one-row totals — the shape that keeps the report exactly
-    # one row even when BOTH inputs are empty (the grouped form
-    # returned zero rows there, round-13 advisory)
-    dm = (
-        loc.join(F.broadcast(cpre), "__b")
-        .select(
-            # try_divide: an empty side (n = 0) yields NULL instead of
-            # an ANSI DIVIDE_BY_ZERO; the non-empty path is the same
-            # single IEEE division
-            F.abs(
-                F.try_divide(
-                    (F.col("__p1") + F.col("__l1")).cast("double"),
-                    F.col("__n1").cast("double"),
-                )
-                - F.try_divide(
-                    (F.col("__p2") + F.col("__l2")).cast("double"),
-                    F.col("__n2").cast("double"),
-                )
-            ).alias("__d")
-        )
-        .agg(F.max("__d").alias("__dm"))
-    )
-    # r14 advisory: the eager checkpoint is an action — if it fails,
-    # the persist must still release (the try/finally discipline the
-    # recall-audit operators in dedup.py already follow).
+    # r14 advisory (+ r15 review): the eager checkpoint is an action
+    # and the window/agg subplans analyze eagerly on the JVM — if
+    # ANYTHING from assembly through the checkpoint fails, the
+    # persist must still release, so the try opens immediately
+    # after it (the dedup recall-audit discipline).
     try:
+        tot = g.agg(
+            F.coalesce(F.sum("__c1"), F.lit(0)).cast("long").alias("__n1"),
+            F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__n2"),
+            F.count(F.lit(1)).alias("__nv"),
+            F.min("__v").alias("__lo"),
+            F.max("__v").alias("__hi"),
+        )
+        j = g.crossJoin(F.broadcast(tot))
+        norm = (F.col("__v") - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+        cell = F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(norm * n_buckets).cast("long"), F.lit(int(n_buckets) - 1)
+            ),
+        ).otherwise(F.lit(0))
+        j = j.withColumn("__b", cell)
+        in_cell = (
+            Window.partitionBy("__b")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        loc = j.withColumn("__l1", F.sum("__c1").over(in_cell)).withColumn(
+            "__l2", F.sum("__c2").over(in_cell)
+        )
+        ctot = j.groupBy("__b").agg(
+            F.sum("__c1").alias("__b1"), F.sum("__c2").alias("__b2")
+        )
+        w_prev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        cpre = ctot.select(
+            "__b",
+            F.coalesce(F.sum("__b1").over(w_prev), F.lit(0)).alias("__p1"),
+            F.coalesce(F.sum("__b2").over(w_prev), F.lit(0)).alias("__p2"),
+        )
+        # the max over |F1 - F2| is a GLOBAL aggregate (always one row,
+        # NULL over an empty candidate set), cross-joined back onto the
+        # always-one-row totals — the shape that keeps the report exactly
+        # one row even when BOTH inputs are empty (the grouped form
+        # returned zero rows there, round-13 advisory)
+        dm = (
+            loc.join(F.broadcast(cpre), "__b")
+            .select(
+                # try_divide: an empty side (n = 0) yields NULL instead of
+                # an ANSI DIVIDE_BY_ZERO; the non-empty path is the same
+                # single IEEE division
+                F.abs(
+                    F.try_divide(
+                        (F.col("__p1") + F.col("__l1")).cast("double"),
+                        F.col("__n1").cast("double"),
+                    )
+                    - F.try_divide(
+                        (F.col("__p2") + F.col("__l2")).cast("double"),
+                        F.col("__n2").cast("double"),
+                    )
+                ).alias("__d")
+            )
+            .agg(F.max("__d").alias("__dm"))
+        )
         out = (
             tot.crossJoin(F.broadcast(dm))
             .select(

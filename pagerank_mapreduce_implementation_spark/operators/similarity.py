@@ -1338,37 +1338,38 @@ def margin_matches_ab(
         )
         .persist()
     )
-    ranked = sc.withColumn(
-        "__ra",
-        F.row_number().over(
-            Window.partitionBy("id_a").orderBy(F.desc("__ci"), F.asc("id_b"))
-        ),
-    ).withColumn(
-        "__rb",
-        F.row_number().over(
-            Window.partitionBy("id_b").orderBy(F.desc("__ci"), F.asc("id_a"))
-        ),
-    )
-    da = (
-        ranked.filter(F.col("__ra") <= k)
-        .groupBy("id_a")
-        .agg(F.sum("__ci").alias("__sa"), F.count(F.lit(1)).alias("__ka"))
-    )
-    db = (
-        ranked.filter(F.col("__rb") <= k)
-        .groupBy("id_b")
-        .agg(F.sum("__ci").alias("__sb"), F.count(F.lit(1)).alias("__kb"))
-    )
-    denom = (
-        F.col("__sa") / F.col("__ka") + F.col("__sb") / F.col("__kb")
-    ) / F.lit(2.0)
-    # r14 advisory: with materialize=False the caller owns the persist
-    # lifetime ONLY once the lazy plan is successfully returned — an
-    # exception while assembling it must still release the cache, so
-    # track the successful handoff explicitly instead of keying the
-    # finally on `materialize` alone.
+    # r14 advisory (+ r15 review): with materialize=False the caller
+    # owns the persist lifetime ONLY once the lazy plan is successfully
+    # returned — an exception ANYWHERE in plan assembly (the window/
+    # groupBy transforms analyze eagerly on the JVM) must still release
+    # the cache, so the try opens immediately after the persist and a
+    # handoff flag (not the materialize flag) keys the finally.
     handed_off = False
     try:
+        ranked = sc.withColumn(
+            "__ra",
+            F.row_number().over(
+                Window.partitionBy("id_a").orderBy(F.desc("__ci"), F.asc("id_b"))
+            ),
+        ).withColumn(
+            "__rb",
+            F.row_number().over(
+                Window.partitionBy("id_b").orderBy(F.desc("__ci"), F.asc("id_a"))
+            ),
+        )
+        da = (
+            ranked.filter(F.col("__ra") <= k)
+            .groupBy("id_a")
+            .agg(F.sum("__ci").alias("__sa"), F.count(F.lit(1)).alias("__ka"))
+        )
+        db = (
+            ranked.filter(F.col("__rb") <= k)
+            .groupBy("id_b")
+            .agg(F.sum("__ci").alias("__sb"), F.count(F.lit(1)).alias("__kb"))
+        )
+        denom = (
+            F.col("__sa") / F.col("__ka") + F.col("__sb") / F.col("__kb")
+        ) / F.lit(2.0)
         out = (
             sc.join(da, "id_a")
             .join(db, "id_b")

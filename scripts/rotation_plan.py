@@ -30,9 +30,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def latest_green(root: str) -> tuple[dict[str, int], list[int]]:
+    # sort by ROUND NUMBER, not lexicographically (r100 < r11 as a
+    # string), and take the max green round per query so file order
+    # can never regress an entry (r15 review finding)
     latest: dict[str, int] = {}
     rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    paths = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in paths:
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         rounds.append(rnd)
         with open(path) as fh:
@@ -44,7 +51,7 @@ def latest_green(root: str) -> tuple[dict[str, int], list[int]]:
                     and v.get("hash_match")
                     and not v.get("err")
                 ):
-                    latest[k] = rnd
+                    latest[k] = max(latest.get(k, 0), rnd)
     return latest, rounds
 
 

@@ -132,13 +132,19 @@ def main() -> None:
         frames[name] = df.localCheckpoint(eager=True)
         print(f"input {name}: {frames[name].count()} rows", file=sys.stderr)
 
-    # pivots: the 10 lexicographically-first order vertices (1x), their
-    # one-per-copy twins (10x) so the batched BFS state spans all copies
+    # pivots: the 10 lexicographically-first order vertices (1x), and
+    # at 10x the SAME pivot set placed one per copy (c{k}:<piv_1x[k]>,
+    # cycling if copies > 10) — matched sets, so the 1x-vs-10x ratio
+    # measures scale, not pivot selection (r15 review finding: the
+    # earlier one-ball-replicated form skewed the comparison by
+    # whichever ball piv_1x[0] happened to have)
     piv_1x = [
         r["src"]
         for r in frames["bip_1x"].select("src").distinct().orderBy("src").limit(10).collect()
     ]
-    piv_10x = [f"c{k}:{piv_1x[0]}" for k in range(args.copies)]
+    piv_10x = [
+        f"c{k}:{piv_1x[k % len(piv_1x)]}" for k in range(args.copies)
+    ]
 
     runs = [
         ("clustering_coefficients", "supg", lambda e: graph.clustering_coefficients(e)),
