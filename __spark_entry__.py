@@ -3733,6 +3733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r17's 47-entry due list shrinks below one window. Verify
         # with scripts/rotation_plan.py before landing, per the
         # REGISTRY CAPACITY POLICY in README.md §Registry capacity.
+        # R17 CANDIDATE (staged r15, tests/test_staged_ops4.py):
+        # zipf_fit — per-source rank-frequency OLS + vocab/hapax stats
+        # (textstats.zipf_fit + oracles.zipf_fit_sql, parity-green at
+        # sf0.001 and sf0.01) — register it in whatever slot r17's due
+        # list leaves free.
         # CHANGED r15, re-certifies FIRST in r16 (r15's window is
         # fully subscribed): profile_drift_where's registered args
         # slimmed per the r14 verdict (query + oracle moved in

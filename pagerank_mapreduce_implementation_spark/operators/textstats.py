@@ -2008,3 +2008,115 @@ def classify_domains(
         .otherwise(F.lit(None).cast("double"))
         .alias("confidence"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_k: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rank-frequency (Zipf) audit per group — one row per ``group_col``
+    value: ``(<group_col>, n_tokens, n_types, hapax_ratio, zipf_slope,
+    zipf_intercept, zipf_r2)``. Natural text follows Zipf's law with a
+    log-log rank-frequency slope near -1 (Zipf 1949; Piantadosi 2014
+    for the modern survey); corpus-QA uses the fitted slope and r² as a
+    cheap whole-source health check — template/boilerplate farms and
+    synthetic or deduplicated-to-death sources flatten or kink the
+    curve, and a hapax ratio far from the ~0.4-0.6 natural-language
+    band flags OCR noise (high) or tiny closed vocabularies (low).
+
+    The fit is ordinary least squares of ``y = log10(freq)`` on
+    ``x = log10(rank)`` over each group's ``top_k`` most frequent words
+    (rank ties broken by word, so ranks are deterministic);
+    ``hapax_ratio`` = count-one types / all types, over the FULL
+    vocabulary (not just the head). Groups with a single distinct rank
+    report NULL slope/intercept/r² (no line to fit) rather than a fake
+    fit.
+
+    Cross-engine exactness: per-row x, y, xy, x², y² are IEEE doubles
+    (log10 of the same integers), rounded 12 and summed as
+    ``decimal(32,12)`` — exact commutative addition under any
+    partitioning (the quality-classifier moment convention) — then the
+    closed-form slope/intercept/r² is a short double chain on the
+    exact sums, rounded 6. Guards are structural (``CASE WHEN var = 0``
+    on both engines), not try_divide, so the oracle replays the same
+    expression tree.
+
+    Scale shape: one tokenize explode (narrow) -> per-(group, word)
+    count (ONE token-volume shuffle with map-side partial aggregation)
+    -> full-vocab stats as a vocabulary-bounded second agg, and the
+    head via row_number over (group) ordered (cnt desc, word) — the
+    rank filter plans WindowGroupLimit, pruning each group to top_k
+    rows BEFORE the window shuffle — -> a ~|groups|-row OLS aggregate
+    joined back to the stats (broadcast at any realistic group count).
+    Nothing after the word count scales with corpus size; at 100 TB
+    the word-count shuffle IS the operator, exactly like tf-idf.
+    """
+    from pyspark.sql.window import Window
+
+    if top_k < 2:
+        raise ValueError(f"top_k ({top_k}) must be >= 2 to fit a line")
+    tok = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = tok.groupBy("__g", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = wc.groupBy("__g").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("cnt"), F.asc("word"))
+    top = wc.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= top_k
+    )
+    x = F.log10(F.col("__r").cast("double"))
+    y = F.log10(F.col("cnt").cast("double"))
+    dec = lambda c: F.round(c, 12).cast("decimal(32,12)")  # noqa: E731
+    m = top.select(
+        "__g",
+        dec(x).alias("__x"),
+        dec(y).alias("__y"),
+        dec(x * y).alias("__xy"),
+        dec(x * x).alias("__xx"),
+        dec(y * y).alias("__yy"),
+    )
+    ols = m.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum("__xy").cast("double").alias("__sxy"),
+        F.sum("__xx").cast("double").alias("__sxx"),
+        F.sum("__yy").cast("double").alias("__syy"),
+    )
+    cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = F.when(varx != 0, cov / varx)
+    fitted = ols.select(
+        "__g",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / F.col("__n"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(
+            F.when(varx * vary != 0, cov * cov / (varx * vary)), 6
+        ).alias("zipf_r2"),
+    )
+    return (
+        stats.join(fitted, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "hapax_ratio",
+            "zipf_slope",
+            "zipf_intercept",
+            "zipf_r2",
+        )
+    )

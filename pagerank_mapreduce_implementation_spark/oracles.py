@@ -3914,3 +3914,48 @@ def classify_domains_sql(taxonomy: dict | None = None) -> str:
         "CASE WHEN bh > 0 THEN round(CAST(bh AS DOUBLE) / tot, 6) "
         "ELSE NULL END AS confidence FROM c"
     )
+
+
+def zipf_fit_sql(top_k: int = 100, group_col: str = "source") -> str:
+    """Mirror of ``textstats.zipf_fit`` over ``documents``: per-group
+    word counts, full-vocab token/type/hapax stats, deterministic
+    (cnt desc, word) ranks, and the OLS of log10(freq) on log10(rank)
+    over the top_k head — per-row doubles rounded 12 and summed as
+    DECIMAL(32,12) (the quality-classifier moment convention), the
+    closed-form slope/intercept/r2 replayed as the identical double
+    chain with the same CASE WHEN var = 0 guards."""
+    if top_k < 2:
+        raise ValueError(f"top_k ({top_k}) must be >= 2 to fit a line")
+    dec = lambda e: f"sum(CAST(round({e}, 12) AS DECIMAL(32,12)))"  # noqa: E731
+    return (
+        "WITH tok AS (SELECT g, w AS word FROM (SELECT "
+        f"{group_col} AS g, unnest(list_filter("
+        "regexp_split_to_array(text, '[[:space:]]+'), x -> x <> '')) AS w "
+        "FROM documents)), "
+        "wc AS (SELECT g, word, count(*) AS cnt FROM tok GROUP BY g, word), "
+        "stats AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+        "count(*) AS n_types, "
+        "round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*), 6) AS hapax_ratio FROM wc GROUP BY g), "
+        "top AS (SELECT g, cnt, row_number() OVER (PARTITION BY g "
+        "ORDER BY cnt DESC, word ASC) AS r FROM wc "
+        f"QUALIFY r <= {int(top_k)}), "
+        "m AS (SELECT g, log10(CAST(r AS DOUBLE)) AS x, "
+        "log10(CAST(cnt AS DOUBLE)) AS y FROM top), "
+        "ols AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, "
+        f"CAST({dec('x')} AS DOUBLE) AS sx, "
+        f"CAST({dec('y')} AS DOUBLE) AS sy, "
+        f"CAST({dec('x * y')} AS DOUBLE) AS sxy, "
+        f"CAST({dec('x * x')} AS DOUBLE) AS sxx, "
+        f"CAST({dec('y * y')} AS DOUBLE) AS syy FROM m GROUP BY g), "
+        "fit AS (SELECT g, "
+        "n * sxy - sx * sy AS cov, n * sxx - sx * sx AS varx, "
+        "n * syy - sy * sy AS vary, sx, sy, n FROM ols) "
+        f"SELECT stats.g AS {group_col}, n_tokens, n_types, hapax_ratio, "
+        "round(CASE WHEN varx <> 0 THEN cov / varx END, 6) AS zipf_slope, "
+        "round((sy - (CASE WHEN varx <> 0 THEN cov / varx END) * sx) / n, 6) "
+        "AS zipf_intercept, "
+        "round(CASE WHEN varx * vary <> 0 THEN cov * cov / (varx * vary) "
+        "END, 6) AS zipf_r2 "
+        "FROM stats JOIN fit ON stats.g = fit.g"
+    )

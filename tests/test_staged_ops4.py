@@ -382,3 +382,59 @@ def test_lsh_expected_recall_validates_against_realized_audit(spark, sf_dir):
     }
     assert abs(pred[(16, 4)] - realized["recall"]) <= 0.2
     assert pred[(8, 2)] < pred[(16, 4)] < pred[(32, 8)]
+
+
+# --- round-15 staged (r17 candidate): Zipf rank-frequency audit -------------
+
+
+def test_zipf_fit_parity(spark, sf_dir, duck):
+    got = textstats.zipf_fit(Catalog(spark, sf_dir).documents, top_k=100)
+    n_groups = got.count()
+    assert n_groups >= 2, "vacuous: fewer than two sources"
+    assert got.filter(F.col("zipf_slope").isNotNull()).count() == n_groups
+    check(got, duck, oracles.zipf_fit_sql(100))
+
+
+def test_zipf_fit_semantics(spark):
+    """Hand-checkable groups: a two-point group fits exactly (slope -2,
+    intercept log10(8), r2 = 1); an all-hapax group is a flat line with
+    undefined r2 (vary = 0); a single-type group has no line at all
+    (varx = 0 -> NULL slope/intercept/r2)."""
+    docs = spark.createDataFrame(
+        [
+            ("g1", " ".join(["aa"] * 8 + ["bb"] * 2)),
+            ("g2", "x y z"),
+            ("g3", "solo solo solo"),
+        ],
+        "source string, text string",
+    )
+    rows = {
+        r["source"]: r for r in textstats.zipf_fit(docs, top_k=10).collect()
+    }
+    g1 = rows["g1"]
+    assert g1["n_tokens"] == 10 and g1["n_types"] == 2
+    assert g1["hapax_ratio"] == 0.0
+    assert g1["zipf_slope"] == pytest.approx(-2.0, abs=1e-6)
+    assert g1["zipf_intercept"] == pytest.approx(0.903090, abs=1e-6)
+    assert g1["zipf_r2"] == pytest.approx(1.0, abs=1e-6)
+    g2 = rows["g2"]
+    assert g2["n_types"] == 3 and g2["hapax_ratio"] == 1.0
+    assert g2["zipf_slope"] == 0.0 and g2["zipf_intercept"] == 0.0
+    assert g2["zipf_r2"] is None  # all counts equal: vary = 0
+    g3 = rows["g3"]
+    assert g3["n_tokens"] == 3 and g3["n_types"] == 1
+    assert g3["zipf_slope"] is None and g3["zipf_intercept"] is None
+    assert g3["zipf_r2"] is None  # one rank: varx = 0
+    with pytest.raises(ValueError, match=">= 2"):
+        textstats.zipf_fit(docs, top_k=1)
+
+
+def test_zipf_fit_head_prunes_before_window(spark, sf_dir):
+    """The rank filter must plan WindowGroupLimit (per-partition top_k
+    prune BEFORE the window shuffle), the OLS join must broadcast, and
+    no Python appears anywhere."""
+    df = textstats.zipf_fit(Catalog(spark, sf_dir).documents, top_k=100)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
