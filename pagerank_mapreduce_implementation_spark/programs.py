@@ -302,6 +302,7 @@ def clean_corpus(
     max_fk_grade: float | None = None,
     max_oov_ratio: float | None = None,
     oov_top_k: int = 1000,
+    zipf_bands: dict | None = None,
     survivor_policy: str = "min_id",
     normalize: "bool | str" = False,
 ) -> DataFrame:
@@ -361,6 +362,15 @@ def clean_corpus(
        outside the surviving corpus' own ``oov_top_k`` head
        vocabulary exceeds the cap (gibberish / code-in-prose /
        wrong-language spikes)
+    3c5. WHOLE-SOURCE Zipf health gate (textstats.zipf_fit) when
+       ``zipf_bands`` set — drops every doc of a ``source_col`` group
+       whose rank-frequency curve over the surviving corpus fails the
+       bands (dict keys: ``min_slope``/``max_slope``/``min_r2``/
+       ``min_hapax``/``max_hapax``, plus ``top_k`` for the fit head).
+       The one SOURCE-level stage: template farms and synthetic dumps
+       flunk as a whole source, which no per-doc rule sees; a source
+       too degenerate to fit a line (NULL slope) fails any slope/r2
+       band. One word-count shuffle + a groups-sized left_semi
     3d. PROPORTIONAL per-source quota (sampling.top_fraction_per_group)
        when ``source_top_frac`` set — keeps the best
        ceil(frac·group_size) docs of EVERY ``source_col`` group by the
@@ -513,6 +523,7 @@ def clean_corpus(
             max_fk_grade=max_fk_grade,
             max_oov_ratio=max_oov_ratio,
             oov_top_k=oov_top_k,
+            zipf_bands=zipf_bands,
             survivor_policy=survivor_policy,
             normalize=normalize,
             dedup=dedup,
@@ -567,6 +578,7 @@ def _clean_corpus_body(
     max_fk_grade,
     max_oov_ratio,
     oov_top_k,
+    zipf_bands,
     survivor_policy,
     normalize,
     dedup,
@@ -699,6 +711,48 @@ def _clean_corpus_body(
             .select("doc_id")
         )
         docs = docs.join(keep_ids, "doc_id", "left_semi")
+    if zipf_bands:
+        # stage 3c5: whole-source Zipf health gate (textstats.zipf_fit)
+        # — the one SOURCE-level drop: template farms / synthetic dumps
+        # flunk as a whole source. One word-count shuffle over the
+        # surviving corpus + a groups-sized left_semi back.
+        allowed = {
+            "min_slope", "max_slope", "min_r2",
+            "min_hapax", "max_hapax", "top_k",
+        }
+        unknown = set(zipf_bands) - allowed
+        if unknown:
+            raise ValueError(
+                f"zipf_bands: unknown keys {sorted(unknown)} "
+                f"(allowed: {sorted(allowed)})"
+            )
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"zipf_bands needs a {source_col!r} column in the "
+                f"corpus (have: {docs.columns}) — pass source_col= for "
+                "a differently-named grouping column"
+            )
+        zf = textstats.zipf_fit(
+            docs,
+            top_k=zipf_bands.get("top_k", 100),
+            group_col=source_col,
+        )
+        # NULL slope/r2 (a source too degenerate to fit) fails any
+        # slope/r2 band — SQL NULL comparison semantics, deliberate
+        for key, col, op in (
+            ("min_slope", "zipf_slope", ">="),
+            ("max_slope", "zipf_slope", "<="),
+            ("min_r2", "zipf_r2", ">="),
+            ("min_hapax", "hapax_ratio", ">="),
+            ("max_hapax", "hapax_ratio", "<="),
+        ):
+            if key in zipf_bands:
+                zf = zf.filter(
+                    F.expr(f"{col} {op} {float(zipf_bands[key])!r}")
+                )
+        docs = docs.join(
+            zf.select(source_col), source_col, "left_semi"
+        )
     if source_top_frac is not None:
         # stage 3d: proportional per-source quota on the composite
         # quality score — one group-key shuffle, no join back

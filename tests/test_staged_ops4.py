@@ -438,3 +438,36 @@ def test_zipf_fit_head_prunes_before_window(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" not in p
     assert "Python" not in p
+
+
+def test_clean_corpus_zipf_bands_drop_whole_source(spark, tmp_path):
+    """clean_corpus(zipf_bands=...): a natural-ish source (distinct
+    word frequencies, negative slope) survives; a template-farm source
+    (every doc the same few words at equal counts -> flat line, NULL or
+    ~0 r2) drops AS A WHOLE; unknown band keys raise."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    natural = [
+        "the the the the cat cat sat on a mat today quietly",
+        "the the cat ran far away from the big dog yesterday",
+    ]
+    template = ["buy now click here"] * 3
+    rows = (
+        [(i, t, "web") for i, t in enumerate(natural)]
+        + [(10 + i, t, "farm") for i, t in enumerate(template)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    src = str(tmp_path / "in.parquet")
+    docs.write.parquet(src)
+    surv = clean_corpus(
+        spark, src, str(tmp_path / "out_zipf"),
+        zipf_bands={"max_slope": -0.1, "top_k": 20},
+    )
+    out = {r["doc_id"]: r["source"] for r in surv.collect()}
+    assert set(out.values()) == {"web"}, out      # farm dropped wholesale
+    assert set(out) == {0, 1}
+    with pytest.raises(ValueError, match="unknown keys"):
+        clean_corpus(
+            spark, src, str(tmp_path / "out_bad"),
+            zipf_bands={"slope_min": -1.0},
+        )
