@@ -3733,11 +3733,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r17's 47-entry due list shrinks below one window. Verify
         # with scripts/rotation_plan.py before landing, per the
         # REGISTRY CAPACITY POLICY in README.md §Registry capacity.
-        # R17 CANDIDATE (staged r15, tests/test_staged_ops4.py):
-        # zipf_fit — per-source rank-frequency OLS + vocab/hapax stats
-        # (textstats.zipf_fit + oracles.zipf_fit_sql, parity-green at
-        # sf0.001 and sf0.01) — register it in whatever slot r17's due
-        # list leaves free.
+        # R17 CANDIDATES (staged r15, tests/test_staged_ops4.py),
+        # both parity-green at sf0.001 AND sf0.01 — register in
+        # whatever slots r17's due list leaves free:
+        # - zipf_fit: per-source rank-frequency OLS + vocab/hapax
+        #   stats (textstats.zipf_fit + oracles.zipf_fit_sql; also
+        #   wired as clean_corpus(zipf_bands=...))
+        # - source_overlap: cross-source mirror audit
+        #   (dedup.source_overlap + oracles.source_overlap_sql; the
+        #   registered form must PLANT a mirror slice like the parity
+        #   test — the synthetic corpus has no cross-source dups).
         # CHANGED r15, re-certifies FIRST in r16 (r15's window is
         # fully subscribed): profile_drift_where's registered args
         # slimmed per the r14 verdict (query + oracle moved in

@@ -2530,3 +2530,77 @@ def lsh_expected_recall(
             qual.unpersist()
     finally:
         sh.unpersist()
+
+
+def source_overlap(
+    docs: DataFrame,
+    min_shared: int = 1,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source MIRROR audit — one row per source pair sharing at
+    least ``min_shared`` exact-duplicate documents: ``(source_a,
+    source_b, n_shared, n_fp_a, n_fp_b, jaccard, containment_a,
+    containment_b)`` with ``source_a < source_b``. Two crawls of the
+    same site, a re-packaged dump, or a mirror in the source mix show
+    up as a pair with high containment long before doc-level dedup
+    explains WHERE the duplicate mass comes from; the source-pair view
+    is what a mixture designer acts on (drop/merge a source), the
+    sibling of ``zipf_fit``'s single-source health check.
+
+    Semantics: documents are reduced to the ``exact_dedup``
+    fingerprint (md5 of lowercased, whitespace-collapsed, trimmed
+    text), DISTINCT per source — counts are set sizes, so
+    ``jaccard = shared / (a + b - shared)`` and ``containment_x =
+    shared / n_fp_x`` (the fraction of x's distinct content also in
+    the other source), both rounded 6 from exact integer counts.
+
+    Scale shape — the ``bipartite_projection`` silhouette with the
+    fingerprint as the right vertex: one distinct shuffle to the
+    (source, fingerprint) set, a self-join keyed on the FINGERPRINT
+    whose per-key fan-out is bounded by C(|sources|, 2) — sources are
+    tens, never corpus-scale, so no df cap is needed — and a
+    pair-keyed count with map-side partials; the per-source totals
+    join back broadcast (|sources| rows). Nothing downstream of the
+    distinct scales with corpus size.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared ({min_shared}) must be >= 1")
+    fp = F.md5(normalize_text(F.col(text_col)))
+    sfp = (
+        docs.select(F.col(group_col).alias("__s"), fp.alias("__fp"))
+        .distinct()
+    )
+    a = sfp.select(F.col("__s").alias("source_a"), "__fp")
+    b = sfp.select(F.col("__s").alias("source_b"), "__fp")
+    shared = (
+        a.join(b, "__fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    cnt = sfp.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    ca = F.broadcast(
+        cnt.select(F.col("__s").alias("source_a"), F.col("__n").alias("n_fp_a"))
+    )
+    cb = F.broadcast(
+        cnt.select(F.col("__s").alias("source_b"), F.col("__n").alias("n_fp_b"))
+    )
+    sh = F.col("n_shared").cast("double")
+    return (
+        shared.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                sh / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+            F.round(sh / F.col("n_fp_a"), 6).alias("containment_a"),
+            F.round(sh / F.col("n_fp_b"), 6).alias("containment_b"),
+        )
+    )

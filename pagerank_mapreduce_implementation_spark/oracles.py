@@ -3959,3 +3959,32 @@ def zipf_fit_sql(top_k: int = 100, group_col: str = "source") -> str:
         "END, 6) AS zipf_r2 "
         "FROM stats JOIN fit ON stats.g = fit.g"
     )
+
+
+def source_overlap_sql(min_shared: int = 1, group_col: str = "source") -> str:
+    """Mirror of ``dedup.source_overlap`` over ``documents``: the
+    exact-dedup fingerprint (md5 of lowercased, whitespace-collapsed,
+    trimmed text) distinct per source, the fingerprint-keyed source
+    self-join, and set-arithmetic jaccard/containment from exact
+    integer counts."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared ({min_shared}) must be >= 1")
+    return (
+        "WITH sfp AS (SELECT DISTINCT "
+        f"{group_col} AS s, "
+        "md5(lower(trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')))) "
+        "AS fp FROM documents), "
+        "shared AS (SELECT a.s AS source_a, b.s AS source_b, "
+        "count(*) AS n_shared FROM sfp a JOIN sfp b ON a.fp = b.fp "
+        "AND a.s < b.s GROUP BY a.s, b.s "
+        f"HAVING count(*) >= {int(min_shared)}), "
+        "cnt AS (SELECT s, count(*) AS n FROM sfp GROUP BY s) "
+        "SELECT source_a, source_b, n_shared, "
+        "ca.n AS n_fp_a, cb.n AS n_fp_b, "
+        "round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) "
+        "AS jaccard, "
+        "round(CAST(n_shared AS DOUBLE) / ca.n, 6) AS containment_a, "
+        "round(CAST(n_shared AS DOUBLE) / cb.n, 6) AS containment_b "
+        "FROM shared JOIN cnt ca ON shared.source_a = ca.s "
+        "JOIN cnt cb ON shared.source_b = cb.s"
+    )

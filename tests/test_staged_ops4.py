@@ -471,3 +471,75 @@ def test_clean_corpus_zipf_bands_drop_whole_source(spark, tmp_path):
             spark, src, str(tmp_path / "out_bad"),
             zipf_bands={"slope_min": -1.0},
         )
+
+
+# --- round-15 staged (r17 candidate): cross-source mirror audit -------------
+
+
+def test_source_overlap_parity_with_planted_mirror(spark, sf_dir, duck):
+    """The synthetic corpus has no cross-source exact dups, so the
+    parity run PLANTS a mirror: every doc_id % 7 == 0 re-labeled as
+    source 'mirrorX' and unioned in (the recall-report convention —
+    the oracle replays the identical plant), guaranteeing non-vacuous
+    shared mass between the mirror and every real source it copies."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "source", F.lit("mirrorX")
+        )
+    )
+    got = dedup.source_overlap(planted, min_shared=1)
+    assert got.count() > 0, "vacuous: plant produced no shared pairs"
+    # 'mirrorX' < 'srcN' lexicographically, so the plant lands on the
+    # source_a side of every pair it joins
+    assert got.filter(F.col("source_a") == "mirrorX").count() > 0
+    oracle = oracles.source_overlap_sql(min_shared=1).replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents UNION ALL "
+        "SELECT * REPLACE ('mirrorX' AS source) FROM documents "
+        "WHERE doc_id % 7 = 0)",
+    )
+    check(got, duck, oracle)
+
+
+def test_source_overlap_semantics(spark):
+    """Hand-built sets: A={t1,t2,t3}, B={t2,t3,t4} (shared 2,
+    jaccard 0.5, containments 2/3), C={t9} disjoint (no row);
+    fingerprints are whitespace/case-insensitive so 'T1' and ' t1 '
+    collapse; min_shared=3 empties the report; min_shared=0 raises."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1", "A"), (2, "t2", "A"), (3, "t3", "A"),
+            (4, "T1  ", "A"),          # same fingerprint as doc 1
+            (5, "t2", "B"), (6, "t3", "B"), (7, "t4", "B"),
+            (8, "t9", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = dedup.source_overlap(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["n_shared"] == 2 and r["n_fp_a"] == 3 and r["n_fp_b"] == 3
+    assert r["jaccard"] == 0.5
+    assert r["containment_a"] == round(2 / 3, 6) == r["containment_b"]
+    assert dedup.source_overlap(docs, min_shared=3).count() == 0
+    with pytest.raises(ValueError, match=">= 1"):
+        dedup.source_overlap(docs, min_shared=0)
+
+
+def test_source_overlap_broadcasts_totals(spark, sf_dir):
+    """The per-source totals join back as broadcasts (|sources| rows);
+    the only corpus-scale shuffles are the distinct and the
+    fingerprint-keyed self-join — no sort-merge join, no Python."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    df = dedup.source_overlap(Catalog(spark, sf_dir).documents)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
+    assert p.count("BroadcastHashJoin") >= 2
