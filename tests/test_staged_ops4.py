@@ -1,10 +1,11 @@
-"""Round-14 STAGED operators — built this round, queued for a later
-driver window (r15's two free slots are spoken for: classify_domains +
-the mad_outliers re-cert; these target r16, whose window opens wide
-once the registry crosses 200 and the freshness budget steps to 5
-rounds). Until registered this file is their correctness gate: DuckDB
-parity through the registry harness's normalize/compare, plus
-semantics on hand-checkable fixtures and plan-shape asserts."""
+"""STAGED operators queued for a later driver window — the round-14
+cohort (readability_scores, oov_stats, simhash_recall_report,
+lsh_expected_recall) targets r16, whose window opens wide once the
+registry crosses 200 and the freshness budget steps to 5 rounds; the
+round-15 additions (zipf_fit, source_overlap) target r17's free slots.
+Until registered this file is their correctness gate: DuckDB parity
+through the registry harness's normalize/compare, plus semantics on
+hand-checkable fixtures and plan-shape asserts."""
 
 from __future__ import annotations
 
