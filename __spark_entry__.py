@@ -3742,7 +3742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # - source_overlap: cross-source mirror audit
         #   (dedup.source_overlap + oracles.source_overlap_sql; the
         #   registered form must PLANT a mirror slice like the parity
-        #   test — the synthetic corpus has no cross-source dups).
+        #   test — the synthetic corpus has no cross-source dups)
+        # - ngram_source_overlap: the shingle-level partial-mirror
+        #   sibling (dedup.ngram_source_overlap +
+        #   oracles.ngram_source_overlap_sql; non-vacuous on the
+        #   corpus as-is — sources share shingles naturally).
         # CHANGED r15, re-certifies FIRST in r16 (r15's window is
         # fully subscribed): profile_drift_where's registered args
         # slimmed per the r14 verdict (query + oracle moved in

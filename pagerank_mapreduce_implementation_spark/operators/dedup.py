@@ -2604,3 +2604,76 @@ def source_overlap(
             F.round(sh / F.col("n_fp_b"), 6).alias("containment_b"),
         )
     )
+
+
+def ngram_source_overlap(
+    docs: DataFrame,
+    ngram: int = 5,
+    min_jaccard: float = 0.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate cross-source overlap — ``source_overlap``'s
+    shingle-level sibling: one row per source pair whose DISTINCT
+    word-``ngram`` shingle sets overlap at all (and clear
+    ``min_jaccard``): ``(source_a, source_b, n_shared, n_sh_a,
+    n_sh_b, jaccard, containment_a, containment_b)``. Where the exact
+    audit needs byte-identical documents, this catches partial
+    mirrors — the same articles wrapped in different boilerplate, a
+    re-crawl with edited headers — as a high-containment pair whose
+    exact-fingerprint overlap is zero.
+
+    Semantics: each source is reduced to its SET of distinct shingles
+    (``shingles(ngram)``, whitespace-token n-grams); counts are set
+    sizes, jaccard/containment the exact integer-set arithmetic of
+    ``source_overlap``, rounded 6.
+
+    Scale shape: identical to ``source_overlap`` with the shingle as
+    the join key — distinct (source, shingle) is one shuffle bounded
+    by |sources| x vocabulary (NOT corpus rows); the self-join's
+    per-key fan-out is bounded by C(|sources|, 2) because the key's
+    value set IS the source list, so the stop-shingle df cap the
+    doc-level operators need does not apply; totals join back
+    broadcast. At 100 TB the distinct is the operator.
+    """
+    if not 0.0 <= min_jaccard <= 1.0:
+        raise ValueError(f"min_jaccard ({min_jaccard}) must be in [0, 1]")
+    # shingles() keys by its doc_col — keying it by the SOURCE gives
+    # the per-source distinct shingle set directly (its final distinct
+    # is exactly the set semantics this operator defines)
+    sh = shingles(
+        docs.select(F.col(group_col).alias("doc_id"), text_col), ngram
+    ).select(F.col("doc_id").alias("__s"), "shingle")
+    a = sh.select(F.col("__s").alias("source_a"), "shingle")
+    b = sh.select(F.col("__s").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cnt = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    ca = F.broadcast(
+        cnt.select(F.col("__s").alias("source_a"), F.col("__n").alias("n_sh_a"))
+    )
+    cb = F.broadcast(
+        cnt.select(F.col("__s").alias("source_b"), F.col("__n").alias("n_sh_b"))
+    )
+    num = F.col("n_shared").cast("double")
+    return (
+        shared.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_sh_a",
+            "n_sh_b",
+            F.round(
+                num / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+            F.round(num / F.col("n_sh_a"), 6).alias("containment_a"),
+            F.round(num / F.col("n_sh_b"), 6).alias("containment_b"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

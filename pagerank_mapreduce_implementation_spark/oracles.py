@@ -3988,3 +3988,40 @@ def source_overlap_sql(min_shared: int = 1, group_col: str = "source") -> str:
         "FROM shared JOIN cnt ca ON shared.source_a = ca.s "
         "JOIN cnt cb ON shared.source_b = cb.s"
     )
+
+
+def ngram_source_overlap_sql(
+    ngram: int = 5, min_jaccard: float = 0.0, group_col: str = "source"
+) -> str:
+    """Mirror of ``dedup.ngram_source_overlap`` over ``documents``:
+    per-source distinct word-n-gram shingle sets (the ngram_shingles
+    convention: whitespace tokens, n-length windows joined by one
+    space), the shingle-keyed source self-join, set-arithmetic
+    jaccard/containment rounded 6."""
+    if not 0.0 <= min_jaccard <= 1.0:
+        raise ValueError(f"min_jaccard ({min_jaccard}) must be in [0, 1]")
+    n = int(ngram)
+    return (
+        "WITH toks AS (SELECT "
+        f"{group_col} AS s, "
+        "list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
+        "w -> w <> '') AS tk FROM documents), "
+        "sh AS (SELECT DISTINCT s, shingle FROM (SELECT s, "
+        f"unnest(CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(range(1, len(tk) - {n} + 2), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) "
+        "ELSE [] END) AS shingle FROM toks)), "
+        "shared AS (SELECT a.s AS source_a, b.s AS source_b, "
+        "count(*) AS n_shared FROM sh a JOIN sh b ON a.shingle = b.shingle "
+        "AND a.s < b.s GROUP BY a.s, b.s), "
+        "cnt AS (SELECT s, count(*) AS n FROM sh GROUP BY s) "
+        "SELECT * FROM (SELECT source_a, source_b, n_shared, "
+        "ca.n AS n_sh_a, cb.n AS n_sh_b, "
+        "round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) "
+        "AS jaccard, "
+        "round(CAST(n_shared AS DOUBLE) / ca.n, 6) AS containment_a, "
+        "round(CAST(n_shared AS DOUBLE) / cb.n, 6) AS containment_b "
+        "FROM shared JOIN cnt ca ON shared.source_a = ca.s "
+        "JOIN cnt cb ON shared.source_b = cb.s) "
+        f"WHERE jaccard >= {float(min_jaccard)!r}"
+    )

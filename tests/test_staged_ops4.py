@@ -544,3 +544,52 @@ def test_source_overlap_broadcasts_totals(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "Python" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_ngram_source_overlap_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    got = dedup.ngram_source_overlap(Catalog(spark, sf_dir).documents, ngram=5)
+    assert got.count() > 0, "vacuous: no source pair shares a shingle"
+    check(got, duck, oracles.ngram_source_overlap_sql(5))
+
+
+def test_ngram_source_overlap_semantics(spark):
+    """Partial mirror: B carries A's exact sentence inside different
+    boilerplate — ZERO exact-fingerprint overlap but high shingle
+    containment; C is disjoint; min_jaccard filters; bad args raise."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    core = "one two three four five six"          # 2 distinct 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, core, "A"),
+            (2, "intro words here then " + core + " outro tail words", "B"),
+            (3, "totally different words in every position here", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    assert dedup.source_overlap(docs).count() == 0  # exact audit is blind
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.ngram_source_overlap(docs, ngram=5).collect()
+    }
+    r = rows[("A", "B")]
+    assert r["n_shared"] == 2 and r["n_sh_a"] == 2     # A is fully contained
+    assert r["containment_a"] == 1.0
+    assert ("A", "C") not in rows and ("B", "C") not in rows
+    assert (
+        dedup.ngram_source_overlap(docs, ngram=5, min_jaccard=0.9).count() == 0
+    )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        dedup.ngram_source_overlap(docs, min_jaccard=1.5)
+
+
+def test_ngram_source_overlap_broadcasts_totals(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    df = dedup.ngram_source_overlap(Catalog(spark, sf_dir).documents, ngram=5)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
+    assert p.count("BroadcastHashJoin") >= 2
