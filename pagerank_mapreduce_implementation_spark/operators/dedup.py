@@ -2638,6 +2638,11 @@ def ngram_source_overlap(
     """
     if not 0.0 <= min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard ({min_jaccard}) must be in [0, 1]")
+    if int(ngram) < 1:
+        # ngram=0 would shingle every doc into the empty string (all
+        # pairs report jaccard ~1.0, silently) and negatives only blow
+        # up inside the slice arithmetic — fail loud like min_jaccard
+        raise ValueError(f"ngram ({ngram}) must be >= 1")
     # shingles() keys by its doc_col — keying it by the SOURCE gives
     # the per-source distinct shingle set directly (its final distinct
     # is exactly the set semantics this operator defines)

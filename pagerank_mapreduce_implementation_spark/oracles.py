@@ -4001,6 +4001,8 @@ def ngram_source_overlap_sql(
     if not 0.0 <= min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard ({min_jaccard}) must be in [0, 1]")
     n = int(ngram)
+    if n < 1:  # mirror the operator's guard: ngram=0 shingles to ''
+        raise ValueError(f"ngram ({ngram}) must be >= 1")
     return (
         "WITH toks AS (SELECT "
         f"{group_col} AS s, "

@@ -739,17 +739,19 @@ def _clean_corpus_body(
         )
         # NULL slope/r2 (a source too degenerate to fit) fails any
         # slope/r2 band — SQL NULL comparison semantics, deliberate
-        for key, col, op in (
-            ("min_slope", "zipf_slope", ">="),
-            ("max_slope", "zipf_slope", "<="),
-            ("min_r2", "zipf_r2", ">="),
-            ("min_hapax", "hapax_ratio", ">="),
-            ("max_hapax", "hapax_ratio", "<="),
+        import operator as _op
+
+        for key, col, cmp in (
+            ("min_slope", "zipf_slope", _op.ge),
+            ("max_slope", "zipf_slope", _op.le),
+            ("min_r2", "zipf_r2", _op.ge),
+            ("min_hapax", "hapax_ratio", _op.ge),
+            ("max_hapax", "hapax_ratio", _op.le),
         ):
             if key in zipf_bands:
-                zf = zf.filter(
-                    F.expr(f"{col} {op} {float(zipf_bands[key])!r}")
-                )
+                # native Column comparison (not SQL-string interp):
+                # keeps NULL-fails semantics and survives inf/nan
+                zf = zf.filter(cmp(F.col(col), F.lit(float(zipf_bands[key]))))
         docs = docs.join(
             zf.select(source_col), source_col, "left_semi"
         )

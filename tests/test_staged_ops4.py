@@ -472,6 +472,17 @@ def test_clean_corpus_zipf_bands_drop_whole_source(spark, tmp_path):
             spark, src, str(tmp_path / "out_bad"),
             zipf_bands={"slope_min": -1.0},
         )
+    # r15 advice: bands are native Column comparisons, so inf is a
+    # legal (vacuous) threshold rather than an unparsable SQL string
+    surv_inf = clean_corpus(
+        spark, src, str(tmp_path / "out_inf"),
+        zipf_bands={"max_slope": float("inf"), "top_k": 20},
+    )
+    # slope <= inf is vacuous, so BOTH sources survive the band; the
+    # pipeline's standing exact-dedup still collapses the 3 identical
+    # template docs to one survivor: web(2) + farm(1)
+    out_inf = [r["source"] for r in surv_inf.collect()]
+    assert sorted(out_inf) == ["farm", "web", "web"]
 
 
 # --- round-15 staged (r17 candidate): cross-source mirror audit -------------
@@ -583,6 +594,11 @@ def test_ngram_source_overlap_semantics(spark):
     )
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         dedup.ngram_source_overlap(docs, min_jaccard=1.5)
+    # ngram=0 would shingle everything to '' (all pairs ~1.0, silently)
+    with pytest.raises(ValueError, match="ngram"):
+        dedup.ngram_source_overlap(docs, ngram=0)
+    with pytest.raises(ValueError, match="ngram"):
+        oracles.ngram_source_overlap_sql(ngram=-1)
 
 
 def test_ngram_source_overlap_broadcasts_totals(spark, sf_dir):
