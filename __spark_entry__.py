@@ -3063,6 +3063,145 @@ def _q_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-16 registrations (the r14/r15-staged cohort + the spectral
+# --- audio gate) -------------------------------------------------------------
+
+
+def _q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability per document
+    (textstats.readability_scores): zero-shuffle per-row regexp counts
+    with the pinned vowel-group syllable heuristic; the oracle replays
+    the identical IEEE chain term by term."""
+    return textstats.readability_scores(Catalog(spark, sf_dir).documents)
+
+
+def _q_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus' own top-k
+    head vocabulary (textstats.oov_stats): TakeOrderedAndProject top-k
+    prune + broadcast membership join; non-vacuous at every sf because
+    top-10 never covers the corpus vocabulary."""
+    return textstats.oov_stats(Catalog(spark, sf_dir).documents, top_k=10)
+
+
+def _q_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash banding recall audit (dedup.simhash_recall_report):
+    plant dropped-token twins, run the production 15-bit-chunk banding
+    in the beyond-pigeonhole regime (max_hamming 8 > chunks-1), report
+    hits/qualifying — integer-exact end to end."""
+    return dedup.simhash_recall_report(Catalog(spark, sf_dir).documents)
+
+
+def _q_lsh_expected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic LSH S-curve sweep (dedup.lsh_expected_recall):
+    expected banding recall per (num_hashes, bands) candidate via the
+    1-(1-s^r)^b amplification identity over the audits' shared planted
+    truth — one shingle pass for the whole sweep, unrolled-power
+    bit-exact oracle."""
+    return dedup.lsh_expected_recall(Catalog(spark, sf_dir).documents)
+
+
+def _q_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located fact-to-fact join end to end
+    (programs.bucketed_revenue): bucket-materialize orders + lineitem
+    on the join key, then the revenue rollup over the bucketed tables —
+    the join itself plans with ZERO exchanges of either fact table
+    (plan-asserted in tests/test_staged_ops3.py). Data unchanged by the
+    round-trip, so the oracle is the plain join/rollup SQL."""
+    return programs.bucketed_revenue(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/lineitem.parquet",
+        table_prefix=f"drv_bkt_{os.getpid()}",
+    )
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange round-trip (sources.catalog.write_csv/read_csv,
+    the jsonl_roundtrip twin): documents -> quoted CSV shards ->
+    explicit-schema read -> per-source rollup vs DuckDB over the
+    ORIGINAL parquet — commas and quotes in text exercise the quoting
+    path."""
+    from pagerank_mapreduce_implementation_spark.sources.catalog import (
+        read_csv,
+        write_csv,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    path = _scratch_dir("csv_docs")
+    write_csv(docs, path)
+    back = read_csv(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _q_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-vs-reference drift monitor (streaming_value_histogram
+    -> relational.ks_from_histograms): the live slice (odd event ids)
+    streams into occupied-bucket counts, the reference slice (even ids)
+    profiles in batch with the same binning, binned KS compares the
+    views. Oracle replays the CASE-free bucket expression + the binned
+    KS chain on both slices."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    ev_stream = strm.read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 1
+    )
+    live = strm.queries.streaming_value_histogram(ev_stream, "value", 25.0)
+    name = f"_stream_ks_{next(_STREAM_SEQ)}"
+    strm.run_to_memory(live, name, state_partitions=8)
+    ref = relational.value_histogram(
+        Catalog(spark, sf_dir).events.filter(F.col("event_id") % 2 == 0),
+        "value",
+        25.0,
+    )
+    return relational.ks_from_histograms(ref, spark.table(name))
+
+
+def _q_audio_spectral_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPECTRAL (Haitsma-Kalker band-energy double-delta) audio
+    fingerprint driver-gated (multimodal.wav_spectral_fingerprint as
+    the injected hasher; r15 verdict item 6): a deterministic WAV per
+    document (multimodal.wav_spectral_test_clip — groups of 4 share a
+    group-keyed quadratic signal played at POWER-OF-2 gains, the exact
+    regime where float64 FFT rounding commutes with scaling), hashed by
+    the real wav codec + rfft path into the 60-bit spectral print, then
+    the shared Hamming band join at max_hamming=0 (banding provably
+    exact there: hamming 0 == every chunk collides). The signal is a
+    function of (doc_id//4) % 256 alone, so the analytic truth is the
+    same-class pair set — pinned non-vacuous and pairwise-distinct
+    across all 256 classes by tests/test_phash.py's exhaustive audit."""
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda d: multimodal.wav_encode(
+                            multimodal.wav_spectral_test_clip(int(d)), 8000
+                        )
+                    ),
+                }
+            )
+
+    blobs = docs.mapInPandas(synth, schema=multimodal.BLOB_SCHEMA)
+    return multimodal.audio_near_dups(
+        blobs, max_hamming=0, hasher=multimodal.wav_spectral_fingerprint
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-iteration reference-parity PageRank at sf0.001."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -3660,101 +3799,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries — enforced by tests/test_oracle_parity.py's rotation
     # tests (boundary-tolerant per r8 verdict item 3).
     return {
-        # ROUND-15 WINDOW (first 50 = what the driver checks):
-        # (a) the 48-entry r11 cohort whose r11 green rows age out of
-        # the last-4 driver-file window when CORRECTNESS_r15 lands —
-        # every one is due THIS round per scripts/rotation_plan.py;
-        # (b) the 2 free slots: classify_domains (NEW registration —
-        # textstats.classify_domains + oracles.classify_domains_sql,
-        # staged r13, parity-green in tests/test_staged_ops3.py since)
-        # and mad_outliers (its keep_cols join-free rewrite landed r14
-        # with only a pre-rewrite r13 green row — re-certify the new
-        # plan early rather than riding the budget to r17).
-        "grouping_sets_pricing": _q_grouping_sets_pricing,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "tfidf_doc_pairs": _q_tfidf_doc_pairs,
-        "cluster_survivors": _q_cluster_survivors,
-        "salted_word_count": _q_salted_word_count,
-        "word_count_boundary": _q_word_count_boundary,
-        "doc_word_count": _q_doc_word_count,
-        "term_frequency": _q_term_frequency,
-        "tfidf": _q_tfidf,
-        "search": _q_search,
-        "search_top10": _q_search_top10,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "nation_order_stats": _q_nation_order_stats,
-        "nation_year_rollup": _q_nation_year_rollup,
-        "order_priority": _q_order_priority,
-        "order_priority_clean": _q_order_priority_clean,
-        "brand_revenue": _q_brand_revenue,
-        "supplier_nation_revenue": _q_supplier_nation_revenue,
-        "top3_per_nation": _q_top3_per_nation,
-        "events_hourly": _q_events_hourly,
-        "user_sessions": _q_user_sessions,
-        "event_props_stats": _q_event_props_stats,
-        "customer_order_counts": _q_customer_order_counts,
-        "repeat_error_users": _q_repeat_error_users,
-        "cross_corpus_matches": _q_cross_corpus_matches,
-        "hash_splits": _q_hash_splits,
-        "weighted_doc_sample": _q_weighted_sample,
-        "stratified_doc_sample": _q_stratified_sample,
-        "source_quota": _q_source_quota,
-        "streaming_exact_dedup": _q_streaming_exact_dedup,
-        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
-        "streaming_approx_uniques": _q_streaming_approx_uniques,
-        "blob_metadata": _q_blob_metadata,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
-        "repetition_scores": _q_repetition,
-        "streaming_minhash_probe": _q_streaming_minhash_probe,
-        "audio_features": _q_audio_features,
-        "packed_bins": _q_packed_bins,
-        "embedding_quantize": _q_embedding_quantize,
-        "quantized_cosine_topk": _q_quantized_cosine_topk,
-        "top_ngram_stats": _q_top_ngram_stats,
-        "corpus_report": _q_corpus_report,
-        "streaming_events_sliding": _q_streaming_events_sliding,
-        "graph_degree_histogram": _q_graph_degree_histogram,
-        "classify_domains": _q_classify_domains,
-        "mad_outliers": _q_mad_outliers,
-        # --- window boundary (50) — below here: green within the
-        # 4-round freshness budget. ROUND-16 ROTATION PLAN: register
-        # the staged cohort (readability_scores, oov_stats,
-        # simhash_recall_report, lsh_expected_recall, bucketed_revenue,
-        # csv_roundtrip, streaming_ks_drift — tests/test_staged_ops{3,4}.py)
-        # at the FRONT; the registry steps past 200 entries so the
-        # freshness budget becomes ceil(203/50) = 5 rounds and the r12
-        # cohort below moves BACK inside the window (r12..r16 files) —
-        # its due date slides to r17. Remaining r16 slots take the
-        # OLDEST r12-green entries (front of the r12 section below) so
-        # r17's 47-entry due list shrinks below one window. Verify
-        # with scripts/rotation_plan.py before landing, per the
-        # REGISTRY CAPACITY POLICY in README.md §Registry capacity.
-        # R17 CANDIDATES (staged r15, tests/test_staged_ops4.py),
-        # both parity-green at sf0.001 AND sf0.01 — register in
-        # whatever slots r17's due list leaves free:
-        # - zipf_fit: per-source rank-frequency OLS + vocab/hapax
-        #   stats (textstats.zipf_fit + oracles.zipf_fit_sql; also
-        #   wired as clean_corpus(zipf_bands=...))
-        # - source_overlap: cross-source mirror audit
-        #   (dedup.source_overlap + oracles.source_overlap_sql; the
-        #   registered form must PLANT a mirror slice like the parity
-        #   test — the synthetic corpus has no cross-source dups)
-        # - ngram_source_overlap: the shingle-level partial-mirror
-        #   sibling (dedup.ngram_source_overlap +
-        #   oracles.ngram_source_overlap_sql; non-vacuous on the
-        #   corpus as-is — sources share shingles naturally).
-        # CHANGED r15, re-certifies FIRST in r16 (r15's window is
-        # fully subscribed): profile_drift_where's registered args
-        # slimmed per the r14 verdict (query + oracle moved in
-        # lockstep; parity re-gated locally by driver_preflight and
-        # tests/test_staged_ops3.py this round, r14 green row keeps
-        # its freshness budget legal until r18)
+        # ROUND-16 WINDOW (first 50 = what the driver checks):
+        # (a) 8 NEW registrations — the r14-staged cohort
+        # (readability_scores, oov_stats, simhash_recall_report,
+        # lsh_expected_recall — tests/test_staged_ops4.py) + the
+        # r13-staged compositions (bucketed_revenue, csv_roundtrip,
+        # streaming_ks_drift — tests/test_staged_ops3.py) + the
+        # spectral-audio gate audio_spectral_dups (r15 verdict item 6;
+        # tests/test_phash.py's exhaustive class audit). Registry steps
+        # 196 -> 204, so the freshness budget becomes ceil(204/50) = 5
+        # rounds (README §Registry capacity);
+        # (b) profile_drift_where — args/oracle slimmed r15, re-certify
+        # the changed form FIRST (capacity rule 3);
+        # (c) the 41 OLDEST r12-green entries, so r17's due list
+        # (the 8 r12 leftovers below the boundary) stays far under one
+        # window. Verified with scripts/rotation_plan.py.
+        "readability_scores": _q_readability_scores,
+        "oov_stats": _q_oov_stats,
+        "simhash_recall_report": _q_simhash_recall_report,
+        "lsh_expected_recall": _q_lsh_expected_recall,
+        "bucketed_revenue": _q_bucketed_revenue,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "streaming_ks_drift": _q_streaming_ks_drift,
+        "audio_spectral_dups": _q_audio_spectral_dups,
+        # changed r15 (slim args + oracle in lockstep), r14 green row
+        # carried the budget; re-certifies here per capacity rule 3
         "profile_drift_where": _q_profile_drift_where,
-        # --- r12 cohort (green r12; due r17 once the budget steps to 5)
+        # --- the 41 oldest r12-green entries (window slots 10-50)
         "profile_table": _q_profile_table,
         "validate_table": _q_validate_table,
         "training_order": _q_training_order,
@@ -3796,6 +3867,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": _q_approx_value_percentiles,
         "pagerank_textbook_top20": _q_pagerank_textbook,
         "embedding_dedup": _q_embedding_dedup,
+        # --- window boundary (50) — below here: green within the
+        # 5-round freshness budget (ceil(204/50); README §Registry
+        # capacity). ROUND-17 PLAN: the due list is exactly the 8
+        # r12-green leftovers directly below (they must re-certify by
+        # r17 — r12 falls out of the r13..r17 file window), leaving
+        # ~42 free slots. R17 CANDIDATES (staged r15,
+        # tests/test_staged_ops4.py, parity-green at sf0.001 AND
+        # sf0.01): zipf_fit (textstats.zipf_fit + oracles.zipf_fit_sql;
+        # also wired as clean_corpus(zipf_bands=...)), source_overlap
+        # (dedup.source_overlap + oracles.source_overlap_sql — the
+        # registered form must PLANT a mirror slice like the parity
+        # test; the synthetic corpus has no cross-source exact dups),
+        # ngram_source_overlap (dedup.ngram_source_overlap +
+        # oracles.ngram_source_overlap_sql — non-vacuous as-is). After
+        # those, pull the oldest r13-green entries forward so r18's
+        # 47-entry r13 due list also shrinks.
+        # --- r12 remainder (green r12; THE r17 due list)
         "dedup_clusters": _q_dedup_clusters,
         "streaming_click_attribution": _q_streaming_click_attribution,
         "streaming_events_hourly": _q_streaming_events_hourly,
@@ -3902,6 +3990,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks_bpe": _q_doc_chunks_bpe,
         "source_mix": _q_source_mix,
         "word_count": _q_word_count,
+        # --- r15 cohort (green r15; freshest — back of the rotation)
+        "grouping_sets_pricing": _q_grouping_sets_pricing,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "tfidf_doc_pairs": _q_tfidf_doc_pairs,
+        "cluster_survivors": _q_cluster_survivors,
+        "salted_word_count": _q_salted_word_count,
+        "word_count_boundary": _q_word_count_boundary,
+        "doc_word_count": _q_doc_word_count,
+        "term_frequency": _q_term_frequency,
+        "tfidf": _q_tfidf,
+        "search": _q_search,
+        "search_top10": _q_search_top10,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "nation_order_stats": _q_nation_order_stats,
+        "nation_year_rollup": _q_nation_year_rollup,
+        "order_priority": _q_order_priority,
+        "order_priority_clean": _q_order_priority_clean,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_nation_revenue": _q_supplier_nation_revenue,
+        "top3_per_nation": _q_top3_per_nation,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "event_props_stats": _q_event_props_stats,
+        "customer_order_counts": _q_customer_order_counts,
+        "repeat_error_users": _q_repeat_error_users,
+        "cross_corpus_matches": _q_cross_corpus_matches,
+        "hash_splits": _q_hash_splits,
+        "weighted_doc_sample": _q_weighted_sample,
+        "stratified_doc_sample": _q_stratified_sample,
+        "source_quota": _q_source_quota,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_bounded_dedup": _q_streaming_bounded_dedup,
+        "streaming_approx_uniques": _q_streaming_approx_uniques,
+        "blob_metadata": _q_blob_metadata,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "repetition_scores": _q_repetition,
+        "streaming_minhash_probe": _q_streaming_minhash_probe,
+        "audio_features": _q_audio_features,
+        "packed_bins": _q_packed_bins,
+        "embedding_quantize": _q_embedding_quantize,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "top_ngram_stats": _q_top_ngram_stats,
+        "corpus_report": _q_corpus_report,
+        "streaming_events_sliding": _q_streaming_events_sliding,
+        "graph_degree_histogram": _q_graph_degree_histogram,
+        "classify_domains": _q_classify_domains,
+        "mad_outliers": _q_mad_outliers,
     }
 
 
@@ -5156,5 +5295,42 @@ def oracle_sql() -> dict[str, str]:
     )
     out["minhash_recall_report"] = oracles.minhash_recall_report_sql(
         drop_rate=0.15, sample_mod=10, threshold=0.3, ngram=2
+    )
+    # --- round-16 registrations (the r14/r15-staged cohort) ---
+    out["readability_scores"] = oracles.readability_sql()
+    out["oov_stats"] = oracles.oov_stats_sql(top_k=10)
+    out["simhash_recall_report"] = oracles.simhash_recall_report_sql()
+    out["lsh_expected_recall"] = oracles.lsh_expected_recall_sql()
+    # bucket materialization changes the PLAN, never the data — the
+    # oracle is the plain join/rollup (tests/test_staged_ops3.py twin)
+    out["bucketed_revenue"] = (
+        "SELECT o_orderpriority, count(*) AS n_items, "
+        "round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) "
+        "AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    # content survives the CSV interchange round-trip == the rollup
+    # over the ORIGINAL parquet (BIGINT casts: the jsonl lesson)
+    out["csv_roundtrip"] = out["jsonl_roundtrip"]
+    _ks_hist = (
+        "SELECT CAST(floor(CAST(value AS DECIMAL(38,6)) / 25) * 25 "
+        "AS DOUBLE) AS bucket_start, count(*) AS n FROM events "
+        "WHERE event_id % 2 = {p} GROUP BY 1"
+    )
+    out["streaming_ks_drift"] = oracles.ks_binned_sql(
+        _ks_hist.format(p=0), _ks_hist.format(p=1)
+    )
+    # spectral audio planted truth: the clip is a function of
+    # (doc_id//4) % 256 alone (wav_spectral_test_clip docstring), all
+    # 256 classes pairwise-distinct (min cross-class hamming 11,
+    # tests/test_phash.py) and power-of-2 gain variants bit-identical,
+    # so hamming-0 pairs == same-class pairs exactly
+    out["audio_spectral_dups"] = (
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(0 AS INT) AS hamming "
+        "FROM documents a JOIN documents b "
+        "ON (a.doc_id // 4) % 256 = (b.doc_id // 4) % 256 "
+        "AND a.doc_id < b.doc_id"
     )
     return out

@@ -739,6 +739,40 @@ def wav_test_clip(doc_id: int, base: int = 256):
     return (((g * 31 + i * 17) % 256 - 128) * (r + 1)).astype("<i2")
 
 
+def wav_spectral_test_clip(doc_id: int, base: int = 256):
+    """Deterministic int16 clip for the SPECTRAL near-dup driver query
+    (``audio_spectral_dups``) — ``wav_test_clip`` rebuilt around the
+    two facts the FFT path adds:
+
+    1. **Gains must be powers of two.** ``wav_spectral_fingerprint``
+       runs float64 rffts, and rounding commutes with scaling only for
+       exact power-of-2 factors (``fl(2^k x) = 2^k fl(x)``); integer
+       gain 3 flips sign bits wherever a double-delta is within a few
+       ulps of zero (measured: 75/250 groups diverge under gains 1..4).
+       Variant ``r = doc_id % 4`` therefore plays at gain ``2^r``
+       (max |s| = 128*8, inside int16), making a group's four
+       fingerprints IDENTICAL — provably, not just probably.
+    2. **Groups must not be time-shifts of each other.**
+       ``wav_test_clip``'s linear pattern makes every group a phase
+       shift of one waveform, so spectra collide across groups. The
+       group-keyed QUADRATIC ``((g*31+7)(i+1)^2 + 17 i) mod 256`` keys
+       the spectrum itself by the group.
+
+    The whole signal is a function of ``g % base`` alone (both the
+    coefficient mod 256 and ``n = base + g % base`` are), so the
+    analytic truth for the hamming-0 pair query is exactly
+    ``(a//4) % base == (b//4) % base`` — and all ``base`` signal
+    classes are pinned pairwise-distinct (min cross-class hamming 11)
+    by tests/test_phash.py's exhaustive class audit."""
+    import numpy as np
+
+    g, r = int(doc_id) // 4, int(doc_id) % 4
+    n = base + g % base
+    i = np.arange(n, dtype="int64")
+    s = ((g * 31 + 7) * (i + 1) * (i + 1) + i * 17) % 256 - 128
+    return (s * (1 << r)).astype("<i2")
+
+
 def wav_fingerprint(b: bytes, bits: int = PHASH_BITS) -> int:
     """Energy-delta audio fingerprint over a WAV PCM16 payload — the
     audio member of the shared 60-bit near-dup family (text SimHash,

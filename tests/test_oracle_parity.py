@@ -207,3 +207,11 @@ def test_registry_capacity_policy():
         f"driver window holds 50 — the rotation is infeasible: {due} "
         "(README §Registry capacity rule 2)"
     )
+    # 3. PINCH POINT (r16 endgame decision) — at exactly N = 50k the
+    # steady-state re-cert load is N/ceil(N/50) = 50: the window is
+    # fully consumed by rotation every round, with zero slots for new
+    # or changed entries. Land one more (or one fewer) registration.
+    assert len(qs) % 50 != 0, (
+        f"registry sits AT the {len(qs)} pinch point — every future "
+        "window is 100% rotation (README §Registry capacity rule 6)"
+    )

@@ -586,3 +586,82 @@ def test_wav_spectral_fingerprint_parameter_validation():
     tiny = mm.wav_encode(mm.wav_test_signal(0, base=64)[:100])
     with pytest.raises(ValueError, match="samples"):
         mm.wav_spectral_fingerprint(tiny)
+
+
+def test_wav_spectral_test_clip_class_audit():
+    """The EXHAUSTIVE audit the audio_spectral_dups oracle rests on
+    (the clip is a function of (doc_id//4) % 256 alone): all 256
+    signal classes yield pairwise-DISTINCT spectral fingerprints with
+    real margin, every class's four power-of-2 gain variants are
+    bit-IDENTICAL (float64 FFT rounding commutes with 2^k scaling),
+    and the class wraps exactly at g + 256."""
+    import itertools
+
+    cls_fp = {}
+    for c in range(256):
+        d = 4 * c  # gain-1 representative of class c
+        fp = mm.wav_spectral_fingerprint(
+            mm.wav_encode(mm.wav_spectral_test_clip(d), 8000)
+        )
+        # gain variants 2,4,8 of the SAME group: bit-identical
+        for r in (1, 2, 3):
+            assert fp == mm.wav_spectral_fingerprint(
+                mm.wav_encode(mm.wav_spectral_test_clip(d + r), 8000)
+            ), f"gain 2^{r} diverged for class {c}"
+        cls_fp[c] = fp
+    assert len(set(cls_fp.values())) == 256  # no cross-class collision
+    min_h = min(
+        bin(cls_fp[a] ^ cls_fp[b]).count("1")
+        for a, b in itertools.combinations(range(256), 2)
+    )
+    assert min_h >= 8, f"cross-class margin collapsed to {min_h}"
+    # wrap: group g and g + 256 are the same signal, hence hamming 0
+    for c in (0, 17, 255):
+        assert cls_fp[c] == mm.wav_spectral_fingerprint(
+            mm.wav_encode(mm.wav_spectral_test_clip(4 * (c + 256)), 8000)
+        )
+
+
+def test_audio_spectral_dups_wrap_parity(spark):
+    """The registered query's planted truth BEYOND the class wrap
+    (sf0.01's 500 docs never wrap; sf0.1's do): on a 1100-doc corpus
+    the hamming-0 banding returns exactly the same-class pair set —
+    including cross-group pairs like (g, g+256) — mirroring the
+    audio_spectral_dups oracle's (doc_id//4) % 256 join."""
+    import pandas as pd
+
+    n = 1100  # 275 groups -> classes 0..18 carry two groups each
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda d: mm.wav_encode(
+                            mm.wav_spectral_test_clip(int(d)), 8000
+                        )
+                    ),
+                }
+            )
+
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    blobs = docs.mapInPandas(synth, schema=mm.BLOB_SCHEMA)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in mm.audio_near_dups(
+            blobs,
+            max_hamming=0,
+            hasher=mm.wav_spectral_fingerprint,
+            materialize=False,
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if (a // 4) % 256 == (b // 4) % 256
+    }
+    assert got == want
+    # non-vacuous on the wrap: at least one pair spans two GROUPS
+    assert any(a // 4 != b // 4 for a, b in got)
