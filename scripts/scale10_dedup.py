@@ -79,10 +79,16 @@ def main() -> None:
         for k in range(args.copies):
             c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
             if disjoint:
-                # per-copy token: replicas are NOT near-dups of each
-                # other, pairs stay within copies (the graph-study move)
+                # prefix EVERY word with the copy key: cross-copy
+                # shingle/token overlap drops to zero, so near-dup
+                # pairs provably stay within copies. (A single
+                # prepended token is NOT enough — it leaves cross-copy
+                # jaccard ~0.99 on replicated text and the "disjoint"
+                # corpus degenerates into the duplicated one; measured
+                # before this fix: 247k pairs instead of 2,550.)
                 c = c.withColumn(
-                    "text", F.concat(F.lit(f"copytok{k} "), F.col("text"))
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"c{k}_$1"),
                 )
             parts.append(c)
         out = parts[0]
@@ -117,24 +123,45 @@ def main() -> None:
         ),
         (
             "packed_bins",
+            # packing never compares text across docs, so the VERBATIM
+            # 10x replica is the right scale input (the word-prefix
+            # transform would also inflate the token count); bins flow
+            # continuously across copy boundaries so rows land at ~10x
+            # +- boundary arithmetic, not exactly 10x
             lambda d: text.pack_bins(d, budget=512, bucket_size=64),
-            ("1x", "disjoint"),
+            ("1x", "duplicated"),
         ),
     ]
+    PAIR_OPS = {"minhash_dedup", "ngram_jaccard_capped64", "simhash_dedup"}
 
     results = {}
     for op, fn, variants in runs:
         for variant in variants:
             frame = frames[variant]
-            best, rows = 1e18, None
-            for _ in range(args.reps):
+            best, rows, cross = 1e18, None, None
+            for rep in range(args.reps):
                 before = persistent_rdd_ids(spark)
                 t0 = time.time()
                 out = fn(frame)
                 rows = out.count()
                 best = min(best, time.time() - t0)
+                if rep == args.reps - 1 and (
+                    op in PAIR_OPS and variant == "disjoint"
+                ):
+                    # the REAL disjointness invariant (untimed): no
+                    # pair spans two copies. Exact 10x row counts only
+                    # hold for exact-recall ops — minhash banding
+                    # recall and simhash hamming neighborhoods are
+                    # hash-dependent, so per-copy counts legitimately
+                    # differ under the word-rename.
+                    cross = out.filter(
+                        F.floor(F.col("doc_a") / ID_STRIDE)
+                        != F.floor(F.col("doc_b") / ID_STRIDE)
+                    ).count()
                 release_persistent_rdds_since(spark, before)
             results[f"{op}_{variant}"] = {"sec": round(best, 2), "rows": rows}
+            if cross is not None:
+                results[f"{op}_{variant}"]["cross_copy_pairs"] = cross
             print(json.dumps({"op": op, "variant": variant, **results[f'{op}_{variant}']}))
 
     print(f"\nop | 1x | disjoint {args.copies}x | duplicated {args.copies}x "
@@ -154,12 +181,25 @@ def main() -> None:
             f"{op} | {cell(a)} | {cell(d)} | {cell(u)} | "
             f"{dr}x | {ur}x | {urows}x"
         )
-        # disjoint replication must scale output EXACTLY linearly —
-        # anything else means cross-copy pairs leaked through
-        if d is not None and d["rows"] != args.copies * a["rows"]:
+        # disjointness: zero cross-copy pairs for ops that VERIFY on
+        # text overlap (minhash/ngram jaccard). simhash reports raw
+        # hamming distance, so cross-copy chance collisions at radius
+        # 12/60 are the op's own false-positive floor (measured 101 of
+        # 4.5M = 0.002%), not engine leakage — report, don't warn.
+        if op in PAIR_OPS and d is not None and d.get("cross_copy_pairs"):
+            tag = "NOTE (chance collisions)" if op == "simhash_dedup" else "WARNING: leakage"
+            print(
+                f"  {tag}: {op} disjoint has {d['cross_copy_pairs']} "
+                f"cross-copy pairs of {d['rows']}"
+            )
+        if (
+            op == "ngram_jaccard_capped64"  # exact-recall: rows must be 10x
+            and d is not None
+            and d["rows"] != args.copies * a["rows"]
+        ):
             print(
                 f"  WARNING: {op} disjoint rows {d['rows']} != "
-                f"{args.copies} * {a['rows']} — cross-copy leakage"
+                f"{args.copies} * {a['rows']}"
             )
 
 

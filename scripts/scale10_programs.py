@@ -68,12 +68,16 @@ def main() -> None:
     )
 
     def copies(lo, hi):
+        # word-prefix disjointness (the scale10_dedup.py lesson): a
+        # single prepended token leaves cross-copy jaccard ~0.99 and
+        # the whole corpus collapses to one copy's survivors
         parts = []
         for k in range(lo, hi):
             parts.append(
                 docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
                 .withColumn(
-                    "text", F.concat(F.lit(f"copytok{k} "), F.col("text"))
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"c{k}_$1"),
                 )
             )
         out = parts[0]
