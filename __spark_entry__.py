@@ -3880,7 +3880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registered form must PLANT a mirror slice like the parity
         # test; the synthetic corpus has no cross-source exact dups),
         # ngram_source_overlap (dedup.ngram_source_overlap +
-        # oracles.ngram_source_overlap_sql — non-vacuous as-is). After
+        # oracles.ngram_source_overlap_sql — non-vacuous as-is), and
+        # the r16-staged intra_doc_line_dedup (dedup.intra_doc_line_
+        # dedup + oracles.intra_doc_line_dedup_sql — the zero-shuffle
+        # within-doc keep-first pass; register with sep=' ' and the
+        # md5(text) projection, the line_dedup convention). After
         # those, pull the oldest r13-green entries forward so r18's
         # 47-entry r13 due list also shrinks.
         # --- r12 remainder (green r12; THE r17 due list)

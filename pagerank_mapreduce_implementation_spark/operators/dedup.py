@@ -1451,6 +1451,74 @@ def line_dedup(
     return staged.select(*out_cols, n_dropped.alias("n_dropped_lines"))
 
 
+def intra_doc_line_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_line_chars: int = 1,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    key: "Callable[[Column], Column] | None" = None,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal, keep-first —
+    ``line_dedup``'s intra-doc sibling (the RefinedWeb / C4 pass that
+    strips a page's own repeated nav rows, chorus lines, and
+    copy-pasted paragraphs WITHOUT consulting the rest of the corpus;
+    Penedo et al. 2023 run exactly this before any corpus-global
+    pass). Same key convention (``md5(lower(trim(line)))``), same
+    ``min_line_chars`` exemption (blank separators never collapse),
+    same contract: ``docs`` with ``text_col`` rebuilt (surviving
+    lines re-joined with ``sep``, original order — documents losing
+    no lines pass through BYTE-identical) plus ``n_dropped_lines``.
+
+    Scale shape — the whole point of having it beside ``line_dedup``:
+    **zero shuffle**. The dedup decision needs only the document's own
+    lines, so the entire pass is higher-order array expressions
+    (split -> per-line keys -> keep iff ``array_position`` of my key
+    is my own index) inside one narrow projection; at 100 TB this is
+    a map-only scan while ``line_dedup`` pays a corpus-sized groupBy.
+    Keys exist only inside the per-row expression — no exploded
+    intermediate, no Python.
+    """
+    import re as _re
+
+    if min_line_chars < 1:
+        # 0 would admit the empty string as a dedup key: every run of
+        # consecutive blank lines would silently collapse to one
+        raise ValueError(f"min_line_chars ({min_line_chars}) must be >= 1")
+    keyfn = key or (lambda c: F.md5(F.lower(F.trim(c))))
+    pat = _re.escape(sep)
+
+    lines = F.split(F.col(text_col), pat, -1)
+    staged = docs.withColumn("__lines", lines).withColumn(
+        "__keys",
+        F.transform(
+            F.col("__lines"),
+            lambda ln: F.when(
+                F.length(F.trim(ln)) >= min_line_chars, keyfn(ln)
+            ),
+        ),
+    )
+    # keep line i iff exempt (null key) or the FIRST occurrence of its
+    # key is i itself (array_position is 1-based and skips nulls)
+    kept = F.filter(
+        F.col("__lines"),
+        lambda ln, i: F.get(F.col("__keys"), i).isNull()
+        | (
+            F.array_position(F.col("__keys"), F.get(F.col("__keys"), i))
+            == i + 1
+        ),
+    )
+    n_dropped = F.size("__lines") - F.size(kept)
+    new_text = F.when(n_dropped == 0, F.col(text_col)).otherwise(
+        F.array_join(kept, sep)
+    )
+    out_cols = [
+        new_text.alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return staged.select(*out_cols, n_dropped.alias("n_dropped_lines"))
+
+
 def semdedup(
     docs: DataFrame,
     emb: DataFrame,

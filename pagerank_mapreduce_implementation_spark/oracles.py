@@ -1423,6 +1423,37 @@ def line_dedup_sql() -> str:
     )
 
 
+def intra_doc_line_dedup_sql(sep: str = " ", min_line_chars: int = 1) -> str:
+    """Mirror of dedup.intra_doc_line_dedup over ``documents`` —
+    the WITHIN-doc keep-first pass replayed entirely in list lambdas
+    (no window, like the operator's zero-shuffle plan): per-line
+    md5(lower(trim)) keys (NULL = exempt short line), keep line i iff
+    exempt or ``list_position`` of its key equals i (DuckDB lambdas
+    and list_position are both 1-based; Spark's filter-index is
+    0-based with the matching +1). Registered over the corpus' actual
+    separator (single space — the synthetic docs are one-line word
+    soup, so "lines" are words and repeats are plentiful). Output
+    matches the registered Spark form: (doc_id, text_md5,
+    n_dropped_lines int), untouched docs hashing their ORIGINAL
+    bytes."""
+    if min_line_chars < 1:
+        raise ValueError(f"min_line_chars ({min_line_chars}) must be >= 1")
+    s = sep.replace("'", "''")
+    m = int(min_line_chars)
+    return (
+        f"WITH s AS (SELECT doc_id, text, string_split(text, '{s}') AS ls "
+        "FROM documents), "
+        "k AS (SELECT doc_id, text, ls, list_transform(ls, x -> CASE "
+        f"WHEN len(trim(x)) >= {m} THEN md5(lower(trim(x))) END) AS ks "
+        "FROM s), "
+        "f AS (SELECT doc_id, text, ls, list_filter(ls, (x, i) -> "
+        "ks[i] IS NULL OR list_position(ks, ks[i]) = i) AS kept FROM k) "
+        "SELECT doc_id, md5(CASE WHEN len(ls) = len(kept) THEN text "
+        f"ELSE array_to_string(kept, '{s}') END) AS text_md5, "
+        "CAST(len(ls) - len(kept) AS INT) AS n_dropped_lines FROM f"
+    )
+
+
 def semdedup_sql(
     n_cells: int = 8,
     threshold: float = 0.4,

@@ -1,11 +1,12 @@
 """STAGED operators queued for a later driver window — the round-14
 cohort (readability_scores, oov_stats, simhash_recall_report,
-lsh_expected_recall) targets r16, whose window opens wide once the
-registry crosses 200 and the freshness budget steps to 5 rounds; the
-round-15 additions (zipf_fit, source_overlap) target r17's free slots.
-Until registered this file is their correctness gate: DuckDB parity
-through the registry harness's normalize/compare, plus semantics on
-hand-checkable fixtures and plan-shape asserts."""
+lsh_expected_recall) REGISTERED in round 16; the round-15 additions
+(zipf_fit, source_overlap, ngram_source_overlap) and the round-16
+intra_doc_line_dedup target r17's free slots. Until registered this
+file is their correctness gate: DuckDB parity through the registry
+harness's normalize/compare, plus semantics on hand-checkable
+fixtures and plan-shape asserts (registered entries keep their tests
+here as the local regression gate)."""
 
 from __future__ import annotations
 
@@ -609,3 +610,73 @@ def test_ngram_source_overlap_broadcasts_totals(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "Python" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+# --- round-16 staged (r17 candidate): within-doc keep-first dedup -----------
+
+
+def test_intra_doc_line_dedup_parity(spark, sf_dir, duck):
+    """The registered form (sep=' ': the flat corpus' actual separator,
+    so 'lines' are words and repeats are plentiful) vs the list-lambda
+    SQL replay — text behind md5 so the byte-exact rebuild is what the
+    hash certifies."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    out = dedup.intra_doc_line_dedup(
+        Catalog(spark, sf_dir).documents, sep=" "
+    )
+    got = out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_dropped_lines"
+    )
+    assert got.filter(F.col("n_dropped_lines") > 0).count() > 0  # non-vacuous
+    check(got, duck, oracles.intra_doc_line_dedup_sql(sep=" "))
+
+
+def test_intra_doc_line_dedup_semantics(spark):
+    """Hand-checked: the page's own repeated nav line drops (second
+    copy), blank-line runs survive (exempt), clean docs pass through
+    BYTE-identical, the corpus-global twin would have dropped MORE
+    (doc 2's line matches doc 1's — intra-doc keeps it), bad args
+    raise."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\ncontent one\nnav bar\n\n\ncontent two", "web"),
+            (2, "nav bar\nits own content", "web"),
+            (3, "clean doc", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.intra_doc_line_dedup(docs).collect()}
+    assert rows[1]["text"] == "nav bar\ncontent one\n\n\ncontent two"
+    assert rows[1]["n_dropped_lines"] == 1
+    # intra-doc scope: doc 2 KEEPS its nav bar (doc 1 owns a copy, but
+    # no corpus-global key table exists here — that's line_dedup's job)
+    assert rows[2]["text"] == "nav bar\nits own content"
+    assert rows[2]["n_dropped_lines"] == 0
+    assert rows[3]["text"] == "clean doc" and rows[3]["n_dropped_lines"] == 0
+    # key normalization: case-insensitive, trim-insensitive
+    fold = dedup.intra_doc_line_dedup(
+        spark.createDataFrame(
+            [(1, "The Nav\n the nav \nbody", "web")],
+            "doc_id long, text string, source string",
+        )
+    ).collect()[0]
+    assert fold["text"] == "The Nav\nbody" and fold["n_dropped_lines"] == 1
+    with pytest.raises(ValueError, match="min_line_chars"):
+        dedup.intra_doc_line_dedup(docs, min_line_chars=0)
+    with pytest.raises(ValueError, match="min_line_chars"):
+        oracles.intra_doc_line_dedup_sql(min_line_chars=0)
+
+
+def test_intra_doc_line_dedup_zero_shuffle_plan(spark, sf_dir):
+    """The reason it exists beside line_dedup: the whole pass is one
+    narrow projection — no Exchange of any kind, no Python, scan
+    pruned to the used columns."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    df = dedup.intra_doc_line_dedup(Catalog(spark, sf_dir).documents, sep=" ")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Python" not in p
