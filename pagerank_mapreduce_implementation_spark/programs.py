@@ -282,6 +282,7 @@ def clean_corpus(
     gopher: bool | dict = False,
     gopher_rep: bool | dict = False,
     c4: bool | dict = False,
+    intra_line_dedup: bool | dict = False,
     line_dedup: bool | dict = False,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
@@ -378,6 +379,11 @@ def clean_corpus(
        absolute k would not; one group-key shuffle, deterministic cut
     4. benchmark decontamination (contamination.decontaminate) when
        ``bench_docs`` is supplied — drops docs overlapping the eval set
+    4a'. WITHIN-doc repeated-line removal (dedup.intra_doc_line_dedup,
+       the RefinedWeb intra-document pass) when ``intra_line_dedup``
+       is truthy — zero-shuffle, runs before the corpus-global pass
+       (a page's own chorus lines vanish without spending corpus-wide
+       key cardinality on them); dict forwards kwargs
     4b. corpus-wide repeated-LINE removal (dedup.line_dedup, the
        CCNet keep-first boilerplate pass) when ``line_dedup`` is
        truthy — runs BEFORE document-level dedup so fingerprints and
@@ -503,6 +509,7 @@ def clean_corpus(
             gopher=gopher,
             gopher_rep=gopher_rep,
             c4=c4,
+            intra_line_dedup=intra_line_dedup,
             line_dedup=line_dedup,
             embeddings=embeddings,
             semantic_threshold=semantic_threshold,
@@ -558,6 +565,7 @@ def _clean_corpus_body(
     gopher,
     gopher_rep,
     c4,
+    intra_line_dedup,
     line_dedup,
     embeddings,
     semantic_threshold,
@@ -780,6 +788,12 @@ def _clean_corpus_body(
             bench_docs,
             ngram=contamination_ngram,
             threshold=contamination_threshold,
+        )
+
+    if intra_line_dedup:
+        il_kwargs = intra_line_dedup if isinstance(intra_line_dedup, dict) else {}
+        docs = dedup.intra_doc_line_dedup(docs, **il_kwargs).drop(
+            "n_dropped_lines"
         )
 
     if line_dedup:

@@ -680,3 +680,29 @@ def test_intra_doc_line_dedup_zero_shuffle_plan(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "Python" not in p
+
+
+def test_clean_corpus_intra_line_dedup_stage(spark, tmp_path):
+    """clean_corpus(intra_line_dedup=...): the within-doc pass strips a
+    doc's OWN repeated line before anything corpus-global runs — doc 1
+    loses its duplicate chorus but survives; doc 2's single copy of the
+    same line is untouched (intra-doc scope); the rebuilt text is what
+    lands in the output parquet."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (1, "chorus line\nverse one\nchorus line\nverse two", "en", "web", 44),
+        (2, "chorus line\nits own verse", "en", "web", 25),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "in.parquet")
+    docs.write.parquet(src)
+    surv = clean_corpus(
+        spark, src, str(tmp_path / "out"),
+        intra_line_dedup={"sep": "\n"},
+    )
+    out = {r["doc_id"]: r["text"] for r in surv.collect()}
+    assert out[1] == "chorus line\nverse one\nverse two"
+    assert out[2] == "chorus line\nits own verse"
