@@ -4021,6 +4021,36 @@ def source_overlap_sql(min_shared: int = 1, group_col: str = "source") -> str:
     )
 
 
+def source_unigram_divergence_sql(group_col: str = "source") -> str:
+    """Mirror of ``textstats.source_unigram_divergence`` over
+    ``documents``: per-group lowercased-whitespace unigram
+    distributions, the shared-type equi-join, and the missing-mass JSD
+    identity (exclusive words contribute their own probability mass —
+    only shared types are joined). round(,6) absorbs the cross-engine
+    summation-order ulps (the entropy_stats discipline)."""
+    return (
+        "WITH tok AS (SELECT "
+        f"{group_col} AS s, "
+        "unnest(list_filter(regexp_split_to_array(lower(text), "
+        "'[[:space:]]+'), x -> x <> '')) AS w FROM documents), "
+        "cnt AS (SELECT s, w, count(*) AS n FROM tok GROUP BY 1, 2), "
+        "tot AS (SELECT s, CAST(sum(n) AS BIGINT) AS tot_n, "
+        "count(*) AS n_types FROM cnt GROUP BY 1), "
+        "p AS (SELECT cnt.s, w, n::DOUBLE / tot_n AS p, n_types "
+        "FROM cnt JOIN tot ON cnt.s = tot.s), "
+        "sh AS (SELECT a.s AS source_a, b.s AS source_b, "
+        "a.n_types AS n_types_a, b.n_types AS n_types_b, "
+        "a.p AS pa, b.p AS pb "
+        "FROM p a JOIN p b ON a.w = b.w AND a.s < b.s) "
+        "SELECT source_a, source_b, count(*) AS shared_types, "
+        "n_types_a, n_types_b, "
+        "round((sum(pa * log2(2 * pa / (pa + pb)) "
+        "+ pb * log2(2 * pb / (pa + pb))) "
+        "+ (1 - sum(pa)) + (1 - sum(pb))) / 2, 6) + 0.0 AS jsd "
+        "FROM sh GROUP BY 1, 2, 4, 5"
+    )
+
+
 def ngram_source_overlap_sql(
     ngram: int = 5, min_jaccard: float = 0.0, group_col: str = "source"
 ) -> str:

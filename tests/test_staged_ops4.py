@@ -706,3 +706,70 @@ def test_clean_corpus_intra_line_dedup_stage(spark, tmp_path):
     out = {r["doc_id"]: r["text"] for r in surv.collect()}
     assert out[1] == "chorus line\nverse one\nverse two"
     assert out[2] == "chorus line\nits own verse"
+
+
+# --- round-16 staged (r17 candidate): source distribution divergence --------
+
+
+def test_source_unigram_divergence_parity(spark, sf_dir, duck):
+    got = textstats.source_unigram_divergence(Catalog(spark, sf_dir).documents)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r["jsd"] <= 1.0 for r in rows)
+    # the synthetic sources draw from one vocabulary: distributions
+    # must be CLOSE but not identical (0 would mean a vacuous gate)
+    assert all(0.0 < r["jsd"] < 0.5 for r in rows)
+    check(got, duck, oracles.source_unigram_divergence_sql())
+
+
+def test_source_unigram_divergence_semantics(spark):
+    """Hand-checked JSD on two tiny distributions (A: a a b, B: a c —
+    shared mass via 'a' only, exclusive words contribute their own
+    probability), identical sources land at exactly 0.0 (and +0.0, not
+    -0.0), disjoint-vocabulary pairs are NOT emitted (the
+    source_overlap convention), case folds."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a A b", "X"),
+            (2, "a c", "Y"),
+            (3, "a a b", "X2"),
+            (4, "A a b", "X3"),
+            (5, "zz qq", "Z"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in textstats.source_unigram_divergence(docs).collect()
+    }
+    pa, qa = 2 / 3, 1 / 2
+    m = pa + qa
+    term = pa * math.log2(2 * pa / m) + qa * math.log2(2 * qa / m)
+    want = round((term + (1 - pa) + (1 - qa)) / 2, 6)
+    r = rows[("X", "Y")]
+    assert r["jsd"] == pytest.approx(want, abs=2e-6)
+    assert r["shared_types"] == 1
+    assert (r["n_types_a"], r["n_types_b"]) == (2, 2)
+    # identical distributions: exactly zero, positive zero
+    assert rows[("X", "X2")]["jsd"] == 0.0
+    assert math.copysign(1.0, rows[("X", "X2")]["jsd"]) == 1.0
+    assert rows[("X2", "X3")]["jsd"] == 0.0
+    # Z shares no type with anyone: absent from the emission
+    assert not any("Z" in k for k in rows)
+
+
+def test_source_unigram_divergence_plan(spark, sf_dir):
+    """Scale claims on the executed plan: per-group totals join back
+    as BROADCAST (never a shuffle join on the word-keyed frame), and
+    the word self-join is the only sort-merge exchange pair."""
+    df = textstats.source_unigram_divergence(Catalog(spark, sf_dir).documents)
+    df.collect()
+    p = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in p
