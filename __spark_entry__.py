@@ -3881,12 +3881,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test; the synthetic corpus has no cross-source exact dups),
         # ngram_source_overlap (dedup.ngram_source_overlap +
         # oracles.ngram_source_overlap_sql — non-vacuous as-is), and
-        # the r16-staged intra_doc_line_dedup (dedup.intra_doc_line_
-        # dedup + oracles.intra_doc_line_dedup_sql — the zero-shuffle
-        # within-doc keep-first pass; register with sep=' ' and the
-        # md5(text) projection, the line_dedup convention). After
-        # those, pull the oldest r13-green entries forward so r18's
-        # 47-entry r13 due list also shrinks.
+        # the r16-staged pair intra_doc_line_dedup (dedup.intra_doc_
+        # line_dedup + oracles.intra_doc_line_dedup_sql — the
+        # zero-shuffle within-doc keep-first pass; register with
+        # sep=' ' and the md5(text) projection, the line_dedup
+        # convention) and source_unigram_divergence
+        # (textstats.source_unigram_divergence +
+        # oracles.source_unigram_divergence_sql — pairwise JSD between
+        # source unigram distributions, shared-type join only) and
+        # cluster_safe_split (sampling.cluster_safe_split +
+        # oracles.cluster_safe_split_sql — near-dup-cluster-keyed
+        # train/val/test assignment, the split-leakage guard; register
+        # over the dedup_clusters minhash pair list). After those,
+        # pull the oldest r13-green entries forward so r18's 47-entry
+        # r13 due list also shrinks.
         # --- r12 remainder (green r12; THE r17 due list)
         "dedup_clusters": _q_dedup_clusters,
         "streaming_click_attribution": _q_streaming_click_attribution,

@@ -1078,6 +1078,30 @@ def connected_components_sql(pairs_sql: str, a: str = "doc_a", b: str = "doc_b")
     )
 
 
+def cluster_safe_split_sql(pairs_sql: str, salt: str = "split:") -> str:
+    """Mirror of sampling.cluster_safe_split over ``documents``: the
+    recursive-CTE transitive closure (connected_components_sql) gives
+    each doc its cluster representative (min reachable id, own id for
+    singletons), then the EXACT hash_split arithmetic — md5(salt||key)
+    15-hex-digit prefix mod 100 into the 90/5/5 named ranges — runs on
+    that representative. Same-cluster docs share split_key, hence
+    bucket, hence split: the leakage guarantee is structural on both
+    engines."""
+    s = salt.replace("'", "''")
+    return (
+        f"WITH cc AS ({connected_components_sql(pairs_sql)}), "
+        "k AS (SELECT d.doc_id, "
+        "coalesce(cc.component, d.doc_id) AS split_key "
+        "FROM documents d LEFT JOIN cc ON cc.vertex = d.doc_id), "
+        "bk AS (SELECT doc_id, split_key, "
+        f"('0x' || substr(md5('{s}' || CAST(split_key AS VARCHAR)), 1, 15))"
+        "::UBIGINT::BIGINT % 100 AS b FROM k) "
+        "SELECT doc_id, split_key, CAST(b AS INT) AS bucket, "
+        "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+        "ELSE 'test' END AS split FROM bk"
+    )
+
+
 def substring_runs_sql(
     k: int = 8, min_len: int = 12, max_gram_df: int | None = None
 ) -> str:

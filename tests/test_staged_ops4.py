@@ -773,3 +773,68 @@ def test_source_unigram_divergence_plan(spark, sf_dir):
         .split("+- == Initial Plan ==")[0]
     )
     assert "BroadcastHashJoin" in p
+
+
+# --- round-16 staged (r17 candidate): leakage-safe splits --------------------
+
+
+def test_cluster_safe_split_parity(spark, sf_dir, duck):
+    """The registered form: minhash near-dup pairs (the dedup_clusters
+    input) -> star-CC cluster representatives -> hash_split on the
+    representative — vs the recursive-CTE + identical md5 arithmetic
+    replay."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5, ngram=5)
+    got = cluster_safe_split(docs, pairs)
+    rows = got.collect()
+    assert len(rows) == docs.count()
+    # non-vacuous: at least one doc is keyed by a DIFFERENT id (its
+    # cluster representative), i.e. the guard actually re-keyed docs
+    assert any(r["doc_id"] != r["split_key"] for r in rows)
+    check(
+        got,
+        duck,
+        oracles.cluster_safe_split_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + oracles.minhash_near_dups_sql(0.5, ngram=5)
+            + ")"
+        ),
+    )
+
+
+def test_cluster_safe_split_semantics(spark):
+    """The leakage guarantee, hand-checked: a 3-doc chain cluster
+    {1,2,3} (transitive through 2 — pairwise minhash would never put
+    1-3 in a pair) lands in ONE split keyed by min id 1; singleton 4
+    splits exactly as plain hash_split(salt) would; same-cluster docs
+    NEVER straddle the boundary regardless of their own ids' buckets."""
+    from pagerank_mapreduce_implementation_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in cluster_safe_split(docs, pairs).collect()}
+    assert {rows[i]["split_key"] for i in (1, 2, 3)} == {1}
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert len({rows[i]["bucket"] for i in (1, 2, 3)}) == 1
+    assert rows[4]["split_key"] == 4
+    plain = {
+        r["doc_id"]: r
+        for r in hash_split(docs, "doc_id").collect()
+    }
+    # singleton inherits the exact plain assignment; the cluster
+    # inherits the REPRESENTATIVE's
+    assert rows[4]["bucket"] == plain[4]["bucket"]
+    assert rows[1]["bucket"] == plain[1]["bucket"]
+    assert rows[3]["bucket"] == plain[1]["bucket"]
