@@ -838,3 +838,27 @@ def test_cluster_safe_split_semantics(spark):
     assert rows[4]["bucket"] == plain[4]["bucket"]
     assert rows[1]["bucket"] == plain[1]["bucket"]
     assert rows[3]["bucket"] == plain[1]["bucket"]
+
+
+# --- retirement twins (README §Registry capacity, endgame rule 4) ------------
+
+
+def test_word_count_boundary_jar_exact_tokenizer(spark):
+    """Pytest twin pinning word_count_boundary's certified semantics
+    (retirement precondition: a registered query may only be retired
+    once a local test freezes what its driver gate certified): the
+    jar-exact ``\\s*\\b\\s*`` split keeps punctuation RUNS as tokens
+    (',' and '!!' count), never glues them to words, and drops
+    empties."""
+    from pagerank_mapreduce_implementation_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "a, b!! c"), (2, "x,y")], "doc_id long, text string"
+    )
+    rows = {
+        (r["word"], r["cnt"])
+        for r in text.word_count(docs, pattern=text.TOKEN_BOUNDARY_RE).collect()
+    }
+    assert rows == {
+        ("a", 1), (",", 2), ("b", 1), ("!!", 1), ("c", 1), ("x", 1), ("y", 1)
+    }
