@@ -3892,9 +3892,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster_safe_split (sampling.cluster_safe_split +
         # oracles.cluster_safe_split_sql — near-dup-cluster-keyed
         # train/val/test assignment, the split-leakage guard; register
-        # over the dedup_clusters minhash pair list). After those,
-        # pull the oldest r13-green entries forward so r18's 47-entry
-        # r13 due list also shrinks.
+        # over the dedup_clusters minhash pair list), and
+        # incremental_embedding_dedup (dedup.incremental_embedding_
+        # dedup + oracles.incremental_embedding_dedup_sql — the
+        # embedding-store sibling of incremental_minhash_dedup;
+        # register with the vec_id % 3 store/batch split). After
+        # those, pull the oldest r13-green entries forward so r18's
+        # 47-entry r13 due list also shrinks.
         # --- r12 remainder (green r12; THE r17 due list)
         "dedup_clusters": _q_dedup_clusters,
         "streaming_click_attribution": _q_streaming_click_attribution,

@@ -845,6 +845,76 @@ def incremental_minhash_dedup(
         sig_b.unpersist()
 
 
+def incremental_embedding_dedup(
+    new_emb: DataFrame,
+    seen_emb: DataFrame,
+    threshold: float = 0.25,
+    num_planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SEMANTIC-dup ingestion: a new embedding batch
+    against the persisted survivors' vector store —
+    ``incremental_minhash_dedup``'s embedding-space sibling, closing
+    the incremental family (exact fingerprints, minhash signatures,
+    simhash/phash hamming stores, and now cosine). The store is the
+    raw vectors (what a SemDeDup pipeline persists anyway); the probe
+    sketches BOTH sides with the same deterministic md5-derived
+    hyperplanes (``similarity.cosine_matches_ab`` — the property that
+    makes store and batch bucket keys comparable across runs), so no
+    index beyond the vectors themselves needs maintaining.
+
+    Returns one row per batch vector, the minhash contract:
+    ``(vec_id, dup_of_store, dup_of_batch, keep)`` — ``dup_of_store``
+    if cosine >= ``threshold`` with ANY stored vector (banded-bucket
+    candidates, exact verify), ``dup_of_batch`` if the same holds
+    against a SMALLER-id batch vector (keep-first), ``keep`` =
+    neither. Append the kept vectors to the store for the next batch.
+
+    Recall is band-limited like the ops it composes (documented in
+    cosine_pairs_lsh); scale shape: two banded joins, both bounded by
+    realized bucket collisions, never |store| x |batch|.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.similarity import (
+        cosine_matches_ab,
+        cosine_pairs_lsh,
+    )
+
+    store_hits = (
+        cosine_matches_ab(
+            seen_emb, new_emb, threshold, num_planes, bands, id_col, vec_col
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup_of_store", F.lit(1))
+    )
+    batch_hits = (
+        cosine_pairs_lsh(
+            new_emb, threshold, num_planes, bands, id_col, vec_col
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup_of_batch", F.lit(1))
+    )
+    return (
+        new_emb.select(F.col(id_col).alias("vec_id"))
+        .join(store_hits, "vec_id", "left")
+        .join(batch_hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("dup_of_store", F.lit(0)).alias("dup_of_store"),
+            F.coalesce("dup_of_batch", F.lit(0)).alias("dup_of_batch"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("dup_of_store") == 0) & (F.col("dup_of_batch") == 0)
+            ).cast("int"),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -639,6 +639,42 @@ def cosine_matches_ab_sql(
     )
 
 
+def incremental_embedding_dedup_sql(
+    seen_where: str,
+    new_where: str,
+    threshold: float = 0.25,
+    num_planes: int = 8,
+    bands: int = 2,
+) -> str:
+    """Mirror of dedup.incremental_embedding_dedup over two
+    WHERE-filtered views of the embeddings table: the store probe is
+    cosine_matches_ab_sql(seen, new); the in-batch pass reuses the
+    SAME cross-table builder on (new, new) with an ``id_a < id_b``
+    post-filter (identical candidates + verify to cosine_pairs_lsh's
+    deduped self-join); flags and keep replay the integer contract."""
+    store = cosine_matches_ab_sql(
+        seen_where, new_where, threshold, num_planes, bands
+    )
+    batch = cosine_matches_ab_sql(
+        new_where, new_where, threshold, num_planes, bands
+    )
+    return (
+        f"WITH sm AS ({store}), bm AS ({batch}), "
+        "ds AS (SELECT DISTINCT id_b AS vec_id FROM sm), "
+        "db AS (SELECT DISTINCT id_b AS vec_id FROM bm WHERE id_a < id_b), "
+        f"base AS (SELECT vec_id FROM embeddings WHERE {new_where}) "
+        "SELECT base.vec_id, "
+        "CAST(CASE WHEN ds.vec_id IS NULL THEN 0 ELSE 1 END AS INT) "
+        "AS dup_of_store, "
+        "CAST(CASE WHEN db.vec_id IS NULL THEN 0 ELSE 1 END AS INT) "
+        "AS dup_of_batch, "
+        "CAST(CASE WHEN ds.vec_id IS NULL AND db.vec_id IS NULL "
+        "THEN 1 ELSE 0 END AS INT) AS keep "
+        "FROM base LEFT JOIN ds ON base.vec_id = ds.vec_id "
+        "LEFT JOIN db ON base.vec_id = db.vec_id"
+    )
+
+
 def textbook_pagerank_sql(
     edges_sql: str = EDGES_SQL,
     n_iters: int = 10,

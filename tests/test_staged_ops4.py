@@ -862,3 +862,63 @@ def test_word_count_boundary_jar_exact_tokenizer(spark):
     assert rows == {
         ("a", 1), (",", 2), ("b", 1), ("!!", 1), ("c", 1), ("x", 1), ("y", 1)
     }
+
+
+# --- round-16 staged (r17 candidate): incremental embedding dedup -----------
+
+
+def test_incremental_embedding_dedup_parity(spark, sf_dir, duck):
+    """The registered form: store = vec_id % 3 == 0, batch = the rest;
+    banded hyperplane candidates + exact cosine verify on both the
+    store probe and the in-batch keep-first pass, vs the same-planes
+    SQL replay."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    seen = emb.filter(F.col("vec_id") % 3 == 0)
+    new = emb.filter(F.col("vec_id") % 3 != 0)
+    got = dedup.incremental_embedding_dedup(new, seen, threshold=0.25)
+    rows = got.collect()
+    assert len(rows) == new.count()
+    # non-vacuous on every axis the gate certifies
+    assert any(r["dup_of_store"] == 1 for r in rows)
+    assert any(r["dup_of_batch"] == 1 for r in rows)
+    assert any(r["keep"] == 1 for r in rows)
+    check(
+        got,
+        duck,
+        oracles.incremental_embedding_dedup_sql(
+            "vec_id % 3 = 0", "vec_id % 3 <> 0", threshold=0.25
+        ),
+    )
+
+
+def test_incremental_embedding_dedup_semantics(spark):
+    """Hand-checked flags: a batch vector aligned with a stored one is
+    dup_of_store; two aligned batch vectors flag only the HIGHER id as
+    dup_of_batch (keep-first — the lower id stands in); an orthogonal
+    vector keeps; flags compose (a vector can be both)."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    seen = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),   # parallel to store 1 AND to 11
+            (11, [1.0, 0.0, 0.0, 0.0]),   # parallel to store 1 and batch 10
+            (12, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to everything
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in dedup.incremental_embedding_dedup(
+            new, seen, threshold=0.9
+        ).collect()
+    }
+    assert rows[10]["dup_of_store"] == 1 and rows[10]["dup_of_batch"] == 0
+    assert rows[11]["dup_of_store"] == 1 and rows[11]["dup_of_batch"] == 1
+    assert rows[12]["dup_of_store"] == 0 and rows[12]["dup_of_batch"] == 0
+    assert (rows[10]["keep"], rows[11]["keep"], rows[12]["keep"]) == (0, 0, 1)
