@@ -3896,7 +3896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_embedding_dedup (dedup.incremental_embedding_
         # dedup + oracles.incremental_embedding_dedup_sql — the
         # embedding-store sibling of incremental_minhash_dedup;
-        # register with the vec_id % 3 store/batch split). After
+        # register with the vec_id % 3 store/batch split), and its
+        # streaming twin streaming_cosine_probe (streaming/queries.py
+        # — oracle is the batch min-per-vector SQL over
+        # cosine_matches_ab_sql, the minhash-probe pattern). After
         # those, pull the oldest r13-green entries forward so r18's
         # 47-entry r13 due list also shrinks.
         # --- r12 remainder (green r12; THE r17 due list)

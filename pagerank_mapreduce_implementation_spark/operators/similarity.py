@@ -239,6 +239,8 @@ def hyperplane_band_buckets(
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Banded hyperplane buckets: ``(vec_id, band, key)``, one row per
     band, key = the integer of that band's ``r = num_planes/bands``
@@ -251,6 +253,14 @@ def hyperplane_band_buckets(
     bits agree in SOME band (P[candidate] = 1-(1-(1-θ/π)^r)^b). ONE
     narrow pass — the per-band structs are built in a single select and
     exploded; no per-band re-scan of the vectors.
+
+    ``dims`` skips the one-row driver-side peek when the caller already
+    knows the dimensionality — REQUIRED on a streaming frame, where
+    ``.first()`` is illegal (streaming_cosine_probe passes the static
+    store's dims). ``keep_vec`` carries the vector through the bucket
+    rows (duplicated x bands in flight) so a streaming caller never
+    needs to join the buckets back to their source — a stream-stream
+    join.
     """
     if bands <= 0 or num_planes % bands != 0:
         raise ValueError(
@@ -258,13 +268,16 @@ def hyperplane_band_buckets(
             "a remainder would silently drop sign bits from banding"
         )
     r = num_planes // bands
-    dims = _vec_dims(emb, vec_col)
+    if dims is None:
+        dims = _vec_dims(emb, vec_col)
     if dims is None:  # empty input: preserve the output schema
-        return emb.select(
+        out = emb.select(
             F.col(id_col).alias("vec_id"),
             F.lit(0).alias("band"),
             F.lit(0).alias("key"),
+            *([F.col(vec_col).alias("vec")] if keep_vec else []),
         ).filter(F.lit(False))
+        return out
     band_structs = F.array(
         *[
             F.struct(
@@ -283,8 +296,15 @@ def hyperplane_band_buckets(
         ]
     )
     return emb.select(
-        F.col(id_col).alias("vec_id"), F.explode(band_structs).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+        F.col(id_col).alias("vec_id"),
+        *([F.col(vec_col).alias("vec")] if keep_vec else []),
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        "vec_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.key").alias("key"),
+        *(["vec"] if keep_vec else []),
+    )
 
 
 def cosine_pairs_lsh(

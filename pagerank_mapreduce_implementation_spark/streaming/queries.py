@@ -372,6 +372,76 @@ def streaming_minhash_probe(
     )
 
 
+def streaming_cosine_probe(
+    emb_stream: DataFrame,
+    seen_emb: DataFrame,
+    threshold: float = 0.25,
+    num_planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_store: bool = True,
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup probe: an unbounded embedding stream
+    checked against a STATIC vector store — the streaming twin of
+    ``dedup.incremental_embedding_dedup``'s ``dup_of_store`` verdict,
+    completing the probe family (minhash, phash, and now cosine) from
+    the identical pieces: a stateless per-row sketch (the deterministic
+    md5-derived hyperplane band keys — pure column expressions, dims
+    supplied by the STATIC store so no streaming-illegal peek), the
+    store's buckets + vectors as broadcast static join sides
+    (stream-static joins carry no state store), an exact round-6
+    cosine verify, and one final per-vector min — the only stateful
+    operator, bounded by the number of near-dup vectors seen, not the
+    stream.
+
+    ``broadcast_store`` as in ``streaming_minhash_probe``: False flips
+    to a shuffling stream-static join (still stateless) when the store
+    outgrows the broadcast cap.
+
+    Emits ``(vec_id, dup_store_id)`` for stream vectors whose cosine
+    against some store vector clears ``threshold`` — ``dup_store_id``
+    the smallest matching store id. Batch-vs-store semantics are
+    bit-identical to the batch operator, so the oracle is the batch
+    SQL.
+    """
+    from pagerank_mapreduce_implementation_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _vec_dims,
+        hyperplane_band_buckets,
+    )
+
+    dims = _vec_dims(seen_emb, vec_col)
+    stream_bb = hyperplane_band_buckets(
+        emb_stream, num_planes, bands, id_col, vec_col,
+        dims=dims, keep_vec=True,
+    )
+    store_bb = hyperplane_band_buckets(
+        seen_emb, num_planes, bands, id_col, vec_col
+    ).select(F.col("vec_id").alias("store_id"), "band", "key")
+    store_vecs = seen_emb.select(
+        F.col(id_col).alias("store_id"),
+        F.col(vec_col).alias("sv"),
+        _norm(F.col(vec_col)).alias("sn"),
+    )
+    if broadcast_store:
+        store_bb = F.broadcast(store_bb)
+        store_vecs = F.broadcast(store_vecs)
+    cos = F.round(
+        _dot(F.col("vec"), F.col("sv")) / (_norm(F.col("vec")) * F.col("sn")),
+        6,
+    )
+    matches = (
+        stream_bb.join(store_bb, ["band", "key"])
+        .join(store_vecs, "store_id")
+        .filter(cos >= F.lit(threshold))
+    )
+    return matches.groupBy("vec_id").agg(
+        F.min("store_id").alias("dup_store_id")
+    )
+
+
 def streaming_search(
     tfidf_stream: DataFrame, terms: list[str]
 ) -> DataFrame:

@@ -922,3 +922,75 @@ def test_incremental_embedding_dedup_semantics(spark):
     assert rows[11]["dup_of_store"] == 1 and rows[11]["dup_of_batch"] == 1
     assert rows[12]["dup_of_store"] == 0 and rows[12]["dup_of_batch"] == 0
     assert (rows[10]["keep"], rows[11]["keep"], rows[12]["keep"]) == (0, 0, 1)
+
+
+# --- round-16 staged (r17 candidate): streaming cosine probe -----------------
+
+
+def test_streaming_cosine_probe_parity_and_batch_twin(spark, sf_dir, duck):
+    """The streaming semantic probe (embeddings stream vec_id % 3 != 0
+    vs the static store of the rest) is row-identical to the batch
+    store verdict AND to the DuckDB min-per-vector replay of the
+    same-planes cross-table match — the minhash-probe certification
+    pattern."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+    from pagerank_mapreduce_implementation_spark.operators import similarity
+
+    emb_stream = strm.read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 3 != 0
+    )
+    seen = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 3 == 0)
+    out = strm.queries.streaming_cosine_probe(
+        emb_stream, seen, threshold=0.25
+    )
+    strm.run_to_memory(out, "_test_cos_probe", state_partitions=8)
+    got = spark.table("_test_cos_probe")
+    assert got.count() > 0  # non-vacuous at this threshold
+    # batch twin: min store match per stream vector via the same op
+    # family the probe composes
+    batch = (
+        similarity.cosine_matches_ab(
+            seen,
+            Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 3 != 0),
+            0.25,
+        )
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_store_id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    check(
+        got,
+        duck,
+        "SELECT id_b AS vec_id, min(id_a) AS dup_store_id FROM ("
+        + oracles.cosine_matches_ab_sql(
+            "vec_id % 3 = 0", "vec_id % 3 <> 0", 0.25
+        )
+        + ") GROUP BY 1",
+    )
+    spark.catalog.dropTempView("_test_cos_probe")
+
+
+def test_streaming_cosine_probe_semantics(spark, tmp_path):
+    """Hand-checked: a streamed vector parallel to a stored one reports
+    the SMALLEST matching store id; an orthogonal one is absent."""
+    from pagerank_mapreduce_implementation_spark import streaming as strm
+
+    seen = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "stream_emb")
+    spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [0.0, -3.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(path)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(path)
+    out = strm.queries.streaming_cosine_probe(stream, seen, threshold=0.9)
+    strm.run_to_memory(out, "_test_cos_sem", state_partitions=4)
+    rows = {r["vec_id"]: r["dup_store_id"] for r in spark.table("_test_cos_sem").collect()}
+    assert rows == {10: 1}  # min of stores {1, 2}; 11 anti-parallel to 3
+    spark.catalog.dropTempView("_test_cos_sem")
