@@ -1412,3 +1412,95 @@ def margin_matches_ab(
     finally:
         if not handed_off:
             sc.unpersist()
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list,
+    query_vec_id: int,
+    n: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+    total_docs: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): fuse a LEXICAL branch (BM25 over the documents table,
+    operators/text.py:bm25_search) with a SEMANTIC branch (exact cosine
+    top-n for a stored query vector, cosine_topk) into one ranked list
+
+        rrf(d) = sum_branches 1 / (rrf_k + rank_branch(d))
+
+    → ``(doc_id, rrf, lex_rank, sem_rank)`` top-``k`` by fused score,
+    ``doc_id`` tiebreak; a doc absent from one branch's top-``n``
+    contributes 0 for that branch and reports a NULL rank. The engine
+    extension the reference's Search/Rank pipeline (Search$Map @89,
+    SURVEY.md §2.2) grows into once an embedding column exists: RRF is
+    the standard score-free fusion — no cross-branch score calibration,
+    which is exactly why it is the robust default at corpus scale.
+
+    Scale shape: each branch is already scale-safe on its own (BM25 =
+    one corpus tokenize + one pivoted shuffle; cosine = narrow scan +
+    broadcast 1-row query) and ends in a TakeOrderedAndProject of
+    ``n`` rows — the ONLY post-branch work (rank assignment windows,
+    the full-outer fuse join, the final top-k) runs on <= 2n rows, so
+    fusion cost is independent of corpus size. The rank windows are
+    deliberately assigned AFTER the top-n cut: a global row_number
+    over the un-cut scored frame would single-partition the corpus.
+
+    Determinism: both branches rank over their ROUND(6)-certified
+    scores (the same rounding their registered standalone queries
+    hash-exact against DuckDB on) with id tiebreaks, so ranks — and
+    the fused 1/(rrf_k+rank) sums, added lex-then-sem in fixed order —
+    are reproducible across engines bit-exactly.
+    """
+    from pyspark.sql.window import Window
+
+    from pagerank_mapreduce_implementation_spark.operators.text import bm25_search
+
+    if n < 1 or k < 1:
+        raise ValueError("hybrid_rrf_search needs n >= 1 and k >= 1")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1 (RRF denominator offset)")
+
+    lex_top = (
+        bm25_search(docs, terms, total_docs=total_docs)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(n)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    sem_top = cosine_topk(
+        emb, query_vec_id, k=n, id_col=id_col, vec_col=vec_col
+    )
+    sem = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    part = lambda r: F.when(  # noqa: E731 — 1/(K+rank), 0 when absent
+        r.isNotNull(), F.lit(1.0) / (F.lit(float(rrf_k)) + r)
+    ).otherwise(F.lit(0.0))
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(part(F.col("lex_rank")) + part(F.col("sem_rank")), 6).alias(
+                "rrf"
+            ),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -4148,3 +4148,70 @@ def ngram_source_overlap_sql(
         "JOIN cnt cb ON shared.source_b = cb.s) "
         f"WHERE jaccard >= {float(min_jaccard)!r}"
     )
+
+
+def hybrid_rrf_search_sql(
+    terms: list,
+    query_vec_id: int = 0,
+    n: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Mirror of ``similarity.hybrid_rrf_search``: the registered BM25
+    oracle shape (pivoted per-term tf columns, 1-row avgdl/df agg, the
+    SAME left-to-right score addition) round(6)-ranked and cut to
+    ``n``, the cosine_topk oracle shape cut to ``n``, row_number ranks
+    over the rounded scores with id tiebreaks, FULL OUTER fuse on
+    doc_id, rrf = 1/(K+lex_rank) + 1/(K+sem_rank) with absent branches
+    contributing 0, top-``k`` by (rrf DESC, doc_id)."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("hybrid_rrf_search_sql needs at least one query term")
+    dot = _dot_sql("e.embedding", "q.embedding")
+    bm25_parts = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"log10(1.0 + (nn.n - st.df{i} + 0.5)/(st.df{i} + 0.5)) "
+        f"* (tf{i} * {float(k1 + 1.0)!r}) / "
+        f"(tf{i} + {float(k1)!r} * (1.0 - {float(b)!r} + {float(b)!r} * dl / st.avgdl)) "
+        "ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, lower(w) AS word FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(text, '[[:space:]]+')) AS w "
+        "FROM documents) WHERE w <> ''), "
+        "agg AS (SELECT doc_id, count(*) AS dl, "
+        + ", ".join(
+            f"sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+            for i, t in enumerate(terms)
+        )
+        + " FROM tok GROUP BY doc_id), "
+        "st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, "
+        + ", ".join(
+            f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(terms))
+        )
+        + " FROM agg), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+        f"lexs AS (SELECT doc_id, round({bm25_parts}, 6) AS score "
+        "FROM agg, st, nn WHERE "
+        + " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+        + f" ORDER BY score DESC, doc_id ASC LIMIT {int(n)}), "
+        "lex AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS lex_rank FROM lexs), "
+        f"q AS (SELECT embedding FROM embeddings WHERE vec_id = {int(query_vec_id)}), "
+        f"sems AS (SELECT e.vec_id AS doc_id, round({dot} / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql('q.embedding')}), 6) AS cos "
+        f"FROM embeddings e, q WHERE e.vec_id <> {int(query_vec_id)} "
+        f"ORDER BY cos DESC, e.vec_id ASC LIMIT {int(n)}), "
+        "sem AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY cos DESC, doc_id ASC) AS sem_rank FROM sems) "
+        "SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, "
+        f"round(COALESCE(1.0/({int(rrf_k)} + lex_rank), 0.0) + "
+        f"COALESCE(1.0/({int(rrf_k)} + sem_rank), 0.0), 6) AS rrf, "
+        "lex_rank, sem_rank "
+        "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id "
+        f"ORDER BY rrf DESC, doc_id ASC LIMIT {int(k)}"
+    )
