@@ -2228,3 +2228,135 @@ def source_unigram_divergence(
             ).alias("jsd"),
         )
     )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    blocklist: list,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    max_hit_ratio: float = 0.0,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Wordlist policy filter (the C4 "bad words" stage, Raffel et al.
+    2020 §2.2 — C4 drops any page containing a listed word, i.e. the
+    ``max_hit_ratio=0.0`` default): per-doc token matches against a
+    curated blocklist → ``(doc_id, n_tokens, n_hits, n_distinct_hits,
+    hit_ratio, flagged)`` with ``flagged = hit_ratio > max_hit_ratio``
+    computed over the ROUND(6) ratio (both engines compare the same
+    rounded value — no ulp-edge divergence on the policy bit).
+
+    Matching is exact whole-token equality over the whitespace
+    tokenizer (the doc-pipeline convention), lowercased by default —
+    NOT substring search, which is the classic Scunthorpe false-positive
+    trap. Obfuscation-resistant variants belong in the blocklist
+    itself (the curation knob), not in a looser matcher.
+
+    Scale shape: the blocklist rides the PLAN as a literal array (the
+    IVF plan-literal-centroids move) and every output column is a
+    per-row fold over the token array — zero shuffle, zero joins, scan
+    speed at any corpus size. Right for curated lists (tens to a few
+    thousand words: O(|list|) per token, all JVM-side); a list big
+    enough to blow the plan budget should flip to the tokens-join
+    shape of ``operators/text.py:word_count`` instead.
+    """
+    if not blocklist:
+        raise ValueError("blocklist_hits needs a non-empty blocklist")
+    if not 0.0 <= max_hit_ratio <= 1.0:
+        raise ValueError(f"max_hit_ratio ({max_hit_ratio}) must be in [0, 1]")
+    words = [w.lower() for w in blocklist] if lowercase else list(blocklist)
+    words = list(dict.fromkeys(words))
+    blk = F.array(*[F.lit(w) for w in words])
+    toks = _tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda w: F.lower(w))
+    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("_toks"))
+    n_tokens = F.size("_toks")
+    n_hits = F.size(F.filter(F.col("_toks"), lambda w: F.array_contains(blk, w)))
+    ratio = F.round(
+        F.when(n_tokens > 0, n_hits.cast("double") / n_tokens).otherwise(0.0), 6
+    )
+    return staged.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_hits.cast("long").alias("n_hits"),
+        # array_intersect dedupes (Spark: "without duplicates") — the
+        # oracle spells it list_filter(list_distinct(...), ...)
+        F.size(F.array_intersect(F.col("_toks"), blk)).cast("long").alias(
+            "n_distinct_hits"
+        ),
+        ratio.alias("hit_ratio"),
+        (ratio > F.lit(float(max_hit_ratio))).alias("flagged"),
+    )
+
+
+# Latin-1/Windows-1252 re-decode signatures: a UTF-8 multibyte
+# sequence read as single-byte text starts with one of these (the
+# ftfy heuristic's core); counted per marker on the ORIGINAL text.
+MOJIBAKE_MARKERS = ["Ã", "â€", "Â"]
+
+
+def encoding_qa(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_ascii_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-doc encoding-health audit — the ingest gate a web-scale text
+    pipeline runs before any tokenizer sees the bytes: ``(doc_id,
+    n_chars, ascii_ratio, n_replacement, n_control, n_mojibake,
+    flagged)``.
+
+    - ``n_replacement``: U+FFFD REPLACEMENT CHARACTER count — the
+      decoder already gave up on those bytes.
+    - ``n_control``: C0 controls excluding tab/newline/CR, plus DEL —
+      binary-in-text contamination.
+    - ``n_mojibake``: occurrences of the classic UTF-8-as-Latin-1
+      re-decode signatures (``MOJIBAKE_MARKERS``: Ã, â€, Â), each
+      counted independently on the original text by exact substring
+      arithmetic ``(len - len(replace)) / len(marker)`` — literal
+      counting, no regex dialect risk.
+    - ``ascii_ratio``: printable-pipeline sanity for ASCII-dominant
+      sources (round 6; empty docs report 1.0 — vacuously clean).
+    - ``flagged``: any replacement/control/mojibake hit, or
+      ``ascii_ratio < min_ascii_ratio`` — the latter compared on the
+      ROUNDED ratio on both engines.
+
+    Zero shuffle: every column is length/replace arithmetic plus two
+    character-class regexps whose classes (``[^\\x00-\\x7F]``, the C0
+    range) mean the same thing in Java regex and RE2 — scan speed at
+    any corpus size. Counts are code-POINT based in both engines
+    (Spark ``length``/DuckDB ``length`` agree above the BMP too).
+    """
+    if not 0.0 <= min_ascii_ratio <= 1.0:
+        raise ValueError(f"min_ascii_ratio ({min_ascii_ratio}) must be in [0, 1]")
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_ascii = F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", ""))
+    ascii_ratio = F.round(
+        F.when(n_chars > 0, n_ascii.cast("double") / n_chars).otherwise(1.0), 6
+    )
+    n_repl = n_chars - F.length(F.replace(c, F.lit("�"), F.lit("")))
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    )
+    moji = None
+    for m in MOJIBAKE_MARKERS:
+        cnt = (
+            (n_chars - F.length(F.replace(c, F.lit(m), F.lit("")))) / F.lit(len(m))
+        ).cast("long")
+        moji = cnt if moji is None else moji + cnt
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        ascii_ratio.alias("ascii_ratio"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        moji.alias("n_mojibake"),
+        (
+            (n_repl > 0)
+            | (n_ctrl > 0)
+            | (moji > 0)
+            | (ascii_ratio < F.lit(float(min_ascii_ratio)))
+        ).alias("flagged"),
+    )

@@ -4215,3 +4215,67 @@ def hybrid_rrf_search_sql(
         "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id "
         f"ORDER BY rrf DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def blocklist_hits_sql(
+    blocklist: list, max_hit_ratio: float = 0.0, lowercase: bool = True
+) -> str:
+    """Mirror of ``textstats.blocklist_hits`` over ``documents``:
+    whitespace tokens (lowered when ``lowercase``), exact whole-token
+    membership against the literal list, distinct hits via
+    list_distinct (Spark's array_intersect dedupes), flagged compared
+    on the ROUND(6) ratio."""
+    if not blocklist:
+        raise ValueError("blocklist_hits_sql needs a non-empty blocklist")
+    if not 0.0 <= max_hit_ratio <= 1.0:
+        raise ValueError(f"max_hit_ratio ({max_hit_ratio}) must be in [0, 1]")
+    words = [w.lower() for w in blocklist] if lowercase else list(blocklist)
+    words = list(dict.fromkeys(words))
+    lit = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+    tk = "list_transform(tk, w -> lower(w))" if lowercase else "tk"
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
+        "w -> w <> '') AS tk FROM documents), "
+        f"l AS (SELECT doc_id, {tk} AS tk FROM t), "
+        "s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        f"CAST(len(list_filter(tk, w -> list_contains({lit}, w))) AS BIGINT) "
+        "AS n_hits, "
+        f"CAST(len(list_filter(list_distinct(tk), "
+        f"w -> list_contains({lit}, w))) AS BIGINT) AS n_distinct_hits "
+        "FROM l), "
+        "r AS (SELECT *, round(CASE WHEN n_tokens > 0 THEN "
+        "CAST(n_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS hit_ratio "
+        "FROM s) "
+        "SELECT doc_id, n_tokens, n_hits, n_distinct_hits, hit_ratio, "
+        f"(hit_ratio > {float(max_hit_ratio)!r}) AS flagged FROM r"
+    )
+
+
+def encoding_qa_sql(min_ascii_ratio: float = 0.5) -> str:
+    """Mirror of ``textstats.encoding_qa`` over ``documents``: length/
+    replace substring arithmetic for U+FFFD and the mojibake markers,
+    the same RE2-and-Java-identical character classes for ascii and C0
+    controls, flagged on the ROUND(6) ascii_ratio."""
+    if not 0.0 <= min_ascii_ratio <= 1.0:
+        raise ValueError(f"min_ascii_ratio ({min_ascii_ratio}) must be in [0, 1]")
+    moji = " + ".join(
+        f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} "
+        "AS BIGINT)"
+        for m in ["Ã", "â€", "Â"]
+    )
+    return (
+        "WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        r"length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_ascii, "
+        "CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) "
+        "AS n_replacement, "
+        "CAST(length(text) - length(regexp_replace(text, "
+        r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_control, "
+        f"{moji} AS n_mojibake FROM documents), "
+        "r AS (SELECT *, round(CASE WHEN n_chars > 0 THEN "
+        "CAST(n_ascii AS DOUBLE) / n_chars ELSE 1.0 END, 6) AS ascii_ratio "
+        "FROM s) "
+        "SELECT doc_id, n_chars, ascii_ratio, n_replacement, n_control, "
+        "n_mojibake, (n_replacement > 0 OR n_control > 0 OR n_mojibake > 0 "
+        f"OR ascii_ratio < {float(min_ascii_ratio)!r}) AS flagged FROM r"
+    )

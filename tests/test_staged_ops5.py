@@ -164,3 +164,179 @@ def test_hybrid_rrf_plan_shape(spark, sf_dir):
     for scan_cols in _re.findall(r"FileScan parquet \[([^\]]*)\]", p):
         cols = [c.split("#")[0] for c in scan_cols.split(",")]
         assert "lang" not in cols and "label" not in cols
+
+
+# --- blocklist policy filter -----------------------------------------------
+
+
+BLOCKLIST = ["spark", "error", "the"]
+
+
+def test_blocklist_hits_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    got = textstats.blocklist_hits(
+        Catalog(spark, sf_dir).documents, BLOCKLIST, max_hit_ratio=0.05
+    )
+    rows = got.collect()
+    assert any(r["n_hits"] > 0 for r in rows), "vacuous: no blocklist hits"
+    assert any(r["flagged"] for r in rows) and not all(r["flagged"] for r in rows)
+    check(got, duck, oracles.blocklist_hits_sql(BLOCKLIST, max_hit_ratio=0.05))
+
+
+def test_blocklist_hits_semantics(spark):
+    """Whole-token matching (no substring Scunthorpe trap), lowercase
+    folding on BOTH sides, distinct-vs-total hit counts, empty doc
+    ratio 0, and the C4 default (max_hit_ratio=0) flagging any hit."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BAD bad badger"),
+            (2, "clean words only"),
+            (3, ""),
+            (4, "bad worse bad worse"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.blocklist_hits(docs, ["Bad", "WORSE"]).collect()
+    }
+    # "badger" must NOT match "bad"; BAD/bad fold together
+    assert rows[1]["n_hits"] == 2 and rows[1]["n_distinct_hits"] == 1
+    assert rows[1]["flagged"]
+    assert rows[2]["n_hits"] == 0 and not rows[2]["flagged"]
+    assert rows[3]["n_tokens"] == 0 and rows[3]["hit_ratio"] == 0.0
+    assert not rows[3]["flagged"]
+    assert rows[4]["n_hits"] == 4 and rows[4]["n_distinct_hits"] == 2
+    assert rows[4]["hit_ratio"] == 1.0
+
+
+def test_blocklist_hits_guards(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = Catalog(spark, sf_dir).documents
+    with pytest.raises(ValueError):
+        textstats.blocklist_hits(docs, [])
+    with pytest.raises(ValueError):
+        textstats.blocklist_hits(docs, ["a"], max_hit_ratio=1.5)
+
+
+def test_blocklist_hits_zero_shuffle_plan(spark, sf_dir):
+    import re as _re
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    df = textstats.blocklist_hits(Catalog(spark, sf_dir).documents, BLOCKLIST)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Python" not in p
+    scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None
+    assert len(scan_cols.group(1).split(",")) <= 2
+
+
+# --- encoding QA -----------------------------------------------------------
+
+
+def test_encoding_qa_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    got = textstats.encoding_qa(Catalog(spark, sf_dir).documents)
+    rows = got.collect()
+    assert all(r["ascii_ratio"] is not None for r in rows)
+    check(got, duck, oracles.encoding_qa_sql())
+
+
+# fixture text built from escapes only (no literal control chars in
+# source): the cp1252-mojibake forms of e/ï (C3 xx -> "Ã..."),
+# left double quote (E2 80 9C -> "â€œ") and ellipsis
+# (E2 80 A6 -> "â€¦"), and the nbsp signature C2 A0.
+_MOJI_DOC = (
+    "cafÃ© naÃ¯ve "
+    "â€œqâ€¦ Â x"
+)
+
+
+def test_encoding_qa_semantics(spark):
+    """Injected pathologies: U+FFFD, C0 controls (tab/newline exempt),
+    the three mojibake digraph markers, non-ascii ratio behavior, an
+    astral-plane emoji (code-POINT length), and the clean doc."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text."),
+            (2, "lost � bytes � here"),
+            (3, "bin\x00ary\x1fjunk\x7f ok\tfine\nyes"),
+            (4, _MOJI_DOC),
+            (5, "你好世界 only cjk"),
+            (6, "emoji \U0001f600 ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.encoding_qa(docs).collect()}
+    r1 = rows[1]
+    assert not r1["flagged"] and r1["ascii_ratio"] == 1.0
+    assert r1["n_replacement"] == r1["n_control"] == r1["n_mojibake"] == 0
+    assert rows[2]["n_replacement"] == 2 and rows[2]["flagged"]
+    # \x00, \x1f, \x7f count; \t and \n are exempt
+    assert rows[3]["n_control"] == 3 and rows[3]["flagged"]
+    # markers: Ã x2 (e/ï), â€ x2 (quote/ellipsis), Â x1
+    assert rows[4]["n_mojibake"] == 5 and rows[4]["flagged"]
+    r5 = rows[5]
+    # 4 CJK of 13 codepoints -> 9/13 ascii, above the 0.5 gate
+    assert r5["n_chars"] == 13 and r5["ascii_ratio"] == round(9 / 13, 6)
+    assert not r5["flagged"]
+    r6 = rows[6]
+    # the emoji is ONE code point (astral plane)
+    assert r6["n_chars"] == 10 and r6["ascii_ratio"] == round(9 / 10, 6)
+
+
+def test_encoding_qa_unicode_parity(spark):
+    """Cross-engine codepoint parity pinned on a hostile frame: astral
+    emoji, CJK, the markers, U+FFFD, a C0 control, empty and
+    whitespace-only docs — the exact frame compares equal through
+    DuckDB's length/replace/regexp and Spark's."""
+    import duckdb as _duck
+    import pandas as _pd
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    rows = [
+        (1, "emoji \U0001f600\U0001f680 double"),
+        (2, "mix Ã© � \x01 你"),
+        (3, ""),
+        (4, "   "),
+        (5, _MOJI_DOC),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = normalize(textstats.encoding_qa(docs).toPandas())
+    con = _duck.connect()
+    con.register("documents", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = normalize(con.sql(oracles.encoding_qa_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_encoding_qa_guards(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    with pytest.raises(ValueError):
+        textstats.encoding_qa(
+            Catalog(spark, sf_dir).documents, min_ascii_ratio=1.5
+        )
+
+
+def test_encoding_qa_zero_shuffle_plan(spark, sf_dir):
+    import re as _re
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    df = textstats.encoding_qa(Catalog(spark, sf_dir).documents)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Python" not in p
+    scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None
+    assert len(scan_cols.group(1).split(",")) <= 2
