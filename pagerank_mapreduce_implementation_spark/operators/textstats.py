@@ -2237,14 +2237,20 @@ def blocklist_hits(
     doc_col: str = "doc_id",
     max_hit_ratio: float = 0.0,
     lowercase: bool = True,
+    keep_cols: tuple = (),
+    flag_only: bool = False,
 ) -> DataFrame:
     """Wordlist policy filter (the C4 "bad words" stage, Raffel et al.
     2020 §2.2 — C4 drops any page containing a listed word, i.e. the
     ``max_hit_ratio=0.0`` default): per-doc token matches against a
-    curated blocklist → ``(doc_id, n_tokens, n_hits, n_distinct_hits,
-    hit_ratio, flagged)`` with ``flagged = hit_ratio > max_hit_ratio``
-    computed over the ROUND(6) ratio (both engines compare the same
-    rounded value — no ulp-edge divergence on the policy bit).
+    curated blocklist → ``(doc_id, [keep_cols...], n_tokens, n_hits,
+    n_distinct_hits, hit_ratio, flagged)`` with ``flagged = hit_ratio
+    > max_hit_ratio`` computed over the ROUND(6) ratio (both engines
+    compare the same rounded value — no ulp-edge divergence on the
+    policy bit). ``flag_only=True`` is the filter-consumer mode
+    (clean_corpus): just ``(doc_id, [keep_cols...], flagged)``, which
+    also lets an input with its own ``n_tokens``-named column ride
+    keep_cols without an ambiguous-reference collision.
 
     Matching is exact whole-token equality over the whitespace
     tokenizer (the doc-pipeline convention), lowercased by default —
@@ -2270,22 +2276,42 @@ def blocklist_hits(
     toks = _tokens(text_col)
     if lowercase:
         toks = F.transform(toks, lambda w: F.lower(w))
-    staged = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("_toks"))
-    n_tokens = F.size("_toks")
-    n_hits = F.size(F.filter(F.col("_toks"), lambda w: F.array_contains(blk, w)))
+    feature_out = () if flag_only else (
+        "n_tokens", "n_hits", "n_distinct_hits", "hit_ratio"
+    )
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), *kept, toks.alias("_bl_toks")
+    )
+    kept_names = [
+        c if isinstance(c, str) else staged.columns[1 + i]
+        for i, c in enumerate(keep_cols)
+    ]
+    _check_keep_cols(kept_names, set(feature_out) | {"flagged"}, "blocklist_hits")
+    n_tokens = F.size("_bl_toks")
+    n_hits = F.size(
+        F.filter(F.col("_bl_toks"), lambda w: F.array_contains(blk, w))
+    )
     ratio = F.round(
         F.when(n_tokens > 0, n_hits.cast("double") / n_tokens).otherwise(0.0), 6
     )
     return staged.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
-        n_hits.cast("long").alias("n_hits"),
-        # array_intersect dedupes (Spark: "without duplicates") — the
-        # oracle spells it list_filter(list_distinct(...), ...)
-        F.size(F.array_intersect(F.col("_toks"), blk)).cast("long").alias(
-            "n_distinct_hits"
+        *kept_names,
+        *(
+            []
+            if flag_only
+            else [
+                n_tokens.cast("long").alias("n_tokens"),
+                n_hits.cast("long").alias("n_hits"),
+                # array_intersect dedupes (Spark: "without duplicates")
+                # — the oracle spells it list_filter(list_distinct(...))
+                F.size(F.array_intersect(F.col("_bl_toks"), blk))
+                .cast("long")
+                .alias("n_distinct_hits"),
+                ratio.alias("hit_ratio"),
+            ]
         ),
-        ratio.alias("hit_ratio"),
         (ratio > F.lit(float(max_hit_ratio))).alias("flagged"),
     )
 
@@ -2301,11 +2327,16 @@ def encoding_qa(
     text_col: str = "text",
     doc_col: str = "doc_id",
     min_ascii_ratio: float = 0.5,
+    keep_cols: tuple = (),
+    flag_only: bool = False,
 ) -> DataFrame:
     """Per-doc encoding-health audit — the ingest gate a web-scale text
     pipeline runs before any tokenizer sees the bytes: ``(doc_id,
-    n_chars, ascii_ratio, n_replacement, n_control, n_mojibake,
-    flagged)``.
+    [keep_cols...], n_chars, ascii_ratio, n_replacement, n_control,
+    n_mojibake, flagged)``. ``flag_only=True`` is the filter-consumer
+    mode (clean_corpus): ``(doc_id, [keep_cols...], flagged)`` — which
+    is also what lets the documents table's own ``n_chars`` column
+    ride keep_cols without an ambiguous-reference collision.
 
     - ``n_replacement``: U+FFFD REPLACEMENT CHARACTER count — the
       decoder already gave up on those bytes.
@@ -2330,7 +2361,19 @@ def encoding_qa(
     """
     if not 0.0 <= min_ascii_ratio <= 1.0:
         raise ValueError(f"min_ascii_ratio ({min_ascii_ratio}) must be in [0, 1]")
-    c = F.col(text_col)
+    feature_out = () if flag_only else (
+        "n_chars", "ascii_ratio", "n_replacement", "n_control", "n_mojibake"
+    )
+    kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"), *kept, F.col(text_col).alias("_eq_text")
+    )
+    kept_names = [
+        c if isinstance(c, str) else staged.columns[1 + i]
+        for i, c in enumerate(keep_cols)
+    ]
+    _check_keep_cols(kept_names, set(feature_out) | {"flagged"}, "encoding_qa")
+    c = F.col("_eq_text")
     n_chars = F.length(c)
     n_ascii = F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", ""))
     ascii_ratio = F.round(
@@ -2346,13 +2389,20 @@ def encoding_qa(
             (n_chars - F.length(F.replace(c, F.lit(m), F.lit("")))) / F.lit(len(m))
         ).cast("long")
         moji = cnt if moji is None else moji + cnt
-    return docs.select(
-        F.col(doc_col).alias("doc_id"),
-        n_chars.cast("long").alias("n_chars"),
-        ascii_ratio.alias("ascii_ratio"),
-        n_repl.cast("long").alias("n_replacement"),
-        n_ctrl.cast("long").alias("n_control"),
-        moji.alias("n_mojibake"),
+    return staged.select(
+        "doc_id",
+        *kept_names,
+        *(
+            []
+            if flag_only
+            else [
+                n_chars.cast("long").alias("n_chars"),
+                ascii_ratio.alias("ascii_ratio"),
+                n_repl.cast("long").alias("n_replacement"),
+                n_ctrl.cast("long").alias("n_control"),
+                moji.alias("n_mojibake"),
+            ]
+        ),
         (
             (n_repl > 0)
             | (n_ctrl > 0)

@@ -282,6 +282,8 @@ def clean_corpus(
     gopher: bool | dict = False,
     gopher_rep: bool | dict = False,
     c4: bool | dict = False,
+    encoding_gate: bool | dict = False,
+    blocklist: "list | dict | None" = None,
     intra_line_dedup: bool | dict = False,
     line_dedup: bool | dict = False,
     embeddings: DataFrame | None = None,
@@ -324,11 +326,24 @@ def clean_corpus(
        word-count / word-length / symbol / bullet / ellipsis / alpha /
        stopword bounds in one zero-shuffle pass; pass a dict to
        override individual thresholds (forwarded as kwargs)
+    0b. encoding-health gate (textstats.encoding_qa) when
+       ``encoding_gate`` is truthy — drops docs carrying U+FFFD
+       replacement chars, C0 controls, UTF-8-as-Latin-1 mojibake
+       digraphs, or a sub-threshold ascii ratio in one zero-shuffle
+       pass BEFORE any tokenizer-dependent stage sees the bytes; dict
+       form forwards kwargs (``min_ascii_ratio``)
     1c. C4 heuristics (textstats.c4_rules, Raffel et al. 2020) when
        ``c4`` is truthy — pages failing the C4 verdict drop AND kept
        pages are REWRITTEN to their surviving lines (terminal-punct /
        min-words / javascript line rules), so every later stage sees
        the cleaned text; dict form forwards kwargs
+    1d. blocklist policy filter (textstats.blocklist_hits, the C4
+       bad-words stage) when ``blocklist`` is set — a word LIST flags
+       any doc whose round(6) token hit-ratio exceeds 0 (exact
+       whole-token matching, lowercased); a dict form forwards kwargs
+       (``{"blocklist": [...], "max_hit_ratio": 0.05}``). Runs after
+       the C4 line rewrite so the policy sees the text that will
+       actually survive
     2. quality floor (textstats.quality_scores composite)
     3. repetition cap (textstats.repetition_ratio) when
        ``max_repetition`` set — drops boilerplate/generated spam
@@ -509,6 +524,8 @@ def clean_corpus(
             gopher=gopher,
             gopher_rep=gopher_rep,
             c4=c4,
+            encoding_gate=encoding_gate,
+            blocklist=blocklist,
             intra_line_dedup=intra_line_dedup,
             line_dedup=line_dedup,
             embeddings=embeddings,
@@ -565,6 +582,8 @@ def _clean_corpus_body(
     gopher,
     gopher_rep,
     c4,
+    encoding_gate,
+    blocklist,
     intra_line_dedup,
     line_dedup,
     embeddings,
@@ -617,6 +636,17 @@ def _clean_corpus_body(
     # corpus-vs-corpus doc_id join back (three joins saved — at 100 TB
     # those were the most expensive non-dedup steps in the program)
     passthru = tuple(c for c in docs.columns if c != "doc_id")
+    if encoding_gate:
+        # stage 0b: encoding-health gate — zero-shuffle, BEFORE any
+        # tokenizer-dependent stage sees the bytes
+        eq_kwargs = encoding_gate if isinstance(encoding_gate, dict) else {}
+        docs = (
+            textstats.encoding_qa(
+                docs, keep_cols=passthru, flag_only=True, **eq_kwargs
+            )
+            .filter(~F.col("flagged"))
+            .select("doc_id", *passthru)
+        )
     if lang is not None:
         docs = (
             textstats.lang_id(docs, keep_cols=passthru)
@@ -642,6 +672,21 @@ def _clean_corpus_body(
                     for c in passthru
                 ],
             )
+        )
+    if blocklist is not None:
+        # stage 1d: wordlist policy drop — zero-shuffle, after the C4
+        # rewrite so the policy sees the surviving text
+        bl_kwargs = (
+            dict(blocklist)
+            if isinstance(blocklist, dict)
+            else {"blocklist": list(blocklist)}
+        )
+        docs = (
+            textstats.blocklist_hits(
+                docs, keep_cols=passthru, flag_only=True, **bl_kwargs
+            )
+            .filter(~F.col("flagged"))
+            .select("doc_id", *passthru)
         )
     if min_quality > 0.0:
         docs = (

@@ -340,3 +340,70 @@ def test_encoding_qa_zero_shuffle_plan(spark, sf_dir):
     scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
     assert scan_cols is not None
     assert len(scan_cols.group(1).split(",")) <= 2
+
+
+# --- clean_corpus wiring (stages 0b encoding gate + 1d blocklist) ----------
+
+
+def test_clean_corpus_encoding_and_blocklist_stages(spark, tmp_path):
+    """End-to-end program pass: the encoding gate drops the U+FFFD doc
+    and the control-char doc, the blocklist stage drops the flagged
+    doc, clean docs survive byte-identical with full schema."""
+    from pagerank_mapreduce_implementation_spark.programs import clean_corpus
+
+    rows = [
+        (1, "a perfectly clean document of words", "en", "web", 35),
+        (2, "broken � bytes here", "en", "web", 19),
+        (3, "control\x00chars", "en", "web", 13),
+        (4, "totally forbidden words here", "en", "web", 28),
+        (5, "another clean survivor document", "en", "web", 31),
+    ]
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    kept = clean_corpus(
+        spark,
+        src,
+        out,
+        encoding_gate=True,
+        blocklist=["forbidden"],
+        near_dup_threshold=1.01,  # disable near-dup for this fixture
+    )
+    got = {r["doc_id"]: r for r in kept.collect()}
+    assert sorted(got) == [1, 5]
+    assert got[1]["text"] == rows[0][1]  # byte-identical passthrough
+    assert set(kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_blocklist_keep_cols_flag_only(spark, sf_dir):
+    """Filter-consumer mode rides the full row (documents' own n_chars
+    does NOT collide) and emits just the flag; full mode raises on a
+    colliding keep_col instead of producing a duplicate name."""
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = Catalog(spark, sf_dir).documents
+    passthru = tuple(c for c in docs.columns if c != "doc_id")
+    out = textstats.blocklist_hits(
+        docs, ["spark"], keep_cols=passthru, flag_only=True
+    )
+    assert out.columns == ["doc_id", *passthru, "flagged"]
+    clashing = docs.withColumn("n_tokens", F.lit(0))
+    with pytest.raises(ValueError):
+        textstats.blocklist_hits(
+            clashing, ["spark"], keep_cols=("n_tokens",), flag_only=False
+        )
+    with pytest.raises(ValueError):
+        textstats.blocklist_hits(docs, ["spark"], keep_cols=("lang", "lang"))
+
+
+def test_encoding_qa_keep_cols_flag_only(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    docs = Catalog(spark, sf_dir).documents
+    passthru = tuple(c for c in docs.columns if c != "doc_id")
+    out = textstats.encoding_qa(docs, keep_cols=passthru, flag_only=True)
+    assert out.columns == ["doc_id", *passthru, "flagged"]
+    with pytest.raises(ValueError):
+        textstats.encoding_qa(docs, keep_cols=("n_chars",), flag_only=False)
