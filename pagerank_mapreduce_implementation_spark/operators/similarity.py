@@ -1422,6 +1422,8 @@ def hybrid_rrf_search(
     n: int = 50,
     k: int = 10,
     rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
     total_docs: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1466,7 +1468,7 @@ def hybrid_rrf_search(
         raise ValueError("rrf_k must be >= 1 (RRF denominator offset)")
 
     lex_top = (
-        bm25_search(docs, terms, total_docs=total_docs)
+        bm25_search(docs, terms, k1=k1, b=b, total_docs=total_docs)
         .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(n)

@@ -4257,12 +4257,16 @@ def encoding_qa_sql(min_ascii_ratio: float = 0.5) -> str:
     replace substring arithmetic for U+FFFD and the mojibake markers,
     the same RE2-and-Java-identical character classes for ascii and C0
     controls, flagged on the ROUND(6) ascii_ratio."""
+    from pagerank_mapreduce_implementation_spark.operators.textstats import (
+        MOJIBAKE_MARKERS,
+    )
+
     if not 0.0 <= min_ascii_ratio <= 1.0:
         raise ValueError(f"min_ascii_ratio ({min_ascii_ratio}) must be in [0, 1]")
     moji = " + ".join(
         f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} "
         "AS BIGINT)"
-        for m in ["Ã", "â€", "Â"]
+        for m in MOJIBAKE_MARKERS
     )
     return (
         "WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

@@ -68,20 +68,23 @@ def write_sliced(df, out_dir, slices, order_col="ts"):
                 / F.lit(total_s / slices)
             ).cast("int"),
         ),
-    )
+    ).persist()  # one lineage computation, not one per slice filter
     t0 = time.time()
-    for s in range(slices):
-        part_dir = f"{out_dir}/__part{s}"
-        sliced.filter(F.col("__slice") == s).drop("__slice").coalesce(
-            1
-        ).write.parquet(part_dir)
-        src = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = f"{out_dir}/slice{s:03d}.parquet"
-        shutil.move(f"{part_dir}/{src}", dst)
-        shutil.rmtree(part_dir)
-        os.utime(dst, (t0 + s, t0 + s))
+    try:
+        for s in range(slices):
+            part_dir = f"{out_dir}/__part{s}"
+            sliced.filter(F.col("__slice") == s).drop("__slice").coalesce(
+                1
+            ).write.parquet(part_dir)
+            src = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = f"{out_dir}/slice{s:03d}.parquet"
+            shutil.move(f"{part_dir}/{src}", dst)
+            shutil.rmtree(part_dir)
+            os.utime(dst, (t0 + s, t0 + s))
+    finally:
+        sliced.unpersist()
 
 
 def run_stream(spark, stream_df, name, mode, state_partitions=8, timeout_s=600):
@@ -109,7 +112,13 @@ def run_stream(spark, stream_df, name, mode, state_partitions=8, timeout_s=600):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                f"{name} still running after {timeout_s}s — partial "
+                "metrics would be recorded as authoritative; aborting"
+            )
         wall = round(time.time() - t0, 2)
         progs = [json.loads(p.json) for p in q.recentProgress]
     finally:
@@ -289,6 +298,23 @@ def main() -> None:
             "horizon must cap dedup state well below the unbounded store "
             f"({db['peak_state_rows']} vs {du['peak_state_rows']})"
         )
+        # claim 4: custom stateful state is linear in distinct users BY
+        # DESIGN — 10x users must mean ~10x state, no more
+        sb, sd = results["stateful_base"], results["stateful_dense10x"]
+        assert sb["peak_state_rows"] > 0
+        ratio = sd["peak_state_rows"] / sb["peak_state_rows"]
+        assert args.copies * 0.9 <= ratio <= args.copies * 1.1, (
+            "stateful state must scale linearly with distinct users "
+            f"({sd['peak_state_rows']} vs {sb['peak_state_rows']})"
+        )
+        # the in-order feed construction is load-bearing: any watermark
+        # drop means slices arrived out of event-time order and the
+        # study silently measured a truncated stream
+        for rname, r in results.items():
+            assert r["dropped_by_watermark"] == 0, (
+                f"{rname} dropped {r['dropped_by_watermark']} rows by "
+                "watermark — feed not in event-time order"
+            )
         print(json.dumps({"ok": True, **results}))
     finally:
         shutil.rmtree(root, ignore_errors=True)
