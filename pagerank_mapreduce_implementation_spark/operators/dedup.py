@@ -2820,3 +2820,57 @@ def ngram_source_overlap(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def source_manifest(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dataset manifest — the content-versioning primitive a
+    training pipeline records beside every shard build (data cards,
+    cache keys, "did anything change since the last snapshot?"):
+    ``(source, n_docs, n_tokens, n_chars, content_hash, min_doc_id,
+    max_doc_id)``.
+
+    ``content_hash`` is an ORDER-INDEPENDENT multiset hash: the sum,
+    mod 2^60, of each doc's 60-bit content fingerprint (first 15 md5
+    hex digits of the ``normalize_text`` canonical form — the exact
+    same fingerprint convention ``exact_dedup`` keys on, so two
+    corpora agree on the manifest iff they agree doc-for-doc under
+    exact dedup's definition of "same content"). Additive mod-2^60
+    rather than a sorted concatenation because that is the 100 TB
+    shape: a per-source sorted collect would single-partition each
+    source's gigabytes through one string build, while the additive
+    form is one map-side-combined groupBy whose partial sums are
+    exact in decimal(38,0) (long would overflow at 8 docs x 2^60;
+    HUGEINT on the DuckDB side) — same hash from any row order, any
+    partitioning, any engine. The tradeoff is the usual multiset-hash
+    one: adversarial collisions are easier than for a Merkle chain,
+    fine for drift DETECTION, wrong for tamper PROOF.
+
+    One shuffle (the groupBy), scan-bound otherwise; every per-row
+    expression is JVM-side.
+    """
+    fp60 = F.conv(
+        F.substring(F.md5(normalize_text(F.col(text_col))), 1, 15), 16, 10
+    ).cast("long")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    staged = docs.select(
+        F.col(group_col).alias("source"),
+        F.col(doc_col).alias("doc_id"),
+        fp60.alias("_fp"),
+        F.size(toks).alias("_nt"),
+        F.length(F.col(text_col)).alias("_nc"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        (F.sum(F.col("_fp").cast("decimal(38,0)")) % F.lit(2**60))
+        .cast("long")
+        .alias("content_hash"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

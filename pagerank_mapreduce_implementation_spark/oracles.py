@@ -4283,3 +4283,25 @@ def encoding_qa_sql(min_ascii_ratio: float = 0.5) -> str:
         "n_mojibake, (n_replacement > 0 OR n_control > 0 OR n_mojibake > 0 "
         f"OR ascii_ratio < {float(min_ascii_ratio)!r}) AS flagged FROM r"
     )
+
+
+def source_manifest_sql(group_col: str = "source") -> str:
+    """Mirror of ``dedup.source_manifest`` over ``documents``: the
+    additive mod-2^60 multiset hash of exact-dedup content
+    fingerprints (first 15 md5 hex digits of the normalize_text form),
+    summed in HUGEINT (Spark sums decimal(38,0) — both exact)."""
+    return (
+        "WITH s AS (SELECT "
+        f"{group_col} AS source, doc_id, "
+        "('0x' || substr(md5(lower(trim(regexp_replace(text, "
+        "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
+        "len(list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
+        "w -> w <> '')) AS nt, "
+        "length(text) AS nc FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+        "CAST(sum(nc) AS BIGINT) AS n_chars, "
+        "CAST(sum(fp) % 1152921504606846976 AS BIGINT) AS content_hash, "
+        "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id "
+        "FROM s GROUP BY source"
+    )

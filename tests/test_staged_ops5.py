@@ -407,3 +407,95 @@ def test_encoding_qa_keep_cols_flag_only(spark, sf_dir):
     assert out.columns == ["doc_id", *passthru, "flagged"]
     with pytest.raises(ValueError):
         textstats.encoding_qa(docs, keep_cols=("n_chars",), flag_only=False)
+
+
+# --- per-source dataset manifest -------------------------------------------
+
+
+def test_source_manifest_parity(spark, sf_dir, duck):
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    got = dedup.source_manifest(Catalog(spark, sf_dir).documents)
+    rows = got.collect()
+    assert len(rows) > 1
+    assert len({r["content_hash"] for r in rows}) == len(rows), (
+        "vacuous: sources share a content hash"
+    )
+    check(got, duck, oracles.source_manifest_sql())
+
+
+def test_source_manifest_order_independence(spark, sf_dir):
+    """The multiset hash must be identical under any row order and any
+    partitioning — that is the entire point of the additive form."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    base = {
+        r["source"]: r["content_hash"]
+        for r in dedup.source_manifest(docs).collect()
+    }
+    shuffled = docs.orderBy(F.reverse(F.col("text"))).repartition(13)
+    again = {
+        r["source"]: r["content_hash"]
+        for r in dedup.source_manifest(shuffled).collect()
+    }
+    assert base == again
+
+
+def test_source_manifest_detects_single_char_drift(spark):
+    """A one-character edit in one doc must move exactly that source's
+    hash; identical content in a different doc-id order must NOT
+    (content_hash keys on text, not ids)."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta", "a"),
+        (2, "gamma delta", "a"),
+        (3, "epsilon zeta", "b"),
+    ]
+    schema = "doc_id long, text string, source string"
+    base = {
+        r["source"]: r
+        for r in dedup.source_manifest(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    # NOTE "alpha betA" would NOT drift: the fingerprint is over the
+    # normalize_text canonical form, which lowercases — same content
+    # under exact_dedup's definition, same hash, by design
+    edited = [(1, "alpha betz", "a"), rows[1], rows[2]]
+    got = {
+        r["source"]: r
+        for r in dedup.source_manifest(
+            spark.createDataFrame(edited, schema)
+        ).collect()
+    }
+    assert got["a"]["content_hash"] != base["a"]["content_hash"]
+    assert got["b"]["content_hash"] == base["b"]["content_hash"]
+    swapped = [(2, "alpha beta", "a"), (1, "gamma delta", "a"), rows[2]]
+    got2 = {
+        r["source"]: r
+        for r in dedup.source_manifest(
+            spark.createDataFrame(swapped, schema)
+        ).collect()
+    }
+    assert got2["a"]["content_hash"] == base["a"]["content_hash"]
+
+
+def test_source_manifest_one_shuffle_plan(spark, sf_dir):
+    """One groupBy exchange with a map-side partial agg below it; the
+    scan prunes to (doc_id, text, source)."""
+    import re as _re
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    df = dedup.source_manifest(Catalog(spark, sf_dir).documents)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert "Python" not in p
+    assert p.index("HashAggregate") < p.index("Exchange"), (
+        "no map-side partial aggregation below the exchange"
+    )
+    scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert scan_cols is not None
+    assert len(scan_cols.group(1).split(",")) <= 3
