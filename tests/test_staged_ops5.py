@@ -499,3 +499,32 @@ def test_source_manifest_one_shuffle_plan(spark, sf_dir):
     scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
     assert scan_cols is not None
     assert len(scan_cols.group(1).split(",")) <= 3
+
+
+def test_streaming_source_manifest_matches_batch(spark, sf_dir):
+    """Batch/stream parity for the manifest twin: availableNow over
+    the full documents table must equal dedup.source_manifest row for
+    row — including the content_hash, whose mod is deliberately
+    deferred past the incremental aggregation."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+    from pagerank_mapreduce_implementation_spark.streaming import (
+        read_table_stream,
+        run_to_memory,
+        streaming_source_manifest,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    assert stream.isStreaming
+    run_to_memory(
+        streaming_source_manifest(stream), "stream_manifest", "complete"
+    )
+    got = sorted(map(tuple, spark.table("stream_manifest").collect()))
+    want = sorted(
+        map(
+            tuple,
+            dedup.source_manifest(Catalog(spark, sf_dir).documents).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 1
+    spark.catalog.dropTempView("stream_manifest")
