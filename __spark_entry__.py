@@ -3787,6 +3787,79 @@ def _q_semdedup_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r17 REGISTRATION PREP: wrappers for the round-16-continuation staged
+# cohort. Deliberately NOT in queries()/oracle_sql() yet — the r16 window
+# is exactly full and new entries must enter AT the window front to get a
+# same-round certificate (README §Registry capacity). Their correctness
+# gate until then is tests/test_staged_ops5.py (sf0.001 + sf0.01 parity).
+# r17: move these into the dicts with oracles.hybrid_rrf_search_sql(
+# SEARCH_TERMS, 0, 50, 10), oracles.blocklist_hits_sql(_BLOCKLIST_TERMS,
+# max_hit_ratio=0.05), oracles.encoding_qa_sql(), and
+# oracles.source_manifest_sql() (x2 — the streaming twin shares it).
+
+_BLOCKLIST_TERMS = ["spark", "error", "the"]
+
+
+def _q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and cosine-top-k branches
+    (similarity.hybrid_rrf_search, Cormack et al. 2009): each branch
+    ends in a TakeOrderedAndProject of n=50 rows, so ranks, the
+    full-outer fuse, and the final top-10 run on <= 100 rows at any
+    corpus size. Ranks assign over the round(6)-certified branch
+    scores with id tiebreaks — cross-engine exact."""
+    cat = Catalog(spark, sf_dir)
+    return similarity.hybrid_rrf_search(
+        cat.documents, cat.embeddings, SEARCH_TERMS, query_vec_id=0, n=50, k=10
+    )
+
+
+def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words policy stage (textstats.blocklist_hits): exact
+    whole-token matching against a plan-literal wordlist, zero
+    shuffle; flagged compares the round(6) hit ratio on both engines.
+    Wired as clean_corpus(blocklist=...)."""
+    return textstats.blocklist_hits(
+        Catalog(spark, sf_dir).documents, _BLOCKLIST_TERMS, max_hit_ratio=0.05
+    )
+
+
+def _q_encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer encoding health (textstats.encoding_qa): U+FFFD /
+    C0-control / mojibake-digraph counts by literal substring
+    arithmetic, code-point-exact across engines, zero shuffle. Wired
+    as clean_corpus(encoding_gate=...)."""
+    return textstats.encoding_qa(Catalog(spark, sf_dir).documents)
+
+
+def _q_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset manifest (dedup.source_manifest): the
+    order-independent additive mod-2^60 multiset hash of exact-dedup
+    content fingerprints — one map-side-combined groupBy, exact
+    decimal(38,0) partial sums."""
+    return dedup.source_manifest(Catalog(spark, sf_dir).documents)
+
+
+def _q_streaming_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of source_manifest: every manifest component is
+    a commutative-monoid aggregate, so complete-mode state is one row
+    per source; the mod-2^60 projects AFTER the incremental agg and
+    the emitted frame equals the batch operator bit-for-bit (the same
+    source_manifest_sql oracle certifies both)."""
+    from pagerank_mapreduce_implementation_spark.streaming import (
+        read_table_stream,
+        run_to_memory,
+        streaming_source_manifest,
+    )
+
+    name = f"_stream_manifest_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        streaming_source_manifest(read_table_stream(spark, sf_dir, "documents")),
+        name,
+        "complete",
+    )
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS A ROTATION POLICY, not an accident: the grading
     # driver's correctness window checks the FIRST 50 entries, so each
