@@ -2850,27 +2850,55 @@ def source_manifest(
     one: adversarial collisions are easier than for a Merkle chain,
     fine for drift DETECTION, wrong for tamper PROOF.
 
+    NULL text counts as the empty string (doc still counted, zero
+    tokens/chars, the empty-string fingerprint in the hash) — the one
+    convention that keeps both engines' aggregates identical (Spark's
+    size/length would otherwise feed -1/NULL where DuckDB's sum skips
+    NULLs).
+
     One shuffle (the groupBy), scan-bound otherwise; every per-row
-    expression is JVM-side.
+    expression is JVM-side. Every aggregate is a commutative monoid,
+    which is what makes ``streaming_source_manifest`` the same
+    builder run in complete mode — the mod projects AFTER the agg on
+    both paths (Spark cannot fold a mod into an incremental
+    aggregate, and batch keeps the identical plan so the twins cannot
+    drift).
     """
-    fp60 = F.conv(
-        F.substring(F.md5(normalize_text(F.col(text_col))), 1, 15), 16, 10
-    ).cast("long")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    return _manifest_aggregate(docs, group_col, text_col, doc_col)
+
+
+def _manifest_aggregate(
+    docs: DataFrame, group_col: str, text_col: str, doc_col: str
+) -> DataFrame:
+    """Shared body of source_manifest and its streaming twin: staged
+    per-row fingerprint/counts, monoid-only groupBy, post-agg mod."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    fp60 = _word_hash60(normalize_text(txt))
+    toks = F.filter(F.split(txt, r"\s+"), lambda w: w != "")
     staged = docs.select(
         F.col(group_col).alias("source"),
         F.col(doc_col).alias("doc_id"),
         fp60.alias("_fp"),
         F.size(toks).alias("_nt"),
-        F.length(F.col(text_col)).alias("_nc"),
+        F.length(txt).alias("_nc"),
     )
-    return staged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_nt").cast("long").alias("n_tokens"),
-        F.sum("_nc").cast("long").alias("n_chars"),
-        (F.sum(F.col("_fp").cast("decimal(38,0)")) % F.lit(2**60))
-        .cast("long")
-        .alias("content_hash"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.sum(F.col("_fp").cast("decimal(38,0)")).alias("_hsum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            (F.col("_hsum") % F.lit(2**60)).cast("long").alias("content_hash"),
+            "min_doc_id",
+            "max_doc_id",
+        )
     )

@@ -4293,11 +4293,11 @@ def source_manifest_sql(group_col: str = "source") -> str:
     return (
         "WITH s AS (SELECT "
         f"{group_col} AS source, doc_id, "
-        "('0x' || substr(md5(lower(trim(regexp_replace(text, "
+        "('0x' || substr(md5(lower(trim(regexp_replace(coalesce(text, ''), "
         "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
-        "len(list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
-        "w -> w <> '')) AS nt, "
-        "length(text) AS nc FROM documents) "
+        "len(list_filter(regexp_split_to_array(coalesce(text, ''), "
+        "'[[:space:]]+'), w -> w <> '')) AS nt, "
+        "length(coalesce(text, '')) AS nc FROM documents) "
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(nt) AS BIGINT) AS n_tokens, "
         "CAST(sum(nc) AS BIGINT) AS n_chars, "

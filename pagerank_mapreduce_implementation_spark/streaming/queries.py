@@ -854,46 +854,16 @@ def streaming_source_manifest(
     The additive mod-2^60 multiset hash is exactly what makes this
     streamable: every component is a commutative-monoid aggregate
     (count/sum/min/max), so complete-mode state = ONE row per source —
-    independent of stream length, no watermark needed. The one
-    streaming substitution: the running hash accumulates in
-    decimal(38,0) WITHOUT the final mod (38 digits absorb ~10^20 docs
-    before overflow; Spark cannot fold a mod into an incremental agg),
-    and the mod-2^60 + cast projects AFTER the aggregation — the
-    emitted hash equals the batch operator's bit-for-bit, which the
-    parity test pins.
+    independent of stream length, no watermark needed. The running
+    hash accumulates in decimal(38,0) WITHOUT the final mod (38 digits
+    absorb ~10^20 docs before overflow; Spark cannot fold a mod into
+    an incremental agg) and the mod-2^60 + cast projects AFTER the
+    aggregation — this is literally the batch operator's builder
+    (``dedup._manifest_aggregate``) applied to an unbounded frame, so
+    the twins CANNOT drift; the parity test pins bit-equality anyway.
     """
     from pagerank_mapreduce_implementation_spark.operators.dedup import (
-        normalize_text,
+        _manifest_aggregate,
     )
 
-    fp60 = F.conv(
-        F.substring(F.md5(normalize_text(F.col(text_col))), 1, 15), 16, 10
-    ).cast("long")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    staged = docs.select(
-        F.col(group_col).alias("source"),
-        F.col(doc_col).alias("doc_id"),
-        fp60.alias("_fp"),
-        F.size(toks).alias("_nt"),
-        F.length(F.col(text_col)).alias("_nc"),
-    )
-    return (
-        staged.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_nt").cast("long").alias("n_tokens"),
-            F.sum("_nc").cast("long").alias("n_chars"),
-            F.sum(F.col("_fp").cast("decimal(38,0)")).alias("_hsum"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            "n_chars",
-            (F.col("_hsum") % F.lit(2**60)).cast("long").alias("content_hash"),
-            "min_doc_id",
-            "max_doc_id",
-        )
-    )
+    return _manifest_aggregate(docs, group_col, text_col, doc_col)

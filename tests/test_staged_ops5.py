@@ -493,12 +493,40 @@ def test_source_manifest_one_shuffle_plan(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1
     assert "Python" not in p
-    assert p.index("HashAggregate") < p.index("Exchange"), (
+    # plans print root-first, so the partial (map-side) aggregate is
+    # the SECOND HashAggregate, below the exchange
+    assert p.count("HashAggregate") == 2
+    assert p.rindex("HashAggregate") > p.index("Exchange"), (
         "no map-side partial aggregation below the exchange"
     )
     scan_cols = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
     assert scan_cols is not None
     assert len(scan_cols.group(1).split(",")) <= 3
+
+
+def test_source_manifest_null_text_parity(spark):
+    """NULL text counts as the empty string on BOTH engines — without
+    the coalesce, Spark's size(NULL) = -1 would decrement n_tokens
+    while DuckDB's sum skips NULLs (cross-engine divergence on a
+    general library primitive)."""
+    import duckdb as _duck
+    import pandas as _pd
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    rows = [(1, "two words", "a"), (2, None, "a"), (3, "one", "b")]
+    schema = "doc_id long, text string, source string"
+    got = normalize(
+        dedup.source_manifest(spark.createDataFrame(rows, schema)).toPandas()
+    )
+    con = _duck.connect()
+    con.register(
+        "documents", _pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    want = normalize(con.sql(oracles.source_manifest_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    a = got[got.source == "a"].iloc[0]
+    assert a["n_docs"] == 2 and a["n_tokens"] == 2 and a["n_chars"] == 9
 
 
 def test_streaming_source_manifest_matches_batch(spark, sf_dir):
