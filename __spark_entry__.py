@@ -3839,6 +3839,19 @@ def _q_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_manifest(Catalog(spark, sf_dir).documents)
 
 
+def _q_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift over two source_manifest frames (dedup.
+    manifest_drift): old = docs with doc_id % 7 <> 0, new = the full
+    corpus — every source gains docs, all rows report changed. A
+    full-outer join of two |sources|-row aggregates, all-integer
+    outputs. Oracle: oracles.manifest_drift_sql()."""
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.manifest_drift(
+        dedup.source_manifest(docs.filter(F.col("doc_id") % 7 != 0)),
+        dedup.source_manifest(docs),
+    )
+
+
 def _q_streaming_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of source_manifest: every manifest component is
     a commutative-monoid aggregate, so complete-mode state is one row

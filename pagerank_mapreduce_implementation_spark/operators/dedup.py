@@ -2902,3 +2902,55 @@ def _manifest_aggregate(
             "max_doc_id",
         )
     )
+
+
+def manifest_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot comparison over two ``source_manifest`` frames — the
+    consumer query the manifest exists for ("what changed since the
+    last recorded snapshot?"): ``(source, status, n_docs_old,
+    n_docs_new, docs_delta, tokens_delta, hash_changed)`` with
+    ``status`` one of ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` (changed = same source present in both whose
+    content_hash moved — the multiset hash makes that the exact
+    "any doc's canonical content differs or counts shifted" signal,
+    up to hash collision).
+
+    A full-outer join of two |sources|-row frames: trivially
+    broadcastable at any corpus size, since the manifests are already
+    the aggregated artifact. All-integer outputs — cross-engine exact
+    with no rounding points.
+    """
+    o = old.select(
+        "source",
+        F.col("n_docs").alias("_do"),
+        F.col("n_tokens").alias("_to"),
+        F.col("content_hash").alias("_ho"),
+    )
+    n = new.select(
+        "source",
+        F.col("n_docs").alias("_dn"),
+        F.col("n_tokens").alias("_tn"),
+        F.col("content_hash").alias("_hn"),
+    )
+    j = o.join(n, "source", "full_outer")
+    status = (
+        F.when(F.col("_do").isNull(), F.lit("added"))
+        .when(F.col("_dn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "source",
+        status.alias("status"),
+        F.col("_do").alias("n_docs_old"),
+        F.col("_dn").alias("n_docs_new"),
+        (F.coalesce(F.col("_dn"), F.lit(0)) - F.coalesce(F.col("_do"), F.lit(0)))
+        .cast("long")
+        .alias("docs_delta"),
+        (F.coalesce(F.col("_tn"), F.lit(0)) - F.coalesce(F.col("_to"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_delta"),
+        F.coalesce(F.col("_ho") != F.col("_hn"), F.lit(True)).alias(
+            "hash_changed"
+        ),
+    )

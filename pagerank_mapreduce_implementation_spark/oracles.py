@@ -4305,3 +4305,40 @@ def source_manifest_sql(group_col: str = "source") -> str:
         "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id "
         "FROM s GROUP BY source"
     )
+
+
+def manifest_drift_sql(
+    old_where: str = "doc_id % 7 <> 0", new_where: str = "TRUE"
+) -> str:
+    """Mirror of ``dedup.manifest_drift`` over two WHERE-filtered
+    manifest views of ``documents`` (the registered-query shape: old =
+    last snapshot, new = current corpus)."""
+
+    def manifest(where: str) -> str:
+        return (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+            "CAST(sum(fp) % 1152921504606846976 AS BIGINT) AS content_hash "
+            "FROM (SELECT source, doc_id, "
+            "('0x' || substr(md5(lower(trim(regexp_replace(coalesce(text, ''), "
+            "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
+            "len(list_filter(regexp_split_to_array(coalesce(text, ''), "
+            "'[[:space:]]+'), w -> w <> '')) AS nt "
+            f"FROM documents WHERE {where}) GROUP BY source"
+        )
+
+    return (
+        f"WITH o AS ({manifest(old_where)}), n AS ({manifest(new_where)}) "
+        "SELECT COALESCE(o.source, n.source) AS source, "
+        "CASE WHEN o.source IS NULL THEN 'added' "
+        "WHEN n.source IS NULL THEN 'removed' "
+        "WHEN o.content_hash <> n.content_hash THEN 'changed' "
+        "ELSE 'unchanged' END AS status, "
+        "o.n_docs AS n_docs_old, n.n_docs AS n_docs_new, "
+        "CAST(COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0) AS BIGINT) "
+        "AS docs_delta, "
+        "CAST(COALESCE(n.n_tokens, 0) - COALESCE(o.n_tokens, 0) AS BIGINT) "
+        "AS tokens_delta, "
+        "COALESCE(o.content_hash <> n.content_hash, TRUE) AS hash_changed "
+        "FROM o FULL OUTER JOIN n ON o.source = n.source"
+    )

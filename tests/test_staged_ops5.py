@@ -556,3 +556,62 @@ def test_streaming_source_manifest_matches_batch(spark, sf_dir):
     assert got == want
     assert len(got) > 1
     spark.catalog.dropTempView("stream_manifest")
+
+
+def test_manifest_drift_parity(spark, sf_dir, duck):
+    """Registered-query shape: old snapshot = docs with doc_id % 7
+    <> 0, new = full corpus — every source gains docs, so every row
+    reports changed with positive deltas."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    got = dedup.manifest_drift(
+        dedup.source_manifest(docs.filter(F.col("doc_id") % 7 != 0)),
+        dedup.source_manifest(docs),
+    )
+    rows = got.collect()
+    assert len(rows) > 1
+    assert all(r["status"] == "changed" for r in rows)
+    check(got, duck, oracles.manifest_drift_sql())
+
+
+def test_manifest_drift_semantics(spark):
+    """All four verdicts on a hand fixture: a source only in new
+    (added), only in old (removed), same content permuted across doc
+    ids (unchanged — the multiset hash ignores id assignment), and a
+    one-word edit (changed with zero docs_delta)."""
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    schema = "doc_id long, text string, source string"
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta", "stable"),
+            (2, "gamma delta", "stable"),
+            (3, "old words", "edited"),
+            (4, "going away", "gone"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (9, "gamma delta", "stable"),
+            (8, "alpha beta", "stable"),
+            (3, "new words", "edited"),
+            (5, "brand new", "fresh"),
+        ],
+        schema,
+    )
+    rows = {
+        r["source"]: r
+        for r in dedup.manifest_drift(
+            dedup.source_manifest(old), dedup.source_manifest(new)
+        ).collect()
+    }
+    assert rows["stable"]["status"] == "unchanged"
+    assert not rows["stable"]["hash_changed"]
+    assert rows["edited"]["status"] == "changed"
+    assert rows["edited"]["docs_delta"] == 0
+    assert rows["gone"]["status"] == "removed"
+    assert rows["gone"]["n_docs_new"] is None and rows["gone"]["docs_delta"] == -1
+    assert rows["fresh"]["status"] == "added"
+    assert rows["fresh"]["hash_changed"]
