@@ -2273,7 +2273,13 @@ def blocklist_hits(
     words = [w.lower() for w in blocklist] if lowercase else list(blocklist)
     words = list(dict.fromkeys(words))
     blk = F.array(*[F.lit(w) for w in words])
-    toks = _tokens(text_col)
+    # NULL text counts as the empty string (the source_manifest
+    # convention): size(split(NULL)) is -1 in Spark, NULL-skipped in
+    # DuckDB sums — coalesce keeps the engines identical
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != "",
+    )
     if lowercase:
         toks = F.transform(toks, lambda w: F.lower(w))
     feature_out = () if flag_only else (
@@ -2365,8 +2371,13 @@ def encoding_qa(
         "n_chars", "ascii_ratio", "n_replacement", "n_control", "n_mojibake"
     )
     kept = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    # NULL text counts as the empty string (the source_manifest
+    # convention) — all-NULL metrics would otherwise ride three-valued
+    # logic into a NULL flagged verdict
     staged = docs.select(
-        F.col(doc_col).alias("doc_id"), *kept, F.col(text_col).alias("_eq_text")
+        F.col(doc_col).alias("doc_id"),
+        *kept,
+        F.coalesce(F.col(text_col), F.lit("")).alias("_eq_text"),
     )
     kept_names = [
         c if isinstance(c, str) else staged.columns[1 + i]

@@ -4235,8 +4235,8 @@ def blocklist_hits_sql(
     tk = "list_transform(tk, w -> lower(w))" if lowercase else "tk"
     return (
         "WITH t AS (SELECT doc_id, "
-        "list_filter(regexp_split_to_array(text, '[[:space:]]+'), "
-        "w -> w <> '') AS tk FROM documents), "
+        "list_filter(regexp_split_to_array(coalesce(text, ''), "
+        "'[[:space:]]+'), w -> w <> '') AS tk FROM documents), "
         f"l AS (SELECT doc_id, {tk} AS tk FROM t), "
         "s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
         f"CAST(len(list_filter(tk, w -> list_contains({lit}, w))) AS BIGINT) "
@@ -4269,13 +4269,15 @@ def encoding_qa_sql(min_ascii_ratio: float = 0.5) -> str:
         for m in MOJIBAKE_MARKERS
     )
     return (
-        "WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        # NULL text counts as '' (the operator's coalesce convention)
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
+        "s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         r"length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_ascii, "
         "CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) "
         "AS n_replacement, "
         "CAST(length(text) - length(regexp_replace(text, "
         r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_control, "
-        f"{moji} AS n_mojibake FROM documents), "
+        f"{moji} AS n_mojibake FROM d), "
         "r AS (SELECT *, round(CASE WHEN n_chars > 0 THEN "
         "CAST(n_ascii AS DOUBLE) / n_chars ELSE 1.0 END, 6) AS ascii_ratio "
         "FROM s) "

@@ -196,6 +196,7 @@ def test_blocklist_hits_semantics(spark):
             (2, "clean words only"),
             (3, ""),
             (4, "bad worse bad worse"),
+            (5, None),  # NULL text counts as '' (source_manifest convention)
         ],
         "doc_id long, text string",
     )
@@ -203,6 +204,7 @@ def test_blocklist_hits_semantics(spark):
         r["doc_id"]: r
         for r in textstats.blocklist_hits(docs, ["Bad", "WORSE"]).collect()
     }
+    assert rows[5]["n_tokens"] == 0 and not rows[5]["flagged"]
     # "badger" must NOT match "bad"; BAD/bad fold together
     assert rows[1]["n_hits"] == 2 and rows[1]["n_distinct_hits"] == 1
     assert rows[1]["flagged"]
@@ -310,6 +312,7 @@ def test_encoding_qa_unicode_parity(spark):
         (3, ""),
         (4, "   "),
         (5, _MOJI_DOC),
+        (6, None),  # NULL text counts as '' on both engines
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = normalize(textstats.encoding_qa(docs).toPandas())
