@@ -3852,6 +3852,32 @@ def _q_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live benchmark decontamination (streaming.
+    streaming_contamination_probe): the full documents stream probed
+    against the doc_id%20 bench subset's static shingle table —
+    flagged docs only, bench docs self-contaminated at ratio 1.0.
+    Stateless per the probe family (broadcast stream-static inner
+    join; final per-doc count bounded by contamination incidence).
+    Oracle: oracles.streaming_contamination_probe_sql()."""
+    from pagerank_mapreduce_implementation_spark.streaming import (
+        read_table_stream,
+        run_to_memory,
+        streaming_contamination_probe,
+    )
+
+    bench = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 20 == 0)
+    name = f"_stream_contam_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        streaming_contamination_probe(
+            read_table_stream(spark, sf_dir, "documents"), bench
+        ),
+        name,
+        "complete",
+    )
+    return spark.table(name)
+
+
 def _q_streaming_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of source_manifest: every manifest component is
     a commutative-monoid aggregate, so complete-mode state is one row

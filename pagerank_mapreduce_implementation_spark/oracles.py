@@ -4344,3 +4344,31 @@ def manifest_drift_sql(
         "COALESCE(o.content_hash <> n.content_hash, TRUE) AS hash_changed "
         "FROM o FULL OUTER JOIN n ON o.source = n.source"
     )
+
+
+def streaming_contamination_probe_sql(
+    ngram: int = 8, threshold: float = 0.01, bench_mod: int = 20
+) -> str:
+    """Mirror of ``streaming.streaming_contamination_probe`` with the
+    bench set = docs where doc_id % bench_mod == 0 and the STREAM =
+    the full documents table (bench docs probe as fully self-
+    contaminated — the flag-at-ingest semantics). Emits flagged rows
+    only; the threshold compares the ROUND(6) ratio exactly as the
+    operator does."""
+    if ngram < 1:
+        raise ValueError(f"ngram ({ngram}) must be >= 1")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold ({threshold}) must be in [0, 1]")
+    return (
+        f"WITH {_shingles_ngram(ngram)}, "
+        f"b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0), "
+        "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles "
+        "FROM sh GROUP BY doc_id), "
+        "hits AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated "
+        "FROM sh JOIN b ON sh.shingle = b.shingle GROUP BY sh.doc_id) "
+        "SELECT * FROM (SELECT h.doc_id, c.n_shingles, h.n_contaminated, "
+        "round(CAST(h.n_contaminated AS DOUBLE) / c.n_shingles, 6) "
+        "AS contamination_ratio "
+        "FROM hits h JOIN cnt c ON h.doc_id = c.doc_id) "
+        f"WHERE contamination_ratio >= {float(threshold)!r}"
+    )

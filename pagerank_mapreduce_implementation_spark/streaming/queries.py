@@ -867,3 +867,83 @@ def streaming_source_manifest(
     )
 
     return _manifest_aggregate(docs, group_col, text_col, doc_col)
+
+
+def streaming_contamination_probe(
+    docs: DataFrame,
+    bench: DataFrame,
+    ngram: int = 8,
+    threshold: float = 0.01,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Live benchmark-decontamination — the streaming member of the
+    probe family (minhash, phash, bloom, LM, cosine, now
+    contamination): an unbounded document stream probed against a
+    STATIC evaluation set's shingle table, emitting
+    ``(doc_id, n_shingles, n_contaminated, contamination_ratio)`` for
+    CONTAMINATED docs only (``n_shingles > 0`` and ratio >=
+    ``threshold``) — the flag-at-ingest form of
+    ``contamination.contamination_check``, whose batch semantics the
+    oracle replays verbatim on the flagged slice.
+
+    Stateless by the family's construction: per-doc distinct shingles
+    build as ONE per-row array expression (no streaming aggregation —
+    ``array_distinct`` over the rowwise n-gram transform, the same
+    whitespace/ngram convention as ``dedup.shingles``), the doc's
+    shingle count rides the explode, and the bench side joins in as a
+    broadcast STATIC inner side (stream-static joins carry no state
+    store; set ``broadcast_bench=False`` past the 8 GB cap — same
+    results, the micro-batch shuffles against the bucketed bench
+    instead). The only stateful operator is the final per-doc count,
+    and the INNER join bounds its state to docs sharing >= 1 benchmark
+    shingle — contamination incidence, not stream length (the
+    streaming_minhash_probe argument).
+
+    NULL text counts as the empty string (zero shingles — never
+    emitted), the library-wide convention.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram ({ngram}) must be >= 1")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold ({threshold}) must be in [0, 1]")
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        shingles as batch_shingles,
+    )
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != "",
+    )
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(ngram) + F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = F.array_distinct(grams)
+    staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.size(sh).alias("n_shingles"),
+        F.explode(sh).alias("shingle"),
+    )
+    b = batch_shingles(bench, ngram, text_col, doc_col).select("shingle").distinct()
+    if broadcast_bench:
+        b = F.broadcast(b)
+    ratio = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+    )
+    return (
+        staged.join(b, "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_contaminated",
+            ratio.alias("contamination_ratio"),
+        )
+        .filter(F.col("contamination_ratio") >= threshold)
+    )

@@ -618,3 +618,87 @@ def test_manifest_drift_semantics(spark):
     assert rows["gone"]["n_docs_new"] is None and rows["gone"]["docs_delta"] == -1
     assert rows["fresh"]["status"] == "added"
     assert rows["fresh"]["hash_changed"]
+
+
+# --- streaming contamination probe -----------------------------------------
+
+
+def test_streaming_contamination_probe_parity(spark, sf_dir, duck):
+    """Stream the full documents table against the doc_id%20 bench
+    subset: bench docs probe as fully self-contaminated (ratio 1.0)
+    plus any genuine cross-doc 8-gram overlaps; flagged rows must
+    hash-match the DuckDB replay exactly."""
+    from pagerank_mapreduce_implementation_spark.streaming import (
+        read_table_stream,
+        run_to_memory,
+        streaming_contamination_probe,
+    )
+
+    bench = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 20 == 0)
+    probe = streaming_contamination_probe(
+        read_table_stream(spark, sf_dir, "documents"), bench
+    )
+    run_to_memory(probe, "stream_contam", "complete")
+    got = spark.table("stream_contam")
+    rows = got.collect()
+    assert any(r["contamination_ratio"] == 1.0 for r in rows)
+    assert any(r["contamination_ratio"] < 1.0 for r in rows), (
+        "vacuous: only bench self-hits flagged"
+    )
+    check(got, duck, oracles.streaming_contamination_probe_sql())
+    spark.catalog.dropTempView("stream_contam")
+
+
+def test_streaming_contamination_probe_matches_batch(spark, sf_dir):
+    """The probe's flagged slice must equal the batch
+    contamination_check verdict (same rounding point for the
+    threshold compare)."""
+    from pagerank_mapreduce_implementation_spark.operators.contamination import (
+        contamination_check,
+    )
+    from pagerank_mapreduce_implementation_spark.streaming import (
+        read_table_stream,
+        run_to_memory,
+        streaming_contamination_probe,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    run_to_memory(
+        streaming_contamination_probe(
+            read_table_stream(spark, sf_dir, "documents"), bench
+        ),
+        "stream_contam_b",
+        "complete",
+    )
+    got = sorted(map(tuple, spark.table("stream_contam_b").collect()))
+    want = sorted(
+        map(
+            tuple,
+            contamination_check(docs, bench, ngram=8, threshold=0.01)
+            .filter(F.col("is_contaminated") == 1)
+            .select(
+                "doc_id",
+                F.col("n_shingles").cast("long"),
+                F.col("n_contaminated").cast("long"),
+                "contamination_ratio",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    spark.catalog.dropTempView("stream_contam_b")
+
+
+def test_streaming_contamination_probe_guards(spark, sf_dir):
+    from pagerank_mapreduce_implementation_spark.streaming import (
+        streaming_contamination_probe,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    with pytest.raises(ValueError):
+        streaming_contamination_probe(docs, docs, ngram=0)
+    with pytest.raises(ValueError):
+        streaming_contamination_probe(docs, docs, threshold=1.5)
+    with pytest.raises(ValueError):
+        oracles.streaming_contamination_probe_sql(ngram=0)
