@@ -3842,9 +3842,10 @@ def _q_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift over two source_manifest frames (dedup.
     manifest_drift): old = docs with doc_id % 7 <> 0, new = the full
-    corpus — every source gains docs, all rows report changed. A
-    full-outer join of two |sources|-row aggregates, all-integer
-    outputs. Oracle: oracles.manifest_drift_sql()."""
+    corpus — sources holding %7 ids report changed; one that happens
+    to hold none would legitimately report unchanged. A full-outer
+    join of two |sources|-row aggregates, all-integer outputs.
+    Oracle: oracles.manifest_drift_sql()."""
     docs = Catalog(spark, sf_dir).documents
     return dedup.manifest_drift(
         dedup.source_manifest(docs.filter(F.col("doc_id") % 7 != 0)),

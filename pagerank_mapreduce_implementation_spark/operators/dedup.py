@@ -38,6 +38,20 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def tokens_null_safe(col: Column) -> Column:
+    """Whitespace token array with the library-wide NULL-text-as-empty
+    convention: NULL coalesces to '' BEFORE the split, so consumers see
+    an empty array (Spark's size(split(NULL)) is -1 and DuckDB sums
+    skip NULLs — the cross-engine divergence this single home
+    prevents). The one tokenizer expression behind source_manifest,
+    blocklist_hits, and streaming_contamination_probe; SQL mirrors
+    spell it list_filter(regexp_split_to_array(coalesce(text, ''),
+    '[[:space:]]+'), w -> w <> '')."""
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), r"\s+"), lambda w: w != ""
+    )
+
+
 def exact_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -2874,7 +2888,7 @@ def _manifest_aggregate(
     per-row fingerprint/counts, monoid-only groupBy, post-agg mod."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     fp60 = _word_hash60(normalize_text(txt))
-    toks = F.filter(F.split(txt, r"\s+"), lambda w: w != "")
+    toks = tokens_null_safe(F.col(text_col))
     staged = docs.select(
         F.col(group_col).alias("source"),
         F.col(doc_col).alias("doc_id"),

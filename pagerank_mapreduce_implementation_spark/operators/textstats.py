@@ -2273,13 +2273,11 @@ def blocklist_hits(
     words = [w.lower() for w in blocklist] if lowercase else list(blocklist)
     words = list(dict.fromkeys(words))
     blk = F.array(*[F.lit(w) for w in words])
-    # NULL text counts as the empty string (the source_manifest
-    # convention): size(split(NULL)) is -1 in Spark, NULL-skipped in
-    # DuckDB sums — coalesce keeps the engines identical
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda w: w != "",
+    from pagerank_mapreduce_implementation_spark.operators.dedup import (
+        tokens_null_safe,
     )
+
+    toks = tokens_null_safe(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, lambda w: F.lower(w))
     feature_out = () if flag_only else (

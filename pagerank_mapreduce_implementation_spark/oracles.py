@@ -4287,19 +4287,29 @@ def encoding_qa_sql(min_ascii_ratio: float = 0.5) -> str:
     )
 
 
-def source_manifest_sql(group_col: str = "source") -> str:
+def _manifest_core_sql(group_col: str, where: str) -> str:
+    """Per-doc manifest staging shared by source_manifest_sql and
+    manifest_drift_sql — the ONE SQL home of the 60-bit exact-dedup
+    fingerprint + null-safe token/char counts (mirror of
+    dedup._manifest_aggregate's staged select)."""
+    return (
+        f"SELECT {group_col} AS source, doc_id, "
+        "('0x' || substr(md5(lower(trim(regexp_replace(coalesce(text, ''), "
+        "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
+        "len(list_filter(regexp_split_to_array(coalesce(text, ''), "
+        "'[[:space:]]+'), w -> w <> '')) AS nt, "
+        "length(coalesce(text, '')) AS nc "
+        f"FROM documents WHERE {where}"
+    )
+
+
+def source_manifest_sql(group_col: str = "source", where: str = "TRUE") -> str:
     """Mirror of ``dedup.source_manifest`` over ``documents``: the
     additive mod-2^60 multiset hash of exact-dedup content
     fingerprints (first 15 md5 hex digits of the normalize_text form),
     summed in HUGEINT (Spark sums decimal(38,0) — both exact)."""
     return (
-        "WITH s AS (SELECT "
-        f"{group_col} AS source, doc_id, "
-        "('0x' || substr(md5(lower(trim(regexp_replace(coalesce(text, ''), "
-        "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
-        "len(list_filter(regexp_split_to_array(coalesce(text, ''), "
-        "'[[:space:]]+'), w -> w <> '')) AS nt, "
-        "length(coalesce(text, '')) AS nc FROM documents) "
+        f"WITH s AS ({_manifest_core_sql(group_col, where)}) "
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(nt) AS BIGINT) AS n_tokens, "
         "CAST(sum(nc) AS BIGINT) AS n_chars, "
@@ -4314,19 +4324,16 @@ def manifest_drift_sql(
 ) -> str:
     """Mirror of ``dedup.manifest_drift`` over two WHERE-filtered
     manifest views of ``documents`` (the registered-query shape: old =
-    last snapshot, new = current corpus)."""
+    last snapshot, new = current corpus). Both snapshots build from
+    ``_manifest_core_sql`` — the fingerprint convention has one SQL
+    home."""
 
     def manifest(where: str) -> str:
         return (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(nt) AS BIGINT) AS n_tokens, "
             "CAST(sum(fp) % 1152921504606846976 AS BIGINT) AS content_hash "
-            "FROM (SELECT source, doc_id, "
-            "('0x' || substr(md5(lower(trim(regexp_replace(coalesce(text, ''), "
-            "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
-            "len(list_filter(regexp_split_to_array(coalesce(text, ''), "
-            "'[[:space:]]+'), w -> w <> '')) AS nt "
-            f"FROM documents WHERE {where}) GROUP BY source"
+            f"FROM ({_manifest_core_sql('source', where)}) GROUP BY source"
         )
 
     return (
@@ -4353,12 +4360,16 @@ def streaming_contamination_probe_sql(
     bench set = docs where doc_id % bench_mod == 0 and the STREAM =
     the full documents table (bench docs probe as fully self-
     contaminated — the flag-at-ingest semantics). Emits flagged rows
-    only; the threshold compares the ROUND(6) ratio exactly as the
-    operator does."""
+    only; the threshold compares the RAW ratio (the batch
+    contamination_check convention the operator mirrors) and round(6)
+    is presentation only."""
     if ngram < 1:
         raise ValueError(f"ngram ({ngram}) must be >= 1")
-    if not 0.0 <= threshold <= 1.0:
-        raise ValueError(f"threshold ({threshold}) must be in [0, 1]")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold ({threshold}) must be in (0, 1] — the probe's "
+            "emit-hits-only shape cannot express threshold 0"
+        )
     return (
         f"WITH {_shingles_ngram(ngram)}, "
         f"b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0), "
@@ -4366,9 +4377,12 @@ def streaming_contamination_probe_sql(
         "FROM sh GROUP BY doc_id), "
         "hits AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated "
         "FROM sh JOIN b ON sh.shingle = b.shingle GROUP BY sh.doc_id) "
-        "SELECT * FROM (SELECT h.doc_id, c.n_shingles, h.n_contaminated, "
-        "round(CAST(h.n_contaminated AS DOUBLE) / c.n_shingles, 6) "
-        "AS contamination_ratio "
+        # the threshold compares the RAW ratio (the batch
+        # contamination_check convention); round(6) is presentation
+        "SELECT doc_id, n_shingles, n_contaminated, "
+        "round(raw, 6) AS contamination_ratio FROM "
+        "(SELECT h.doc_id, c.n_shingles, h.n_contaminated, "
+        "CAST(h.n_contaminated AS DOUBLE) / c.n_shingles AS raw "
         "FROM hits h JOIN cnt c ON h.doc_id = c.doc_id) "
-        f"WHERE contamination_ratio >= {float(threshold)!r}"
+        f"WHERE raw >= {float(threshold)!r}"
     )

@@ -883,22 +883,27 @@ def streaming_contamination_probe(
     contamination): an unbounded document stream probed against a
     STATIC evaluation set's shingle table, emitting
     ``(doc_id, n_shingles, n_contaminated, contamination_ratio)`` for
-    CONTAMINATED docs only (``n_shingles > 0`` and ratio >=
-    ``threshold``) — the flag-at-ingest form of
-    ``contamination.contamination_check``, whose batch semantics the
-    oracle replays verbatim on the flagged slice.
+    docs sharing AT LEAST ONE benchmark shingle whose RAW ratio
+    clears ``threshold`` — exactly ``contamination.
+    contamination_check``'s flagged slice (the batch op also compares
+    the unrounded ratio; both sides divide the same exact integers,
+    so the raw compare is cross-engine deterministic). ``threshold``
+    must be > 0: the emit-hits-only shape cannot express the batch
+    op's threshold-0 behavior of flagging zero-overlap docs, so that
+    configuration raises instead of silently diverging.
 
     Stateless by the family's construction: per-doc distinct shingles
-    build as ONE per-row array expression (no streaming aggregation —
-    ``array_distinct`` over the rowwise n-gram transform, the same
-    whitespace/ngram convention as ``dedup.shingles``), the doc's
-    shingle count rides the explode, and the bench side joins in as a
-    broadcast STATIC inner side (stream-static joins carry no state
-    store; set ``broadcast_bench=False`` past the 8 GB cap — same
-    results, the micro-batch shuffles against the bucketed bench
-    instead). The only stateful operator is the final per-doc count,
-    and the INNER join bounds its state to docs sharing >= 1 benchmark
-    shingle — contamination incidence, not stream length (the
+    build as per-row array expressions staged as NAMED columns (the
+    dedup.shingles CSE rule: a filter(split(...)) referenced from
+    inside a higher-order lambda re-evaluates per window position —
+    measured 4x), the doc's shingle count rides the explode, and the
+    bench side joins in as a broadcast STATIC inner side
+    (stream-static joins carry no state store; set
+    ``broadcast_bench=False`` past the 8 GB cap — same results, the
+    micro-batch shuffles against the bucketed bench instead). The
+    only stateful operator is the final per-doc count, and the INNER
+    join bounds its state to docs sharing >= 1 benchmark shingle —
+    contamination incidence, not stream length (the
     streaming_minhash_probe argument).
 
     NULL text counts as the empty string (zero shingles — never
@@ -906,44 +911,49 @@ def streaming_contamination_probe(
     """
     if ngram < 1:
         raise ValueError(f"ngram ({ngram}) must be >= 1")
-    if not 0.0 <= threshold <= 1.0:
-        raise ValueError(f"threshold ({threshold}) must be in [0, 1]")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold ({threshold}) must be in (0, 1]: the probe emits "
+            "matched docs only and cannot express threshold-0's "
+            "flag-everything semantics (use batch contamination_check)"
+        )
     from pagerank_mapreduce_implementation_spark.operators.dedup import (
         shingles as batch_shingles,
+        tokens_null_safe,
     )
 
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda w: w != "",
+    tok_staged = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        tokens_null_safe(F.col(text_col)).alias("_toks"),
     )
     grams = F.when(
-        F.size(toks) >= ngram,
+        F.size("_toks") >= ngram,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(ngram) + F.lit(1)),
-            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(ngram) + F.lit(1)),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, ngram), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = F.array_distinct(grams)
-    staged = docs.select(
-        F.col(doc_col).alias("doc_id"),
-        F.size(sh).alias("n_shingles"),
-        F.explode(sh).alias("shingle"),
+    sh_staged = tok_staged.select(
+        "doc_id", F.array_distinct(grams).alias("_sh")
+    )
+    staged = sh_staged.select(
+        "doc_id",
+        F.size("_sh").alias("n_shingles"),
+        F.explode("_sh").alias("shingle"),
     )
     b = batch_shingles(bench, ngram, text_col, doc_col).select("shingle").distinct()
     if broadcast_bench:
         b = F.broadcast(b)
-    ratio = F.round(
-        F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
-    )
+    raw_ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
     return (
         staged.join(b, "shingle")
         .groupBy("doc_id", "n_shingles")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .filter(raw_ratio >= threshold)
         .select(
             "doc_id",
             F.col("n_shingles").cast("long").alias("n_shingles"),
             "n_contaminated",
-            ratio.alias("contamination_ratio"),
+            F.round(raw_ratio, 6).alias("contamination_ratio"),
         )
-        .filter(F.col("contamination_ratio") >= threshold)
     )

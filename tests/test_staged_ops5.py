@@ -563,8 +563,9 @@ def test_streaming_source_manifest_matches_batch(spark, sf_dir):
 
 def test_manifest_drift_parity(spark, sf_dir, duck):
     """Registered-query shape: old snapshot = docs with doc_id % 7
-    <> 0, new = full corpus — every source gains docs, so every row
-    reports changed with positive deltas."""
+    <> 0, new = full corpus. A source whose ids happen to all avoid
+    the %7 slice would legitimately report unchanged, so the assert
+    requires changed rows to EXIST, not to be universal."""
     from pagerank_mapreduce_implementation_spark.operators import dedup
 
     docs = Catalog(spark, sf_dir).documents
@@ -574,7 +575,9 @@ def test_manifest_drift_parity(spark, sf_dir, duck):
     )
     rows = got.collect()
     assert len(rows) > 1
-    assert all(r["status"] == "changed" for r in rows)
+    statuses = {r["status"] for r in rows}
+    assert "changed" in statuses, "vacuous: no source drifted"
+    assert statuses <= {"changed", "unchanged"}
     check(got, duck, oracles.manifest_drift_sql())
 
 
@@ -700,5 +703,11 @@ def test_streaming_contamination_probe_guards(spark, sf_dir):
         streaming_contamination_probe(docs, docs, ngram=0)
     with pytest.raises(ValueError):
         streaming_contamination_probe(docs, docs, threshold=1.5)
+    # threshold 0 would silently diverge from batch (the probe can't
+    # emit zero-overlap docs) — must refuse, both sides
+    with pytest.raises(ValueError):
+        streaming_contamination_probe(docs, docs, threshold=0.0)
     with pytest.raises(ValueError):
         oracles.streaming_contamination_probe_sql(ngram=0)
+    with pytest.raises(ValueError):
+        oracles.streaming_contamination_probe_sql(threshold=0.0)
