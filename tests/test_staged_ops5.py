@@ -711,3 +711,127 @@ def test_streaming_contamination_probe_guards(spark, sf_dir):
         oracles.streaming_contamination_probe_sql(ngram=0)
     with pytest.raises(ValueError):
         oracles.streaming_contamination_probe_sql(threshold=0.0)
+
+
+# --- hypothesis cross-engine gates (the winnow non-ascii precedent) --------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP = dict(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+# convention edges on purpose: mojibake markers (Ã, â, €, Â), U+FFFD,
+# a C0 control, U+000B (ASCII-\s member RE2's \s drops — the repo's
+# [[:space:]] convention), NBSP (whitespace in NEITHER engine), CJK,
+# an astral-plane emoji, plus plain ascii tokens
+_HOSTILE_ALPHABET = "ab x\t.\x01\x0b Ã€âÂ�你\U0001f600"
+
+
+def _hostile_rows():
+    return st.lists(
+        st.one_of(
+            st.text(alphabet=_HOSTILE_ALPHABET, min_size=0, max_size=30),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+
+@settings(**_PROP)
+@given(texts=_hostile_rows())
+def test_encoding_qa_hypothesis_duckdb_gate(spark, texts):
+    """encoding_qa over arbitrary hostile text (controls, mojibake
+    digraph fragments, astral plane, NBSP, U+000B, NULL rows) must
+    compare exactly against the DuckDB replay — the generative form of
+    the pinned-fixture unicode parity test."""
+    import duckdb as _duck
+    import pandas as _pd
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = normalize(
+        textstats.encoding_qa(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).toPandas()
+    )
+    con = _duck.connect()
+    con.register("documents", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = normalize(con.sql(oracles.encoding_qa_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@settings(**_PROP)
+@given(texts=_hostile_rows())
+def test_blocklist_hits_hypothesis_duckdb_gate(spark, texts):
+    """blocklist_hits parity under hostile tokens and NULL rows; the
+    blocklist includes single-char tokens the alphabet can actually
+    produce so hits occur across examples."""
+    import duckdb as _duck
+    import pandas as _pd
+
+    from pagerank_mapreduce_implementation_spark.operators import textstats
+
+    blk = ["ab", "你", "x.", "\U0001f600"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = normalize(
+        textstats.blocklist_hits(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            blk,
+            max_hit_ratio=0.3,
+        ).toPandas()
+    )
+    con = _duck.connect()
+    con.register("documents", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = normalize(con.sql(oracles.blocklist_hits_sql(blk, 0.3)).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@settings(**_PROP)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.text(alphabet=_HOSTILE_ALPHABET, max_size=25), st.none()
+            ),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_source_manifest_hypothesis_gate(spark, rows):
+    """source_manifest parity on hostile multisets AND the multiset
+    invariance: reversing row order and reassigning doc_ids must keep
+    every content_hash (the additive hash's defining property)."""
+    import duckdb as _duck
+    import pandas as _pd
+
+    from pagerank_mapreduce_implementation_spark.operators import dedup
+
+    tagged = [(i, t, s) for i, (t, s) in enumerate(rows)]
+    schema = "doc_id long, text string, source string"
+    got = normalize(
+        dedup.source_manifest(spark.createDataFrame(tagged, schema)).toPandas()
+    )
+    con = _duck.connect()
+    con.register(
+        "documents", _pd.DataFrame(tagged, columns=["doc_id", "text", "source"])
+    )
+    want = normalize(con.sql(oracles.source_manifest_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    permuted = [
+        (100 + i, t, s) for i, (t, s) in enumerate(reversed(rows))
+    ]
+    again = dedup.source_manifest(
+        spark.createDataFrame(permuted, schema)
+    ).collect()
+    assert {(r["source"], r["content_hash"]) for r in again} == {
+        (r["source"], r["content_hash"])
+        for r in dedup.source_manifest(
+            spark.createDataFrame(tagged, schema)
+        ).collect()
+    }
