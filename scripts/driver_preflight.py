@@ -25,6 +25,10 @@ from pagerank_mapreduce_implementation_spark.session import get_spark  # noqa: E
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 N = int(os.environ.get("PREFLIGHT_N", "50"))
+# PREFLIGHT_QUERIES=a,b,c replays exactly those registry names (any
+# position) instead of the first-N window — the targeted re-check an
+# optimization pass runs after touching an operator.
+ONLY = [q for q in os.environ.get("PREFLIGHT_QUERIES", "").split(",") if q]
 
 
 def frame_hash(df: pd.DataFrame) -> str:
@@ -45,7 +49,15 @@ def main() -> None:
         )
     osql = entry.oracle_sql()
     failures = []
-    for i, (name, fn) in enumerate(list(entry.queries().items())[:N]):
+    qitems = list(entry.queries().items())
+    if ONLY:
+        unknown = [q for q in ONLY if q not in dict(qitems)]
+        if unknown:
+            raise SystemExit(f"PREFLIGHT_QUERIES unknown: {unknown}")
+        qitems = [(n, f) for n, f in qitems if n in ONLY]
+    else:
+        qitems = qitems[:N]
+    for i, (name, fn) in enumerate(qitems):
         try:
             got = fn(spark, SF_DIR).toPandas()
             if name in entry.NO_ORACLE_QUERIES:
@@ -64,7 +76,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep replaying
             failures.append(name)
             print(f"[{i:2d}] ERROR {name}: {exc}", flush=True)
-    print(json.dumps({"checked": N, "failures": failures}))
+    print(json.dumps({"checked": len(qitems), "failures": failures}))
     spark.stop()
     sys.exit(1 if failures else 0)
 

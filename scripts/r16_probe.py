@@ -26,7 +26,9 @@ import __spark_entry__ as entry  # noqa: E402
 from pagerank_mapreduce_implementation_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARM_DIR = "/root/testdata/sf0.001"
+# env-overridable like SF_DIR (r16 ADVICE): a missing warm fixture would
+# silently charge JIT/codegen cost to the first timed rep
+WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
 
 
 def drop_persisted(spark) -> None:
@@ -35,8 +37,8 @@ def drop_persisted(spark) -> None:
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:  # visible like bench.py's helper (r16 ADVICE)
+        print(f"  drop_persisted unavailable: {exc}", file=sys.stderr)
     try:
         for tbl in spark.catalog.listTables():
             if tbl.name.startswith("_stream_") and tbl.isTemporary:
@@ -73,10 +75,17 @@ def main() -> None:
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
         drop_persisted(spark)
         best = None
+        failed = False
         for rep in range(args.reps):
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # keep probing the rest (r16 ADVICE)
+                print(f"  [{rep}] {name} FAILED: {exc}", file=sys.stderr)
+                failed = True
+                drop_persisted(spark)
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             print(f"  [{rep}] {name}: {dt:.3f}s", file=sys.stderr)
@@ -101,7 +110,7 @@ def main() -> None:
             del df
             gc.collect()
             drop_persisted(spark)
-        results[name] = round(best, 3)
+        results[name] = None if failed else round(best, 3)
     print(json.dumps(results))
     spark.stop()
 
