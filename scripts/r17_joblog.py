@@ -37,6 +37,7 @@ def build_session():
         .master(f"local[{cpus}]")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVDIR}")
+        .config("spark.eventLog.compress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -94,11 +95,21 @@ def main() -> None:
     spark.sparkContext.setJobDescription(None)
     spark.stop()
 
-    logs = sorted(glob.glob(f"{EVDIR}/*"), key=os.path.getmtime)
+    # Spark 4 writes a rolling dir (eventlog_v2_<app>/events_*); older
+    # layouts write one flat file
+    logs = sorted(
+        p
+        for p in glob.glob(f"{EVDIR}/*") + glob.glob(f"{EVDIR}/*/events*")
+        if os.path.isfile(p)
+    )
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(logs[-1]) as fh:
-        for line in fh:
+    lines = []
+    for p in logs:
+        with open(p) as fh:
+            lines.extend(fh)
+    if True:
+        for line in lines:
             ev = json.loads(line)
             k = ev.get("Event")
             if k == "SparkListenerJobStart":
