@@ -935,6 +935,7 @@ def triangle_counts(
     num_partitions: int | None = None,
     broadcast_adj: bool = True,
     canon: DataFrame | None = None,
+    with_degree: bool = False,
 ) -> DataFrame:
     """Per-vertex triangle counts → ``(url, triangles)`` over the
     UNDIRECTED simple graph underlying ``(src, dst)`` (duplicate
@@ -977,9 +978,18 @@ def triangle_counts(
       past the executor broadcast budget (>~100M edges) set False —
       co-partitioned joins take over.
 
-    Credits: a and b take ``size(intersection)`` via two edge-sized
-    aggregates; each closing vertex takes 1 via the single explode —
-    the only triangle-sized shuffle in the plan.
+    Credits: a and b take ``size(intersection)`` and each closing
+    vertex takes 1, all emitted by ONE explode over per-row credit
+    structs and summed by one map-side-combined aggregation — the only
+    triangle-sized shuffle in the plan, with a single consumer of the
+    intersection output (r17: the previous three-aggregate union
+    persisted the ~30M-element intersection arrays and paid a 3x
+    cache-read/population race, the measured query dominator).
+
+    ``with_degree`` additionally emits each vertex's canonical simple
+    degree (``(url, triangles, degree)``) reusing the orientation
+    pass's degree subtree — for compositions (clustering coefficients)
+    that would otherwise re-aggregate the canonical edges.
 
     ``canon`` (the ``bfs_distances(dedupe=False)`` pattern): a
     prebuilt CALLER-PERSISTED ``(cu, cv)`` canonical simple edge set —
@@ -1049,32 +1059,63 @@ def triangle_counts(
             F.array_intersect("nbrs", "nbrs_b").alias("cs"),
         )
         .filter(F.size("cs") > 0)
-        .persist()
     )
-    apex_credit = closed.groupBy(F.col("a").alias("x")).agg(
-        F.sum(F.size("cs")).alias("t")
-    )
-    mid_credit = closed.groupBy(F.col("b").alias("x")).agg(
-        F.sum(F.size("cs")).alias("t")
-    )
-    close_credit = (
-        closed.select(F.explode("cs").alias("x"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    per_vertex = (
-        apex_credit.unionByName(mid_credit)
-        .unionByName(close_credit)
-        .groupBy("x")
-        .agg(F.sum("t").alias("t"))
-    )
-    out = (
-        vdim.join(per_vertex.withColumnRenamed("x", "vid"), "vid", "left")
-        .select("url", F.coalesce("t", F.lit(0)).cast("long").alias("triangles"))
-    )
+    # ONE-pass credit assignment (r17, guide §2.3/§2.4): each closed
+    # row credits apex ``a`` and mid ``b`` with size(cs) and every
+    # closing vertex with 1, all through a single explode + one
+    # map-side-combined sum. The previous shape — three aggregate
+    # consumers (two edge-keyed sums + the explode count) over a
+    # PERSISTED ``closed`` — cached ~30M array elements (~256 MB at
+    # sf0.1) only to read them three times, and AQE launched the three
+    # consumers as concurrent jobs that serialized on populating the
+    # same cache blocks (measured: three overlapping ~4.8 s jobs, the
+    # whole-query dominator). Credit sums are identical by construction
+    # (same per-row terms, one union-of-terms instead of a union of
+    # three partial aggregates); with a single consumer the cache — and
+    # its population race — disappears.
+    credits = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("x"),
+                        F.size("cs").cast("long").alias("t"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("x"),
+                        F.size("cs").cast("long").alias("t"),
+                    ),
+                ),
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        c.alias("x"), F.lit(1).cast("long").alias("t")
+                    ),
+                ),
+            )
+        ).alias("ct")
+    ).select(F.col("ct.x").alias("x"), F.col("ct.t").alias("t"))
+    per_vertex = credits.groupBy("x").agg(F.sum("t").alias("t"))
+    out = vdim.join(per_vertex.withColumnRenamed("x", "vid"), "vid", "left")
+    if with_degree:
+        # canonical-simple-graph degree per vertex, reused from the
+        # orientation pass's ``deg`` subtree (vid space) — saves the
+        # caller (clustering_coefficients) a second string-keyed
+        # aggregation over the canonical edges plus a vertex join
+        dv = deg.withColumnRenamed("x", "vid")
+        out = out.join(
+            F.broadcast(dv) if broadcast_adj else dv, "vid", "left"
+        ).select(
+            "url",
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            F.coalesce("d", F.lit(0)).cast("long").alias("degree"),
+        )
+    else:
+        out = out.select(
+            "url", F.coalesce("t", F.lit(0)).cast("long").alias("triangles")
+        )
     # materialize before releasing the cached inputs the plan reads
     out = out.localCheckpoint(eager=True)
-    closed.unpersist()
     oriented.unpersist()
     if owns_canon:
         canon_str.unpersist()
@@ -1396,31 +1437,28 @@ def clustering_coefficients(edges: DataFrame, round_digits: int = 6) -> DataFram
         .distinct()
         .persist()
     )
-    tri = triangle_counts(edges, canon=canon)
-    deg = (
-        canon.select(F.col("cu").alias("url"))
-        .unionByName(canon.select(F.col("cv").alias("url")))
-        .groupBy("url")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    # r17 (§2.4): degrees ride OUT of the triangle pass (``with_degree``
+    # reuses its vid-space orientation-degree subtree) instead of a
+    # second string-keyed aggregation over ``canon`` + a vertex join
+    # here — one fewer shuffle, one fewer join, and the returned frame
+    # is a lazy projection over triangle_counts' already-materialized
+    # checkpoint (no extra copy job). Values are identical: the degree
+    # definition (canonical simple edges, both endpoints) is the same.
+    tri = triangle_counts(edges, canon=canon, with_degree=True)
+    out = tri.select(
+        "url",
+        "degree",
+        "triangles",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            ).otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias("clustering"),
     )
-    out = (
-        tri.join(deg, "url", "left")
-        .select(
-            "url",
-            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
-            "triangles",
-            F.round(
-                F.when(
-                    F.coalesce("degree", F.lit(0)) >= 2,
-                    2.0
-                    * F.col("triangles")
-                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
-                ).otherwise(F.lit(0.0)),
-                round_digits,
-            ).alias("clustering"),
-        )
-    )
-    out = out.localCheckpoint(eager=True)
     canon.unpersist()
     return out
 
