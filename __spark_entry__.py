@@ -849,7 +849,17 @@ def _q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the audio_features move)."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # spread across cores BEFORE the Python synth+hash pass (the
+    # image_dct_dups r15 precedent, applied r17): the local sf tables
+    # are one parquet file under maxPartitionBytes = ONE scan task, so
+    # an un-spread mapInPandas pins the whole per-doc codec work to a
+    # single core. Round-robin on doc_id rows only; per-doc outputs
+    # are partitioning-independent, oracle hash unaffected.
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -879,7 +889,17 @@ def _q_image_dct_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash gate)."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # spread across cores BEFORE the Python synth+hash pass (the
+    # image_dct_dups r15 precedent, applied r17): the local sf tables
+    # are one parquet file under maxPartitionBytes = ONE scan task, so
+    # an un-spread mapInPandas pins the whole per-doc codec work to a
+    # single core. Round-robin on doc_id rows only; per-doc outputs
+    # are partitioning-independent, oracle hash unaffected.
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -910,7 +930,17 @@ def _q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the banding."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # spread across cores BEFORE the Python synth+hash pass (the
+    # image_dct_dups r15 precedent, applied r17): the local sf tables
+    # are one parquet file under maxPartitionBytes = ONE scan task, so
+    # an un-spread mapInPandas pins the whole per-doc codec work to a
+    # single core. Round-robin on doc_id rows only; per-doc outputs
+    # are partitioning-independent, oracle hash unaffected.
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -939,7 +969,17 @@ def _q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     phash_test_image md5 cell formula."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # spread across cores BEFORE the Python synth+hash pass (the
+    # image_dct_dups r15 precedent, applied r17): the local sf tables
+    # are one parquet file under maxPartitionBytes = ONE scan task, so
+    # an un-spread mapInPandas pins the whole per-doc codec work to a
+    # single core. Round-robin on doc_id rows only; per-doc outputs
+    # are partitioning-independent, oracle hash unaffected.
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -971,7 +1011,17 @@ def _q_video_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-hash formula + the substring_runs gaps-and-islands SQL."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # spread across cores BEFORE the Python synth+hash pass (the
+    # image_dct_dups r15 precedent, applied r17): the local sf tables
+    # are one parquet file under maxPartitionBytes = ONE scan task, so
+    # an un-spread mapInPandas pins the whole per-doc codec work to a
+    # single core. Round-robin on doc_id rows only; per-doc outputs
+    # are partitioning-independent, oracle hash unaffected.
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -1186,6 +1236,9 @@ def _q_streaming_phash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         Catalog(spark, sf_dir)
         .documents.filter(F.col("doc_id") % 3 != 0)
         .select("doc_id")
+        # spread the store-side Python synth+hash (one-file scan = one
+        # task otherwise; the image_dct_dups precedent)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(synth, schema=multimodal.BLOB_SCHEMA)
     )
     seen = multimodal.phash_images(store_blobs)
@@ -2213,6 +2266,10 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     move)."""
     import pandas as pd
 
+    # NO spread here (r17 A/B): wav_test_signal synth is cheap (~0.1
+    # ms/doc) and the blobs checkpoint feeds two branches — the
+    # round-robin shuffle cost exceeded the parallelism gain
+    # (min-of-3: 1.20 s un-spread vs 1.51 s spread).
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
 
     def synth(batches):
@@ -3181,7 +3238,17 @@ def _q_audio_spectral_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     across all 256 classes by tests/test_phash.py's exhaustive audit."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # spread across cores BEFORE the Python synth+hash pass (the
+    # image_dct_dups r15 precedent, applied r17): the local sf tables
+    # are one parquet file under maxPartitionBytes = ONE scan task, so
+    # an un-spread mapInPandas pins the whole per-doc codec work to a
+    # single core. Round-robin on doc_id rows only; per-doc outputs
+    # are partitioning-independent, oracle hash unaffected.
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
