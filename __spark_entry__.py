@@ -2772,7 +2772,18 @@ def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one 9x-expand serial aggregation loses to two parallel 5x
     expands when the agg, not the scan, dominates; the fused variant
     stays available for genuinely scan-bound (cold columnar) use."""
-    li = Catalog(spark, sf_dir).lineitem
+    # r17: project to the profiled columns and spread across cores
+    # before the x5 Expand + exact-distinct partial aggregation — the
+    # one-file local scan otherwise runs the whole expand nearly
+    # serial in a 3-task stage (profiled: two concurrent 3.8/6.0 s
+    # 3-task jobs = the query). Round-robin repartition of only the 4
+    # profiled columns; aggregation results are partitioning-
+    # independent. A/B min-of-3 warm: 5.45 -> 3.06 s.
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select(*_DRIFT_COLS)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     old = li.filter(F.col("l_orderkey") % 3 != 0)
     return relational.profile_drift(old, li, _DRIFT_COLS)
 
@@ -3099,8 +3110,12 @@ def _q_profile_drift_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.5 s 2-col; the 5x Expand is scan-shaped). Oracle rebuilt from
     the same builder with the slim args — re-certifies at the FRONT
     of r16's window (r15's is fully subscribed)."""
+    # r17: same spread as profile_drift — the x9 Expand of the fused
+    # form otherwise runs inside the 3-task one-file scan stage
     return relational.profile_drift_where(
-        Catalog(spark, sf_dir).lineitem,
+        Catalog(spark, sf_dir)
+        .lineitem.select(*_DRIFT_COLS_SLIM)
+        .repartition(spark.sparkContext.defaultParallelism),
         F.col("l_quantity") < 45,
         _DRIFT_COLS_SLIM,
     )
