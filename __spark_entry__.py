@@ -3642,7 +3642,17 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite graph, so the union is ALREADY simple — dedupe=False
     skips the operator's own redundant dedup shuffle entirely).
     Oracle: unrolled MATERIALIZED frontier CTEs."""
-    e = _bipartite_edges(spark, sf_dir).distinct()
+    # r17 (§2.4): repartition on the distinct keys BEFORE the distinct —
+    # the aggregation reuses the exchange (no second shuffle) and the
+    # dedup hash work runs at full width instead of inside the 1-file
+    # 3-task scan stage (profiled 1.2 s there; o-p edges are nearly
+    # duplicate-free, so map-side pre-dedup collapsed ~nothing anyway:
+    # exchange wrote 11 MB ≈ raw size).
+    e = (
+        _bipartite_edges(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+        .distinct()
+    )
     bidir = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -3808,11 +3818,22 @@ def _q_source_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 rounds) over the bidirectional order-part graph, aggregated to
     (n_reached, harmonic, closeness) — decimal-exact reciprocal sums,
     integer distance sums."""
-    e = _bipartite_edges(spark, sf_dir)
+    # r17: the bfs_distances staging — dedup the DIRECTED edges once
+    # (half the dedup bytes; direction sets are disjoint on the o-/p-
+    # prefixed bipartite graph so the union is already simple), with
+    # the repartition-before-distinct move so the dedup hash work runs
+    # at full width, then skip the operator's own dedup shuffle.
+    e = (
+        _bipartite_edges(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+        .distinct()
+    )
     bidir = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return graph.source_centrality(bidir, _CENTRALITY_SOURCES, n_rounds=4)
+    return graph.source_centrality(
+        bidir, _CENTRALITY_SOURCES, n_rounds=4, dedupe=False
+    )
 
 
 def _q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:

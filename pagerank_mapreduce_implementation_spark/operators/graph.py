@@ -1559,6 +1559,7 @@ def source_centrality(
     n_rounds: int = 6,
     materialize_every: int = 2,
     num_partitions: int | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Closeness/harmonic centrality of chosen vertices — one row per
     source: ``(source, n_reached, harmonic, closeness)`` where over
@@ -1592,7 +1593,13 @@ def source_centrality(
     if n_rounds < 0:
         raise ValueError(f"n_rounds ({n_rounds}) must be non-negative")
     spark = edges.sparkSession
-    simple = edges.select("src", "dst").distinct().persist()
+    # dedupe=False: caller already holds simple edges (the
+    # bfs_distances contract — reachability ignores multiplicity, so
+    # output is identical either way)
+    simple = edges.select("src", "dst")
+    if dedupe:
+        simple = simple.distinct()
+    simple = simple.persist()
     seeds = sorted(set(sources))
     # coalesce(1): p driver-side seed rows, one-task checkpoint (r17,
     # the bfs_distances seed move)
