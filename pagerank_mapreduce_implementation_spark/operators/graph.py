@@ -329,6 +329,19 @@ def pagerank(
         else (F.col("rank") / F.col("out_degree"))
     )
 
+    # r17, the hits/lpa/bfs "driver-adaptive join strategy" move applied
+    # here too: the iterated rank vector is a checkpointed frame and
+    # carries NO stats, so the planner can't see it is vertex-sized and
+    # falls back to shuffling it against the links partitioning every
+    # iteration. The exact vertex count n is already in hand — while it
+    # is broadcastable, hint the rank side into the scatter join (zero
+    # rank-vector shuffle per iteration); past the threshold the hint
+    # drops away and the co-partitioned join takes over unchanged.
+    small_ranks = n <= _BFS_BROADCAST_ROWS
+
+    def _rvec(v: DataFrame) -> DataFrame:
+        return F.broadcast(v) if small_ranks else v
+
     # Uniform seed value (non-reset modes): iteration 1's rank vector
     # is this CONSTANT, so its scatter join folds to a literal.
     seed_rank = 1.0 / (seed_count if seed_count is not None else n)
@@ -361,7 +374,7 @@ def pagerank(
             )
         else:
             contribs = links.join(
-                ranks.withColumnRenamed("url", "src"), "src"
+                _rvec(ranks.withColumnRenamed("url", "src")), "src"
             ).select(*contrib_cols)
         # O15 gather: map-side partial agg, final agg on url.
         aggs = [F.sum("contrib").alias("contrib_sum"), F.max("own").alias("own")]
