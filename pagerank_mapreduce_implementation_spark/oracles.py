@@ -4292,10 +4292,16 @@ def _manifest_core_sql(group_col: str, where: str) -> str:
     manifest_drift_sql — the ONE SQL home of the 60-bit exact-dedup
     fingerprint + null-safe token/char counts (mirror of
     dedup._manifest_aggregate's staged select)."""
+    # trim(x, ' ') not bare trim(): DuckDB's default trim strips
+    # UNICODE whitespace (U+00A0 survives Spark's ASCII-space trim but
+    # vanished here — r17 hypothesis catch), while the library-wide
+    # whitespace convention is POSIX/ASCII; only the collapsed ASCII
+    # space can reach the edges, so trimming exactly ' ' matches
+    # normalize_text bit-for-bit.
     return (
         f"SELECT {group_col} AS source, doc_id, "
         "('0x' || substr(md5(lower(trim(regexp_replace(coalesce(text, ''), "
-        "'[[:space:]]+', ' ', 'g')))), 1, 15))::BIGINT AS fp, "
+        "'[[:space:]]+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS fp, "
         "len(list_filter(regexp_split_to_array(coalesce(text, ''), "
         "'[[:space:]]+'), w -> w <> '')) AS nt, "
         "length(coalesce(text, '')) AS nc "
