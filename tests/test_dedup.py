@@ -406,6 +406,7 @@ def _cached_rdd_ids(spark):
     }
 
 
+@pytest.mark.slow  # r17 fast-tier split: >10 s sweep, see pytest.ini
 def test_materialized_results_are_releasable_by_direct_callers(spark, planted):
     """Round-7 verdict item 4: the eager-checkpoint returns must be
     releasable WITHOUT going through programs.clean_corpus. Contract:

@@ -401,6 +401,7 @@ def test_ivf_probe_limits_scan(spark):
     assert cells[11] == cells[2]
 
 
+@pytest.mark.slow  # r17 fast-tier split: >10 s sweep, see pytest.ini
 def test_lloyd_centroids_beat_first_n_recall(spark, sf_dir):
     """K-means (Lloyd) centroid refinement must improve IVF recall vs
     the first-n seed against the exact cosine_topk baseline (the

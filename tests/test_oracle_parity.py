@@ -14,6 +14,9 @@ import duckdb
 import pandas as pd
 import pytest
 
+# slow tier (r17): excluded from the driver's default fast run -- see pytest.ini
+pytestmark = pytest.mark.slow
+
 import __spark_entry__ as entrymod
 
 TABLES = [

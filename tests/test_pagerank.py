@@ -167,6 +167,7 @@ def test_connected_components_raises_when_diameter_exceeds_max_iters(spark):
         connected_components(edges, max_iters=3)
 
 
+@pytest.mark.slow  # r17 fast-tier split: >10 s sweep, see pytest.ini
 def test_cc_star_matches_label_propagation_structured_graphs(spark):
     from pagerank_mapreduce_implementation_spark.operators.graph import (
         connected_components,
@@ -193,6 +194,7 @@ def test_cc_star_matches_label_propagation_structured_graphs(spark):
         assert star == label, f"{name}: {star} != {label}"
 
 
+@pytest.mark.slow  # r17 fast-tier split: >10 s sweep, see pytest.ini
 def test_cc_star_matches_label_propagation_random_graphs(spark):
     """Property: on random graphs the two algorithms produce identical
     (vertex -> min reachable id) labelings."""
@@ -373,6 +375,7 @@ def test_weighted_pagerank_edge_cases(spark):
     assert pagerank(e, n_iters=2, weight_col="weight").count() == 0
 
 
+@pytest.mark.slow  # r17 fast-tier split: >10 s sweep, see pytest.ini
 def test_weighted_pagerank_random_graphs_match_python_oracle(spark):
     """Randomized parity: weighted + personalized variants against the
     pure-python evaluator on random weighted digraphs (duplicate edges
@@ -777,6 +780,7 @@ class TestKcore:
             graph.kcore(df, k=2, n_rounds=-1)
 
 
+@pytest.mark.slow  # r17 fast-tier split: >10 s sweep, see pytest.ini
 def test_pagerank_tol_early_exit_matches_fixed_point(spark):
     """tol turns n_iters into a cap: a generous cap with tol lands on
     the same ranks (within tol) as a long fixed run, and the exit

@@ -10,6 +10,9 @@ import re
 
 import pytest
 
+# slow tier (r17): excluded from the driver's default fast run -- see pytest.ini
+pytestmark = pytest.mark.slow
+
 from pagerank_mapreduce_implementation_spark.programs import (
     run_pagerank,
     tfidf_search_rank,

@@ -14,7 +14,11 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
+import pytest
 from hypothesis import HealthCheck, given, settings
+
+# slow tier (r17): excluded from the driver's default fast run -- see pytest.ini
+pytestmark = pytest.mark.slow
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 

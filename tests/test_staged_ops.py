@@ -9,6 +9,9 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+
+# slow tier (r17): excluded from the driver's default fast run -- see pytest.ini
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from pagerank_mapreduce_implementation_spark import oracles
