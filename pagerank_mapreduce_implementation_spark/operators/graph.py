@@ -1221,12 +1221,8 @@ def bfs_distances(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    # seed layer is len(sources) driver-side rows — coalesce(1) so its
-    # checkpoint (and every count over it) is one task, not a
-    # default-parallelism-wide job of empty partitions (r17)
     layer = _trunc(
         spark.createDataFrame([(s,) for s in sorted(set(sources))], ["url"])
-        .coalesce(1)
         .select("url", F.lit(0).cast("int").alias("dist"))
     )
     dist = layer
@@ -1392,7 +1388,6 @@ def sssp_weighted(
     )
     dist0 = (
         spark.createDataFrame([(s,) for s in sorted(set(sources))], ["url"])
-        .coalesce(1)  # driver-side seed rows: one-task state (r17)
         .select("url", F.lit(0.0).alias("dist"))
     )
 
@@ -1614,13 +1609,9 @@ def source_centrality(
         simple = simple.distinct()
     simple = simple.persist()
     seeds = sorted(set(sources))
-    # coalesce(1): p driver-side seed rows, one-task checkpoint (r17,
-    # the bfs_distances seed move)
-    layer = (
-        spark.createDataFrame([(s, s) for s in seeds], ["source", "url"])
-        .coalesce(1)
-        .select("source", "url", F.lit(0).cast("int").alias("dist"))
-    )
+    layer = spark.createDataFrame(
+        [(s, s) for s in seeds], ["source", "url"]
+    ).select("source", "url", F.lit(0).cast("int").alias("dist"))
     layer = layer.localCheckpoint(eager=True)
     dist = layer
     n_layer = n_dist = len(seeds)
